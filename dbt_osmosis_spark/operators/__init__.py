@@ -1,0 +1,41 @@
+"""Operator registry.
+
+Each operator module registers (name, spark_builder, oracle_sql|None) via
+``register``. ``__spark_entry__.py`` re-exports the registry for the driver:
+spark_builder(spark, sf_dir) -> DataFrame, oracle_sql runs on DuckDB over the
+same parquet tables.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: Optional[str] = None):
+    """Decorator: add a query builder (and optional DuckDB oracle SQL)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every operator module so its registrations run."""
+    from dbt_osmosis_spark.operators import (  # noqa: F401
+        dedup,
+        relational,
+        similarity,
+        text,
+    )

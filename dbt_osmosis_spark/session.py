@@ -1,0 +1,82 @@
+"""SparkSession factory tuned for the engine.
+
+The reference holds a long-lived warehouse adapter with per-thread
+connections and a 3600 s TTL (reference: src/dbt_osmosis/core/config.py:250,
+:474-508). Spark needs none of that: one long-lived SparkSession serves all
+threads, so this module is the single place session-level tuning lives.
+
+Scale notes (100 TB design intent, tested on local[N]):
+- AQE on: runtime coalescing, skew-join splitting, dynamic broadcast joins.
+- shuffle.partitions sized to cores locally; on a real cluster AQE's
+  coalescing makes the initial number far less critical.
+- Session timezone pinned to UTC so timestamp semantics match the DuckDB
+  oracle (DuckDB timestamps are UTC-naive).
+- Arrow enabled: every pandas_udf / toPandas crossing is Arrow-batched.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "dbt_osmosis_spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS, then all cores.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def register_testdata(spark: SparkSession, sf_dir: str) -> None:
+    """Register every parquet table under ``sf_dir`` as a temp view.
+
+    Mirrors the reference's ref()/source() resolution target: logical name →
+    relation (reference: src/dbt_osmosis/core/sql_operations.py:45). Views keep
+    the scan lazy so Catalyst pushes filters/projections into the parquet read.
+    """
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    for name in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            read_parquet(spark, path).createOrReplaceTempView(name)

@@ -1,0 +1,58 @@
+"""Parquet source with nanosecond-timestamp normalization.
+
+Spark (through 4.x) rejects Parquet ``TIMESTAMP(NANOS)`` columns
+(PARQUET_TYPE_ILLEGAL); engines like DuckDB read them by truncating to
+microseconds. To present one logical schema regardless of writer precision,
+we sniff the footer with pyarrow and — when nanos columns exist — read them
+as raw int64 (``spark.sql.legacy.parquet.nanosAsLong``) and cast
+``timestamp_micros(ns div 1000)``, matching DuckDB's truncation semantics.
+
+Footer sniffing is a driver-side metadata read of ONE footer (O(KB)); the
+data scan stays fully distributed and columnar, and filter/projection
+pushdown is unaffected for the non-rewritten columns.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    """Column names with parquet timestamp[ns] type, from one footer."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+        if not files:
+            return []
+        path = files[0]
+    schema = pq.read_schema(path)
+    out = []
+    for field in schema:
+        t = field.type
+        if str(t).startswith("timestamp[ns"):
+            out.append(field.name)
+    return out
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` that tolerates nanosecond timestamps."""
+    nanos_cols = _nanos_timestamp_columns(path)
+    if not nanos_cols:
+        return spark.read.parquet(path)
+    prev = spark.conf.get(_NANOS_CONF, "false")
+    spark.conf.set(_NANOS_CONF, "true")
+    try:
+        df = spark.read.parquet(path)
+    finally:
+        spark.conf.set(_NANOS_CONF, prev)
+    for c in nanos_cols:
+        # ns → µs truncation, same as DuckDB's read of TIMESTAMP(NANOS).
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
