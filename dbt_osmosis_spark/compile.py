@@ -1,0 +1,89 @@
+"""Jinja-SQL → Spark SQL compilation (SURVEY M1, S17).
+
+The reference compiles Jinja SQL through dbt's compiler: temp node injection,
+``process_node`` ref/source resolution, ``SqlCompileRunner.compile``
+(reference: src/dbt_osmosis/core/sql_operations.py:27-57). Here the same
+contract — `{{ ref() }}`, `{{ source() }}`, `{{ config() }}`, `{{ var() }}`,
+loops, `{% set %}` — is provided by a plain Jinja2 environment whose
+resolvers return *Spark relation names* (temp views / tables registered by
+the runner). Compilation is a pure text stage; execution is `spark.sql`.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import jinja2
+
+from dbt_osmosis_spark.project import Manifest
+
+_JINJA_TOKENS = ("{{", "{%", "{#")
+
+
+def has_jinja(sql: str) -> bool:
+    """Token scan (reference: src/dbt_osmosis/core/sql_operations.py:21-24)."""
+    return any(tok in sql for tok in _JINJA_TOKENS)
+
+
+@dataclass
+class CompiledSQL:
+    raw_sql: str
+    compiled_sql: str
+    refs: list[str] = field(default_factory=list)
+    sources: list[tuple[str, str]] = field(default_factory=list)
+
+
+def _relation_for(name: str) -> str:
+    """Spark relation name for a model/seed/source node. Dots are not legal
+    in view names — source keys `schema.table` map to `schema__table`."""
+    return name.replace(".", "__")
+
+
+class JinjaCompiler:
+    """Compile Jinja-SQL against a manifest.
+
+    ref('x') / ref('x', v=N)  → relation name of model/seed x
+    source('s','t')           → relation name of source s.t
+    var('k', default)         → project vars
+    config(...)               → swallowed at compile time (parsed separately)
+    """
+
+    def __init__(self, manifest: Manifest):
+        self.manifest = manifest
+        self.env = jinja2.Environment(undefined=jinja2.StrictUndefined)
+
+    def compile(self, sql: str, extra_vars: dict | None = None) -> CompiledSQL:
+        refs: list[str] = []
+        sources: list[tuple[str, str]] = []
+
+        def ref(name: str, v: int | None = None, **_kw) -> str:
+            target = f"{name}_v{v}" if v and f"{name}_v{v}" in self.manifest.models else name
+            known = self.manifest.node_names()
+            if target not in known and name not in known:
+                raise KeyError(f"ref('{name}') does not resolve to a known node")
+            refs.append(target if target in known else name)
+            return _relation_for(refs[-1])
+
+        def source(schema: str, table: str) -> str:
+            key = f"{schema}.{table}"
+            if key not in self.manifest.sources:
+                raise KeyError(f"source('{schema}', '{table}') not declared")
+            sources.append((schema, table))
+            return _relation_for(key)
+
+        def var(key: str, default=None):
+            merged = {**self.manifest.vars, **(extra_vars or {})}
+            return merged.get(key, default)
+
+        def config(**_kw) -> str:
+            return ""
+
+        tpl = self.env.from_string(sql)
+        compiled = tpl.render(ref=ref, source=source, var=var, config=config)
+        compiled = re.sub(r"\n{3,}", "\n\n", compiled).strip()
+        return CompiledSQL(raw_sql=sql, compiled_sql=compiled, refs=refs, sources=sources)
+
+
+def relation_name(node_name: str) -> str:
+    return _relation_for(node_name)

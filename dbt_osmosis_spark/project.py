@@ -1,0 +1,204 @@
+"""Project model: manifest, nodes, filters, topological ordering.
+
+Re-expresses the reference's manifest handling (reference:
+src/dbt_osmosis/core/config.py:437-453 — dict nodes + sources with
+depends_on edge lists) as plain dataclasses, and ports its DAG algorithms:
+
+- Kahn topological sort with cycle detection
+  (reference: src/dbt_osmosis/core/node_filters.py:61-110)
+- candidate filtering by resource type / fqn / path
+  (reference: src/dbt_osmosis/core/node_filters.py:113-150)
+
+The graph is metadata (thousands of nodes, not billions of rows) so this is
+driver-side Python by design — the *data* each model touches is what runs
+distributed on Spark.
+
+A project directory looks like:
+
+    my_project/
+      project.yml          # name, vars, model configs
+      seeds/*.csv          # S1 seed tables
+      models/**/*.sql      # Jinja-SQL models ({{ ref() }}, {{ source() }})
+      sources.yml          # external tables (name -> path/format)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Iterator
+
+try:
+    import yaml as _pyyaml  # type: ignore
+except ImportError:  # pragma: no cover
+    _pyyaml = None
+
+
+@dataclass
+class SourceNode:
+    """An external table: name → storage path + format."""
+
+    name: str
+    path: str
+    format: str = "parquet"
+    schema: str | None = None
+    description: str = ""
+
+
+@dataclass
+class SeedNode:
+    """A CSV seed (reference: dbt seed; SURVEY S1)."""
+
+    name: str
+    path: str
+    description: str = ""
+
+
+@dataclass
+class ModelNode:
+    """A Jinja-SQL model. ``depends_on`` is filled at parse time by scanning
+    {{ ref(...) }} / {{ source(...) }} calls (static extraction — same job
+    dbt's parser does before full Jinja rendering)."""
+
+    name: str
+    raw_sql: str
+    path: str
+    materialized: str = "view"  # view | table | ephemeral
+    depends_on: list[str] = field(default_factory=list)
+    description: str = ""
+    config: dict = field(default_factory=dict)
+    tags: list[str] = field(default_factory=list)
+
+
+_REF_RE = re.compile(r"{{\s*ref\(\s*['\"]([^'\"]+)['\"]\s*\)\s*}}")
+_SOURCE_RE = re.compile(r"{{\s*source\(\s*['\"]([^'\"]+)['\"]\s*,\s*['\"]([^'\"]+)['\"]\s*\)\s*}}")
+_CONFIG_RE = re.compile(r"{{\s*config\(([^)]*)\)\s*}}")
+
+
+@dataclass
+class Manifest:
+    """All nodes of a project keyed by name; edges in depends_on."""
+
+    models: dict[str, ModelNode] = field(default_factory=dict)
+    sources: dict[str, SourceNode] = field(default_factory=dict)
+    seeds: dict[str, SeedNode] = field(default_factory=dict)
+    vars: dict = field(default_factory=dict)
+    project_name: str = "project"
+
+    def node_names(self) -> set[str]:
+        return set(self.models) | set(self.sources) | set(self.seeds)
+
+    def topo_sort(self) -> list[str]:
+        """Kahn's algorithm over model nodes, parents first; raises on cycles
+        (reference algorithm: src/dbt_osmosis/core/node_filters.py:61-110)."""
+        indeg: dict[str, int] = {}
+        children: dict[str, list[str]] = {}
+        for name, node in self.models.items():
+            deps = [d for d in node.depends_on if d in self.models]
+            indeg[name] = len(deps)
+            for d in deps:
+                children.setdefault(d, []).append(name)
+        ready = sorted(n for n, d in indeg.items() if d == 0)
+        out: list[str] = []
+        while ready:
+            n = ready.pop(0)
+            out.append(n)
+            for ch in sorted(children.get(n, [])):
+                indeg[ch] -= 1
+                if indeg[ch] == 0:
+                    ready.append(ch)
+            ready.sort()
+        if len(out) != len(indeg):
+            cyclic = sorted(set(indeg) - set(out))
+            raise ValueError(f"dependency cycle among models: {cyclic}")
+        return out
+
+    def filter_models(
+        self,
+        fqn_prefix: str | None = None,
+        path_prefix: str | None = None,
+        tags: list[str] | None = None,
+    ) -> Iterator[ModelNode]:
+        """Candidate filtering (reference: node_filters.py:113-150)."""
+        for name in self.topo_sort():
+            node = self.models[name]
+            if fqn_prefix and not name.startswith(fqn_prefix):
+                continue
+            if path_prefix and not node.path.startswith(path_prefix):
+                continue
+            if tags and not set(tags) & set(node.tags):
+                continue
+            yield node
+
+
+def _parse_inline_config(sql: str) -> dict:
+    """Extract `{{ config(materialized='table', ...) }}` kwargs (string/bool
+    literals only — enough for the reference's demo surface)."""
+    m = _CONFIG_RE.search(sql)
+    if not m:
+        return {}
+    out: dict = {}
+    for part in m.group(1).split(","):
+        if "=" not in part:
+            continue
+        k, v = part.split("=", 1)
+        v = v.strip()
+        if v.startswith(("'", '"')):
+            out[k.strip()] = v.strip("'\"")
+        elif v.lower() in ("true", "false"):
+            out[k.strip()] = v.lower() == "true"
+    return out
+
+
+def load_project(project_dir: str | Path) -> Manifest:
+    """Parse a project directory into a Manifest (the reference's
+    `create_dbt_project_context` analog, reference:
+    src/dbt_osmosis/core/config.py:610-660 — minus dbt-core)."""
+    project_dir = Path(project_dir)
+    manifest = Manifest()
+
+    proj_file = project_dir / "project.yml"
+    if proj_file.exists() and _pyyaml is not None:
+        cfg = _pyyaml.safe_load(proj_file.read_text()) or {}
+        manifest.project_name = cfg.get("name", project_dir.name)
+        manifest.vars = cfg.get("vars", {}) or {}
+
+    src_file = project_dir / "sources.yml"
+    if src_file.exists() and _pyyaml is not None:
+        cfg = _pyyaml.safe_load(src_file.read_text()) or {}
+        for s in cfg.get("sources", []):
+            for tbl in s.get("tables", []):
+                key = f"{s['name']}.{tbl['name']}"
+                manifest.sources[key] = SourceNode(
+                    name=key,
+                    path=tbl["path"],
+                    format=tbl.get("format", "parquet"),
+                    schema=s.get("name"),
+                    description=tbl.get("description", ""),
+                )
+
+    seeds_dir = project_dir / "seeds"
+    if seeds_dir.is_dir():
+        for f in sorted(seeds_dir.glob("*.csv")):
+            manifest.seeds[f.stem] = SeedNode(name=f.stem, path=str(f))
+
+    models_dir = project_dir / "models"
+    if models_dir.is_dir():
+        for f in sorted(models_dir.rglob("*.sql")):
+            raw = f.read_text()
+            cfg = _parse_inline_config(raw)
+            deps = _REF_RE.findall(raw) + [
+                f"{a}.{b}" for a, b in _SOURCE_RE.findall(raw)
+            ]
+            # refs to seeds resolve by seed name too
+            manifest.models[f.stem] = ModelNode(
+                name=f.stem,
+                raw_sql=raw,
+                path=os.path.relpath(f, project_dir),
+                materialized=cfg.get("materialized", "view"),
+                depends_on=sorted(set(deps)),
+                config=cfg,
+            )
+    return manifest

@@ -1,0 +1,132 @@
+"""Engine core: manifest parsing, Jinja compile, topo-ordered run.
+
+Mirrors the reference's test strategy of running the real pipeline against a
+real engine on a small fixed project (reference: tests/conftest.py:22-60),
+with DuckDB as the cross-engine oracle for the materialized marts.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dbt_osmosis_spark.compile import JinjaCompiler, has_jinja, relation_name
+from dbt_osmosis_spark.project import load_project
+from dbt_osmosis_spark.runner import materialize
+from dbt_osmosis_spark.sql_ops import execute_sql_code
+
+DEMO = "/root/repo/demo_spark"
+
+
+@pytest.fixture(scope="module")
+def manifest():
+    return load_project(DEMO)
+
+
+def test_manifest_shape(manifest):
+    assert set(manifest.seeds) == {"raw_customers", "raw_orders", "raw_payments"}
+    assert set(manifest.models) == {
+        "stg_customers",
+        "stg_orders",
+        "stg_payments",
+        "orders",
+        "customers",
+    }
+    assert manifest.sources["analytics.events"].format == "parquet"
+    assert manifest.models["customers"].depends_on == [
+        "stg_customers",
+        "stg_orders",
+        "stg_payments",
+    ]
+
+
+def test_topo_sort_parents_first(manifest):
+    order = manifest.topo_sort()
+    assert order.index("stg_orders") < order.index("orders")
+    assert order.index("stg_payments") < order.index("customers")
+
+
+def test_topo_sort_cycle_detection(manifest):
+    import copy
+
+    m = copy.deepcopy(manifest)
+    m.models["stg_orders"].depends_on.append("customers")
+    with pytest.raises(ValueError, match="cycle"):
+        m.topo_sort()
+
+
+def test_compile_resolves_refs_and_vars(manifest):
+    compiled = JinjaCompiler(manifest).compile(manifest.models["orders"].raw_sql)
+    assert "{{" not in compiled.compiled_sql
+    assert "stg_payments" in compiled.compiled_sql
+    # the Jinja loop over var('payment_methods') expanded to 4 CASE aggregates
+    assert compiled.compiled_sql.count("sum(case when payment_method") == 4
+    assert set(compiled.refs) == {"stg_orders", "stg_payments"}
+
+
+def test_compile_unknown_ref_raises(manifest):
+    with pytest.raises(KeyError, match="no_such_model"):
+        JinjaCompiler(manifest).compile("select * from {{ ref('no_such_model') }}")
+
+
+def test_has_jinja():
+    assert has_jinja("select {{ ref('x') }}")
+    assert not has_jinja("select 1")
+
+
+def test_run_and_query(spark, manifest, tmp_path):
+    report = materialize(spark, manifest, warehouse_dir=str(tmp_path), count_rows=True)
+    kinds = {r.name: r.kind for r in report.results}
+    assert kinds["raw_customers"] == "seed"
+    assert kinds["customers"] == "model"
+
+    # ad-hoc Jinja SQL against the materialized DAG (M1+M2 path)
+    compiled, df = execute_sql_code(
+        spark,
+        manifest,
+        "select count(*) as n from {{ ref('customers') }} where number_of_orders > 0",
+    )
+    assert "customers" in compiled.compiled_sql
+    assert df.collect()[0].n > 0
+
+
+def test_demo_marts_match_duckdb(spark, manifest, tmp_path):
+    """Cross-engine check: the same compiled SQL over the same seeds must
+    produce identical mart rows in DuckDB (portable-SQL subset)."""
+    import duckdb
+
+    materialize(spark, manifest, warehouse_dir=str(tmp_path))
+    con = duckdb.connect()
+    for name, seed in manifest.seeds.items():
+        con.execute(
+            f"CREATE VIEW {relation_name(name)} AS "
+            f"SELECT * FROM read_csv('{seed.path}', header=true)"
+        )
+    compiler = JinjaCompiler(manifest)
+    for name in manifest.topo_sort():
+        sql = compiler.compile(manifest.models[name].raw_sql).compiled_sql
+        con.execute(f"CREATE VIEW {relation_name(name)} AS {sql}")
+
+    for mart, key in [("customers", "customer_id"), ("orders", "order_id")]:
+        sdf = spark.table(relation_name(mart)).orderBy(key).toPandas()
+        ddf = con.execute(f"SELECT * FROM {mart} ORDER BY {key}").fetchdf()
+        assert list(sdf.columns) == list(ddf.columns)
+        assert len(sdf) == len(ddf)
+        import pandas as pd
+
+        def norm(series: pd.Series) -> list[str]:
+            import datetime as dt
+
+            def one(v):
+                if v is None or (isinstance(v, float) and pd.isna(v)) or v is pd.NaT:
+                    return "NULL"
+                if isinstance(v, (dt.date, dt.datetime, pd.Timestamp)):
+                    return pd.Timestamp(v).isoformat()
+                try:
+                    return repr(float(v))
+                except (TypeError, ValueError):
+                    return str(v)
+
+            return [one(v) for v in series.tolist()]
+
+        for c in sdf.columns:
+            assert norm(sdf[c]) == norm(ddf[c]), (mart, c)
