@@ -1,1 +1,286 @@
-"""placeholder — filled in this round."""
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the whole point of these over naive O(n²)):
+
+- **exact**: one shuffle on md5(text) — distributed group-by, no driver data.
+- **ngram-jaccard**: exact pairwise similarity *within candidate buckets
+  only*; exposed standalone here (bounded input) and as the LSH verify
+  stage. Never run bare at 100 TB — the candidate generator bounds it.
+- **minhash-lsh**: per-doc signature is pure map-side array math (no
+  shuffle); banding explodes to b rows/doc; the only shuffle groups by
+  (band, band-key). Pair verification joins shingle sets for *candidates
+  only*. This is the textbook web-scale near-dup pipeline.
+- **simhash**: per-doc 48-bit signature map-side; duplicates-by-bucket via
+  one group-by. Hamming-ball probing (rotations) is round-2 work.
+
+Everything is md5-int based (see operators/text.py) so every stage — even
+the LSH banding — hash-matches the DuckDB oracle exactly. No Python UDFs;
+all array math runs in the JVM via higher-order functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_osmosis_spark.operators import register
+from dbt_osmosis_spark.operators.text import (
+    SPARK_MD5INT,
+    _DUCK_TOK,
+    _duck_shingles,
+    spark_shingles_sql,
+    tokens,
+)
+from dbt_osmosis_spark.sources.parquet import read_parquet
+
+# ---- d01: exact dedup ------------------------------------------------------
+
+
+@register(
+    "d01_dedup_exact",
+    oracle="""
+SELECT md5(text) AS content_hash,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+ORDER BY keep_doc_id
+""",
+)
+def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keep_doc_id")
+    )
+
+
+# ---- d02: n-gram Jaccard near-dup pairs ------------------------------------
+# Exact Jaccard over distinct 3-gram shingles via shingle-inverted-index
+# self-join. Integer intersection / union counts → double ratio is exact.
+
+_JACCARD_THRESHOLD = 0.5
+
+_D02_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {_DUCK_TOK} AS w FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest({_duck_shingles(3)}) AS shingle
+  FROM tok WHERE len(w) >= 3
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+),
+pair_common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(p.n_common AS DOUBLE) / (sa.n + sb.n - p.n_common) AS jaccard
+FROM pair_common p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+WHERE CAST(p.n_common AS DOUBLE) / (sa.n + sb.n - p.n_common) >= {_JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("d02_ngram_jaccard_pairs", oracle=_D02_ORACLE)
+def d02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    sh = (
+        docs.withColumn("w", tokens())
+        .filter(F.size("w") >= 3)
+        .select("doc_id", F.explode(F.expr(spark_shingles_sql("w", 3))).alias("shingle"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pair_common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+    return (
+        pair_common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---- d03: MinHash + LSH candidate pairs ------------------------------------
+# K=24 hash permutations h_i(s) = md5int(i || '|' || s); signature built
+# map-side per doc; B=8 bands × R=3 rows; candidates share a band hash.
+# Verified with exact Jaccard (the d02 machinery) on candidates ONLY.
+
+_K, _B, _R = 24, 8, 3
+
+
+def _duck_minhash_sig() -> str:
+    return (
+        f"list_transform(range(0, {_K}), i -> "
+        "list_aggregate(list_transform(s, x -> "
+        "CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || x), 1, 15) AS BIGINT)"
+        "), 'min'))"
+    )
+
+
+_D03_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {_DUCK_TOK} AS w FROM documents
+),
+sh AS (
+  SELECT doc_id, {_duck_shingles(3)} AS s FROM tok WHERE len(w) >= 3
+),
+sig AS (
+  SELECT doc_id, {_duck_minhash_sig()} AS sig, s FROM sh
+),
+bands AS (
+  SELECT doc_id, band,
+         md5(array_to_string(list_slice(sig, band * {_R} + 1, band * {_R} + {_R}), ',')) AS band_key
+  FROM sig, (SELECT unnest(range(0, {_B})) AS band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+           / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jaccard
+  FROM cand c
+  JOIN sig x ON x.doc_id = c.doc_a
+  JOIN sig y ON y.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard
+FROM verified
+WHERE jaccard >= {_JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("d03_minhash_lsh_pairs", oracle=_D03_ORACLE)
+def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    h = SPARK_MD5INT.format(x="concat(CAST(i AS STRING), '|', x)")
+    sig_expr = (
+        f"transform(sequence(0, {_K - 1}), i -> "
+        f"array_min(transform(s, x -> {h})))"
+    )
+    sig = (
+        docs.withColumn("w", tokens())
+        .filter(F.size("w") >= 3)
+        .withColumn("s", F.expr(spark_shingles_sql("w", 3)))
+        .select("doc_id", F.expr(sig_expr).alias("sig"), "s")
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_B - 1))).alias("band"),
+        "sig",
+    ).select(
+        "doc_id",
+        "band",
+        F.md5(
+            F.concat_ws(",", F.expr(f"slice(sig, band * {_R} + 1, {_R})")).cast("binary")
+        ).alias("band_key"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = sig.select(F.col("doc_id").alias("xid"), F.col("s").alias("xs"))
+    y = sig.select(F.col("doc_id").alias("yid"), F.col("s").alias("ys"))
+    inter = F.size(F.array_intersect(F.col("xs"), F.col("ys")))
+    jac = inter.cast("double") / (F.size("xs") + F.size("ys") - inter)
+    return (
+        cand.join(x, F.col("doc_a") == F.col("xid"))
+        .join(y, F.col("doc_b") == F.col("yid"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---- d04: SimHash signatures + duplicate buckets ---------------------------
+# 48-bit SimHash over tokens: bit j of sig = 1 iff sum over distinct tokens
+# of (+1 if bit j of md5int(token) else -1) > 0. Map-side per doc; exact
+# integer arithmetic → oracle-identical.
+
+_BITS = 48
+
+
+def _duck_simhash() -> str:
+    hashes = (
+        "list_transform(list_distinct(w), x -> "
+        "CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))"
+    )
+    return (
+        f"list_aggregate(list_transform(range(0, {_BITS}), j -> "
+        f"CASE WHEN list_sum(list_transform(h, v -> CASE WHEN (v >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN (1::BIGINT << j) ELSE 0 END), 'sum')"
+    ), hashes
+
+
+_D04_HASHES = (
+    "list_transform(list_distinct(w), x -> "
+    "CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))"
+)
+
+_D04_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {_DUCK_TOK} AS w FROM documents
+),
+hashed AS (
+  SELECT doc_id, {_D04_HASHES} AS h FROM tok WHERE len(w) > 0
+),
+sigs AS (
+  SELECT doc_id,
+         list_aggregate(list_transform(range(0, {_BITS}), j ->
+           CASE WHEN list_sum(list_transform(h, v ->
+                  CASE WHEN (v >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END
+         ), 'sum') AS simhash
+  FROM hashed
+)
+SELECT simhash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_docs
+FROM sigs
+GROUP BY simhash
+ORDER BY keep_doc_id
+"""
+
+
+@register("d04_simhash_buckets", oracle=_D04_ORACLE)
+def d04_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    h = SPARK_MD5INT.format(x="x")
+    sig_expr = (
+        f"aggregate(sequence(0, {_BITS - 1}), CAST(0 AS BIGINT), (acc, j) -> acc + "
+        f"CASE WHEN aggregate(h, 0, (a, v) -> a + CASE WHEN (v >> j) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)"
+    )
+    return (
+        docs.withColumn("w", tokens())
+        .filter(F.size("w") > 0)
+        .withColumn("h", F.expr(f"transform(array_distinct(w), x -> {h})"))
+        .select("doc_id", F.expr(sig_expr).alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("keep_doc_id")
+    )

@@ -1,0 +1,119 @@
+"""Multimodal column plumbing: images/audio/video as opaque binary + metadata.
+
+The Spark-side design is real and tested — schema, partitioning, Arrow batch
+shape, UDF signatures; only the *codec* step is stubbed (image/audio libs are
+not in this container). At 100 TB the pattern is:
+
+  binary column (parquet) → mapInPandas (Arrow batches of bytes)
+    → per-batch decode (PIL/ffmpeg/soundfile in the real container)
+    → typed feature columns / resized binary back out
+
+Rules encoded here:
+- binary payloads travel in the DataFrame, never through the driver;
+- decode happens inside mapInPandas so one Python worker handles an Arrow
+  batch at a time (amortized serde, bounded memory = batch size);
+- metadata (width/height/codec/duration) is a typed struct column, filterable
+  *without* touching bytes — queries that only need metadata never deserialize
+  payloads (column pruning keeps the binary column out of the scan).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+IMAGE_META_SCHEMA = "width int, height int, format string"
+FEATURE_SCHEMA = "doc_id long, modality string, n_bytes int, feat array<float>"
+
+
+class CodecUnavailable(NotImplementedError):
+    """Raised by real decoders when the codec library is missing."""
+
+
+def decode_image(data: bytes) -> "object":
+    """Real decoder — requires PIL, which this container does not ship.
+
+    STUB: downstream code paths must catch CodecUnavailable and fall back to
+    ``fake_decode_meta`` (deterministic) so pipelines stay testable.
+    """
+    try:
+        from PIL import Image  # type: ignore
+        import io
+
+        return Image.open(io.BytesIO(data))
+    except ImportError as e:  # pragma: no cover - PIL absent by design
+        raise CodecUnavailable("PIL not available in this environment") from e
+
+
+def fake_decode_meta(data: bytes) -> tuple[int, int, str]:
+    """Deterministic stand-in for image header parsing: derives (width,
+    height, format) from the payload bytes. Replaces decode_image(...).size
+    when the codec is unavailable."""
+    w = 16 + (len(data) % 1024)
+    h = 16 + (sum(data[:8]) % 1024 if data else 0)
+    fmt = "png" if (data[:1] == b"\x89") else "raw"
+    return w, h, fmt
+
+
+def attach_fake_payloads(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Manufacture a binary `content` column + typed `meta` struct from text
+    (the testdata has no real media); schema matches what a real ingest
+    (spark.read.format('binaryFile')) would produce."""
+    content = F.encode(F.col(text_col), "UTF-8")
+    return df.withColumn("content", content).withColumn(
+        "meta",
+        F.struct(
+            (16 + F.length("content") % 1024).cast("int").alias("width"),
+            F.lit(16).cast("int").alias("height"),
+            F.lit("raw").alias("format"),
+        ),
+    )
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    Real pipelines put the decoder + model forward pass in `one_batch`; here
+    the decode is the deterministic fake (CodecUnavailable path), and the
+    "feature" is an 8-dim byte-histogram sketch — enough to exercise batch
+    shape, schema, and partition parallelism for real.
+    """
+
+    def one_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                data: bytes = row["content"]
+                try:
+                    img = decode_image(data)  # real path
+                    w, h = img.size  # pragma: no cover
+                except CodecUnavailable:
+                    w, h, _fmt = fake_decode_meta(data)
+                hist = [0.0] * 8
+                for b in data[:4096]:
+                    hist[b % 8] += 1.0
+                n = float(len(data[:4096])) or 1.0
+                rows.append(
+                    (row[id_col], "image", len(data), [x / n for x in hist])
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "modality", "n_bytes", "feat"]
+            )
+
+    return df.select(id_col, "content").mapInPandas(one_batch, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n_bytes: int = 64, max_frames: int = 4) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: emit one row per sampled
+    "frame" (byte slice in the stub; ffmpeg seek in real life). Pure
+    DataFrame ops — posexplode keeps it distributed and pruned."""
+    frames = F.expr(
+        f"transform(sequence(0, least(CAST(length(content) / {every_n_bytes} AS INT), {max_frames}) - 1), "
+        f"i -> substring(content, i * {every_n_bytes} + 1, {every_n_bytes}))"
+    )
+    return df.select(
+        "doc_id", F.posexplode(frames).alias("frame_no", "frame_bytes")
+    ).withColumn("frame_len", F.length("frame_bytes"))

@@ -1,1 +1,279 @@
-"""placeholder — filled in this round."""
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Everything is built from JVM-side ``pyspark.sql.functions`` (no Python UDFs
+in the hot path): tokenization with ``split``, higher-order array functions
+(``transform``/``filter``/``aggregate``) for per-token work, md5-derived
+integer hashing for fingerprints. Each operator is embarrassingly parallel —
+per-row map work with one final aggregation — so it scales linearly with
+executors; the only shuffles are the final small groupBys.
+
+Hash convention (shared with dedup.py): ``h(s) = int(md5(s)[:15], 16)`` — a
+60-bit positive integer computable identically in Spark
+(``conv(substr(md5(x),1,15),16,10)``) and DuckDB
+(``CAST('0x' || substr(md5(x),1,15) AS BIGINT)``), making every hash-based
+operator oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_osmosis_spark.functions.numeric import dec_sum
+from dbt_osmosis_spark.operators import register
+from dbt_osmosis_spark.sources.parquet import read_parquet
+
+# ---- shared building blocks ------------------------------------------------
+
+
+def tokens(col: str = "text") -> Column:
+    """Whitespace tokenization of already-normalized text."""
+    return F.split(F.trim(F.col(col)), " ")
+
+
+def md5_int(c: Column) -> Column:
+    """60-bit positive int from md5 — the cross-engine hash."""
+    return F.conv(F.substring(F.md5(c.cast("binary")), 1, 15), 16, 10).cast("bigint")
+
+
+# Spark-SQL expression fragments over a named token-array column.
+SPARK_MD5INT = "CAST(conv(substr(md5(cast({x} AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
+
+
+def spark_shingles_sql(tok_col: str, k: int = 3) -> str:
+    """Distinct k-gram word shingles of token array `tok_col` — built-ins
+    only (sequence/transform/concat_ws): pure map-side, no explode."""
+    grams = ", ".join(f"element_at({tok_col}, i + {j + 1})" for j in range(k))
+    return (
+        f"array_distinct(transform(sequence(0, greatest(size({tok_col}) - {k}, -1)),"
+        f" i -> concat_ws(' ', {grams})))"
+    )
+
+
+_STOPWORDS = ("the", "a")
+
+_DUCK_TOK = "string_split(trim(text), ' ')"
+
+
+def _duck_shingles(k: int = 3) -> str:
+    grams = " || ' ' || ".join(f"w[i + {j}]" for j in range(k))
+    return f"list_distinct([{grams} for i in range(1, len(w) - {k - 2})])"
+
+
+# ---- t01: token statistics per source --------------------------------------
+
+
+@register(
+    "t01_token_stats",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, {_DUCK_TOK} AS w, n_chars FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST(len(w) AS DECIMAL(18,0))) AS BIGINT) AS total_tokens,
+       CAST(SUM(CAST(len(w) AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_tokens,
+       MAX(len(w)) AS max_tokens,
+       CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS BIGINT) AS total_chars
+FROM tok
+GROUP BY source
+ORDER BY source
+""",
+)
+def t01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    n_tok = F.size(tokens())
+    return (
+        docs.select("source", n_tok.alias("n_tok"), "n_chars")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_tok").cast("decimal(18,0)")).cast("bigint").alias("total_tokens"),
+            (
+                F.sum(F.col("n_tok").cast("decimal(18,4)")).cast("double") / F.count(F.lit(1))
+            ).alias("avg_tokens"),
+            F.max("n_tok").alias("max_tokens"),
+            F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("bigint").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---- t02: per-document quality score ---------------------------------------
+# Deterministic heuristic: stopword ratio + token-length shape + length band.
+# All-integer inputs → double ratios are bit-exact in both engines.
+
+_QUALITY_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source, {_DUCK_TOK} AS w, n_chars FROM documents
+),
+feat AS (
+  SELECT doc_id, source, n_chars,
+         len(w) AS n_tokens,
+         len(list_filter(w, x -> x IN ('the', 'a'))) AS n_stop,
+         len(list_filter(w, x -> len(x) >= 6)) AS n_long
+  FROM tok
+)
+SELECT doc_id, source, n_tokens,
+       CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+       CAST(n_long AS DOUBLE) / n_tokens AS long_token_ratio,
+       CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1.0 ELSE 0.0 END AS length_ok,
+       (CAST(n_stop AS DOUBLE) / n_tokens)
+         + (CAST(n_long AS DOUBLE) / n_tokens)
+         + (CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1.0 ELSE 0.0 END)
+         AS quality_score
+FROM feat
+ORDER BY doc_id
+"""
+
+
+@register("t02_quality_score", oracle=_QUALITY_ORACLE)
+def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    tok = tokens()
+    stop_list = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    feat = docs.select(
+        "doc_id",
+        "source",
+        F.size(tok).alias("n_tokens"),
+        F.size(F.expr(f"filter(split(trim(text), ' '), x -> x IN ({stop_list}))")).alias("n_stop"),
+        F.size(F.expr("filter(split(trim(text), ' '), x -> length(x) >= 6)")).alias("n_long"),
+    )
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    long_ratio = F.col("n_long").cast("double") / F.col("n_tokens")
+    length_ok = F.when(F.col("n_tokens").between(20, 80), 1.0).otherwise(0.0)
+    return feat.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        stop_ratio.alias("stopword_ratio"),
+        long_ratio.alias("long_token_ratio"),
+        length_ok.alias("length_ok"),
+        (stop_ratio + long_ratio + length_ok).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+# ---- t03: language identification (marker-token heuristic) -----------------
+# Votes of language-specific marker tokens; argmax with deterministic
+# tie-break (alphabetical language order, 'und' when zero evidence).
+
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "und", "nicht", "das"),
+    "en": ("the", "a", "and", "of"),
+    "es": ("el", "la", "que", "de"),
+    "fr": ("le", "la", "et", "les"),
+}
+
+
+def _score_sql(markers: tuple[str, ...], list_fn: str) -> str:
+    inlist = ", ".join(f"'{m}'" for m in markers)
+    return f"len({list_fn}(w, x -> x IN ({inlist})))"
+
+
+_LANG_ORACLE = (
+    f"""
+WITH tok AS (
+  SELECT doc_id, lang AS labeled_lang, {_DUCK_TOK} AS w FROM documents
+),
+scored AS (
+  SELECT doc_id, labeled_lang,
+"""
+    + ",\n".join(
+        f"         {_score_sql(m, 'list_filter')} AS score_{lang}"
+        for lang, m in _LANG_MARKERS.items()
+    )
+    + """
+  FROM tok
+),
+decided AS (
+  SELECT doc_id, labeled_lang,
+         CASE
+           WHEN score_de = 0 AND score_en = 0 AND score_es = 0 AND score_fr = 0 THEN 'und'
+           WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+           WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+           WHEN score_es >= score_fr THEN 'es'
+           ELSE 'fr'
+         END AS lang_pred
+  FROM scored
+)
+SELECT lang_pred, labeled_lang, COUNT(*) AS n_docs
+FROM decided
+GROUP BY lang_pred, labeled_lang
+ORDER BY lang_pred, labeled_lang
+"""
+)
+
+
+@register("t03_lang_id", oracle=_LANG_ORACLE)
+def t03_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[
+            F.size(
+                F.expr(
+                    "filter(split(trim(text), ' '), x -> x IN (%s))"
+                    % ", ".join(f"'{m}'" for m in markers)
+                )
+            ).alias(f"score_{lang}")
+            for lang, markers in _LANG_MARKERS.items()
+        ],
+    )
+    s = {lang: F.col(f"score_{lang}") for lang in _LANG_MARKERS}
+    decided = scored.select(
+        "doc_id",
+        "labeled_lang",
+        F.when(
+            (s["de"] == 0) & (s["en"] == 0) & (s["es"] == 0) & (s["fr"] == 0), "und"
+        )
+        .when((s["de"] >= s["en"]) & (s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+        .when((s["en"] >= s["es"]) & (s["en"] >= s["fr"]), "en")
+        .when(s["es"] >= s["fr"], "es")
+        .otherwise("fr")
+        .alias("lang_pred"),
+    )
+    return (
+        decided.groupBy("lang_pred", "labeled_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang_pred", "labeled_lang")
+    )
+
+
+# ---- t04: document fingerprint (min-hash-1 over shingles) ------------------
+# fingerprint = min over 3-gram shingles of h(shingle): a single-permutation
+# MinHash — documents sharing it are near-duplicate candidates.
+
+_FP_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {_DUCK_TOK} AS w FROM documents
+),
+sh AS (
+  SELECT doc_id, {_duck_shingles(3)} AS s FROM tok WHERE len(w) >= 3
+)
+SELECT doc_id,
+       list_aggregate(
+         list_transform(s, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)),
+         'min'
+       ) AS fingerprint,
+       len(s) AS n_shingles
+FROM sh
+ORDER BY doc_id
+"""
+
+
+@register("t04_doc_fingerprint", oracle=_FP_ORACLE)
+def t04_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    h = SPARK_MD5INT.format(x="x")
+    return (
+        docs.withColumn("w", tokens())
+        .filter(F.size("w") >= 3)
+        .withColumn("s", F.expr(spark_shingles_sql("w", 3)))
+        .select(
+            "doc_id",
+            F.array_min(F.expr(f"transform(s, x -> {h})")).alias("fingerprint"),
+            F.size("s").alias("n_shingles"),
+        )
+        .orderBy("doc_id")
+    )
