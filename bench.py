@@ -1,0 +1,72 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}. Each query is forced with a full
+collect() (results are small aggregates / top-ks by construction).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dbt_osmosis_spark.operators import QUERIES, load_all  # noqa: E402
+from dbt_osmosis_spark.session import get_spark  # noqa: E402
+
+# Representative slice of the operator surface: scan-agg, join chains,
+# windows, sessionization, dedup (exact + LSH), text, vector search.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_customer_ltv",
+    "q04_revenue_by_nation",
+    "q09_window_rank",
+    "q14_events_hourly",
+    "q15_sessionization",
+    "d01_dedup_exact",
+    "d03_minhash_lsh_pairs",
+    "t02_quality_score",
+    "s01_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    load_all()
+    spark = get_spark(app_name="bench")
+    # Warm JVM + whole-stage-codegen compilation out of the timed region by
+    # running each headline plan once at the smallest SF (first execution of
+    # a plan pays ~seconds of janino compilation that no steady-state
+    # deployment would count).
+    for name in HEADLINE:
+        QUERIES[name](spark, "/root/testdata/sf0.001").collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).collect()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

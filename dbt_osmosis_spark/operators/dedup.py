@@ -31,7 +31,7 @@ from dbt_osmosis_spark.operators.text import (
     spark_shingles_sql,
     tokens,
 )
-from dbt_osmosis_spark.sources.parquet import read_parquet
+from dbt_osmosis_spark.sources.parquet import read_parquet, spread
 
 # ---- d01: exact dedup ------------------------------------------------------
 
@@ -91,11 +91,12 @@ ORDER BY doc_a, doc_b
 @register("d02_ngram_jaccard_pairs", oracle=_D02_ORACLE)
 def d02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    # reused by three branches (sizes + both self-join sides) — persist once
     sh = (
-        docs.withColumn("w", tokens())
+        spread(docs).withColumn("w", tokens())
         .filter(F.size("w") >= 3)
         .select("doc_id", F.explode(F.expr(spark_shingles_sql("w", 3))).alias("shingle"))
-    )
+    ).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -117,19 +118,41 @@ def d02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---- d03: MinHash + LSH candidate pairs ------------------------------------
-# K=24 hash permutations h_i(s) = md5int(i || '|' || s); signature built
-# map-side per doc; B=8 bands × R=3 rows; candidates share a band hash.
-# Verified with exact Jaccard (the d02 machinery) on candidates ONLY.
+# K=24 permutations via universal hashing: each shingle is md5-hashed ONCE to
+# a 28-bit int h, then h_i = (a_i*h + b_i) mod p (p = 2^31-1) — 24x fewer
+# md5 calls than hashing per-(perm, shingle), and a_i*h stays < 2^59 (no
+# int64 overflow). The (a_i, b_i) constants are md5-derived in Python and
+# inlined as literals in BOTH engines' SQL — bit-identical pipelines.
+# B=8 bands × R=3 rows; candidates share a band hash; verified with exact
+# Jaccard on candidates ONLY.
 
 _K, _B, _R = 24, 8, 3
+_MERSENNE = 2147483647  # 2^31 - 1
+
+
+def _hash_const(tag: str, i: int) -> int:
+    import hashlib
+
+    h = int(hashlib.md5(f"{tag}{i}".encode()).hexdigest()[:7], 16)
+    return h % _MERSENNE
+
+
+_A = [(_hash_const("a", i) | 1) for i in range(_K)]
+_B_CONST = [_hash_const("b", i) for i in range(_K)]
+
+# 28-bit shingle hash (7 hex chars) — shared by both engines.
+_SPARK_H28 = "CAST(conv(substr(md5(cast(x AS BINARY)), 1, 7), 16, 10) AS BIGINT)"
+_DUCK_H28 = "CAST('0x' || substr(md5(x), 1, 7) AS BIGINT)"
 
 
 def _duck_minhash_sig() -> str:
+    a = "[" + ", ".join(str(v) for v in _A) + "]"
+    b = "[" + ", ".join(str(v) for v in _B_CONST) + "]"
     return (
         f"list_transform(range(0, {_K}), i -> "
-        "list_aggregate(list_transform(s, x -> "
-        "CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || x), 1, 15) AS BIGINT)"
-        "), 'min'))"
+        f"list_aggregate(list_transform(hs, h -> "
+        f"(({a})[i + 1] * h + ({b})[i + 1]) % {_MERSENNE}"
+        f"), 'min'))"
     )
 
 
@@ -140,8 +163,11 @@ WITH tok AS (
 sh AS (
   SELECT doc_id, {_duck_shingles(3)} AS s FROM tok WHERE len(w) >= 3
 ),
+hashed AS (
+  SELECT doc_id, s, list_transform(s, x -> {_DUCK_H28}) AS hs FROM sh
+),
 sig AS (
-  SELECT doc_id, {_duck_minhash_sig()} AS sig, s FROM sh
+  SELECT doc_id, {_duck_minhash_sig()} AS sig, s FROM hashed
 ),
 bands AS (
   SELECT doc_id, band,
@@ -171,17 +197,25 @@ ORDER BY doc_a, doc_b
 @register("d03_minhash_lsh_pairs", oracle=_D03_ORACLE)
 def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
-    h = SPARK_MD5INT.format(x="concat(CAST(i AS STRING), '|', x)")
-    sig_expr = (
-        f"transform(sequence(0, {_K - 1}), i -> "
-        f"array_min(transform(s, x -> {h})))"
-    )
+    # Unrolled: one array_min per permutation with the (a_i, b_i) constants
+    # inlined as scalars. The indexed form element_at(array(...), i) re-built
+    # the 24-literal array on every inner evaluation (~1700x per doc) and was
+    # 10x slower; constant-folding only happens with scalar literals here.
+    sig_expr = "array(" + ", ".join(
+        f"array_min(transform(hs, h -> ({_A[i]}L * h + {_B_CONST[i]}L) % {_MERSENNE}L))"
+        for i in range(_K)
+    ) + ")"
+    # The signature relation feeds four branches (band sides a/b, verify
+    # sides x/y); without persist() Spark recomputes the md5-heavy subtree
+    # per branch — 4x the dominant cost. At cluster scale this is exactly
+    # where you'd checkpoint/materialize the signature table.
     sig = (
-        docs.withColumn("w", tokens())
+        spread(docs).withColumn("w", tokens())
         .filter(F.size("w") >= 3)
         .withColumn("s", F.expr(spark_shingles_sql("w", 3)))
+        .withColumn("hs", F.expr(f"transform(s, x -> {_SPARK_H28})"))
         .select("doc_id", F.expr(sig_expr).alias("sig"), "s")
-    )
+    ).persist()
     bands = sig.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(_B - 1))).alias("band"),
@@ -276,7 +310,7 @@ def d04_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)"
     )
     return (
-        docs.withColumn("w", tokens())
+        spread(docs).withColumn("w", tokens())
         .filter(F.size("w") > 0)
         .withColumn("h", F.expr(f"transform(array_distinct(w), x -> {h})"))
         .select("doc_id", F.expr(sig_expr).alias("simhash"))

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dbt_osmosis_spark.operators import register
-from dbt_osmosis_spark.sources.parquet import read_parquet
+from dbt_osmosis_spark.sources.parquet import read_parquet, spread
 
 _K = 10
 _DIM = 64
@@ -136,7 +136,7 @@ LIMIT {_K}
 
 @register("s02_lsh_ann_topk", oracle=_S02_ORACLE)
 def s02_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet").withColumn(
+    emb = spread(read_parquet(spark, f"{sf_dir}/embeddings.parquet")).withColumn(
         "v", F.col("embedding").cast("array<double>")
     )
     bucketed = emb.select("vec_id", "label", "v", F.expr(_SPARK_BUCKET).alias("bucket"))
@@ -157,6 +157,11 @@ def s02_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- s03: per-label centroids (order-independent vector mean) --------------
 
+# Determinism note: decimal-casting doubles is NOT cross-engine-safe here —
+# float32-origin values can land exactly on a rounding tie at any fixed
+# scale, and Spark rounds HALF_UP while DuckDB rounds HALF_EVEN. Instead
+# both engines left-fold the *sorted* value list: same multiset + same order
+# + same IEEE adds = bit-identical, at any partitioning.
 _S03_ORACLE = f"""
 WITH comp AS (
   SELECT label, d AS pos, (embedding::DOUBLE[])[d + 1] AS x
@@ -164,7 +169,7 @@ WITH comp AS (
 ),
 means AS (
   SELECT label, pos,
-         CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+         list_reduce(list(x ORDER BY x), (a, b) -> a + b) / COUNT(*) AS m
   FROM comp GROUP BY label, pos
 )
 SELECT label, list(m ORDER BY pos) AS centroid, COUNT(*) AS dim
@@ -179,7 +184,12 @@ def s03_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x")
     )
     means = comp.groupBy("label", "pos").agg(
-        (F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count(F.lit(1))).alias("m")
+        (
+            F.expr(
+                "aggregate(array_sort(collect_list(x)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+            )
+            / F.count(F.lit(1))
+        ).alias("m")
     )
     return (
         means.groupBy("label")

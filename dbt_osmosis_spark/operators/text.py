@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from dbt_osmosis_spark.functions.numeric import dec_sum
 from dbt_osmosis_spark.operators import register
-from dbt_osmosis_spark.sources.parquet import read_parquet
+from dbt_osmosis_spark.sources.parquet import read_parquet, spread
 
 # ---- shared building blocks ------------------------------------------------
 
@@ -267,7 +267,7 @@ def t04_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     h = SPARK_MD5INT.format(x="x")
     return (
-        docs.withColumn("w", tokens())
+        spread(docs).withColumn("w", tokens())
         .filter(F.size("w") >= 3)
         .withColumn("s", F.expr(spark_shingles_sql("w", 3)))
         .select(

@@ -41,6 +41,21 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
     return out
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition a small-file scan so CPU-heavy per-row operators use every
+    core. A compact parquet (one row-group) scans as ONE partition — fine for
+    IO-bound aggregation, catastrophic for hash/fold-heavy map work (single
+    thread). The shuffle cost is negligible versus the compute it unlocks;
+    at real scale multi-file inputs already arrive well-partitioned and this
+    becomes a no-op."""
+    spark = df.sparkSession
+    if min_partitions is None:
+        min_partitions = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= min_partitions:
+        return df
+    return df.repartition(min_partitions)
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """``spark.read.parquet`` that tolerates nanosecond timestamps."""
     nanos_cols = _nanos_timestamp_columns(path)
