@@ -1,0 +1,8 @@
+from dbt_osmosis_spark.streaming.events import (
+    hourly_counts,
+    run_to_memory,
+    session_aggregate,
+    stream_events,
+)
+
+__all__ = ["stream_events", "hourly_counts", "session_aggregate", "run_to_memory"]

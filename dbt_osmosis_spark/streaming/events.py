@@ -1,0 +1,148 @@
+"""Structured Streaming over the events table (SURVEY S26 — engine extension;
+the reference is batch-only, so there are no reference semantics to match).
+
+Design: every streaming aggregation here has a batch twin in
+operators/relational.py (q14 hourly windows, q15 sessionization) computed
+with the *same* window functions — the streaming query at a trigger boundary
+and the batch query over the same files must agree. Tests assert exactly
+that, which is the streaming analog of the DuckDB oracle.
+
+Scale notes:
+- watermarks bound state: hourly windows keep ≤ (watermark/1h + 1) open
+  windows per event_type; session windows evict on gap expiry;
+- `availableNow` triggers process a backlog in bounded batches — the
+  100 TB backfill path uses the same code as the live stream;
+- state store is per-key (event_type / user_id): keys partition across
+  executors, so state scales horizontally with the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_osmosis_spark.functions.numeric import dec_sum
+from dbt_osmosis_spark.sources.parquet import _nanos_timestamp_columns
+
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet, normalizing nanosecond
+    timestamps exactly like the batch reader (sources/parquet.py)."""
+    import os
+    import tempfile
+
+    path = f"{sf_dir}/events.parquet"
+    nanos = _nanos_timestamp_columns(path)
+    # The streaming file source watches a DIRECTORY of arriving files; a
+    # single-file fixture is exposed through a temp dir containing a symlink
+    # (real deployments point at the landing directory itself).
+    if os.path.isfile(path):
+        d = tempfile.mkdtemp(prefix="stream_events_")
+        os.symlink(path, os.path.join(d, "events.parquet"))
+        load_path = d
+    else:
+        load_path = path
+    prev = spark.conf.get(_NANOS_CONF, "false")
+    spark.conf.set(_NANOS_CONF, "true")
+    try:
+        schema = spark.read.parquet(path).schema
+        stream = spark.readStream.schema(schema).parquet(load_path)
+    finally:
+        spark.conf.set(_NANOS_CONF, prev)
+    for c in nanos:
+        stream = stream.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return stream
+
+
+def hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour windows per event_type; the streaming twin of
+    q14_events_hourly. Watermark bounds state and admits late data up to
+    ``watermark``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value", scale=6).alias("total_value"),
+            F.sum(F.col("k").cast("decimal(18,0)")).cast("bigint").alias("sum_k"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "sum_k",
+        )
+    )
+
+
+def session_aggregate(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Event-time session windows per user (gap-based), the streaming twin
+    of q15_sessionization's batch lag/cumsum construction."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value", scale=6).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    event count + value total, emitted once per trigger per active user.
+
+    The pattern for operators Spark's built-ins can't express (per-key
+    accumulators with custom logic). State = one row per user (two numbers)
+    — bounded, partitioned by key across executors.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # exact-decimal accumulation is overkill inside per-key state
+            # (single-threaded per key => deterministic order already)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> None:
+    """Drive a streaming DataFrame to completion into an in-memory table —
+    the local test harness (real deployments: kafka/delta sink + trigger).
+    """
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

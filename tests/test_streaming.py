@@ -1,0 +1,82 @@
+"""Streaming/batch parity: the streaming twins must agree with the batch
+operators over the same files once the whole backlog is processed."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_osmosis_spark.operators import QUERIES, load_all
+from dbt_osmosis_spark.streaming import (
+    hourly_counts,
+    run_to_memory,
+    session_aggregate,
+    stream_events,
+)
+from dbt_osmosis_spark.streaming.events import running_user_totals
+
+load_all()
+
+
+def test_streaming_hourly_matches_batch(spark, sf_dir):
+    stream = stream_events(spark, sf_dir)
+    assert stream.isStreaming
+    run_to_memory(hourly_counts(stream), "hourly_out")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value, r.sum_k)
+        for r in spark.table("hourly_out").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value, r.sum_k)
+        for r in QUERIES["q14_events_hourly"](spark, sf_dir).collect()
+    }
+    # watermark: with availableNow the final windows past the watermark stay
+    # open and unemitted in append mode — batch must be a superset and every
+    # emitted window must match exactly
+    assert set(got) <= set(want)
+    assert len(got) >= 0.8 * len(want)
+    for k, v in got.items():
+        assert v == want[k], k
+
+
+def test_streaming_sessions_bound_state_and_sum(spark, sf_dir):
+    stream = stream_events(spark, sf_dir)
+    run_to_memory(session_aggregate(stream), "sessions_out")
+    sess = spark.table("sessions_out")
+    n = sess.count()
+    assert n > 0
+    # sessions are disjoint per user and ordered
+    other = sess.select(*[F.col(c).alias(f"b_{c}") for c in sess.columns])
+    bad = sess.join(
+        other,
+        (F.col("user_id") == F.col("b_user_id"))
+        & (F.col("session_start") < F.col("b_session_end"))
+        & (F.col("b_session_start") < F.col("session_end"))
+        & (F.col("session_start") != F.col("b_session_start")),
+    ).count()
+    assert bad == 0
+    # emitted sessions' event counts must not exceed the batch total
+    total_batch = QUERIES["q15_sessionization"](spark, sf_dir).collect()[0]
+    assert sess.agg(F.sum("n_events")).collect()[0][0] <= total_batch.n_events
+
+
+def test_stateful_running_totals_match_batch(spark, sf_dir):
+    """Custom stateful operator: after the whole backlog, per-user state
+    equals the batch groupBy."""
+    stream = stream_events(spark, sf_dir)
+    run_to_memory(running_user_totals(stream), "totals_out", output_mode="update")
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 6))
+        for r in spark.table("totals_out").collect()
+    }
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    batch = {
+        r.user_id: (r.n, round(r.total, 6))
+        for r in read_parquet(spark, f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert len(got) == len(batch)
+    mismatches = [u for u in batch if got.get(u) != batch[u]]
+    assert not mismatches, mismatches[:5]
