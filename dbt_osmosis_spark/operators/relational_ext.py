@@ -1,0 +1,240 @@
+"""Extended relational operators: as-of join, range join, native pivot,
+lateral explode, scalar subquery, exact percentiles.
+
+These go beyond the reference's compiled-SQL corpus (SURVEY §2A S22-S25
+margin) into the patterns a Spark warehouse engine is expected to cover —
+each with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from dbt_osmosis_spark.functions.numeric import dec_sum
+from dbt_osmosis_spark.operators import register
+from dbt_osmosis_spark.operators.relational import t
+
+# ---- q17: as-of join -------------------------------------------------------
+# For each event, the most recent order of that user at-or-before the event
+# time. Spark lacks ASOF JOIN; the scalable pattern is union + window
+# (one shuffle on user_id, no range cross-product):
+#   union(tagged orders, tagged events) sorted by (time, tag) per user →
+#   last_value(order payload, ignorenulls) over rows-unbounded-preceding →
+#   keep event rows. DuckDB oracle uses its native ASOF JOIN.
+
+
+@register(
+    "q17_asof_join",
+    oracle="""
+SELECT e.event_id, e.user_id, e.ts,
+       o.o_orderkey AS last_order_id, o.o_orderdate AS last_order_date
+FROM events e
+ASOF LEFT JOIN orders o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+ORDER BY event_id
+""",
+)
+def q17_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    o = t(spark, sf_dir, "orders")
+    # DuckDB ASOF picks the row with the greatest o_orderdate <= ts; ties on
+    # o_orderdate resolve to a single arbitrary row, so make the payload
+    # deterministic by keeping the max o_orderkey per (custkey, orderdate).
+    o1 = (
+        o.groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("time"),
+            F.struct(F.col("o_orderdate"), F.col("o_orderkey")).alias("payload"),
+            F.lit(0).alias("is_event"),
+            F.lit(None).cast("bigint").alias("event_id"),
+        )
+    )
+    e1 = e.select(
+        "user_id",
+        F.col("ts").alias("time"),
+        F.lit(None)
+        .cast("struct<o_orderdate:timestamp,o_orderkey:bigint>")
+        .alias("payload"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+    )
+    # orders sort before events at equal time (tag order) => ts >= orderdate
+    merged = o1.unionByName(e1)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("time", "is_event", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = merged.withColumn("last_order", F.last("payload", ignorenulls=True).over(w))
+    return (
+        filled.filter(F.col("is_event") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("time").alias("ts"),
+            F.col("last_order.o_orderkey").alias("last_order_id"),
+            F.col("last_order.o_orderdate").alias("last_order_date"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---- q18: range join -------------------------------------------------------
+# Bucketing a measure into a small ranges dimension; Spark broadcasts the
+# tiny dim so the non-equi predicate is a per-row scan of 4 buckets, not a
+# shuffle (BroadcastNestedLoopJoin on a 4-row build side).
+
+_BANDS = [(0.0, 25.0, "low"), (25.0, 50.0, "mid"), (50.0, 75.0, "high"), (75.0, 1e9, "top")]
+
+_Q18_BANDS_SQL = ", ".join(f"({lo}, {hi}, '{name}')" for lo, hi, name in _BANDS)
+
+
+@register(
+    "q18_range_join",
+    oracle=f"""
+WITH bands(lo, hi, band) AS (VALUES {_Q18_BANDS_SQL})
+SELECT b.band, COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.band ORDER BY b.band
+""",
+)
+def q18_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(_BANDS, "lo double, hi double, band string")
+    return (
+        e.join(
+            F.broadcast(bands),
+            (e.value >= F.col("lo")) & (e.value < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value", scale=6).alias("total_value"),
+        )
+        .orderBy("band")
+    )
+
+
+# ---- q19: built-in pivot ---------------------------------------------------
+# groupBy().pivot() with explicit values (explicit = one pass, no extra
+# distinct-scan job); the oracle is the equivalent manual CASE pivot.
+
+_STATUSES = ["F", "O", "P"]
+
+
+@register(
+    "q19_pivot",
+    oracle="""
+SELECT o_orderpriority AS priority,
+"""
+    + ",\n".join(
+        f"  CAST(SUM(CAST(CASE WHEN o_orderstatus = '{s}' THEN o_totalprice END AS DECIMAL(28,2))) AS DOUBLE) AS {s}"
+        for s in _STATUSES
+    )
+    + """
+FROM orders GROUP BY o_orderpriority ORDER BY priority
+""",
+)
+def q19_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", _STATUSES)
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(28,2)")).cast("double"))
+        .orderBy("priority")
+    )
+
+
+# ---- q20: lateral explode (unnest) ----------------------------------------
+
+
+@register(
+    "q20_explode_tokens",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents
+)
+SELECT token, COUNT(*) AS n
+FROM tok
+GROUP BY token
+HAVING COUNT(*) >= 100
+ORDER BY n DESC, token
+""",
+)
+def q20_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.trim(F.col("text")), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 100)
+        .orderBy(F.desc("n"), "token")
+    )
+
+
+# ---- q21: scalar subquery --------------------------------------------------
+
+
+@register(
+    "q21_scalar_subquery",
+    oracle="""
+SELECT c_mktsegment AS segment, COUNT(*) AS n_above_avg
+FROM customer
+WHERE c_acctbal > (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) FROM customer
+)
+GROUP BY c_mktsegment ORDER BY segment
+""",
+)
+def q21_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("q21_customer")
+    # expressed through spark.sql: scalar subqueries are a SQL-surface
+    # feature (Catalyst plans the inner agg once and broadcasts the scalar)
+    return spark.sql(
+        """
+        SELECT c_mktsegment AS segment, COUNT(*) AS n_above_avg
+        FROM q21_customer
+        WHERE c_acctbal > (
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*)
+          FROM q21_customer
+        )
+        GROUP BY c_mktsegment ORDER BY segment
+        """
+    )
+
+
+# ---- q22: exact percentiles ------------------------------------------------
+# Spark `percentile` and DuckDB `quantile_cont` share the interpolated-exact
+# definition — bit-identical on the same multiset (verified empirically).
+# At 100 TB you'd switch to approx_percentile (t-digest) and drop the oracle.
+
+
+@register(
+    "q22_percentiles",
+    oracle="""
+SELECT o_orderstatus AS status,
+       quantile_cont(o_totalprice, 0.5) AS median_price,
+       quantile_cont(o_totalprice, 0.9) AS p90_price,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM orders GROUP BY o_orderstatus ORDER BY status
+""",
+)
+def q22_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("status")
+    )
