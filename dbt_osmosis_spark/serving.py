@@ -1,0 +1,116 @@
+"""SQL serving session: info-schema emulation + DDL-comment intercept
+(SURVEY M34, S19, S20).
+
+The reference runs a MySQL-wire proxy whose sessions (a) regex-intercept
+`ALTER TABLE ... COMMENT` statements into in-memory manifest description
+updates and (b) serve an information_schema synthesized from the manifest
+(reference: src/dbt_osmosis/sql/proxy.py:37-171). Spark fills the wire-
+protocol role natively (Spark Connect / Thrift server); what we port is the
+session layer those servers would mount: compile-jinja → intercept-DDL →
+execute, plus information_schema DataFrames built from spark.catalog so
+metadata is queryable *as tables* (joinable, filterable — S19).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dbt_osmosis_spark.compile import JinjaCompiler, has_jinja
+from dbt_osmosis_spark.project import Manifest
+
+# ALTER TABLE <tbl> ALTER|MODIFY [COLUMN] <col> COMMENT '<text>'
+_COLUMN_COMMENT_RE = re.compile(
+    r"alter\s+table\s+`?(?P<table>\w+)`?\s+(?:alter|modify)\s+(?:column\s+)?"
+    r"`?(?P<column>\w+)`?\s+comment\s+'(?P<comment>[^']*)'",
+    re.IGNORECASE,
+)
+# COMMENT ON TABLE <tbl> IS '<text>'
+_TABLE_COMMENT_RE = re.compile(
+    r"comment\s+on\s+table\s+`?(?P<table>\w+)`?\s+is\s+'(?P<comment>[^']*)'",
+    re.IGNORECASE,
+)
+
+
+@dataclass
+class CommentUpdate:
+    table: str
+    column: str | None
+    comment: str
+
+
+def intercept_ddl_comment(sql: str) -> CommentUpdate | None:
+    """Middleware: recognize comment DDL that should mutate the manifest
+    instead of reaching the engine (reference: proxy.py:37-43, :72-110)."""
+    m = _COLUMN_COMMENT_RE.search(sql)
+    if m:
+        return CommentUpdate(m.group("table"), m.group("column"), m.group("comment"))
+    m = _TABLE_COMMENT_RE.search(sql)
+    if m:
+        return CommentUpdate(m.group("table"), None, m.group("comment"))
+    return None
+
+
+def information_schema_tables(spark: SparkSession) -> DataFrame:
+    """`information_schema.tables` as a DataFrame from spark.catalog."""
+    rows = [
+        (t.catalog or "spark_catalog", t.namespace[0] if t.namespace else "default",
+         t.name, "TEMPORARY" if t.isTemporary else "TABLE")
+        for t in spark.catalog.listTables()
+    ]
+    return spark.createDataFrame(
+        rows, "table_catalog string, table_schema string, table_name string, table_type string"
+    )
+
+
+def information_schema_columns(spark: SparkSession) -> DataFrame:
+    """`information_schema.columns` equivalent: one sweep over listTables,
+    schema per table from the catalog (no data scan)."""
+    rows = []
+    for t in spark.catalog.listTables():
+        for i, f in enumerate(spark.table(t.name).schema.fields, start=1):
+            rows.append(
+                (t.name, f.name, i, f.dataType.simpleString(),
+                 "YES" if f.nullable else "NO")
+            )
+    return spark.createDataFrame(
+        rows,
+        "table_name string, column_name string, ordinal_position int, "
+        "data_type string, is_nullable string",
+    )
+
+
+@dataclass
+class SqlSession:
+    """One serving session: what a Spark-Connect-mounted handler runs per
+    query (reference session lifecycle: proxy.py:60-127)."""
+
+    spark: SparkSession
+    manifest: Manifest
+    comments: dict[tuple[str, str | None], str] = field(default_factory=dict)
+
+    def query(self, sql: str) -> DataFrame | None:
+        """Compile jinja if present, intercept comment DDL (returns None —
+        metadata mutation only), else execute on Spark."""
+        update = intercept_ddl_comment(sql)
+        if update is not None:
+            self.comments[(update.table, update.column)] = update.comment
+            if update.column is None and update.table in self.manifest.models:
+                self.manifest.models[update.table].description = update.comment
+            return None
+        if has_jinja(sql):
+            sql = JinjaCompiler(self.manifest).compile(sql).compiled_sql
+        return self.spark.sql(sql)
+
+    def schema_map(self) -> dict[str, dict[str, list[str]]]:
+        """db → table → [columns] map, the shape the proxy serves over the
+        wire (reference: proxy.py:129-141)."""
+        out: dict[str, dict[str, list[str]]] = {}
+        for t in self.spark.catalog.listTables():
+            db = t.namespace[0] if t.namespace else "default"
+            out.setdefault(db, {})[t.name] = [
+                f.name for f in self.spark.table(t.name).schema.fields
+            ]
+        return out

@@ -1,0 +1,332 @@
+"""Metadata plane extensions: settings chain, path routing, restructuring,
+source bootstrap, suggestions/discovery/style, LLM synthesis control plane,
+serving session, formatter, YAML validators (SURVEY M18-M22, M31-M37, L1-L4,
+S19-S20)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+import yaml as pyyaml
+
+from dbt_osmosis_spark.formatting import run_formatter
+from dbt_osmosis_spark.llm import (
+    BULK_THRESHOLD,
+    HeuristicBackend,
+    generate_staging_model,
+    nl_to_sql,
+    synthesize_missing_documentation,
+    with_retries,
+)
+from dbt_osmosis_spark.path_management import (
+    PathTemplate,
+    create_missing_source_yamls,
+    resolve_yaml_path,
+)
+from dbt_osmosis_spark.project import load_project
+from dbt_osmosis_spark.restructuring import apply_restructure_plan, draft_restructure_plan
+from dbt_osmosis_spark.runner import materialize
+from dbt_osmosis_spark.schema_validation import validate_schema_doc
+from dbt_osmosis_spark.serving import (
+    SqlSession,
+    information_schema_columns,
+    information_schema_tables,
+    intercept_ddl_comment,
+)
+from dbt_osmosis_spark.settings import PropertyAccessor, SettingsResolver, has_unrendered_jinja
+from dbt_osmosis_spark.suggestions import (
+    column_pattern,
+    coverage_stats,
+    find_documentation_gaps,
+    mine_doc_style,
+    suggest_tests,
+)
+from dbt_osmosis_spark.transforms import YamlRefactorContext, inject_missing_columns, sync_to_yaml
+from dbt_osmosis_spark.yaml_engine import YamlHandler
+
+DEMO = "/root/repo/demo_spark"
+
+
+@pytest.fixture()
+def project_copy(tmp_path):
+    dst = tmp_path / "proj"
+    shutil.copytree(DEMO, dst)
+    return str(dst)
+
+
+@pytest.fixture()
+def ctx(spark, project_copy, tmp_path):
+    manifest = load_project(project_copy)
+    materialize(spark, manifest, warehouse_dir=str(tmp_path / "wh"))
+    return YamlRefactorContext(spark=spark, manifest=manifest, project_dir=project_copy)
+
+
+# ---------------------------------------------------------------- settings
+
+
+class _Node:
+    def __init__(self, config):
+        self.config = config
+
+
+def test_settings_precedence_column_beats_node_beats_context():
+    r = SettingsResolver(context_settings={"skip-add-tags": "ctx"})
+    node = _Node({"meta": {"skip-add-tags": "node"}})
+    column = {"meta": {"dbt-osmosis-skip-add-tags": "col"}}
+    assert r.resolve("skip_add_tags", node=node, column=column) == "col"
+    assert r.resolve("skip_add_tags", node=node) == "node"
+    assert r.resolve("skip_add_tags") == "ctx"
+    assert r.resolve("missing", fallback=7) == 7
+
+
+def test_settings_key_variants_and_options_nesting():
+    r = SettingsResolver()
+    node = _Node({"dbt_osmosis_options": {"output-to-lower": True}})
+    assert r.resolve("output_to_lower", node=node) is True
+    node2 = _Node({"dbt-osmosis-sort-by": "alphabetical"})
+    assert r.resolve("sort_by", node=node2) == "alphabetical"
+
+
+def test_settings_project_vars_namespace():
+    r = SettingsResolver(project_vars={"dbt-osmosis": {"sort-by": "database"}, "threads": 4})
+    assert r.resolve("sort_by") == "database"
+    # direct project var only matches prefixed/options spellings, not bare
+    assert r.resolve("threads") is None
+
+
+def test_property_accessor_auto_prefers_rendered_yaml():
+    acc = PropertyAccessor(
+        manifest_props={"m": {"description": "from manifest"}},
+        yaml_props={"m": {"description": "from yaml"}},
+    )
+    assert acc.get("m", "description") == "from yaml"
+    acc.yaml_props["m"]["description"] = "{{ doc('x') }}"
+    assert acc.get("m", "description") == "from manifest"
+    assert has_unrendered_jinja("{% if x %}y{% endif %}")
+    acc.source = "manifest"
+    assert acc.get("m", "description") == "from manifest"
+
+
+# ------------------------------------------------------- path routing
+
+
+def test_resolve_yaml_path_most_specific_route(ctx):
+    node = ctx.manifest.models["stg_orders"]
+    routes = [
+        PathTemplate("", "_docs/{model}.yml"),
+        PathTemplate("models/staging", "{parent}/_staging_schema.yml"),
+    ]
+    p = resolve_yaml_path(node, ctx.project_dir, routes)
+    assert p.name == "_staging_schema.yml"
+    assert "staging" in str(p)
+    other = ctx.manifest.models["customers"]
+    assert resolve_yaml_path(other, ctx.project_dir, routes).parent.name == "_docs"
+
+
+def test_resolve_yaml_path_traversal_guard(ctx):
+    node = ctx.manifest.models["customers"]
+    with pytest.raises(ValueError):
+        resolve_yaml_path(node, ctx.project_dir, [PathTemplate("", "../../{model}.yml")])
+
+
+def test_create_missing_source_yamls(spark, ctx):
+    spark.range(3).selectExpr("id", "id * 2 as v").createOrReplaceTempView(
+        "raw_brand_new_table"
+    )
+    try:
+        result = create_missing_source_yamls(spark, ctx.manifest, ctx.project_dir)
+        assert "raw_brand_new_table" in result.created
+        doc = pyyaml.safe_load(result.path.read_text())
+        tables = {t["name"]: t for s in doc["sources"] for t in s["tables"]}
+        assert {"name": "id", "data_type": "bigint"} in tables["raw_brand_new_table"]["columns"]
+        assert "main.raw_brand_new_table" in ctx.manifest.sources
+        # idempotent: second sweep adds nothing
+        again = create_missing_source_yamls(spark, ctx.manifest, ctx.project_dir)
+        assert "raw_brand_new_table" not in again.created
+    finally:
+        spark.catalog.dropTempView("raw_brand_new_table")
+
+
+# ------------------------------------------------------ restructuring
+
+
+def test_restructure_plan_and_apply(ctx):
+    inject_missing_columns(ctx)
+    written = sync_to_yaml(ctx)  # sidecar files exist now
+    assert written
+    routes = [PathTemplate("", "_schemas/{model}.yml")]
+    plan = draft_restructure_plan(ctx.manifest, ctx.project_dir, routes)
+    assert not plan.empty
+    targets = apply_restructure_plan(plan, YamlHandler())
+    assert all(t.parent.name == "_schemas" for t in targets)
+    moved = pyyaml.safe_load((targets[0].parent / "customers.yml").read_text())
+    names = [m["name"] for m in moved["models"]]
+    assert "customers" in names
+    # superseded sidecars drained of their model entries are deleted
+    for name, node in ctx.manifest.models.items():
+        old = ctx.doc_path(name)
+        assert not old.exists() or pyyaml.safe_load(old.read_text()).get("models")
+
+
+# ------------------------------------------- suggestions / discovery
+
+
+def test_column_pattern_and_test_suggestions():
+    assert column_pattern("customer_id") == "id"
+    assert column_pattern("created_at") == "temporal"
+    assert column_pattern("is_active") == "boolean_flag"
+    columns_of = {
+        "orders": {"order_id": {}, "order_date": {}, "note": {}},
+        "payments": {"payment_id": {}},
+    }
+    existing = {
+        ("customers", "customer_id"): ["unique", "not_null"],
+        ("nations", "nation_id"): ["unique", "not_null"],
+    }
+    got = suggest_tests(columns_of, existing)
+    by_col = {(s.node, s.column, s.test) for s in got}
+    assert ("orders", "order_id", "unique") in by_col
+    assert ("payments", "payment_id", "not_null") in by_col
+    assert not any(s.column == "note" for s in got)
+    mined = [s for s in got if s.column == "order_id"]
+    assert all(s.confidence >= 0.5 for s in mined)  # mined beats defaults
+
+
+def test_coverage_and_gaps_and_style(ctx):
+    columns_of = {
+        "customers": {
+            "customer_id": {"description": "Identifies the customer record."},
+            "first_name": {"description": ""},
+            "last_name": {"description": "tbd"},
+        },
+        "stg_orders": {"order_id": {"description": "Identifies the order placed."}},
+    }
+    stats = coverage_stats(columns_of)
+    assert stats.total_columns == 4 and stats.documented == 2
+    assert ("customers", "first_name") in stats.missing
+    assert ("customers", "last_name") in stats.generic
+    gaps = find_documentation_gaps(ctx.manifest, columns_of)
+    assert gaps and gaps[0][0] == "customers"
+    style = mine_doc_style(columns_of)
+    assert style.n_descriptions == 3
+    assert style.tone_markers["ends_period"] == 2
+
+
+# ----------------------------------------------------------- llm (L1-L4)
+
+
+def test_synthesize_missing_documentation_single_and_bulk():
+    backend = HeuristicBackend()
+    columns_of = {
+        "orders": {"order_id": {"description": ""}, "status": {"description": "ok already"}},
+        "wide": {f"col_{i}_id": {"description": ""} for i in range(BULK_THRESHOLD + 2)},
+    }
+    report = synthesize_missing_documentation(columns_of, ["orders", "wide"], backend)
+    assert report.single_calls == 1 and report.bulk_calls == 1
+    assert columns_of["orders"]["order_id"]["description"].startswith("Identifier")
+    assert all(v["description"] for v in columns_of["wide"].values())
+    # deterministic: same input → same output
+    assert backend.complete("COLUMN\norders\norder_id") == backend.complete(
+        "COLUMN\norders\norder_id"
+    )
+
+
+def test_with_retries_backoff():
+    attempts = []
+
+    def flaky():
+        attempts.append(1)
+        if len(attempts) < 3:
+            raise RuntimeError("boom")
+        return "ok"
+
+    sleeps: list[float] = []
+    assert with_retries(flaky, sleep=sleeps.append) == "ok"
+    assert sleeps == [1.0, 2.0]
+    with pytest.raises(RuntimeError):
+        with_retries(lambda: (_ for _ in ()).throw(ValueError()), sleep=lambda s: None)
+
+
+def test_nl_to_sql_and_staging_generation(ctx):
+    sql = nl_to_sql("top customers by spend", ctx.manifest)
+    assert "ref(" in sql and sql.startswith("--")
+    spec = generate_staging_model("main.raw_payments", ["raw_ID", "raw_amount", "ok"])
+    rendered = spec.to_sql(["raw_ID", "raw_amount", "ok"])
+    assert "raw_ID as id" in rendered and "raw_amount as amount" in rendered
+    assert "source('main', 'raw_payments')" in rendered
+
+
+# ------------------------------------------------------ serving (M34)
+
+
+def test_intercept_ddl_comment_variants():
+    up = intercept_ddl_comment("ALTER TABLE customers ALTER COLUMN email COMMENT 'pii'")
+    assert (up.table, up.column, up.comment) == ("customers", "email", "pii")
+    up2 = intercept_ddl_comment("comment on table orders is 'fact table'")
+    assert (up2.table, up2.column) == ("orders", None)
+    assert intercept_ddl_comment("select 1") is None
+
+
+def test_sql_session_and_info_schema(spark, ctx):
+    session = SqlSession(spark=spark, manifest=ctx.manifest)
+    assert session.query("ALTER TABLE customers ALTER COLUMN email COMMENT 'pii'") is None
+    assert session.comments[("customers", "email")] == "pii"
+    df = session.query("select count(*) as n from {{ ref('customers') }}")
+    assert df.collect()[0]["n"] > 0
+    tables = information_schema_tables(spark)
+    assert "customers" in {r.table_name for r in tables.collect()}
+    cols = information_schema_columns(spark)
+    got = {r.column_name for r in cols.filter("table_name = 'customers'").collect()}
+    assert "customer_id" in got
+    assert "customers" in session.schema_map()["default"]
+
+
+# -------------------------------------------------- formatter + validators
+
+
+def test_run_formatter_non_fatal(tmp_path):
+    f = tmp_path / "x.yml"
+    f.write_text("a: 1\n")
+    assert run_formatter("true", [f]) is True
+    assert run_formatter("false", [f]) is False
+    assert run_formatter("definitely-not-a-real-binary-xyz", [f]) is False
+    assert run_formatter("", []) is True
+
+
+def test_validate_schema_doc():
+    ok = {
+        "version": 2,
+        "models": [
+            {
+                "name": "m1",
+                "columns": [
+                    {"name": "id", "tests": ["unique", {"accepted_values": {"values": [1]}}]},
+                ],
+            }
+        ],
+    }
+    assert validate_schema_doc(ok) == []
+    bad = {
+        "models": [
+            {"name": "m1", "columns": [{"name": "id"}, {"name": "id"}]},
+            {"name": "m1"},
+            {"columns": []},
+            {
+                "name": "m2",
+                "columns": [
+                    {"name": "c", "tests": [{"accepted_values": {}}, {"relationships": {"to": "x"}}]}
+                ],
+            },
+        ],
+        "sources": [{"tables": [{}]}],
+    }
+    codes = {v.code for v in validate_schema_doc(bad)}
+    assert {
+        "duplicate-column",
+        "duplicate-model",
+        "model-missing-name",
+        "accepted-values-args",
+        "relationships-args",
+        "source-missing-name",
+    } <= codes
