@@ -35,6 +35,7 @@ def load_all() -> None:
     """Import every operator module so its registrations run."""
     from dbt_osmosis_spark.operators import (  # noqa: F401
         dedup,
+        multimodal,
         relational,
         relational_ext,
         similarity,

@@ -318,3 +318,77 @@ def d04_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_docs"))
         .orderBy("keep_doc_id")
     )
+
+
+# ---- d05: embedding-cosine near-dup pairs (LSH-bucketed) -------------------
+# The embedding-space analog of d03: random-hyperplane LSH buckets bound the
+# candidate set (map-side signature, one shuffle on bucket), then exact
+# cosine verifies candidates only. At 100 TB you'd raise the plane count so
+# buckets stay ~constant-size; the O(n^2)-within-bucket verify never sees
+# the full corpus. Planes/bucketing shared with s02 (operators/similarity.py)
+# so both pipelines stay oracle-identical.
+
+_COSINE_NEARDUP_THRESHOLD = 0.4  # synthetic corpus: max off-diagonal ~0.51
+
+
+def _d05_parts():
+    from dbt_osmosis_spark.operators.similarity import (
+        _DIM,
+        _DUCK_BUCKET,
+        _DUCK_DOT,
+        _DUCK_NORM2,
+        _SPARK_BUCKET,
+        _SPARK_DOT,
+        _SPARK_NORM2,
+    )
+
+    return _DIM, _DUCK_BUCKET, _DUCK_DOT, _DUCK_NORM2, _SPARK_BUCKET, _SPARK_DOT, _SPARK_NORM2
+
+
+def _d05_oracle() -> str:
+    dim, duck_bucket, duck_dot, duck_norm2, *_ = _d05_parts()
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+bucketed AS (
+  SELECT vec_id, v, {duck_bucket} AS bucket FROM vecs
+),
+cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.v AS va, b.v AS vb
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b,
+       {duck_dot.format(a="va", b="vb", n=dim)}
+         / (sqrt({duck_norm2.format(a="va")}) * sqrt({duck_norm2.format(a="vb")})) AS cosine
+FROM cand
+WHERE {duck_dot.format(a="va", b="vb", n=dim)}
+        / (sqrt({duck_norm2.format(a="va")}) * sqrt({duck_norm2.format(a="vb")}))
+      >= {_COSINE_NEARDUP_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+
+
+@register("d05_embedding_neardup", oracle=_d05_oracle())
+def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _dim, _db, _dd, _dn, spark_bucket, spark_dot, spark_norm2 = _d05_parts()
+    emb = spread(read_parquet(spark, f"{sf_dir}/embeddings.parquet")).withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    bucketed = emb.select("vec_id", "v", F.expr(spark_bucket).alias("bucket"))
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("bucket").alias("ba")
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("bucket").alias("bb")
+    )
+    cosine = F.expr(spark_dot.format(a="va", b="vb")) / (
+        F.sqrt(F.expr(spark_norm2.format(a="va"))) * F.sqrt(F.expr(spark_norm2.format(a="vb")))
+    )
+    return (
+        a.join(b, (F.col("ba") == F.col("bb")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= _COSINE_NEARDUP_THRESHOLD)
+        .orderBy("vec_a", "vec_b")
+    )

@@ -117,3 +117,109 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64, max_frames: int = 4) -
     return df.select(
         "doc_id", F.posexplode(frames).alias("frame_no", "frame_bytes")
     ).withColumn("frame_len", F.length("frame_bytes"))
+
+
+# ---- registered queries ----------------------------------------------------
+# The testdata carries no real media, so payloads are manufactured from text
+# (attach_fake_payloads) — which makes every stage below oracle-checkable in
+# DuckDB (documents.text is pure ASCII: byte == char). The Spark-side shapes
+# (binary column, struct metadata, mapInPandas batches, posexplode frames)
+# are exactly what a real binary-media pipeline runs.
+
+from pyspark.sql import SparkSession
+
+from dbt_osmosis_spark.operators import register
+from dbt_osmosis_spark.sources.parquet import read_parquet, spread
+
+
+@register(
+    "m01_image_meta",
+    oracle="""
+SELECT doc_id,
+       CAST(16 + length(text) % 1024 AS INT) AS width,
+       16 AS height,
+       'raw' AS format,
+       CAST(length(text) AS INT) AS n_bytes
+FROM documents
+ORDER BY doc_id
+""",
+)
+def m01_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only query: filter/project on the typed struct without ever
+    deserializing payload bytes (column pruning drops `content`)."""
+    docs = attach_fake_payloads(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    return docs.select(
+        "doc_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.format").alias("format"),
+        F.length("content").cast("int").alias("n_bytes"),
+    ).orderBy("doc_id")
+
+
+_M02_ORACLE = """
+WITH slotted AS (
+  SELECT doc_id, length(text) AS L,
+         list_transform(range(1, least(length(text), 4096) + 1),
+                        i -> ascii(substr(text, CAST(i AS INT), 1)) % 8) AS slots
+  FROM documents
+)
+SELECT doc_id, 'image' AS modality, CAST(L AS INT) AS n_bytes,
+       list_transform(range(0, 8), s ->
+         CAST(len(list_filter(slots, x -> x = s)) / least(L, 4096)::DOUBLE AS FLOAT)) AS feat
+FROM slotted
+ORDER BY doc_id
+"""
+
+
+@register("m02_feature_extract", oracle=_M02_ORACLE)
+def m02_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode→featurize over binary payloads (mapInPandas)."""
+    docs = attach_fake_payloads(spread(read_parquet(spark, f"{sf_dir}/documents.parquet")))
+    return extract_features(docs).orderBy("doc_id")
+
+
+_FRAME_BYTES = 64
+_MAX_FRAMES = 4
+
+_M03_ORACLE = f"""
+WITH framed AS (
+  SELECT doc_id,
+         CAST(i AS INT) AS frame_no,
+         substr(text, CAST(i * {_FRAME_BYTES} + 1 AS INT), {_FRAME_BYTES}) AS frame
+  FROM documents,
+       UNNEST(range(0, greatest(least(length(text) // {_FRAME_BYTES}, {_MAX_FRAMES}), 0))) AS t(i)
+)
+SELECT doc_id, frame_no,
+       CAST(length(frame) AS INT) AS frame_len,
+       md5(frame) AS frame_md5
+FROM framed
+ORDER BY doc_id, frame_no
+"""
+
+
+@register("m03_frame_sample", oracle=_M03_ORACLE)
+def m03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: one row per sampled byte-slice "frame",
+    emitted via posexplode — fully distributed, no payload through driver."""
+    docs = attach_fake_payloads(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    n_frames = F.expr(
+        f"greatest(least(CAST(length(content) / {_FRAME_BYTES} AS INT), {_MAX_FRAMES}), 0)"
+    )
+    frames = F.when(
+        n_frames > 0,
+        F.expr(
+            f"transform(sequence(0, greatest(least(CAST(length(content) / {_FRAME_BYTES} AS INT), {_MAX_FRAMES}), 1) - 1), "
+            f"i -> substring(content, i * {_FRAME_BYTES} + 1, {_FRAME_BYTES}))"
+        ),
+    ).otherwise(F.expr("array()"))
+    return (
+        docs.select("doc_id", F.posexplode(frames).alias("frame_no", "frame_bytes"))
+        .select(
+            "doc_id",
+            "frame_no",
+            F.length("frame_bytes").cast("int").alias("frame_len"),
+            F.md5("frame_bytes").alias("frame_md5"),
+        )
+        .orderBy("doc_id", "frame_no")
+    )

@@ -238,3 +238,165 @@ def q22_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# ---- q23: GROUPING SETS / CUBE with grouping_id ----------------------------
+# Spark's cube() plans a single Expand + one hash aggregate — the grouping
+# sets never rescan the input. grouping() flags disambiguate NULL-as-total
+# from NULL-in-data, identically in both engines.
+
+
+@register(
+    "q23_grouping_sets",
+    oracle="""
+SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+       GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY g_flag, g_status, returnflag NULLS FIRST, linestatus NULLS FIRST
+""",
+)
+def q23_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("long").alias("g_flag"),
+            F.grouping("l_linestatus").cast("long").alias("g_status"),
+            dec_sum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_linestatus").alias("linestatus"),
+            "g_flag",
+            "g_status",
+            "sum_qty",
+            "n_rows",
+        )
+        .orderBy("g_flag", "g_status", F.asc_nulls_first("returnflag"), F.asc_nulls_first("linestatus"))
+    )
+
+
+# ---- q24: FULL OUTER join --------------------------------------------------
+# Null-extending both sides: per-nation customer counts vs supplier counts.
+# Both sides pre-aggregate BEFORE the join (classic shuffle-minimization:
+# join |nations| rows, not |customers| + |suppliers|).
+
+
+@register(
+    "q24_full_outer",
+    oracle="""
+WITH c AS (
+  SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey
+),
+s AS (
+  SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey
+)
+SELECT COALESCE(c.nk, s.nk) AS nationkey,
+       COALESCE(n_cust, 0) AS n_customers,
+       COALESCE(n_supp, 0) AS n_suppliers
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
+ORDER BY nationkey
+""",
+)
+def q24_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        c.join(s, c["nk"] == s["nk"], "full_outer")
+        .select(
+            F.coalesce(c["nk"], s["nk"]).alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+# ---- q25: temporal functions -----------------------------------------------
+# date_trunc / extract parity. Both engines agree on ISO extract fields;
+# day-of-week numbering differs (Spark dayofweek: 1=Sun; DuckDB dow: 0=Sun)
+# so the portable form is extract(isodow) == Spark's (dayofweek+5)%7+1.
+
+
+@register(
+    "q25_temporal",
+    oracle="""
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+       CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS order_quarter,
+       CAST(EXTRACT(isodow FROM o_orderdate) AS BIGINT) AS iso_dow,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY 1, 2, 3, 4
+ORDER BY order_month, iso_dow
+""",
+)
+def q25_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    iso_dow = ((F.dayofweek("o_orderdate") + 5) % 7 + 1).cast("long")
+    return (
+        o.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.quarter("o_orderdate").cast("long").alias("order_quarter"),
+            iso_dow.alias("iso_dow"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum("o_totalprice").alias("revenue"),
+        )
+        .orderBy("order_month", "iso_dow")
+    )
+
+
+# ---- q26: window frames — running sums, lag/lead, moving average -----------
+# One shuffle on the partition key serves all four window functions (same
+# WindowSpec → single Window physical node).
+
+
+@register(
+    "q26_window_frames",
+    oracle="""
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2)))
+              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend,
+       o_totalprice - LAG(o_totalprice, 1, 0.0)
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS delta_prev,
+       LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_order,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2)))
+              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing3_sum
+FROM orders
+WHERE o_custkey < 200
+ORDER BY custkey, orderkey
+""",
+)
+def q26_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    order = [F.col("o_orderdate"), F.col("o_orderkey")]
+    base = W.partitionBy("o_custkey").orderBy(*order)
+    dec = F.col("o_totalprice").cast("decimal(28,2)")
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.sum(dec).over(base.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("double")
+        .alias("running_spend"),
+        (F.col("o_totalprice") - F.lag("o_totalprice", 1, 0.0).over(base)).alias("delta_prev"),
+        F.lead("o_orderkey").over(base).alias("next_order"),
+        F.sum(dec).over(base.rowsBetween(-2, W.currentRow)).cast("double").alias("trailing3_sum"),
+    ).orderBy("custkey", "orderkey")
