@@ -1,0 +1,275 @@
+"""Command-line interface — the reference's CLI surface on Spark.
+
+Mirrors the dbt-osmosis command tree (reference: src/dbt_osmosis/cli/main.py)
+with Spark as the engine:
+
+    python -m dbt_osmosis_spark run        --project-dir DIR   # dbt run analog
+    python -m dbt_osmosis_spark sql run "select ... {{ ref('x') }}"
+    python -m dbt_osmosis_spark sql compile "..."
+    python -m dbt_osmosis_spark yaml refactor|organize|document|sync
+    python -m dbt_osmosis_spark lint       [model ...]
+    python -m dbt_osmosis_spark validate   [model ...]
+    python -m dbt_osmosis_spark diff MODEL
+    python -m dbt_osmosis_spark catalog    --out PATH
+    python -m dbt_osmosis_spark coverage / test-suggest
+
+Row display caps mirror the reference (50 rows for `sql run`,
+reference: src/dbt_osmosis/cli/main.py:1650-1656).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+PRINT_CAP = 50
+
+
+def _build_context(args, need_spark: bool = True):
+    from dbt_osmosis_spark.project import load_project
+    from dbt_osmosis_spark.runner import materialize
+    from dbt_osmosis_spark.session import get_spark
+
+    manifest = load_project(args.project_dir)
+    spark = None
+    if need_spark:
+        spark = get_spark(app_name="dbt-osmosis-spark-cli")
+        materialize(spark, manifest, warehouse_dir=args.warehouse_dir)
+    return spark, manifest
+
+
+def cmd_run(args) -> int:
+    from dbt_osmosis_spark.project import load_project
+    from dbt_osmosis_spark.runner import materialize
+    from dbt_osmosis_spark.session import get_spark
+
+    manifest = load_project(args.project_dir)
+    spark = get_spark(app_name="dbt-osmosis-spark-cli")
+    report = materialize(
+        spark, manifest, warehouse_dir=args.warehouse_dir, count_rows=True
+    )
+    for r in report.results:
+        rows = "" if r.rows is None else f"  rows={r.rows}"
+        print(f"{r.kind:7s} {r.name:30s} {r.materialized}{rows}")
+    return 0
+
+
+def cmd_sql(args) -> int:
+    from dbt_osmosis_spark.sql_ops import compile_sql_code, execute_sql_code
+
+    if args.action == "compile":
+        _, manifest = _build_context(args, need_spark=False)
+        print(compile_sql_code(manifest, args.sql).compiled_sql)
+        return 0
+    spark, manifest = _build_context(args)
+    _, df = execute_sql_code(spark, manifest, args.sql)
+    df.show(PRINT_CAP, truncate=False)
+    return 0
+
+
+def cmd_yaml(args) -> int:
+    from dbt_osmosis_spark.llm import synthesize_missing_documentation
+    from dbt_osmosis_spark.path_management import create_missing_source_yamls
+    from dbt_osmosis_spark.restructuring import (
+        apply_restructure_plan,
+        draft_restructure_plan,
+    )
+    from dbt_osmosis_spark.transforms import (
+        YamlRefactorContext,
+        inherit_upstream_column_knowledge,
+        inject_missing_columns,
+        load_docs_from_yaml,
+        remove_columns_not_in_database,
+        sort_columns_as_in_database,
+        sync_to_yaml,
+        synchronize_data_types,
+    )
+
+    spark, manifest = _build_context(args)
+    ctx = YamlRefactorContext(spark=spark, manifest=manifest, project_dir=args.project_dir)
+    load_docs_from_yaml(ctx)
+
+    if args.action == "organize":
+        created = create_missing_source_yamls(spark, manifest, args.project_dir)
+        if created.created:
+            print(f"bootstrapped sources: {', '.join(created.created)}")
+        plan = draft_restructure_plan(manifest, args.project_dir)
+        written = apply_restructure_plan(plan, ctx.yaml)
+        print(f"organized {len(written)} yaml file(s)")
+        return 0
+
+    pipeline = (
+        inject_missing_columns
+        >> remove_columns_not_in_database
+        >> inherit_upstream_column_knowledge
+        >> sort_columns_as_in_database
+        >> synchronize_data_types
+    )
+    pipeline(ctx)
+    if args.action == "document":
+        report = synthesize_missing_documentation(ctx.columns_of, manifest.topo_sort())
+        print(
+            f"documented {len(report.described)} column(s) "
+            f"({report.bulk_calls} bulk / {report.single_calls} single calls)"
+        )
+    written = sync_to_yaml(ctx)
+    print(f"wrote {len(written)} yaml file(s)")
+    if args.check and ctx.mutated:
+        print("--check: project yaml out of date", file=sys.stderr)
+        return 1
+    return 0
+
+
+def cmd_lint(args) -> int:
+    from dbt_osmosis_spark.lint import lint_project
+
+    _, manifest = _build_context(args, need_spark=False)
+    findings = lint_project(manifest)
+    n = 0
+    for model, items in sorted(findings.items()):
+        if args.models and model not in args.models:
+            continue
+        for f in items:
+            n += 1
+            print(f"{model}: [{f.rule}] {f.message}")
+    print(f"{n} finding(s)")
+    return 0 if n == 0 else 1
+
+
+def cmd_validate(args) -> int:
+    from dbt_osmosis_spark.validation import validate_model, validate_models
+
+    spark, manifest = _build_context(args)
+    if args.models:
+        results = [validate_model(spark, manifest, m) for m in args.models]
+    else:
+        results = validate_models(spark, manifest)
+    bad = 0
+    for r in results:
+        bad += 0 if r.status == "success" else 1
+        print(f"{r.status:7s} {r.model:30s} rows={r.row_count} {r.seconds:.2f}s {r.error or ''}")
+    return 0 if bad == 0 else 1
+
+
+def cmd_diff(args) -> int:
+    from dbt_osmosis_spark.diff import diff_columns
+    from dbt_osmosis_spark.introspect import get_columns
+    from dbt_osmosis_spark.transforms import YamlRefactorContext, load_docs_from_yaml
+
+    spark, manifest = _build_context(args)
+    ctx = YamlRefactorContext(spark=spark, manifest=manifest, project_dir=args.project_dir)
+    load_docs_from_yaml(ctx)
+    yaml_cols = {
+        name: meta.get("data_type") for name, meta in ctx.columns_of[args.model].items()
+    }
+    from dbt_osmosis_spark.compile import relation_name
+
+    db_cols = {c.name: c.data_type for c in get_columns(spark, relation_name(args.model))}
+    d = diff_columns(args.model, yaml_cols, db_cols)
+    print(json.dumps(
+        {
+            "model": d.model,
+            "changes": [
+                {"kind": c.kind, "column": c.column, "old": c.old, "new": c.new,
+                 "severity": c.severity.name}
+                for c in d.changes
+            ],
+            "breaking": d.breaking,
+        },
+        indent=2,
+    ))
+    return 0
+
+
+def cmd_catalog(args) -> int:
+    from dbt_osmosis_spark.introspect import write_catalog
+
+    spark, _ = _build_context(args)
+    catalog = write_catalog(spark, args.out)
+    print(f"wrote {args.out} ({len(catalog['nodes'])} relations)")
+    return 0
+
+
+def cmd_coverage(args) -> int:
+    from dbt_osmosis_spark.suggestions import coverage_stats, find_documentation_gaps
+    from dbt_osmosis_spark.transforms import YamlRefactorContext, load_docs_from_yaml
+
+    spark, manifest = _build_context(args)
+    ctx = YamlRefactorContext(spark=spark, manifest=manifest, project_dir=args.project_dir)
+    load_docs_from_yaml(ctx)
+    stats = coverage_stats(ctx.columns_of)
+    print(f"coverage: {stats.documented}/{stats.total_columns} ({stats.pct:.1f}%)")
+    for node, priority, cols in find_documentation_gaps(manifest, ctx.columns_of):
+        print(f"  gap p={priority:.1f} {node}: {', '.join(cols)}")
+    return 0
+
+
+def cmd_test_suggest(args) -> int:
+    from dbt_osmosis_spark.suggestions import suggest_tests
+    from dbt_osmosis_spark.transforms import YamlRefactorContext, load_docs_from_yaml
+
+    spark, manifest = _build_context(args)
+    ctx = YamlRefactorContext(spark=spark, manifest=manifest, project_dir=args.project_dir)
+    load_docs_from_yaml(ctx)
+    from dbt_osmosis_spark.transforms import inject_missing_columns
+
+    inject_missing_columns(ctx)
+    for s in suggest_tests(ctx.columns_of):
+        print(f"{s.node}.{s.column}: {s.test} (confidence {s.confidence}, {s.reason})")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="dbt-osmosis-spark")
+    p.add_argument("--project-dir", default=".", help="project directory")
+    p.add_argument("--warehouse-dir", default="/tmp/dbt_osmosis_spark_warehouse")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    sub.add_parser("run", help="materialize all models (dbt run analog)")
+
+    sp = sub.add_parser("sql", help="compile/execute ad-hoc jinja-SQL")
+    sp.add_argument("action", choices=["run", "compile"])
+    sp.add_argument("sql")
+
+    yp = sub.add_parser("yaml", help="yaml pipeline: refactor/organize/document/sync")
+    yp.add_argument("action", choices=["refactor", "organize", "document", "sync"])
+    yp.add_argument("--check", action="store_true", help="exit 1 if anything mutated")
+
+    lp = sub.add_parser("lint", help="lint model SQL")
+    lp.add_argument("models", nargs="*")
+
+    vp = sub.add_parser("validate", help="dry-run models, report rows/timing")
+    vp.add_argument("models", nargs="*")
+
+    dp = sub.add_parser("diff", help="yaml-vs-live schema diff for a model")
+    dp.add_argument("model")
+
+    cp = sub.add_parser("catalog", help="write catalog.json artifact")
+    cp.add_argument("--out", default="catalog.json")
+
+    sub.add_parser("coverage", help="documentation coverage + gaps")
+    sub.add_parser("test-suggest", help="suggest column tests")
+    return p
+
+
+_DISPATCH = {
+    "run": cmd_run,
+    "sql": cmd_sql,
+    "yaml": cmd_yaml,
+    "lint": cmd_lint,
+    "validate": cmd_validate,
+    "diff": cmd_diff,
+    "catalog": cmd_catalog,
+    "coverage": cmd_coverage,
+    "test-suggest": cmd_test_suggest,
+}
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return _DISPATCH[args.command](args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,77 @@
+"""CLI surface (reference: src/dbt_osmosis/cli/main.py) driven in-process."""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+import pytest
+import yaml as pyyaml
+
+from dbt_osmosis_spark.cli import main
+
+DEMO = "/root/repo/demo_spark"
+
+
+@pytest.fixture()
+def proj(tmp_path, spark):
+    dst = tmp_path / "proj"
+    shutil.copytree(DEMO, dst)
+    return str(dst)
+
+
+def _run(proj, tmp_path, *argv) -> int:
+    return main(["--project-dir", proj, "--warehouse-dir", str(tmp_path / "wh"), *argv])
+
+
+def test_cli_run_and_sql(proj, tmp_path, capsys):
+    assert _run(proj, tmp_path, "run") == 0
+    out = capsys.readouterr().out
+    assert "customers" in out and "seed" in out
+
+    assert _run(proj, tmp_path, "sql", "compile", "select * from {{ ref('stg_orders') }}") == 0
+    assert "stg_orders" in capsys.readouterr().out
+
+    assert _run(
+        proj, tmp_path, "sql", "run", "select count(*) as n from {{ ref('customers') }}"
+    ) == 0
+    assert "n" in capsys.readouterr().out
+
+
+def test_cli_yaml_refactor_and_check(proj, tmp_path, capsys):
+    assert _run(proj, tmp_path, "yaml", "refactor") == 0
+    out = capsys.readouterr().out
+    assert "yaml file(s)" in out
+    doc = pyyaml.safe_load((tmp_path / "proj/models/marts/customers.yml").read_text())
+    names = [c["name"] for c in doc["models"][0]["columns"]]
+    assert "customer_id" in names
+    # document fills descriptions via the deterministic backend
+    assert _run(proj, tmp_path, "yaml", "document") == 0
+    doc2 = pyyaml.safe_load((tmp_path / "proj/models/marts/customers.yml").read_text())
+    descs = [c.get("description", "") for c in doc2["models"][0]["columns"]]
+    assert all(descs)
+
+
+def test_cli_lint_validate_diff_catalog_coverage(proj, tmp_path, capsys):
+    _run(proj, tmp_path, "validate")
+    out = capsys.readouterr().out
+    assert "success" in out and "customers" in out
+
+    _run(proj, tmp_path, "lint")
+    capsys.readouterr()
+
+    assert _run(proj, tmp_path, "diff", "customers") == 0
+    d = json.loads(capsys.readouterr().out)
+    assert d["model"] == "customers" and d["breaking"] is False
+
+    out_path = tmp_path / "catalog.json"
+    assert _run(proj, tmp_path, "catalog", "--out", str(out_path)) == 0
+    capsys.readouterr()
+    catalog = json.loads(out_path.read_text())
+    assert "customers" in catalog["nodes"]
+
+    assert _run(proj, tmp_path, "coverage") == 0
+    assert "coverage:" in capsys.readouterr().out
+
+    assert _run(proj, tmp_path, "test-suggest") == 0
+    assert "customer_id" in capsys.readouterr().out
