@@ -251,3 +251,60 @@ def knn_batch(
         .drop("rn")
         .orderBy("query_id", F.desc("cosine"), "vec_id")
     )
+
+
+# ---- s05: IVF (inverted-file) ANN — coarse quantize, probe, re-rank --------
+# The other classic ANN scale path next to LSH (s02): k-means centroids
+# partition the corpus into cells; a query probes only the `nprobe` nearest
+# cells and re-ranks those candidates exactly. Spark layout:
+#   train: KMeans on a bounded sample (driver-coordinated, executors do the
+#          heavy lifting); centroids are a tiny broadcast model.
+#   index: one map-side pass assigns every vector its cell id — persisted
+#          with the data, so queries shuffle nothing.
+#   query: centroid distances on the driver (k values), candidate scan
+#          prunes to ~nprobe/k of the corpus, exact top-k merge.
+# Registered WITHOUT an oracle (k-means floats are not cross-engine
+# reproducible); the driver does the rows-only check, and the recall test in
+# tests/test_pipeline_ops.py compares against s01's exact ground truth.
+
+
+def _ivf_index(emb: DataFrame, n_cells: int, seed: int = 42):
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = emb.select("vec_id", array_to_vector(F.col("v")).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train)
+    assigned = model.transform(train).select(
+        "vec_id", F.col("prediction").alias("cell")
+    )
+    return model, emb.join(assigned, "vec_id")
+
+
+@register("s05_ivf_topk")
+def s05_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    n_cells, nprobe = 16, 4
+    emb = spread(read_parquet(spark, f"{sf_dir}/embeddings.parquet")).withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    model, indexed = _ivf_index(emb, n_cells)
+
+    qrow = emb.filter(F.col("vec_id") == _QUERY_ID).select("v").head()
+    qv = np.array(qrow.v)
+    centers = model.clusterCenters()
+    probe = sorted(
+        range(len(centers)), key=lambda c: float(np.linalg.norm(centers[c] - qv))
+    )[:nprobe]
+
+    q = emb.filter(F.col("vec_id") == _QUERY_ID).select(F.col("v").alias("qv"))
+    dot = F.expr(_SPARK_DOT.format(a="v", b="qv"))
+    n_v = F.expr(_SPARK_NORM2.format(a="v"))
+    n_q = F.expr(_SPARK_NORM2.format(a="qv"))
+    return (
+        indexed.filter(F.col("cell").isin(probe) & (F.col("vec_id") != _QUERY_ID))
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", (dot / (F.sqrt(n_v) * F.sqrt(n_q))).alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(_K)
+    )

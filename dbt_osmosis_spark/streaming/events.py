@@ -146,3 +146,26 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> None
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup — the streaming twin of d01_dedup_exact.
+
+    ``dropDuplicates`` keyed on (event_id) with a watermark: state holds one
+    key per event inside the watermark horizon, evicted as event time
+    advances — bounded state, unlike an unwatermarked dedup which grows
+    forever. At 100 TB/day ingest this is the standard exactly-once
+    de-duplication stage in front of every sink.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def enrich_with_users(events: DataFrame, user_dim: DataFrame) -> DataFrame:
+    """Stream-static join: each micro-batch joins against a static (or
+    slowly-refreshed) dimension. Spark plans the static side as a broadcast
+    when small — no stream-side shuffle at all, which is why this is THE
+    enrichment pattern at scale (re-plan per batch picks up dim refreshes).
+    """
+    from pyspark.sql.functions import broadcast
+
+    return events.join(broadcast(user_dim), "user_id", "left")

@@ -131,3 +131,16 @@ def test_multimodal_decode_stub_raises_cleanly():
 
     with pytest.raises((CodecUnavailable, Exception)):
         decode_image(b"\x89PNG not really")
+
+
+def test_ivf_ann_recall_vs_exact(spark, sf_dir):
+    """IVF with nprobe=4/16 cells must recover most of the exact top-10
+    (synthetic uniform corpus: the query's neighbors concentrate in few
+    cells)."""
+    from dbt_osmosis_spark.operators import QUERIES, load_all
+
+    load_all()
+    exact = {r.vec_id for r in QUERIES["s01_cosine_topk"](spark, sf_dir).collect()}
+    approx = {r.vec_id for r in QUERIES["s05_ivf_topk"](spark, sf_dir).collect()}
+    assert len(approx) == len(exact)
+    assert len(exact & approx) / len(exact) >= 0.5

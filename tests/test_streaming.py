@@ -80,3 +80,30 @@ def test_stateful_running_totals_match_batch(spark, sf_dir):
     assert len(got) == len(batch)
     mismatches = [u for u in batch if got.get(u) != batch[u]]
     assert not mismatches, mismatches[:5]
+
+
+def test_streaming_dedup_matches_batch(spark, sf_dir):
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+    from dbt_osmosis_spark.streaming.events import dedup_stream, run_to_memory, stream_events
+
+    stream = dedup_stream(stream_events(spark, sf_dir))
+    run_to_memory(stream.select("event_id"), "dedup_stream_out")
+    got = spark.table("dedup_stream_out").count()
+    batch = read_parquet(spark, f"{sf_dir}/events.parquet").select("event_id").distinct().count()
+    assert got == batch
+
+
+def test_stream_static_enrichment_broadcasts(spark, sf_dir):
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+    from dbt_osmosis_spark.streaming.events import enrich_with_users, run_to_memory, stream_events
+
+    users = (
+        read_parquet(spark, f"{sf_dir}/customer.parquet")
+        .selectExpr("c_custkey as user_id", "c_mktsegment as segment")
+    )
+    enriched = enrich_with_users(stream_events(spark, sf_dir), users)
+    run_to_memory(enriched.select("event_id", "user_id", "segment"), "enriched_out")
+    out = spark.table("enriched_out")
+    assert out.count() == read_parquet(spark, f"{sf_dir}/events.parquet").count()
+    # all event user_ids within the customer range got a segment
+    assert out.filter("segment is not null").count() > 0
