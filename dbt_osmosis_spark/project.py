@@ -149,6 +149,8 @@ def _parse_inline_config(sql: str) -> dict:
             out[k.strip()] = v.strip("'\"")
         elif v.lower() in ("true", "false"):
             out[k.strip()] = v.lower() == "true"
+        elif v.lstrip("-").isdigit():
+            out[k.strip()] = int(v)
     return out
 
 

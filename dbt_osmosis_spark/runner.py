@@ -87,6 +87,33 @@ def materialize(
         df: DataFrame = spark.sql(compiled.compiled_sql)
         rel = relation_name(name)
         if node.materialized == "table":
+            bucket_by = node.config.get("bucket_by")
+            buckets = int(node.config.get("buckets") or 0)
+            if bucket_by and buckets:
+                # Bucketed catalog table: co-locates joins/aggs on the bucket
+                # key — two tables bucketed the same way join with ZERO
+                # shuffle (asserted in tests/test_plans.py). At 100 TB this
+                # is the difference between re-shuffling every fact join and
+                # none; bucket count is the config knob.
+                cols = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+                spark.sql(f"DROP TABLE IF EXISTS {rel}")
+                (
+                    df.write.mode("overwrite")
+                    .format("parquet")
+                    .bucketBy(buckets, *cols)
+                    .sortBy(*cols)
+                    .saveAsTable(rel)
+                )
+                report.results.append(
+                    RunResult(
+                        name,
+                        "model",
+                        "table(bucketed)",
+                        rows=spark.table(rel).count() if count_rows else None,
+                        compiled_sql=compiled.compiled_sql,
+                    )
+                )
+                continue
             if warehouse_dir is None:
                 raise ValueError(f"model {name} is materialized=table but no warehouse_dir")
             out = os.path.join(warehouse_dir, f"{name}.parquet")

@@ -1,0 +1,120 @@
+"""Property-based tests (hypothesis) for driver-side invariants.
+
+The reference lists hypothesis as a dev dependency but never uses it
+(SURVEY §5); here the pure-Python planes — topo sort, settings resolution,
+diff, schema validation, text heuristics — get randomized coverage.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dbt_osmosis_spark.project import Manifest, ModelNode
+from dbt_osmosis_spark.schema_validation import validate_schema_doc
+from dbt_osmosis_spark.settings import SettingsResolver
+from dbt_osmosis_spark.suggestions import column_pattern, coverage_stats
+
+names = st.text(alphabet="abcdefgh", min_size=1, max_size=6)
+
+
+@st.composite
+def dags(draw):
+    """Random DAG: node i may depend only on nodes < i (acyclic by
+    construction)."""
+    n = draw(st.integers(min_value=1, max_value=12))
+    models = {}
+    for i in range(n):
+        deps = draw(
+            st.lists(st.integers(min_value=0, max_value=i - 1), max_size=3, unique=True)
+        ) if i else []
+        models[f"m{i}"] = ModelNode(
+            name=f"m{i}", raw_sql="select 1", path=f"m{i}.sql",
+            depends_on=[f"m{d}" for d in deps],
+        )
+    return Manifest(models=models)
+
+
+@given(dags())
+@settings(max_examples=50, deadline=None)
+def test_topo_sort_parents_always_first(manifest):
+    order = manifest.topo_sort()
+    assert sorted(order) == sorted(manifest.models)
+    pos = {n: i for i, n in enumerate(order)}
+    for name, node in manifest.models.items():
+        for dep in node.depends_on:
+            assert pos[dep] < pos[name]
+
+
+@given(dags())
+@settings(max_examples=20, deadline=None)
+def test_topo_sort_deterministic(manifest):
+    assert manifest.topo_sort() == manifest.topo_sort()
+
+
+@given(
+    key=st.sampled_from(["output-to-lower", "sort_by", "skip-add-tags"]),
+    value=st.one_of(st.booleans(), st.text(max_size=5), st.integers()),
+    spelling=st.sampled_from(["kebab", "snake", "prefixed", "options"]),
+)
+@settings(max_examples=100, deadline=None)
+def test_settings_resolver_finds_any_spelling(key, value, spelling):
+    kebab = key.replace("_", "-")
+    snake = key.replace("-", "_")
+    meta = {
+        "kebab": {kebab: value},
+        "snake": {snake: value},
+        "prefixed": {f"dbt-osmosis-{kebab}": value},
+        "options": {"dbt-osmosis-options": {kebab: value}},
+    }[spelling]
+
+    class _N:
+        config = {"meta": meta}
+
+    got = SettingsResolver().resolve(key, node=_N())
+    assert got == value
+
+
+@given(
+    st.dictionaries(
+        names,
+        st.dictionaries(
+            names,
+            st.fixed_dictionaries({"description": st.text(max_size=20)}),
+            max_size=5,
+        ),
+        max_size=5,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_coverage_stats_partition_is_total(columns_of):
+    stats = coverage_stats(columns_of)
+    n = sum(len(cols) for cols in columns_of.values())
+    assert stats.total_columns == n
+    assert stats.documented + len(stats.missing) + len(stats.generic) == n
+    assert 0.0 <= stats.pct <= 100.0
+
+
+@given(st.text(alphabet="abcdefghijklmnop_", min_size=1, max_size=24))
+@settings(max_examples=100, deadline=None)
+def test_column_pattern_total_or_none(name):
+    pat = column_pattern(name)
+    assert pat is None or isinstance(pat, str)
+
+
+@given(
+    st.recursive(
+        st.one_of(st.none(), st.booleans(), st.integers(), st.text(max_size=8)),
+        lambda children: st.one_of(
+            st.lists(children, max_size=4),
+            st.dictionaries(st.text(max_size=8), children, max_size=4),
+        ),
+        max_leaves=20,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_schema_validator_never_crashes(doc):
+    # fuzz: arbitrary YAML-shaped values must produce violations, not raises
+    if isinstance(doc, dict):
+        violations = validate_schema_doc(doc)
+        assert isinstance(violations, list)

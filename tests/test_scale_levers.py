@@ -1,0 +1,96 @@
+"""Skew salting + bucketed co-located joins — the two scale levers AQE
+doesn't fully cover, with correctness AND plan-property assertions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_osmosis_spark.functions.skew import salted_agg, salted_broadcast_left
+from dbt_osmosis_spark.plans.audit import exchange_count, physical_plan
+from dbt_osmosis_spark.sources.parquet import read_parquet
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    plain = {
+        (r.o_orderstatus): (r.n, r.total)
+        for r in o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+        )
+        .collect()
+    }
+    salted = {
+        (r.o_orderstatus): (r.n, r.total)
+        for r in salted_agg(
+            o,
+            ["o_orderstatus"],
+            {
+                "n": F.count(F.lit(1)),
+                "total": F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+            },
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_agg_rejects_non_decomposable(spark, sf_dir):
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    with pytest.raises(ValueError):
+        salted_agg(o, ["o_orderstatus"], {"a": F.avg("o_totalprice")}).collect()
+
+
+def test_salted_broadcast_left_matches_plain_join(spark, sf_dir):
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    cust = read_parquet(spark, f"{sf_dir}/customer.parquet").selectExpr(
+        "c_custkey as o_custkey", "c_mktsegment"
+    )
+    plain = orders.join(cust, "o_custkey").count()
+    salted = salted_broadcast_left(orders, cust, "o_custkey").count()
+    assert salted == plain
+
+
+def test_bucketed_models_join_without_shuffle(spark, tmp_path):
+    """Two models bucketed on the same key × count join with zero shuffle
+    exchanges (broadcast disabled to force the sort-merge path)."""
+    from dbt_osmosis_spark.project import load_project
+    from dbt_osmosis_spark.runner import materialize
+
+    proj = tmp_path / "bproj"
+    (proj / "models").mkdir(parents=True)
+    (proj / "project.yml").write_text("name: bucketdemo\n")
+    (proj / "sources.yml").write_text(
+        "sources:\n- name: tpch\n  tables:\n"
+        "  - name: orders\n    path: /root/testdata/sf0.001/orders.parquet\n"
+        "  - name: customer\n    path: /root/testdata/sf0.001/customer.parquet\n"
+    )
+    (proj / "models" / "orders_b.sql").write_text(
+        "{{ config(materialized='table', bucket_by='o_custkey', buckets=4) }}\n"
+        "select o_orderkey, o_custkey, o_totalprice from {{ source('tpch', 'orders') }}"
+    )
+    (proj / "models" / "cust_b.sql").write_text(
+        "{{ config(materialized='table', bucket_by='c_custkey', buckets=4) }}\n"
+        "select c_custkey, c_mktsegment from {{ source('tpch', 'customer') }}"
+    )
+    manifest = load_project(proj)
+    report = materialize(spark, manifest)
+    kinds = {r.name: r.materialized for r in report.results if r.kind == "model"}
+    assert kinds["orders_b"] == "table(bucketed)"
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("orders_b").join(
+            spark.table("cust_b"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        joined.collect()
+        plan = physical_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert exchange_count(joined) == 0, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS cust_b")
