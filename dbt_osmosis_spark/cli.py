@@ -220,6 +220,24 @@ def cmd_test_suggest(args) -> int:
     return 0
 
 
+def cmd_test(args) -> int:
+    from dbt_osmosis_spark.datatests import run_project_tests
+    from dbt_osmosis_spark.transforms import YamlRefactorContext
+
+    spark, manifest = _build_context(args)
+    ctx = YamlRefactorContext(spark=spark, manifest=manifest, project_dir=args.project_dir)
+    results = run_project_tests(spark, ctx)
+    failed = 0
+    for r in results:
+        status = "pass" if r.passed else "FAIL"
+        failed += 0 if r.passed else 1
+        where = f"{r.model}.{r.column}" if r.column else r.model
+        extra = f" violations={r.violations} sample={r.sample}" if not r.passed else ""
+        print(f"{status:4s} {where}: {r.test}{extra}")
+    print(f"{len(results) - failed}/{len(results)} tests passed")
+    return 0 if failed == 0 else 1
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="dbt-osmosis-spark")
     p.add_argument("--project-dir", default=".", help="project directory")
@@ -250,6 +268,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     sub.add_parser("coverage", help="documentation coverage + gaps")
     sub.add_parser("test-suggest", help="suggest column tests")
+    sub.add_parser("test", help="run declared YAML data tests (dbt test analog)")
     return p
 
 
@@ -263,6 +282,7 @@ _DISPATCH = {
     "catalog": cmd_catalog,
     "coverage": cmd_coverage,
     "test-suggest": cmd_test_suggest,
+    "test": cmd_test,
 }
 
 

@@ -53,7 +53,17 @@ class JinjaCompiler:
         self.manifest = manifest
         self.env = jinja2.Environment(undefined=jinja2.StrictUndefined)
 
-    def compile(self, sql: str, extra_vars: dict | None = None) -> CompiledSQL:
+    def compile(
+        self,
+        sql: str,
+        extra_vars: dict | None = None,
+        this: str | None = None,
+        incremental: bool = False,
+    ) -> CompiledSQL:
+        """``this`` is the model's own relation name and ``incremental``
+        whether an existing materialization is being built upon — together
+        they power the `{{ this }}` / `is_incremental()` contract dbt
+        incremental models rely on."""
         refs: list[str] = []
         sources: list[tuple[str, str]] = []
 
@@ -79,8 +89,18 @@ class JinjaCompiler:
         def config(**_kw) -> str:
             return ""
 
+        def is_incremental() -> bool:
+            return incremental
+
         tpl = self.env.from_string(sql)
-        compiled = tpl.render(ref=ref, source=source, var=var, config=config)
+        compiled = tpl.render(
+            ref=ref,
+            source=source,
+            var=var,
+            config=config,
+            this=this or "",
+            is_incremental=is_incremental,
+        )
         compiled = re.sub(r"\n{3,}", "\n\n", compiled).strip()
         return CompiledSQL(raw_sql=sql, compiled_sql=compiled, refs=refs, sources=sources)
 

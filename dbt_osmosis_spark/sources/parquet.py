@@ -56,19 +56,33 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df.repartition(min_partitions)
 
 
-# (SparkSession id, path) → DataFrame. Testdata parquet is immutable, and a
-# DataFrame is a lazy plan — reusing it skips repeated footer sniffing and
-# schema inference (~0.1-0.3 s of driver work per read). Keyed by session id
-# so a stopped session's plans are never served to a new one.
-_DF_CACHE: dict[tuple[int, str], DataFrame] = {}
+# (SparkSession id, path, mtime) → DataFrame. A DataFrame is a lazy plan —
+# reusing it skips repeated footer sniffing and schema inference
+# (~0.1-0.3 s of driver work per read). The mtime in the key invalidates on
+# rewrite (incremental feeds); session id keeps a stopped session's plans
+# from being served to a new one.
+_DF_CACHE: dict[tuple[int, str, int], DataFrame] = {}
+
+
+def _mtime_ns(path: str) -> int:
+    try:
+        return os.stat(path).st_mtime_ns
+    except OSError:
+        return -1
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """``spark.read.parquet`` that tolerates nanosecond timestamps."""
-    key = (id(spark), path)
+    key = (id(spark), path, _mtime_ns(path))
     cached = _DF_CACHE.get(key)
     if cached is not None:
         return cached
+    if any(k[0] == key[0] and k[1] == path for k in _DF_CACHE):
+        # path changed on disk: drop stale plans and Spark's file-listing
+        # cache for it before re-reading
+        for k in [k for k in _DF_CACHE if k[0] == key[0] and k[1] == path]:
+            del _DF_CACHE[k]
+        spark.catalog.refreshByPath(path)
     df = _read_parquet_uncached(spark, path)
     _DF_CACHE[key] = df
     return df

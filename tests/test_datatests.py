@@ -1,0 +1,84 @@
+"""Executable data tests (dbt test analog) — built-in tests as Spark
+assertion queries returning violation counts."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from dbt_osmosis_spark.cli import main
+from dbt_osmosis_spark.datatests import run_model_tests, run_test
+
+DEMO = "/root/repo/demo_spark"
+
+
+@pytest.fixture(scope="module")
+def demo(spark, tmp_path_factory):
+    from dbt_osmosis_spark.project import load_project
+    from dbt_osmosis_spark.runner import materialize
+
+    proj = tmp_path_factory.mktemp("dt") / "proj"
+    shutil.copytree(DEMO, proj)
+    manifest = load_project(proj)
+    materialize(spark, manifest, warehouse_dir=str(proj / "wh"))
+    return str(proj)
+
+
+def test_builtin_tests_pass_and_fail(spark, demo):
+    assert run_test(spark, "customers", "customer_id", "unique").passed
+    assert run_test(spark, "customers", "customer_id", "not_null").passed
+    # every stg_orders.status value is in the accepted set
+    ok = run_test(
+        spark, "stg_orders", "status", "accepted_values",
+        {"values": ["placed", "shipped", "completed", "return_pending", "returned"]},
+    )
+    assert ok.passed
+    # shrink the set -> violations with a sample
+    bad = run_test(spark, "stg_orders", "status", "accepted_values", {"values": ["placed"]})
+    assert not bad.passed and bad.violations > 0 and bad.sample
+    # referential integrity: every order's customer exists
+    rel = run_test(
+        spark, "stg_orders", "customer_id", "relationships",
+        {"to": "stg_customers", "field": "customer_id"},
+    )
+    assert rel.passed
+
+
+def test_yaml_declared_tests_run(spark, demo):
+    entry = {
+        "name": "customers",
+        "columns": [
+            {"name": "customer_id", "tests": ["unique", "not_null"]},
+            {
+                "name": "number_of_orders",
+                "data_tests": [{"accepted_values": {"values": list(range(0, 100))}}],
+            },
+        ],
+    }
+    results = run_model_tests(spark, "customers", entry)
+    assert len(results) == 3
+    assert all(r.passed for r in results)
+
+
+def test_cli_test_command(spark, demo, tmp_path, capsys):
+    # declare a test in the sidecar yaml, then run the CLI `test` command
+    (tmp_path / "wh").mkdir(exist_ok=True)
+    import yaml as pyyaml
+
+    doc = {
+        "version": 2,
+        "models": [
+            {
+                "name": "customers",
+                "columns": [{"name": "customer_id", "tests": ["unique", "not_null"]}],
+            }
+        ],
+    }
+    import pathlib
+
+    (pathlib.Path(demo) / "models/marts/customers.yml").write_text(pyyaml.safe_dump(doc))
+    rc = main(["--project-dir", demo, "--warehouse-dir", str(tmp_path / "wh"), "test"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "2/2 tests passed" in out

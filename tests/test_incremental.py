@@ -1,0 +1,101 @@
+"""Incremental materialization: append / merge / insert_overwrite, with the
+`is_incremental()` + `{{ this }}` compile contract."""
+
+from __future__ import annotations
+
+import pytest
+
+from dbt_osmosis_spark.project import load_project
+from dbt_osmosis_spark.runner import materialize
+
+
+def _project(tmp_path, model_sql: str, name="inc_model"):
+    proj = tmp_path / "proj"
+    (proj / "models").mkdir(parents=True)
+    (proj / "project.yml").write_text("name: incdemo\n")
+    (proj / "sources.yml").write_text(
+        "sources:\n- name: raw\n  tables:\n"
+        f"  - name: feed\n    path: {tmp_path}/feed.parquet\n"
+    )
+    (proj / "models" / f"{name}.sql").write_text(model_sql)
+    return proj
+
+
+def _write_feed(spark, tmp_path, rows):
+    df = spark.createDataFrame(rows, "id long, day string, v double")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/feed.parquet")
+
+
+APPEND_SQL = """
+{{ config(materialized='incremental', incremental_strategy='append') }}
+select id, day, v from {{ source('raw', 'feed') }}
+{% if is_incremental() %} where id > (select max(id) from {{ this }}) {% endif %}
+"""
+
+
+def test_incremental_append_only_new_rows(spark, tmp_path):
+    _write_feed(spark, tmp_path, [(1, "d1", 1.0), (2, "d1", 2.0)])
+    proj = _project(tmp_path, APPEND_SQL)
+    wh = str(tmp_path / "wh")
+
+    r1 = materialize(spark, load_project(proj), warehouse_dir=wh, count_rows=True)
+    inc = [r for r in r1.results if r.name == "inc_model"][0]
+    assert inc.materialized == "incremental(full build)" and inc.rows == 2
+
+    # feed grows; old rows must not duplicate
+    _write_feed(spark, tmp_path, [(1, "d1", 1.0), (2, "d1", 2.0), (3, "d2", 3.0)])
+    r2 = materialize(spark, load_project(proj), warehouse_dir=wh, count_rows=True)
+    inc2 = [r for r in r2.results if r.name == "inc_model"][0]
+    assert inc2.materialized == "incremental(append)" and inc2.rows == 3
+    assert "where id >" in inc2.compiled_sql
+
+
+MERGE_SQL = """
+{{ config(materialized='incremental', incremental_strategy='merge', unique_key='id') }}
+select id, day, v from {{ source('raw', 'feed') }}
+"""
+
+
+def test_incremental_merge_upserts(spark, tmp_path):
+    _write_feed(spark, tmp_path, [(1, "d1", 1.0), (2, "d1", 2.0)])
+    proj = _project(tmp_path, MERGE_SQL)
+    wh = str(tmp_path / "wh")
+    materialize(spark, load_project(proj), warehouse_dir=wh)
+
+    # id=2 updated, id=3 inserted
+    _write_feed(spark, tmp_path, [(2, "d1", 20.0), (3, "d2", 3.0)])
+    materialize(spark, load_project(proj), warehouse_dir=wh)
+    got = {r.id: r.v for r in spark.table("inc_model").collect()}
+    assert got == {1: 1.0, 2: 20.0, 3: 3.0}
+
+
+OVERWRITE_SQL = """
+{{ config(materialized='incremental', incremental_strategy='insert_overwrite', partition_by='day') }}
+select id, day, v from {{ source('raw', 'feed') }}
+"""
+
+
+def test_incremental_insert_overwrite_replaces_partitions(spark, tmp_path):
+    _write_feed(spark, tmp_path, [(1, "d1", 1.0), (2, "d2", 2.0)])
+    proj = _project(tmp_path, OVERWRITE_SQL)
+    wh = str(tmp_path / "wh")
+    materialize(spark, load_project(proj), warehouse_dir=wh)
+
+    # re-deliver day d2 only: d1 untouched, d2 replaced (idempotent backfill)
+    _write_feed(spark, tmp_path, [(9, "d2", 9.0)])
+    materialize(spark, load_project(proj), warehouse_dir=wh)
+    got = {(r.id, r.day, r.v) for r in spark.table("inc_model").collect()}
+    assert got == {(1, "d1", 1.0), (9, "d2", 9.0)}
+
+
+def test_incremental_missing_config_errors(spark, tmp_path):
+    bad = """
+{{ config(materialized='incremental', incremental_strategy='merge') }}
+select id, day, v from {{ source('raw', 'feed') }}
+"""
+    _write_feed(spark, tmp_path, [(1, "d1", 1.0)])
+    proj = _project(tmp_path, bad)
+    wh = str(tmp_path / "wh")
+    materialize(spark, load_project(proj), warehouse_dir=wh)  # full build ok
+    with pytest.raises(ValueError, match="unique_key"):
+        materialize(spark, load_project(proj), warehouse_dir=wh)
