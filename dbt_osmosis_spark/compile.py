@@ -92,6 +92,10 @@ class JinjaCompiler:
         def is_incremental() -> bool:
             return incremental
 
+        # dbt macro semantics: project macros/*.sql definitions are in scope
+        # for every model (prepended — {% macro %} blocks render to nothing)
+        if self.manifest.macro_source:
+            sql = self.manifest.macro_source + "\n" + sql
         tpl = self.env.from_string(sql)
         compiled = tpl.render(
             ref=ref,

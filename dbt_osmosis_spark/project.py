@@ -86,6 +86,9 @@ class Manifest:
     seeds: dict[str, SeedNode] = field(default_factory=dict)
     vars: dict = field(default_factory=dict)
     project_name: str = "project"
+    # concatenated {% macro %} definitions from macros/*.sql, prepended to
+    # every model at compile time (dbt macro semantics)
+    macro_source: str = ""
 
     def node_names(self) -> set[str]:
         return set(self.models) | set(self.sources) | set(self.seeds)
@@ -185,6 +188,12 @@ def load_project(project_dir: str | Path) -> Manifest:
     if seeds_dir.is_dir():
         for f in sorted(seeds_dir.glob("*.csv")):
             manifest.seeds[f.stem] = SeedNode(name=f.stem, path=str(f))
+
+    macros_dir = project_dir / "macros"
+    if macros_dir.is_dir():
+        manifest.macro_source = "\n".join(
+            f.read_text() for f in sorted(macros_dir.glob("*.sql"))
+        )
 
     models_dir = project_dir / "models"
     if models_dir.is_dir():

@@ -130,3 +130,33 @@ def test_demo_marts_match_duckdb(spark, manifest, tmp_path):
 
         for c in sdf.columns:
             assert norm(sdf[c]) == norm(ddf[c]), (mart, c)
+
+
+def test_project_macros_in_scope(spark, tmp_path):
+    """macros/*.sql {% macro %} definitions usable from any model
+    (dbt macro semantics; SURVEY S17)."""
+    from dbt_osmosis_spark.project import load_project
+    from dbt_osmosis_spark.runner import materialize
+
+    proj = tmp_path / "mproj"
+    (proj / "models").mkdir(parents=True)
+    (proj / "macros").mkdir()
+    (proj / "project.yml").write_text("name: macrodemo\n")
+    (proj / "sources.yml").write_text(
+        "sources:\n- name: tpch\n  tables:\n"
+        "  - name: orders\n    path: /root/testdata/sf0.001/orders.parquet\n"
+    )
+    (proj / "macros" / "money.sql").write_text(
+        "{% macro cents_to_dollars(col, scale=2) %}"
+        "round({{ col }} / 100.0, {{ scale }})"
+        "{% endmacro %}"
+    )
+    (proj / "models" / "priced.sql").write_text(
+        "select o_orderkey, {{ cents_to_dollars('o_totalprice') }} as dollars\n"
+        "from {{ source('tpch', 'orders') }}"
+    )
+    manifest = load_project(proj)
+    report = materialize(spark, manifest)
+    priced = [r for r in report.results if r.name == "priced"][0]
+    assert "round(o_totalprice / 100.0, 2)" in priced.compiled_sql
+    assert spark.table("priced").columns == ["o_orderkey", "dollars"]
