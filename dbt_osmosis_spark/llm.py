@@ -197,3 +197,48 @@ def generate_staging_model(
         if new != col:
             renames[col] = new
     return StagingModelSpec(source=source_key, renames=renames)
+
+
+SEMANTIC_TYPES = (
+    "identifier", "timestamp", "flag", "monetary", "quantity", "email",
+    "category", "text",
+)
+
+
+def analyze_column_semantics(
+    node: str, column: str, data_type: str | None = None
+) -> dict:
+    """Semantic column analysis (SURVEY L2): infer semantic_type,
+    relationship hints, and tags from name morphology + declared type
+    (reference: src/dbt_osmosis/core/llm.py:678-953 — there via LLM; here
+    the deterministic heuristic doubles as the offline backend, and a real
+    backend would consume the same inputs)."""
+    low = column.lower()
+    dt = (data_type or "").lower()
+    out: dict = {"semantic_type": "text", "tags": [], "relationships": []}
+    if low == "id" or low.endswith(("_id", "_key", "key")):
+        out["semantic_type"] = "identifier"
+        stem = low[:-3] if low.endswith("_id") else low
+        if stem and stem not in (node.lower(), "id"):
+            out["relationships"].append(
+                {"to": stem.lstrip("_"), "kind": "foreign_key_candidate"}
+            )
+        out["tags"].append("join-key")
+    elif low.endswith(("_date", "_at", "_time", "_ts")) or dt in ("date", "timestamp"):
+        out["semantic_type"] = "timestamp"
+        out["tags"].append("temporal")
+    elif low.startswith(("is_", "has_", "was_")) or dt == "boolean":
+        out["semantic_type"] = "flag"
+    elif low.endswith(("_amount", "_price", "_total", "_cost", "_revenue", "_balance", "acctbal")):
+        out["semantic_type"] = "monetary"
+        out["tags"].append("measure")
+    elif low.endswith(("_count", "_qty", "_quantity", "_num")):
+        out["semantic_type"] = "quantity"
+        out["tags"].append("measure")
+    elif "email" in low:
+        out["semantic_type"] = "email"
+        out["tags"].append("pii")
+    elif low.endswith(("_status", "_state", "_type", "_segment", "_category", "segment")):
+        out["semantic_type"] = "category"
+        out["tags"].append("dimension")
+    return out

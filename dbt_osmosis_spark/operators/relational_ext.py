@@ -400,3 +400,125 @@ def q26_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("o_orderkey").over(base).alias("next_order"),
         F.sum(dec).over(base.rowsBetween(-2, W.currentRow)).cast("double").alias("trailing3_sum"),
     ).orderBy("custkey", "orderkey")
+
+
+# ---- q27: funnel — A then B within an hour, per user -----------------------
+# Sequence detection without a self-join: per-user sort (one shuffle on
+# user_id), min(A time) as a window, earliest B after it. A range self-join
+# would be O(|A|x|B|) per user; the window form is O(n log n) per user and
+# identical in both engines.
+
+
+@register(
+    "q27_funnel",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, ts, event_type,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS first_view
+  FROM events
+),
+conv AS (
+  SELECT user_id, MIN(ts) AS first_purchase, MIN(first_view) AS first_view
+  FROM seq
+  WHERE event_type = 'purchase' AND first_view IS NOT NULL AND ts > first_view
+    AND ts <= first_view + INTERVAL 1 HOUR
+  GROUP BY user_id
+)
+SELECT COUNT(*) AS converted_users,
+       CAST(SUM(CAST(EXTRACT(epoch FROM first_purchase - first_view) AS DECIMAL(18,0))) AS BIGINT)
+         AS total_secs_to_convert
+FROM conv
+""",
+)
+def q27_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    first_view = F.min(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).over(W.partitionBy("user_id"))
+    seq = e.select("user_id", "ts", "event_type", first_view.alias("first_view"))
+    conv = (
+        seq.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("first_view").isNotNull()
+            & (F.col("ts") > F.col("first_view"))
+            & (F.col("ts") <= F.col("first_view") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"), F.min("first_view").alias("first_view"))
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("converted_users"),
+        F.sum(
+            (F.unix_timestamp("first_purchase") - F.unix_timestamp("first_view")).cast(
+                "decimal(18,0)"
+            )
+        )
+        .cast("bigint")
+        .alias("total_secs_to_convert"),
+    )
+
+
+# ---- q28: daily cohort retention -------------------------------------------
+# Cohort = first active day. One agg for cohorts (shuffle on user), one
+# for (cohort_day, activity_day) counts — the second groupBy reuses the
+# user-partitioned intermediate. At scale the cohort map is the only
+# wide-row state and it's one row per user.
+
+
+@register(
+    "q28_retention",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, CAST(MIN(date_trunc('day', ts)) AS DATE) AS cohort_day
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS active_day
+  FROM events
+)
+SELECT f.cohort_day,
+       CAST(date_diff('day', f.cohort_day, a.active_day) AS BIGINT) AS day_offset,
+       COUNT(*) AS n_active
+FROM firsts f JOIN activity a USING (user_id)
+WHERE date_diff('day', f.cohort_day, a.active_day) <= 7
+GROUP BY 1, 2
+ORDER BY cohort_day, day_offset
+""",
+)
+def q28_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).cast("date").alias("cohort_day")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("active_day")
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .withColumn("day_offset", F.datediff("active_day", "cohort_day").cast("bigint"))
+        .filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+# ---- q29: approximate distinct (HLL) — the at-scale COUNT(DISTINCT) --------
+# Registered WITHOUT an oracle: HLL sketches are engine-specific. The
+# rows-only driver check applies; tests/test_pipeline_ops.py bounds the
+# error against the exact count. At 100 TB this replaces the exact
+# two-shuffle distinct with a constant-memory mergeable sketch.
+
+
+@register("q29_approx_distinct")
+def q29_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

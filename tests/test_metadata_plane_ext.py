@@ -330,3 +330,16 @@ def test_validate_schema_doc():
         "relationships-args",
         "source-missing-name",
     } <= codes
+
+
+def test_analyze_column_semantics():
+    from dbt_osmosis_spark.llm import analyze_column_semantics
+
+    got = analyze_column_semantics("orders", "customer_id", "bigint")
+    assert got["semantic_type"] == "identifier"
+    assert {"to": "customer", "kind": "foreign_key_candidate"} in got["relationships"]
+    assert analyze_column_semantics("orders", "order_date")["semantic_type"] == "timestamp"
+    assert analyze_column_semantics("c", "is_active")["semantic_type"] == "flag"
+    assert analyze_column_semantics("c", "c_acctbal")["semantic_type"] == "monetary"
+    assert "pii" in analyze_column_semantics("c", "email_address")["tags"]
+    assert analyze_column_semantics("c", "c_mktsegment")["semantic_type"] == "category"

@@ -144,3 +144,25 @@ def test_ivf_ann_recall_vs_exact(spark, sf_dir):
     approx = {r.vec_id for r in QUERIES["s05_ivf_topk"](spark, sf_dir).collect()}
     assert len(approx) == len(exact)
     assert len(exact & approx) / len(exact) >= 0.5
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from dbt_osmosis_spark.operators import QUERIES, load_all
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    load_all()
+    approx = {
+        r.event_type: r.approx_users
+        for r in QUERIES["q29_approx_distinct"](spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: r.exact
+        for r in read_parquet(spark, f"{sf_dir}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    for et, n in exact.items():
+        assert abs(approx[et] - n) <= max(3, 0.1 * n), (et, approx[et], n)
