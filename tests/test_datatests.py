@@ -82,3 +82,51 @@ def test_cli_test_command(spark, demo, tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "2/2 tests passed" in out
+
+
+def test_unit_tests_mocked_inputs(spark, demo):
+    """dbt-style unit tests: model runs against inline mocked refs, output
+    compared order-insensitively."""
+    from dbt_osmosis_spark.project import load_project
+    from dbt_osmosis_spark.unittests import run_unit_tests_from_doc
+
+    manifest = load_project(demo)
+    doc = {
+        "unit_tests": [
+            {
+                "name": "stg_payments_dollars",
+                "model": "stg_payments",
+                "given": [
+                    {
+                        "input": "ref('raw_payments')",
+                        "rows": [
+                            {"id": 1, "order_id": 10, "payment_method": "coupon", "amount": 150},
+                            {"id": 2, "order_id": 11, "payment_method": "cash", "amount": 50},
+                        ],
+                    }
+                ],
+                "expect": {
+                    "rows": [
+                        {"payment_id": 1, "amount": 1.5},
+                        {"payment_id": 2, "amount": 0.5},
+                    ]
+                },
+            },
+            {
+                "name": "deliberately_wrong",
+                "model": "stg_payments",
+                "given": [
+                    {
+                        "input": "ref('raw_payments')",
+                        "rows": [
+                            {"id": 1, "order_id": 10, "payment_method": "coupon", "amount": 150},
+                        ],
+                    }
+                ],
+                "expect": {"rows": [{"payment_id": 1, "amount": 9999.0}]},
+            },
+        ]
+    }
+    results = run_unit_tests_from_doc(spark, manifest, doc)
+    assert results[0].passed, results[0]
+    assert not results[1].passed and results[1].missing
