@@ -52,6 +52,19 @@ class YamlRefactorContext:
             self.pm = plugin_manager()
         for name in self.manifest.models:
             self.columns_of.setdefault(name, {})
+        # supplementary settings file, lowest-precedence project source
+        # (reference: dbt-osmosis.yml in the settings chain,
+        # src/dbt_osmosis/core/introspection.py:860-862)
+        supp = Path(self.project_dir) / "dbt-osmosis.yml"
+        if supp.exists():
+            try:
+                import yaml as _pyyaml
+
+                loaded = _pyyaml.safe_load(supp.read_text()) or {}
+                for k, v in loaded.items():
+                    self.settings.setdefault(k.replace("-", "_"), v)
+            except Exception:  # malformed supplementary file is non-fatal
+                pass
 
     def doc_path(self, model_name: str) -> Path:
         """YAML location: sidecar `<model>.yml` next to the model file —
@@ -209,14 +222,21 @@ def sort_columns_as_configured(ctx: YamlRefactorContext, node: str | None = None
 def sync_to_yaml(ctx: YamlRefactorContext, node: str | None = None) -> list[Path]:
     """Write per-node column docs into sidecar schema YAML (SURVEY M23,
     reference: src/dbt_osmosis/core/sync_operations.py:21-313) with atomic
-    replace; returns written paths."""
+    replace; returns written paths.
+
+    With the `fusion_compat` setting on, column meta/tags nest under
+    `config:` (the dbt-fusion schema layout, reference:
+    src/dbt_osmosis/core/sync_operations.py:210-257); default is the
+    classic flat layout."""
+    fusion = bool(ctx.settings.get("fusion_compat"))
     written: list[Path] = []
     for name in [node] if node else ctx.manifest.topo_sort():
         path = ctx.doc_path(name)
         doc = ctx.yaml.read(path) if path.exists() else {}
         entry = ensure_model_entry(doc, name)
-        entry["columns"] = [
-            {
+        cols_out = []
+        for col, meta in ctx.columns_of[name].items():
+            item = {
                 "name": col,
                 **{
                     k: v
@@ -224,8 +244,12 @@ def sync_to_yaml(ctx: YamlRefactorContext, node: str | None = None) -> list[Path
                     if v or k == "description"  # keep empty description keys
                 },
             }
-            for col, meta in ctx.columns_of[name].items()
-        ]
+            if fusion and (item.get("meta") or item.get("tags")):
+                item["config"] = {
+                    k: item.pop(k) for k in ("meta", "tags") if item.get(k)
+                }
+            cols_out.append(item)
+        entry["columns"] = cols_out
         node_obj = ctx.manifest.models[name]
         if node_obj.description:
             entry["description"] = node_obj.description

@@ -343,3 +343,32 @@ def test_analyze_column_semantics():
     assert analyze_column_semantics("c", "c_acctbal")["semantic_type"] == "monetary"
     assert "pii" in analyze_column_semantics("c", "email_address")["tags"]
     assert analyze_column_semantics("c", "c_mktsegment")["semantic_type"] == "category"
+
+
+def test_supplementary_settings_file_and_fusion_sync(spark, project_copy, tmp_path):
+    import pathlib
+
+    from dbt_osmosis_spark.transforms import (
+        YamlRefactorContext,
+        inject_missing_columns,
+        sync_to_yaml,
+    )
+
+    pathlib.Path(project_copy, "dbt-osmosis.yml").write_text(
+        "fusion-compat: true\nsort-by: alphabetical\n"
+    )
+    manifest = load_project(project_copy)
+    materialize(spark, manifest, warehouse_dir=str(tmp_path / "wh2"))
+    ctx = YamlRefactorContext(spark=spark, manifest=manifest, project_dir=project_copy)
+    assert ctx.settings["fusion_compat"] is True
+    assert ctx.settings["sort_by"] == "alphabetical"
+
+    inject_missing_columns(ctx)
+    ctx.columns_of["customers"]["customer_id"]["tags"] = ["pk"]
+    ctx.columns_of["customers"]["customer_id"]["meta"] = {"owner": "core"}
+    sync_to_yaml(ctx, "customers")
+    doc = pyyaml.safe_load(ctx.doc_path("customers").read_text())
+    col = next(c for c in doc["models"][0]["columns"] if c["name"] == "customer_id")
+    # fusion-compat: meta/tags nested under config, not flat
+    assert col["config"] == {"meta": {"owner": "core"}, "tags": ["pk"]}
+    assert "tags" not in col and "meta" not in col
