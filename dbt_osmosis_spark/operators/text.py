@@ -277,3 +277,43 @@ def t04_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---- t05: BPE-ish regex token counting -------------------------------------
+# Subword-style tokenization: letter runs, digit runs, punctuation runs —
+# the pre-merge segmentation every BPE tokenizer starts from. The pattern
+# uses only character classes so Java regex (Spark) and RE2 (DuckDB)
+# segment identically; corpus is ASCII so byte==char. Map-side
+# regexp_extract_all per row, no shuffle until the final per-source agg.
+
+_BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+
+_T05_ORACLE = f"""
+WITH seg AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(trim(text), '{_BPE_PATTERN}')) AS n_bpe,
+         len({_DUCK_TOK}) AS n_ws
+  FROM documents
+)
+SELECT doc_id, source, n_bpe, n_ws,
+       CAST(n_bpe AS DOUBLE) / n_ws AS subword_ratio
+FROM seg
+ORDER BY doc_id
+"""
+
+
+@register("t05_bpe_tokens", oracle=_T05_ORACLE)
+def t05_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    n_bpe = F.size(F.expr(f"regexp_extract_all(trim(text), '{_BPE_PATTERN}', 0)"))
+    n_ws = F.size(tokens())
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            n_bpe.alias("n_bpe"),
+            n_ws.alias("n_ws"),
+        )
+        .withColumn("subword_ratio", F.col("n_bpe").cast("double") / F.col("n_ws"))
+        .orderBy("doc_id")
+    )
