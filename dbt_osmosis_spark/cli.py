@@ -238,6 +238,42 @@ def cmd_test(args) -> int:
     return 0 if failed == 0 else 1
 
 
+def cmd_profile(args) -> int:
+    from dbt_osmosis_spark.compile import relation_name
+    from dbt_osmosis_spark.profile import profile
+
+    spark, _ = _build_context(args)
+    prof = profile(spark.table(relation_name(args.model)), args.model)
+    print(f"{prof.relation}: {prof.n_rows} rows")
+    for c in prof.columns:
+        bits = [f"nulls={c.nulls}", f"~distinct={c.approx_distinct}"]
+        if c.mean is not None:
+            bits.append(f"mean={c.mean:.4g} std={(c.stddev or 0):.4g}")
+        if c.min is not None:
+            bits.append(f"range=[{c.min}, {c.max}]")
+        if c.avg_length is not None:
+            bits.append(f"avg_len={c.avg_length:.1f}")
+        print(f"  {c.name:24s} {c.data_type:12s} {' '.join(bits)}")
+    return 0
+
+
+def cmd_export(args) -> int:
+    from dbt_osmosis_spark.compile import relation_name
+
+    spark, _ = _build_context(args)
+    df = spark.table(relation_name(args.model))
+    writer = df.coalesce(1) if args.single_file else df
+    w = writer.write.mode("overwrite")
+    if args.format == "csv":
+        w.option("header", True).csv(args.out)
+    elif args.format == "json":
+        w.json(args.out)
+    else:
+        w.parquet(args.out)
+    print(f"exported {args.model} -> {args.out} ({args.format})")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="dbt-osmosis-spark")
     p.add_argument("--project-dir", default=".", help="project directory")
@@ -269,6 +305,15 @@ def build_parser() -> argparse.ArgumentParser:
     sub.add_parser("coverage", help="documentation coverage + gaps")
     sub.add_parser("test-suggest", help="suggest column tests")
     sub.add_parser("test", help="run declared YAML data tests (dbt test analog)")
+
+    pp = sub.add_parser("profile", help="one-pass distributed column profile")
+    pp.add_argument("model")
+
+    ep = sub.add_parser("export", help="export a model to parquet/csv/json")
+    ep.add_argument("model")
+    ep.add_argument("--out", required=True)
+    ep.add_argument("--format", choices=["parquet", "csv", "json"], default="parquet")
+    ep.add_argument("--single-file", action="store_true")
     return p
 
 
@@ -283,6 +328,8 @@ _DISPATCH = {
     "coverage": cmd_coverage,
     "test-suggest": cmd_test_suggest,
     "test": cmd_test,
+    "profile": cmd_profile,
+    "export": cmd_export,
 }
 
 

@@ -169,3 +169,25 @@ def enrich_with_users(events: DataFrame, user_dim: DataFrame) -> DataFrame:
     from pyspark.sql.functions import broadcast
 
     return events.join(broadcast(user_dim), "user_id", "left")
+
+
+def run_to_files(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    fmt: str = "parquet",
+) -> None:
+    """Exactly-once file sink: append mode + checkpointed progress. Re-runs
+    with the same checkpoint resume where the last trigger stopped — a
+    re-delivered backlog writes NOTHING new (tested). This is the durable
+    landing pattern; swap `parquet` for delta/kafka in real deployments
+    without touching the query."""
+    q = (
+        df.writeStream.outputMode("append")
+        .format(fmt)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -75,3 +75,20 @@ def test_cli_lint_validate_diff_catalog_coverage(proj, tmp_path, capsys):
 
     assert _run(proj, tmp_path, "test-suggest") == 0
     assert "customer_id" in capsys.readouterr().out
+
+
+def test_cli_profile_and_export(proj, tmp_path, capsys):
+    assert _run(proj, tmp_path, "profile", "customers") == 0
+    out = capsys.readouterr().out
+    assert "customers: 30 rows" in out and "customer_id" in out and "~distinct=" in out
+
+    out_dir = tmp_path / "export_csv"
+    assert _run(
+        proj, tmp_path, "export", "customers", "--out", str(out_dir),
+        "--format", "csv", "--single-file",
+    ) == 0
+    capsys.readouterr()
+    files = list(out_dir.glob("*.csv"))
+    assert len(files) == 1
+    header = files[0].read_text().splitlines()[0]
+    assert "customer_id" in header

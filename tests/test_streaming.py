@@ -107,3 +107,18 @@ def test_stream_static_enrichment_broadcasts(spark, sf_dir):
     assert out.count() == read_parquet(spark, f"{sf_dir}/events.parquet").count()
     # all event user_ids within the customer range got a segment
     assert out.filter("segment is not null").count() > 0
+
+
+def test_checkpointed_file_sink_exactly_once(spark, sf_dir, tmp_path):
+    """availableNow + checkpoint: a second run over the same input writes
+    nothing new (exactly-once landing)."""
+    from dbt_osmosis_spark.streaming.events import dedup_stream, run_to_files, stream_events
+
+    out, ckpt = str(tmp_path / "land"), str(tmp_path / "ckpt")
+    s1 = dedup_stream(stream_events(spark, sf_dir)).select("event_id", "user_id", "ts")
+    run_to_files(s1, out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    assert n1 > 0
+    s2 = dedup_stream(stream_events(spark, sf_dir)).select("event_id", "user_id", "ts")
+    run_to_files(s2, out, ckpt)
+    assert spark.read.parquet(out).count() == n1
