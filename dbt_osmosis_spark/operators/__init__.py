@@ -36,6 +36,7 @@ def load_all() -> None:
     from dbt_osmosis_spark.operators import (  # noqa: F401
         dedup,
         multimodal,
+        pipeline,
         relational,
         relational_ext,
         similarity,

@@ -156,8 +156,11 @@ def _duck_minhash_sig() -> str:
     )
 
 
-_D03_ORACLE = f"""
-WITH tok AS (
+# Shared LSH CTE chain (tok -> shingles -> hashed -> minhash sig -> bands ->
+# candidate pairs): reused verbatim by d03 (pair verification) and d06
+# (connected-component clustering in operators/pipeline.py) so both stay
+# bit-identical to the Spark side.
+DUCK_LSH_CTES = f"""tok AS (
   SELECT doc_id, {_DUCK_TOK} AS w FROM documents
 ),
 sh AS (
@@ -178,7 +181,10 @@ cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-),
+)"""
+
+_D03_ORACLE = f"""
+WITH {DUCK_LSH_CTES},
 verified AS (
   SELECT c.doc_a, c.doc_b,
          CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
@@ -194,9 +200,11 @@ ORDER BY doc_a, doc_b
 """
 
 
-@register("d03_minhash_lsh_pairs", oracle=_D03_ORACLE)
-def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig, s): K-permutation MinHash signature + distinct shingle
+    set per document. Pure map-side array math — no shuffle. Caller decides
+    persistence (the md5-heavy subtree should be computed once when the
+    result feeds multiple branches)."""
     # Unrolled: one array_min per permutation with the (a_i, b_i) constants
     # inlined as scalars. The indexed form element_at(array(...), i) re-built
     # the 24-literal array on every inner evaluation (~1700x per doc) and was
@@ -205,18 +213,19 @@ def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"array_min(transform(hs, h -> ({_A[i]}L * h + {_B_CONST[i]}L) % {_MERSENNE}L))"
         for i in range(_K)
     ) + ")"
-    # The signature relation feeds four branches (band sides a/b, verify
-    # sides x/y); without persist() Spark recomputes the md5-heavy subtree
-    # per branch — 4x the dominant cost. At cluster scale this is exactly
-    # where you'd checkpoint/materialize the signature table.
-    sig = (
+    return (
         spread(docs).withColumn("w", tokens())
         .filter(F.size("w") >= 3)
         .withColumn("s", F.expr(spark_shingles_sql("w", 3)))
         .withColumn("hs", F.expr(f"transform(s, x -> {_SPARK_H28})"))
         .select("doc_id", F.expr(sig_expr).alias("sig"), "s")
-    ).persist()
-    bands = sig.select(
+    )
+
+
+def lsh_bands(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key): explode each signature into B band keys.
+    The band_key is the shuffle key downstream — the ONLY shuffle in LSH."""
+    return sig.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(_B - 1))).alias("band"),
         "sig",
@@ -227,9 +236,15 @@ def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(",", F.expr(f"slice(sig, band * {_R} + 1, {_R})")).cast("binary")
         ).alias("band_key"),
     )
+
+
+def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) with doc_a < doc_b: docs sharing any band key. The
+    self-join groups by (band, band_key); bucket sizes stay bounded when R
+    is tuned to the corpus, so the pair blowup never sees the full corpus."""
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -239,6 +254,17 @@ def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+@register("d03_minhash_lsh_pairs", oracle=_D03_ORACLE)
+def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    # The signature relation feeds four branches (band sides a/b, verify
+    # sides x/y); without persist() Spark recomputes the md5-heavy subtree
+    # per branch — 4x the dominant cost. At cluster scale this is exactly
+    # where you'd checkpoint/materialize the signature table.
+    sig = minhash_signatures(docs).persist()
+    cand = lsh_candidate_pairs(lsh_bands(sig))
     x = sig.select(F.col("doc_id").alias("xid"), F.col("s").alias("xs"))
     y = sig.select(F.col("doc_id").alias("yid"), F.col("s").alias("ys"))
     inter = F.size(F.array_intersect(F.col("xs"), F.col("ys")))

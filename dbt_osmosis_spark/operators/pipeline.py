@@ -1,0 +1,406 @@
+"""Training-data pipeline operators: dedup clustering, reproducible
+sampling, sequence packing, decontamination, redaction, vocabulary.
+
+These extend the reference's surface (z3z1ma/dbt-osmosis delegates all data
+processing to the warehouse adapter, src/dbt_osmosis/core/sql_operations.py:60-71)
+with the operations a 100 TB pretraining-data pipeline actually runs. Scale
+posture per operator:
+
+- **d06 connected components**: LSH candidate pairs (one shuffle on band
+  key, operators/dedup.py) -> iterative min-label propagation. Each round is
+  one join + one groupBy on the edge key — the same shuffle pattern
+  large-star/small-star uses; rounds ~ graph diameter (near-dup graphs are
+  shallow: clusters are cliques-ish, diameter 2-3). Convergence is detected
+  with a monotone label-sum, one tiny agg job per round. No driver-side
+  graph: edges and labels stay DataFrames throughout.
+- **p01/p02 sampling**: md5-threshold sampling is a map-side FILTER — zero
+  shuffle, reproducible across runs/engines/partitionings (unlike
+  df.sample, whose output depends on partition layout). Stratified variant
+  pays one window shuffle on the stratum key.
+- **p03 sequence packing**: the concat-and-chunk packing every LLM trainer
+  uses; one window per source partition. At skewed corpora, salt the
+  source key or pack per-partition with mapInPandas.
+- **p04 decontamination**: the eval/benchmark shingle set is tiny by
+  construction — broadcast it; the train side never shuffles.
+- **p05 redaction**: pure map-side regexp; PII presets (email/phone/ssn)
+  exposed for real corpora, term-list used for the synthetic oracle corpus.
+- **t06 vocabulary**: explode -> groupBy(word) with map-side partial
+  aggregation soaking up token skew; top-k is TakeOrderedAndProject (no
+  global sort).
+
+All oracle-checkable: md5-based keys and integer-exact ratios compute
+bit-identically in Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_osmosis_spark.operators import register
+from dbt_osmosis_spark.operators.dedup import (
+    DUCK_LSH_CTES,
+    lsh_bands,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from dbt_osmosis_spark.operators.text import _DUCK_TOK, _duck_shingles, spark_shingles_sql, tokens
+from dbt_osmosis_spark.sources.parquet import read_parquet, spread
+
+# ---- d06: dedup clustering (connected components over LSH pairs) -----------
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Min-label propagation: (id) + (src, dst) -> (id, component) where
+    component = min node id reachable. Each iteration: propagate labels one
+    hop (join + groupBy-min), take the elementwise min. Labels only ever
+    decrease, so sum(label) is a monotone convergence witness — when it
+    stops falling, we are at the fixpoint. Iterations ~ graph diameter."""
+    und = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = nodes.select("id", F.col("id").alias("label")).persist()
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr = (
+            und.join(labels, und["src"] == labels["id"])
+            .groupBy(und["dst"].alias("nid"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["id"] == nbr["nid"], "left")
+            .select(
+                labels["id"],
+                F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias("label"),
+            )
+            .persist()
+        )
+        cur_sum = new_labels.agg(F.sum("label")).first()[0]
+        labels.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    und.unpersist()
+    return labels.select(F.col("id"), F.col("label").alias("component"))
+
+
+_D06_ORACLE = f"""
+WITH RECURSIVE {DUCK_LSH_CTES},
+edges2 AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM cand
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges2 e ON e.src = r.node
+),
+comp AS (
+  SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node
+)
+SELECT c.component,
+       COUNT(*) AS n_docs,
+       MIN(c.doc_id) AS keep_doc_id
+FROM comp c
+GROUP BY c.component
+HAVING COUNT(*) > 1
+ORDER BY c.component
+"""
+
+
+@register("d06_dedup_components", oracle=_D06_ORACLE)
+def d06_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: transitive closure of MinHash-LSH candidate pairs;
+    keep_doc_id = the canonical representative (min id). Reports only
+    multi-doc components (the dedup 'drop list' is everything else in them).
+    """
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    sig = minhash_signatures(docs).persist()
+    pairs = lsh_candidate_pairs(lsh_bands(sig))
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comp = connected_components(docs.select(F.col("doc_id").alias("id")), edges)
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("component")
+    )
+
+
+# ---- p01: deterministic hash sampling --------------------------------------
+# Reproducible ~rate sampling by md5(key) threshold. Unlike df.sample(),
+# membership depends only on the key — stable across runs, partitionings,
+# engines, and incremental re-ingests (a doc stays in/out forever).
+
+_P01_THRESHOLD = "1999"  # 4 hex chars: 0x1999/0x10000 ~ 9.998%
+
+_SPARK_SAMPLE_KEY = "substr(md5(cast(cast(doc_id AS STRING) AS BINARY)), 1, 4)"
+_DUCK_SAMPLE_KEY = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)"
+
+_P01_ORACLE = f"""
+SELECT doc_id, lang, source, n_chars, {_DUCK_SAMPLE_KEY} AS sample_key
+FROM documents
+WHERE {_DUCK_SAMPLE_KEY} < '{_P01_THRESHOLD}'
+ORDER BY doc_id
+"""
+
+
+@register("p01_hash_sample", oracle=_P01_ORACLE)
+def p01_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    key = F.expr(_SPARK_SAMPLE_KEY)
+    return (
+        docs.select("doc_id", "lang", "source", "n_chars", key.alias("sample_key"))
+        .filter(F.col("sample_key") < _P01_THRESHOLD)
+        .orderBy("doc_id")
+    )
+
+
+# ---- p02: stratified sampling (exact n per stratum) ------------------------
+# Exactly n docs per language, chosen by md5 rank — deterministic and
+# order-free. One shuffle on the stratum key; rank is row_number so ties
+# are impossible (md5 of distinct ids never collides at 4-char... the
+# full 32-char digest is used for ordering).
+
+_P02_PER_STRATUM = 20
+
+_P02_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS k FROM documents
+),
+ranked AS (
+  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY k) AS rk
+  FROM keyed
+)
+SELECT lang, doc_id, rk
+FROM ranked
+WHERE rk <= {_P02_PER_STRATUM}
+ORDER BY lang, rk
+"""
+
+
+@register("p02_stratified_sample", oracle=_P02_ORACLE)
+def p02_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        F.md5(F.col("doc_id").cast("string").cast("binary")).alias("k"),
+    )
+    w = Window.partitionBy("lang").orderBy("k")
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _P02_PER_STRATUM)
+        .select("lang", "doc_id", "rk")
+        .orderBy("lang", "rk")
+    )
+
+
+# ---- p03: sequence packing (concat-and-chunk into token budgets) -----------
+# Assign each doc to a training sequence: within a source, docs are laid out
+# in doc_id order and chunked every BUDGET tokens (the standard
+# concatenate-then-split packing). seq_id = floor(tokens_before / budget).
+
+_P03_BUDGET = 256
+
+_P03_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source, len({_DUCK_TOK}) AS n_tok FROM documents
+),
+laid AS (
+  SELECT doc_id, source, n_tok,
+         COALESCE(SUM(n_tok) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+  FROM tok
+),
+packed AS (
+  SELECT source, CAST(floor(tokens_before / {_P03_BUDGET}.0) AS BIGINT) AS seq_id, n_tok
+  FROM laid
+)
+SELECT source, seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS seq_tokens
+FROM packed
+GROUP BY source, seq_id
+ORDER BY source, seq_id
+"""
+
+
+@register("p03_sequence_packing", oracle=_P03_ORACLE)
+def p03_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    tok = docs.select("doc_id", "source", F.size(tokens()).alias("n_tok"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    laid = tok.withColumn("tokens_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+    seq_id = F.floor(F.col("tokens_before") / float(_P03_BUDGET)).cast("bigint")
+    return (
+        laid.select("source", seq_id.alias("seq_id"), "n_tok")
+        .groupBy("source", "seq_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("seq_tokens"))
+        .orderBy("source", "seq_id")
+    )
+
+
+# ---- p04: benchmark decontamination (shingle overlap vs eval set) ----------
+# Flag training docs sharing too many 3-gram shingles with a benchmark/eval
+# corpus (here: source 'src0' stands in for the eval set). The eval shingle
+# set is small by construction (benchmarks are) — broadcast it so the train
+# side scans once with zero shuffle before the per-doc count.
+
+_P04_EVAL_SOURCE = "src0"
+_P04_THRESHOLD = 0.5
+
+_P04_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source, {_DUCK_TOK} AS w FROM documents
+),
+sh AS (
+  SELECT doc_id, source, unnest({_duck_shingles(3)}) AS shingle
+  FROM tok WHERE len(w) >= 3
+),
+eval_sh AS (
+  SELECT DISTINCT shingle FROM sh WHERE source = '{_P04_EVAL_SOURCE}'
+),
+train_sh AS (
+  SELECT doc_id, shingle FROM sh WHERE source <> '{_P04_EVAL_SOURCE}'
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM train_sh GROUP BY doc_id
+),
+hits AS (
+  SELECT t.doc_id, COUNT(*) AS n_hit
+  FROM train_sh t JOIN eval_sh e ON t.shingle = e.shingle
+  GROUP BY t.doc_id
+)
+SELECT h.doc_id, h.n_hit, s.n_shingles,
+       CAST(h.n_hit AS DOUBLE) / s.n_shingles AS contamination
+FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
+WHERE CAST(h.n_hit AS DOUBLE) / s.n_shingles >= {_P04_THRESHOLD}
+ORDER BY h.doc_id
+"""
+
+
+@register("p04_decontaminate", oracle=_P04_ORACLE)
+def p04_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    sh = (
+        spread(docs).withColumn("w", tokens())
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.expr(spark_shingles_sql("w", 3))).alias("shingle"),
+        )
+    ).persist()
+    eval_sh = sh.filter(F.col("source") == _P04_EVAL_SOURCE).select("shingle").distinct()
+    train_sh = sh.filter(F.col("source") != _P04_EVAL_SOURCE).select("doc_id", "shingle")
+    sizes = train_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        train_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    contamination = F.col("n_hit").cast("double") / F.col("n_shingles")
+    return (
+        hits.join(sizes, "doc_id")
+        .select("doc_id", "n_hit", "n_shingles", contamination.alias("contamination"))
+        .filter(F.col("contamination") >= _P04_THRESHOLD)
+        .orderBy("doc_id")
+    )
+
+
+# ---- p05: redaction (PII presets + term lists), map-side regexp ------------
+
+# Real-corpus presets. Character-class-only syntax so Java regex (Spark) and
+# RE2 (DuckDB) agree; exercised in unit tests on constructed rows because
+# the synthetic corpus contains no PII.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+",
+    "phone": r"[+]?[0-9][0-9 ()-]{6,}[0-9]",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+_P05_TERMS = "customer|spark"  # stand-in sensitive terms for the oracle corpus
+_P05_MASK = "[REDACTED]"
+
+_P05_ORACLE = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_P05_TERMS}')) AS n_redacted,
+       regexp_replace(text, '{_P05_TERMS}', '{_P05_MASK}', 'g') AS redacted_text
+FROM documents
+WHERE len(regexp_extract_all(text, '{_P05_TERMS}')) > 0
+ORDER BY doc_id
+"""
+
+
+def redact(df: DataFrame, text_col: str, patterns: list[str], mask: str = _P05_MASK) -> DataFrame:
+    """Replace every match of every pattern with the mask; add n_redacted.
+    Pure per-row regexp — embarrassingly parallel, no shuffle."""
+    combined = "|".join(f"({p})" for p in patterns)
+    n = F.size(F.expr(f"regexp_extract_all({text_col}, '{combined}', 0)"))
+    return df.withColumn("n_redacted", n).withColumn(
+        "redacted_text", F.regexp_replace(F.col(text_col), combined, mask)
+    )
+
+
+@register("p05_redact_terms", oracle=_P05_ORACLE)
+def p05_redact_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    n = F.size(F.expr(f"regexp_extract_all(text, '{_P05_TERMS}', 0)"))
+    return (
+        docs.select(
+            "doc_id",
+            n.alias("n_redacted"),
+            F.regexp_replace("text", _P05_TERMS, _P05_MASK).alias("redacted_text"),
+        )
+        .filter(F.col("n_redacted") > 0)
+        .orderBy("doc_id")
+    )
+
+
+# ---- t06: corpus vocabulary (top-k terms by frequency) ---------------------
+
+_T06_TOPK = 100
+
+_T06_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, unnest({_DUCK_TOK}) AS word FROM documents
+)
+SELECT word,
+       COUNT(*) AS tf,
+       COUNT(DISTINCT doc_id) AS df
+FROM words
+GROUP BY word
+ORDER BY tf DESC, word
+LIMIT {_T06_TOPK}
+"""
+
+
+@register("t06_vocab_topk", oracle=_T06_ORACLE)
+def t06_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term + document frequency, top-k. The explode fans out to |tokens|
+    rows but partial aggregation collapses them map-side before the single
+    shuffle on word; the hot-word skew never concentrates on one reducer.
+    Top-k plans as TakeOrderedAndProject — no global sort."""
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return (
+        spread(docs)
+        .select("doc_id", F.explode(tokens()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("tf"), "word")
+        .limit(_T06_TOPK)
+    )
