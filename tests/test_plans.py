@@ -84,3 +84,19 @@ def test_m01_metadata_query_prunes_payload(q):
     # the final projection—the content column exists only to derive meta
     df = q("m01_image_meta")
     assert "content" not in df.columns
+
+
+def test_p04_broadcasts_eval_shingles(q):
+    """Decontamination must broadcast the (small) eval shingle set — the
+    train side joins without a shuffle of its exploded shingles."""
+    assert has_broadcast_join(q("p04_decontaminate"))
+
+
+def test_t06_vocab_topk_not_global_sort(q):
+    assert uses_top_k(q("t06_vocab_topk"))
+
+
+def test_p01_hash_sample_prunes_text(q):
+    """The sample projects metadata only — the wide text column must not be
+    read from parquet."""
+    assert all("text" not in s for s in scan_schemas(q("p01_hash_sample")))
