@@ -67,3 +67,12 @@ def whole_stage_codegen_spans(df: DataFrame) -> int:
     """How many WholeStageCodegen regions the plan compiles — wider spans =
     more of the query fused into generated JVM loops."""
     return len(set(re.findall(r"\*\((\d+)\)", physical_plan(df))))
+
+
+def partition_filters(df: DataFrame) -> list[str]:
+    """PartitionFilters lists from every scan node — evidence that a filter
+    on a hive-style partition column prunes directories instead of reading
+    and discarding rows (the difference between scanning one day and
+    scanning 100 TB)."""
+    plan = formatted_plan(df)
+    return [m.group(1) for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", plan) if m.group(1)]

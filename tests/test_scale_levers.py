@@ -94,3 +94,30 @@ def test_bucketed_models_join_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS cust_b")
+
+
+def test_partitioned_model_prunes_partitions(spark, tmp_path):
+    """A filter on the partition_by column must become a PartitionFilter
+    (directory pruning), not a row filter over the full scan."""
+    from dbt_osmosis_spark.plans.audit import partition_filters
+    from dbt_osmosis_spark.project import load_project
+    from dbt_osmosis_spark.runner import materialize
+
+    proj = tmp_path / "pproj"
+    (proj / "models").mkdir(parents=True)
+    (proj / "project.yml").write_text("name: partdemo\n")
+    (proj / "sources.yml").write_text(
+        "sources:\n- name: tpch\n  tables:\n"
+        "  - name: orders\n    path: /root/testdata/sf0.001/orders.parquet\n"
+    )
+    (proj / "models" / "orders_p.sql").write_text(
+        "{{ config(materialized='table', partition_by='o_orderstatus') }}\n"
+        "select o_orderkey, o_totalprice, o_orderstatus from {{ source('tpch', 'orders') }}"
+    )
+    materialize(spark, load_project(proj), warehouse_dir=str(tmp_path / "wh"))
+    pruned = spark.table("orders_p").filter(F.col("o_orderstatus") == "F")
+    filters = partition_filters(pruned)
+    assert any("o_orderstatus" in f for f in filters), filters
+    full = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    expect = full.filter("o_orderstatus = 'F'").count()
+    assert pruned.count() == expect
