@@ -274,6 +274,43 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_explain(args) -> int:
+    """Physical-plan audit for a model or ad-hoc SQL: the scale levers
+    (broadcasts, shuffles, codegen spans, pushdown, partition pruning) as a
+    one-screen summary above the formatted plan."""
+    from dbt_osmosis_spark.compile import relation_name
+    from dbt_osmosis_spark.plans.audit import (
+        exchange_count,
+        formatted_plan,
+        has_broadcast_join,
+        has_cartesian,
+        partition_filters,
+        pushed_filters,
+        scan_schemas,
+        uses_top_k,
+        whole_stage_codegen_spans,
+    )
+    from dbt_osmosis_spark.sql_ops import execute_sql_code
+
+    spark, manifest = _build_context(args)
+    if args.model_or_sql.lstrip().lower().startswith(("select", "with")) or "{{" in args.model_or_sql:
+        _, df = execute_sql_code(spark, manifest, args.model_or_sql)
+    else:
+        df = spark.table(relation_name(args.model_or_sql))
+    print(f"shuffle exchanges:  {exchange_count(df)}")
+    print(f"codegen spans:      {whole_stage_codegen_spans(df)}")
+    print(f"broadcast join:     {has_broadcast_join(df)}")
+    print(f"cartesian product:  {has_cartesian(df)}")
+    print(f"top-k (no sort):    {uses_top_k(df)}")
+    print(f"pushed filters:     {pushed_filters(df) or '-'}")
+    print(f"partition filters:  {partition_filters(df) or '-'}")
+    print(f"scan schemas:       {scan_schemas(df) or '-'}")
+    if args.full:
+        print()
+        print(formatted_plan(df))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="dbt-osmosis-spark")
     p.add_argument("--project-dir", default=".", help="project directory")
@@ -314,6 +351,10 @@ def build_parser() -> argparse.ArgumentParser:
     ep.add_argument("--out", required=True)
     ep.add_argument("--format", choices=["parquet", "csv", "json"], default="parquet")
     ep.add_argument("--single-file", action="store_true")
+
+    xp = sub.add_parser("explain", help="physical-plan audit for a model or SQL")
+    xp.add_argument("model_or_sql")
+    xp.add_argument("--full", action="store_true", help="print the formatted plan too")
     return p
 
 
@@ -330,6 +371,7 @@ _DISPATCH = {
     "test": cmd_test,
     "profile": cmd_profile,
     "export": cmd_export,
+    "explain": cmd_explain,
 }
 
 

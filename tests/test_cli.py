@@ -92,3 +92,16 @@ def test_cli_profile_and_export(proj, tmp_path, capsys):
     assert len(files) == 1
     header = files[0].read_text().splitlines()[0]
     assert "customer_id" in header
+
+
+def test_cli_explain(proj, tmp_path, capsys):
+    assert _run(proj, tmp_path, "explain", "customers") == 0
+    out = capsys.readouterr().out
+    assert "shuffle exchanges:" in out and "codegen spans:" in out
+
+    assert _run(
+        proj, tmp_path, "explain",
+        "select count(*) as n from {{ ref('customers') }}", "--full",
+    ) == 0
+    out = capsys.readouterr().out
+    assert "HashAggregate" in out
