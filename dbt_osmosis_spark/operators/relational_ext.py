@@ -522,3 +522,55 @@ def q29_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q30: interval-join click attribution — the batch twin of the stream-stream
+# join in streaming/events.py (click_purchase_join). Purchases match same-
+# user clicks in the preceding hour; per-user attribution rollup. The join
+# shuffles once on user_id; the time predicate prunes pair blowup to the
+# attribution window (never a cross product per user across all time).
+# --------------------------------------------------------------------------
+@register(
+    "q30_click_attribution",
+    oracle="""
+WITH pairs AS (
+  SELECT p.user_id, p.event_id AS purchase_id, p.value
+  FROM events c JOIN events p
+    ON c.user_id = p.user_id
+   AND c.event_type = 'click' AND p.event_type = 'purchase'
+   AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+)
+SELECT user_id,
+       COUNT(*) AS n_pairs,
+       COUNT(DISTINCT purchase_id) AS n_purchases,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS attributed_value
+FROM pairs
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def q30_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"), F.col("event_id").alias("purchase_id"), "value"
+    )
+    pairs = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = user_id AND purchase_ts >= click_ts "
+            "AND purchase_ts <= click_ts + interval 1 hour"
+        ),
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("purchase_id").alias("n_purchases"),
+            dec_sum("value", scale=6).alias("attributed_value"),
+        )
+        .orderBy("user_id")
+    )

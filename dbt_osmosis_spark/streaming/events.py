@@ -191,3 +191,40 @@ def run_to_files(
         .start()
     )
     q.awaitTermination()
+
+
+def click_purchase_join(
+    events: DataFrame,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to the same
+    user's clicks in the preceding attribution window.
+
+    Both sides carry watermarks and the join condition bounds event time in
+    BOTH directions, so the state store provably evicts: a click older than
+    watermark + window can never match a future purchase and is dropped.
+    State partitions by user_id across executors — the 100 TB stream keys
+    spread horizontally. Batch twin: q30_click_attribution
+    (operators/relational_ext.py); tests assert pair-level agreement."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"c_user = user_id AND purchase_ts >= click_ts "
+            f"AND purchase_ts <= click_ts + interval {attribution_window}"
+        ),
+    ).select("user_id", "click_ts", "purchase_ts", "value")

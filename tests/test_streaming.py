@@ -122,3 +122,38 @@ def test_checkpointed_file_sink_exactly_once(spark, sf_dir, tmp_path):
     s2 = dedup_stream(stream_events(spark, sf_dir)).select("event_id", "user_id", "ts")
     run_to_files(s2, out, ckpt)
     assert spark.read.parquet(out).count() == n1
+
+
+def test_stream_stream_join_matches_batch_twin(spark, sf_dir):
+    """Stream-stream interval join (click→purchase attribution) emits
+    exactly the pair set the batch join computes over the same files."""
+    from dbt_osmosis_spark.streaming.events import (
+        click_purchase_join,
+        run_to_memory,
+        stream_events,
+    )
+
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    run_to_memory(click_purchase_join(stream_events(spark, sf_dir)), "ss_pairs")
+    got = {
+        (r.user_id, r.click_ts, r.purchase_ts, r.value)
+        for r in spark.table("ss_pairs").collect()
+    }
+    e = read_parquet(spark, f"{sf_dir}/events.parquet")
+    clicks = e.filter("event_type='click'").selectExpr("user_id AS c_user", "ts AS click_ts")
+    purchases = e.filter("event_type='purchase'").selectExpr(
+        "user_id", "ts AS purchase_ts", "value"
+    )
+    want = {
+        (r.user_id, r.click_ts, r.purchase_ts, r.value)
+        for r in clicks.join(
+            purchases,
+            F.expr(
+                "c_user = user_id AND purchase_ts >= click_ts "
+                "AND purchase_ts <= click_ts + interval 1 hour"
+            ),
+        ).collect()
+    }
+    assert len(got) > 0
+    assert got == want
