@@ -123,6 +123,24 @@ def materialize(
             if warehouse_dir is None:
                 raise ValueError(f"model {name} is materialized=table but no warehouse_dir")
             out = os.path.join(warehouse_dir, f"{name}.parquet")
+            sort_by = node.config.get("sort_by")
+            if sort_by:
+                # Zone-map layout: range-partition then sort so every output
+                # file owns a disjoint key range. Parquet row-group min/max
+                # stats become tight — a later range/point filter on the sort
+                # key skips whole files/row-groups instead of scanning 100 TB
+                # and discarding. One extra shuffle at write time buys every
+                # downstream read. (tests/test_scale_levers.py asserts the
+                # disjoint-range property on the written footers.)
+                cols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+                n_files = int(node.config.get("sort_files") or 0)
+                if n_files:
+                    df = df.repartitionByRange(n_files, *cols)
+                else:
+                    # AQE picks the count from data size (coalesces tiny SFs
+                    # to one file; fans out at real scale).
+                    df = df.repartitionByRange(*cols)
+                df = df.sortWithinPartitions(*cols)
             writer = df.write.mode("overwrite")
             parts = (partition_overrides or {}).get(name) or node.config.get("partition_by")
             if parts:

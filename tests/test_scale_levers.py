@@ -121,3 +121,43 @@ def test_partitioned_model_prunes_partitions(spark, tmp_path):
     full = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     expect = full.filter("o_orderstatus = 'F'").count()
     assert pruned.count() == expect
+
+
+def test_sorted_model_writes_disjoint_zone_maps(spark, tmp_path):
+    """sort_by: every written file owns a disjoint sort-key range (tight
+    parquet min/max stats → row-group/file skipping on range filters)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dbt_osmosis_spark.project import load_project
+    from dbt_osmosis_spark.runner import materialize
+
+    proj = tmp_path / "sproj"
+    (proj / "models").mkdir(parents=True)
+    (proj / "project.yml").write_text("name: sortdemo\n")
+    (proj / "sources.yml").write_text(
+        "sources:\n- name: tpch\n  tables:\n"
+        "  - name: orders\n    path: /root/testdata/sf0.001/orders.parquet\n"
+    )
+    (proj / "models" / "orders_s.sql").write_text(
+        "{{ config(materialized='table', sort_by='o_totalprice', sort_files=4) }}\n"
+        "select o_orderkey, o_totalprice from {{ source('tpch', 'orders') }}"
+    )
+    materialize(spark, load_project(proj), warehouse_dir=str(tmp_path / "wh"))
+
+    ranges = []
+    for f in glob.glob(str(tmp_path / "wh" / "orders_s.parquet" / "*.parquet")):
+        md = pq.read_metadata(f)
+        idx = md.schema.names.index("o_totalprice")
+        lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    assert len(ranges) > 1, "expected multiple output files"
+    ranges.sort()
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b, f"overlapping file ranges: ({lo_a},{hi_a}) vs ({lo_b},{hi_b})"
+
+    # correctness unchanged by layout
+    n = spark.table("orders_s").count()
+    assert n == spark.read.parquet("/root/testdata/sf0.001/orders.parquet").count()
