@@ -90,6 +90,12 @@ def materialize(
             )
             report.results.append(result)
             continue
+        if node.materialized == "snapshot":
+            result = _materialize_snapshot(
+                spark, compiler, node, rel, warehouse_dir, count_rows
+            )
+            report.results.append(result)
+            continue
         compiled = compiler.compile(node.raw_sql)
         df: DataFrame = spark.sql(compiled.compiled_sql)
         if node.materialized == "table":
@@ -245,6 +251,109 @@ def _materialize_incremental(
         node.name,
         "model",
         f"incremental({strategy})" if exists else "incremental(full build)",
+        rows=df.count() if count_rows else None,
+        compiled_sql=compiled.compiled_sql,
+    )
+
+
+def _materialize_snapshot(
+    spark: SparkSession,
+    compiler: "JinjaCompiler",
+    node,
+    rel: str,
+    warehouse_dir: str | None,
+    count_rows: bool,
+) -> RunResult:
+    """SCD2 snapshot — dbt's `materialized='snapshot'` contract on parquet.
+
+    Tracks row-level change history of a mutable relation: each key's
+    versions carry (dbt_valid_from, dbt_valid_to]; the open version has
+    dbt_valid_to IS NULL. Strategies mirror dbt snapshots:
+
+    - `check` (default): a row changed when any check column differs
+      (`check_cols` config, else every non-key column), null-safe;
+    - `timestamp` (+ `updated_at`): changed when the timestamp advanced.
+
+    Set-based at scale: ONE full-outer join of current open rows against
+    the new state per run classifies every key as unchanged / changed /
+    added / deleted — no per-row driver logic, shuffles once on the key.
+    Hard deletes close the open row (dbt's invalidate_hard_deletes=true).
+    Parquet rewrite stands in for MERGE exactly as in incremental merge;
+    on Delta/Iceberg the same plan becomes a row-level MERGE. `snapshot_at`
+    config pins the effective timestamp (deterministic replays/backfills);
+    default is the run's wall clock.
+    """
+    from pyspark.sql import functions as F
+
+    if warehouse_dir is None:
+        raise ValueError(f"model {node.name} is a snapshot but no warehouse_dir")
+    key = node.config.get("unique_key")
+    if not key:
+        raise ValueError(f"snapshot model {node.name} needs unique_key")
+    out = os.path.join(warehouse_dir, f"{node.name}.parquet")
+    exists = os.path.exists(out)
+    compiled = compiler.compile(node.raw_sql)
+    new = spark.sql(compiled.compiled_sql)
+    snap_at = node.config.get("snapshot_at")
+    ts = F.lit(snap_at).cast("timestamp") if snap_at else F.current_timestamp()
+    data_cols = list(new.columns)
+
+    if not exists:
+        snap = new.withColumn("dbt_valid_from", ts).withColumn(
+            "dbt_valid_to", F.lit(None).cast("timestamp")
+        )
+        snap.write.mode("overwrite").parquet(out)
+    else:
+        hist = spark.read.parquet(out)
+        closed = hist.filter(F.col("dbt_valid_to").isNotNull())
+        open_rows = hist.filter(F.col("dbt_valid_to").isNull()).alias("o")
+        n = new.alias("n")
+        strategy = node.config.get("strategy", "check")
+        if strategy == "timestamp":
+            upd = node.config.get("updated_at")
+            if not upd:
+                raise ValueError(f"snapshot {node.name}: timestamp strategy needs updated_at")
+            changed = F.col(f"n.{upd}") > F.col(f"o.{upd}")
+        elif strategy == "check":
+            check_cols = node.config.get("check_cols") or [c for c in data_cols if c != key]
+            if isinstance(check_cols, str):
+                check_cols = [check_cols]
+            changed = F.lit(False)
+            for c in check_cols:
+                changed = changed | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        else:
+            raise ValueError(f"unknown snapshot strategy: {strategy}")
+
+        j = open_rows.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer").persist()
+        in_old = F.col(f"o.{key}").isNotNull()
+        in_new = F.col(f"n.{key}").isNotNull()
+        old_cols = [F.col(f"o.{c}").alias(c) for c in data_cols] + [F.col("o.dbt_valid_from").alias("dbt_valid_from")]
+        unchanged = j.filter(in_old & in_new & ~changed).select(
+            *old_cols, F.col("o.dbt_valid_to").alias("dbt_valid_to")
+        )
+        closed_now = j.filter(in_old & (~in_new | changed)).select(
+            *old_cols, ts.alias("dbt_valid_to")
+        )
+        opened_now = j.filter(in_new & (~in_old | changed)).select(
+            *[F.col(f"n.{c}").alias(c) for c in data_cols],
+            ts.alias("dbt_valid_from"),
+            F.lit(None).cast("timestamp").alias("dbt_valid_to"),
+        )
+        merged = closed.unionByName(unchanged).unionByName(closed_now).unionByName(opened_now)
+        tmp = out + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        j.unpersist()
+        import shutil
+
+        shutil.rmtree(out)
+        os.rename(tmp, out)
+
+    df = spark.read.parquet(out)
+    df.createOrReplaceTempView(rel)
+    return RunResult(
+        node.name,
+        "model",
+        "snapshot" if not exists else f"snapshot({node.config.get('strategy', 'check')})",
         rows=df.count() if count_rows else None,
         compiled_sql=compiled.compiled_sql,
     )

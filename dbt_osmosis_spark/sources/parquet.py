@@ -32,12 +32,22 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
         if not files:
             return []
         path = files[0]
-    schema = pq.read_schema(path)
+    # Use the parquet-level schema, not the arrow view: INT96 timestamps
+    # (Spark's own default writer format) also surface as timestamp[ns] in
+    # arrow, but Spark reads INT96 natively — only INT64 TIMESTAMP(NANOS)
+    # needs the nanosAsLong rewrite.
+    schema = pq.ParquetFile(path).schema
     out = []
-    for field in schema:
-        t = field.type
-        if str(t).startswith("timestamp[ns"):
-            out.append(field.name)
+    for i in range(len(schema)):
+        col = schema.column(i)
+        lt = col.logical_type
+        if (
+            col.physical_type == "INT64"
+            and lt is not None
+            and lt.type == "TIMESTAMP"
+            and "nanoseconds" in str(lt)
+        ):
+            out.append(col.name)
     return out
 
 

@@ -99,3 +99,92 @@ select id, day, v from {{ source('raw', 'feed') }}
     materialize(spark, load_project(proj), warehouse_dir=wh)  # full build ok
     with pytest.raises(ValueError, match="unique_key"):
         materialize(spark, load_project(proj), warehouse_dir=wh)
+
+
+# ---- SCD2 snapshots ---------------------------------------------------------
+
+
+def test_snapshot_scd2_check_strategy(spark, tmp_path):
+    """Full SCD2 lifecycle: initial build, then changed / unchanged /
+    deleted / added keys each produce the right (valid_from, valid_to)."""
+    proj = tmp_path / "sproj"
+    (proj / "models").mkdir(parents=True)
+    (proj / "project.yml").write_text("name: snapdemo\n")
+    (proj / "sources.yml").write_text(
+        "sources:\n- name: raw\n  tables:\n"
+        f"  - name: items\n    path: {tmp_path}/items.parquet\n"
+    )
+    model = proj / "models" / "items_snap.sql"
+    wh = str(tmp_path / "wh")
+
+    def snap(at: str):
+        model.write_text(
+            "{{ config(materialized='snapshot', unique_key='id', "
+            f"snapshot_at='{at}') }}}}\n".replace("}}}}", "}}")
+            + "select id, val from {{ source('raw', 'items') }}"
+        )
+        return materialize(spark, load_project(proj), warehouse_dir=wh)
+
+    v1 = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, val string")
+    v1.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/items.parquet")
+    report = snap("2026-01-01 00:00:00")
+    assert any(r.materialized == "snapshot" for r in report.results)
+    rows = spark.table("items_snap").collect()
+    assert len(rows) == 3 and all(r.dbt_valid_to is None for r in rows)
+
+    v2 = spark.createDataFrame([(1, "a"), (2, "B"), (4, "d")], "id long, val string")
+    v2.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/items.parquet")
+    snap("2026-02-01 00:00:00")
+    hist = {
+        (r.id, r.val, str(r.dbt_valid_from), r.dbt_valid_to and str(r.dbt_valid_to))
+        for r in spark.table("items_snap").collect()
+    }
+    assert hist == {
+        (1, "a", "2026-01-01 00:00:00", None),                        # unchanged
+        (2, "b", "2026-01-01 00:00:00", "2026-02-01 00:00:00"),       # closed
+        (2, "B", "2026-02-01 00:00:00", None),                        # new version
+        (3, "c", "2026-01-01 00:00:00", "2026-02-01 00:00:00"),       # hard delete
+        (4, "d", "2026-02-01 00:00:00", None),                        # added
+    }
+
+    # idempotent re-run at a later ts with identical data: nothing changes
+    snap("2026-03-01 00:00:00")
+    assert spark.table("items_snap").count() == 5
+
+
+def test_snapshot_timestamp_strategy(spark, tmp_path):
+    proj = tmp_path / "tproj"
+    (proj / "models").mkdir(parents=True)
+    (proj / "project.yml").write_text("name: snapdemo2\n")
+    (proj / "sources.yml").write_text(
+        "sources:\n- name: raw\n  tables:\n"
+        f"  - name: items\n    path: {tmp_path}/items2.parquet\n"
+    )
+    model = proj / "models" / "items_ts.sql"
+    wh = str(tmp_path / "wh2")
+
+    def snap(at: str):
+        model.write_text(
+            "{{ config(materialized='snapshot', unique_key='id', strategy='timestamp', "
+            f"updated_at='upd', snapshot_at='{at}') }}}}\n".replace("}}}}", "}}")
+            + "select id, val, upd from {{ source('raw', 'items') }}"
+        )
+        return materialize(spark, load_project(proj), warehouse_dir=wh)
+
+    mk = lambda rows: spark.createDataFrame(rows, "id long, val string, upd timestamp")
+    import datetime as dt
+
+    t1, t2 = dt.datetime(2026, 1, 1), dt.datetime(2026, 1, 15)
+    mk([(1, "a", t1), (2, "b", t1)]).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/items2.parquet"
+    )
+    snap("2026-01-01 00:00:00")
+    # val changed but upd NOT advanced for 1 (ignored); upd advanced for 2 (tracked)
+    mk([(1, "A", t1), (2, "B", t2)]).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/items2.parquet"
+    )
+    snap("2026-02-01 00:00:00")
+    rows = spark.table("items_ts").collect()
+    open_vals = {r.id: r.val for r in rows if r.dbt_valid_to is None}
+    assert open_vals == {1: "a", 2: "B"}
+    assert sum(1 for r in rows if r.dbt_valid_to is not None) == 1
