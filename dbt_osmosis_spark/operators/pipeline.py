@@ -404,3 +404,68 @@ def t06_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tf"), "word")
         .limit(_T06_TOPK)
     )
+
+
+# ---- p06: weighted dataset mixing ------------------------------------------
+# Training-mix composition: per-source keep rates applied via the same
+# md5-threshold machinery as p01 — deterministic, map-side, reproducible
+# across engines and incremental re-ingests. Weights > max threshold keep
+# everything; at 100 TB this is a zero-shuffle filter over the corpus.
+
+_P06_WEIGHTS = {"src0": 1.0, "src1": 1.0}  # benchmark-adjacent sources kept whole
+_P06_DEFAULT_WEIGHT = 0.25
+
+
+def _hex4(frac: float) -> str:
+    return format(min(int(frac * 65536), 65535), "04x")
+
+
+def weighted_mix(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Keep each row with probability weights[stratum] (deterministic in the
+    key): membership = md5(key) below the stratum's hex threshold."""
+    key = F.substring(F.md5(F.col(key_col).cast("string").cast("binary")), 1, 4)
+    thr = F.lit(_hex4(default_weight))
+    for stratum, w in weights.items():
+        thr = F.when(F.col(stratum_col) == stratum, F.lit(_hex4(w))).otherwise(thr)
+    return df.withColumn("sample_key", key).filter(F.col("sample_key") < thr)
+
+
+def _p06_case() -> str:
+    whens = " ".join(
+        f"WHEN source = '{s}' THEN '{_hex4(w)}'" for s, w in _P06_WEIGHTS.items()
+    )
+    return f"CASE {whens} ELSE '{_hex4(_P06_DEFAULT_WEIGHT)}' END"
+
+
+_P06_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, source, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS sample_key
+  FROM documents
+)
+SELECT doc_id, source, lang, sample_key
+FROM keyed
+WHERE sample_key < {_p06_case()}
+ORDER BY doc_id
+"""
+
+
+@register("p06_weighted_mix", oracle=_P06_ORACLE)
+def p06_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return (
+        weighted_mix(
+            docs.select("doc_id", "source", "lang"),
+            "doc_id",
+            "source",
+            _P06_WEIGHTS,
+            _P06_DEFAULT_WEIGHT,
+        )
+        .select("doc_id", "source", "lang", "sample_key")
+        .orderBy("doc_id")
+    )

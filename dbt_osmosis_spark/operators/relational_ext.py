@@ -574,3 +574,31 @@ def q30_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q31: approximate percentiles — KLL/GK-style sketch via percentile_approx.
+# No oracle entry on purpose: Spark's and DuckDB's sketches differ, so the
+# driver records the weaker rows-only check; tests/test_pipeline_ops.py
+# bounds the error against the EXACT percentile instead. At 100 TB the
+# sketch is the only viable path: fixed memory per group, one pass,
+# mergeable across partitions (exact percentile must shuffle every value).
+# --------------------------------------------------------------------------
+@register("q31_approx_percentiles")
+def q31_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias("approx_p"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("approx_p")[0].alias("p50"),
+            F.col("approx_p")[1].alias("p95"),
+            F.col("approx_p")[2].alias("p99"),
+            "n_rows",
+        )
+        .orderBy("l_returnflag")
+    )

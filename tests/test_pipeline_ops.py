@@ -279,3 +279,38 @@ def test_vocab_topk_counts(spark, sf_dir, duck):
         ).fetchone()[0]
         assert sum(r.tf for r in rows) == total
     assert all(r.df <= r.tf for r in rows)
+
+
+def test_weighted_mix_rates(spark, sf_dir):
+    """Full-weight strata keep every row; default-weight strata keep ~25%;
+    membership is deterministic."""
+    from dbt_osmosis_spark.operators.pipeline import _P06_DEFAULT_WEIGHT, _P06_WEIGHTS
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    totals = {r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    kept: dict[str, int] = {}
+    for r in QUERIES["p06_weighted_mix"](spark, sf_dir).collect():
+        kept[r.source] = kept.get(r.source, 0) + 1
+    for s, w in _P06_WEIGHTS.items():
+        if w >= 1.0 and s in totals:
+            assert kept.get(s, 0) == totals[s]
+    rest_total = sum(n for s, n in totals.items() if s not in _P06_WEIGHTS)
+    rest_kept = sum(n for s, n in kept.items() if s not in _P06_WEIGHTS)
+    assert 0.05 <= rest_kept / rest_total <= 0.6  # loose band around default weight
+    assert abs(rest_kept / rest_total - _P06_DEFAULT_WEIGHT) < 0.2
+
+
+def test_approx_percentiles_error_bound(spark, sf_dir):
+    """Sketch percentiles within rank-error tolerance of the exact answer."""
+    rows = {r.l_returnflag: r for r in QUERIES["q31_approx_percentiles"](spark, sf_dir).collect()}
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias("p"))
+        .collect()
+    }
+    for flag, r in rows.items():
+        for i, name in enumerate(("p50", "p95", "p99")):
+            e = exact[flag].p[i]
+            assert abs(getattr(r, name) - e) / e < 0.02, (flag, name, getattr(r, name), e)
