@@ -303,8 +303,10 @@ _D04_HASHES = (
     "CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))"
 )
 
-_D04_ORACLE = f"""
-WITH tok AS (
+# Shared CTE chain (tok -> token hashes -> 48-bit simhash signature):
+# reused by d04 (exact-bucket dedup) and d07 (Hamming-ball near-dup pairs
+# in operators/pipeline.py).
+DUCK_SIMHASH_CTES = f"""tok AS (
   SELECT doc_id, {_DUCK_TOK} AS w FROM documents
 ),
 hashed AS (
@@ -318,7 +320,10 @@ sigs AS (
                 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END
          ), 'sum') AS simhash
   FROM hashed
-)
+)"""
+
+_D04_ORACLE = f"""
+WITH {DUCK_SIMHASH_CTES}
 SELECT simhash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_docs
 FROM sigs
 GROUP BY simhash
@@ -326,9 +331,8 @@ ORDER BY keep_doc_id
 """
 
 
-@register("d04_simhash_buckets", oracle=_D04_ORACLE)
-def d04_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 48-bit SimHash per document — map-side only."""
     h = SPARK_MD5INT.format(x="x")
     sig_expr = (
         f"aggregate(sequence(0, {_BITS - 1}), CAST(0 AS BIGINT), (acc, j) -> acc + "
@@ -340,6 +344,14 @@ def d04_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("w") > 0)
         .withColumn("h", F.expr(f"transform(array_distinct(w), x -> {h})"))
         .select("doc_id", F.expr(sig_expr).alias("simhash"))
+    )
+
+
+@register("d04_simhash_buckets", oracle=_D04_ORACLE)
+def d04_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return (
+        simhash_signatures(docs)
         .groupBy("simhash")
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_docs"))
         .orderBy("keep_doc_id")

@@ -469,3 +469,80 @@ def p06_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "lang", "sample_key")
         .orderBy("doc_id")
     )
+
+
+# ---- d07: SimHash Hamming-ball near-dup pairs ------------------------------
+# The block-permutation trick from web-scale simhash dedup: split the 48-bit
+# signature into HB_BLOCKS equal blocks; by pigeonhole, any pair within
+# Hamming distance <= HB_BLOCKS-1 shares at least one exact block. Block
+# equality is the ONLY shuffle key (one group-by); the Hamming verify
+# (bit_count of xor) runs on candidates only. Raising block count widens the
+# recalled radius at the cost of bucket size — the same knob as LSH bands.
+
+_HB_BITS = 48
+_HB_BLOCKS = 4
+_HB_BLOCK_BITS = _HB_BITS // _HB_BLOCKS
+_HB_MAX_HAMMING = _HB_BLOCKS - 1  # pigeonhole-complete radius
+
+
+def _d07_oracle() -> str:
+    from dbt_osmosis_spark.operators.dedup import DUCK_SIMHASH_CTES
+
+    mask = (1 << _HB_BLOCK_BITS) - 1
+    return f"""
+WITH {DUCK_SIMHASH_CTES},
+blocks AS (
+  SELECT doc_id, simhash, b, (simhash >> (b * {_HB_BLOCK_BITS})) & {mask} AS block_val
+  FROM sigs, (SELECT unnest(range(0, {_HB_BLOCKS})) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sig_a, b.simhash AS sig_b
+  FROM blocks a JOIN blocks b
+    ON a.b = b.b AND a.block_val = b.block_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b)) AS hamming
+FROM cand
+WHERE bit_count(xor(sig_a, sig_b)) <= {_HB_MAX_HAMMING}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("d07_simhash_neardup", oracle=_d07_oracle())
+def d07_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_osmosis_spark.operators.dedup import simhash_signatures
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    mask = (1 << _HB_BLOCK_BITS) - 1
+    sigs = simhash_signatures(docs).persist()
+    blocks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(_HB_BLOCKS - 1))).alias("b"),
+    ).withColumn(
+        "block_val",
+        F.expr(f"shiftright(simhash, b * {_HB_BLOCK_BITS}) & {mask}"),
+    )
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("sig_a ^ sig_b"))
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= _HB_MAX_HAMMING)
+        .orderBy("doc_a", "doc_b")
+    )

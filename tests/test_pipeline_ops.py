@@ -314,3 +314,27 @@ def test_approx_percentiles_error_bound(spark, sf_dir):
         for i, name in enumerate(("p50", "p95", "p99")):
             e = exact[flag].p[i]
             assert abs(getattr(r, name) - e) / e < 0.02, (flag, name, getattr(r, name), e)
+
+
+def test_simhash_neardup_pigeonhole_complete(spark, sf_dir):
+    """Block-LSH recall is EXACT within the pigeonhole radius: every pair
+    with identical simhash (d04 buckets with >1 doc) must appear at
+    hamming=0, and all reported pairs respect the radius."""
+    from dbt_osmosis_spark.operators.pipeline import _HB_MAX_HAMMING
+
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in QUERIES["d07_simhash_neardup"](spark, sf_dir).collect()}
+    assert all(0 <= h <= _HB_MAX_HAMMING for h in pairs.values())
+    buckets = QUERIES["d04_simhash_buckets"](spark, sf_dir).collect()
+    import itertools
+
+    from dbt_osmosis_spark.operators.dedup import simhash_signatures
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    sig_docs = simhash_signatures(read_parquet(spark, f"{sf_dir}/documents.parquet")).collect()
+    by_sig: dict[int, list[int]] = {}
+    for r in sig_docs:
+        by_sig.setdefault(r.simhash, []).append(r.doc_id)
+    for members in by_sig.values():
+        for a, b in itertools.combinations(sorted(members), 2):
+            assert pairs.get((a, b)) == 0
+    assert sum(1 for b in buckets if b.n_docs > 1) <= len(pairs) + 1
