@@ -546,3 +546,134 @@ def d07_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _HB_MAX_HAMMING)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---- p07: quantile quality filter ------------------------------------------
+# The filtering step after scoring (t02): keep documents above the Pth
+# quality percentile WITHIN their language (per-stratum cutoffs keep one
+# language's score distribution from starving another). percent_rank is one
+# window shuffle on the stratum; integer-exact score inputs (t02) make the
+# rank — and therefore membership — deterministic in both engines.
+
+_P07_KEEP_FRAC = 0.5  # keep the top half per language
+
+_P07_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang, {_DUCK_TOK} AS w FROM documents
+),
+feat AS (
+  SELECT doc_id, lang,
+         len(w) AS n_tokens,
+         len(list_filter(w, x -> x IN ('the', 'a'))) AS n_stop,
+         len(list_filter(w, x -> len(x) >= 6)) AS n_long
+  FROM tok
+),
+scored AS (
+  SELECT doc_id, lang,
+         (CAST(n_stop AS DOUBLE) / n_tokens)
+           + (CAST(n_long AS DOUBLE) / n_tokens)
+           + (CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1.0 ELSE 0.0 END)
+           AS quality_score
+  FROM feat
+),
+ranked AS (
+  SELECT doc_id, lang, quality_score,
+         PERCENT_RANK() OVER (PARTITION BY lang ORDER BY quality_score, doc_id) AS pr
+  FROM scored
+)
+SELECT doc_id, lang, quality_score
+FROM ranked
+WHERE pr >= {1 - _P07_KEEP_FRAC}
+ORDER BY doc_id
+"""
+
+
+@register("p07_quality_filter", oracle=_P07_ORACLE)
+def p07_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    feat = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens()).alias("n_tokens"),
+        F.size(F.expr("filter(split(trim(text), ' '), x -> x IN ('the', 'a'))")).alias("n_stop"),
+        F.size(F.expr("filter(split(trim(text), ' '), x -> length(x) >= 6)")).alias("n_long"),
+    )
+    score = (
+        F.col("n_stop").cast("double") / F.col("n_tokens")
+        + F.col("n_long").cast("double") / F.col("n_tokens")
+        + F.when(F.col("n_tokens").between(20, 80), 1.0).otherwise(0.0)
+    )
+    scored = feat.select("doc_id", "lang", score.alias("quality_score"))
+    w = Window.partitionBy("lang").orderBy("quality_score", "doc_id")
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= 1 - _P07_KEEP_FRAC)
+        .select("doc_id", "lang", "quality_score")
+        .orderBy("doc_id")
+    )
+
+
+# ---- t07: TF-IDF keyword extraction ----------------------------------------
+# Top keywords per document by tf * ln(N/df). df comes from one word-level
+# group-by (the same shuffle t06 pays); the per-doc ranking is a window on
+# doc_id. ROUND(…, 6) before emission pins the float so both engines hash
+# identically. At corpus scale the df table is vocabulary-sized — broadcast
+# it back onto the exploded words.
+
+_T07_TOPK_PER_DOC = 3
+
+_T07_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, unnest({_DUCK_TOK}) AS word FROM documents
+),
+tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY doc_id, word
+),
+df AS (
+  SELECT word, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY word
+),
+n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+),
+scored AS (
+  SELECT t.doc_id, t.word, t.tf, d.df,
+         ROUND(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6) AS tfidf
+  FROM tf t JOIN df d ON t.word = d.word CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, word, tf, df, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rk
+  FROM scored
+)
+SELECT doc_id, word, tf, df, tfidf, rk
+FROM ranked
+WHERE rk <= {_T07_TOPK_PER_DOC}
+ORDER BY doc_id, rk
+"""
+
+
+@register("t07_tfidf_keywords", oracle=_T07_ORACLE)
+def t07_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    words = spread(docs).select("doc_id", F.explode(tokens()).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(df), "word").select(
+        "doc_id",
+        "word",
+        "tf",
+        "df",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "word")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _T07_TOPK_PER_DOC)
+        .select("doc_id", "word", "tf", "df", "tfidf", "rk")
+        .orderBy("doc_id", "rk")
+    )

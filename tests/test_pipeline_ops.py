@@ -338,3 +338,41 @@ def test_simhash_neardup_pigeonhole_complete(spark, sf_dir):
         for a, b in itertools.combinations(sorted(members), 2):
             assert pairs.get((a, b)) == 0
     assert sum(1 for b in buckets if b.n_docs > 1) <= len(pairs) + 1
+
+
+def test_quality_filter_keeps_top_half(spark, sf_dir):
+    """Kept docs per language ≈ half, and every kept score >= every dropped
+    score within that language."""
+    kept = QUERIES["p07_quality_filter"](spark, sf_dir).collect()
+    scores = {r.doc_id: r for r in QUERIES["t02_quality_score"](spark, sf_dir).collect()}
+    kept_ids = {r.doc_id for r in kept}
+    by_lang: dict[str, list] = {}
+    for r in kept:
+        by_lang.setdefault(r.lang, []).append(r)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lang_totals = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    docs_lang = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    for lang, rows in by_lang.items():
+        assert len(rows) <= lang_totals[lang] // 2 + 1
+        min_kept = min(r.quality_score for r in rows)
+        dropped = [
+            s.quality_score
+            for did, s in scores.items()
+            if did not in kept_ids and docs_lang.get(did) == lang
+        ]
+        assert all(d <= min_kept for d in dropped)
+
+
+def test_tfidf_ranks_rare_terms_higher(spark, sf_dir):
+    """Within a doc, a term with equal tf but lower df must not rank below
+    one with higher df (ln(N/df) is decreasing in df)."""
+    rows = QUERIES["t07_tfidf_keywords"](spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_rows in by_doc.values():
+        doc_rows.sort(key=lambda r: r.rk)
+        for a, b in zip(doc_rows, doc_rows[1:]):
+            assert a.tfidf >= b.tfidf
+            if a.tf == b.tf:
+                assert a.df <= b.df or a.tfidf == b.tfidf
