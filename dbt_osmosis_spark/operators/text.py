@@ -317,3 +317,58 @@ def t05_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("subword_ratio", F.col("n_bpe").cast("double") / F.col("n_ws"))
         .orderBy("doc_id")
     )
+
+
+# ---- t08: repetition signals (Gopher-style quality rules) ------------------
+# Intra-document repetition: (1) duplicate 3-gram fraction = 1 -
+# distinct/total shingles; (2) top-token dominance = max single-token count
+# / token count. High values flag boilerplate/spam for the filtering stage
+# (p07 consumes scores the same way). Pure map-side array math per row —
+# integer counts, exact double ratios, no shuffle before the final sort.
+
+_T08_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {_DUCK_TOK} AS w FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         len(w) AS n_tokens,
+         len(w) - 2 AS total_shingles,
+         len({_duck_shingles(3)}) AS distinct_shingles,
+         list_aggregate(
+           list_transform(list_distinct(w), x -> len(list_filter(w, y -> y = x))),
+           'max') AS top_token_count
+  FROM tok WHERE len(w) >= 3
+)
+SELECT doc_id, n_tokens,
+       1.0 - CAST(distinct_shingles AS DOUBLE) / total_shingles AS dup_shingle_frac,
+       CAST(top_token_count AS DOUBLE) / n_tokens AS top_token_frac
+FROM feat
+ORDER BY doc_id
+"""
+
+
+@register("t08_repetition_signals", oracle=_T08_ORACLE)
+def t08_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    feat = (
+        spread(docs).withColumn("w", tokens())
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.size("w").alias("n_tokens"),
+            (F.size("w") - 2).alias("total_shingles"),
+            F.size(F.expr(spark_shingles_sql("w", 3))).alias("distinct_shingles"),
+            F.expr(
+                "array_max(transform(array_distinct(w), x -> size(filter(w, y -> y = x))))"
+            ).alias("top_token_count"),
+        )
+    )
+    return feat.select(
+        "doc_id",
+        "n_tokens",
+        (F.lit(1.0) - F.col("distinct_shingles").cast("double") / F.col("total_shingles")).alias(
+            "dup_shingle_frac"
+        ),
+        (F.col("top_token_count").cast("double") / F.col("n_tokens")).alias("top_token_frac"),
+    ).orderBy("doc_id")

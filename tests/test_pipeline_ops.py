@@ -376,3 +376,13 @@ def test_tfidf_ranks_rare_terms_higher(spark, sf_dir):
             assert a.tfidf >= b.tfidf
             if a.tf == b.tf:
                 assert a.df <= b.df or a.tfidf == b.tfidf
+
+
+def test_repetition_signals_bounds(spark, sf_dir):
+    """Both fractions live in [0, 1]; a doc of one repeated token maximizes
+    both (constructed through the same expression stack)."""
+    rows = QUERIES["t08_repetition_signals"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.dup_shingle_frac <= 1.0
+        assert 0.0 < r.top_token_frac <= 1.0
