@@ -47,7 +47,11 @@ def cmd_run(args) -> int:
     manifest = load_project(args.project_dir)
     spark = get_spark(app_name="dbt-osmosis-spark-cli")
     report = materialize(
-        spark, manifest, warehouse_dir=args.warehouse_dir, count_rows=True
+        spark,
+        manifest,
+        warehouse_dir=args.warehouse_dir,
+        count_rows=True,
+        select=getattr(args, "select", None),
     )
     for r in report.results:
         rows = "" if r.rows is None else f"  rows={r.rows}"
@@ -317,7 +321,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--warehouse-dir", default="/tmp/dbt_osmosis_spark_warehouse")
     sub = p.add_subparsers(dest="command", required=True)
 
-    sub.add_parser("run", help="materialize all models (dbt run analog)")
+    rp = sub.add_parser("run", help="materialize all models (dbt run analog)")
+    rp.add_argument(
+        "--select",
+        nargs="+",
+        default=None,
+        help="dbt-style selectors: name, name+, +name, tag:x",
+    )
 
     sp = sub.add_parser("sql", help="compile/execute ad-hoc jinja-SQL")
     sp.add_argument("action", choices=["run", "compile"])

@@ -118,6 +118,71 @@ class Manifest:
             raise ValueError(f"dependency cycle among models: {cyclic}")
         return out
 
+    def ancestors(self, names: set[str]) -> set[str]:
+        """Transitive model parents of `names` (models only), excluding
+        `names` themselves."""
+        out: set[str] = set()
+        frontier = list(names)
+        while frontier:
+            n = frontier.pop()
+            for d in self.models[n].depends_on:
+                if d in self.models and d not in out and d not in names:
+                    out.add(d)
+                    frontier.append(d)
+        return out
+
+    def select(self, selectors: list[str]) -> set[str]:
+        """dbt-style node selection, union over selectors:
+
+        - `name`    — that model
+        - `name+`   — model and all descendants
+        - `+name`   — model and all ancestors
+        - `+name+`  — both closures
+        - `tag:x`   — models carrying tag x
+
+        (reference analog: the fqn/path/tag candidate predicates at
+        src/dbt_osmosis/core/node_filters.py:113-150; graph operators are
+        dbt-core selection syntax, re-implemented over our edge list)."""
+        children: dict[str, list[str]] = {}
+        for name, node in self.models.items():
+            for d in node.depends_on:
+                if d in self.models:
+                    children.setdefault(d, []).append(name)
+
+        def closure(start: str, edges: dict[str, list[str]] | None) -> set[str]:
+            seen = {start}
+            frontier = [start]
+            while frontier:
+                n = frontier.pop()
+                nxt = (
+                    edges.get(n, [])
+                    if edges is not None
+                    else [d for d in self.models[n].depends_on if d in self.models]
+                )
+                for m in nxt:
+                    if m not in seen:
+                        seen.add(m)
+                        frontier.append(m)
+            return seen
+
+        out: set[str] = set()
+        for sel in selectors:
+            if sel.startswith("tag:"):
+                tag = sel[4:]
+                out |= {n for n, node in self.models.items() if tag in node.tags}
+                continue
+            plus_pre = sel.startswith("+")
+            plus_post = sel.endswith("+")
+            name = sel.strip("+")
+            if name not in self.models:
+                raise ValueError(f"unknown model in --select: {name!r}")
+            out.add(name)
+            if plus_post:
+                out |= closure(name, children)
+            if plus_pre:
+                out |= closure(name, None)
+        return out
+
     def filter_models(
         self,
         fqn_prefix: str | None = None,
@@ -136,19 +201,45 @@ class Manifest:
             yield node
 
 
+def _split_kwargs(arglist: str) -> list[str]:
+    """Split config kwargs on top-level commas only (list literals like
+    tags=['a', 'b'] stay intact)."""
+    parts: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in arglist:
+        if ch in "[(":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
 def _parse_inline_config(sql: str) -> dict:
-    """Extract `{{ config(materialized='table', ...) }}` kwargs (string/bool
-    literals only — enough for the reference's demo surface)."""
+    """Extract `{{ config(materialized='table', ...) }}` kwargs
+    (string/bool/int/list-of-string literals — enough for the reference's
+    demo surface plus our materialization configs)."""
     m = _CONFIG_RE.search(sql)
     if not m:
         return {}
     out: dict = {}
-    for part in m.group(1).split(","):
+    for part in _split_kwargs(m.group(1)):
         if "=" not in part:
             continue
         k, v = part.split("=", 1)
         v = v.strip()
-        if v.startswith(("'", '"')):
+        if v.startswith("[") and v.endswith("]"):
+            out[k.strip()] = [
+                item.strip().strip("'\"") for item in v[1:-1].split(",") if item.strip()
+            ]
+        elif v.startswith(("'", '"')):
             out[k.strip()] = v.strip("'\"")
         elif v.lower() in ("true", "false"):
             out[k.strip()] = v.lower() == "true"
@@ -211,5 +302,6 @@ def load_project(project_dir: str | Path) -> Manifest:
                 materialized=cfg.get("materialized", "view"),
                 depends_on=sorted(set(deps)),
                 config=cfg,
+                tags=list(cfg.get("tags") or []),
             )
     return manifest

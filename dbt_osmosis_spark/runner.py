@@ -52,15 +52,25 @@ def materialize(
     warehouse_dir: str | None = None,
     count_rows: bool = False,
     partition_overrides: dict[str, list[str]] | None = None,
+    select: list[str] | None = None,
 ) -> RunReport:
     """Register all nodes as Spark relations, parents first.
 
     ``warehouse_dir`` is where `table`-materialized models persist as
     parquet; ``partition_overrides`` maps model name → partitionBy columns
-    (scale lever: physical layout of hot tables).
+    (scale lever: physical layout of hot tables). ``select`` takes dbt-style
+    selectors (`name`, `name+`, `+name`, `tag:x` — Manifest.select): only
+    selected models run with their configured materialization; unselected
+    ancestors register as plain views so refs resolve (lazy — Catalyst
+    inlines them, no compute), and everything else is skipped.
     """
     report = RunReport()
     compiler = JinjaCompiler(manifest)
+    selected: set[str] | None = None
+    needed: set[str] | None = None
+    if select is not None:
+        selected = manifest.select(select)
+        needed = selected | manifest.ancestors(selected)
 
     for key, src in manifest.sources.items():
         rel = relation_name(key)
@@ -84,6 +94,14 @@ def materialize(
     for name in manifest.topo_sort():
         node = manifest.models[name]
         rel = relation_name(name)
+        if needed is not None and name not in needed:
+            continue
+        if selected is not None and name not in selected:
+            # unselected ancestor: register lazily so refs resolve
+            compiled = compiler.compile(node.raw_sql)
+            spark.sql(compiled.compiled_sql).createOrReplaceTempView(rel)
+            report.results.append(RunResult(name, "model", "view(upstream)"))
+            continue
         if node.materialized == "incremental":
             result = _materialize_incremental(
                 spark, compiler, node, rel, warehouse_dir, count_rows

@@ -160,3 +160,43 @@ def test_project_macros_in_scope(spark, tmp_path):
     priced = [r for r in report.results if r.name == "priced"][0]
     assert "round(o_totalprice / 100.0, 2)" in priced.compiled_sql
     assert spark.table("priced").columns == ["o_orderkey", "dollars"]
+
+
+def test_run_with_dbt_style_selection(spark, tmp_path):
+    """--select semantics: selected models honor their materialization,
+    unselected ancestors become lazy views, unrelated models are skipped."""
+    from dbt_osmosis_spark.project import load_project
+    from dbt_osmosis_spark.runner import materialize
+
+    proj = tmp_path / "selproj"
+    (proj / "models").mkdir(parents=True)
+    (proj / "project.yml").write_text("name: seldemo\n")
+    (proj / "sources.yml").write_text(
+        "sources:\n- name: tpch\n  tables:\n"
+        "  - name: orders\n    path: /root/testdata/sf0.001/orders.parquet\n"
+    )
+    (proj / "models" / "a.sql").write_text(
+        "select o_orderkey, o_totalprice from {{ source('tpch', 'orders') }}"
+    )
+    (proj / "models" / "b.sql").write_text(
+        "select o_orderkey, o_totalprice * 2 as double_price from {{ ref('a') }}"
+    )
+    (proj / "models" / "c.sql").write_text(
+        "select count(*) as n from {{ ref('b') }}"
+    )
+    (proj / "models" / "d.sql").write_text(
+        "{{ config(tags=['unrelated']) }}\n"
+        "select 1 as one from {{ source('tpch', 'orders') }} limit 1"
+    )
+    manifest = load_project(proj)
+
+    assert manifest.select(["b+"]) == {"b", "c"}
+    assert manifest.select(["+c"]) == {"a", "b", "c"}
+    assert manifest.select(["tag:unrelated"]) == {"d"}
+
+    report = materialize(spark, manifest, select=["b+"])
+    kinds = {r.name: r.materialized for r in report.results if r.kind == "model"}
+    assert kinds["a"] == "view(upstream)"
+    assert kinds["b"] == "view" and kinds["c"] == "view"
+    assert "d" not in kinds
+    assert spark.table("c").collect()[0].n > 0
