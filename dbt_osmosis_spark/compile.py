@@ -11,6 +11,8 @@ the runner). Compilation is a pure text stage; execution is `spark.sql`.
 
 from __future__ import annotations
 
+import datetime
+import os
 import re
 from dataclasses import dataclass, field
 
@@ -52,6 +54,9 @@ class JinjaCompiler:
     def __init__(self, manifest: Manifest):
         self.manifest = manifest
         self.env = jinja2.Environment(undefined=jinja2.StrictUndefined)
+        # pinned once per compiler: every model in a run sees the SAME
+        # run_started_at (dbt contract — enables consistent partition stamps)
+        self.run_started_at = datetime.datetime.now(datetime.timezone.utc)
 
     def compile(
         self,
@@ -92,6 +97,13 @@ class JinjaCompiler:
         def is_incremental() -> bool:
             return incremental
 
+        def env_var(key: str, default: str | None = None) -> str:
+            # dbt contract: missing env var without default is a compile error
+            val = os.environ.get(key, default)
+            if val is None:
+                raise KeyError(f"env_var('{key}') is not set and has no default")
+            return val
+
         # dbt macro semantics: project macros/*.sql definitions are in scope
         # for every model (prepended — {% macro %} blocks render to nothing)
         if self.manifest.macro_source:
@@ -104,6 +116,16 @@ class JinjaCompiler:
             config=config,
             this=this or "",
             is_incremental=is_incremental,
+            env_var=env_var,
+            # dbt target context: the engine IS the target (profiles.yml's
+            # role collapses to the SparkSession)
+            target={
+                "name": "spark",
+                "type": "spark",
+                "schema": "default",
+                "threads": 1,
+            },
+            run_started_at=self.run_started_at,
         )
         compiled = re.sub(r"\n{3,}", "\n\n", compiled).strip()
         return CompiledSQL(raw_sql=sql, compiled_sql=compiled, refs=refs, sources=sources)

@@ -200,3 +200,22 @@ def test_run_with_dbt_style_selection(spark, tmp_path):
     assert kinds["b"] == "view" and kinds["c"] == "view"
     assert "d" not in kinds
     assert spark.table("c").collect()[0].n > 0
+
+
+def test_compile_dbt_builtin_context(manifest, monkeypatch):
+    """env_var / target / run_started_at render like dbt's compile context;
+    missing env var without default is a compile error."""
+    c = JinjaCompiler(manifest)
+    monkeypatch.setenv("OSMO_TEST_REGION", "eu")
+    out = c.compile(
+        "select '{{ env_var('OSMO_TEST_REGION') }}' as region, "
+        "'{{ target.type }}' as engine, "
+        "'{{ run_started_at.isoformat() }}' as started"
+    ).compiled_sql
+    assert "'eu' as region" in out and "'spark' as engine" in out
+    assert str(c.run_started_at.year) in out
+    # same compiler → same pinned timestamp on a second compile
+    out2 = c.compile("select '{{ run_started_at.isoformat() }}' as s").compiled_sql
+    assert c.run_started_at.isoformat() in out2
+    with pytest.raises(KeyError, match="OSMO_MISSING"):
+        c.compile("select {{ env_var('OSMO_MISSING') }}")
