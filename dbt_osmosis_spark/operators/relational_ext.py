@@ -602,3 +602,60 @@ def q31_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# q32: date spine + gap fill (dbt_utils.date_spine analog). A month spine
+# spans [min, max] order months; months with no orders appear with zeroed
+# measures instead of vanishing — the canonical reporting-table shape. The
+# spine is generated IN-PLAN (sequence + explode) from a 1-row bounds
+# aggregate: no driver round-trip, and the spine side is a broadcast-size
+# relation at any fact scale.
+# --------------------------------------------------------------------------
+@register(
+    "q32_date_spine",
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('month', MIN(o_orderdate)) AS lo,
+         date_trunc('month', MAX(o_orderdate)) AS hi
+  FROM orders
+),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month FROM bounds
+),
+monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_price
+  FROM orders
+  GROUP BY 1
+)
+SELECT s.month,
+       COALESCE(m.n_orders, 0) AS n_orders,
+       COALESCE(m.total_price, 0.0) AS total_price
+FROM spine s LEFT JOIN monthly m ON s.month = m.month
+ORDER BY s.month
+""",
+)
+def q32_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("month", F.max("o_orderdate")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 month)")).alias("month")
+    )
+    monthly = o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum("o_totalprice", scale=2).alias("total_price"),
+    )
+    return (
+        spine.join(monthly, "month", "left")
+        .select(
+            "month",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("total_price", F.lit(0.0)).alias("total_price"),
+        )
+        .orderBy("month")
+    )

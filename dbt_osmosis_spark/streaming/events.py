@@ -30,17 +30,25 @@ _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet, normalizing nanosecond
     timestamps exactly like the batch reader (sources/parquet.py)."""
+    import hashlib
     import os
     import tempfile
 
     path = f"{sf_dir}/events.parquet"
     nanos = _nanos_timestamp_columns(path)
     # The streaming file source watches a DIRECTORY of arriving files; a
-    # single-file fixture is exposed through a temp dir containing a symlink
-    # (real deployments point at the landing directory itself).
+    # single-file fixture is exposed through a symlink dir (real deployments
+    # point at the landing directory itself). The dir name is DETERMINISTIC
+    # in the input path: streaming checkpoints record the source path, so a
+    # restarted query must see the same basePath or fail with
+    # "Wrong basePath" (exactly-once resume depends on this).
     if os.path.isfile(path):
-        d = tempfile.mkdtemp(prefix="stream_events_")
-        os.symlink(path, os.path.join(d, "events.parquet"))
+        tag = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12]
+        d = os.path.join(tempfile.gettempdir(), f"stream_events_{tag}")
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, "events.parquet")
+        if not os.path.islink(link):
+            os.symlink(path, link)
         load_path = d
     else:
         load_path = path
@@ -228,3 +236,46 @@ def click_purchase_join(
             f"AND purchase_ts <= click_ts + interval {attribution_window}"
         ),
     ).select("user_id", "click_ts", "purchase_ts", "value")
+
+
+def merge_batch_into_parquet(batch_df: DataFrame, path: str, key: str) -> None:
+    """Upsert one (micro-)batch into a parquet target on `key`: existing
+    rows not in the batch survive (anti-join), batch rows win on conflict.
+    Parquet rewrite stands in for MERGE INTO — on Delta/Iceberg this body
+    becomes a real row-level merge and the caller is unchanged."""
+    import os
+    import shutil
+
+    spark = batch_df.sparkSession
+    if os.path.exists(path):
+        existing = spark.read.parquet(path)
+        keep = existing.join(batch_df.select(key).distinct(), key, "left_anti")
+        merged = keep.unionByName(batch_df.select(existing.columns))
+    else:
+        merged = batch_df
+    tmp = path + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path, ignore_errors=True)
+    os.rename(tmp, path)
+
+
+def run_merge_to_files(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    key: str,
+) -> None:
+    """foreachBatch upsert sink — the production pattern for streaming
+    upserts into table storage. Checkpointing makes each batch merge
+    exactly-once against re-delivery; keys partition the merge shuffle, so
+    state is the TARGET table, not the stream (nothing accumulates in the
+    state store)."""
+    q = (
+        df.writeStream.foreachBatch(
+            lambda batch_df, _bid: merge_batch_into_parquet(batch_df, path, key)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -157,3 +157,35 @@ def test_stream_stream_join_matches_batch_twin(spark, sf_dir):
     }
     assert len(got) > 0
     assert got == want
+
+
+def test_foreach_batch_merge_upsert(spark, sf_dir, tmp_path):
+    """Streaming upsert: one row per key after the run; re-running with the
+    same checkpoint is a no-op; a direct conflicting batch overwrites."""
+    from dbt_osmosis_spark.streaming.events import (
+        merge_batch_into_parquet,
+        run_merge_to_files,
+        stream_events,
+    )
+
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    out, ckpt = str(tmp_path / "merged"), str(tmp_path / "ck")
+    s = stream_events(spark, sf_dir).select("event_id", "user_id", "value")
+    run_merge_to_files(s, out, ckpt, key="event_id")
+    n1 = spark.read.parquet(out).count()
+    total = read_parquet(spark, f"{sf_dir}/events.parquet").count()
+    assert n1 == total  # event_id unique in the fixture
+
+    s2 = stream_events(spark, sf_dir).select("event_id", "user_id", "value")
+    run_merge_to_files(s2, out, ckpt, key="event_id")
+    assert spark.read.parquet(out).count() == n1  # checkpoint: nothing re-delivered
+
+    first = spark.read.parquet(out).orderBy("event_id").first()
+    patch = spark.createDataFrame(
+        [(first.event_id, first.user_id, 123456.0)], "event_id long, user_id long, value double"
+    )
+    merge_batch_into_parquet(patch, out, key="event_id")
+    after = spark.read.parquet(out)
+    assert after.count() == n1  # upsert, not append
+    assert after.filter(F.col("event_id") == first.event_id).first().value == 123456.0
