@@ -659,3 +659,43 @@ def q32_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# --------------------------------------------------------------------------
+# q33: UNPIVOT / melt — the inverse of q19's native pivot. Wide per-flag
+# measure columns become (measure, value) long form via DataFrame.unpivot
+# (Spark's Expand node: each input row emits k output rows in-place, NO
+# shuffle and no join — the plan stays a single stage after the aggregate).
+# The oracle is the portable UNION ALL expansion of the same wide CTE.
+# --------------------------------------------------------------------------
+@register(
+    "q33_unpivot",
+    oracle="""
+WITH wide AS (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE) AS sum_discount
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_base_price' AS measure, sum_base_price AS value FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_discount' AS measure, sum_discount AS value FROM wide
+ORDER BY l_returnflag, measure
+""",
+)
+def q33_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        dec_sum("l_quantity", scale=2).alias("sum_qty"),
+        dec_sum("l_extendedprice", scale=2).alias("sum_base_price"),
+        dec_sum("l_discount", scale=4).alias("sum_discount"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_base_price", "sum_discount"],
+        "measure",
+        "value",
+    ).orderBy("l_returnflag", "measure")

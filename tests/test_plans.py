@@ -100,3 +100,16 @@ def test_p01_hash_sample_prunes_text(q):
     """The sample projects metadata only — the wide text column must not be
     read from parquet."""
     assert all("text" not in s for s in scan_schemas(q("p01_hash_sample")))
+
+
+def test_q33_unpivot_is_expand_not_join(q):
+    """unpivot must lower to an Expand (k rows emitted in-place per input
+    row) — one shuffle for the aggregate, none added by the melt, and no
+    self-join/union re-scan of the wide relation."""
+    from dbt_osmosis_spark.plans.audit import physical_plan
+
+    df = q("q33_unpivot")
+    plan = physical_plan(df)
+    assert "Expand" in plan
+    # one exchange for the groupBy, one for the final orderBy range partition
+    assert exchange_count(df) <= 2
