@@ -216,6 +216,8 @@ def _materialize_incremental(
     out = os.path.join(warehouse_dir, f"{node.name}.parquet")
     exists = os.path.exists(out)
     strategy = node.config.get("incremental_strategy", "append" if not node.config.get("unique_key") else "merge")
+    if strategy == "microbatch":
+        return _materialize_microbatch(spark, compiler, node, rel, out, exists, count_rows)
     parts = node.config.get("partition_by")
     if isinstance(parts, str):
         parts = [parts]
@@ -269,6 +271,108 @@ def _materialize_incremental(
         node.name,
         "model",
         f"incremental({strategy})" if exists else "incremental(full build)",
+        rows=df.count() if count_rows else None,
+        compiled_sql=compiled.compiled_sql,
+    )
+
+
+_BATCH_FMT = {  # (strptime fmt, Spark date_format pattern)
+    "hour": ("%Y-%m-%d %H", "yyyy-MM-dd HH"),
+    "day": ("%Y-%m-%d", "yyyy-MM-dd"),
+    "month": ("%Y-%m", "yyyy-MM"),
+}
+
+
+def _materialize_microbatch(
+    spark: SparkSession,
+    compiler: "JinjaCompiler",
+    node,
+    rel: str,
+    out: str,
+    exists: bool,
+    count_rows: bool,
+) -> RunResult:
+    """Microbatch incremental — dbt 1.9's `incremental_strategy='microbatch'`
+    contract on parquet.
+
+    The model output carries an `event_time` column; processing is sliced
+    into `batch_size` periods (hour|day|month). Each run (re)processes only
+    the open batch plus `lookback` closed batches and replaces exactly those
+    period partitions — the idempotent, retry-safe backfill unit. `begin`
+    bounds the first full build.
+
+    Spark-first instead of dbt's N sequential per-batch queries: ONE job
+    filters the increment to `event_time >= cutoff` — a direct column
+    predicate that Catalyst pushes through the model plan to the upstream
+    parquet scan — and dynamically overwrites only the `event_batch`
+    partitions present in the increment. Same semantics (bounded
+    reprocessing window, partition-grain idempotence), no scheduler
+    round-trips. The cutoff batch comes from the target's partition values
+    (directory listing — zero data read at any table size), and a re-run
+    with unchanged input rewrites the same partitions to the same bytes.
+    """
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    event_time = node.config.get("event_time")
+    if not event_time:
+        raise ValueError(f"microbatch model {node.name} needs event_time")
+    batch_size = node.config.get("batch_size", "day")
+    if batch_size not in _BATCH_FMT:
+        raise ValueError(f"microbatch model {node.name}: batch_size must be one of {sorted(_BATCH_FMT)}")
+    lookback = int(node.config.get("lookback", 1))
+    py_fmt, spark_fmt = _BATCH_FMT[batch_size]
+
+    if exists:
+        spark.read.parquet(out).drop("event_batch").createOrReplaceTempView(rel)
+    compiled = compiler.compile(node.raw_sql, this=rel, incremental=exists)
+    new_rows: DataFrame = spark.sql(compiled.compiled_sql)
+
+    if not exists:
+        begin = node.config.get("begin")
+        if begin:
+            new_rows = new_rows.filter(F.col(event_time) >= F.lit(begin).cast("timestamp"))
+    else:
+        # partition-column-only scan: values come from the directory
+        # listing, zero data read. Cast to string — Spark type-infers
+        # date-like partition values into DateType.
+        batches = (
+            spark.read.parquet(out)
+            .select(F.col("event_batch").cast("string").alias("event_batch"))
+            .distinct()
+            .collect()
+        )
+        max_batch = max(r.event_batch for r in batches)
+        mx = datetime.strptime(max_batch, py_fmt)
+        if batch_size == "month":
+            months = mx.year * 12 + (mx.month - 1) - lookback
+            cutoff = datetime(months // 12, months % 12 + 1, 1)
+        elif batch_size == "day":
+            cutoff = mx - timedelta(days=lookback)
+        else:
+            cutoff = mx - timedelta(hours=lookback)
+        new_rows = new_rows.filter(F.col(event_time) >= F.lit(cutoff))
+
+    with_batch = new_rows.withColumn(
+        "event_batch", F.date_format(F.col(event_time), spark_fmt)
+    )
+    if not exists:
+        with_batch.write.mode("overwrite").partitionBy("event_batch").parquet(out)
+    else:
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            with_batch.write.mode("overwrite").partitionBy("event_batch").parquet(out)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    df = spark.read.parquet(out).drop("event_batch")
+    df.createOrReplaceTempView(rel)
+    return RunResult(
+        node.name,
+        "model",
+        "incremental(microbatch)" if exists else "incremental(full build)",
         rows=df.count() if count_rows else None,
         compiled_sql=compiled.compiled_sql,
     )

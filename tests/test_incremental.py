@@ -188,3 +188,76 @@ def test_snapshot_timestamp_strategy(spark, tmp_path):
     open_vals = {r.id: r.val for r in rows if r.dbt_valid_to is None}
     assert open_vals == {1: "a", 2: "B"}
     assert sum(1 for r in rows if r.dbt_valid_to is not None) == 1
+
+
+# ---- microbatch ------------------------------------------------------------
+
+MICROBATCH_SQL = """
+{{ config(materialized='incremental', incremental_strategy='microbatch',
+          event_time='ts', batch_size='day', lookback=%d) }}
+select id, ts, v from {{ source('raw', 'feed') }}
+"""
+
+
+def _write_ts_feed(spark, tmp_path, rows):
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [(i, datetime(2026, 1, d, h), v) for i, d, h, v in rows],
+        "id long, ts timestamp, v double",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/feed.parquet")
+
+
+def test_microbatch_reprocesses_only_window(spark, tmp_path):
+    """lookback=0: only the open (max) batch and newer are reprocessed —
+    a stale change in a closed partition is NOT picked up, the open batch
+    is rewritten, and new batches land. Partition grain = day."""
+    _write_ts_feed(spark, tmp_path, [(1, 1, 5, 1.0), (2, 2, 6, 2.0)])
+    proj = _project(tmp_path, MICROBATCH_SQL % 0)
+    wh = str(tmp_path / "wh")
+    r1 = materialize(spark, load_project(proj), warehouse_dir=wh, count_rows=True)
+    inc = [r for r in r1.results if r.name == "inc_model"][0]
+    assert inc.materialized == "incremental(full build)" and inc.rows == 2
+    assert "event_batch" not in spark.table("inc_model").columns
+
+    # day1 mutated (outside window), day2 mutated (open batch), day3 new
+    _write_ts_feed(
+        spark, tmp_path, [(1, 1, 5, 100.0), (2, 2, 6, 200.0), (3, 3, 7, 3.0)]
+    )
+    r2 = materialize(spark, load_project(proj), warehouse_dir=wh, count_rows=True)
+    inc2 = [r for r in r2.results if r.name == "inc_model"][0]
+    assert inc2.materialized == "incremental(microbatch)"
+    got = {r.id: r.v for r in spark.table("inc_model").collect()}
+    assert got == {1: 1.0, 2: 200.0, 3: 3.0}
+
+    # idempotence: re-run with unchanged input changes nothing
+    materialize(spark, load_project(proj), warehouse_dir=wh)
+    assert {r.id: r.v for r in spark.table("inc_model").collect()} == got
+
+
+def test_microbatch_lookback_widens_window(spark, tmp_path):
+    """lookback=1 also reprocesses the last closed batch."""
+    _write_ts_feed(spark, tmp_path, [(1, 1, 5, 1.0), (2, 2, 6, 2.0)])
+    proj = _project(tmp_path, MICROBATCH_SQL % 1)
+    wh = str(tmp_path / "wh")
+    materialize(spark, load_project(proj), warehouse_dir=wh)
+
+    _write_ts_feed(spark, tmp_path, [(1, 1, 5, 100.0), (2, 2, 6, 200.0)])
+    materialize(spark, load_project(proj), warehouse_dir=wh)
+    got = {r.id: r.v for r in spark.table("inc_model").collect()}
+    assert got == {1: 100.0, 2: 200.0}
+
+
+def test_microbatch_begin_bounds_first_build(spark, tmp_path):
+    sql = """
+{{ config(materialized='incremental', incremental_strategy='microbatch',
+          event_time='ts', batch_size='day', begin='2026-01-02') }}
+select id, ts, v from {{ source('raw', 'feed') }}
+"""
+    _write_ts_feed(spark, tmp_path, [(1, 1, 5, 1.0), (2, 2, 6, 2.0), (3, 3, 7, 3.0)])
+    proj = _project(tmp_path, sql)
+    wh = str(tmp_path / "wh")
+    r = materialize(spark, load_project(proj), warehouse_dir=wh, count_rows=True)
+    inc = [x for x in r.results if x.name == "inc_model"][0]
+    assert inc.rows == 2  # day1 excluded by begin
