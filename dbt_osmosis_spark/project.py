@@ -70,6 +70,11 @@ class ModelNode:
     description: str = ""
     config: dict = field(default_factory=dict)
     tags: list[str] = field(default_factory=list)
+    # from schema YAML next to the model (dbt properties file): declared
+    # columns [{name, data_type, constraints, ...}] and whether the model's
+    # contract is enforced at build time (runner → contracts.enforce_contract)
+    columns: list[dict] = field(default_factory=list)
+    contract: bool = False
 
 
 _REF_RE = re.compile(r"{{\s*ref\(\s*['\"]([^'\"]+)['\"]\s*\)\s*}}")
@@ -304,4 +309,17 @@ def load_project(project_dir: str | Path) -> Manifest:
                 config=cfg,
                 tags=list(cfg.get("tags") or []),
             )
+        # schema/properties YAML: declared columns + contract enforcement
+        if _pyyaml is not None:
+            for f in sorted(models_dir.rglob("*.yml")) + sorted(models_dir.rglob("*.yaml")):
+                cfg = _pyyaml.safe_load(f.read_text()) or {}
+                for entry in cfg.get("models") or []:
+                    node = manifest.models.get(entry.get("name", ""))
+                    if node is None:
+                        continue
+                    node.columns = entry.get("columns") or []
+                    contract = (entry.get("config") or {}).get("contract") or {}
+                    node.contract = bool(contract.get("enforced"))
+                    if entry.get("description"):
+                        node.description = entry["description"]
     return manifest

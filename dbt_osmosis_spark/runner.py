@@ -24,6 +24,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 from dbt_osmosis_spark.compile import JinjaCompiler, relation_name
+from dbt_osmosis_spark.contracts import enforce_contract
 from dbt_osmosis_spark.project import Manifest
 from dbt_osmosis_spark.sources.parquet import read_parquet
 from dbt_osmosis_spark.sources.seeds import load_seed
@@ -116,6 +117,8 @@ def materialize(
             continue
         compiled = compiler.compile(node.raw_sql)
         df: DataFrame = spark.sql(compiled.compiled_sql)
+        if node.contract:
+            enforce_contract(node, df)
         if node.materialized == "table":
             bucket_by = node.config.get("bucket_by")
             buckets = int(node.config.get("buckets") or 0)
@@ -226,6 +229,8 @@ def _materialize_incremental(
         spark.read.parquet(out).createOrReplaceTempView(rel)
     compiled = compiler.compile(node.raw_sql, this=rel, incremental=exists)
     new_rows: DataFrame = spark.sql(compiled.compiled_sql)
+    if node.contract:
+        enforce_contract(node, new_rows)
 
     if not exists:
         writer = new_rows.write.mode("overwrite")
@@ -328,6 +333,8 @@ def _materialize_microbatch(
         spark.read.parquet(out).drop("event_batch").createOrReplaceTempView(rel)
     compiled = compiler.compile(node.raw_sql, this=rel, incremental=exists)
     new_rows: DataFrame = spark.sql(compiled.compiled_sql)
+    if node.contract:
+        enforce_contract(node, new_rows)
 
     if not exists:
         begin = node.config.get("begin")
