@@ -66,6 +66,7 @@ class ModelNode:
     raw_sql: str
     path: str
     materialized: str = "view"  # view | table | ephemeral
+    language: str = "sql"  # sql | python (dbt python models)
     depends_on: list[str] = field(default_factory=list)
     description: str = ""
     config: dict = field(default_factory=dict)
@@ -80,6 +81,11 @@ class ModelNode:
 _REF_RE = re.compile(r"{{\s*ref\(\s*['\"]([^'\"]+)['\"]\s*\)\s*}}")
 _SOURCE_RE = re.compile(r"{{\s*source\(\s*['\"]([^'\"]+)['\"]\s*,\s*['\"]([^'\"]+)['\"]\s*\)\s*}}")
 _CONFIG_RE = re.compile(r"{{\s*config\(([^)]*)\)\s*}}")
+# python models (dbt `def model(dbt, session)`): static extraction mirrors
+# dbt's AST scan of dbt.ref/dbt.source/dbt.config calls before execution
+_PY_REF_RE = re.compile(r"dbt\.ref\(\s*['\"]([^'\"]+)['\"]\s*\)")
+_PY_SOURCE_RE = re.compile(r"dbt\.source\(\s*['\"]([^'\"]+)['\"]\s*,\s*['\"]([^'\"]+)['\"]\s*\)")
+_PY_CONFIG_RE = re.compile(r"dbt\.config\(([^)]*)\)")
 
 
 @dataclass
@@ -227,11 +233,12 @@ def _split_kwargs(arglist: str) -> list[str]:
     return parts
 
 
-def _parse_inline_config(sql: str) -> dict:
+def _parse_inline_config(sql: str, config_re: re.Pattern | None = None) -> dict:
     """Extract `{{ config(materialized='table', ...) }}` kwargs
     (string/bool/int/list-of-string literals — enough for the reference's
-    demo surface plus our materialization configs)."""
-    m = _CONFIG_RE.search(sql)
+    demo surface plus our materialization configs). Also parses python
+    models' `dbt.config(...)` with the same literal grammar."""
+    m = (config_re or _CONFIG_RE).search(sql)
     if not m:
         return {}
     out: dict = {}
@@ -305,6 +312,27 @@ def load_project(project_dir: str | Path) -> Manifest:
                 raw_sql=raw,
                 path=os.path.relpath(f, project_dir),
                 materialized=cfg.get("materialized", "view"),
+                depends_on=sorted(set(deps)),
+                config=cfg,
+                tags=list(cfg.get("tags") or []),
+            )
+        # python models: any models/*.py defining `def model(dbt, session)`
+        # (dbt python-model contract). Config/deps extracted statically from
+        # dbt.config / dbt.ref / dbt.source calls, as dbt's parser does.
+        for f in sorted(models_dir.rglob("*.py")):
+            raw = f.read_text()
+            if "def model(" not in raw:
+                continue
+            cfg = _parse_inline_config(raw, _PY_CONFIG_RE)
+            deps = _PY_REF_RE.findall(raw) + [
+                f"{a}.{b}" for a, b in _PY_SOURCE_RE.findall(raw)
+            ]
+            manifest.models[f.stem] = ModelNode(
+                name=f.stem,
+                raw_sql=raw,
+                path=os.path.relpath(f, project_dir),
+                materialized=cfg.get("materialized", "table"),
+                language="python",
                 depends_on=sorted(set(deps)),
                 config=cfg,
                 tags=list(cfg.get("tags") or []),

@@ -99,8 +99,11 @@ def materialize(
             continue
         if selected is not None and name not in selected:
             # unselected ancestor: register lazily so refs resolve
-            compiled = compiler.compile(node.raw_sql)
-            spark.sql(compiled.compiled_sql).createOrReplaceTempView(rel)
+            if node.language == "python":
+                _run_python_model(spark, node).createOrReplaceTempView(rel)
+            else:
+                compiled = compiler.compile(node.raw_sql)
+                spark.sql(compiled.compiled_sql).createOrReplaceTempView(rel)
             report.results.append(RunResult(name, "model", "view(upstream)"))
             continue
         if node.materialized == "incremental":
@@ -115,8 +118,13 @@ def materialize(
             )
             report.results.append(result)
             continue
-        compiled = compiler.compile(node.raw_sql)
-        df: DataFrame = spark.sql(compiled.compiled_sql)
+        if node.language == "python":
+            df: DataFrame = _run_python_model(spark, node)
+            compiled_sql = None
+        else:
+            compiled = compiler.compile(node.raw_sql)
+            df = spark.sql(compiled.compiled_sql)
+            compiled_sql = compiled.compiled_sql
         if node.contract:
             enforce_contract(node, df)
         if node.materialized == "table":
@@ -143,7 +151,7 @@ def materialize(
                         "model",
                         "table(bucketed)",
                         rows=spark.table(rel).count() if count_rows else None,
-                        compiled_sql=compiled.compiled_sql,
+                        compiled_sql=compiled_sql,
                     )
                 )
                 continue
@@ -183,10 +191,66 @@ def materialize(
                 "model",
                 node.materialized,
                 rows=df.count() if count_rows else None,
-                compiled_sql=compiled.compiled_sql,
+                compiled_sql=compiled_sql,
             )
         )
     return report
+
+
+class _PyModelConfig:
+    """`dbt.config` inside a python model: callable to SET (a parse-time
+    no-op at runtime — load_project already extracted the literals) and
+    `.get()` to READ resolved config, matching dbt's python-model API."""
+
+    def __init__(self, config: dict):
+        self._config = config
+
+    def __call__(self, **kwargs) -> None:
+        return None
+
+    def get(self, key: str, default=None):
+        return self._config.get(key, default)
+
+
+class _DbtShim:
+    """The `dbt` object passed to `def model(dbt, session)` — dbt's
+    python-model contract. ref()/source() return DataFrames of already-
+    materialized upstream relations (the runner walks parents first, so
+    they exist by construction)."""
+
+    def __init__(self, spark: SparkSession, node):
+        self._spark = spark
+        self.config = _PyModelConfig(node.config)
+        self.this = relation_name(node.name)
+
+    def ref(self, name: str) -> DataFrame:
+        return self._spark.table(relation_name(name))
+
+    def source(self, source_name: str, table_name: str) -> DataFrame:
+        return self._spark.table(relation_name(f"{source_name}.{table_name}"))
+
+
+def _run_python_model(spark: SparkSession, node) -> DataFrame:
+    """Execute a dbt python model: the module body runs, then
+    `model(dbt, session)` must return a DataFrame.
+
+    This is where Spark is the *native* target rather than an adapter
+    afterthought: `session` IS the SparkSession, so the model body uses
+    the full DataFrame API (pandas UDFs, ML, applyInPandas) and the
+    returned plan fuses into the same Catalyst optimization as SQL models
+    — refs stay lazy, no materialization boundary inside the model.
+    """
+    ns: dict = {}
+    exec(compile(node.raw_sql, node.path, "exec"), ns)  # noqa: S102 — dbt executes model files by contract
+    fn = ns.get("model")
+    if not callable(fn):
+        raise ValueError(f"python model {node.name}: no `def model(dbt, session)` found")
+    df = fn(_DbtShim(spark, node), spark)
+    if not isinstance(df, DataFrame):
+        raise TypeError(
+            f"python model {node.name}: model() must return a DataFrame, got {type(df).__name__}"
+        )
+    return df
 
 
 def _materialize_incremental(
