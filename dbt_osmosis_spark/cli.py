@@ -315,6 +315,27 @@ def cmd_explain(args) -> int:
     return 0
 
 
+def cmd_lineage(args) -> int:
+    """Column-level lineage from Catalyst pruning (no jobs run): which
+    source columns can affect each output column of a model."""
+    from dbt_osmosis_spark.lineage import column_lineage, model_lineage, register_views
+    from dbt_osmosis_spark.project import load_project
+    from dbt_osmosis_spark.session import get_spark
+
+    manifest = load_project(args.project_dir)
+    spark = get_spark(app_name="dbt-osmosis-spark-cli")
+    register_views(spark, manifest)
+    if args.column:
+        lin = {args.column: column_lineage(spark, manifest, args.model, args.column)}
+    else:
+        lin = model_lineage(spark, manifest, args.model)
+    for col, deps in lin.items():
+        print(f"{args.model}.{col}")
+        for src, cols in deps.items():
+            print(f"  <- {src}: {', '.join(cols)}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="dbt-osmosis-spark")
     p.add_argument("--project-dir", default=".", help="project directory")
@@ -365,6 +386,10 @@ def build_parser() -> argparse.ArgumentParser:
     xp = sub.add_parser("explain", help="physical-plan audit for a model or SQL")
     xp.add_argument("model_or_sql")
     xp.add_argument("--full", action="store_true", help="print the formatted plan too")
+
+    lnp = sub.add_parser("lineage", help="column-level lineage via Catalyst pruning")
+    lnp.add_argument("model")
+    lnp.add_argument("--column", default=None, help="single output column (default: all)")
     return p
 
 
@@ -382,6 +407,7 @@ _DISPATCH = {
     "profile": cmd_profile,
     "export": cmd_export,
     "explain": cmd_explain,
+    "lineage": cmd_lineage,
 }
 
 
