@@ -46,16 +46,26 @@ def cmd_run(args) -> int:
 
     manifest = load_project(args.project_dir)
     spark = get_spark(app_name="dbt-osmosis-spark-cli")
+    previous_state = None
+    if getattr(args, "state", None):
+        from dbt_osmosis_spark.state import load_state
+
+        previous_state = load_state(args.state)
     report = materialize(
         spark,
         manifest,
         warehouse_dir=args.warehouse_dir,
         count_rows=True,
         select=getattr(args, "select", None),
+        previous_state=previous_state,
     )
     for r in report.results:
         rows = "" if r.rows is None else f"  rows={r.rows}"
         print(f"{r.kind:7s} {r.name:30s} {r.materialized}{rows}")
+    if getattr(args, "write_state", None):
+        from dbt_osmosis_spark.state import write_state
+
+        print(f"state written: {write_state(manifest, args.write_state)}")
     return 0
 
 
@@ -315,6 +325,29 @@ def cmd_explain(args) -> int:
     return 0
 
 
+def cmd_source_freshness(args) -> int:
+    """`dbt source freshness` analog: MAX(loaded_at) per configured source
+    (parquet aggregate pushdown — footer stats, no data scan) vs
+    warn_after/error_after; exit 1 on any error status."""
+    from dbt_osmosis_spark.freshness import check_freshness
+    from dbt_osmosis_spark.project import load_project
+    from dbt_osmosis_spark.session import get_spark
+
+    manifest = load_project(args.project_dir)
+    spark = get_spark(app_name="dbt-osmosis-spark-cli")
+    results = check_freshness(spark, manifest)
+    if not results:
+        print("no sources carry a freshness config")
+        return 0
+    worst = 0
+    for r in results:
+        age = "-" if r.age_seconds is None else f"{r.age_seconds / 3600.0:.2f}h"
+        print(f"{r.status.upper():5s} {r.source:30s} max={r.max_loaded_at} age={age}")
+        if r.status == "error":
+            worst = 1
+    return worst
+
+
 def cmd_lineage(args) -> int:
     """Column-level lineage from Catalyst pruning (no jobs run): which
     source columns can affect each output column of a model."""
@@ -347,7 +380,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--select",
         nargs="+",
         default=None,
-        help="dbt-style selectors: name, name+, +name, tag:x",
+        help="dbt-style selectors: name, name+, +name, tag:x, state:modified[+]",
+    )
+    rp.add_argument("--state", default=None, help="state dir/file for state:modified")
+    rp.add_argument(
+        "--write-state", default=None, help="write state.json fingerprints to this dir after the run"
     )
 
     sp = sub.add_parser("sql", help="compile/execute ad-hoc jinja-SQL")
@@ -387,6 +424,8 @@ def build_parser() -> argparse.ArgumentParser:
     xp.add_argument("model_or_sql")
     xp.add_argument("--full", action="store_true", help="print the formatted plan too")
 
+    sub.add_parser("source-freshness", help="dbt source freshness analog")
+
     lnp = sub.add_parser("lineage", help="column-level lineage via Catalyst pruning")
     lnp.add_argument("model")
     lnp.add_argument("--column", default=None, help="single output column (default: all)")
@@ -408,6 +447,7 @@ _DISPATCH = {
     "export": cmd_export,
     "explain": cmd_explain,
     "lineage": cmd_lineage,
+    "source-freshness": cmd_source_freshness,
 }
 
 

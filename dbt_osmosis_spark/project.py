@@ -45,6 +45,10 @@ class SourceNode:
     format: str = "parquet"
     schema: str | None = None
     description: str = ""
+    # dbt source-freshness contract: the event-time column and the
+    # warn_after/error_after thresholds ({count, period}) from sources.yml
+    loaded_at_field: str | None = None
+    freshness: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -142,7 +146,9 @@ class Manifest:
                     frontier.append(d)
         return out
 
-    def select(self, selectors: list[str]) -> set[str]:
+    def select(
+        self, selectors: list[str], previous_state: dict[str, str] | None = None
+    ) -> set[str]:
         """dbt-style node selection, union over selectors:
 
         - `name`    — that model
@@ -150,6 +156,8 @@ class Manifest:
         - `+name`   — model and all ancestors
         - `+name+`  — both closures
         - `tag:x`   — models carrying tag x
+        - `state:modified[+]` — models changed vs `previous_state`
+          fingerprints (state.py), optionally plus descendants
 
         (reference analog: the fqn/path/tag candidate predicates at
         src/dbt_osmosis/core/node_filters.py:113-150; graph operators are
@@ -181,6 +189,17 @@ class Manifest:
             if sel.startswith("tag:"):
                 tag = sel[4:]
                 out |= {n for n, node in self.models.items() if tag in node.tags}
+                continue
+            if sel in ("state:modified", "state:modified+"):
+                if previous_state is None:
+                    raise ValueError("state:modified requires a --state fingerprint file")
+                from dbt_osmosis_spark.state import modified_models
+
+                changed = modified_models(self, previous_state)
+                out |= changed
+                if sel.endswith("+"):
+                    for name in changed:
+                        out |= closure(name, children)
                 continue
             plus_pre = sel.startswith("+")
             plus_post = sel.endswith("+")
@@ -285,6 +304,8 @@ def load_project(project_dir: str | Path) -> Manifest:
                     format=tbl.get("format", "parquet"),
                     schema=s.get("name"),
                     description=tbl.get("description", ""),
+                    loaded_at_field=tbl.get("loaded_at_field") or s.get("loaded_at_field"),
+                    freshness=tbl.get("freshness") or s.get("freshness") or {},
                 )
 
     seeds_dir = project_dir / "seeds"

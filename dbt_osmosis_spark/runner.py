@@ -54,6 +54,7 @@ def materialize(
     count_rows: bool = False,
     partition_overrides: dict[str, list[str]] | None = None,
     select: list[str] | None = None,
+    previous_state: dict[str, str] | None = None,
 ) -> RunReport:
     """Register all nodes as Spark relations, parents first.
 
@@ -70,7 +71,7 @@ def materialize(
     selected: set[str] | None = None
     needed: set[str] | None = None
     if select is not None:
-        selected = manifest.select(select)
+        selected = manifest.select(select, previous_state)
         needed = selected | manifest.ancestors(selected)
 
     for key, src in manifest.sources.items():
