@@ -682,3 +682,48 @@ def t07_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "word", "tf", "df", "tfidf", "rk")
         .orderBy("doc_id", "rk")
     )
+
+
+# ---- p08: weighted sampling without replacement (Efraimidis-Spirakis) ------
+# A-Res: each item gets key u^(1/w) (u uniform from the doc's md5, w =
+# n_chars); the k largest keys are the sample. Heavier docs are
+# proportionally likelier, membership is deterministic in the key (stable
+# across runs/partitionings/engines), and selection is a TakeOrdered
+# top-k — per-partition heaps + one small merge, never a global sort.
+# Computed in log space (ln(u)/w, maximize); ROUND(...,6) pins ln() to
+# identical doubles in both engines, doc_id breaks rounding ties so the
+# cutoff set is engine-exact.
+
+_P08_K = 50
+# 13 hex chars = 52 bits: exact in a double for both engines
+_P08_U_SPARK = (
+    "(cast(conv(substr(md5(cast(cast(doc_id AS STRING) AS BINARY)), 1, 13), 16, 10) AS DOUBLE)"
+    " + 1.0d) / 4503599627370496.0d"
+)
+_P08_U_DUCK = (
+    "(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) AS DOUBLE)"
+    " + 1.0) / 4503599627370496.0"
+)
+
+_P08_ORACLE = f"""
+SELECT doc_id, lang, n_chars,
+       ROUND(ln({_P08_U_DUCK}) / n_chars, 6) AS es_key
+FROM documents
+ORDER BY es_key DESC, doc_id
+LIMIT {_P08_K}
+"""
+
+
+@register("p08_weighted_sample", oracle=_P08_ORACLE)
+def p08_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round(F.expr(f"ln({_P08_U_SPARK})") / F.col("n_chars"), 6).alias("es_key"),
+        )
+        .orderBy(F.desc("es_key"), "doc_id")
+        .limit(_P08_K)
+    )

@@ -699,3 +699,42 @@ def q33_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "value",
     ).orderBy("l_returnflag", "measure")
+
+
+# --------------------------------------------------------------------------
+# q34: equal-width histogram binning — the feature-bucketization shape
+# (floor arithmetic, identical in both engines; overflow values clamp to
+# the top bucket). One groupBy on a derived int: map-side partial agg,
+# single shuffle of at most n_buckets rows per partition.
+# --------------------------------------------------------------------------
+_Q34_WIDTH = 50000.0
+_Q34_BUCKETS = 12
+
+
+@register(
+    "q34_histogram_bins",
+    oracle=f"""
+SELECT LEAST(CAST(FLOOR(o_totalprice / {_Q34_WIDTH}) AS BIGINT), {_Q34_BUCKETS - 1}) AS bucket,
+       COUNT(*) AS n,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+FROM orders
+GROUP BY 1
+ORDER BY bucket
+""",
+)
+def q34_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / F.lit(_Q34_WIDTH)).cast("bigint"),
+        F.lit(_Q34_BUCKETS - 1),
+    )
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+        )
+        .orderBy("bucket")
+    )

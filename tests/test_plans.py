@@ -113,3 +113,9 @@ def test_q33_unpivot_is_expand_not_join(q):
     assert "Expand" in plan
     # one exchange for the groupBy, one for the final orderBy range partition
     assert exchange_count(df) <= 2
+
+
+def test_p08_weighted_sample_is_top_k(q):
+    # E-S selection must plan as TakeOrderedAndProject (per-partition heap
+    # + small merge), not a global sort of the corpus
+    assert uses_top_k(q("p08_weighted_sample"))
