@@ -101,7 +101,7 @@ def register_views(spark: SparkSession, manifest: Manifest) -> None:
             df = spark.read.json(src.path)
         df.createOrReplaceTempView(relation_name(key))
     for name, seed in manifest.seeds.items():
-        load_seed(spark, seed.path, name=relation_name(name))
+        load_seed(spark, seed.path, name=relation_name(name), column_types=seed.column_types)
     for name in manifest.topo_sort():
         node = manifest.models[name]
         if node.language == "python":

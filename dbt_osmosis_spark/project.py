@@ -58,6 +58,9 @@ class SeedNode:
     name: str
     path: str
     description: str = ""
+    # dbt seed config `column_types`: per-column type overrides applied on
+    # top of CSV inference (project.yml `seeds:` section)
+    column_types: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -287,10 +290,12 @@ def load_project(project_dir: str | Path) -> Manifest:
     manifest = Manifest()
 
     proj_file = project_dir / "project.yml"
+    seed_configs: dict = {}
     if proj_file.exists() and _pyyaml is not None:
         cfg = _pyyaml.safe_load(proj_file.read_text()) or {}
         manifest.project_name = cfg.get("name", project_dir.name)
         manifest.vars = cfg.get("vars", {}) or {}
+        seed_configs = cfg.get("seeds", {}) or {}
 
     src_file = project_dir / "sources.yml"
     if src_file.exists() and _pyyaml is not None:
@@ -311,7 +316,14 @@ def load_project(project_dir: str | Path) -> Manifest:
     seeds_dir = project_dir / "seeds"
     if seeds_dir.is_dir():
         for f in sorted(seeds_dir.glob("*.csv")):
-            manifest.seeds[f.stem] = SeedNode(name=f.stem, path=str(f))
+            seed_cfg = seed_configs.get(f.stem) or {}
+            manifest.seeds[f.stem] = SeedNode(
+                name=f.stem,
+                path=str(f),
+                column_types=seed_cfg.get("column_types")
+                or seed_cfg.get("+column_types")
+                or {},
+            )
 
     macros_dir = project_dir / "macros"
     if macros_dir.is_dir():

@@ -88,7 +88,9 @@ def materialize(
         report.results.append(RunResult(key, "source", "view"))
 
     for name, seed in manifest.seeds.items():
-        df = load_seed(spark, seed.path, name=relation_name(name))
+        df = load_seed(
+            spark, seed.path, name=relation_name(name), column_types=seed.column_types
+        )
         report.results.append(
             RunResult(name, "seed", "view", rows=df.count() if count_rows else None)
         )

@@ -20,14 +20,29 @@ def load_seed(
     path: str,
     name: str | None = None,
     schema: StructType | str | None = None,
+    column_types: dict | None = None,
 ) -> DataFrame:
-    """Load a header CSV; register as temp view ``name`` when given."""
+    """Load a header CSV; register as temp view ``name`` when given.
+
+    ``column_types`` is dbt's seed config of the same name: per-column
+    type overrides applied AT PARSE TIME (the overridden column is read
+    from the raw CSV text with the declared type, so `zip: string` keeps
+    its leading zeros — a post-inference cast would have destroyed them,
+    which is exactly the bug this dbt config exists to fix)."""
     reader = spark.read.option("header", True)
     if schema is not None:
         reader = reader.schema(schema)
     else:
         reader = reader.option("inferSchema", True)
     df = reader.csv(path)
+    if column_types:
+        # re-read with an explicit schema: inferred types for untouched
+        # columns, declared types for overridden ones
+        fields = ", ".join(
+            f"`{f.name}` {column_types.get(f.name, f.dataType.simpleString())}"
+            for f in df.schema.fields
+        )
+        df = spark.read.option("header", True).schema(fields).csv(path)
     if name:
         df.createOrReplaceTempView(name)
     return df

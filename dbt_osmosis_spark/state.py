@@ -47,7 +47,7 @@ def fingerprint(manifest: Manifest) -> dict[str, str]:
                 content = hashlib.sha256(f.read()).hexdigest()
         except OSError:
             content = "missing"
-        fp[f"seed:{name}"] = _h(content)
+        fp[f"seed:{name}"] = _h(content, json.dumps(seed.column_types, sort_keys=True))
     for key, src in manifest.sources.items():
         fp[f"source:{key}"] = _h(src.path, src.format)
     return fp

@@ -219,3 +219,25 @@ def test_compile_dbt_builtin_context(manifest, monkeypatch):
     assert c.run_started_at.isoformat() in out2
     with pytest.raises(KeyError, match="OSMO_MISSING"):
         c.compile("select {{ env_var('OSMO_MISSING') }}")
+
+
+def test_seed_column_types_override(spark, tmp_path):
+    """dbt seed config `column_types`: per-column cast on top of CSV
+    inference (project.yml seeds: section)."""
+    from dbt_osmosis_spark.project import load_project
+    from dbt_osmosis_spark.runner import materialize
+
+    proj = tmp_path / "proj"
+    (proj / "seeds").mkdir(parents=True)
+    (proj / "project.yml").write_text(
+        "name: seeddemo\nseeds:\n  zips:\n    column_types:\n"
+        "      zip: string\n      amount: decimal(10,2)\n"
+    )
+    (proj / "seeds" / "zips.csv").write_text("zip,amount,city\n02134,10.5,boston\n")
+    manifest = load_project(proj)
+    assert manifest.seeds["zips"].column_types == {"zip": "string", "amount": "decimal(10,2)"}
+    materialize(spark, manifest)
+    schema = {f.name: f.dataType.simpleString() for f in spark.table("zips").schema.fields}
+    assert schema == {"zip": "string", "amount": "decimal(10,2)", "city": "string"}
+    # leading zero preserved — the canonical reason this config exists
+    assert spark.table("zips").first().zip == "02134"
