@@ -64,13 +64,21 @@ class JinjaCompiler:
         extra_vars: dict | None = None,
         this: str | None = None,
         incremental: bool = False,
+        _ephemeral: dict | None = None,
     ) -> CompiledSQL:
         """``this`` is the model's own relation name and ``incremental``
         whether an existing materialization is being built upon — together
         they power the `{{ this }}` / `is_incremental()` contract dbt
-        incremental models rely on."""
+        incremental models rely on.
+
+        Ephemeral models (dbt's third materialization) never become
+        relations: a ref() to one compiles its body recursively and
+        injects it as a `__dbt__cte__<name>` CTE (dbt's exact convention),
+        dependency-ordered so nested ephemerals precede their consumers.
+        ``_ephemeral`` is the shared collection dict during recursion."""
         refs: list[str] = []
         sources: list[tuple[str, str]] = []
+        eph: dict[str, str | None] = {} if _ephemeral is None else _ephemeral
 
         def ref(name: str, v: int | None = None, **_kw) -> str:
             target = f"{name}_v{v}" if v and f"{name}_v{v}" in self.manifest.models else name
@@ -78,7 +86,22 @@ class JinjaCompiler:
             if target not in known and name not in known:
                 raise KeyError(f"ref('{name}') does not resolve to a known node")
             refs.append(target if target in known else name)
-            return _relation_for(refs[-1])
+            resolved = refs[-1]
+            node = self.manifest.models.get(resolved)
+            if node is not None and node.materialized == "ephemeral":
+                if resolved not in eph:
+                    eph[resolved] = None  # reserve: cycle guard
+                    inner = self.compile(
+                        node.raw_sql, extra_vars, _ephemeral=eph
+                    ).compiled_sql
+                    # re-insert after the deps discovered while compiling
+                    # the body, so the WITH list is dependency-ordered
+                    del eph[resolved]
+                    eph[resolved] = inner
+                elif eph[resolved] is None:
+                    raise ValueError(f"ephemeral model cycle through {resolved!r}")
+                return f"__dbt__cte__{_relation_for(resolved)}"
+            return _relation_for(resolved)
 
         def source(schema: str, table: str) -> str:
             key = f"{schema}.{table}"
@@ -128,6 +151,17 @@ class JinjaCompiler:
             run_started_at=self.run_started_at,
         )
         compiled = re.sub(r"\n{3,}", "\n\n", compiled).strip()
+        if eph and _ephemeral is None:
+            # top level only: prepend (or merge into) the WITH clause
+            ctes = ",\n".join(
+                f"__dbt__cte__{_relation_for(n)} as (\n{body}\n)" for n, body in eph.items()
+            )
+            if re.match(r"^\s*with\b", compiled, re.IGNORECASE):
+                compiled = re.sub(
+                    r"^\s*with\b", f"WITH {ctes},", compiled, count=1, flags=re.IGNORECASE
+                )
+            else:
+                compiled = f"WITH {ctes}\n{compiled}"
         return CompiledSQL(raw_sql=sql, compiled_sql=compiled, refs=refs, sources=sources)
 
 

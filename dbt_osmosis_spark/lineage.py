@@ -104,6 +104,8 @@ def register_views(spark: SparkSession, manifest: Manifest) -> None:
         load_seed(spark, seed.path, name=relation_name(name), column_types=seed.column_types)
     for name in manifest.topo_sort():
         node = manifest.models[name]
+        if node.materialized == "ephemeral":
+            continue  # consumers inline ephemeral bodies at compile time
         if node.language == "python":
             df = _run_python_model(spark, node)
         else:

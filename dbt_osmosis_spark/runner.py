@@ -100,6 +100,11 @@ def materialize(
         rel = relation_name(name)
         if needed is not None and name not in needed:
             continue
+        if node.materialized == "ephemeral":
+            # dbt contract: ephemeral models never become relations — every
+            # consumer inlines the body as a __dbt__cte__ CTE at compile time
+            report.results.append(RunResult(name, "model", "ephemeral"))
+            continue
         if selected is not None and name not in selected:
             # unselected ancestor: register lazily so refs resolve
             if node.language == "python":

@@ -241,3 +241,53 @@ def test_seed_column_types_override(spark, tmp_path):
     assert schema == {"zip": "string", "amount": "decimal(10,2)", "city": "string"}
     # leading zero preserved — the canonical reason this config exists
     assert spark.table("zips").first().zip == "02134"
+
+
+def test_ephemeral_materialization_inlines_as_cte(spark, tmp_path):
+    """dbt ephemeral: no relation is created; consumers inline the body as
+    a dependency-ordered __dbt__cte__ WITH clause (nested ephemerals too,
+    and merging into a consumer's own WITH)."""
+    from dbt_osmosis_spark.compile import JinjaCompiler
+    from dbt_osmosis_spark.project import load_project
+    from dbt_osmosis_spark.runner import materialize
+
+    proj = tmp_path / "proj"
+    (proj / "models").mkdir(parents=True)
+    (proj / "project.yml").write_text("name: ephdemo\n")
+    (proj / "sources.yml").write_text(
+        "sources:\n- name: raw\n  tables:\n"
+        f"  - name: feed\n    path: {tmp_path}/feed.parquet\n"
+    )
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "id long, v double"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/feed.parquet")
+    (proj / "models" / "eph_base.sql").write_text(
+        "{{ config(materialized='ephemeral') }}\n"
+        "select id, v from {{ source('raw', 'feed') }} where v > 10\n"
+    )
+    (proj / "models" / "eph_mid.sql").write_text(
+        "{{ config(materialized='ephemeral') }}\n"
+        "select id, v * 2 as v2 from {{ ref('eph_base') }}\n"
+    )
+    (proj / "models" / "eph_final.sql").write_text(
+        "with local_cte as (select 1 as one)\n"
+        "select e.id, e.v2, l.one from {{ ref('eph_mid') }} e cross join local_cte l\n"
+    )
+    manifest = load_project(proj)
+    compiled = JinjaCompiler(manifest).compile(
+        manifest.models["eph_final"].raw_sql
+    ).compiled_sql
+    low = compiled.lower()
+    # both ephemeral CTEs present, dependency-ordered, merged into the
+    # consumer's own WITH
+    assert low.count("with") >= 1 and low.startswith("with")
+    assert low.index("__dbt__cte__eph_base") < low.index("__dbt__cte__eph_mid")
+    assert "local_cte" in low
+
+    r = materialize(spark, manifest, count_rows=True)
+    mats = {x.name: x.materialized for x in r.results if x.kind == "model"}
+    assert mats["eph_base"] == "ephemeral" and mats["eph_mid"] == "ephemeral"
+    # no relation registered for ephemerals
+    assert "eph_base" not in [t.name for t in spark.catalog.listTables()]
+    got = {row.id: (row.v2, row.one) for row in spark.table("eph_final").collect()}
+    assert got == {2: (40.0, 1), 3: (60.0, 1)}
