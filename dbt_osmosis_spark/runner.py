@@ -285,6 +285,13 @@ def _materialize_incremental(
     - `insert_overwrite` (+ `partition_by`): replaces only the partitions
       present in the increment (dynamic partition overwrite) — the
       idempotent backfill pattern at scale.
+
+    `on_schema_change` (dbt contract): `ignore` (default) projects the
+    increment onto the frozen target schema; `fail` raises listing the
+    drift; `append_new_columns` keeps evolved columns (mergeSchema reads
+    null-fill old files); `sync_all_columns` adopts the model's current
+    schema (dropped columns leave the VIEW immediately — a metadata op;
+    old files rewrite only where the strategy rewrites anyway).
     """
     if warehouse_dir is None:
         raise ValueError(f"model {node.name} is incremental but no warehouse_dir")
@@ -304,6 +311,39 @@ def _materialize_incremental(
     if node.contract:
         enforce_contract(node, new_rows)
 
+    model_cols = list(new_rows.columns)
+    on_sc = node.config.get("on_schema_change", "ignore")
+    if exists:
+        # dbt's on_schema_change contract, at schema cost only (no data
+        # read): target schema comes from the parquet footers.
+        target_schema = spark.read.parquet(out).schema
+        tnames = [f.name for f in target_schema.fields]
+        added = [c for c in new_rows.columns if c not in tnames]
+        removed = [c for c in tnames if c not in new_rows.columns]
+        if added or removed:
+            if on_sc == "fail":
+                raise ValueError(
+                    f"incremental model {node.name}: schema changed "
+                    f"(added={added}, removed={removed}) and on_schema_change='fail'"
+                )
+            if on_sc == "ignore":
+                # project the increment onto the frozen target schema:
+                # new columns dropped, vanished columns null-filled
+                from pyspark.sql import functions as F
+
+                new_rows = new_rows.select(
+                    *[
+                        F.col(f.name)
+                        if f.name in new_rows.columns
+                        else F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in target_schema.fields
+                    ]
+                )
+            # append_new_columns / sync_all_columns: increment files keep
+            # the evolved schema; mergeSchema reads unify (removed columns
+            # are dropped from the registered view under sync — a metadata
+            # op, no rewrite of old files, same as warehouse DROP COLUMN)
+
     if not exists:
         writer = new_rows.write.mode("overwrite")
         if parts:
@@ -318,9 +358,12 @@ def _materialize_incremental(
         key = node.config.get("unique_key")
         if not key:
             raise ValueError(f"incremental model {node.name}: merge needs unique_key")
-        existing = spark.read.parquet(out)
+        existing = spark.read.option("mergeSchema", "true").parquet(out)
         keep = existing.join(new_rows.select(key).distinct(), key, "left_anti")
-        merged = keep.unionByName(new_rows.select(existing.columns))
+        merged = keep.unionByName(new_rows, allowMissingColumns=True)
+        if on_sc == "sync_all_columns":
+            # the rewrite adopts the model's current schema outright
+            merged = merged.select(*model_cols)
         tmp = out + ".tmp"
         w = merged.write.mode("overwrite")
         if parts:
@@ -342,7 +385,9 @@ def _materialize_incremental(
     else:
         raise ValueError(f"unknown incremental_strategy: {strategy}")
 
-    df = spark.read.parquet(out)
+    df = spark.read.option("mergeSchema", "true").parquet(out)
+    if exists and on_sc == "sync_all_columns":
+        df = df.select(*model_cols)
     df.createOrReplaceTempView(rel)
     return RunResult(
         node.name,

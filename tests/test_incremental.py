@@ -261,3 +261,80 @@ select id, ts, v from {{ source('raw', 'feed') }}
     r = materialize(spark, load_project(proj), warehouse_dir=wh, count_rows=True)
     inc = [x for x in r.results if x.name == "inc_model"][0]
     assert inc.rows == 2  # day1 excluded by begin
+
+
+# ---- on_schema_change ------------------------------------------------------
+
+STAR_SQL = """
+{{ config(materialized='incremental', incremental_strategy='append'__EXTRA__) }}
+select * from {{ source('raw', 'feed') }}
+{% if is_incremental() %} where id > (select max(id) from {{ this }}) {% endif %}
+"""
+
+
+def _write_raw(spark, tmp_path, rows, schema):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/feed.parquet"
+    )
+
+
+def test_on_schema_change_ignore_freezes_target(spark, tmp_path):
+    _write_raw(spark, tmp_path, [(1, "d1", 1.0)], "id long, day string, v double")
+    proj = _project(tmp_path, STAR_SQL.replace("__EXTRA__", ""))
+    wh = str(tmp_path / "wh")
+    materialize(spark, load_project(proj), warehouse_dir=wh)
+
+    # source gains a column; default policy drops it from the increment
+    _write_raw(
+        spark, tmp_path, [(1, "d1", 1.0, "x"), (2, "d2", 2.0, "y")],
+        "id long, day string, v double, extra string",
+    )
+    materialize(spark, load_project(proj), warehouse_dir=wh)
+    t = spark.table("inc_model")
+    assert t.columns == ["id", "day", "v"] and t.count() == 2
+
+
+def test_on_schema_change_fail_raises(spark, tmp_path):
+    _write_raw(spark, tmp_path, [(1, "d1", 1.0)], "id long, day string, v double")
+    proj = _project(tmp_path, STAR_SQL.replace("__EXTRA__", ", on_schema_change='fail'"))
+    wh = str(tmp_path / "wh")
+    materialize(spark, load_project(proj), warehouse_dir=wh)
+    _write_raw(
+        spark, tmp_path, [(2, "d2", 2.0, "y")], "id long, day string, v double, extra string"
+    )
+    with pytest.raises(ValueError, match="on_schema_change"):
+        materialize(spark, load_project(proj), warehouse_dir=wh)
+
+
+def test_on_schema_change_append_new_columns(spark, tmp_path):
+    _write_raw(spark, tmp_path, [(1, "d1", 1.0)], "id long, day string, v double")
+    proj = _project(tmp_path, STAR_SQL.replace("__EXTRA__", ", on_schema_change='append_new_columns'"))
+    wh = str(tmp_path / "wh")
+    materialize(spark, load_project(proj), warehouse_dir=wh)
+    _write_raw(
+        spark, tmp_path, [(1, "d1", 1.0, "x"), (2, "d2", 2.0, "y")],
+        "id long, day string, v double, extra string",
+    )
+    materialize(spark, load_project(proj), warehouse_dir=wh)
+    got = {r.id: r.extra for r in spark.table("inc_model").collect()}
+    assert got == {1: None, 2: "y"}  # old rows null-filled by mergeSchema read
+
+
+def test_on_schema_change_sync_all_columns_on_merge(spark, tmp_path):
+    sql = """
+{{ config(materialized='incremental', incremental_strategy='merge',
+          unique_key='id', on_schema_change='sync_all_columns') }}
+select * from {{ source('raw', 'feed') }}
+"""
+    _write_raw(spark, tmp_path, [(1, "d1", 1.0), (2, "d1", 2.0)], "id long, day string, v double")
+    proj = _project(tmp_path, sql)
+    wh = str(tmp_path / "wh")
+    materialize(spark, load_project(proj), warehouse_dir=wh)
+
+    # v removed, w added; id=2 upserted, id=3 new
+    _write_raw(spark, tmp_path, [(2, "d2", 20), (3, "d3", 30)], "id long, day string, w long")
+    materialize(spark, load_project(proj), warehouse_dir=wh)
+    t = spark.table("inc_model")
+    assert t.columns == ["id", "day", "w"]  # model's current schema adopted
+    got = {r.id: r.w for r in t.collect()}
+    assert got == {1: None, 2: 20, 3: 30}
