@@ -279,3 +279,45 @@ def run_merge_to_files(
         .start()
     )
     q.awaitTermination()
+
+
+def tws_user_totals(events: DataFrame, ttl_ms: int | None = None) -> DataFrame:
+    """Per-user running totals on the transformWithState API (Spark 4) —
+    the successor to applyInPandasWithState (running_user_totals above is
+    the same logic on the legacy API).
+
+    Why it matters at scale: TWS state is SCHEMA'D and TYPED inside the
+    state store (not an opaque pickled tuple), supports per-state TTL
+    (`ttl_ms` — state for idle keys is evicted by the store itself, no
+    timeout bookkeeping in user code), multiple independent state
+    variables per key, and timers. State stays one tiny row per user,
+    hash-partitioned across executors; each key's updates are serial so
+    plain float accumulation is deterministic.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            ttl = ttl_ms if ttl_ms and ttl_ms > 0 else None
+            self._agg = handle.getValueState("agg", "n long, total double", ttl)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._agg.get() if self._agg.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._agg.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="user_id long, n_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
