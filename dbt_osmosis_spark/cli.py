@@ -325,6 +325,30 @@ def cmd_explain(args) -> int:
     return 0
 
 
+def cmd_run_operation(args) -> int:
+    """`dbt run-operation` analog: render a project macro standalone
+    (--args as a JSON object of kwargs); with --execute, run the rendered
+    SQL on Spark and print up to 50 rows."""
+    import json
+
+    from dbt_osmosis_spark.compile import JinjaCompiler
+    from dbt_osmosis_spark.project import load_project
+
+    kwargs = json.loads(args.args)
+    call = ", ".join(f"{k}={v!r}" for k, v in kwargs.items())
+    template = f"{{{{ {args.macro}({call}) }}}}"
+    if args.execute:
+        spark, manifest = _build_context(args)
+    else:
+        manifest = load_project(args.project_dir)
+    rendered = JinjaCompiler(manifest).compile(template).compiled_sql
+    if args.execute and rendered.strip():
+        spark.sql(rendered).show(PRINT_CAP, truncate=False)
+    else:
+        print(rendered)
+    return 0
+
+
 def cmd_source_freshness(args) -> int:
     """`dbt source freshness` analog: MAX(loaded_at) per configured source
     (parquet aggregate pushdown — footer stats, no data scan) vs
@@ -426,6 +450,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     sub.add_parser("source-freshness", help="dbt source freshness analog")
 
+    rop = sub.add_parser("run-operation", help="render/execute a project macro")
+    rop.add_argument("macro")
+    rop.add_argument("--args", default="{}", help="JSON object of macro kwargs")
+    rop.add_argument("--execute", action="store_true", help="run the rendered SQL")
+
     lnp = sub.add_parser("lineage", help="column-level lineage via Catalyst pruning")
     lnp.add_argument("model")
     lnp.add_argument("--column", default=None, help="single output column (default: all)")
@@ -448,6 +477,7 @@ _DISPATCH = {
     "explain": cmd_explain,
     "lineage": cmd_lineage,
     "source-freshness": cmd_source_freshness,
+    "run-operation": cmd_run_operation,
 }
 
 

@@ -738,3 +738,39 @@ def q34_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# q35: string/regex expression surface (SURVEY S6 margin) — split_part,
+# regexp_extract, case mapping, padding, concat_ws, length, substring.
+# All JVM-side whole-stage-codegen expressions: per-row cost is a fused
+# generated loop, no UDF crossings; identical semantics in DuckDB for
+# these patterns (digit classes are engine-agnostic).
+# --------------------------------------------------------------------------
+@register(
+    "q35_string_functions",
+    oracle="""
+SELECT p_partkey,
+       SPLIT_PART(p_type, ' ', 1) AS type_head,
+       REGEXP_EXTRACT(p_brand, '([0-9]+)', 1) AS brand_num,
+       UPPER(p_name) AS name_upper,
+       LPAD(CAST(p_partkey AS VARCHAR), 10, '0') AS key_pad,
+       CONCAT_WS('|', p_brand, p_type) AS brand_type,
+       LENGTH(p_name) AS name_len,
+       SUBSTRING(p_type, 1, 3) AS type_pfx
+FROM part
+ORDER BY p_partkey
+""",
+)
+def q35_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.expr("split_part(p_type, ' ', 1)").alias("type_head"),
+        F.regexp_extract("p_brand", "([0-9]+)", 1).alias("brand_num"),
+        F.upper("p_name").alias("name_upper"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("key_pad"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.substring("p_type", 1, 3).alias("type_pfx"),
+    ).orderBy("p_partkey")

@@ -105,3 +105,34 @@ def test_cli_explain(proj, tmp_path, capsys):
     ) == 0
     out = capsys.readouterr().out
     assert "HashAggregate" in out
+
+
+def test_run_operation_renders_and_executes(tmp_path, capsys):
+    """dbt run-operation analog: macro rendered with JSON kwargs; --execute
+    runs the rendered SQL against the materialized project."""
+    from dbt_osmosis_spark.cli import main
+
+    proj = tmp_path / "proj"
+    (proj / "models").mkdir(parents=True)
+    (proj / "macros").mkdir()
+    (proj / "project.yml").write_text("name: opdemo\n")
+    (proj / "models" / "base.sql").write_text("select 1 as x union all select 2 as x\n")
+    (proj / "macros" / "ops.sql").write_text(
+        "{% macro count_over(model, lo) %}"
+        "select count(*) as n from {{ ref(model) }} where x > {{ lo }}"
+        "{% endmacro %}\n"
+    )
+    rc = main(
+        ["--project-dir", str(proj), "run-operation", "count_over",
+         "--args", '{"model": "base", "lo": 1}']
+    )
+    out = capsys.readouterr().out
+    assert rc == 0 and "select count(*) as n from base where x > 1" in out
+
+    rc = main(
+        ["--project-dir", str(proj), "--warehouse-dir", str(tmp_path / "wh"),
+         "run-operation", "count_over", "--args", '{"model": "base", "lo": 1}',
+         "--execute"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0 and "1" in out  # one row (x=2) qualifies
