@@ -45,6 +45,11 @@ def cmd_run(args) -> int:
     from dbt_osmosis_spark.session import get_spark
 
     manifest = load_project(args.project_dir)
+    if getattr(args, "vars", None):
+        import json
+
+        # dbt --vars: CLI overrides project vars for this invocation
+        manifest.vars = {**manifest.vars, **json.loads(args.vars)}
     spark = get_spark(app_name="dbt-osmosis-spark-cli")
     previous_state = None
     if getattr(args, "state", None):
@@ -72,12 +77,15 @@ def cmd_run(args) -> int:
 def cmd_sql(args) -> int:
     from dbt_osmosis_spark.sql_ops import compile_sql_code, execute_sql_code
 
+    import json
+
+    extra_vars = json.loads(args.vars) if getattr(args, "vars", None) else None
     if args.action == "compile":
         _, manifest = _build_context(args, need_spark=False)
-        print(compile_sql_code(manifest, args.sql).compiled_sql)
+        print(compile_sql_code(manifest, args.sql, extra_vars).compiled_sql)
         return 0
     spark, manifest = _build_context(args)
-    _, df = execute_sql_code(spark, manifest, args.sql)
+    _, df = execute_sql_code(spark, manifest, args.sql, extra_vars)
     df.show(PRINT_CAP, truncate=False)
     return 0
 
@@ -407,6 +415,7 @@ def build_parser() -> argparse.ArgumentParser:
         help="dbt-style selectors: name, name+, +name, tag:x, state:modified[+]",
     )
     rp.add_argument("--state", default=None, help="state dir/file for state:modified")
+    rp.add_argument("--vars", default=None, help="JSON object overriding project vars")
     rp.add_argument(
         "--write-state", default=None, help="write state.json fingerprints to this dir after the run"
     )
@@ -414,6 +423,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("sql", help="compile/execute ad-hoc jinja-SQL")
     sp.add_argument("action", choices=["run", "compile"])
     sp.add_argument("sql")
+    sp.add_argument("--vars", default=None, help="JSON object overriding project vars")
 
     yp = sub.add_parser("yaml", help="yaml pipeline: refactor/organize/document/sync")
     yp.add_argument("action", choices=["refactor", "organize", "document", "sync"])

@@ -774,3 +774,34 @@ def q35_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("p_name").cast("bigint").alias("name_len"),
         F.substring("p_type", 1, 3).alias("type_pfx"),
     ).orderBy("p_partkey")
+
+
+# --------------------------------------------------------------------------
+# q36: null-handling / conditional expression surface — COALESCE, NULLIF,
+# GREATEST, LEAST, IF. All codegen scalar expressions; NULLIF manufactures
+# the nulls so the null-propagation paths are actually exercised.
+# --------------------------------------------------------------------------
+@register(
+    "q36_conditional_functions",
+    oracle="""
+SELECT c_custkey,
+       NULLIF(c_mktsegment, 'BUILDING') AS seg_nullable,
+       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'suppressed') AS seg_filled,
+       CAST(GREATEST(c_acctbal, 0.0) AS DOUBLE) AS bal_floor,
+       CAST(LEAST(c_acctbal, 1000.0) AS DOUBLE) AS bal_cap,
+       CASE WHEN c_acctbal < 0 THEN 'debtor' ELSE 'credit' END AS standing
+FROM customer
+ORDER BY c_custkey
+""",
+)
+def q36_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    seg_nullable = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return c.select(
+        "c_custkey",
+        seg_nullable.alias("seg_nullable"),
+        F.coalesce(seg_nullable, F.lit("suppressed")).alias("seg_filled"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).cast("double").alias("bal_floor"),
+        F.least(F.col("c_acctbal"), F.lit(1000.0)).cast("double").alias("bal_cap"),
+        F.when(F.col("c_acctbal") < 0, "debtor").otherwise("credit").alias("standing"),
+    ).orderBy("c_custkey")

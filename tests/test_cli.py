@@ -136,3 +136,17 @@ def test_run_operation_renders_and_executes(tmp_path, capsys):
     )
     out = capsys.readouterr().out
     assert rc == 0 and "1" in out  # one row (x=2) qualifies
+
+
+def test_sql_compile_with_vars_override(tmp_path, capsys):
+    from dbt_osmosis_spark.cli import main
+
+    proj = tmp_path / "proj"
+    (proj / "models").mkdir(parents=True)
+    (proj / "project.yml").write_text("name: varsdemo\nvars:\n  lo: 1\n")
+    rc = main(
+        ["--project-dir", str(proj), "sql", "compile",
+         "select {{ var('lo') }} as lo", "--vars", '{"lo": 42}']
+    )
+    out = capsys.readouterr().out
+    assert rc == 0 and "select 42 as lo" in out

@@ -118,3 +118,58 @@ def test_schema_validator_never_crashes(doc):
     if isinstance(doc, dict):
         violations = validate_schema_doc(doc)
         assert isinstance(violations, list)
+
+
+# ---- contracts: type normalization ----------------------------------------
+
+_TYPE_BASES = [
+    "text", "varchar", "char", "string", "int", "integer", "bigint", "long",
+    "smallint", "tinyint", "float", "real", "double", "double precision",
+    "bool", "boolean", "date", "timestamp", "numeric", "decimal",
+]
+
+
+@given(
+    base=st.sampled_from(_TYPE_BASES),
+    args=st.one_of(
+        st.none(),
+        st.tuples(st.integers(1, 38), st.integers(0, 18)).map(
+            lambda t: f"({t[0]},{min(t)})"
+        ),
+        st.integers(1, 4096).map(lambda n: f"({n})"),
+    ),
+    shout=st.booleans(),
+)
+def test_normalize_type_idempotent_and_case_free(base, args, shout):
+    from dbt_osmosis_spark.contracts import normalize_type
+
+    s = base + (args or "")
+    n1 = normalize_type(s.upper() if shout else s)
+    assert normalize_type(n1) == n1  # idempotent
+    assert n1 == normalize_type(s)  # case-insensitive
+
+
+# ---- state fingerprints ----------------------------------------------------
+
+@given(
+    sql=st.text(min_size=1, max_size=200),
+    cfg=st.dictionaries(
+        st.text(st.characters(categories=("Ll",)), min_size=1, max_size=8),
+        st.one_of(st.integers(), st.text(max_size=10), st.booleans()),
+        max_size=5,
+    ),
+)
+def test_fingerprint_stable_under_config_ordering_and_sql_sensitive(sql, cfg):
+    from dbt_osmosis_spark.project import Manifest, ModelNode
+    from dbt_osmosis_spark.state import fingerprint
+
+    def mk(s, c):
+        m = Manifest()
+        m.models["m"] = ModelNode(name="m", raw_sql=s, path="models/m.sql", config=c)
+        return m
+
+    f1 = fingerprint(mk(sql, cfg))
+    f2 = fingerprint(mk(sql, dict(reversed(list(cfg.items())))))
+    assert f1 == f2  # dict ordering never matters
+    f3 = fingerprint(mk(sql + "x", cfg))
+    assert f1["model:m"] != f3["model:m"]  # any body edit is detected
