@@ -94,8 +94,10 @@ def lint_model(manifest: Manifest, model: str, keyword_case: str = "lower") -> l
 
 
 def lint_project(manifest: Manifest, keyword_case: str = "lower") -> dict[str, list[LintFinding]]:
-    """(reference project iteration: sql_lint.py:671-695)"""
+    """(reference project iteration: sql_lint.py:671-695; python models are
+    not SQL — the linter skips them)"""
     return {
         name: lint_model(manifest, name, keyword_case=keyword_case)
         for name in manifest.topo_sort()
+        if manifest.models[name].language != "python"
     }

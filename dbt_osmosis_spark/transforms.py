@@ -108,7 +108,14 @@ class TransformPipeline:
         return TransformPipeline([*self.steps, *steps])
 
     def __call__(self, ctx: YamlRefactorContext, node: str | None = None) -> None:
-        nodes = [node] if node else ctx.manifest.topo_sort()
+        # reference candidate filter excludes ephemeral nodes from all
+        # osmosis processing (src/dbt_osmosis/core/node_filters.py:126) —
+        # they have no relation to introspect
+        nodes = [node] if node else [
+            n
+            for n in ctx.manifest.topo_sort()
+            if ctx.manifest.models[n].materialized != "ephemeral"
+        ]
         for step in self.steps:
             t0 = time.perf_counter()
             for n in nodes:
@@ -230,7 +237,12 @@ def sync_to_yaml(ctx: YamlRefactorContext, node: str | None = None) -> list[Path
     classic flat layout."""
     fusion = bool(ctx.settings.get("fusion_compat"))
     written: list[Path] = []
-    for name in [node] if node else ctx.manifest.topo_sort():
+    candidates = [node] if node else [
+        n
+        for n in ctx.manifest.topo_sort()
+        if ctx.manifest.models[n].materialized != "ephemeral"
+    ]
+    for name in candidates:
         path = ctx.doc_path(name)
         doc = ctx.yaml.read(path) if path.exists() else {}
         entry = ensure_model_entry(doc, name)

@@ -77,6 +77,9 @@ def run_unit_test(spark: SparkSession, manifest: Manifest, spec: dict) -> UnitTe
     node = manifest.models.get(model)
     if node is None:
         return UnitTestResult(name, model, False, f"unknown model {model!r}")
+    if node.language == "python":
+        # dbt contract: unit tests mock SQL models only
+        return UnitTestResult(name, model, False, "unit tests support SQL models only")
 
     # register mocks (shadowing any real relations within this session)
     registered = []

@@ -39,8 +39,20 @@ def validate_model(
     rows, time it, cancel on timeout."""
     compiler = JinjaCompiler(manifest)
     t0 = time.perf_counter()
+    node = manifest.models[model]
+    if node.language == "python":
+        # python models validate by building (not materializing) the frame
+        from dbt_osmosis_spark.runner import _run_python_model
+
+        try:
+            n = _run_python_model(spark, node).count()
+            return ValidationResult(model, "success", time.perf_counter() - t0, row_count=n)
+        except Exception as e:
+            return ValidationResult(
+                model, "error", time.perf_counter() - t0, error=str(e)[:500]
+            )
     try:
-        compiled = compiler.compile(manifest.models[model].raw_sql)
+        compiled = compiler.compile(node.raw_sql)
     except Exception as e:  # compile error
         return ValidationResult(model, "error", time.perf_counter() - t0, error=str(e))
 

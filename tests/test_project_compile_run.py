@@ -30,7 +30,12 @@ def test_manifest_shape(manifest):
         "stg_payments",
         "orders",
         "customers",
+        "order_totals",
+        "order_sizes",
+        "segment_stats",
     }
+    assert manifest.models["order_totals"].materialized == "ephemeral"
+    assert manifest.models["segment_stats"].language == "python"
     assert manifest.sources["analytics.events"].format == "parquet"
     assert manifest.models["customers"].depends_on == [
         "stg_customers",
@@ -103,7 +108,12 @@ def test_demo_marts_match_duckdb(spark, manifest, tmp_path):
         )
     compiler = JinjaCompiler(manifest)
     for name in manifest.topo_sort():
-        sql = compiler.compile(manifest.models[name].raw_sql).compiled_sql
+        node = manifest.models[name]
+        if node.language == "python" or node.materialized == "ephemeral":
+            # python models aren't SQL; ephemeral bodies are inlined into
+            # their consumers' compiled SQL as __dbt__cte__ CTEs
+            continue
+        sql = compiler.compile(node.raw_sql).compiled_sql
         con.execute(f"CREATE VIEW {relation_name(name)} AS {sql}")
 
     for mart, key in [("customers", "customer_id"), ("orders", "order_id")]:
