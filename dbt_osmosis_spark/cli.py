@@ -290,6 +290,8 @@ def cmd_export(args) -> int:
         w.option("header", True).csv(args.out)
     elif args.format == "json":
         w.json(args.out)
+    elif args.format == "orc":
+        w.orc(args.out)
     else:
         w.parquet(args.out)
     print(f"exported {args.model} -> {args.out} ({args.format})")
@@ -451,7 +453,7 @@ def build_parser() -> argparse.ArgumentParser:
     ep = sub.add_parser("export", help="export a model to parquet/csv/json")
     ep.add_argument("model")
     ep.add_argument("--out", required=True)
-    ep.add_argument("--format", choices=["parquet", "csv", "json"], default="parquet")
+    ep.add_argument("--format", choices=["parquet", "csv", "json", "orc"], default="parquet")
     ep.add_argument("--single-file", action="store_true")
 
     xp = sub.add_parser("explain", help="physical-plan audit for a model or SQL")

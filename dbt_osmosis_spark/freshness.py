@@ -54,7 +54,7 @@ def check_freshness(
 ) -> list[FreshnessResult]:
     """One result per freshness-configured source. `now` pins the clock
     for deterministic replays/tests; default is wall clock."""
-    from dbt_osmosis_spark.sources.parquet import read_parquet
+    from dbt_osmosis_spark.sources.registry import read_source
 
     now = now or datetime.now()
     results: list[FreshnessResult] = []
@@ -64,12 +64,7 @@ def check_freshness(
         for key, src in manifest.sources.items():
             if not src.loaded_at_field or not src.freshness:
                 continue
-            if src.format == "parquet":
-                df = read_parquet(spark, src.path)
-            elif src.format == "csv":
-                df = spark.read.option("header", True).option("inferSchema", True).csv(src.path)
-            else:
-                df = spark.read.json(src.path)
+            df = read_source(spark, src.path, src.format)
             max_ts = df.agg(F.max(src.loaded_at_field).alias("m")).first().m
             if max_ts is None:
                 results.append(FreshnessResult(key, None, None, "error"))

@@ -88,18 +88,12 @@ def register_views(spark: SparkSession, manifest: Manifest) -> None:
     purpose — views inline, so scans bottom out at the original sources
     and lineage crosses model boundaries."""
     from dbt_osmosis_spark.runner import _run_python_model
-    from dbt_osmosis_spark.sources.parquet import read_parquet
+    from dbt_osmosis_spark.sources.registry import read_source
     from dbt_osmosis_spark.sources.seeds import load_seed
 
     compiler = JinjaCompiler(manifest)
     for key, src in manifest.sources.items():
-        if src.format == "parquet":
-            df = read_parquet(spark, src.path)
-        elif src.format == "csv":
-            df = spark.read.option("header", True).option("inferSchema", True).csv(src.path)
-        else:
-            df = spark.read.json(src.path)
-        df.createOrReplaceTempView(relation_name(key))
+        read_source(spark, src.path, src.format).createOrReplaceTempView(relation_name(key))
     for name, seed in manifest.seeds.items():
         load_seed(spark, seed.path, name=relation_name(name), column_types=seed.column_types)
     for name in manifest.topo_sort():

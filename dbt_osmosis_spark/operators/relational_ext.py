@@ -805,3 +805,65 @@ def q36_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.col("c_acctbal"), F.lit(1000.0)).cast("double").alias("bal_cap"),
         F.when(F.col("c_acctbal") < 0, "debtor").otherwise("credit").alias("standing"),
     ).orderBy("c_custkey")
+
+
+# --------------------------------------------------------------------------
+# q37: integer arithmetic dialect parity (SURVEY §7 hard part (a)). Spark's
+# `/` on integers returns DOUBLE; DuckDB's returns... also double, but
+# `//` floors and `%` follows C semantics in both. The engine's contract:
+# emit EXPLICIT casts so the same SQL text means the same thing on both —
+# int division via CAST+FLOOR (DIV), exact modulo, and decimal division
+# pinned to a scale instead of inheriting engine default precision.
+# --------------------------------------------------------------------------
+@register(
+    "q37_integer_arithmetic",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderkey // 32 AS BIGINT) AS key_div,
+       CAST(o_orderkey % 32 AS BIGINT) AS key_mod,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) / 7 AS DECIMAL(18,6)) AS price_div,
+       CAST(o_totalprice AS DOUBLE) / 7.0 AS price_div_dbl
+FROM orders
+ORDER BY o_orderkey
+""",
+)
+def q37_integer_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.expr("o_orderkey div 32").cast("bigint").alias("key_div"),
+        (F.col("o_orderkey") % 32).cast("bigint").alias("key_mod"),
+        (F.col("o_totalprice").cast("decimal(18,2)") / F.lit(7))
+        .cast("decimal(18,6)")
+        .alias("price_div"),
+        (F.col("o_totalprice").cast("double") / F.lit(7.0)).alias("price_div_dbl"),
+    ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# q38: null ordering dialect parity (SURVEY §7 hard part (a)). Spark sorts
+# NULLS FIRST ascending by default; DuckDB sorts NULLS LAST — silently
+# different row orders for the same ORDER BY. The contract: every sort on
+# a nullable key pins NULLS FIRST/LAST explicitly in both dialects.
+# --------------------------------------------------------------------------
+@register(
+    "q38_null_ordering",
+    oracle="""
+SELECT c_custkey,
+       NULLIF(c_mktsegment, 'BUILDING') AS seg,
+       CAST(c_acctbal AS DOUBLE) AS bal
+FROM customer
+ORDER BY seg ASC NULLS LAST, bal DESC NULLS FIRST, c_custkey
+""",
+)
+def q38_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+    ).orderBy(
+        F.col("seg").asc_nulls_last(),
+        F.col("bal").desc_nulls_first(),
+        F.col("c_custkey"),
+    )

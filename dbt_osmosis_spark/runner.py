@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from dbt_osmosis_spark.compile import JinjaCompiler, relation_name
 from dbt_osmosis_spark.contracts import enforce_contract
 from dbt_osmosis_spark.project import Manifest
-from dbt_osmosis_spark.sources.parquet import read_parquet
+from dbt_osmosis_spark.sources.registry import read_source
 from dbt_osmosis_spark.sources.seeds import load_seed
 
 
@@ -76,14 +76,7 @@ def materialize(
 
     for key, src in manifest.sources.items():
         rel = relation_name(key)
-        if src.format == "parquet":
-            df = read_parquet(spark, src.path)
-        elif src.format == "csv":
-            df = spark.read.option("header", True).option("inferSchema", True).csv(src.path)
-        elif src.format == "json":
-            df = spark.read.json(src.path)
-        else:
-            raise ValueError(f"unsupported source format: {src.format}")
+        df = read_source(spark, src.path, src.format)
         df.createOrReplaceTempView(rel)
         report.results.append(RunResult(key, "source", "view"))
 

@@ -301,3 +301,24 @@ def test_ephemeral_materialization_inlines_as_cte(spark, tmp_path):
     assert "eph_base" not in [t.name for t in spark.catalog.listTables()]
     got = {row.id: (row.v2, row.one) for row in spark.table("eph_final").collect()}
     assert got == {2: (40.0, 1), 3: (60.0, 1)}
+
+
+def test_orc_source_format(spark, tmp_path):
+    from dbt_osmosis_spark.project import load_project
+    from dbt_osmosis_spark.runner import materialize
+
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string").write.mode(
+        "overwrite"
+    ).orc(f"{tmp_path}/feed_orc")
+    proj = tmp_path / "proj"
+    (proj / "models").mkdir(parents=True)
+    (proj / "project.yml").write_text("name: orcdemo\n")
+    (proj / "sources.yml").write_text(
+        "sources:\n- name: raw\n  tables:\n"
+        f"  - name: feed\n    path: {tmp_path}/feed_orc\n    format: orc\n"
+    )
+    (proj / "models" / "m.sql").write_text(
+        "select count(*) as n from {{ source('raw', 'feed') }}\n"
+    )
+    materialize(spark, load_project(proj))
+    assert spark.table("m").first().n == 2
