@@ -263,6 +263,15 @@ def _parse_inline_config(sql: str, config_re: re.Pattern | None = None) -> dict:
     m = (config_re or _CONFIG_RE).search(sql)
     if not m:
         return {}
+
+    def unquote(s: str) -> str:
+        # strip ONE matching outer quote pair only — quotes inside the
+        # literal (e.g. predicates like "day >= 'd2'") must survive
+        s = s.strip()
+        if len(s) >= 2 and s[0] == s[-1] and s[0] in "'\"":
+            return s[1:-1]
+        return s
+
     out: dict = {}
     for part in _split_kwargs(m.group(1)):
         if "=" not in part:
@@ -271,10 +280,10 @@ def _parse_inline_config(sql: str, config_re: re.Pattern | None = None) -> dict:
         v = v.strip()
         if v.startswith("[") and v.endswith("]"):
             out[k.strip()] = [
-                item.strip().strip("'\"") for item in v[1:-1].split(",") if item.strip()
+                unquote(item) for item in v[1:-1].split(",") if item.strip()
             ]
         elif v.startswith(("'", '"')):
-            out[k.strip()] = v.strip("'\"")
+            out[k.strip()] = unquote(v)
         elif v.lower() in ("true", "false"):
             out[k.strip()] = v.lower() == "true"
         elif v.lstrip("-").isdigit():

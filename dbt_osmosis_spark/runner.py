@@ -348,12 +348,59 @@ def _materialize_incremental(
             writer = writer.partitionBy(*parts)
         writer.parquet(out)
     elif strategy == "merge":
+        from pyspark.sql import functions as F
+
         key = node.config.get("unique_key")
         if not key:
             raise ValueError(f"incremental model {node.name}: merge needs unique_key")
         existing = spark.read.option("mergeSchema", "true").parquet(out)
-        keep = existing.join(new_rows.select(key).distinct(), key, "left_anti")
-        merged = keep.unionByName(new_rows, allowMissingColumns=True)
+
+        # dbt incremental_predicates: bound the portion of the target the
+        # merge examines. Out-of-scope rows pass through untouched and —
+        # critically for scale — their predicate is pushed to the parquet
+        # scan, so with zone-mapped/partitioned layout the in-scope scan
+        # reads only the merge window, not the whole table. (dbt's
+        # documented contract: a key appearing outside the window is NOT
+        # deduplicated — the user promises the window covers the keys.)
+        preds = node.config.get("incremental_predicates")
+        if preds:
+            if isinstance(preds, str):
+                preds = [preds]
+            pred = F.expr(" AND ".join(f"({p})" for p in preds))
+            in_scope = existing.filter(pred)
+            out_scope = existing.filter(~F.coalesce(pred, F.lit(False)))
+        else:
+            in_scope, out_scope = existing, None
+
+        upd_cols = node.config.get("merge_update_columns")
+        excl_cols = node.config.get("merge_exclude_columns")
+        if isinstance(upd_cols, str):
+            upd_cols = [upd_cols]
+        if isinstance(excl_cols, str):
+            excl_cols = [excl_cols]
+        if upd_cols or excl_cols:
+            # partial-update merge: matched rows take NEW values only for
+            # the update set; every other column retains the OLD value
+            data_cols = [c for c in existing.columns if c != key]
+            upd = list(upd_cols or [c for c in data_cols if c not in (excl_cols or [])])
+            o, n = in_scope.alias("o"), new_rows.alias("n")
+            matched = o.join(n, key, "inner").select(
+                key,
+                *[
+                    (F.col(f"n.{c}") if c in upd else F.col(f"o.{c}")).alias(c)
+                    for c in data_cols
+                ],
+            )
+            old_unmatched = in_scope.join(new_rows.select(key).distinct(), key, "left_anti")
+            new_unmatched = new_rows.join(existing.select(key).distinct(), key, "left_anti")
+            merged = old_unmatched.unionByName(matched).unionByName(
+                new_unmatched.select(old_unmatched.columns)
+            )
+        else:
+            keep = in_scope.join(new_rows.select(key).distinct(), key, "left_anti")
+            merged = keep.unionByName(new_rows, allowMissingColumns=True)
+        if out_scope is not None:
+            merged = out_scope.unionByName(merged, allowMissingColumns=True)
         if on_sc == "sync_all_columns":
             # the rewrite adopts the model's current schema outright
             merged = merged.select(*model_cols)

@@ -338,3 +338,51 @@ select * from {{ source('raw', 'feed') }}
     assert t.columns == ["id", "day", "w"]  # model's current schema adopted
     got = {r.id: r.w for r in t.collect()}
     assert got == {1: None, 2: 20, 3: 30}
+
+
+# ---- merge refinements -----------------------------------------------------
+
+def test_merge_update_columns_partial_update(spark, tmp_path):
+    """merge_update_columns: matched rows take new values ONLY for the
+    listed columns; everything else keeps the old value."""
+    sql = """
+{{ config(materialized='incremental', incremental_strategy='merge',
+          unique_key='id', merge_update_columns=['v']) }}
+select id, day, v from {{ source('raw', 'feed') }}
+"""
+    _write_feed(spark, tmp_path, [(1, "d1", 1.0), (2, "d1", 2.0)])
+    proj = _project(tmp_path, sql)
+    wh = str(tmp_path / "wh")
+    materialize(spark, load_project(proj), warehouse_dir=wh)
+
+    # id=2 arrives with BOTH day and v changed; only v may update
+    _write_feed(spark, tmp_path, [(2, "dX", 20.0), (3, "d3", 3.0)])
+    materialize(spark, load_project(proj), warehouse_dir=wh)
+    got = {r.id: (r.day, r.v) for r in spark.table("inc_model").collect()}
+    assert got == {1: ("d1", 1.0), 2: ("d1", 20.0), 3: ("d3", 3.0)}
+
+
+def test_merge_incremental_predicates_bound_the_window(spark, tmp_path):
+    """incremental_predicates: rows outside the window pass through
+    untouched — including dbt's documented footgun that an out-of-window
+    key match is NOT deduplicated."""
+    sql = """
+{{ config(materialized='incremental', incremental_strategy='merge',
+          unique_key='id', incremental_predicates=["day >= 'd2'"]) }}
+select id, day, v from {{ source('raw', 'feed') }}
+"""
+    _write_feed(spark, tmp_path, [(1, "d1", 1.0), (2, "d2", 2.0)])
+    proj = _project(tmp_path, sql)
+    wh = str(tmp_path / "wh")
+    materialize(spark, load_project(proj), warehouse_dir=wh)
+
+    # id=2 (in window) upserts; id=1 re-arrives but its old row is OUTSIDE
+    # the window -> duplicate by contract
+    _write_feed(spark, tmp_path, [(1, "d3", 100.0), (2, "d2", 20.0)])
+    materialize(spark, load_project(proj), warehouse_dir=wh)
+    rows = spark.table("inc_model").collect()
+    assert sorted((r.id, r.day, r.v) for r in rows) == [
+        (1, "d1", 1.0),   # untouched out-of-window original
+        (1, "d3", 100.0), # new arrival (documented duplicate)
+        (2, "d2", 20.0),  # in-window upsert
+    ]
