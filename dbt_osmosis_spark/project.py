@@ -136,6 +136,26 @@ class Manifest:
             raise ValueError(f"dependency cycle among models: {cyclic}")
         return out
 
+    def topo_layers(self) -> list[list[str]]:
+        """Kahn LEVELS: each layer's models depend only on earlier layers,
+        so one layer's members can materialize concurrently (dbt `threads`
+        semantics; runner.materialize threads>1)."""
+        remaining = {
+            name: {d for d in node.depends_on if d in self.models}
+            for name, node in self.models.items()
+        }
+        layers: list[list[str]] = []
+        done: set[str] = set()
+        while remaining:
+            ready = sorted(n for n, deps in remaining.items() if deps <= done)
+            if not ready:
+                raise ValueError(f"dependency cycle among models: {sorted(remaining)}")
+            layers.append(ready)
+            done |= set(ready)
+            for n in ready:
+                del remaining[n]
+        return layers
+
     def ancestors(self, names: set[str]) -> set[str]:
         """Transitive model parents of `names` (models only), excluding
         `names` themselves."""

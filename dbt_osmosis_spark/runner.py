@@ -55,6 +55,7 @@ def materialize(
     partition_overrides: dict[str, list[str]] | None = None,
     select: list[str] | None = None,
     previous_state: dict[str, str] | None = None,
+    threads: int = 1,
 ) -> RunReport:
     """Register all nodes as Spark relations, parents first.
 
@@ -65,6 +66,14 @@ def materialize(
     selected models run with their configured materialization; unselected
     ancestors register as plain views so refs resolve (lazy — Catalyst
     inlines them, no compute), and everything else is skipped.
+
+    ``threads`` is dbt's setting of the same name: models within one
+    dependency layer (Kahn level) materialize concurrently. Each thread
+    only SUBMITS Spark jobs — the cluster parallelizes within a job
+    already, so threads>1 pays off when the DAG is wide and individual
+    models leave executors idle (small models, skewed tails, blocking
+    writes). Spark job submission is thread-safe; view registration is
+    per-name so layer-mates never race on a relation.
     """
     report = RunReport()
     compiler = JinjaCompiler(manifest)
@@ -88,16 +97,15 @@ def materialize(
             RunResult(name, "seed", "view", rows=df.count() if count_rows else None)
         )
 
-    for name in manifest.topo_sort():
+    def _process_model(name: str) -> RunResult | None:
         node = manifest.models[name]
         rel = relation_name(name)
         if needed is not None and name not in needed:
-            continue
+            return None
         if node.materialized == "ephemeral":
             # dbt contract: ephemeral models never become relations — every
             # consumer inlines the body as a __dbt__cte__ CTE at compile time
-            report.results.append(RunResult(name, "model", "ephemeral"))
-            continue
+            return RunResult(name, "model", "ephemeral")
         if selected is not None and name not in selected:
             # unselected ancestor: register lazily so refs resolve
             if node.language == "python":
@@ -105,20 +113,15 @@ def materialize(
             else:
                 compiled = compiler.compile(node.raw_sql)
                 spark.sql(compiled.compiled_sql).createOrReplaceTempView(rel)
-            report.results.append(RunResult(name, "model", "view(upstream)"))
-            continue
+            return RunResult(name, "model", "view(upstream)")
         if node.materialized == "incremental":
-            result = _materialize_incremental(
+            return _materialize_incremental(
                 spark, compiler, node, rel, warehouse_dir, count_rows
             )
-            report.results.append(result)
-            continue
         if node.materialized == "snapshot":
-            result = _materialize_snapshot(
+            return _materialize_snapshot(
                 spark, compiler, node, rel, warehouse_dir, count_rows
             )
-            report.results.append(result)
-            continue
         if node.language == "python":
             df: DataFrame = _run_python_model(spark, node)
             compiled_sql = None
@@ -146,16 +149,13 @@ def materialize(
                     .sortBy(*cols)
                     .saveAsTable(rel)
                 )
-                report.results.append(
-                    RunResult(
-                        name,
-                        "model",
-                        "table(bucketed)",
-                        rows=spark.table(rel).count() if count_rows else None,
-                        compiled_sql=compiled_sql,
-                    )
+                return RunResult(
+                    name,
+                    "model",
+                    "table(bucketed)",
+                    rows=spark.table(rel).count() if count_rows else None,
+                    compiled_sql=compiled_sql,
                 )
-                continue
             if warehouse_dir is None:
                 raise ValueError(f"model {name} is materialized=table but no warehouse_dir")
             out = os.path.join(warehouse_dir, f"{name}.parquet")
@@ -186,15 +186,27 @@ def materialize(
             writer.parquet(out)
             df = spark.read.parquet(out)
         df.createOrReplaceTempView(rel)
-        report.results.append(
-            RunResult(
-                name,
-                "model",
-                node.materialized,
-                rows=df.count() if count_rows else None,
-                compiled_sql=compiled_sql,
-            )
+        return RunResult(
+            name,
+            "model",
+            node.materialized,
+            rows=df.count() if count_rows else None,
+            compiled_sql=compiled_sql,
         )
+
+    if threads <= 1:
+        for name in manifest.topo_sort():
+            result = _process_model(name)
+            if result is not None:
+                report.results.append(result)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        for layer in manifest.topo_layers():
+            with ThreadPoolExecutor(max_workers=threads) as pool:
+                for result in pool.map(_process_model, sorted(layer)):
+                    if result is not None:
+                        report.results.append(result)
     return report
 
 

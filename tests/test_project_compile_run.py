@@ -322,3 +322,22 @@ def test_orc_source_format(spark, tmp_path):
     )
     materialize(spark, load_project(proj))
     assert spark.table("m").first().n == 2
+
+
+def test_threaded_materialize_matches_sequential(spark, manifest, tmp_path):
+    """dbt threads: layer-parallel materialization produces the same
+    relations and rows as the sequential run."""
+    seq = materialize(spark, manifest, warehouse_dir=str(tmp_path / "a"), count_rows=True)
+    seq_rows = {r.name: r.rows for r in seq.results}
+    par = materialize(
+        spark, manifest, warehouse_dir=str(tmp_path / "b"), count_rows=True, threads=4
+    )
+    par_rows = {r.name: r.rows for r in par.results}
+    assert seq_rows == par_rows
+    # layers respect dependencies
+    layers = manifest.topo_layers()
+    pos = {n: i for i, layer in enumerate(layers) for n in layer}
+    for name, node in manifest.models.items():
+        for d in node.depends_on:
+            if d in manifest.models:
+                assert pos[d] < pos[name], (d, name)
