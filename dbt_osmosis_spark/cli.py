@@ -64,6 +64,7 @@ def cmd_run(args) -> int:
         select=getattr(args, "select", None),
         previous_state=previous_state,
         threads=getattr(args, "threads", 1),
+        full_refresh=getattr(args, "full_refresh", False),
     )
     for r in report.results:
         rows = "" if r.rows is None else f"  rows={r.rows}"
@@ -420,6 +421,9 @@ def build_parser() -> argparse.ArgumentParser:
     rp.add_argument("--state", default=None, help="state dir/file for state:modified")
     rp.add_argument("--vars", default=None, help="JSON object overriding project vars")
     rp.add_argument("--threads", type=int, default=1, help="dbt threads: layer-parallel model builds")
+    rp.add_argument(
+        "--full-refresh", action="store_true", help="rebuild incremental models from scratch"
+    )
     rp.add_argument(
         "--write-state", default=None, help="write state.json fingerprints to this dir after the run"
     )

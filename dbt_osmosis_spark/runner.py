@@ -56,6 +56,7 @@ def materialize(
     select: list[str] | None = None,
     previous_state: dict[str, str] | None = None,
     threads: int = 1,
+    full_refresh: bool = False,
 ) -> RunReport:
     """Register all nodes as Spark relations, parents first.
 
@@ -114,6 +115,22 @@ def materialize(
                 compiled = compiler.compile(node.raw_sql)
                 spark.sql(compiled.compiled_sql).createOrReplaceTempView(rel)
             return RunResult(name, "model", "view(upstream)")
+        if node.materialized in ("incremental", "snapshot"):
+            # dbt --full-refresh: drop and rebuild from scratch — unless the
+            # model pins full_refresh=false (the guard that keeps a fat
+            # event table from being accidentally nuked). Snapshots never
+            # full-refresh in dbt (history would be unrecoverable).
+            if (
+                full_refresh
+                and node.materialized == "incremental"
+                and node.config.get("full_refresh") is not False
+                and warehouse_dir is not None
+            ):
+                import shutil
+
+                shutil.rmtree(
+                    os.path.join(warehouse_dir, f"{name}.parquet"), ignore_errors=True
+                )
         if node.materialized == "incremental":
             return _materialize_incremental(
                 spark, compiler, node, rel, warehouse_dir, count_rows

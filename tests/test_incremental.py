@@ -11,7 +11,7 @@ from dbt_osmosis_spark.runner import materialize
 
 def _project(tmp_path, model_sql: str, name="inc_model"):
     proj = tmp_path / "proj"
-    (proj / "models").mkdir(parents=True)
+    (proj / "models").mkdir(parents=True, exist_ok=True)
     (proj / "project.yml").write_text("name: incdemo\n")
     (proj / "sources.yml").write_text(
         "sources:\n- name: raw\n  tables:\n"
@@ -386,3 +386,29 @@ select id, day, v from {{ source('raw', 'feed') }}
         (1, "d3", 100.0), # new arrival (documented duplicate)
         (2, "d2", 20.0),  # in-window upsert
     ]
+
+
+def test_full_refresh_rebuilds_and_respects_protection(spark, tmp_path):
+    """--full-refresh drops and rebuilds incrementals — unless the model
+    pins full_refresh=false (dbt's fat-table protection)."""
+    _write_feed(spark, tmp_path, [(1, "d1", 1.0), (2, "d1", 2.0)])
+    proj = _project(tmp_path, APPEND_SQL)
+    wh = str(tmp_path / "wh")
+    materialize(spark, load_project(proj), warehouse_dir=wh)
+
+    # feed shrinks to one row; a normal run keeps history, full refresh
+    # rebuilds from the current feed alone
+    _write_feed(spark, tmp_path, [(9, "d9", 9.0)])
+    r = materialize(spark, load_project(proj), warehouse_dir=wh, count_rows=True, full_refresh=True)
+    inc = [x for x in r.results if x.name == "inc_model"][0]
+    assert inc.materialized == "incremental(full build)" and inc.rows == 1
+
+    protected = APPEND_SQL.replace(
+        "incremental_strategy='append'", "incremental_strategy='append', full_refresh=false"
+    )
+    proj2 = _project(tmp_path, protected, name="inc_model")
+    _write_feed(spark, tmp_path, [(1, "d1", 1.0)])
+    materialize(spark, load_project(proj2), warehouse_dir=wh, full_refresh=True)
+    # the protected model did NOT rebuild: row 9 from before still present
+    ids = {r.id for r in spark.table("inc_model").collect()}
+    assert 9 in ids
