@@ -42,6 +42,80 @@ def _relation_for(name: str) -> str:
     return name.replace(".", "__")
 
 
+class _QueryResult:
+    """Minimal agate-Table stand-in returned by `run_query` in macros:
+    `.columns` (names) and iterable `.rows` (pyspark Rows — attribute and
+    index access both work, like agate rows)."""
+
+    def __init__(self, columns: list[str], rows: list):
+        self.columns = columns
+        self.rows = rows
+
+    def __iter__(self):
+        return iter(self.rows)
+
+    def __len__(self) -> int:
+        return len(self.rows)
+
+
+class _DbtUtils:
+    """Built-in macro namespace covering the dbt_utils calls compiled
+    models lean on most. Everything renders to Spark SQL TEXT (these are
+    codegen helpers, not runtime operators); the introspective ones
+    (`star`, `get_column_values`) need the compiler's live SparkSession.
+    """
+
+    def __init__(self, compiler: "JinjaCompiler"):
+        self._c = compiler
+
+    def _spark(self):
+        if self._c.spark is None:
+            raise RuntimeError(
+                "this macro introspects relations and needs a live engine "
+                "(JinjaCompiler(manifest, spark=...))"
+            )
+        return self._c.spark
+
+    def star(self, relation: str, **kw) -> str:
+        """Column list of `relation` minus `except` — dbt_utils.star."""
+        exc = {c.lower() for c in (kw.get("except") or kw.get("except_") or [])}
+        cols = [f.name for f in self._spark().table(relation).schema.fields]
+        return ", ".join(c for c in cols if c.lower() not in exc)
+
+    def surrogate_key(self, cols: list[str]) -> str:
+        """Deterministic md5 key over the columns (null-safe, dbt_utils
+        generate_surrogate_key semantics: nulls encode as a sentinel)."""
+        parts = ", ".join(f"coalesce(cast({c} as string), '_null_')" for c in cols)
+        return f"md5(concat_ws('-', {parts}))"
+
+    def get_column_values(self, relation: str, column: str, limit: int | None = None) -> list:
+        """Distinct values of a column at compile time (drives codegen
+        loops like dynamic pivots) — one small distinct query."""
+        df = self._spark().table(relation).select(column).distinct().orderBy(column)
+        if limit:
+            df = df.limit(limit)
+        return [r[0] for r in df.collect()]
+
+    def date_spine(self, datepart: str, start_date: str, end_date: str) -> str:
+        """Inline date spine subquery (sequence+explode — in-plan, no
+        driver loop; same shape as operator q32)."""
+        return (
+            f"(select explode(sequence(cast('{start_date}' as date), "
+            f"cast('{end_date}' as date), interval 1 {datepart})) "
+            f"as date_{datepart})"
+        )
+
+    def pivot(self, column: str, values: list, agg: str = "sum", then_value: str = "1") -> str:
+        """Manual pivot expression list — dbt_utils.pivot."""
+        exprs = []
+        for v in values:
+            safe = re.sub(r"[^A-Za-z0-9_]", "_", str(v))
+            exprs.append(
+                f"{agg}(case when {column} = '{v}' then {then_value} else 0 end) as {column}_{safe}"
+            )
+        return ", ".join(exprs)
+
+
 class JinjaCompiler:
     """Compile Jinja-SQL against a manifest.
 
@@ -49,10 +123,15 @@ class JinjaCompiler:
     source('s','t')           → relation name of source s.t
     var('k', default)         → project vars
     config(...)               → swallowed at compile time (parsed separately)
+    run_query(sql)            → compile-time query (needs spark); rows+columns
+    execute                   → dbt's parse-vs-execute flag (spark is bound?)
+    dbt_utils.*               → built-in macro namespace (star, surrogate_key,
+                                get_column_values, date_spine, pivot)
     """
 
-    def __init__(self, manifest: Manifest):
+    def __init__(self, manifest: Manifest, spark=None):
         self.manifest = manifest
+        self.spark = spark
         self.env = jinja2.Environment(undefined=jinja2.StrictUndefined)
         # pinned once per compiler: every model in a run sees the SAME
         # run_started_at (dbt contract — enables consistent partition stamps)
@@ -127,6 +206,19 @@ class JinjaCompiler:
                 raise KeyError(f"env_var('{key}') is not set and has no default")
             return val
 
+        def run_query(q: str) -> _QueryResult:
+            # dbt's compile-time query hook (macro introspection, dynamic
+            # codegen). The inner SQL goes through the same compile so
+            # ref()/source() resolve; the result is collected to the driver
+            # — macros should query SMALL things (distinct values, maxes)
+            if self.spark is None:
+                raise RuntimeError(
+                    "run_query needs a live engine: JinjaCompiler(manifest, spark=...)"
+                )
+            inner = self.compile(q, extra_vars).compiled_sql
+            df = self.spark.sql(inner)
+            return _QueryResult(list(df.columns), df.collect())
+
         # dbt macro semantics: project macros/*.sql definitions are in scope
         # for every model (prepended — {% macro %} blocks render to nothing)
         if self.manifest.macro_source:
@@ -140,6 +232,11 @@ class JinjaCompiler:
             this=this or "",
             is_incremental=is_incremental,
             env_var=env_var,
+            run_query=run_query,
+            # dbt's parse-vs-execute flag: macros guard introspection with
+            # {% if execute %} — true exactly when an engine is bound
+            execute=self.spark is not None,
+            dbt_utils=_DbtUtils(self),
             # dbt target context: the engine IS the target (profiles.yml's
             # role collapses to the SparkSession)
             target={

@@ -91,7 +91,7 @@ def register_views(spark: SparkSession, manifest: Manifest) -> None:
     from dbt_osmosis_spark.sources.registry import read_source
     from dbt_osmosis_spark.sources.seeds import load_seed
 
-    compiler = JinjaCompiler(manifest)
+    compiler = JinjaCompiler(manifest, spark=spark)
     for key, src in manifest.sources.items():
         read_source(spark, src.path, src.format).createOrReplaceTempView(relation_name(key))
     for name, seed in manifest.seeds.items():

@@ -77,7 +77,7 @@ def materialize(
     per-name so layer-mates never race on a relation.
     """
     report = RunReport()
-    compiler = JinjaCompiler(manifest)
+    compiler = JinjaCompiler(manifest, spark=spark)
     selected: set[str] | None = None
     needed: set[str] | None = None
     if select is not None:

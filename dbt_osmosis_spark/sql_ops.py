@@ -18,9 +18,9 @@ from dbt_osmosis_spark.project import Manifest
 
 
 def compile_sql_code(
-    manifest: Manifest, sql: str, extra_vars: dict | None = None
+    manifest: Manifest, sql: str, extra_vars: dict | None = None, spark: SparkSession | None = None
 ) -> CompiledSQL:
-    return JinjaCompiler(manifest).compile(sql, extra_vars)
+    return JinjaCompiler(manifest, spark=spark).compile(sql, extra_vars)
 
 
 def execute_sql_code(
@@ -32,7 +32,7 @@ def execute_sql_code(
     """Compile (if Jinja) then execute on Spark. Relations named by
     ref()/source() must already be registered (see runner.materialize)."""
     if has_jinja(sql):
-        compiled = compile_sql_code(manifest, sql, extra_vars)
+        compiled = compile_sql_code(manifest, sql, extra_vars, spark=spark)
     else:
         compiled = CompiledSQL(raw_sql=sql, compiled_sql=sql)
     return compiled, spark.sql(compiled.compiled_sql)
