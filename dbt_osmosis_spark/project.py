@@ -87,12 +87,12 @@ class ModelNode:
 
 _REF_RE = re.compile(r"{{\s*ref\(\s*['\"]([^'\"]+)['\"]\s*\)\s*}}")
 _SOURCE_RE = re.compile(r"{{\s*source\(\s*['\"]([^'\"]+)['\"]\s*,\s*['\"]([^'\"]+)['\"]\s*\)\s*}}")
-_CONFIG_RE = re.compile(r"{{\s*config\(([^)]*)\)\s*}}")
+_CONFIG_RE = re.compile(r"{{\s*config\(")
 # python models (dbt `def model(dbt, session)`): static extraction mirrors
 # dbt's AST scan of dbt.ref/dbt.source/dbt.config calls before execution
 _PY_REF_RE = re.compile(r"dbt\.ref\(\s*['\"]([^'\"]+)['\"]\s*\)")
 _PY_SOURCE_RE = re.compile(r"dbt\.source\(\s*['\"]([^'\"]+)['\"]\s*,\s*['\"]([^'\"]+)['\"]\s*\)")
-_PY_CONFIG_RE = re.compile(r"dbt\.config\(([^)]*)\)")
+_PY_CONFIG_RE = re.compile(r"dbt\.config\(")
 
 
 @dataclass
@@ -107,6 +107,9 @@ class Manifest:
     # concatenated {% macro %} definitions from macros/*.sql, prepended to
     # every model at compile time (dbt macro semantics)
     macro_source: str = ""
+    # project-level hooks from project.yml (dbt on-run-start / on-run-end)
+    on_run_start: list[str] = field(default_factory=list)
+    on_run_end: list[str] = field(default_factory=list)
 
     def node_names(self) -> set[str]:
         return set(self.models) | set(self.sources) | set(self.seeds)
@@ -254,22 +257,50 @@ class Manifest:
             yield node
 
 
-def _split_kwargs(arglist: str) -> list[str]:
-    """Split config kwargs on top-level commas only (list literals like
-    tags=['a', 'b'] stay intact)."""
-    parts: list[str] = []
-    depth = 0
-    cur: list[str] = []
-    for ch in arglist:
-        if ch in "[(":
+def _scan_balanced(s: str, start: int) -> str | None:
+    """Return the substring from `start` (just past an opening paren) to
+    its matching close paren, respecting nesting and quoted strings."""
+    depth = 1
+    quote: str | None = None
+    for i in range(start, len(s)):
+        ch = s[i]
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch in "([":
             depth += 1
         elif ch in ")]":
             depth -= 1
-        if ch == "," and depth == 0:
+            if depth == 0:
+                return s[start:i]
+    return None
+
+
+def _split_kwargs(arglist: str) -> list[str]:
+    """Split config kwargs on top-level commas only: list literals like
+    tags=['a', 'b'] stay intact, and commas INSIDE quoted strings (hook
+    SQL like pre_hook='select 1, 2') never split."""
+    parts: list[str] = []
+    depth = 0
+    quote: str | None = None
+    cur: list[str] = []
+    for ch in arglist:
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch in "[(":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
             parts.append("".join(cur))
             cur = []
-        else:
-            cur.append(ch)
+            continue
+        cur.append(ch)
     if cur:
         parts.append("".join(cur))
     return parts
@@ -283,6 +314,11 @@ def _parse_inline_config(sql: str, config_re: re.Pattern | None = None) -> dict:
     m = (config_re or _CONFIG_RE).search(sql)
     if not m:
         return {}
+    # scan to the MATCHING close paren (depth + quote aware) — a naive
+    # [^)]* regex truncates at the first ')' inside hook SQL like count(*)
+    args = _scan_balanced(sql, m.end())
+    if args is None:
+        return {}
 
     def unquote(s: str) -> str:
         # strip ONE matching outer quote pair only — quotes inside the
@@ -293,7 +329,7 @@ def _parse_inline_config(sql: str, config_re: re.Pattern | None = None) -> dict:
         return s
 
     out: dict = {}
-    for part in _split_kwargs(m.group(1)):
+    for part in _split_kwargs(args):
         if "=" not in part:
             continue
         k, v = part.split("=", 1)
@@ -325,6 +361,13 @@ def load_project(project_dir: str | Path) -> Manifest:
         manifest.project_name = cfg.get("name", project_dir.name)
         manifest.vars = cfg.get("vars", {}) or {}
         seed_configs = cfg.get("seeds", {}) or {}
+
+        def _hooks(key: str) -> list[str]:
+            v = cfg.get(key) or cfg.get(key.replace("-", "_")) or []
+            return [v] if isinstance(v, str) else list(v)
+
+        manifest.on_run_start = _hooks("on-run-start")
+        manifest.on_run_end = _hooks("on-run-end")
 
     src_file = project_dir / "sources.yml"
     if src_file.exists() and _pyyaml is not None:

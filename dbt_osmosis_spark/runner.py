@@ -98,6 +98,18 @@ def materialize(
             RunResult(name, "seed", "view", rows=df.count() if count_rows else None)
         )
 
+    def _run_hooks(node, which: str) -> None:
+        # dbt pre_hook/post_hook: arbitrary SQL around the model build
+        # (grants, ANALYZE, audit inserts). Compiled through the same Jinja
+        # context ({{ this }} resolves to the model's relation).
+        hooks = node.config.get(which)
+        if not hooks:
+            return
+        if isinstance(hooks, str):
+            hooks = [hooks]
+        for h in hooks:
+            spark.sql(compiler.compile(h, this=relation_name(node.name)).compiled_sql)
+
     def _process_model(name: str) -> RunResult | None:
         node = manifest.models[name]
         rel = relation_name(name)
@@ -115,6 +127,12 @@ def materialize(
                 compiled = compiler.compile(node.raw_sql)
                 spark.sql(compiled.compiled_sql).createOrReplaceTempView(rel)
             return RunResult(name, "model", "view(upstream)")
+        _run_hooks(node, "pre_hook")
+        result = _materialize_body(name, node, rel)
+        _run_hooks(node, "post_hook")
+        return result
+
+    def _materialize_body(name: str, node, rel: str) -> RunResult:
         if node.materialized in ("incremental", "snapshot"):
             # dbt --full-refresh: drop and rebuild from scratch — unless the
             # model pins full_refresh=false (the guard that keeps a fat
@@ -211,6 +229,9 @@ def materialize(
             compiled_sql=compiled_sql,
         )
 
+    for h in manifest.on_run_start:
+        spark.sql(compiler.compile(h).compiled_sql)
+
     if threads <= 1:
         for name in manifest.topo_sort():
             result = _process_model(name)
@@ -224,6 +245,9 @@ def materialize(
                 for result in pool.map(_process_model, sorted(layer)):
                     if result is not None:
                         report.results.append(result)
+
+    for h in manifest.on_run_end:
+        spark.sql(compiler.compile(h).compiled_sql)
     return report
 
 
