@@ -384,6 +384,36 @@ def cmd_source_freshness(args) -> int:
     return worst
 
 
+def cmd_build(args) -> int:
+    """`dbt build` analog: materialize everything (seeds, models,
+    snapshots, incrementals) then run declared data tests and unit tests;
+    exit 1 on any failure."""
+    from dbt_osmosis_spark.datatests import run_project_tests
+    from dbt_osmosis_spark.transforms import YamlRefactorContext
+    from dbt_osmosis_spark.unittests import run_unit_tests_from_doc
+
+    spark, manifest = _build_context(args)  # materializes the DAG
+    ctx = YamlRefactorContext(spark=spark, manifest=manifest, project_dir=args.project_dir)
+    failed = 0
+    for r in run_project_tests(spark, ctx):
+        status = "pass" if r.passed else "FAIL"
+        failed += 0 if r.passed else 1
+        where = f"{r.model}.{r.column}" if r.column else r.model
+        print(f"test {status:4s} {where}: {r.test}")
+    from pathlib import Path
+
+    for f in sorted(Path(args.project_dir).rglob("*.yml")):
+        doc = ctx.yaml.read(f)
+        if not (doc or {}).get("unit_tests"):
+            continue
+        for u in run_unit_tests_from_doc(spark, manifest, doc):
+            status = "pass" if u.passed else "FAIL"
+            failed += 0 if u.passed else 1
+            print(f"unit {status:4s} {u.model}: {u.name}" + ("" if u.passed else f" — {u.message}"))
+    print(f"build: {'ok' if not failed else f'{failed} failure(s)'}")
+    return 1 if failed else 0
+
+
 def cmd_lineage(args) -> int:
     """Column-level lineage from Catalyst pruning (no jobs run): which
     source columns can affect each output column of a model."""
@@ -467,6 +497,7 @@ def build_parser() -> argparse.ArgumentParser:
     xp.add_argument("--full", action="store_true", help="print the formatted plan too")
 
     sub.add_parser("source-freshness", help="dbt source freshness analog")
+    sub.add_parser("build", help="dbt build analog: run + data tests + unit tests")
 
     rop = sub.add_parser("run-operation", help="render/execute a project macro")
     rop.add_argument("macro")
@@ -496,6 +527,7 @@ _DISPATCH = {
     "lineage": cmd_lineage,
     "source-freshness": cmd_source_freshness,
     "run-operation": cmd_run_operation,
+    "build": cmd_build,
 }
 
 

@@ -150,3 +150,30 @@ def test_sql_compile_with_vars_override(tmp_path, capsys):
     )
     out = capsys.readouterr().out
     assert rc == 0 and "select 42 as lo" in out
+
+
+def test_build_runs_models_and_tests(tmp_path, capsys):
+    """dbt build analog: materialize + data tests + unit tests, exit code
+    reflects failures."""
+    from dbt_osmosis_spark.cli import main
+
+    proj = tmp_path / "proj"
+    (proj / "models").mkdir(parents=True)
+    (proj / "project.yml").write_text("name: builddemo\n")
+    (proj / "models" / "m.sql").write_text("select 1 as id union all select 2 as id\n")
+    (proj / "models" / "m.yml").write_text(
+        "models:\n- name: m\n  columns:\n  - name: id\n    tests: [unique, not_null]\n"
+        "unit_tests:\n"
+        "- name: m_is_identity\n  model: m\n  given: []\n"
+        "  expect:\n    rows:\n    - {id: 1}\n    - {id: 2}\n"
+    )
+    rc = main(["--project-dir", str(proj), "--warehouse-dir", str(tmp_path / "wh"), "build"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "build: ok" in out
+    assert "test pass m.id: unique" in out and "unit pass m: m_is_identity" in out
+
+    # break the data: duplicate id -> build fails
+    (proj / "models" / "m.sql").write_text("select 1 as id union all select 1 as id\n")
+    rc = main(["--project-dir", str(proj), "--warehouse-dir", str(tmp_path / "wh"), "build"])
+    out = capsys.readouterr().out
+    assert rc == 1 and "FAIL" in out
