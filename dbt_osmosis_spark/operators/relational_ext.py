@@ -867,3 +867,38 @@ def q38_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bal").desc_nulls_first(),
         F.col("c_custkey"),
     )
+
+
+# --------------------------------------------------------------------------
+# q39: correlated EXISTS / NOT EXISTS — expressed as SQL text so Catalyst's
+# subquery decorrelation does the rewrite (EXISTS → left-semi, NOT EXISTS →
+# left-anti; one shuffle each, no per-row subquery execution). The
+# DataFrame twins are q11's explicit semi/anti joins; this exercises the
+# SQL path end to end.
+# --------------------------------------------------------------------------
+@register(
+    "q39_correlated_exists",
+    oracle="""
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+  AND NOT EXISTS (SELECT 1 FROM orders o2
+                  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
+                    AND o2.o_totalprice < 1000)
+ORDER BY c_custkey
+""",
+)
+def q39_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "customer").createOrReplaceTempView("_q39_customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("_q39_orders")
+    return spark.sql("""
+        SELECT c_custkey, c_mktsegment
+        FROM _q39_customer c
+        WHERE EXISTS (SELECT 1 FROM _q39_orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+          AND NOT EXISTS (SELECT 1 FROM _q39_orders o2
+                          WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
+                            AND o2.o_totalprice < 1000)
+        ORDER BY c_custkey
+    """)

@@ -272,10 +272,12 @@ class _DbtShim:
     materialized upstream relations (the runner walks parents first, so
     they exist by construction)."""
 
-    def __init__(self, spark: SparkSession, node):
+    def __init__(self, spark: SparkSession, node, incremental: bool = False):
         self._spark = spark
         self.config = _PyModelConfig(node.config)
         self.this = relation_name(node.name)
+        # dbt python-model contract: dbt.is_incremental is a bool attribute
+        self.is_incremental = incremental
 
     def ref(self, name: str) -> DataFrame:
         return self._spark.table(relation_name(name))
@@ -284,7 +286,7 @@ class _DbtShim:
         return self._spark.table(relation_name(f"{source_name}.{table_name}"))
 
 
-def _run_python_model(spark: SparkSession, node) -> DataFrame:
+def _run_python_model(spark: SparkSession, node, incremental: bool = False) -> DataFrame:
     """Execute a dbt python model: the module body runs, then
     `model(dbt, session)` must return a DataFrame.
 
@@ -299,7 +301,7 @@ def _run_python_model(spark: SparkSession, node) -> DataFrame:
     fn = ns.get("model")
     if not callable(fn):
         raise ValueError(f"python model {node.name}: no `def model(dbt, session)` found")
-    df = fn(_DbtShim(spark, node), spark)
+    df = fn(_DbtShim(spark, node, incremental), spark)
     if not isinstance(df, DataFrame):
         raise TypeError(
             f"python model {node.name}: model() must return a DataFrame, got {type(df).__name__}"
@@ -352,8 +354,15 @@ def _materialize_incremental(
 
     if exists:
         spark.read.parquet(out).createOrReplaceTempView(rel)
-    compiled = compiler.compile(node.raw_sql, this=rel, incremental=exists)
-    new_rows: DataFrame = spark.sql(compiled.compiled_sql)
+    if node.language == "python":
+        # python incremental: the model reads prior state via
+        # spark.table(dbt.this) and branches on dbt.is_incremental
+        new_rows: DataFrame = _run_python_model(spark, node, incremental=exists)
+        compiled_sql = None
+    else:
+        compiled = compiler.compile(node.raw_sql, this=rel, incremental=exists)
+        new_rows = spark.sql(compiled.compiled_sql)
+        compiled_sql = compiled.compiled_sql
     if node.contract:
         enforce_contract(node, new_rows)
 
@@ -487,7 +496,7 @@ def _materialize_incremental(
         "model",
         f"incremental({strategy})" if exists else "incremental(full build)",
         rows=df.count() if count_rows else None,
-        compiled_sql=compiled.compiled_sql,
+        compiled_sql=compiled_sql,
     )
 
 

@@ -112,3 +112,47 @@ def test_python_model_must_return_dataframe(spark, tmp_path):
     proj = _project(tmp_path, py_body=body)
     with pytest.raises(TypeError, match="must return a DataFrame"):
         materialize(spark, load_project(proj), warehouse_dir=str(tmp_path / "wh"))
+
+
+def test_python_incremental_model(spark, tmp_path):
+    """Python incremental: dbt.is_incremental branches, prior state read
+    via spark.table(dbt.this), merge strategy upserts."""
+    body = '''
+def model(dbt, session):
+    dbt.config(materialized="incremental", incremental_strategy="merge", unique_key="id")
+    feed = dbt.source("raw", "feed")
+    if dbt.is_incremental:
+        prev_max = session.table(dbt.this).agg({"v": "max"}).first()[0]
+        feed = feed.where(feed.v >= prev_max)
+    return feed.select("id", "label", "v")
+'''
+    _write_feed(spark, tmp_path)
+    proj = tmp_path / "proj2"
+    (proj / "models").mkdir(parents=True)
+    (proj / "project.yml").write_text("name: pyinc\n")
+    (proj / "sources.yml").write_text(
+        "sources:\n- name: raw\n  tables:\n"
+        f"  - name: feed\n    path: {tmp_path}/feed.parquet\n"
+    )
+    (proj / "models" / "py_inc.py").write_text(body)
+    from dbt_osmosis_spark.project import load_project
+
+    wh = str(tmp_path / "wh")
+    manifest = load_project(proj)
+    assert manifest.models["py_inc"].materialized == "incremental"
+    r1 = materialize(spark, manifest, warehouse_dir=wh, count_rows=True)
+    inc = [x for x in r1.results if x.name == "py_inc"][0]
+    assert inc.materialized == "incremental(full build)" and inc.rows == 4
+
+    # update one row's v (id=3 -> 35.0), add id=5; incremental run filters
+    # to v >= prior max (30.0) and merges
+    spark.createDataFrame(
+        [(3, "b", 35.0), (5, "d", 50.0), (1, "a", 1.0)],
+        "id long, label string, v double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/feed.parquet")
+    r2 = materialize(spark, load_project(proj), warehouse_dir=wh, count_rows=True)
+    inc2 = [x for x in r2.results if x.name == "py_inc"][0]
+    assert inc2.materialized == "incremental(merge)"
+    got = {r.id: r.v for r in spark.table("py_inc").collect()}
+    # id=1 old value retained (below watermark, not re-read), 3 upserted, 5 new
+    assert got == {1: 1.0, 2: 2.0, 3: 35.0, 4: 0.5, 5: 50.0}
