@@ -430,3 +430,67 @@ def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= _COSINE_NEARDUP_THRESHOLD)
         .orderBy("vec_a", "vec_b")
     )
+
+
+# ---- d08: asymmetric containment near-dup pairs ----------------------------
+# Containment(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| over DISTINCT 4-gram
+# shingles: catches a document EMBEDDED in a larger one, which symmetric
+# Jaccard misses (|A∪B| is dominated by the big doc). Directional pairs.
+# Same inverted-index shape as d02 — at scale this runs on LSH candidates,
+# not bare (see module docstring); integer count / integer count keeps the
+# ratio engine-exact.
+
+_CONTAINMENT_THRESHOLD = 0.9
+
+_D08_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {_DUCK_TOK} AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, unnest({_duck_shingles(4)}) AS shingle
+  FROM tok WHERE len(w) >= 4
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+),
+pair_common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(p.n_common AS DOUBLE) / sa.n AS containment
+FROM pair_common p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+WHERE CAST(p.n_common AS DOUBLE) / sa.n >= {_CONTAINMENT_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("d08_containment_pairs", oracle=_D08_ORACLE)
+def d08_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    sh = (
+        spread(docs).withColumn("w", tokens())
+        .filter(F.size("w") >= 4)
+        .select("doc_id", F.explode(F.expr(spark_shingles_sql("w", 4))).alias("shingle"))
+        .distinct()
+    ).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pair_common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    containment = F.col("n_common").cast("double") / F.col("sa.n")
+    return (
+        pair_common.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .select("doc_a", "doc_b", containment.alias("containment"))
+        .filter(F.col("containment") >= _CONTAINMENT_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
