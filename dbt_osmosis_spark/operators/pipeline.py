@@ -727,3 +727,41 @@ def p08_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("es_key"), "doc_id")
         .limit(_P08_K)
     )
+
+
+# ---- p09: token-budget truncation ------------------------------------------
+# Fit documents to a max token budget (context-window prep): keep the
+# first N tokens, rejoin, report kept/dropped counts. Pure JVM array ops
+# (slice + array_join) — no Python crossing, truncation is map-side only
+# (zero shuffle; the orderBy is presentation-only and absent in the
+# pipeline form).
+
+_P09_MAX_TOKENS = 64
+
+_P09_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {_DUCK_TOK} AS w FROM documents
+)
+SELECT doc_id,
+       LEAST(len(w), {_P09_MAX_TOKENS}) AS n_kept,
+       GREATEST(len(w) - {_P09_MAX_TOKENS}, 0) AS n_dropped,
+       array_to_string(w[1:{_P09_MAX_TOKENS}], ' ') AS truncated
+FROM tok
+ORDER BY doc_id
+"""
+
+
+@register("p09_token_truncate", oracle=_P09_ORACLE)
+def p09_token_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    w = F.split(F.trim(F.col("text")), " ")
+    return (
+        spread(docs)
+        .select(
+            "doc_id",
+            F.least(F.size(w), F.lit(_P09_MAX_TOKENS)).alias("n_kept"),
+            F.greatest(F.size(w) - _P09_MAX_TOKENS, F.lit(0)).alias("n_dropped"),
+            F.array_join(F.slice(w, 1, _P09_MAX_TOKENS), " ").alias("truncated"),
+        )
+        .orderBy("doc_id")
+    )
