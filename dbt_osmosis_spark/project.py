@@ -83,6 +83,10 @@ class ModelNode:
     # contract is enforced at build time (runner → contracts.enforce_contract)
     columns: list[dict] = field(default_factory=list)
     contract: bool = False
+    # dbt model governance (v1.5+): group membership and access level.
+    # access='private' models may only be ref()'d from their own group.
+    group: str | None = None
+    access: str = "protected"  # private | protected | public
 
 
 _REF_RE = re.compile(r"{{\s*ref\(\s*['\"]([^'\"]+)['\"]\s*\)\s*}}")
@@ -138,6 +142,22 @@ class Manifest:
             cyclic = sorted(set(indeg) - set(out))
             raise ValueError(f"dependency cycle among models: {cyclic}")
         return out
+
+    def check_access(self) -> None:
+        """dbt model-governance enforcement (v1.5 groups/access): a
+        ref() edge into an access='private' model from outside its group
+        is a build error. Static — walks the extracted dependency edges,
+        so SQL and python models are covered identically."""
+        for name, node in self.models.items():
+            for dep in node.depends_on:
+                target = self.models.get(dep)
+                if target is None or target.access != "private":
+                    continue
+                if (node.group or None) != (target.group or None):
+                    raise ValueError(
+                        f"model '{name}' (group={node.group!r}) cannot ref "
+                        f"private model '{dep}' (group={target.group!r})"
+                    )
 
     def topo_layers(self) -> list[list[str]]:
         """Kahn LEVELS: each layer's models depend only on earlier layers,
@@ -420,6 +440,8 @@ def load_project(project_dir: str | Path) -> Manifest:
                 depends_on=sorted(set(deps)),
                 config=cfg,
                 tags=list(cfg.get("tags") or []),
+                group=cfg.get("group"),
+                access=cfg.get("access") or "protected",
             )
         # python models: any models/*.py defining `def model(dbt, session)`
         # (dbt python-model contract). Config/deps extracted statically from
@@ -455,4 +477,6 @@ def load_project(project_dir: str | Path) -> Manifest:
                     node.contract = bool(contract.get("enforced"))
                     if entry.get("description"):
                         node.description = entry["description"]
+                    node.group = entry.get("group") or (entry.get("config") or {}).get("group") or node.config.get("group")
+                    node.access = entry.get("access") or node.config.get("access") or "protected"
     return manifest

@@ -77,6 +77,7 @@ def materialize(
     per-name so layer-mates never race on a relation.
     """
     report = RunReport()
+    manifest.check_access()
     compiler = JinjaCompiler(manifest, spark=spark)
     selected: set[str] | None = None
     needed: set[str] | None = None

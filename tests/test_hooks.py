@@ -54,3 +54,31 @@ def test_project_level_run_hooks(spark, tmp_path):
     materialize(spark, manifest)
     assert spark.table("run_started").first().ok == 1
     assert spark.table("run_ended").first().n == 2  # end hook sees built models
+
+
+def test_private_model_access_enforced(spark, tmp_path):
+    """dbt groups/access: ref() into a private model from another group
+    fails the build; same-group refs pass."""
+    import pytest
+
+    proj = tmp_path / "gproj"
+    (proj / "models").mkdir(parents=True)
+    (proj / "project.yml").write_text("name: govdemo\n")
+    (proj / "models" / "core_secret.sql").write_text(
+        "{{ config(group='core', access='private') }}\nselect 1 as x\n"
+    )
+    (proj / "models" / "core_user.sql").write_text(
+        "{{ config(group='core') }}\nselect x from {{ ref('core_secret') }}\n"
+    )
+    (proj / "models" / "outsider.sql").write_text(
+        "{{ config(group='marts') }}\nselect x from {{ ref('core_secret') }}\n"
+    )
+    manifest = load_project(proj)
+    assert manifest.models["core_secret"].access == "private"
+    with pytest.raises(ValueError, match="cannot ref private model"):
+        materialize(spark, manifest)
+
+    # removing the offender makes the same-group ref build fine
+    (proj / "models" / "outsider.sql").write_text("select 2 as y\n")
+    materialize(spark, load_project(proj))
+    assert spark.table("core_user").first().x == 1
