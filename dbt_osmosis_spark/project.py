@@ -114,6 +114,9 @@ class Manifest:
     # project-level hooks from project.yml (dbt on-run-start / on-run-end)
     on_run_start: list[str] = field(default_factory=list)
     on_run_end: list[str] = field(default_factory=list)
+    # dbt exposures: declared downstream consumers (dashboards, ML jobs)
+    # {name: {"type":..., "owner":..., "depends_on": [model names]}}
+    exposures: dict = field(default_factory=dict)
 
     def node_names(self) -> set[str]:
         return set(self.models) | set(self.sources) | set(self.seeds)
@@ -235,6 +238,17 @@ class Manifest:
             if sel.startswith("tag:"):
                 tag = sel[4:]
                 out |= {n for n, node in self.models.items() if tag in node.tags}
+                continue
+            if "exposure:" in sel:
+                ename = sel.split("exposure:", 1)[1]
+                exp = self.exposures.get(ename)
+                if exp is None:
+                    raise ValueError(f"unknown exposure in --select: {ename!r}")
+                deps = [d for d in exp["depends_on"] if d in self.models]
+                out |= set(deps)
+                if sel.startswith("+"):
+                    for d in deps:
+                        out |= closure(d, None)
                 continue
             if sel in ("state:modified", "state:modified+"):
                 if previous_state is None:
@@ -479,4 +493,12 @@ def load_project(project_dir: str | Path) -> Manifest:
                         node.description = entry["description"]
                     node.group = entry.get("group") or (entry.get("config") or {}).get("group") or node.config.get("group")
                     node.access = entry.get("access") or node.config.get("access") or "protected"
+                for exp in cfg.get("exposures") or []:
+                    deps = _REF_RE.findall(" ".join((exp.get("depends_on") or [])))
+                    manifest.exposures[exp["name"]] = {
+                        "type": exp.get("type", "dashboard"),
+                        "owner": exp.get("owner") or {},
+                        "description": exp.get("description", ""),
+                        "depends_on": sorted(set(deps)),
+                    }
     return manifest

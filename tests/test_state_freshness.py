@@ -118,3 +118,22 @@ def test_source_freshness_statuses(spark, tmp_path):
     assert r.status == "warn"
     r = check_freshness(spark, manifest, now=datetime(2026, 8, 15, 10, 0))[0]
     assert r.status == "error"
+
+
+def test_exposures_parse_and_select(spark, tmp_path):
+    """dbt exposures: declared downstream consumers parse from YAML and
+    +exposure:name selects their model closure."""
+    proj = _project(tmp_path)
+    (proj / "models" / "exposures.yml").write_text(
+        "exposures:\n"
+        "- name: weekly_dash\n  type: dashboard\n"
+        "  owner: {name: ops}\n"
+        "  depends_on:\n"
+        "  - \"{{ ref('agg') }}\"\n"
+    )
+    _write_feed(spark, tmp_path)
+    manifest = load_project(proj)
+    exp = manifest.exposures["weekly_dash"]
+    assert exp["depends_on"] == ["agg"] and exp["type"] == "dashboard"
+    assert manifest.select(["exposure:weekly_dash"]) == {"agg"}
+    assert manifest.select(["+exposure:weekly_dash"]) == {"agg", "stg"}
