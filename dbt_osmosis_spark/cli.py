@@ -250,7 +250,9 @@ def cmd_test(args) -> int:
 
     spark, manifest = _build_context(args)
     ctx = YamlRefactorContext(spark=spark, manifest=manifest, project_dir=args.project_dir)
-    results = run_project_tests(spark, ctx)
+    results = run_project_tests(
+        spark, ctx, store_failures_dir=getattr(args, "store_failures", None)
+    )
     failed = 0
     for r in results:
         status = "pass" if r.passed else "FAIL"
@@ -481,7 +483,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     sub.add_parser("coverage", help="documentation coverage + gaps")
     sub.add_parser("test-suggest", help="suggest column tests")
-    sub.add_parser("test", help="run declared YAML data tests (dbt test analog)")
+    tp = sub.add_parser("test", help="run declared YAML data tests (dbt test analog)")
+    tp.add_argument(
+        "--store-failures",
+        default=None,
+        help="dir to persist each failing test's violating rows as parquet",
+    )
 
     pp = sub.add_parser("profile", help="one-pass distributed column profile")
     pp.add_argument("model")

@@ -29,6 +29,7 @@ class DataTestResult:
     test: str
     violations: int
     sample: list = field(default_factory=list)
+    stored_at: str | None = None  # store_failures artifact path
 
     @property
     def passed(self) -> bool:
@@ -69,16 +70,29 @@ def run_test(
     test: str,
     config: dict | None = None,
     sample: int = 5,
+    store_failures_dir: str | None = None,
 ) -> DataTestResult:
     bad = _violations_df(spark, relation, column, test, config or {})
     head = bad.limit(sample).collect()
     n = bad.count() if len(head) == sample else len(head)
+    stored = None
+    if store_failures_dir and n:
+        # dbt store_failures: persist the full violating-row set as a
+        # queryable artifact (debug joins against it instead of re-running
+        # the test query)
+        import os
+
+        stored = os.path.join(
+            store_failures_dir, f"{relation}__{column or 'model'}__{test}.parquet"
+        )
+        bad.write.mode("overwrite").parquet(stored)
     return DataTestResult(
         model=relation,
         column=column,
         test=test,
         violations=n,
         sample=[tuple(r) for r in head],
+        stored_at=stored,
     )
 
 
@@ -96,17 +110,28 @@ def _iter_yaml_tests(entry: dict):
 
 
 def run_model_tests(
-    spark: SparkSession, model: str, entry: dict, relation: str | None = None
+    spark: SparkSession,
+    model: str,
+    entry: dict,
+    relation: str | None = None,
+    store_failures_dir: str | None = None,
 ) -> list[DataTestResult]:
     """Run every test declared in a model's YAML entry against its live
     relation."""
     out = []
     for column, test, cfg in _iter_yaml_tests(entry):
-        out.append(run_test(spark, relation or model, column, test, cfg))
+        out.append(
+            run_test(
+                spark, relation or model, column, test, cfg,
+                store_failures_dir=store_failures_dir,
+            )
+        )
     return out
 
 
-def run_project_tests(spark: SparkSession, ctx) -> list[DataTestResult]:
+def run_project_tests(
+    spark: SparkSession, ctx, store_failures_dir: str | None = None
+) -> list[DataTestResult]:
     """All declared tests across the project (ctx = YamlRefactorContext).
     Reads test declarations from each model's sidecar YAML doc."""
     from dbt_osmosis_spark.compile import relation_name
@@ -120,6 +145,9 @@ def run_project_tests(spark: SparkSession, ctx) -> list[DataTestResult]:
         entry = model_entry(ctx.yaml.read(path), name)
         if entry:
             results.extend(
-                run_model_tests(spark, name, entry, relation_name(name))
+                run_model_tests(
+                    spark, name, entry, relation_name(name),
+                    store_failures_dir=store_failures_dir,
+                )
             )
     return results

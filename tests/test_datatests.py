@@ -130,3 +130,21 @@ def test_unit_tests_mocked_inputs(spark, demo):
     results = run_unit_tests_from_doc(spark, manifest, doc)
     assert results[0].passed, results[0]
     assert not results[1].passed and results[1].missing
+
+
+def test_store_failures_persists_violating_rows(spark, tmp_path):
+    """dbt store_failures: a failing test writes its full violating-row
+    set as a queryable parquet artifact."""
+    from dbt_osmosis_spark.datatests import run_test
+
+    spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "id long, s string"
+    ).createOrReplaceTempView("sf_rel")
+    out = str(tmp_path / "failures")
+    r = run_test(spark, "sf_rel", "id", "unique", store_failures_dir=out)
+    assert not r.passed and r.stored_at is not None
+    stored = spark.read.parquet(r.stored_at)
+    assert stored.collect()[0].id == 1  # the duplicated key, with its count
+    # passing tests store nothing
+    r2 = run_test(spark, "sf_rel", "s", "unique", store_failures_dir=out)
+    assert r2.passed and r2.stored_at is None
