@@ -26,7 +26,12 @@ import sys
 PRINT_CAP = 50
 
 
-def _build_context(args, need_spark: bool = True):
+def _build_context(args, need_spark: bool = True, read_only: bool = True):
+    """Load the manifest and register the DAG. Defaults to read-only
+    registration (no warehouse writes, no hooks) — test/profile/yaml/sql/
+    lineage commands must not re-execute incremental or snapshot
+    materializations (dbt's test and docs commands never write). Only
+    `build` passes read_only=False."""
     from dbt_osmosis_spark.project import load_project
     from dbt_osmosis_spark.runner import materialize
     from dbt_osmosis_spark.session import get_spark
@@ -35,7 +40,7 @@ def _build_context(args, need_spark: bool = True):
     spark = None
     if need_spark:
         spark = get_spark(app_name="dbt-osmosis-spark-cli")
-        materialize(spark, manifest, warehouse_dir=args.warehouse_dir)
+        materialize(spark, manifest, warehouse_dir=args.warehouse_dir, read_only=read_only)
     return spark, manifest
 
 
@@ -394,7 +399,7 @@ def cmd_build(args) -> int:
     from dbt_osmosis_spark.transforms import YamlRefactorContext
     from dbt_osmosis_spark.unittests import run_unit_tests_from_doc
 
-    spark, manifest = _build_context(args)  # materializes the DAG
+    spark, manifest = _build_context(args, read_only=False)  # materializes the DAG
     ctx = YamlRefactorContext(spark=spark, manifest=manifest, project_dir=args.project_dir)
     failed = 0
     for r in run_project_tests(spark, ctx):

@@ -55,10 +55,14 @@ def _violations_df(
     if test == "relationships":
         to, fld = config["to"], config["field"]
         parent = spark.table(to).select(F.col(fld).alias(column)).distinct()
+        # No forced broadcast: a fact-to-fact FK's parent key set can exceed
+        # executor memory, and an explicit hint bypasses
+        # autoBroadcastJoinThreshold. AQE picks broadcast when the distinct
+        # key set is actually small (the dim case) from runtime stats.
         return (
             df.filter(F.col(column).isNotNull())
             .select(column)
-            .join(F.broadcast(parent), column, "left_anti")
+            .join(parent, column, "left_anti")
         )
     raise ValueError(f"unknown test: {test}")
 

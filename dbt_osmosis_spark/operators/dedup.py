@@ -314,11 +314,14 @@ hashed AS (
 ),
 sigs AS (
   SELECT doc_id,
-         list_aggregate(list_transform(range(0, {_BITS}), j ->
+         -- DuckDB's list_aggregate(..., 'sum') yields HUGEINT which the
+         -- harness canonicalizes as float64; pin to BIGINT so the dtype
+         -- matches Spark's int64 simhash.
+         CAST(list_aggregate(list_transform(range(0, {_BITS}), j ->
            CASE WHEN list_sum(list_transform(h, v ->
                   CASE WHEN (v >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
                 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END
-         ), 'sum') AS simhash
+         ), 'sum') AS BIGINT) AS simhash
   FROM hashed
 )"""
 

@@ -26,7 +26,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 IMAGE_META_SCHEMA = "width int, height int, format string"
-FEATURE_SCHEMA = "doc_id long, modality string, n_bytes int, feat array<float>"
+# Flat (one row per feature slot): the harness canonical hash cannot sort
+# array cells, and the flat shape partitions/joins cleanly downstream.
+FEATURE_SCHEMA = "doc_id long, modality string, n_bytes int, slot int, value float"
 
 
 class CodecUnavailable(NotImplementedError):
@@ -82,25 +84,36 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     shape, schema, and partition parallelism for real.
     """
 
+    import numpy as np
+
     def one_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Columnar inside the batch: numpy frombuffer + bincount per payload
+        # (payload lengths vary, so the outer loop stays per-row, but all
+        # per-byte work is vectorized), and the output frame is built from
+        # flat arrays — no iterrows, no Python-object rows.
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                data: bytes = row["content"]
+            payloads = pdf["content"].to_numpy()
+            n_rows = len(payloads)
+            feats = np.empty((n_rows, 8), dtype=np.float64)
+            n_bytes = np.empty(n_rows, dtype=np.int64)
+            for i, data in enumerate(payloads):
                 try:
                     img = decode_image(data)  # real path
-                    w, h = img.size  # pragma: no cover
+                    _w, _h = img.size  # pragma: no cover
                 except CodecUnavailable:
-                    w, h, _fmt = fake_decode_meta(data)
-                hist = [0.0] * 8
-                for b in data[:4096]:
-                    hist[b % 8] += 1.0
-                n = float(len(data[:4096])) or 1.0
-                rows.append(
-                    (row[id_col], "image", len(data), [x / n for x in hist])
-                )
+                    _w, _h, _fmt = fake_decode_meta(data)
+                arr = np.frombuffer(data[:4096], dtype=np.uint8) % 8
+                n = max(len(arr), 1)
+                feats[i] = np.bincount(arr, minlength=8).astype(np.float64) / n
+                n_bytes[i] = len(data)
             yield pd.DataFrame(
-                rows, columns=["doc_id", "modality", "n_bytes", "feat"]
+                {
+                    "doc_id": np.repeat(pdf[id_col].to_numpy(), 8),
+                    "modality": "image",
+                    "n_bytes": np.repeat(n_bytes, 8),
+                    "slot": np.tile(np.arange(8, dtype=np.int32), n_rows),
+                    "value": feats.ravel().astype(np.float32),
+                }
             )
 
     return df.select(id_col, "content").mapInPandas(one_batch, schema=FEATURE_SCHEMA)
@@ -165,10 +178,11 @@ WITH slotted AS (
   FROM documents
 )
 SELECT doc_id, 'image' AS modality, CAST(L AS INT) AS n_bytes,
-       list_transform(range(0, 8), s ->
-         CAST(len(list_filter(slots, x -> x = s)) / least(L, 4096)::DOUBLE AS FLOAT)) AS feat
-FROM slotted
-ORDER BY doc_id
+       CAST(s AS INT) AS slot,
+       CAST(len(list_filter(slots, x -> x = s))
+            / greatest(least(L, 4096), 1)::DOUBLE AS FLOAT) AS value
+FROM slotted, UNNEST(range(0, 8)) AS t(s)
+ORDER BY doc_id, slot
 """
 
 
@@ -176,7 +190,7 @@ ORDER BY doc_id
 def m02_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode→featurize over binary payloads (mapInPandas)."""
     docs = attach_fake_payloads(spread(read_parquet(spark, f"{sf_dir}/documents.parquet")))
-    return extract_features(docs).orderBy("doc_id")
+    return extract_features(docs).orderBy("doc_id", "slot")
 
 
 _FRAME_BYTES = 64

@@ -57,26 +57,32 @@ def connected_components(
     component = min node id reachable. Each iteration: propagate labels one
     hop (join + groupBy-min), take the elementwise min. Labels only ever
     decrease, so sum(label) is a monotone convergence witness — when it
-    stops falling, we are at the fixpoint. Iterations ~ graph diameter."""
+    stops falling, we are at the fixpoint. Iterations ~ graph diameter.
+
+    Every 5 rounds the label frame is localCheckpoint()ed: the logical plan
+    otherwise doubles per iteration (each round's plan embeds the last), and
+    past ~10 rounds Catalyst analysis time dominates. Checkpointing truncates
+    lineage to the materialized partitions, keeping plan size O(1) per round
+    on high-diameter graphs."""
     und = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
     labels = nodes.select("id", F.col("id").alias("label")).persist()
     prev_sum = None
-    for _ in range(max_iter):
+    for i in range(max_iter):
         nbr = (
             und.join(labels, und["src"] == labels["id"])
             .groupBy(und["dst"].alias("nid"))
             .agg(F.min("label").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(nbr, labels["id"] == nbr["nid"], "left")
-            .select(
-                labels["id"],
-                F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias("label"),
-            )
-            .persist()
+        new_labels = labels.join(nbr, labels["id"] == nbr["nid"], "left").select(
+            labels["id"],
+            F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias("label"),
         )
+        if (i + 1) % 5 == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         cur_sum = new_labels.agg(F.sum("label")).first()[0]
         labels.unpersist()
         labels = new_labels

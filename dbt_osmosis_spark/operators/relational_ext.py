@@ -193,19 +193,21 @@ GROUP BY c_mktsegment ORDER BY segment
 )
 def q21_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer")
-    c.createOrReplaceTempView("q21_customer")
     # expressed through spark.sql: scalar subqueries are a SQL-surface
-    # feature (Catalyst plans the inner agg once and broadcasts the scalar)
+    # feature (Catalyst plans the inner agg once and broadcasts the scalar).
+    # The DataFrame is passed as a named sql() argument instead of a
+    # session-global temp view — thread-safe under the layer-parallel runner.
     return spark.sql(
         """
         SELECT c_mktsegment AS segment, COUNT(*) AS n_above_avg
-        FROM q21_customer
+        FROM {cust}
         WHERE c_acctbal > (
           SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*)
-          FROM q21_customer
+          FROM {cust}
         )
         GROUP BY c_mktsegment ORDER BY segment
-        """
+        """,
+        cust=c,
     )
 
 
@@ -821,7 +823,7 @@ def q36_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_orderkey,
        CAST(o_orderkey // 32 AS BIGINT) AS key_div,
        CAST(o_orderkey % 32 AS BIGINT) AS key_mod,
-       CAST(CAST(o_totalprice AS DECIMAL(18,2)) / 7 AS DECIMAL(18,6)) AS price_div,
+       CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) / 7 AS DECIMAL(18,6)) AS DOUBLE) AS price_div,
        CAST(o_totalprice AS DOUBLE) / 7.0 AS price_div_dbl
 FROM orders
 ORDER BY o_orderkey
@@ -833,8 +835,12 @@ def q37_integer_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.expr("o_orderkey div 32").cast("bigint").alias("key_div"),
         (F.col("o_orderkey") % 32).cast("bigint").alias("key_mod"),
+        # decimal-pinned rounding, then DOUBLE for a stable cross-engine
+        # dtype (pandas canonicalizes Spark decimals as object, DuckDB's as
+        # float64 — values equal, dtypes not)
         (F.col("o_totalprice").cast("decimal(18,2)") / F.lit(7))
         .cast("decimal(18,6)")
+        .cast("double")
         .alias("price_div"),
         (F.col("o_totalprice").cast("double") / F.lit(7.0)).alias("price_div_dbl"),
     ).orderBy("o_orderkey")

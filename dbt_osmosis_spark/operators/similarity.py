@@ -166,41 +166,52 @@ _S03_ORACLE = f"""
 WITH comp AS (
   SELECT label, d AS pos, (embedding::DOUBLE[])[d + 1] AS x
   FROM embeddings, (SELECT unnest(range(0, {_DIM})) AS d)
-),
-means AS (
-  SELECT label, pos,
-         list_reduce(list(x ORDER BY x), (a, b) -> a + b) / COUNT(*) AS m
-  FROM comp GROUP BY label, pos
 )
-SELECT label, list(m ORDER BY pos) AS centroid, COUNT(*) AS dim
-FROM means GROUP BY label ORDER BY label
+SELECT label, CAST(pos AS INT) AS pos,
+       list_reduce(list(x ORDER BY x), (a, b) -> a + b) / COUNT(*) AS m
+FROM comp GROUP BY label, pos
+ORDER BY label, pos
 """
 
 
 @register("s03_label_centroids", oracle=_S03_ORACLE)
 def s03_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output is flattened to one row per (label, pos) — the harness canonical
+    hash cannot sort array cells, and the flat shape is also what a writer
+    would partition on. Reassemble with collect_list(struct(pos, m)) if a
+    vector column is needed downstream.
+
+    The sorted-fold (collect_list + array_sort) exists only for bit-exact
+    cross-engine parity at oracle SF; at 100 TB use label_centroid_means
+    (plain avg, no per-group materialization) instead.
+    """
     emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     comp = emb.select(
         "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x")
     )
-    means = comp.groupBy("label", "pos").agg(
-        (
-            F.expr(
-                "aggregate(array_sort(collect_list(x)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-            )
-            / F.count(F.lit(1))
-        ).alias("m")
-    )
     return (
-        means.groupBy("label")
+        comp.groupBy("label", "pos")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
-            ).alias("centroid"),
-            F.count(F.lit(1)).alias("dim"),
+            (
+                F.expr(
+                    "aggregate(array_sort(collect_list(x)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+                )
+                / F.count(F.lit(1))
+            ).alias("m")
         )
-        .orderBy("label")
+        .orderBy("label", "pos")
     )
+
+
+def label_centroid_means(emb: DataFrame) -> DataFrame:
+    """Scale path for s03: plain avg per (label, pos) — map-side partial agg,
+    one shuffle, no collect_list materialization. Values drift by float
+    reduction order run-to-run (~1e-15 relative), which is fine everywhere
+    except the bit-exact oracle harness."""
+    comp = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x")
+    )
+    return comp.groupBy("label", "pos").agg(F.avg("x").alias("m"))
 
 
 # ---- s04: Arrow-batched brute-force kNN (the many-queries pattern) ---------
@@ -227,17 +238,33 @@ def knn_batch(
     bc = spark.sparkContext.broadcast((qids, qmat, qnorm))
 
     def score(batches):
+        # Fully columnar: matmul for all scores, then per-query argpartition
+        # top-k *inside the partition*. Only p×q×k rows leave the Python
+        # worker (vs n×q for the naive emit), so the downstream window
+        # shuffle is tiny and independent of corpus size.
         ids, qm, qn = bc.value
+        nq = len(ids)
         for pdf in batches:
             m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            vids = pdf["vec_id"].to_numpy()
             norms = np.linalg.norm(m, axis=1)
-            cos = (m @ qm.T) / np.outer(norms, qn)
-            out = []
-            for qi, qid in enumerate(ids):
-                for ri in range(len(pdf)):
-                    if pdf["vec_id"].iloc[ri] != qid:
-                        out.append((int(qid), int(pdf["vec_id"].iloc[ri]), float(cos[ri, qi])))
-            yield pd.DataFrame(out, columns=["query_id", "vec_id", "cosine"])
+            cos = (m @ qm.T) / np.outer(norms, qn)  # (rows, nq)
+            # mask self-matches before top-k selection
+            cos[vids[:, None] == ids[None, :]] = -np.inf
+            kk = min(k, len(pdf))
+            # argpartition per query column: indices of the kk largest rows
+            top = np.argpartition(-cos, kk - 1, axis=0)[:kk, :]  # (kk, nq)
+            q_idx = np.repeat(np.arange(nq), kk)
+            r_idx = top.T.ravel()
+            sel = cos[r_idx, q_idx]
+            keep = np.isfinite(sel)
+            yield pd.DataFrame(
+                {
+                    "query_id": ids[q_idx[keep]],
+                    "vec_id": vids[r_idx[keep]],
+                    "cosine": sel[keep],
+                }
+            )
 
     scored = emb.select("vec_id", "embedding").mapInPandas(
         score, schema="query_id long, vec_id long, cosine double"
@@ -254,21 +281,110 @@ def knn_batch(
 
 
 # ---- s05: IVF (inverted-file) ANN — coarse quantize, probe, re-rank --------
-# The other classic ANN scale path next to LSH (s02): k-means centroids
+# The other classic ANN scale path next to LSH (s02): coarse centroids
 # partition the corpus into cells; a query probes only the `nprobe` nearest
 # cells and re-ranks those candidates exactly. Spark layout:
-#   train: KMeans on a bounded sample (driver-coordinated, executors do the
-#          heavy lifting); centroids are a tiny broadcast model.
-#   index: one map-side pass assigns every vector its cell id — persisted
-#          with the data, so queries shuffle nothing.
-#   query: centroid distances on the driver (k values), candidate scan
-#          prunes to ~nprobe/k of the corpus, exact top-k merge.
-# Registered WITHOUT an oracle (k-means floats are not cross-engine
-# reproducible); the driver does the rows-only check, and the recall test in
-# tests/test_pipeline_ops.py compares against s01's exact ground truth.
+#   index: one map-side pass assigns every vector its nearest-centroid cell
+#          id — persisted with the data, so queries shuffle nothing.
+#   query: centroid distances are k scalar folds, the candidate scan prunes
+#          to ~nprobe/n_cells of the corpus, exact top-k merge
+#          (TakeOrderedAndProject).
+# The coarse quantizer here is DETERMINISTIC — md5-derived pseudo-random
+# centroids, the same trick as s02's hyperplanes — so cell assignment is
+# bit-identical in DuckDB and a full value-hash oracle applies. A trained
+# k-means quantizer (pyspark.ml.clustering.KMeans on a bounded sample,
+# broadcast model) drops in behind ivf_assign() when recall matters more
+# than reproducibility; the probe/re-rank plan is unchanged.
+
+_N_CELLS = 16
+_NPROBE = 4
+
+# Centroid c, dim d constant in [-1, 1]: md5('ivf' c ',' d) — salted so the
+# constants differ from s02's hyperplanes.
+_SPARK_CENT = (
+    "transform(sequence(0, {dim} - 1), d -> "
+    "(CAST(conv(substr(md5(cast(concat('ivf', CAST({c} AS STRING), ',', CAST(d AS STRING)) AS BINARY)), 1, 15), 16, 10) AS BIGINT) % 2001 - 1000) / 1000.0)"
+)
+_DUCK_CENT = (
+    "list_transform(range(0, {dim}), d -> "
+    "(CAST('0x' || substr(md5('ivf' || CAST({c} AS VARCHAR) || ',' || CAST(d AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000) / 1000.0)"
+)
+
+_SPARK_DIST2 = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_DUCK_DIST2 = (
+    "list_sum(list_transform(range(1, {n} + 1), i -> (({a})[i] - ({b})[i]) * (({a})[i] - ({b})[i])))"
+)
+
+# All-cell distance vector for a vector column {a}; argmin = cell id.
+_SPARK_CELL_DISTS = (
+    f"transform(sequence(0, {_N_CELLS} - 1), c -> "
+    + _SPARK_DIST2.format(a="{a}", b=_SPARK_CENT.format(c="c", dim=_DIM))
+    + ")"
+)
+_DUCK_CELL_DISTS = (
+    f"list_transform(range(0, {_N_CELLS}), c -> "
+    + _DUCK_DIST2.format(a="{a}", b=_DUCK_CENT.format(c="c", dim=_DIM), n=_DIM)
+    + ")"
+)
+
+# argmin by value equality (exact doubles, same fold order both engines);
+# array_position/list_position return the FIRST match → deterministic
+# smallest-cell tie-break.
+_SPARK_CELL = (
+    "CAST(array_position(" + _SPARK_CELL_DISTS + ", array_min(" + _SPARK_CELL_DISTS + ")) - 1 AS INT)"
+)
+_DUCK_CELL = (
+    "CAST(list_position(" + _DUCK_CELL_DISTS + ", list_min(" + _DUCK_CELL_DISTS + ")) - 1 AS INT)"
+)
+
+# nprobe nearest cells for the query: sort (dist, cell) structs, take cells.
+_SPARK_PROBE = (
+    f"slice(transform(array_sort(transform(sequence(0, {_N_CELLS} - 1), c -> "
+    "struct(" + _SPARK_DIST2.format(a="{a}", b=_SPARK_CENT.format(c="c", dim=_DIM)) + " AS d, c AS c)"
+    f")), s -> s.c), 1, {_NPROBE})"
+)
+_DUCK_PROBE = (
+    f"list_transform(list_sort(list_transform(range(0, {_N_CELLS}), c -> "
+    "{{'d': " + _DUCK_DIST2.format(a="{a}", b=_DUCK_CENT.format(c="c", dim=_DIM), n=_DIM) + ", 'c': c}}"
+    f")), s -> s.c)[1:{_NPROBE}]"
+)
+
+_S05_ORACLE = f"""
+WITH vecs AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+assigned AS (
+  SELECT vec_id, label, v, {_DUCK_CELL.format(a="v")} AS cell FROM vecs
+),
+q AS (
+  SELECT v AS qv, {_DUCK_PROBE.format(a="v")} AS probe FROM vecs WHERE vec_id = {_QUERY_ID}
+),
+cand AS (
+  SELECT a.vec_id, a.label, a.v, q.qv
+  FROM assigned a, q
+  WHERE list_contains(q.probe, a.cell) AND a.vec_id <> {_QUERY_ID}
+)
+SELECT vec_id, label,
+       {_DUCK_DOT.format(a="v", b="qv", n=_DIM)}
+         / (sqrt({_DUCK_NORM2.format(a="v")}) * sqrt({_DUCK_NORM2.format(a="qv")})) AS cosine
+FROM cand
+ORDER BY cosine DESC, vec_id
+LIMIT {_K}
+"""
+
+
+def ivf_assign(emb: DataFrame, vec_col: str = "v") -> DataFrame:
+    """Map-side cell assignment against the deterministic coarse centroids.
+    At index-build time you'd persist this (partitionBy('cell')) so query
+    scans prune to the probed cells via partition pruning."""
+    return emb.withColumn("cell", F.expr(_SPARK_CELL.format(a=vec_col)))
 
 
 def _ivf_index(emb: DataFrame, n_cells: int, seed: int = 42):
+    """Trained-quantizer variant (pyspark.ml KMeans) — better recall, not
+    cross-engine reproducible; used when an oracle is not required."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -280,30 +396,21 @@ def _ivf_index(emb: DataFrame, n_cells: int, seed: int = 42):
     return model, emb.join(assigned, "vec_id")
 
 
-@register("s05_ivf_topk")
+@register("s05_ivf_topk", oracle=_S05_ORACLE)
 def s05_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-
-    n_cells, nprobe = 16, 4
     emb = spread(read_parquet(spark, f"{sf_dir}/embeddings.parquet")).withColumn(
         "v", F.col("embedding").cast("array<double>")
     )
-    model, indexed = _ivf_index(emb, n_cells)
-
-    qrow = emb.filter(F.col("vec_id") == _QUERY_ID).select("v").head()
-    qv = np.array(qrow.v)
-    centers = model.clusterCenters()
-    probe = sorted(
-        range(len(centers)), key=lambda c: float(np.linalg.norm(centers[c] - qv))
-    )[:nprobe]
-
-    q = emb.filter(F.col("vec_id") == _QUERY_ID).select(F.col("v").alias("qv"))
+    indexed = ivf_assign(emb)
+    q = emb.filter(F.col("vec_id") == _QUERY_ID).select(
+        F.col("v").alias("qv"), F.expr(_SPARK_PROBE.format(a="v")).alias("probe")
+    )
     dot = F.expr(_SPARK_DOT.format(a="v", b="qv"))
     n_v = F.expr(_SPARK_NORM2.format(a="v"))
     n_q = F.expr(_SPARK_NORM2.format(a="qv"))
     return (
-        indexed.filter(F.col("cell").isin(probe) & (F.col("vec_id") != _QUERY_ID))
-        .crossJoin(F.broadcast(q))
+        indexed.crossJoin(F.broadcast(q))
+        .filter(F.array_contains(F.col("probe"), F.col("cell")) & (F.col("vec_id") != _QUERY_ID))
         .select("vec_id", "label", (dot / (F.sqrt(n_v) * F.sqrt(n_q))).alias("cosine"))
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(_K)

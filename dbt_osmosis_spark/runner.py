@@ -47,6 +47,20 @@ class RunReport:
         return [r.name for r in self.results]
 
 
+def _swap_dirs(out: str, tmp: str) -> None:
+    """Replace ``out`` with ``tmp`` leaving a recoverable copy at every
+    failure point: rename old aside, rename new into place, then delete the
+    old copy — a crash mid-swap leaves either ``out`` or ``out.old`` intact
+    (the warehouse-atomic-MERGE analog for parquet directories)."""
+    import shutil
+
+    old = out + ".old"
+    shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
+    os.rename(out, old)
+    os.rename(tmp, out)
+    shutil.rmtree(old)
+
+
 def materialize(
     spark: SparkSession,
     manifest: Manifest,
@@ -57,6 +71,7 @@ def materialize(
     previous_state: dict[str, str] | None = None,
     threads: int = 1,
     full_refresh: bool = False,
+    read_only: bool = False,
 ) -> RunReport:
     """Register all nodes as Spark relations, parents first.
 
@@ -75,6 +90,13 @@ def materialize(
     models leave executors idle (small models, skewed tails, blocking
     writes). Spark job submission is thread-safe; view registration is
     per-name so layer-mates never race on a relation.
+
+    ``read_only=True`` registers the DAG without mutating warehouse state —
+    the mode for test/profile/lineage/yaml/sql commands (dbt's test and
+    docs commands never write). table/incremental/snapshot models register
+    their existing warehouse parquet when present (falling back to a lazy
+    view of the compiled body), hooks are skipped, and nothing is written —
+    so a blind-append incremental can never double rows under `test`.
     """
     report = RunReport()
     manifest.check_access()
@@ -111,6 +133,40 @@ def materialize(
         for h in hooks:
             spark.sql(compiler.compile(h, this=relation_name(node.name)).compiled_sql)
 
+    def _existing_relation(node) -> DataFrame | None:
+        """The model's already-materialized warehouse relation, if any —
+        what dbt's ref() resolves to for a node that is not being rebuilt."""
+        if node.materialized not in ("table", "incremental", "snapshot"):
+            return None
+        if node.config.get("bucket_by") and node.config.get("buckets"):
+            rel = relation_name(node.name)
+            return spark.table(rel) if spark.catalog.tableExists(rel) else None
+        if warehouse_dir is None:
+            return None
+        out = os.path.join(warehouse_dir, f"{node.name}.parquet")
+        if not os.path.exists(out):
+            return None
+        df = spark.read.option("mergeSchema", "true").parquet(out)
+        if "event_batch" in df.columns:  # microbatch partition column
+            df = df.drop("event_batch")
+        return df
+
+    def _register_lazy(name: str, node, rel: str, label: str) -> RunResult:
+        """Register without touching warehouse state: the existing
+        materialized relation when there is one (so snapshot/incremental
+        refs see dbt_valid_* / accumulated state, not the bare query),
+        else a lazy view of the compiled body."""
+        existing = _existing_relation(node)
+        if existing is not None:
+            existing.createOrReplaceTempView(rel)
+            return RunResult(name, "model", f"{node.materialized}(existing)")
+        if node.language == "python":
+            _run_python_model(spark, node).createOrReplaceTempView(rel)
+        else:
+            compiled = compiler.compile(node.raw_sql)
+            spark.sql(compiled.compiled_sql).createOrReplaceTempView(rel)
+        return RunResult(name, "model", label)
+
     def _process_model(name: str) -> RunResult | None:
         node = manifest.models[name]
         rel = relation_name(name)
@@ -120,14 +176,13 @@ def materialize(
             # dbt contract: ephemeral models never become relations — every
             # consumer inlines the body as a __dbt__cte__ CTE at compile time
             return RunResult(name, "model", "ephemeral")
+        if read_only:
+            # test/profile/docs-style commands: resolve refs, write nothing,
+            # run no hooks
+            return _register_lazy(name, node, rel, "view(read-only)")
         if selected is not None and name not in selected:
-            # unselected ancestor: register lazily so refs resolve
-            if node.language == "python":
-                _run_python_model(spark, node).createOrReplaceTempView(rel)
-            else:
-                compiled = compiler.compile(node.raw_sql)
-                spark.sql(compiled.compiled_sql).createOrReplaceTempView(rel)
-            return RunResult(name, "model", "view(upstream)")
+            # unselected ancestor: refs resolve to existing warehouse state
+            return _register_lazy(name, node, rel, "view(upstream)")
         _run_hooks(node, "pre_hook")
         result = _materialize_body(name, node, rel)
         _run_hooks(node, "post_hook")
@@ -230,8 +285,9 @@ def materialize(
             compiled_sql=compiled_sql,
         )
 
-    for h in manifest.on_run_start:
-        spark.sql(compiler.compile(h).compiled_sql)
+    if not read_only:
+        for h in manifest.on_run_start:
+            spark.sql(compiler.compile(h).compiled_sql)
 
     if threads <= 1:
         for name in manifest.topo_sort():
@@ -247,8 +303,9 @@ def materialize(
                     if result is not None:
                         report.results.append(result)
 
-    for h in manifest.on_run_end:
-        spark.sql(compiler.compile(h).compiled_sql)
+    if not read_only:
+        for h in manifest.on_run_end:
+            spark.sql(compiler.compile(h).compiled_sql)
     return report
 
 
@@ -472,19 +529,21 @@ def _materialize_incremental(
         if parts:
             w = w.partitionBy(*parts)
         w.parquet(tmp)
-        import shutil
-
-        shutil.rmtree(out)
-        os.rename(tmp, out)
+        _swap_dirs(out, tmp)
     elif strategy == "insert_overwrite":
         if not parts:
             raise ValueError(f"incremental model {node.name}: insert_overwrite needs partition_by")
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            new_rows.write.mode("overwrite").partitionBy(*parts).parquet(out)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # per-write option, not the session conf: takes precedence over
+        # spark.sql.sources.partitionOverwriteMode and is thread-safe under
+        # the layer-parallel runner (a session-conf set/restore races with
+        # layer-mates, and a static-mode partitioned overwrite would drop
+        # every pre-existing partition)
+        (
+            new_rows.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*parts)
+            .parquet(out)
+        )
     else:
         raise ValueError(f"unknown incremental_strategy: {strategy}")
 
@@ -587,12 +646,13 @@ def _materialize_microbatch(
     if not exists:
         with_batch.write.mode("overwrite").partitionBy("event_batch").parquet(out)
     else:
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            with_batch.write.mode("overwrite").partitionBy("event_batch").parquet(out)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # per-write dynamic overwrite (thread-safe; see insert_overwrite)
+        (
+            with_batch.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("event_batch")
+            .parquet(out)
+        )
 
     df = spark.read.parquet(out).drop("event_batch")
     df.createOrReplaceTempView(rel)
@@ -692,10 +752,7 @@ def _materialize_snapshot(
         tmp = out + ".tmp"
         merged.write.mode("overwrite").parquet(tmp)
         j.unpersist()
-        import shutil
-
-        shutil.rmtree(out)
-        os.rename(tmp, out)
+        _swap_dirs(out, tmp)
 
     df = spark.read.parquet(out)
     df.createOrReplaceTempView(rel)

@@ -41,6 +41,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Parquet timestamps without tz metadata (timestamp[us]) read as
+        # TIMESTAMP (instant, UTC session) not TIMESTAMP_NTZ: watermarks /
+        # streaming windows require instant semantics, and DuckDB oracle
+        # parity assumes one wall-clock interpretation everywhere.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         # Split files finer than the 128m default: local bench files are

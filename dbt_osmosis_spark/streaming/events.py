@@ -61,6 +61,14 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set(_NANOS_CONF, prev)
     for c in nanos:
         stream = stream.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # Watermarks require instant (TIMESTAMP) event time; a session that
+    # infers parquet tz-less timestamps as NTZ would reject withWatermark.
+    # Cast is wall-clock-preserving under the engine's pinned UTC session.
+    from pyspark.sql.types import TimestampNTZType
+
+    for f in stream.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            stream = stream.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return stream
 
 

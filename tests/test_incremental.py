@@ -412,3 +412,74 @@ def test_full_refresh_rebuilds_and_respects_protection(spark, tmp_path):
     # the protected model did NOT rebuild: row 9 from before still present
     ids = {r.id for r in spark.table("inc_model").collect()}
     assert 9 in ids
+
+
+def test_read_only_materialize_never_mutates_warehouse(spark, tmp_path):
+    """The test/profile/docs path: a blind-append incremental must NOT gain
+    rows when the DAG is registered read-only, and refs must resolve to the
+    accumulated warehouse state (not the bare query)."""
+    import glob
+
+    _write_feed(spark, tmp_path, [(1, "d1", 1.0), (2, "d1", 2.0)])
+    proj = _project(tmp_path, APPEND_SQL)
+    wh = str(tmp_path / "wh")
+    materialize(spark, load_project(proj), warehouse_dir=wh)
+    files_before = sorted(glob.glob(f"{wh}/inc_model.parquet/*"))
+
+    r = materialize(spark, load_project(proj), warehouse_dir=wh, read_only=True)
+    inc = [x for x in r.results if x.name == "inc_model"][0]
+    assert inc.materialized == "incremental(existing)"
+    assert sorted(glob.glob(f"{wh}/inc_model.parquet/*")) == files_before
+    assert spark.table("inc_model").count() == 2
+
+    # repeat: still no growth (the double-append bug this guards against)
+    materialize(spark, load_project(proj), warehouse_dir=wh, read_only=True)
+    assert spark.table("inc_model").count() == 2
+
+
+def test_read_only_materialize_without_warehouse_state(spark, tmp_path):
+    """Before any build exists, read-only registration falls back to a lazy
+    view of the compiled body (incremental=False) so refs still resolve."""
+    _write_feed(spark, tmp_path, [(1, "d1", 1.0)])
+    proj = _project(tmp_path, APPEND_SQL)
+    r = materialize(
+        spark, load_project(proj), warehouse_dir=str(tmp_path / "wh2"), read_only=True
+    )
+    inc = [x for x in r.results if x.name == "inc_model"][0]
+    assert inc.materialized == "view(read-only)"
+    assert spark.table("inc_model").count() == 1
+
+
+def test_unselected_incremental_ancestor_resolves_to_warehouse(spark, tmp_path):
+    """dbt semantics: ref() on an unselected incremental ancestor sees the
+    accumulated table, not a recompile of the bare query."""
+    _write_feed(spark, tmp_path, [(1, "d1", 1.0), (2, "d1", 2.0)])
+    proj = _project(tmp_path, APPEND_SQL)
+    (proj / "models" / "downstream.sql").write_text(
+        "select count(*) as n from {{ ref('inc_model') }}"
+    )
+    wh = str(tmp_path / "wh")
+    materialize(spark, load_project(proj), warehouse_dir=wh)
+    # grow the feed; select only the downstream — the ancestor must NOT
+    # re-run (its bare recompile would show 3 feed rows; warehouse has 2)
+    _write_feed(spark, tmp_path, [(1, "d1", 1.0), (2, "d1", 2.0), (3, "d2", 3.0)])
+    r = materialize(
+        spark, load_project(proj), warehouse_dir=wh, select=["downstream"]
+    )
+    anc = [x for x in r.results if x.name == "inc_model"][0]
+    assert anc.materialized == "incremental(existing)"
+    assert spark.table("downstream").collect()[0].n == 2
+
+
+def test_swap_dirs_recovers_leftover_old(tmp_path):
+    import os
+
+    from dbt_osmosis_spark.runner import _swap_dirs
+
+    out, tmp, old = tmp_path / "t.parquet", tmp_path / "t.parquet.tmp", tmp_path / "t.parquet.old"
+    for d, marker in ((out, "old_data"), (tmp, "new_data"), (old, "crash_leftover")):
+        d.mkdir()
+        (d / marker).touch()
+    _swap_dirs(str(out), str(tmp))
+    assert (out / "new_data").exists()
+    assert not tmp.exists() and not old.exists()

@@ -89,7 +89,24 @@ def test_lsh_ann_is_subset_of_bruteforce_ranking(spark, sf_dir):
 
 def test_centroid_dim(spark, sf_dir):
     rows = QUERIES["s03_label_centroids"](spark, sf_dir).collect()
-    assert all(len(r.centroid) == 64 and r.dim == 64 for r in rows)
+    labels = {r.label for r in rows}
+    # flat output: exactly one row per (label, pos), 64 dims per label
+    assert len(rows) == 64 * len(labels)
+    assert {r.pos for r in rows} == set(range(64))
+    assert all(isinstance(r.m, float) for r in rows)
+
+
+def test_centroid_scale_path_matches_exact(spark, sf_dir):
+    from dbt_osmosis_spark.operators.similarity import label_centroid_means
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    exact = {
+        (r.label, r.pos): r.m
+        for r in QUERIES["s03_label_centroids"](spark, sf_dir).collect()
+    }
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    for r in label_centroid_means(emb).collect():
+        assert abs(r.m - exact[(r.label, r.pos)]) < 1e-9
 
 
 def test_quality_score_bounds(spark, sf_dir):
@@ -113,12 +130,16 @@ def test_multimodal_feature_extraction(spark, sf_dir):
 
     feats = extract_features(with_bin)
     rows = feats.collect()
-    assert len(rows) == 50
+    assert len(rows) == 50 * 8  # flat: one row per (doc, slot)
+    by_doc: dict = {}
     for r in rows:
         assert r.modality == "image"
-        assert len(r.feat) == 8
-        assert abs(sum(r.feat) - 1.0) < 1e-6  # normalized histogram
+        assert 0 <= r.slot < 8
         assert r.n_bytes > 0
+        by_doc.setdefault(r.doc_id, []).append(r.value)
+    for vals in by_doc.values():
+        assert len(vals) == 8
+        assert abs(sum(vals) - 1.0) < 1e-6  # normalized histogram
 
     frames = sample_frames(with_bin)
     f0 = frames.filter(F.col("doc_id") == rows[0].doc_id).collect()
@@ -185,6 +206,25 @@ def test_connected_components_multi_hop(spark):
     nodes6 = spark.createDataFrame([(i,) for i in range(1, 7)], ["id"])
     comp6 = {r.id: r.component for r in connected_components(nodes6, chain).collect()}
     assert set(comp6.values()) == {1}
+
+
+def test_connected_components_high_diameter_path(spark):
+    """A 13-node path graph (diameter 12) forces >10 propagation rounds —
+    crossing two localCheckpoint boundaries — and must still converge to a
+    single component with bounded plan size."""
+    from dbt_osmosis_spark.operators.pipeline import connected_components
+
+    n = 13
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["src", "dst"])
+    out = connected_components(nodes, edges, max_iter=20)
+    comp = {r.id: r.component for r in out.collect()}
+    assert comp == {i: 0 for i in range(n)}
+    # Lineage is truncated at each checkpoint: joins since the last boundary
+    # follow j(r) = 2 + 2*j(r-1), so ≤4 un-checkpointed rounds ⇒ ≤30 joins.
+    # Without checkpointing, 13 rounds would embed ~2^13 joins.
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert plan.count("Join") <= 30
 
 
 def test_dedup_components_contain_lsh_pairs(spark, sf_dir):
