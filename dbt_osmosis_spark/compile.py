@@ -160,7 +160,15 @@ class JinjaCompiler:
         eph: dict[str, str | None] = {} if _ephemeral is None else _ephemeral
 
         def ref(name: str, v: int | None = None, **_kw) -> str:
-            target = f"{name}_v{v}" if v and f"{name}_v{v}" in self.manifest.models else name
+            v = v if v is not None else _kw.get("version")
+            if v is not None and f"{name}_v{v}" in self.manifest.models:
+                target = f"{name}_v{v}"
+            elif v is None and name in self.manifest.version_aliases:
+                # dbt versioned-model contract: a bare ref resolves to
+                # latest_version
+                target = self.manifest.version_aliases[name]
+            else:
+                target = name
             known = self.manifest.node_names()
             if target not in known and name not in known:
                 raise KeyError(f"ref('{name}') does not resolve to a known node")

@@ -89,9 +89,19 @@ class ModelNode:
     access: str = "protected"  # private | protected | public
 
 
-_REF_RE = re.compile(r"{{\s*ref\(\s*['\"]([^'\"]+)['\"]\s*\)\s*}}")
-_SOURCE_RE = re.compile(r"{{\s*source\(\s*['\"]([^'\"]+)['\"]\s*,\s*['\"]([^'\"]+)['\"]\s*\)\s*}}")
+_REF_RE = re.compile(
+    r"{{-?\s*ref\(\s*['\"]([^'\"]+)['\"]\s*(?:,\s*(?:v|version)\s*=\s*(\d+)\s*)?\)\s*-?}}"
+)
+_SOURCE_RE = re.compile(r"{{-?\s*source\(\s*['\"]([^'\"]+)['\"]\s*,\s*['\"]([^'\"]+)['\"]\s*\)\s*-?}}")
 _CONFIG_RE = re.compile(r"{{\s*config\(")
+# dbt snapshot blocks: {% snapshot name %} select ... {% endsnapshot %}
+_SNAPSHOT_RE = re.compile(r"{%-?\s*snapshot\s+(\w+)\s*-?%}(.*?){%-?\s*endsnapshot\s*-?%}", re.S)
+
+
+def _ref_deps(raw: str) -> list[str]:
+    """Static ref() dependency names; a versioned ref('m', v=2) depends on
+    the m_v2 node (dbt's versioned-ref contract)."""
+    return [f"{name}_v{v}" if v else name for name, v in _REF_RE.findall(raw)]
 # python models (dbt `def model(dbt, session)`): static extraction mirrors
 # dbt's AST scan of dbt.ref/dbt.source/dbt.config calls before execution
 _PY_REF_RE = re.compile(r"dbt\.ref\(\s*['\"]([^'\"]+)['\"]\s*\)")
@@ -117,6 +127,13 @@ class Manifest:
     # dbt exposures: declared downstream consumers (dashboards, ML jobs)
     # {name: {"type":..., "owner":..., "depends_on": [model names]}}
     exposures: dict = field(default_factory=dict)
+    # dbt versioned models: bare name → latest version's node name
+    # (ref('m') resolves here; ref('m', v=N) targets m_vN directly)
+    version_aliases: dict = field(default_factory=dict)
+    # from dbt_project.yml / profiles.yml when loading a standard dbt
+    # project layout (recorded for introspection; Spark is the engine)
+    profile: str | None = None
+    target: str | None = None
 
     def node_names(self) -> set[str]:
         return set(self.models) | set(self.sources) | set(self.seeds)
@@ -381,48 +398,128 @@ def _parse_inline_config(sql: str, config_re: re.Pattern | None = None) -> dict:
     return out
 
 
+def _tree_configs(level: dict) -> dict:
+    """Config keys at one level of dbt's hierarchical resource-config tree
+    (`+key` is always a config; a bare non-dict value is dbt's lenient
+    form — a dict value is a subdirectory)."""
+    return {
+        k.lstrip("+"): v
+        for k, v in level.items()
+        if k.startswith("+") or not isinstance(v, dict)
+    }
+
+
+def _resolve_config_tree(tree: dict, project_name: str, rel_parts: list[str]) -> dict:
+    """Resolve dbt_project.yml's `models:` / `seeds:` config tree for a node
+    under rel_parts (directories below the resource path root). dbt merge
+    semantics: root < project < each directory level, deeper wins; the
+    node's inline {{ config() }} wins over all of this (applied by caller).
+    """
+    out = _tree_configs(tree)
+    level = tree.get(project_name)
+    if not isinstance(level, dict):
+        return out
+    out.update(_tree_configs(level))
+    for part in rel_parts:
+        nxt = level.get(part)
+        if not isinstance(nxt, dict):
+            break
+        level = nxt
+        out.update(_tree_configs(level))
+    return out
+
+
+def _paths(cfg: dict, key: str, default: str) -> list[str]:
+    v = cfg.get(key) or cfg.get(key.replace("-", "_")) or [default]
+    return [v] if isinstance(v, str) else list(v)
+
+
 def load_project(project_dir: str | Path) -> Manifest:
     """Parse a project directory into a Manifest (the reference's
     `create_dbt_project_context` analog, reference:
-    src/dbt_osmosis/core/config.py:610-660 — minus dbt-core)."""
+    src/dbt_osmosis/core/config.py:610-660 — minus dbt-core).
+
+    Accepts TWO layouts:
+
+    - **standard dbt project** (public dbt spec): `dbt_project.yml` with
+      name/vars/resource paths and the hierarchical `models:`/`seeds:`
+      config tree, `profiles.yml` (profile/target recorded; Spark is the
+      engine), property files (`schema.yml`) with models/sources/seeds/
+      exposures entries including versioned models, `snapshots/*.sql`
+      {% snapshot %} blocks, and seeds as CSVs. A user points this engine
+      at an existing dbt repo and it loads.
+    - **native layout**: `project.yml` + `sources.yml` (path-explicit
+      sources), as used by this repo's demo project.
+    """
     project_dir = Path(project_dir)
     manifest = Manifest()
 
-    proj_file = project_dir / "project.yml"
-    seed_configs: dict = {}
+    dbt_layout = (project_dir / "dbt_project.yml").exists()
+    proj_file = project_dir / ("dbt_project.yml" if dbt_layout else "project.yml")
+    cfg: dict = {}
     if proj_file.exists() and _pyyaml is not None:
         cfg = _pyyaml.safe_load(proj_file.read_text()) or {}
-        manifest.project_name = cfg.get("name", project_dir.name)
-        manifest.vars = cfg.get("vars", {}) or {}
-        seed_configs = cfg.get("seeds", {}) or {}
+    manifest.project_name = cfg.get("name", project_dir.name)
+    manifest.vars = cfg.get("vars", {}) or {}
 
-        def _hooks(key: str) -> list[str]:
-            v = cfg.get(key) or cfg.get(key.replace("-", "_")) or []
-            return [v] if isinstance(v, str) else list(v)
+    def _hooks(key: str) -> list[str]:
+        v = cfg.get(key) or cfg.get(key.replace("-", "_")) or []
+        return [v] if isinstance(v, str) else list(v)
 
-        manifest.on_run_start = _hooks("on-run-start")
-        manifest.on_run_end = _hooks("on-run-end")
+    manifest.on_run_start = _hooks("on-run-start")
+    manifest.on_run_end = _hooks("on-run-end")
+
+    model_paths = _paths(cfg, "model-paths", "models")
+    seed_paths = _paths(cfg, "seed-paths", "seeds")
+    macro_paths = _paths(cfg, "macro-paths", "macros")
+    snapshot_paths = _paths(cfg, "snapshot-paths", "snapshots")
+    models_tree: dict = (cfg.get("models") or {}) if dbt_layout else {}
+    seeds_tree: dict = (cfg.get("seeds") or {}) if dbt_layout else {}
+    seed_configs: dict = {} if dbt_layout else (cfg.get("seeds", {}) or {})
+
+    manifest.profile = cfg.get("profile")
+    prof_file = project_dir / "profiles.yml"
+    if dbt_layout and manifest.profile and prof_file.exists() and _pyyaml is not None:
+        pcfg = _pyyaml.safe_load(prof_file.read_text()) or {}
+        prof = pcfg.get(manifest.profile) or {}
+        manifest.target = prof.get("target")
+
+    def _add_source_entry(s: dict, tbl: dict) -> None:
+        key = f"{s['name']}.{tbl['name']}"
+        meta = {**(s.get("meta") or {}), **(tbl.get("meta") or {})}
+        ext = tbl.get("external") or {}
+        path = tbl.get("path") or meta.get("path") or ext.get("location")
+        if not path:
+            # warehouse-native source with no file location — nothing for
+            # Spark to read; declared-only (still visible to lineage/yaml)
+            return
+        manifest.sources[key] = SourceNode(
+            name=key,
+            path=path,
+            format=tbl.get("format") or meta.get("format") or ext.get("file_format", "parquet"),
+            schema=s.get("schema") or s.get("name"),
+            description=tbl.get("description", ""),
+            loaded_at_field=tbl.get("loaded_at_field") or s.get("loaded_at_field"),
+            freshness=tbl.get("freshness") or s.get("freshness") or {},
+        )
 
     src_file = project_dir / "sources.yml"
     if src_file.exists() and _pyyaml is not None:
-        cfg = _pyyaml.safe_load(src_file.read_text()) or {}
-        for s in cfg.get("sources", []):
+        scfg = _pyyaml.safe_load(src_file.read_text()) or {}
+        for s in scfg.get("sources", []):
             for tbl in s.get("tables", []):
-                key = f"{s['name']}.{tbl['name']}"
-                manifest.sources[key] = SourceNode(
-                    name=key,
-                    path=tbl["path"],
-                    format=tbl.get("format", "parquet"),
-                    schema=s.get("name"),
-                    description=tbl.get("description", ""),
-                    loaded_at_field=tbl.get("loaded_at_field") or s.get("loaded_at_field"),
-                    freshness=tbl.get("freshness") or s.get("freshness") or {},
-                )
+                _add_source_entry(s, tbl)
 
-    seeds_dir = project_dir / "seeds"
-    if seeds_dir.is_dir():
-        for f in sorted(seeds_dir.glob("*.csv")):
-            seed_cfg = seed_configs.get(f.stem) or {}
+    for sp in seed_paths:
+        seeds_dir = project_dir / sp
+        if not seeds_dir.is_dir():
+            continue
+        for f in sorted(seeds_dir.rglob("*.csv")):
+            rel_parts = list(f.relative_to(seeds_dir).parent.parts)
+            if dbt_layout:
+                seed_cfg = _resolve_config_tree(seeds_tree, manifest.project_name, rel_parts)
+            else:
+                seed_cfg = seed_configs.get(f.stem) or {}
             manifest.seeds[f.stem] = SeedNode(
                 name=f.stem,
                 path=str(f),
@@ -431,31 +528,64 @@ def load_project(project_dir: str | Path) -> Manifest:
                 or {},
             )
 
-    macros_dir = project_dir / "macros"
-    if macros_dir.is_dir():
-        manifest.macro_source = "\n".join(
-            f.read_text() for f in sorted(macros_dir.glob("*.sql"))
-        )
+    macro_src: list[str] = []
+    for mp in macro_paths:
+        macros_dir = project_dir / mp
+        if macros_dir.is_dir():
+            macro_src.extend(f.read_text() for f in sorted(macros_dir.rglob("*.sql")))
+    manifest.macro_source = "\n".join(macro_src)
 
-    models_dir = project_dir / "models"
-    if models_dir.is_dir():
+    # dbt snapshots: {% snapshot name %} body {% endsnapshot %} blocks; the
+    # inline config carries strategy/unique_key/updated_at/check_cols
+    for sp in snapshot_paths:
+        snap_dir = project_dir / sp
+        if not snap_dir.is_dir():
+            continue
+        for f in sorted(snap_dir.rglob("*.sql")):
+            raw = f.read_text()
+            for m in _SNAPSHOT_RE.finditer(raw):
+                sname, body = m.group(1), m.group(2)
+                scfg = _parse_inline_config(body)
+                deps = _ref_deps(body) + [
+                    f"{a}.{b}" for a, b in _SOURCE_RE.findall(body)
+                ]
+                manifest.models[sname] = ModelNode(
+                    name=sname,
+                    raw_sql=body.strip(),
+                    path=os.path.relpath(f, project_dir),
+                    materialized="snapshot",
+                    depends_on=sorted(set(deps)),
+                    config={**scfg, "materialized": "snapshot"},
+                    tags=list(scfg.get("tags") or []),
+                )
+
+    versioned_entries: list[dict] = []
+    for mp in model_paths:
+        models_dir = project_dir / mp
+        if not models_dir.is_dir():
+            continue
         for f in sorted(models_dir.rglob("*.sql")):
             raw = f.read_text()
-            cfg = _parse_inline_config(raw)
-            deps = _REF_RE.findall(raw) + [
-                f"{a}.{b}" for a, b in _SOURCE_RE.findall(raw)
-            ]
+            inline_cfg = _parse_inline_config(raw)
+            rel_parts = list(f.relative_to(models_dir).parent.parts)
+            tree_cfg = (
+                _resolve_config_tree(models_tree, manifest.project_name, rel_parts)
+                if dbt_layout
+                else {}
+            )
+            mcfg = {**tree_cfg, **inline_cfg}
+            deps = _ref_deps(raw) + [f"{a}.{b}" for a, b in _SOURCE_RE.findall(raw)]
             # refs to seeds resolve by seed name too
             manifest.models[f.stem] = ModelNode(
                 name=f.stem,
                 raw_sql=raw,
                 path=os.path.relpath(f, project_dir),
-                materialized=cfg.get("materialized", "view"),
+                materialized=mcfg.get("materialized", "view"),
                 depends_on=sorted(set(deps)),
-                config=cfg,
-                tags=list(cfg.get("tags") or []),
-                group=cfg.get("group"),
-                access=cfg.get("access") or "protected",
+                config=mcfg,
+                tags=list(mcfg.get("tags") or []),
+                group=mcfg.get("group"),
+                access=mcfg.get("access") or "protected",
             )
         # python models: any models/*.py defining `def model(dbt, session)`
         # (dbt python-model contract). Config/deps extracted statically from
@@ -464,7 +594,7 @@ def load_project(project_dir: str | Path) -> Manifest:
             raw = f.read_text()
             if "def model(" not in raw:
                 continue
-            cfg = _parse_inline_config(raw, _PY_CONFIG_RE)
+            pcfg = _parse_inline_config(raw, _PY_CONFIG_RE)
             deps = _PY_REF_RE.findall(raw) + [
                 f"{a}.{b}" for a, b in _PY_SOURCE_RE.findall(raw)
             ]
@@ -472,33 +602,101 @@ def load_project(project_dir: str | Path) -> Manifest:
                 name=f.stem,
                 raw_sql=raw,
                 path=os.path.relpath(f, project_dir),
-                materialized=cfg.get("materialized", "table"),
+                materialized=pcfg.get("materialized", "table"),
                 language="python",
                 depends_on=sorted(set(deps)),
-                config=cfg,
-                tags=list(cfg.get("tags") or []),
+                config=pcfg,
+                tags=list(pcfg.get("tags") or []),
             )
-        # schema/properties YAML: declared columns + contract enforcement
-        if _pyyaml is not None:
-            for f in sorted(models_dir.rglob("*.yml")) + sorted(models_dir.rglob("*.yaml")):
-                cfg = _pyyaml.safe_load(f.read_text()) or {}
-                for entry in cfg.get("models") or []:
-                    node = manifest.models.get(entry.get("name", ""))
-                    if node is None:
-                        continue
-                    node.columns = entry.get("columns") or []
-                    contract = (entry.get("config") or {}).get("contract") or {}
-                    node.contract = bool(contract.get("enforced"))
-                    if entry.get("description"):
-                        node.description = entry["description"]
-                    node.group = entry.get("group") or (entry.get("config") or {}).get("group") or node.config.get("group")
-                    node.access = entry.get("access") or node.config.get("access") or "protected"
-                for exp in cfg.get("exposures") or []:
-                    deps = _REF_RE.findall(" ".join((exp.get("depends_on") or [])))
-                    manifest.exposures[exp["name"]] = {
-                        "type": exp.get("type", "dashboard"),
-                        "owner": exp.get("owner") or {},
-                        "description": exp.get("description", ""),
-                        "depends_on": sorted(set(deps)),
-                    }
+
+    # property files (dbt schema.yml spec): declared columns, contracts,
+    # sources, seeds, exposures, versioned models — anywhere under the
+    # model/seed paths
+    if _pyyaml is not None:
+        prop_files: list[Path] = []
+        for rp in model_paths + seed_paths:
+            d = project_dir / rp
+            if d.is_dir():
+                prop_files.extend(sorted(d.rglob("*.yml")) + sorted(d.rglob("*.yaml")))
+        for f in prop_files:
+            pcfg = _pyyaml.safe_load(f.read_text()) or {}
+            if not isinstance(pcfg, dict):
+                continue
+            for s in pcfg.get("sources") or []:
+                for tbl in s.get("tables") or []:
+                    _add_source_entry(s, tbl)
+            for entry in pcfg.get("seeds") or []:
+                seed = manifest.seeds.get(entry.get("name", ""))
+                if seed is None:
+                    continue
+                if entry.get("description"):
+                    seed.description = entry["description"]
+                ct = (entry.get("config") or {}).get("column_types") or {}
+                seed.column_types = {**seed.column_types, **ct}
+            for entry in pcfg.get("models") or []:
+                if entry.get("versions"):
+                    versioned_entries.append(entry)
+                    continue
+                node = manifest.models.get(entry.get("name", ""))
+                if node is None:
+                    continue
+                node.columns = entry.get("columns") or []
+                contract = (entry.get("config") or {}).get("contract") or {}
+                node.contract = bool(contract.get("enforced"))
+                if entry.get("description"):
+                    node.description = entry["description"]
+                node.group = entry.get("group") or (entry.get("config") or {}).get("group") or node.config.get("group")
+                node.access = entry.get("access") or node.config.get("access") or "protected"
+            for exp in pcfg.get("exposures") or []:
+                deps = _ref_deps(" ".join((exp.get("depends_on") or [])))
+                manifest.exposures[exp["name"]] = {
+                    "type": exp.get("type", "dashboard"),
+                    "owner": exp.get("owner") or {},
+                    "description": exp.get("description", ""),
+                    "depends_on": sorted(set(deps)),
+                }
+
+    # versioned models (dbt model versions spec): each version becomes its
+    # own node `name_vN`; the defining file is `name_vN.sql` when present,
+    # else the base `name.sql`; the bare name aliases to latest_version
+    for entry in versioned_entries:
+        name = entry["name"]
+        versions = entry["versions"]
+        nums = [int(v["v"]) for v in versions]
+        latest = int(entry.get("latest_version") or max(nums))
+        base = manifest.models.get(name)
+        for vspec in versions:
+            vnum = int(vspec["v"])
+            vname = f"{name}_v{vnum}"
+            defining = manifest.models.get(vname) or base
+            if defining is None:
+                continue
+            vcfg = {**defining.config, **(vspec.get("config") or {})}
+            manifest.models[vname] = ModelNode(
+                name=vname,
+                raw_sql=defining.raw_sql,
+                path=defining.path,
+                materialized=vcfg.get("materialized", defining.materialized),
+                language=defining.language,
+                depends_on=list(defining.depends_on),
+                description=vspec.get("description") or entry.get("description", ""),
+                config=vcfg,
+                tags=list(defining.tags),
+                columns=vspec.get("columns") or entry.get("columns") or [],
+                contract=defining.contract,
+                group=defining.group,
+                access=entry.get("access") or defining.access,
+            )
+        manifest.models.pop(name, None)
+        manifest.version_aliases[name] = f"{name}_v{latest}"
+    if manifest.version_aliases:
+        # un-versioned refs to a versioned model depend on its latest version
+        for node in manifest.models.values():
+            node.depends_on = sorted(
+                {manifest.version_aliases.get(d, d) for d in node.depends_on}
+            )
+        for exp in manifest.exposures.values():
+            exp["depends_on"] = sorted(
+                {manifest.version_aliases.get(d, d) for d in exp["depends_on"]}
+            )
     return manifest

@@ -1,0 +1,219 @@
+"""Standard dbt-project layout interop: dbt_project.yml + profiles.yml +
+property files (public dbt spec) load and run directly — the contract a user
+with an existing dbt repo hits on minute one (reference entry point:
+src/dbt_osmosis/core/config.py:610-660; demo shape: demo_duckdb/jaffle_shop).
+"""
+
+from __future__ import annotations
+
+import textwrap
+
+import pytest
+
+from dbt_osmosis_spark.project import load_project
+from dbt_osmosis_spark.runner import materialize
+
+
+def _jaffle(tmp_path):
+    """A minimal standard-dbt-layout project: seeds, staged models in a
+    subdirectory, a versioned model, a snapshot, config tree in
+    dbt_project.yml."""
+    proj = tmp_path / "jaffle"
+    (proj / "models" / "staging").mkdir(parents=True)
+    (proj / "seeds").mkdir()
+    (proj / "snapshots").mkdir()
+
+    (proj / "dbt_project.yml").write_text(
+        textwrap.dedent(
+            """
+            name: "jaffle_spark"
+            config-version: 2
+            version: "0.1"
+            profile: "jaffle"
+            model-paths: ["models"]
+            seed-paths: ["seeds"]
+            macro-paths: ["macros"]
+            snapshot-paths: ["snapshots"]
+            models:
+              jaffle_spark:
+                +dbt-osmosis: "{node.schema}/{node.name}.yml"
+                materialized: table
+                staging:
+                  materialized: view
+            seeds:
+              jaffle_spark:
+                +column_types:
+                  id: bigint
+            vars:
+              status_filter: completed
+            """
+        )
+    )
+    (proj / "profiles.yml").write_text(
+        textwrap.dedent(
+            """
+            jaffle:
+              target: dev
+              outputs:
+                dev:
+                  type: spark
+                  threads: 4
+            """
+        )
+    )
+    (proj / "seeds" / "raw_customers.csv").write_text(
+        "id,first_name\n1,Ada\n2,Grace\n3,Edsger\n"
+    )
+    (proj / "seeds" / "raw_orders.csv").write_text(
+        "id,customer_id,status,amount\n10,1,completed,5.0\n11,1,returned,7.5\n12,2,completed,3.0\n"
+    )
+    (proj / "models" / "staging" / "stg_customers.sql").write_text(
+        "select id as customer_id, first_name from {{ ref('raw_customers') }}\n"
+    )
+    (proj / "models" / "staging" / "stg_customers_v2.sql").write_text(
+        "select id, first_name from {{ ref('raw_customers') }}\n"
+    )
+    (proj / "models" / "staging" / "stg_orders.sql").write_text(
+        "select id as order_id, customer_id, status, amount from {{ ref('raw_orders') }}\n"
+    )
+    (proj / "models" / "customers.sql").write_text(
+        textwrap.dedent(
+            """
+            with c as (select * from {{ ref('stg_customers', v=1) }}),
+            o as (select * from {{ ref('stg_orders') }}
+                  where status = '{{ var("status_filter") }}')
+            select c.customer_id, c.first_name,
+                   count(o.order_id) as n_orders, sum(o.amount) as total
+            from c left join o using (customer_id)
+            group by all
+            """
+        )
+    )
+    (proj / "models" / "staging" / "stg_customers.yml").write_text(
+        textwrap.dedent(
+            """
+            version: 2
+            models:
+              - name: stg_customers
+                latest_version: 1
+                versions:
+                  - v: 1
+                    config:
+                      alias: stg_customers
+                    columns:
+                      - name: customer_id
+                        data_tests: [unique, not_null]
+                      - name: first_name
+                  - v: 2
+                    columns:
+                      - name: id
+                      - name: first_name
+            """
+        )
+    )
+    (proj / "models" / "customers.yml").write_text(
+        textwrap.dedent(
+            """
+            version: 2
+            models:
+              - name: customers
+                description: one row per customer
+                columns:
+                  - name: customer_id
+                    tests: [unique]
+            """
+        )
+    )
+    (proj / "seeds" / "raw_customers.yml").write_text(
+        textwrap.dedent(
+            """
+            version: 2
+            seeds:
+              - name: raw_customers
+                description: raw customer feed
+            """
+        )
+    )
+    (proj / "snapshots" / "orders_snapshot.sql").write_text(
+        textwrap.dedent(
+            """
+            {% snapshot orders_snapshot %}
+            {{ config(unique_key='order_id', strategy='check') }}
+            select * from {{ ref('stg_orders') }}
+            {% endsnapshot %}
+            """
+        )
+    )
+    return proj
+
+
+def test_dbt_layout_loads(tmp_path):
+    m = load_project(_jaffle(tmp_path))
+    assert m.project_name == "jaffle_spark"
+    assert m.profile == "jaffle" and m.target == "dev"
+    assert m.vars["status_filter"] == "completed"
+    # seeds with tree-resolved column_types and property description
+    assert m.seeds["raw_customers"].column_types == {"id": "bigint"}
+    assert m.seeds["raw_customers"].description == "raw customer feed"
+    # config tree: root says table, staging dir overrides to view
+    assert m.models["stg_orders"].materialized == "view"
+    assert m.models["customers"].materialized == "table"
+    assert m.models["customers"].config.get("dbt-osmosis") == "{node.schema}/{node.name}.yml"
+    # versioned model: bare node replaced by _v1/_v2, alias to latest
+    assert "stg_customers" not in m.models
+    assert {"stg_customers_v1", "stg_customers_v2"} <= set(m.models)
+    assert m.version_aliases == {"stg_customers": "stg_customers_v1"}
+    assert m.models["stg_customers_v1"].columns[0]["name"] == "customer_id"
+    assert m.models["stg_customers_v2"].columns[0]["name"] == "id"
+    # snapshot block parsed
+    snap = m.models["orders_snapshot"]
+    assert snap.materialized == "snapshot"
+    assert snap.config["unique_key"] == "order_id"
+    assert "stg_orders" in snap.depends_on
+    # versioned dep remap: customers depends on the pinned v1
+    assert "stg_customers_v1" in m.models["customers"].depends_on
+
+
+def test_dbt_layout_runs_on_spark(spark, tmp_path):
+    proj = _jaffle(tmp_path)
+    m = load_project(proj)
+    wh = str(tmp_path / "wh")
+    report = materialize(spark, m, warehouse_dir=wh, count_rows=True)
+    by_name = {r.name: r for r in report.results}
+    assert by_name["customers"].materialized == "table"
+    assert by_name["orders_snapshot"].materialized == "snapshot"
+    got = {r.customer_id: (r.n_orders, r.total) for r in spark.table("customers").collect()}
+    assert got[1] == (1, 5.0)  # returned order filtered by var
+    assert got[2] == (1, 3.0)
+    assert got[3] == (0, None)
+    # snapshot table carries SCD2 columns
+    cols = set(spark.table("orders_snapshot").columns)
+    assert {"dbt_valid_from", "dbt_valid_to"} <= cols
+    # versioned refs: v1 renames, v2 does not
+    assert "customer_id" in spark.table("stg_customers_v1").columns
+    assert "id" in spark.table("stg_customers_v2").columns
+
+
+def test_versioned_ref_pins_and_defaults(tmp_path):
+    from dbt_osmosis_spark.compile import JinjaCompiler
+
+    m = load_project(_jaffle(tmp_path))
+    c = JinjaCompiler(m)
+    assert "stg_customers_v2" in c.compile("select * from {{ ref('stg_customers', v=2) }}").compiled_sql
+    assert (
+        "stg_customers_v1"
+        in c.compile("select * from {{ ref('stg_customers') }}").compiled_sql
+    )
+    assert (
+        "stg_customers_v2"
+        in c.compile("select * from {{ ref('stg_customers', version=2) }}").compiled_sql
+    )
+
+
+def test_native_layout_still_loads(tmp_path):
+    (tmp_path / "models").mkdir()
+    (tmp_path / "project.yml").write_text("name: native\nvars: {x: 1}\n")
+    (tmp_path / "models" / "m1.sql").write_text("select {{ var('x') }} as x")
+    m = load_project(tmp_path)
+    assert m.project_name == "native"
+    assert m.models["m1"].materialized == "view"
