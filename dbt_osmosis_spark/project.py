@@ -138,6 +138,18 @@ class Manifest:
     def node_names(self) -> set[str]:
         return set(self.models) | set(self.sources) | set(self.seeds)
 
+    def version_of(self, node_name: str) -> tuple[str, int] | None:
+        """(base_name, N) when node_name is a versioned-model node m_vN."""
+        for base in self.version_aliases:
+            m = re.fullmatch(re.escape(base) + r"_v(\d+)", node_name)
+            if m:
+                return base, int(m.group(1))
+        return None
+
+    def latest_version_num(self, base: str) -> int | None:
+        alias = self.version_aliases.get(base)
+        return int(alias.rsplit("_v", 1)[1]) if alias else None
+
     def topo_sort(self) -> list[str]:
         """Kahn's algorithm over model nodes, parents first; raises on cycles
         (reference algorithm: src/dbt_osmosis/core/node_filters.py:61-110)."""

@@ -70,9 +70,15 @@ class YamlRefactorContext:
         """YAML location: sidecar `<model>.yml` next to the model file —
         the default routing template (the reference's full `{parent}/
         {schema}` templating is config surface, reference:
-        src/dbt_osmosis/core/path_management.py:56-260)."""
+        src/dbt_osmosis/core/path_management.py:56-260). All versions of a
+        versioned model share ONE property file named for the base model
+        (dbt keeps one models[] entry with a versions[] list)."""
         node = self.manifest.models[model_name]
-        return Path(self.project_dir) / Path(node.path).with_suffix(".yml")
+        p = Path(self.project_dir) / Path(node.path).with_suffix(".yml")
+        ver = self.manifest.version_of(model_name)
+        if ver is not None:
+            p = p.with_name(f"{ver[0]}.yml")
+        return p
 
     def db_columns(self, model_name: str):
         return get_columns(self.spark, relation_name(model_name), use_cache=False)
@@ -242,10 +248,22 @@ def sync_to_yaml(ctx: YamlRefactorContext, node: str | None = None) -> list[Path
         for n in ctx.manifest.topo_sort()
         if ctx.manifest.models[n].materialized != "ephemeral"
     ]
+    from dbt_osmosis_spark.yaml_engine import ensure_version_entry
+
     for name in candidates:
         path = ctx.doc_path(name)
         doc = ctx.yaml.read(path) if path.exists() else {}
-        entry = ensure_model_entry(doc, name)
+        ver = ctx.manifest.version_of(name)
+        if ver is not None:
+            # versioned model: one models[] entry keyed by base name, column
+            # docs nested under the matching versions[] item; both lookups
+            # fail closed on ambiguous duplicates (yaml_engine guards)
+            base, vnum = ver
+            entry = ensure_model_entry(doc, base)
+            entry["latest_version"] = ctx.manifest.latest_version_num(base)
+            entry = ensure_version_entry(entry, vnum)
+        else:
+            entry = ensure_model_entry(doc, name)
         cols_out = []
         for col, meta in ctx.columns_of[name].items():
             item = {
@@ -272,13 +290,18 @@ def sync_to_yaml(ctx: YamlRefactorContext, node: str | None = None) -> list[Path
 
 def load_docs_from_yaml(ctx: YamlRefactorContext) -> None:
     """Seed ctx.columns_of from existing sidecar YAML files."""
-    from dbt_osmosis_spark.yaml_engine import model_entry
+    from dbt_osmosis_spark.yaml_engine import model_entry, version_entry
 
     for name in ctx.manifest.models:
         path = ctx.doc_path(name)
         if not path.exists():
             continue
-        entry = model_entry(ctx.yaml.read(path), name)
+        ver = ctx.manifest.version_of(name)
+        if ver is not None:
+            entry = model_entry(ctx.yaml.read(path), ver[0])
+            entry = version_entry(entry, ver[1]) if entry else None
+        else:
+            entry = model_entry(ctx.yaml.read(path), name)
         if not entry:
             continue
         for col in entry.get("columns") or []:

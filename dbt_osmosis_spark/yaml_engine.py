@@ -94,12 +94,28 @@ class YamlHandler:
         return n
 
 
+class YamlSyncError(ValueError):
+    """Fail-closed sync guard: the document is ambiguous (duplicate
+    entries) and picking one would silently delete user-authored YAML
+    (reference contract: src/dbt_osmosis/core/sync_operations.py:535-604)."""
+
+
 def model_entry(doc: dict, model_name: str) -> dict | None:
-    """Find a model's entry in a schema document."""
-    for entry in doc.get("models", []) or []:
-        if entry.get("name") == model_name:
-            return entry
-    return None
+    """Find a model's entry in a schema document; fail closed on
+    duplicates — syncing into either copy would drop the other's
+    user-authored content."""
+    hits = [
+        (i, e)
+        for i, e in enumerate(doc.get("models", []) or [])
+        if isinstance(e, dict) and e.get("name") == model_name
+    ]
+    if len(hits) > 1:
+        idx = ", ".join(str(i) for i, _ in hits)
+        raise YamlSyncError(
+            f"duplicate models[] entries for '{model_name}' at indexes {idx}; "
+            "consolidate them before syncing"
+        )
+    return hits[0][1] if hits else None
 
 
 def ensure_model_entry(doc: dict, model_name: str) -> dict:
@@ -111,3 +127,32 @@ def ensure_model_entry(doc: dict, model_name: str) -> dict:
         models.append(entry)
     entry.setdefault("columns", [])
     return entry
+
+
+def version_entry(entry: dict, v) -> dict | None:
+    """Find a version's entry under a model; fail closed when two entries
+    identify the same version (v: 1 and v: "1" count as the same)."""
+    seen: dict[str, tuple[int, dict]] = {}
+    for i, ve in enumerate(entry.get("versions") or []):
+        if not isinstance(ve, dict) or ve.get("v") is None:
+            continue
+        key = str(ve.get("v"))
+        if key in seen:
+            raise YamlSyncError(
+                f"duplicate versions[] entries for model '{entry.get('name')}' "
+                f"at indexes {seen[key][0]} and {i} both identify v={ve.get('v')!r}; "
+                "consolidate them before syncing"
+            )
+        seen[key] = (i, ve)
+    hit = seen.get(str(v))
+    return hit[1] if hit else None
+
+
+def ensure_version_entry(entry: dict, v) -> dict:
+    versions = entry.setdefault("versions", [])
+    ve = version_entry(entry, v)
+    if ve is None:
+        ve = {"v": v, "columns": []}
+        versions.append(ve)
+    ve.setdefault("columns", [])
+    return ve
