@@ -87,6 +87,12 @@ class ModelNode:
     # access='private' models may only be ref()'d from their own group.
     group: str | None = None
     access: str = "protected"  # private | protected | public
+    # dbt node `meta:` from the property file (settings tier 2) and the
+    # config values exactly as written before any rendering (dbt 1.10's
+    # unrendered_config — settings tier 5; lets dbt-osmosis read a config
+    # value even when rendering rewrote or dropped it)
+    meta: dict = field(default_factory=dict)
+    unrendered_config: dict = field(default_factory=dict)
 
 
 _REF_RE = re.compile(
@@ -332,9 +338,9 @@ def _scan_balanced(s: str, start: int) -> str | None:
                 quote = None
         elif ch in "'\"":
             quote = ch
-        elif ch in "([":
+        elif ch in "([{":
             depth += 1
-        elif ch in ")]":
+        elif ch in ")]}":
             depth -= 1
             if depth == 0:
                 return s[start:i]
@@ -355,9 +361,9 @@ def _split_kwargs(arglist: str) -> list[str]:
                 quote = None
         elif ch in "'\"":
             quote = ch
-        elif ch in "[(":
+        elif ch in "[({":
             depth += 1
-        elif ch in ")]":
+        elif ch in ")]}":
             depth -= 1
         elif ch == "," and depth == 0:
             parts.append("".join(cur))
@@ -397,7 +403,15 @@ def _parse_inline_config(sql: str, config_re: re.Pattern | None = None) -> dict:
             continue
         k, v = part.split("=", 1)
         v = v.strip()
-        if v.startswith("[") and v.endswith("]"):
+        if v.startswith("{") and v.endswith("}"):
+            # dict literal (e.g. dbt_osmosis_options={'prefix': 'x'})
+            import ast
+
+            try:
+                out[k.strip()] = ast.literal_eval(v)
+            except (ValueError, SyntaxError):
+                pass
+        elif v.startswith("[") and v.endswith("]"):
             out[k.strip()] = [
                 unquote(item) for item in v[1:-1].split(",") if item.strip()
             ]
@@ -598,6 +612,7 @@ def load_project(project_dir: str | Path) -> Manifest:
                 tags=list(mcfg.get("tags") or []),
                 group=mcfg.get("group"),
                 access=mcfg.get("access") or "protected",
+                unrendered_config=dict(mcfg),
             )
         # python models: any models/*.py defining `def model(dbt, session)`
         # (dbt python-model contract). Config/deps extracted statically from
@@ -659,6 +674,8 @@ def load_project(project_dir: str | Path) -> Manifest:
                     node.description = entry["description"]
                 node.group = entry.get("group") or (entry.get("config") or {}).get("group") or node.config.get("group")
                 node.access = entry.get("access") or node.config.get("access") or "protected"
+                if entry.get("meta"):
+                    node.meta = {**node.meta, **entry["meta"]}
             for exp in pcfg.get("exposures") or []:
                 deps = _ref_deps(" ".join((exp.get("depends_on") or [])))
                 manifest.exposures[exp["name"]] = {
@@ -698,6 +715,8 @@ def load_project(project_dir: str | Path) -> Manifest:
                 contract=defining.contract,
                 group=defining.group,
                 access=entry.get("access") or defining.access,
+                meta={**(entry.get("meta") or {}), **(vspec.get("meta") or {})},
+                unrendered_config=dict(vcfg),
             )
         manifest.models.pop(name, None)
         manifest.version_aliases[name] = f"{name}_v{latest}"

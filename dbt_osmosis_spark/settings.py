@@ -56,14 +56,27 @@ def _from_mapping(source: Any, name: str, *, direct: bool) -> Any:
 
 @dataclass
 class SettingsResolver:
-    """Chain-of-sources settings lookup.
+    """Chain-of-sources settings lookup (reference precedence doc:
+    src/dbt_osmosis/core/introspection.py:834-864).
 
-    ``context_settings`` plays the role of the supplementary dbt-osmosis.yml;
-    ``project_vars`` the dbt project vars (checked under the "dbt-osmosis"
-    namespace first, then as a direct key).
+    Tiers, highest → lowest:
+
+    1. column meta + column config.meta    (all spellings, direct keys)
+    2. node meta                           (property-file `meta:`; direct keys)
+    3. node config, prefixed/options only  (`dbt-osmosis-<key>`, options maps —
+                                            bare keys in config do NOT resolve,
+                                            matching the reference)
+    4. node config.meta                    (dbt 1.10+ `config: {meta: ...}`)
+    5. node unrendered_config              (dbt 1.10+ pre-render config values)
+    6. explicit context settings           (code/CLI-supplied overrides)
+    7. supplementary file                  (dbt-osmosis.yml contents)
+    8. project vars                        ("dbt-osmosis" namespace, then
+                                            prefixed top-level keys)
+    9. fallback
     """
 
     context_settings: Mapping | None = None
+    supplementary: Mapping | None = None
     project_vars: Mapping | None = None
 
     def resolve(
@@ -75,20 +88,36 @@ class SettingsResolver:
         fallback: Any = None,
     ) -> Any:
         if column is not None:
-            got = _from_mapping(column.get("meta"), name, direct=True)
+            # effective column meta: meta: plus dbt 1.10+ config.meta
+            for cmeta in (
+                column.get("meta"),
+                (column.get("config") or {}).get("meta")
+                if isinstance(column.get("config"), Mapping)
+                else None,
+            ):
+                got = _from_mapping(cmeta, name, direct=True)
+                if got is not _MISSING:
+                    return got
+        if node is not None:
+            got = _from_mapping(getattr(node, "meta", None), name, direct=True)
             if got is not _MISSING:
                 return got
-        if node is not None:
             node_config = getattr(node, "config", None) or {}
+            got = _from_mapping(node_config, name, direct=False)
+            if got is not _MISSING:
+                return got
             got = _from_mapping(node_config.get("meta"), name, direct=True)
             if got is not _MISSING:
                 return got
-            got = _from_mapping(node_config, name, direct=True)
+            got = _from_mapping(
+                getattr(node, "unrendered_config", None), name, direct=True
+            )
             if got is not _MISSING:
                 return got
-        got = _from_mapping(self.context_settings, name, direct=True)
-        if got is not _MISSING:
-            return got
+        for source in (self.context_settings, self.supplementary):
+            got = _from_mapping(source, name, direct=True)
+            if got is not _MISSING:
+                return got
         if isinstance(self.project_vars, Mapping):
             namespaced = self.project_vars.get("dbt-osmosis") or self.project_vars.get(
                 "dbt_osmosis"

@@ -52,19 +52,43 @@ class YamlRefactorContext:
             self.pm = plugin_manager()
         for name in self.manifest.models:
             self.columns_of.setdefault(name, {})
-        # supplementary settings file, lowest-precedence project source
-        # (reference: dbt-osmosis.yml in the settings chain,
-        # src/dbt_osmosis/core/introspection.py:860-862)
+        # explicit settings (code/CLI) are captured BEFORE merging in the
+        # supplementary dbt-osmosis.yml: the two are distinct tiers of the
+        # resolution chain (explicit > dbt-osmosis.yml > project vars,
+        # reference: src/dbt_osmosis/core/introspection.py:834-864)
+        self.explicit_settings = dict(self.settings)
+        self.supplementary = {}
         supp = Path(self.project_dir) / "dbt-osmosis.yml"
         if supp.exists():
             try:
                 import yaml as _pyyaml
 
-                loaded = _pyyaml.safe_load(supp.read_text()) or {}
-                for k, v in loaded.items():
+                self.supplementary = _pyyaml.safe_load(supp.read_text()) or {}
+                for k, v in self.supplementary.items():
                     self.settings.setdefault(k.replace("-", "_"), v)
             except Exception:  # malformed supplementary file is non-fatal
                 pass
+
+    def resolver(self):
+        """Per-node/per-column settings resolution over the full chain,
+        with this context's explicit settings, its dbt-osmosis.yml, and the
+        project vars each in their own tier."""
+        from dbt_osmosis_spark.settings import SettingsResolver
+
+        return SettingsResolver(
+            context_settings=self.explicit_settings,
+            supplementary=self.supplementary,
+            project_vars=self.manifest.vars,
+        )
+
+    def setting_for(self, name: str, node_name: str | None = None, column: str | None = None, fallback=None):
+        """Resolve a setting for a node/column through the chain (the
+        reference's _get_setting_for_node analog)."""
+        node = self.manifest.models.get(node_name) if node_name else None
+        col = None
+        if node is not None and column is not None:
+            col = next((c for c in node.columns if c.get("name") == column), None)
+        return self.resolver().resolve(name, node=node, column=col, fallback=fallback)
 
     def doc_path(self, model_name: str) -> Path:
         """YAML location: sidecar `<model>.yml` next to the model file —
