@@ -115,6 +115,19 @@ def cmd_yaml(args) -> int:
         synchronize_data_types,
     )
 
+    if args.action == "check-schemas":
+        from dbt_osmosis_spark.schema_validation import validate_project_schemas
+
+        findings = validate_project_schemas(args.project_dir)
+        n_err = 0
+        for rel, violations in sorted(findings.items()):
+            for v in violations:
+                if v.severity == "error":
+                    n_err += 1
+                print(f"{rel}: {v.severity.upper()} [{v.code}] {v.path}: {v.message}")
+        print(f"{sum(len(v) for v in findings.values())} finding(s), {n_err} error(s)")
+        return 1 if n_err else 0
+
     spark, manifest = _build_context(args)
     ctx = YamlRefactorContext(spark=spark, manifest=manifest, project_dir=args.project_dir)
     load_docs_from_yaml(ctx)
@@ -471,7 +484,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--vars", default=None, help="JSON object overriding project vars")
 
     yp = sub.add_parser("yaml", help="yaml pipeline: refactor/organize/document/sync")
-    yp.add_argument("action", choices=["refactor", "organize", "document", "sync"])
+    yp.add_argument(
+        "action", choices=["refactor", "organize", "document", "sync", "check-schemas"]
+    )
     yp.add_argument("--check", action="store_true", help="exit 1 if anything mutated")
 
     lp = sub.add_parser("lint", help="lint model SQL")

@@ -79,20 +79,196 @@ def _describe_column(column: str, table: str) -> str:
     return f"The {low.replace('_', ' ')} of the {noun} record."
 
 
+class LLMConfigurationError(RuntimeError):
+    """Provider env vars missing/invalid (reference: llm.py get_llm_client)."""
+
+
+class LLMResponseError(RuntimeError):
+    """Provider returned an unusable payload (non-JSON spec, empty choice)."""
+
+
+@dataclass
+class OpenAICompatBackend:
+    """Minimal OpenAI-compatible chat-completions client over stdlib HTTP
+    (public API wire shape: POST {base_url}/chat/completions with
+    model/messages, Bearer auth, choices[0].message.content). Works against
+    OpenAI itself or any compatible server (Azure front-ends, local
+    gateways) without the `openai` package — which this container lacks.
+
+    Reference contract: src/dbt_osmosis/core/llm.py:186-260 (env-driven
+    provider config) and :341-676 (prompt/response shapes).
+    """
+
+    base_url: str
+    api_key: str
+    model: str
+    timeout: float = 30.0
+    temperature: float = 0.3
+    extra_headers: dict = field(default_factory=dict)
+    calls: int = 0
+
+    def chat(self, messages: list[dict]) -> str:
+        import urllib.request
+
+        self.calls += 1
+        body = json.dumps(
+            {"model": self.model, "messages": messages, "temperature": self.temperature}
+        ).encode()
+        req = urllib.request.Request(
+            self.base_url.rstrip("/") + "/chat/completions",
+            data=body,
+            headers={
+                "Content-Type": "application/json",
+                "Authorization": f"Bearer {self.api_key}",
+                **self.extra_headers,
+            },
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            payload = json.loads(resp.read().decode())
+        try:
+            content = payload["choices"][0]["message"]["content"]
+        except (KeyError, IndexError, TypeError) as e:
+            raise LLMResponseError(f"malformed completion payload: {payload!r}") from e
+        if content is None:
+            raise LLMResponseError("completion returned empty content")
+        return content
+
+    def complete(self, prompt: str) -> str:
+        """LLMBackend adapter for the engine's single-string prompts."""
+        return self.chat([{"role": "user", "content": prompt}])
+
+
+def backend_from_env() -> LLMBackend | None:
+    """OpenAI-compatible backend from standard env vars, or None.
+
+    LLM_PROVIDER=openai (default) with OPENAI_API_KEY [+ OPENAI_BASE_URL,
+    OPENAI_MODEL]. Any OpenAI-compatible endpoint works by pointing
+    OPENAI_BASE_URL at it.
+    """
+    import os
+
+    provider = os.getenv("LLM_PROVIDER", "openai").lower()
+    if provider != "openai":
+        raise LLMConfigurationError(f"unsupported LLM_PROVIDER: {provider!r}")
+    key = os.getenv("OPENAI_API_KEY")
+    if not key:
+        return None
+    return OpenAICompatBackend(
+        base_url=os.getenv("OPENAI_BASE_URL", "https://api.openai.com/v1"),
+        api_key=key,
+        model=os.getenv("OPENAI_MODEL", "gpt-4o"),
+    )
+
+
 def default_backend() -> LLMBackend:
-    """Real endpoint when available; heuristic otherwise (import-try gate)."""
-    try:  # pragma: no cover - openai not shipped in this container
-        import os
+    """Real endpoint when configured via env; heuristic otherwise — so
+    pipelines and tests stay hermetic without a key."""
+    backend = backend_from_env()
+    return backend if backend is not None else HeuristicBackend()
 
-        import openai  # type: ignore  # noqa: F401
 
-        if os.environ.get("OPENAI_API_KEY"):
-            raise NotImplementedError(
-                "real-backend wiring intentionally omitted in this environment"
+def strip_json_fences(text: str) -> str:
+    """Providers often wrap JSON in ``` fences despite instructions; strip
+    one outer fence pair if present."""
+    t = text.strip()
+    if t.startswith("```"):
+        t = t.split("\n", 1)[1] if "\n" in t else ""
+        if t.rstrip().endswith("```"):
+            t = t.rstrip()[:-3]
+    return t.strip()
+
+
+def _model_spec_messages(
+    sql_content: str,
+    existing_context: str | None = None,
+    upstream_docs: list[str] | None = None,
+) -> list[dict]:
+    """System+user prompt pair asking for the whole-model JSON spec
+    ({description, columns: [{name, description}]}) — the reference's bulk
+    shape (llm.py:341-415), reworded for this engine."""
+    schema_example = json.dumps(
+        {
+            "description": "one-line summary of the model",
+            "columns": [{"name": "id", "description": "what this column holds"}],
+        },
+        indent=2,
+    )
+    system = (
+        "You document dbt models running on Spark. Reply with ONE valid JSON "
+        "object and nothing else - no prose, no markdown fences. Shape:\n"
+        f"{schema_example}\n"
+        "Keep descriptions short and factual; use upstream docs when given; "
+        "never invent columns that are not in the SQL."
+    )
+    docs = "\n".join(upstream_docs or []) or "(none)"
+    user = (
+        f"Model SQL:\n{sql_content}\n\n"
+        f"Existing context:\n{existing_context or '(none)'}\n\n"
+        f"Upstream docs:\n{docs}\n\n"
+        "Return only the JSON object."
+    )
+    return [
+        {"role": "system", "content": system},
+        {"role": "user", "content": user},
+    ]
+
+
+def generate_model_spec_json(
+    sql_content: str,
+    backend: LLMBackend | None = None,
+    existing_context: str | None = None,
+    upstream_docs: list[str] | None = None,
+) -> dict:
+    """Bulk whole-model documentation call: one request returns the model
+    description plus every column's doc as validated JSON, with the
+    reference's retry envelope (fence-stripped parse; a parse failure
+    raises LLMResponseError so with_retries re-asks)."""
+    backend = backend or default_backend()
+    messages = _model_spec_messages(sql_content, existing_context, upstream_docs)
+
+    def ask() -> str:
+        if isinstance(backend, OpenAICompatBackend):
+            raw = backend.chat(messages)
+        else:
+            raw = backend.complete(
+                "BULK\n"
+                + json.dumps(
+                    {
+                        "table": existing_context or "",
+                        "columns": _columns_in_sql(sql_content),
+                    }
+                )
             )
-    except ImportError:
-        pass
-    return HeuristicBackend()
+        data = json.loads(strip_json_fences(raw))
+        if not isinstance(data, dict):
+            raise LLMResponseError("model spec must be a JSON object")
+        if isinstance(data.get("columns"), dict):
+            # normalize the heuristic backend's {name: desc} map to the
+            # reference's list-of-objects shape
+            data["columns"] = [
+                {"name": k, "description": v} for k, v in data["columns"].items()
+            ]
+        return json.dumps(data)
+
+    return json.loads(with_retries(ask, sleep=lambda _s: None))
+
+
+def _columns_in_sql(sql: str) -> list[str]:
+    """Crude select-list column extraction for the heuristic bulk path."""
+    import re
+
+    m = re.search(r"select\s+(.*?)\s+from\s", sql, re.I | re.S)
+    if not m:
+        return []
+    cols = []
+    for part in m.group(1).split(","):
+        part = part.strip()
+        if not part or part == "*":
+            continue
+        alias = re.split(r"\s+as\s+|\s+", part, flags=re.I)[-1]
+        cols.append(alias.strip('`"'))
+    return cols
 
 
 def with_retries(fn: Callable[[], str], sleep: Callable[[float], None] = time.sleep) -> str:

@@ -372,3 +372,98 @@ def test_supplementary_settings_file_and_fusion_sync(spark, project_copy, tmp_pa
     # fusion-compat: meta/tags nested under config, not flat
     assert col["config"] == {"meta": {"owner": "core"}, "tags": ["pk"]}
     assert "tags" not in col and "meta" not in col
+
+
+def test_validate_schema_doc_test_args_depth():
+    """Reference-depth test-config checks: arguments: nesting, unknown
+    tests, unique_combination arity (reference validation.py:330-781)."""
+    doc = {
+        "models": [
+            {
+                "name": "m",
+                "columns": [
+                    {
+                        "name": "c",
+                        "tests": [
+                            "totally_made_up",
+                            {"accepted_values": {"arguments": {"values": []}}},
+                            {"relationships": {"arguments": {"to": "ref('x')", "field": "id"}}},
+                            {"unique_combination_of_columns": {"combination_of_columns": ["a"]}},
+                            {"accepted_values": {"arguments": "nope"}},
+                        ],
+                    }
+                ],
+            }
+        ]
+    }
+    vs = validate_schema_doc(doc)
+    codes = {(v.code, v.severity) for v in vs}
+    assert ("unknown-test", "warning") in codes
+    assert ("accepted-values-empty", "warning") in codes
+    assert ("unique-combination-few", "warning") in codes
+    assert ("test-arguments-not-map", "error") in codes
+    # the well-formed relationships test produced no violation
+    assert not any(v.code == "relationships-args" for v in vs)
+
+
+def test_validate_schema_doc_versions_depth():
+    doc = {
+        "models": [
+            {
+                "name": "m",
+                "latest_version": 3,
+                "versions": [
+                    {"v": 1},
+                    {"v": "1"},  # duplicate identity with 1
+                    {"v": True},  # bool is not a valid version
+                    {
+                        "v": 2,
+                        "columns": [
+                            {"include": "all", "exclude": ["x"]},
+                            {"include": ["a"], "exclude": ["b"]},  # exclude needs include-all
+                        ],
+                    },
+                ],
+            },
+            {"name": "m2", "latest_version": 1},  # latest without versions
+        ]
+    }
+    codes = [v.code for v in validate_schema_doc(doc)]
+    assert "duplicate-version" in codes
+    assert "version-v-type" in codes
+    assert "latest-version-invalid" in codes  # 3 not declared; and m2's
+    assert codes.count("latest-version-invalid") == 2
+    assert "version-selector-multiple" in codes
+    assert "include-exclude-conflict" in codes
+
+
+def test_validate_version_selector_rules():
+    base = {"models": [{"name": "m", "versions": [{"v": 1, "columns": [None]}]}]}
+
+    def _codes(col):
+        d = {"models": [{"name": "m", "versions": [{"v": 1, "columns": [col]}]}]}
+        return {v.code for v in validate_schema_doc(d)}
+
+    assert "version-selector-include" in _codes({"exclude": ["a"]})
+    assert "version-selector-include" in _codes({"include": 42})
+    assert "version-selector-exclude" in _codes({"include": "all", "exclude": "a"})
+    assert _codes({"include": "*", "exclude": ["a"]}) == set()
+    assert _codes({"include": ["a", "b"]}) == set()
+    # a non-map column still reports missing name
+    assert "column-missing-name" in {v.code for v in validate_schema_doc(base)}
+
+
+def test_yaml_check_schemas_cli(tmp_path, capsys):
+    from dbt_osmosis_spark.cli import main
+
+    (tmp_path / "models").mkdir()
+    (tmp_path / "project.yml").write_text("name: p\n")
+    (tmp_path / "models" / "m.sql").write_text("select 1 as a")
+    (tmp_path / "models" / "m.yml").write_text(
+        "version: 2\nmodels:\n- name: m\n  columns:\n  - name: a\n    tests:\n"
+        "    - relationships: {to: x}\n"
+    )
+    rc = main(["--project-dir", str(tmp_path), "yaml", "check-schemas"])
+    outp = capsys.readouterr().out
+    assert rc == 1
+    assert "relationships-args" in outp
