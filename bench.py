@@ -31,6 +31,10 @@ HEADLINE = [
     "d03_minhash_lsh_pairs",
     "t02_quality_score",
     "s01_cosine_topk",
+    # Arrow/pandas-UDF paths (vectorized round 2: numpy bincount features,
+    # per-partition argpartition top-k kNN)
+    "m02_feature_extract",
+    "s04_knn_batch",
 ]
 
 

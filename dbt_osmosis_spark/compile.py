@@ -88,12 +88,27 @@ class _DbtUtils:
         parts = ", ".join(f"coalesce(cast({c} as string), '_null_')" for c in cols)
         return f"md5(concat_ws('-', {parts}))"
 
-    def get_column_values(self, relation: str, column: str, limit: int | None = None) -> list:
+    # Hard cap on compile-time value collection: the result becomes inline
+    # SQL text (pivot branches), so an unbounded distinct on a high-cardinality
+    # column would both OOM the driver and generate a megabyte query. Mirrors
+    # dbt_utils.get_column_values' max_records contract.
+    MAX_COLUMN_VALUES = 10_000
+
+    def get_column_values(
+        self, relation: str, column: str, limit: int | None = None, max_records: int | None = None
+    ) -> list:
         """Distinct values of a column at compile time (drives codegen
-        loops like dynamic pivots) — one small distinct query."""
-        df = self._spark().table(relation).select(column).distinct().orderBy(column)
-        if limit:
-            df = df.limit(limit)
+        loops like dynamic pivots) — one small distinct query, always
+        bounded (dbt_utils' max_records; default cap 10k)."""
+        cap = limit or max_records or self.MAX_COLUMN_VALUES
+        df = (
+            self._spark()
+            .table(relation)
+            .select(column)
+            .distinct()
+            .orderBy(column)
+            .limit(cap)
+        )
         return [r[0] for r in df.collect()]
 
     def date_spine(self, datepart: str, start_date: str, end_date: str) -> str:

@@ -115,6 +115,15 @@ def build_knowledge_graph(
     gens = ancestor_generations(manifest, node_name)
     target_cols = columns_of.get(node_name, {})
     graph: dict[str, ColumnKnowledge] = {c: ColumnKnowledge() for c in target_cols}
+    # every ancestor that could have documented each column — the candidate
+    # set a user-pinned progenitor override must come from
+    alternatives: dict[str, list[str]] = {c: [] for c in target_cols}
+
+    def _variant_hit(col: str, anc_cols: dict) -> str | None:
+        variants = [col]
+        for res in pm.hook.get_candidates(name=col):
+            variants.extend(res)
+        return next((v for v in variants if v in anc_cols), None)
 
     for gen in reversed(gens):  # farthest -> closest
         for ancestor in gen:
@@ -122,10 +131,7 @@ def build_knowledge_graph(
             if not anc_cols:
                 continue
             for col, know in graph.items():
-                variants = [col]
-                for res in pm.hook.get_candidates(name=col):
-                    variants.extend(res)
-                hit = next((v for v in variants if v in anc_cols), None)
+                hit = _variant_hit(col, anc_cols)
                 if hit is None:
                     continue
                 meta_src = anc_cols[hit]
@@ -133,10 +139,40 @@ def build_knowledge_graph(
                 if desc:
                     know.description = desc
                     know.progenitor = ancestor
+                    if ancestor not in alternatives[col]:
+                        alternatives[col].append(ancestor)
                 for tag in meta_src.get("tags") or []:
                     if tag not in know.tags:
                         know.tags.append(tag)
                 for k, v in (meta_src.get("meta") or {}).items():
                     if not str(k).startswith("osmosis_"):
                         know.meta[k] = v
+
+    # progenitor override pass (reference: inheritance.py:747-806; M8): the
+    # user pins a specific inheritance source via column-level
+    # `column_default_progenitor` (column meta) or model-level
+    # `default_progenitor` (node meta). Honored only when it names a real
+    # documented ancestor and differs from the auto-selected progenitor.
+    target_node = manifest.models.get(node_name)
+    for col, know in graph.items():
+        override = (target_cols.get(col, {}).get("meta") or {}).get(
+            "column_default_progenitor"
+        )
+        if not override and target_node is not None:
+            override = (getattr(target_node, "meta", None) or {}).get("default_progenitor")
+        if (
+            not override
+            or override == know.progenitor
+            or override not in alternatives[col]
+        ):
+            continue
+        anc_cols = columns_of.get(override, {})
+        hit = _variant_hit(col, anc_cols)
+        if hit is None:
+            continue
+        meta_src = anc_cols[hit]
+        desc = (meta_src.get("description") or "").strip()
+        if desc:
+            know.description = desc
+            know.progenitor = override
     return graph

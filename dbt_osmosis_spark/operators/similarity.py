@@ -280,6 +280,14 @@ def knn_batch(
     )
 
 
+@register("s04_knn_batch")
+def s04_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Many-queries kNN (rows-only check: numpy reduction order is not
+    bit-reproducible across engines; ranking agreement with s01's exact
+    top-k is pinned in tests/test_pipeline_ops.py)."""
+    return knn_batch(spark, sf_dir, query_ids=[_QUERY_ID, _QUERY_ID + 1, _QUERY_ID + 2])
+
+
 # ---- s05: IVF (inverted-file) ANN — coarse quantize, probe, re-rank --------
 # The other classic ANN scale path next to LSH (s02): coarse centroids
 # partition the corpus into cells; a query probes only the `nprobe` nearest

@@ -69,22 +69,49 @@ def draft_restructure_plan(
     return plan
 
 
+def _has_section_content(value) -> bool:
+    """Whether a YAML section still carries content worth preserving
+    (reference: restructuring.py:294-304)."""
+    if value is None:
+        return False
+    if isinstance(value, (str, bytes)):
+        return bool(value)
+    try:
+        return len(value) > 0
+    except TypeError:
+        return True
+
+
+def _file_is_drained(doc: dict) -> bool:
+    """A superseded file may be deleted only when NOTHING remains — not just
+    models: sources, seeds, exposures and any unknown user-authored
+    top-level section all block deletion (reference:
+    restructuring.py:306-318 _has_remaining_superseded_content)."""
+    return not any(
+        _has_section_content(v) for k, v in doc.items() if k != "version"
+    )
+
+
 def apply_restructure_plan(
     plan: RestructureDeltaPlan,
     yaml: YamlHandler | None = None,
+    dry_run: bool = False,
 ) -> list[Path]:
     """Execute the plan: merge entries into targets (atomic writes via the
-    YAML engine), drain superseded files, delete files emptied of models.
-    Returns the written target paths."""
+    YAML engine), drain superseded files, delete files emptied of ALL
+    content (user-authored sections like exposures keep a file alive), and
+    prune directories the deletions emptied. ``dry_run`` computes the
+    target list without touching disk. Returns the written target paths."""
     yaml = yaml or YamlHandler()
     written: list[Path] = []
     for op in plan.operations:
         target_doc = yaml.read(op.target) if op.target.exists() else {}
+        target_doc.setdefault("version", 2)
         for model in op.models:
             entry = ensure_model_entry(target_doc, model)
             for src in op.superseded:
-                if not src.exists():
-                    continue
+                if not src.exists() or src.resolve() == op.target.resolve():
+                    continue  # same-path supersede is a no-op
                 src_doc = yaml.read(src)
                 moved = model_entry(src_doc, model)
                 if moved:
@@ -92,13 +119,20 @@ def apply_restructure_plan(
                     src_doc["models"] = [
                         m for m in src_doc.get("models", []) if m.get("name") != model
                     ]
-                    yaml.write(src, src_doc)
+                    if not dry_run:
+                        yaml.write(src, src_doc)
+        written.append(op.target)
+        if dry_run:
+            continue
         op.target.parent.mkdir(parents=True, exist_ok=True)
         yaml.write(op.target, target_doc)
-        written.append(op.target)
         for src in op.superseded:
-            if src.exists():
-                leftover = yaml.read(src)
-                if not leftover.get("models") and not leftover.get("sources"):
-                    src.unlink()
+            if not src.exists() or src.resolve() == op.target.resolve():
+                continue
+            leftover = yaml.read(src)
+            if _file_is_drained(leftover):
+                src.unlink()
+                parent = src.parent
+                if parent.exists() and not any(parent.iterdir()):
+                    parent.rmdir()
     return written

@@ -183,11 +183,47 @@ class DocStyle:
     avg_len: float
     common_phrases: list[tuple[str, int]]
     tone_markers: dict[str, int]
+    terminology: dict[str, str] = field(default_factory=dict)
+    column_samples: list[str] = field(default_factory=list)
+
+    def to_prompt_context(self, max_examples: int = 3) -> str:
+        """Render the mined style as LLM prompt context (reference:
+        voice_learning.py ProjectStyleProfile.to_prompt_context)."""
+        lines = [
+            f"Project documentation style ({self.n_descriptions} existing docs):",
+            f"- average length: {self.avg_len:.0f} chars",
+        ]
+        dominant = [k for k, v in sorted(self.tone_markers.items(), key=lambda kv: -kv[1]) if v][:2]
+        if dominant:
+            lines.append(f"- tone: {', '.join(dominant)}")
+        if self.terminology:
+            prefs = ", ".join(f"'{p}' over '{a}'" for p, a in self.terminology.items())
+            lines.append(f"- preferred terms: {prefs}")
+        for d in self.column_samples[:max_examples]:
+            lines.append(f"- example: {d}")
+        return "\n".join(lines)
+
+
+# the variation sets the reference's terminology detector weighs
+# (voice_learning.py:154-192): first item preferred if it dominates
+_TERM_VARIATIONS = [
+    ("user", "customer", "client", "account"),
+    ("id", "identifier", "key"),
+    ("email", "email address", "e-mail"),
+    ("timestamp", "datetime", "created at", "updated at"),
+    ("foreign key", "reference", "ref"),
+    ("primary key", "main id", "unique identifier"),
+]
+
+_IMPERATIVE_VERBS = ("contains", "represents", "stores", "holds", "tracks", "records", "identifies")
+_PASSIVE_PATTERNS = ("is used to", "is a", "contains a", "represents a")
+_TECH_TERMS = ("id", "key", "fk", "pk", "timestamp", "json", "uuid", "integer", "varchar")
 
 
 def mine_doc_style(columns_of: dict[str, dict[str, dict]], top_k: int = 10) -> DocStyle:
-    """Length stats + bigram phrase frequency + tone markers over existing
-    descriptions — the corpus future synthesized docs should blend into."""
+    """Length stats + bigram phrase frequency + tone markers + terminology
+    preferences over existing descriptions — the corpus future synthesized
+    docs should blend into (reference: voice_learning.py:27-367)."""
     descriptions = [
         meta.get("description") or ""
         for cols in columns_of.values()
@@ -195,19 +231,94 @@ def mine_doc_style(columns_of: dict[str, dict[str, dict]], top_k: int = 10) -> D
         if (meta.get("description") or "").strip()
     ]
     bigrams: Counter = Counter()
-    tone = {"imperative": 0, "sentence_case": 0, "ends_period": 0}
+    tone = {
+        "imperative": 0,
+        "passive": 0,
+        "concise": 0,
+        "detailed": 0,
+        "technical": 0,
+        "sentence_case": 0,
+        "ends_period": 0,
+    }
     for d in descriptions:
+        low = d.lower()
         words = [w.lower() for w in _WORD_RE.findall(d)]
         bigrams.update(zip(words, words[1:]))
         if d[:1].isupper():
             tone["sentence_case"] += 1
         if d.rstrip().endswith("."):
             tone["ends_period"] += 1
-        if words and words[0] in {"identifies", "contains", "represents", "stores", "tracks"}:
+        if len(words) <= 5:
+            tone["concise"] += 1
+        elif len(words) >= 15:
+            tone["detailed"] += 1
+        if any(v in low for v in _IMPERATIVE_VERBS):
             tone["imperative"] += 1
+        if any(p in low for p in _PASSIVE_PATTERNS):
+            tone["passive"] += 1
+        if any(t in low for t in _TECH_TERMS):
+            tone["technical"] += 1
+
+    all_text = " ".join(descriptions).lower()
+    terminology: dict[str, str] = {}
+    for preferred, *alts in _TERM_VARIATIONS:
+        pref_n = all_text.count(preferred)
+        for alt in alts:
+            if pref_n > all_text.count(alt) and pref_n >= 2:
+                terminology[preferred] = alt
     return DocStyle(
         n_descriptions=len(descriptions),
         avg_len=round(sum(map(len, descriptions)) / len(descriptions), 1) if descriptions else 0.0,
         common_phrases=[(" ".join(k), v) for k, v in bigrams.most_common(top_k) if v > 1],
         tone_markers=tone,
+        terminology=terminology,
+        column_samples=sorted(descriptions, key=len)[: top_k // 2],
     )
+
+
+def find_similar_documented_nodes(
+    columns_of: dict[str, dict[str, dict]],
+    target_node: str,
+    max_results: int = 5,
+) -> list[tuple[str, float]]:
+    """Well-documented nodes structurally similar to `target_node`, scored
+    by column-count proximity (0-0.3) + documentation ratio (0-0.7)
+    (reference: voice_learning.py:307-366). Their docs feed style examples
+    for synthesis prompts."""
+    target_cols = columns_of.get(target_node, {})
+    n_target = len(target_cols)
+    out: list[tuple[str, float]] = []
+    for node, cols in columns_of.items():
+        if node == target_node or not cols:
+            continue
+        documented = [
+            m for m in cols.values()
+            if (m.get("description") or "").strip().lower() not in GENERIC_DESCRIPTIONS
+        ]
+        if len(documented) < len(cols) / 2:
+            continue
+        col_sim = max(0.0, 1 - abs(len(cols) - n_target) / max(n_target, len(cols), 1))
+        score = col_sim * 0.3 + (len(documented) / len(cols)) * 0.7
+        out.append((node, round(score, 4)))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:max_results]
+
+
+def extract_style_examples(
+    columns_of: dict[str, dict[str, dict]],
+    target_node: str | None = None,
+    max_examples: int = 3,
+) -> list[str]:
+    """Column-doc examples for LLM prompts — from nodes similar to the
+    target when given, else from the overall project style
+    (reference: voice_learning.py:367-430)."""
+    if target_node is not None:
+        examples: list[str] = []
+        for node, _score in find_similar_documented_nodes(columns_of, target_node, max_examples):
+            for col, meta in list(columns_of[node].items())[:3]:
+                desc = (meta.get("description") or "").strip()
+                if desc and desc.lower() not in GENERIC_DESCRIPTIONS:
+                    examples.append(f"- {col}: {desc}")
+        return examples[: max_examples * 3]
+    style = mine_doc_style(columns_of)
+    return [f"- {d}" for d in style.column_samples[:max_examples]]

@@ -183,3 +183,33 @@ def test_load_docs_roundtrip(ctx):
     )
     load_docs_from_yaml(ctx2)
     assert ctx2.columns_of["stg_orders"]["order_id"]["description"] == "order PK"
+
+
+def test_lint_tokenizer_ignores_literals_and_comments():
+    """The regex linter's failure mode: rule text appearing inside string
+    literals or comments must NOT be flagged (reference parity —
+    sqlglot-parsed rules see token kinds, not raw text)."""
+    sql = (
+        "select col_a as c_alias, 'SELECT * FROM x' as msg from orders ord1\n"
+        "-- SELECT * from commented_out t\n"
+        "/* FROM x AS q */\n"
+        'select \'it said "quoted" here\' as s from tbl1\n'
+    )
+    findings = lint_sql(sql, keyword_case="lower")
+    rules = {f.rule for f in findings}
+    assert "select-star" not in rules  # only inside a string literal
+    assert "keyword-case" not in rules  # SELECT/FROM uppercase only in literals/comments
+    assert "unneeded-quotes" not in rules  # double quotes inside a string
+    assert "short-alias" not in rules  # ord1/tbl1 are long enough
+
+
+def test_lint_short_alias_and_count_star():
+    findings = lint_sql("select count(*) as n from orders o join nation na on 1=1\n")
+    rules = [f.rule for f in findings]
+    assert "select-star" not in rules  # count(*) is not select-star
+    assert rules.count("short-alias") == 2  # 'o' and 'na'
+
+
+def test_lint_dotted_relation_alias():
+    findings = lint_sql("select 1 from warehouse.schema.orders od where 1=1\n")
+    assert [f.rule for f in findings] == ["short-alias"]

@@ -467,3 +467,166 @@ def test_yaml_check_schemas_cli(tmp_path, capsys):
     outp = capsys.readouterr().out
     assert rc == 1
     assert "relationships-args" in outp
+
+
+def test_doc_style_depth_terminology_and_tone():
+    from dbt_osmosis_spark.suggestions import mine_doc_style
+
+    columns_of = {
+        "m1": {
+            "a": {"description": "Unique id for the customer record."},
+            "b": {"description": "Timestamp when the customer signed up."},
+            "c": {"description": "Contains the timestamp of the last datetime sync."},
+            "d": {"description": "is used to join against the client table"},
+        },
+    }
+    style = mine_doc_style(columns_of)
+    assert style.tone_markers["technical"] >= 2
+    assert style.tone_markers["imperative"] >= 1
+    assert style.tone_markers["passive"] >= 1
+    # 'timestamp' (2 uses) dominates its alternatives (reference records
+    # the last dominated alternative)
+    assert style.terminology.get("timestamp") in {"datetime", "created at", "updated at"}
+    ctxt = style.to_prompt_context()
+    assert "preferred terms" in ctxt and "example:" in ctxt
+
+
+def test_find_similar_documented_nodes_and_examples():
+    from dbt_osmosis_spark.suggestions import (
+        extract_style_examples,
+        find_similar_documented_nodes,
+    )
+
+    columns_of = {
+        "target": {"x": {"description": ""}, "y": {"description": ""}},
+        "good_twin": {
+            "a": {"description": "The customer key."},
+            "b": {"description": "The order total."},
+        },
+        "undocumented": {"a": {"description": ""}, "b": {"description": ""}},
+        "big_documented": {
+            str(i): {"description": f"Column {i} meaning."} for i in range(20)
+        },
+    }
+    sims = find_similar_documented_nodes(columns_of, "target")
+    names = [n for n, _ in sims]
+    assert "good_twin" in names and "undocumented" not in names
+    # same column count + fully documented ranks first
+    assert names[0] == "good_twin"
+    ex = extract_style_examples(columns_of, target_node="target")
+    assert any("customer key" in e for e in ex)
+
+
+def test_progenitor_override_pins_inheritance_source():
+    """M8: column_default_progenitor / default_progenitor pin which ancestor
+    a column inherits from, overriding the closest-wins default
+    (reference: inheritance.py:747-806)."""
+    from dbt_osmosis_spark.inheritance import build_knowledge_graph
+    from dbt_osmosis_spark.project import Manifest, ModelNode
+
+    m = Manifest()
+    m.models["grandparent"] = ModelNode(name="grandparent", raw_sql="", path="g.sql")
+    m.models["parent"] = ModelNode(
+        name="parent", raw_sql="", path="p.sql", depends_on=["grandparent"]
+    )
+    m.models["child"] = ModelNode(
+        name="child", raw_sql="", path="c.sql", depends_on=["parent"]
+    )
+    columns_of = {
+        "grandparent": {"k": {"description": "from grandparent"}},
+        "parent": {"k": {"description": "from parent"}},
+        "child": {"k": {"description": ""}},
+    }
+    # default: closest ancestor wins
+    g = build_knowledge_graph(m, "child", columns_of)
+    assert g["k"].description == "from parent" and g["k"].progenitor == "parent"
+
+    # column-level pin to the farther ancestor
+    columns_of["child"]["k"]["meta"] = {"column_default_progenitor": "grandparent"}
+    g = build_knowledge_graph(m, "child", columns_of)
+    assert g["k"].description == "from grandparent" and g["k"].progenitor == "grandparent"
+
+    # a pin to a non-ancestor is ignored
+    columns_of["child"]["k"]["meta"] = {"column_default_progenitor": "stranger"}
+    g = build_knowledge_graph(m, "child", columns_of)
+    assert g["k"].progenitor == "parent"
+
+    # model-level default_progenitor applies to all columns without a pin
+    columns_of["child"]["k"].pop("meta")
+    m.models["child"].meta = {"default_progenitor": "grandparent"}
+    g = build_knowledge_graph(m, "child", columns_of)
+    assert g["k"].progenitor == "grandparent"
+
+
+def test_restructure_preserves_user_sections_and_prunes_dirs(tmp_path):
+    """M22 depth: a superseded file with exposures (or any user-authored
+    section) survives model draining; a fully drained file is deleted and
+    its emptied directory pruned; dry_run touches nothing."""
+    from dbt_osmosis_spark.restructuring import (
+        RestructureDeltaPlan,
+        RestructureOperation,
+        apply_restructure_plan,
+    )
+    from dbt_osmosis_spark.yaml_engine import YamlHandler
+
+    import yaml as pyyaml
+
+    yaml = YamlHandler()
+    keep = tmp_path / "models" / "keep.yml"
+    keep.parent.mkdir(parents=True)
+    # user-authored file with a section the engine does not manage
+    keep.write_text(
+        pyyaml.safe_dump(
+            {
+                "version": 2,
+                "models": [{"name": "m1", "columns": [{"name": "a", "description": "d"}]}],
+                "exposures": [{"name": "dash", "type": "dashboard"}],
+            }
+        )
+    )
+    drained_dir = tmp_path / "models" / "sub"
+    drained_dir.mkdir()
+    gone = drained_dir / "gone.yml"
+    yaml.write(gone, {"version": 2, "models": [{"name": "m2", "description": "two"}]})
+
+    target = tmp_path / "models" / "all.yml"
+    plan = RestructureDeltaPlan(
+        operations=[
+            RestructureOperation(target=target, models=["m1"], superseded=[keep]),
+            RestructureOperation(target=target, models=["m2"], superseded=[gone]),
+        ]
+    )
+
+    # dry run: nothing on disk changes
+    apply_restructure_plan(plan, yaml, dry_run=True)
+    assert not target.exists() and gone.exists()
+
+    apply_restructure_plan(plan, YamlHandler())
+    doc = YamlHandler().read(target)
+    names = {m["name"] for m in doc["models"]}
+    assert names == {"m1", "m2"}
+    assert doc["models"][0]["columns"][0]["description"] == "d"
+    # exposures kept the file alive, models drained out of it
+    kept_doc = YamlHandler().read(keep)
+    assert kept_doc["exposures"] and not kept_doc.get("models")
+    # fully drained file and its now-empty directory are gone
+    assert not gone.exists() and not drained_dir.exists()
+
+
+def test_restructure_same_path_supersede_noop(tmp_path):
+    from dbt_osmosis_spark.restructuring import (
+        RestructureDeltaPlan,
+        RestructureOperation,
+        apply_restructure_plan,
+    )
+    from dbt_osmosis_spark.yaml_engine import YamlHandler
+
+    yaml = YamlHandler()
+    f = tmp_path / "same.yml"
+    yaml.write(f, {"version": 2, "models": [{"name": "m", "description": "keep me"}]})
+    plan = RestructureDeltaPlan(
+        operations=[RestructureOperation(target=f, models=["m"], superseded=[f])]
+    )
+    apply_restructure_plan(plan, YamlHandler())
+    doc = YamlHandler().read(f)
+    assert doc["models"][0]["description"] == "keep me"
