@@ -771,3 +771,96 @@ def p09_token_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---- p10: cross-document passage dedup (C4-style) --------------------------
+# Remove passages repeated ACROSS the corpus, keeping only the first
+# occurrence (ordered by doc_id, then position) — the C4/CCNet "duplicate
+# line removal" step, at passage granularity. Complements d01 (whole-doc)
+# and d03 (near-dup pairs): boilerplate shared by otherwise-distinct docs
+# is caught only here.
+#
+# Plan shape at 100 TB: one map-side chunk+hash pass, ONE shuffle on the
+# passage hash (the window's partition key), and a groupBy(doc_id) to
+# reassemble — the doc_id shuffle is bounded by kept chunks. No driver
+# state; passage keys are md5 so the shuffle distributes uniformly.
+
+_P10_CHUNK = 16  # words per passage
+
+
+def passage_dedup(df: DataFrame, chunk_words: int = _P10_CHUNK) -> DataFrame:
+    """(doc_id, text) -> (doc_id, n_chunks, n_kept, cleaned); every
+    duplicated passage survives only at its first (doc_id, idx)."""
+    from pyspark.sql.window import Window as W
+
+    w = F.split(F.trim(F.col("text")), " ")
+    n_chunks_expr = F.ceil(F.size(w) / F.lit(chunk_words)).cast("int")
+    chunks = df.select(
+        "doc_id",
+        n_chunks_expr.alias("n_chunks"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(split(trim(text), ' ')) / {chunk_words}.0) AS INT) - 1), "
+                f"i -> array_join(slice(split(trim(text), ' '), i * {chunk_words} + 1, {chunk_words}), ' '))"
+            )
+        ).alias("idx", "chunk"),
+    )
+    win = W.partitionBy(F.md5(F.col("chunk"))).orderBy("doc_id", "idx")
+    kept = chunks.withColumn("rn", F.row_number().over(win)).filter(F.col("rn") == 1)
+    sizes = df.select("doc_id", n_chunks_expr.alias("n_chunks"))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "chunk"))), lambda s: s.chunk
+            ),
+            " ",
+        ).alias("cleaned"),
+    )
+    return (
+        sizes.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_P10_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {_DUCK_TOK} AS w FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         CAST(i AS INT) AS idx,
+         array_to_string(w[(i * {_P10_CHUNK} + 1):((i + 1) * {_P10_CHUNK})], ' ') AS chunk
+  FROM tok, UNNEST(range(0, CAST(ceil(len(w) / {_P10_CHUNK}.0) AS BIGINT))) AS t(i)
+),
+marked AS (
+  SELECT doc_id, idx, chunk,
+         ROW_NUMBER() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, idx) AS rn
+  FROM chunks
+),
+sizes AS (
+  SELECT doc_id, CAST(ceil(len(w) / {_P10_CHUNK}.0) AS INT) AS n_chunks FROM tok
+),
+rebuilt AS (
+  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_kept,
+         array_to_string(list(chunk ORDER BY idx), ' ') AS cleaned
+  FROM marked WHERE rn = 1 GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_chunks,
+       COALESCE(r.n_kept, 0) AS n_kept,
+       COALESCE(r.cleaned, '') AS cleaned
+FROM sizes s LEFT JOIN rebuilt r ON s.doc_id = r.doc_id
+ORDER BY s.doc_id
+"""
+
+
+@register("p10_passage_dedup", oracle=_P10_ORACLE)
+def p10_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    return passage_dedup(docs.select("doc_id", "text"))

@@ -423,3 +423,120 @@ def s05_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(_K)
     )
+
+
+# ---- s06: int8 embedding quantization --------------------------------------
+# Per-vector symmetric int8 quantization — the storage/bandwidth scale
+# lever for vector search (4x smaller than float32, 8x smaller than the
+# float64 compute form; SIMD int8 dot products downstream). Pure map-side
+# higher-order functions: zero shuffle, zero Python. Rounding is
+# floor(x + 0.5) in BOTH engines (half-up, engine-exact) — never the
+# engines' round(), whose half-even/half-up defaults differ.
+
+_S06_ORACLE = f"""
+WITH vecs AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+scaled AS (
+  SELECT vec_id, label, v,
+         list_max(list_transform(v, x -> abs(x))) AS amax
+  FROM vecs
+),
+quant AS (
+  SELECT vec_id, label, v, amax,
+         list_transform(v, x -> CAST(floor(x * (127.0 / amax) + 0.5) AS BIGINT)) AS q
+  FROM scaled WHERE amax > 0
+)
+SELECT vec_id, label, amax,
+       len(list_filter(q, x -> abs(x) >= 127)) AS n_sat,
+       round(list_sum(list_transform(range(1, {_DIM} + 1),
+             i -> abs(v[i] - q[i] * amax / 127.0))), 6) AS abs_err
+FROM quant
+ORDER BY vec_id
+"""
+
+
+def quantize_int8(emb: DataFrame, vec_col: str = "v") -> DataFrame:
+    """Adds amax (per-vector absolute max), q (int8 codes as bigint array),
+    n_sat (saturated lanes), abs_err (total dequantization error)."""
+    amax = F.expr(f"array_max(transform({vec_col}, x -> abs(x)))")
+    out = emb.withColumn("amax", amax).filter(F.col("amax") > 0)
+    out = out.withColumn(
+        "q",
+        F.expr(f"transform({vec_col}, x -> CAST(floor(x * (127.0 / amax) + 0.5) AS BIGINT))"),
+    )
+    return out.withColumn(
+        "n_sat", F.expr("size(filter(q, x -> abs(x) >= 127))")
+    ).withColumn(
+        "abs_err",
+        F.round(
+            F.expr(
+                f"aggregate(zip_with({vec_col}, q, (x, c) -> abs(x - c * amax / 127.0)), "
+                "CAST(0 AS DOUBLE), (acc, e) -> acc + e)"
+            ),
+            6,
+        ),
+    )
+
+
+@register("s06_int8_quantize", oracle=_S06_ORACLE)
+def s06_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(read_parquet(spark, f"{sf_dir}/embeddings.parquet")).withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    return (
+        quantize_int8(emb)
+        .select("vec_id", "label", "amax", "n_sat", "abs_err")
+        .orderBy("vec_id")
+    )
+
+
+# ---- s07: random-projection dimensionality reduction -----------------------
+# Johnson-Lindenstrauss sign projection 64 -> 8 dims: out_j = sum_d v_d *
+# sign(j,d) / sqrt(8), with the +-1 signs md5-derived (same determinism
+# trick as s02's hyperplanes) so both engines build the identical matrix
+# with no trained/broadcast state. Map-side only; the reduced vectors are
+# the input to cheaper ANN (8-dim distances are 8x less compute and the
+# projection preserves pairwise distances within ~1/sqrt(8)).
+# Output is FLAT (vec_id, dim, value) — partition/write-friendly, and the
+# harness canonical hash cannot sort array cells.
+
+_S07_OUT_DIM = 8
+
+_SPARK_SIGN = (
+    "(CAST(conv(substr(md5(cast(concat('rp', CAST({j} AS STRING), ',', CAST({d} AS STRING)) AS BINARY)), 1, 15), 16, 10) AS BIGINT) % 2) * 2 - 1"
+)
+_DUCK_SIGN = (
+    "(CAST('0x' || substr(md5('rp' || CAST({j} AS VARCHAR) || ',' || CAST({d} AS VARCHAR)), 1, 15) AS BIGINT) % 2) * 2 - 1"
+)
+
+_S07_ORACLE = f"""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+)
+SELECT vec_id, CAST(j AS INT) AS dim,
+       round(list_sum(list_transform(range(1, {_DIM} + 1),
+             d -> v[d] * ({_DUCK_SIGN.format(j="j", d="d - 1")}))) / sqrt({_S07_OUT_DIM}.0), 6) AS value
+FROM vecs, UNNEST(range(0, {_S07_OUT_DIM})) AS t(j)
+ORDER BY vec_id, dim
+"""
+
+
+def random_projection(emb: DataFrame, vec_col: str = "v", out_dim: int = _S07_OUT_DIM) -> DataFrame:
+    proj = (
+        f"transform(sequence(0, {out_dim} - 1), j -> "
+        f"round(aggregate(zip_with({vec_col}, sequence(0, {_DIM} - 1), "
+        f"(x, d) -> x * ({_SPARK_SIGN.format(j='j', d='d')})), "
+        f"CAST(0 AS DOUBLE), (acc, e) -> acc + e) / sqrt({out_dim}.0), 6))"
+    )
+    return emb.select(
+        "vec_id", F.posexplode(F.expr(proj)).alias("dim", "value")
+    )
+
+
+@register("s07_random_projection", oracle=_S07_ORACLE)
+def s07_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(read_parquet(spark, f"{sf_dir}/embeddings.parquet")).withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    return random_projection(emb).orderBy("vec_id", "dim")

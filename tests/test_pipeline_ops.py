@@ -426,3 +426,64 @@ def test_repetition_signals_bounds(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r.dup_shingle_frac <= 1.0
         assert 0.0 < r.top_token_frac <= 1.0
+
+
+def test_passage_dedup_removes_cross_doc_repeats(spark):
+    from dbt_osmosis_spark.operators.pipeline import passage_dedup
+
+    p = " ".join(f"w{i}" for i in range(16))  # one full shared passage
+    uniq_a = " ".join(f"a{i}" for i in range(16))
+    uniq_b = " ".join(f"b{i}" for i in range(8))  # partial tail chunk
+    df = spark.createDataFrame(
+        [(1, f"{p} {uniq_a}"), (2, f"{p} {uniq_b}"), (3, p)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in passage_dedup(df).collect()}
+    # doc 1 keeps everything (first occurrence of p)
+    assert out[1].n_chunks == 2 and out[1].n_kept == 2
+    # doc 2 loses the repeated passage, keeps its unique tail
+    assert out[2].n_chunks == 2 and out[2].n_kept == 1
+    assert out[2].cleaned == uniq_b
+    # doc 3 is entirely duplicate -> empty
+    assert out[3].n_kept == 0 and out[3].cleaned == ""
+
+
+def test_int8_quantization_error_bound(spark, sf_dir):
+    rows = QUERIES["s06_int8_quantize"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # symmetric int8: per-lane error <= amax/254, so total <= dim*amax/254
+        assert r.abs_err <= 64 * r.amax / 254 + 1e-6
+        assert 1 <= r.n_sat <= 64  # the amax lane always saturates
+
+
+def test_random_projection_preserves_scale(spark, sf_dir):
+    import math
+    from collections import defaultdict
+
+    rows = QUERIES["s07_random_projection"](spark, sf_dir).collect()
+    by_vec = defaultdict(dict)
+    for r in rows:
+        by_vec[r.vec_id][r.dim] = r.value
+    assert all(len(d) == 8 for d in by_vec.values())
+    # JL: E[||proj||^2] = ||v||^2; check the corpus-level mean ratio is ~1
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+    import pyspark.sql.functions as F
+
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    norms = {
+        r.vec_id: r.n2
+        for r in emb.select(
+            "vec_id",
+            F.expr(
+                "aggregate(transform(cast(embedding as array<double>), x -> x * x), CAST(0 AS DOUBLE), (a, v) -> a + v)"
+            ).alias("n2"),
+        ).collect()
+    }
+    ratios = [
+        sum(x * x for x in by_vec[v].values()) / norms[v]
+        for v in by_vec
+        if norms[v] > 0
+    ]
+    mean_ratio = sum(ratios) / len(ratios)
+    assert 0.7 < mean_ratio < 1.3
