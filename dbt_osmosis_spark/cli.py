@@ -282,6 +282,26 @@ def cmd_test(args) -> int:
     return 0 if failed == 0 else 1
 
 
+def cmd_serve(args) -> int:
+    """Wire server (M34): newline-delimited-JSON SQL over TCP, mounted on
+    the serving session (ref()-aware compile, DDL-comment intercept,
+    schema op). Real deployments front Spark Connect / Thrift; this is the
+    reference's lightweight-proxy analog."""
+    from dbt_osmosis_spark.serving import serve_wire
+
+    spark, manifest = _build_context(args)
+    srv = serve_wire(spark, manifest, host=args.host, port=args.port)
+    print(f"serving on {srv.server_address[0]}:{srv.server_address[1]}")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    return 0
+
+
 def cmd_profile(args) -> int:
     from dbt_osmosis_spark.compile import relation_name
     from dbt_osmosis_spark.profile import profile
@@ -510,6 +530,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="dir to persist each failing test's violating rows as parquet",
     )
 
+    sv = sub.add_parser("serve", help="JSON-lines SQL wire server over the serving session")
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=7817)
+
     pp = sub.add_parser("profile", help="one-pass distributed column profile")
     pp.add_argument("model")
 
@@ -549,6 +573,7 @@ _DISPATCH = {
     "test-suggest": cmd_test_suggest,
     "test": cmd_test,
     "profile": cmd_profile,
+    "serve": cmd_serve,
     "export": cmd_export,
     "explain": cmd_explain,
     "lineage": cmd_lineage,

@@ -114,3 +114,76 @@ class SqlSession:
                 f.name for f in self.spark.table(t.name).schema.fields
             ]
         return out
+
+
+# ---- wire server loop (M34) ------------------------------------------------
+# The reference mounts its session on a MySQL-wire proxy (a third-party
+# protocol library; reference: src/dbt_osmosis/sql/proxy.py:174-179). The
+# Spark-first equivalents for real deployments are Spark Connect / the
+# Thrift JDBC server; for the reference's lightweight-proxy use case we
+# ship a self-contained newline-delimited-JSON TCP loop over the same
+# SqlSession: one request per line {"sql": "..."}, one response per line
+# {"columns": [...], "rows": [[...]]} | {"ok": true} (intercepted DDL) |
+# {"error": "..."}. Threaded accept loop; each connection gets its own
+# session view over the shared manifest (comment intercepts are shared,
+# like the reference's project-level mutations).
+
+def serve_wire(
+    spark: SparkSession,
+    manifest: Manifest,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    max_rows: int = 1000,
+):
+    """Start the wire server; returns the server object (serve_forever on
+    the caller's schedule; .server_address exposes the bound port)."""
+    import json
+    import socketserver
+
+    session = SqlSession(spark=spark, manifest=manifest)
+
+    class Handler(socketserver.StreamRequestHandler):
+        def handle(self):
+            for raw in self.rfile:
+                line = raw.decode().strip()
+                if not line:
+                    continue
+                try:
+                    req = json.loads(line)
+                    if req.get("op") == "schema":
+                        resp = {"schema": session.schema_map()}
+                    else:
+                        df = session.query(req["sql"])
+                        if df is None:
+                            resp = {"ok": True}
+                        else:
+                            rows = df.limit(max_rows).collect()
+                            resp = {
+                                "columns": list(df.columns),
+                                "rows": [[_json_cell(v) for v in r] for r in rows],
+                                "rowcount": len(rows),
+                            }
+                except Exception as exc:  # noqa: BLE001 - wire boundary
+                    resp = {"error": f"{type(exc).__name__}: {exc}"}
+                self.wfile.write((json.dumps(resp) + "\n").encode())
+                self.wfile.flush()
+
+    class Server(socketserver.ThreadingTCPServer):
+        allow_reuse_address = True
+        daemon_threads = True
+
+    return Server((host, port), Handler)
+
+
+def _json_cell(v):
+    """JSON-safe cell encoding for wire responses."""
+    import datetime
+    import decimal
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
