@@ -119,3 +119,26 @@ def test_p08_weighted_sample_is_top_k(q):
     # E-S selection must plan as TakeOrderedAndProject (per-partition heap
     # + small merge), not a global sort of the corpus
     assert uses_top_k(q("p08_weighted_sample"))
+
+
+def test_p10_passage_dedup_shuffles_bounded(q):
+    """Passage dedup's real shuffles are the md5-window and the doc_id
+    reassembly; everything else is map-side or presentation (the final
+    orderBy + the small-file spread repartition)."""
+    df = q("p10_passage_dedup")
+    assert not has_cartesian(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "md5" in plan  # dedup key is hashed — uniform shuffle distribution
+    assert exchange_count(df) <= 5
+
+
+def test_s06_s07_are_map_side(q):
+    """Quantization and random projection must stay map-side: no joins, no
+    aggregates; the only exchanges are the spread repartition and the
+    presentation sort."""
+    for name in ("s06_int8_quantize", "s07_random_projection"):
+        df = q(name)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan, name
+        assert "Aggregate" not in plan.replace("aggregate(", ""), name
+        assert exchange_count(df) <= 2, name
