@@ -864,3 +864,51 @@ ORDER BY s.doc_id
 def p10_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
     return passage_dedup(docs.select("doc_id", "text"))
+
+
+# ---- p11: per-source domain capping ----------------------------------------
+# Cap any one source's contribution to the corpus (anti-domain-dominance:
+# without it one crawl domain can be half the tokens). Deterministic
+# md5-rank within each source keeps the same docs across runs and engines.
+# One shuffle on the source key (window); at heavy skew the hot source's
+# partition is the bottleneck — salt the rank into two phases (rank within
+# salted sub-key, then offset by sub-key counts) exactly like
+# functions/skew.py does for aggregation.
+
+_P11_CAP = 15  # max docs per source (binds at every SF: sources are uniform)
+
+
+_P11_ORACLE = f"""
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, source, n_chars, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {_P11_CAP}
+ORDER BY doc_id
+"""
+
+
+def cap_per_source(df: DataFrame, cap: int, source_col: str = "source") -> DataFrame:
+    """Keep at most `cap` docs per source, chosen by deterministic md5 rank
+    (stable across runs, partitionings, engines, and incremental loads)."""
+    from pyspark.sql.window import Window as W
+
+    win = W.partitionBy(source_col).orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        df.withColumn("rk", F.row_number().over(win).cast("bigint"))
+        .filter(F.col("rk") <= cap)
+    )
+
+
+@register("p11_domain_cap", oracle=_P11_ORACLE)
+def p11_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return (
+        cap_per_source(docs.select("doc_id", "source", "n_chars"), _P11_CAP)
+        .select("doc_id", "source", "n_chars", "rk")
+        .orderBy("doc_id")
+    )

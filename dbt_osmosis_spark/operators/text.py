@@ -372,3 +372,35 @@ def t08_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("top_token_count").cast("double") / F.col("n_tokens")).alias("top_token_frac"),
     ).orderBy("doc_id")
+
+
+# ---- t09: text normalization ----------------------------------------------
+# The canonicalization pass that precedes hashing/dedup in every pretraining
+# pipeline: lowercase, collapse whitespace runs, strip edge punctuation per
+# token. Pure map-side expressions (regexp + lower — whole-stage codegen,
+# no UDF); character-class-only regex so Java (Spark) and RE2 (DuckDB)
+# agree byte-for-byte.
+
+_T09_ORACLE = """
+SELECT doc_id,
+       regexp_replace(trim(lower(regexp_replace(text, '[ ]+', ' ', 'g'))),
+                      '(^[.,;:!?]+)|([.,;:!?]+$)', '', 'g') AS norm_text,
+       len(string_split(trim(lower(regexp_replace(text, '[ ]+', ' ', 'g'))), ' ')) AS n_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    collapsed = F.lower(F.regexp_replace(F.col(text_col), "[ ]+", " "))
+    trimmed = F.trim(collapsed)
+    return df.withColumn(
+        "norm_text",
+        F.regexp_replace(trimmed, r"(^[.,;:!?]+)|([.,;:!?]+$)", ""),
+    ).withColumn("n_tokens", F.size(F.split(trimmed, " ")))
+
+
+@register("t09_normalize", oracle=_T09_ORACLE)
+def t09_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    return normalize_text(docs).select("doc_id", "norm_text", "n_tokens").orderBy("doc_id")

@@ -487,3 +487,22 @@ def test_random_projection_preserves_scale(spark, sf_dir):
     ]
     mean_ratio = sum(ratios) / len(ratios)
     assert 0.7 < mean_ratio < 1.3
+
+
+def test_domain_cap_binds_and_is_deterministic(spark, sf_dir):
+    rows1 = QUERIES["p11_domain_cap"](spark, sf_dir).collect()
+    rows2 = QUERIES["p11_domain_cap"](spark, sf_dir).collect()
+    assert [r.doc_id for r in rows1] == [r.doc_id for r in rows2]
+    from collections import Counter
+
+    per_source = Counter(r.source for r in rows1)
+    assert max(per_source.values()) <= 15
+    assert all(r.rk <= 15 for r in rows1)
+
+
+def test_normalize_text_properties(spark, sf_dir):
+    rows = QUERIES["t09_normalize"](spark, sf_dir).collect()
+    for r in rows[:100]:
+        assert r.norm_text == r.norm_text.lower()
+        assert "  " not in r.norm_text
+        assert r.n_tokens >= 1
