@@ -237,3 +237,83 @@ def m03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "frame_no")
     )
+
+
+# ---- m04: resize / downsample (Arrow-batched thumbnailing) -----------------
+# The resize step of an image/audio pipeline: payload bytes mean-pool into
+# a fixed number of buckets (a thumbnail for images, a resample for audio).
+# The REAL resize (PIL.Image.resize / librosa.resample) slots into the same
+# batch loop behind decode_image; the deterministic byte-pooling stand-in
+# keeps the Spark plumbing — Arrow batch shape, numpy vectorization, flat
+# typed output — real and oracle-checkable. Integer floor-mean in both
+# engines, so the oracle is value-hash exact.
+
+_M04_BUCKETS = 32
+RESIZE_SCHEMA = "doc_id long, pos int, value int, n_bytes int"
+
+
+def resize_payloads(df: DataFrame, id_col: str = "doc_id", buckets: int = _M04_BUCKETS) -> DataFrame:
+    """Mean-pool each payload's bytes into ≤`buckets` cells: one output row
+    per (doc, cell). Strided `np.add.reduceat` per payload — vectorized
+    pooling, columnar batch output, no per-byte Python."""
+    import numpy as np
+
+    def one_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, poss, vals, sizes = [], [], [], []
+            for doc_id, data in zip(pdf[id_col].to_numpy(), pdf["content"].to_numpy()):
+                arr = np.frombuffer(data, dtype=np.uint8)
+                n = len(arr)
+                if n == 0:
+                    continue
+                stride = -(-n // buckets)  # ceil
+                offsets = np.arange(0, n, stride)
+                sums = np.add.reduceat(arr.astype(np.int64), offsets)
+                counts = np.diff(np.append(offsets, n))
+                pooled = sums // counts  # floor-mean, integer-exact
+                k = len(pooled)
+                ids.append(np.full(k, doc_id, dtype=np.int64))
+                poss.append(np.arange(k, dtype=np.int32))
+                vals.append(pooled.astype(np.int32))
+                sizes.append(np.full(k, n, dtype=np.int32))
+            if not ids:
+                yield pd.DataFrame({"doc_id": [], "pos": [], "value": [], "n_bytes": []})
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(ids),
+                    "pos": np.concatenate(poss),
+                    "value": np.concatenate(vals),
+                    "n_bytes": np.concatenate(sizes),
+                }
+            )
+
+    return df.select(id_col, "content").mapInPandas(one_batch, schema=RESIZE_SCHEMA)
+
+
+# content = encode(text, 'utf-8') and the corpus is ASCII, so byte i of the
+# payload is ascii(substr(text, i+1, 1)) in DuckDB.
+_M04_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, text, length(text) AS L,
+         CAST(ceil(length(text) / {_M04_BUCKETS}.0) AS BIGINT) AS stride
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id, CAST(p AS INT) AS pos,
+       CAST(floor(
+         list_sum(list_transform(range(p * stride, least((p + 1) * stride, L)),
+                  i -> ascii(substr(text, CAST(i + 1 AS INT), 1))))
+         / (least((p + 1) * stride, L) - p * stride)) AS INT) AS value,
+       CAST(L AS INT) AS n_bytes
+FROM b, UNNEST(range(0, {_M04_BUCKETS})) AS t(p)
+WHERE p * stride < L
+ORDER BY doc_id, pos
+"""
+
+
+@register("m04_resize", oracle=_M04_ORACLE)
+def m04_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_osmosis_spark.sources.parquet import read_parquet, spread
+
+    docs = attach_fake_payloads(spread(read_parquet(spark, f"{sf_dir}/documents.parquet")))
+    return resize_payloads(docs).orderBy("doc_id", "pos")

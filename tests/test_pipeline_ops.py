@@ -506,3 +506,19 @@ def test_normalize_text_properties(spark, sf_dir):
         assert r.norm_text == r.norm_text.lower()
         assert "  " not in r.norm_text
         assert r.n_tokens >= 1
+
+
+def test_resize_pooling_bounds(spark, sf_dir):
+    rows = QUERIES["m04_resize"](spark, sf_dir).collect()
+    assert rows
+    from collections import defaultdict
+
+    by_doc = defaultdict(list)
+    for r in rows:
+        assert 0 <= r.value <= 255  # pooled byte stays a byte
+        assert 0 <= r.pos < 32
+        by_doc[r.doc_id].append(r)
+    for rs in by_doc.values():
+        # ≤32 contiguous cells starting at 0
+        assert [r.pos for r in sorted(rs, key=lambda x: x.pos)] == list(range(len(rs)))
+        assert len(rs) <= 32
