@@ -282,6 +282,29 @@ def cmd_test(args) -> int:
     return 0 if failed == 0 else 1
 
 
+def cmd_list(args) -> int:
+    """`dbt ls` analog: enumerate nodes, optionally narrowed by the same
+    selector syntax `run --select` takes (name+/+name/tag:/path:/
+    config.materialized:/state:modified)."""
+    _, manifest = _build_context(args, need_spark=False)
+    selected = None
+    if args.select:
+        selected = manifest.select(args.select)
+    for key in sorted(manifest.sources):
+        if selected is None:
+            print(f"source  {key}")
+    for name in sorted(manifest.seeds):
+        if selected is None:
+            print(f"seed    {name}")
+    for name in manifest.topo_sort():
+        if selected is not None and name not in selected:
+            continue
+        node = manifest.models[name]
+        tags = f"  tags={','.join(node.tags)}" if node.tags else ""
+        print(f"model   {name:30s} {node.materialized}{tags}")
+    return 0
+
+
 def cmd_serve(args) -> int:
     """Wire server (M34): newline-delimited-JSON SQL over TCP, mounted on
     the serving session (ref()-aware compile, DDL-comment intercept,
@@ -530,6 +553,9 @@ def build_parser() -> argparse.ArgumentParser:
         help="dir to persist each failing test's violating rows as parquet",
     )
 
+    ls = sub.add_parser("list", help="enumerate project nodes (dbt ls analog)")
+    ls.add_argument("--select", nargs="+", default=None)
+
     sv = sub.add_parser("serve", help="JSON-lines SQL wire server over the serving session")
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=7817)
@@ -574,6 +600,7 @@ _DISPATCH = {
     "test": cmd_test,
     "profile": cmd_profile,
     "serve": cmd_serve,
+    "list": cmd_list,
     "export": cmd_export,
     "explain": cmd_explain,
     "lineage": cmd_lineage,

@@ -274,6 +274,19 @@ class Manifest:
                 tag = sel[4:]
                 out |= {n for n, node in self.models.items() if tag in node.tags}
                 continue
+            if sel.startswith("path:"):
+                # dbt path selector: models whose file lives under the prefix
+                prefix = sel[5:].rstrip("/")
+                out |= {
+                    n
+                    for n, node in self.models.items()
+                    if node.path == prefix or node.path.startswith(prefix + "/")
+                }
+                continue
+            if sel.startswith("config.materialized:"):
+                mat = sel.split(":", 1)[1]
+                out |= {n for n, node in self.models.items() if node.materialized == mat}
+                continue
             if "exposure:" in sel:
                 ename = sel.split("exposure:", 1)[1]
                 exp = self.exposures.get(ename)

@@ -177,3 +177,19 @@ def test_build_runs_models_and_tests(tmp_path, capsys):
     rc = main(["--project-dir", str(proj), "--warehouse-dir", str(tmp_path / "wh"), "build"])
     out = capsys.readouterr().out
     assert rc == 1 and "FAIL" in out
+
+
+def test_cli_list_and_selectors(proj, tmp_path, capsys):
+    from dbt_osmosis_spark.cli import main
+    from dbt_osmosis_spark.project import load_project
+
+    rc = main(["--project-dir", str(proj), "list"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "model" in out
+
+    m = load_project(proj)
+    views = m.select(["config.materialized:view"])
+    assert views == {n for n, nd in m.models.items() if nd.materialized == "view"}
+    some = next(iter(m.models.values()))
+    by_path = m.select([f"path:{some.path}"])
+    assert some.name in by_path
