@@ -290,11 +290,12 @@ def cmd_list(args) -> int:
     selected = None
     if args.select:
         selected = manifest.select(args.select)
-    for key in sorted(manifest.sources):
-        if selected is None:
+    if selected is None:
+        # selectors address models only; sources/seeds list on the
+        # unfiltered enumeration
+        for key in sorted(manifest.sources):
             print(f"source  {key}")
-    for name in sorted(manifest.seeds):
-        if selected is None:
+        for name in sorted(manifest.seeds):
             print(f"seed    {name}")
     for name in manifest.topo_sort():
         if selected is not None and name not in selected:

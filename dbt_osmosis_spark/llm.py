@@ -163,8 +163,14 @@ def backend_from_env() -> LLMBackend | None:
 
 def default_backend() -> LLMBackend:
     """Real endpoint when configured via env; heuristic otherwise — so
-    pipelines and tests stay hermetic without a key."""
-    backend = backend_from_env()
+    pipelines and tests stay hermetic without a key. An unsupported
+    LLM_PROVIDER left in the environment by unrelated tooling must not
+    break doc synthesis — it falls back to the heuristic; explicit
+    backend_from_env() callers still get the configuration error."""
+    try:
+        backend = backend_from_env()
+    except LLMConfigurationError:
+        return HeuristicBackend()
     return backend if backend is not None else HeuristicBackend()
 
 

@@ -100,7 +100,9 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 try:
                     img = decode_image(data)  # real path
                     _w, _h = img.size  # pragma: no cover
-                except CodecUnavailable:
+                except Exception:  # noqa: BLE001 - any undecodable payload
+                    # falls back: CodecUnavailable (lib absent) AND decoder
+                    # errors (e.g. PIL present but payload isn't an image)
                     _w, _h, _fmt = fake_decode_meta(data)
                 arr = np.frombuffer(data[:4096], dtype=np.uint8) % 8
                 n = max(len(arr), 1)

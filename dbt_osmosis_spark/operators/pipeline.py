@@ -84,6 +84,12 @@ def connected_components(
         else:
             new_labels = new_labels.persist()
         cur_sum = new_labels.agg(F.sum("label")).first()[0]
+        # DataFrame.unpersist releases persist()ed rounds immediately. For
+        # localCheckpoint-ed rounds it is a no-op (the cacheManager never
+        # tracked them); those blocks are reclaimed by Spark's
+        # ContextCleaner once the frame is dereferenced below — so at most
+        # one checkpointed label set (1 per 5 rounds) awaits cleanup at a
+        # time, bounded regardless of iteration count.
         labels.unpersist()
         labels = new_labels
         if cur_sum == prev_sum:

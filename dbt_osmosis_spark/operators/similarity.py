@@ -238,13 +238,19 @@ def knn_batch(
     bc = spark.sparkContext.broadcast((qids, qmat, qnorm))
 
     def score(batches):
-        # Fully columnar: matmul for all scores, then per-query argpartition
-        # top-k *inside the partition*. Only p×q×k rows leave the Python
-        # worker (vs n×q for the naive emit), so the downstream window
-        # shuffle is tiny and independent of corpus size.
+        # Fully columnar: matmul for all scores, then per-query top-k
+        # *inside the partition*. Only p×q×k rows leave the Python worker
+        # (vs n×q for the naive emit), so the downstream window shuffle is
+        # tiny and independent of corpus size. Per-batch selection uses
+        # lexsort on (-cosine, vec_id) — the SAME tie-break the global
+        # window applies — so a cosine tie at the batch boundary keeps the
+        # row the final ranking would keep (argpartition's arbitrary tie
+        # handling would make the output partitioning-dependent).
         ids, qm, qn = bc.value
         nq = len(ids)
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             vids = pdf["vec_id"].to_numpy()
             norms = np.linalg.norm(m, axis=1)
@@ -252,10 +258,13 @@ def knn_batch(
             # mask self-matches before top-k selection
             cos[vids[:, None] == ids[None, :]] = -np.inf
             kk = min(k, len(pdf))
-            # argpartition per query column: indices of the kk largest rows
-            top = np.argpartition(-cos, kk - 1, axis=0)[:kk, :]  # (kk, nq)
-            q_idx = np.repeat(np.arange(nq), kk)
-            r_idx = top.T.ravel()
+            out_q, out_r = [], []
+            for qi in range(nq):
+                order = np.lexsort((vids, -cos[:, qi]))[:kk]
+                out_q.append(np.full(kk, qi))
+                out_r.append(order)
+            q_idx = np.concatenate(out_q)
+            r_idx = np.concatenate(out_r)
             sel = cos[r_idx, q_idx]
             keep = np.isfinite(sel)
             yield pd.DataFrame(
@@ -386,8 +395,21 @@ LIMIT {_K}
 def ivf_assign(emb: DataFrame, vec_col: str = "v") -> DataFrame:
     """Map-side cell assignment against the deterministic coarse centroids.
     At index-build time you'd persist this (partitionBy('cell')) so query
-    scans prune to the probed cells via partition pruning."""
-    return emb.withColumn("cell", F.expr(_SPARK_CELL.format(a=vec_col)))
+    scans prune to the probed cells via partition pruning.
+
+    The 16-cell × 64-dim distance vector is materialized ONCE as a column
+    and argmin'd from it — inlining it into array_position(dists,
+    array_min(dists)) would evaluate the dominant per-row fold twice
+    (Catalyst does not CSE duplicated expression trees)."""
+    dists = F.expr(_SPARK_CELL_DISTS.format(a=vec_col))
+    return (
+        emb.withColumn("_dists", dists)
+        .withColumn(
+            "cell",
+            (F.expr("array_position(_dists, array_min(_dists))") - 1).cast("int"),
+        )
+        .drop("_dists")
+    )
 
 
 def _ivf_index(emb: DataFrame, n_cells: int, seed: int = 42):

@@ -703,9 +703,24 @@ def load_project(project_dir: str | Path) -> Manifest:
     # else the base `name.sql`; the bare name aliases to latest_version
     for entry in versioned_entries:
         name = entry["name"]
-        versions = entry["versions"]
+        # tolerate malformed version entries at load time: every command
+        # goes through load_project, so a broken schema.yml must degrade to
+        # "entry skipped" here and be REPORTED by validate_schema_doc
+        # (version-missing-v / version-v-type), not crash run/test/list
+        versions = [
+            v
+            for v in entry["versions"]
+            if isinstance(v, dict) and str(v.get("v", "")).lstrip("-").isdigit()
+        ]
+        if not versions:
+            continue
         nums = [int(v["v"]) for v in versions]
-        latest = int(entry.get("latest_version") or max(nums))
+        latest_raw = entry.get("latest_version")
+        latest = (
+            int(latest_raw)
+            if str(latest_raw or "").lstrip("-").isdigit()
+            else max(nums)
+        )
         base = manifest.models.get(name)
         for vspec in versions:
             vnum = int(vspec["v"])

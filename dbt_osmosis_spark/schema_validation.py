@@ -247,7 +247,6 @@ def _check_versions(m: dict, loc: str, out: list[Violation]) -> None:
         out.append(Violation(f"{loc}.versions", "versions-not-list", "versions must be a list"))
         return
     seen: dict[str, int] = {}
-    declared: list[Any] = []
     for j, v in enumerate(versions):
         vloc = f"{loc}.versions[{j}]"
         if not isinstance(v, dict):
@@ -274,7 +273,6 @@ def _check_versions(m: dict, loc: str, out: list[Violation]) -> None:
                 )
             else:
                 seen[key] = j
-                declared.append(vv)
         for tkey in ("tests", "data_tests"):
             _check_tests(v.get(tkey), f"{vloc}.{tkey}", out)
         _check_columns(v.get("columns"), f"{vloc}.columns", out, version_owner=True)
@@ -343,8 +341,10 @@ def validate_schema_doc(doc: dict) -> list[Violation]:
 
 
 def validate_project_schemas(project_dir: str) -> dict[str, list[Violation]]:
-    """Validate every property YAML under the project's model/seed paths;
-    returns {relative_path: violations} for files with findings."""
+    """Validate every property YAML under the project's model/seed/snapshot
+    paths (the files the project OWNS — vendored dbt_packages/, target/,
+    and anything outside the resource paths are not this project's to
+    fail); returns {relative_path: violations} for files with findings."""
     from pathlib import Path
 
     try:
@@ -353,8 +353,31 @@ def validate_project_schemas(project_dir: str) -> dict[str, list[Violation]]:
         return {}
 
     root = Path(project_dir)
+    proj_file = next(
+        (p for p in (root / "dbt_project.yml", root / "project.yml") if p.exists()), None
+    )
+    resource_dirs = ["models", "seeds", "snapshots"]
+    if proj_file is not None:
+        try:
+            cfg = _pyyaml.safe_load(proj_file.read_text()) or {}
+            resource_dirs = []
+            for key, default in (
+                ("model-paths", "models"),
+                ("seed-paths", "seeds"),
+                ("snapshot-paths", "snapshots"),
+            ):
+                v = cfg.get(key) or cfg.get(key.replace("-", "_")) or [default]
+                resource_dirs.extend([v] if isinstance(v, str) else list(v))
+        except Exception:
+            pass
+
+    files: list[Path] = []
+    for d in resource_dirs:
+        p = root / d
+        if p.is_dir():
+            files.extend(sorted(p.rglob("*.yml")) + sorted(p.rglob("*.yaml")))
     out: dict[str, list[Violation]] = {}
-    for f in sorted(root.rglob("*.yml")) + sorted(root.rglob("*.yaml")):
+    for f in files:
         if f.name in ("project.yml", "dbt_project.yml", "profiles.yml", "dbt-osmosis.yml", "sources.yml"):
             continue
         try:

@@ -140,10 +140,13 @@ def serve_wire(
     import json
     import socketserver
 
-    session = SqlSession(spark=spark, manifest=manifest)
-
     class Handler(socketserver.StreamRequestHandler):
         def handle(self):
+            # per-connection session over the SHARED manifest: comment DDL
+            # mutates the manifest (visible to every session, like the
+            # reference's project-level mutations) while session-local
+            # state stays isolated per client
+            session = SqlSession(spark=spark, manifest=manifest)
             for raw in self.rfile:
                 line = raw.decode().strip()
                 if not line:

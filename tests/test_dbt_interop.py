@@ -217,3 +217,27 @@ def test_native_layout_still_loads(tmp_path):
     m = load_project(tmp_path)
     assert m.project_name == "native"
     assert m.models["m1"].materialized == "view"
+
+
+def test_malformed_versions_do_not_crash_load(tmp_path):
+    """A broken schema.yml must degrade at load (entry skipped) and be
+    reported by validate_schema_doc — every CLI command goes through
+    load_project, so a crash here would take down run/test/list."""
+    proj = tmp_path / "p"
+    (proj / "models").mkdir(parents=True)
+    (proj / "dbt_project.yml").write_text("name: p\n")
+    (proj / "models" / "m.sql").write_text("select 1 as a")
+    (proj / "models" / "m.yml").write_text(
+        "version: 2\nmodels:\n- name: m\n  versions:\n"
+        "  - v: null\n  - not-a-map\n  - v: 1a\n"
+    )
+    m = load_project(proj)
+    # base model survives; no versioned nodes were manufactured
+    assert "m" in m.models and not m.version_aliases
+    # and the validator reports what the loader skipped
+    import yaml as pyyaml
+
+    from dbt_osmosis_spark.schema_validation import validate_schema_doc
+
+    codes = {v.code for v in validate_schema_doc(pyyaml.safe_load((proj / "models" / "m.yml").read_text()))}
+    assert "version-missing-v" in codes and "version-entry-not-map" in codes
