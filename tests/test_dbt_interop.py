@@ -241,3 +241,16 @@ def test_malformed_versions_do_not_crash_load(tmp_path):
 
     codes = {v.code for v in validate_schema_doc(pyyaml.safe_load((proj / "models" / "m.yml").read_text()))}
     assert "version-missing-v" in codes and "version-entry-not-map" in codes
+
+
+def test_committed_demo_dbt_project_runs(spark, tmp_path):
+    """The in-repo demo_dbt/ directory is a standard dbt layout and must
+    build end-to-end (the switch-from-the-reference smoke test)."""
+    m = load_project("demo_dbt")
+    assert m.project_name == "demo_dbt"
+    report = materialize(spark, m, warehouse_dir=str(tmp_path / "wh"), count_rows=True)
+    by_name = {r.name: r for r in report.results}
+    assert by_name["account_revenue"].materialized == "table"
+    got = {r.account_id: float(r.revenue) for r in spark.table("account_revenue").collect()}
+    assert got == {1: 12.5, 2: 9.9, 3: 44.0}
+    assert {"dbt_valid_from", "dbt_valid_to"} <= set(spark.table("accounts_snapshot").columns)
