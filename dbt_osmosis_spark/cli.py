@@ -67,6 +67,7 @@ def cmd_run(args) -> int:
         warehouse_dir=args.warehouse_dir,
         count_rows=True,
         select=getattr(args, "select", None),
+        exclude=getattr(args, "exclude", None),
         previous_state=previous_state,
         threads=getattr(args, "threads", 1),
         full_refresh=getattr(args, "full_refresh", False),
@@ -273,10 +274,12 @@ def cmd_test(args) -> int:
     )
     failed = 0
     for r in results:
-        status = "pass" if r.passed else "FAIL"
+        status = {"pass": "pass", "warn": "WARN", "fail": "FAIL"}[r.status]
         failed += 0 if r.passed else 1
         where = f"{r.model}.{r.column}" if r.column else r.model
-        extra = f" violations={r.violations} sample={r.sample}" if not r.passed else ""
+        extra = (
+            f" violations={r.violations} sample={r.sample}" if r.status != "pass" else ""
+        )
         print(f"{status:4s} {where}: {r.test}{extra}")
     print(f"{len(results) - failed}/{len(results)} tests passed")
     return 0 if failed == 0 else 1
@@ -511,6 +514,12 @@ def build_parser() -> argparse.ArgumentParser:
         nargs="+",
         default=None,
         help="dbt-style selectors: name, name+, +name, tag:x, state:modified[+]",
+    )
+    rp.add_argument(
+        "--exclude",
+        nargs="+",
+        default=None,
+        help="dbt-style selectors to subtract from the selection",
     )
     rp.add_argument("--state", default=None, help="state dir/file for state:modified")
     rp.add_argument("--vars", default=None, help="JSON object overriding project vars")

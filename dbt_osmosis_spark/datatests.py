@@ -30,10 +30,14 @@ class DataTestResult:
     violations: int
     sample: list = field(default_factory=list)
     stored_at: str | None = None  # store_failures artifact path
+    # dbt severity contract: "pass" | "warn" | "fail" from the test's
+    # severity / warn_if / error_if config
+    status: str = "pass"
 
     @property
     def passed(self) -> bool:
-        return self.violations == 0
+        """Gate result — warnings do not fail a run (dbt semantics)."""
+        return self.status != "fail"
 
 
 def _violations_df(
@@ -67,6 +71,33 @@ def _violations_df(
     raise ValueError(f"unknown test: {test}")
 
 
+def _threshold_met(n: int, expr: str) -> bool:
+    """dbt's warn_if/error_if condition strings ("!=0", ">10", ">=5")."""
+    expr = str(expr).replace(" ", "")
+    for op in ("!=", ">=", "<=", "==", ">", "<"):
+        if expr.startswith(op):
+            v = int(expr[len(op):])
+            return {
+                "!=": n != v, ">=": n >= v, "<=": n <= v,
+                "==": n == v, ">": n > v, "<": n < v,
+            }[op]
+    return n != 0
+
+
+def _test_status(n: int, config: dict) -> str:
+    """dbt severity semantics: severity='error' (default) fails when
+    error_if (default "!=0") holds; severity='warn' — or a failed error_if
+    with warn_if holding — warns."""
+    severity = str(config.get("severity", "error")).lower()
+    error_if = config.get("error_if", "!=0")
+    warn_if = config.get("warn_if", "!=0")
+    if severity == "error" and _threshold_met(n, error_if):
+        return "fail"
+    if _threshold_met(n, warn_if) and n:
+        return "warn"
+    return "pass"
+
+
 def run_test(
     spark: SparkSession,
     relation: str,
@@ -97,6 +128,7 @@ def run_test(
         violations=n,
         sample=[tuple(r) for r in head],
         stored_at=stored,
+        status=_test_status(n, config or {}),
     )
 
 

@@ -68,6 +68,7 @@ def materialize(
     count_rows: bool = False,
     partition_overrides: dict[str, list[str]] | None = None,
     select: list[str] | None = None,
+    exclude: list[str] | None = None,
     previous_state: dict[str, str] | None = None,
     threads: int = 1,
     full_refresh: bool = False,
@@ -103,8 +104,17 @@ def materialize(
     compiler = JinjaCompiler(manifest, spark=spark)
     selected: set[str] | None = None
     needed: set[str] | None = None
-    if select is not None:
-        selected = manifest.select(select, previous_state)
+    if select is not None or exclude is not None:
+        # dbt semantics: --exclude subtracts its selection from --select's
+        # (or from all models when --select is absent); excluded models'
+        # still-needed ancestors register lazily like any unselected node
+        selected = (
+            manifest.select(select, previous_state)
+            if select is not None
+            else set(manifest.models)
+        )
+        if exclude:
+            selected -= manifest.select(exclude, previous_state)
         needed = selected | manifest.ancestors(selected)
 
     for key, src in manifest.sources.items():

@@ -148,3 +148,21 @@ def test_store_failures_persists_violating_rows(spark, tmp_path):
     # passing tests store nothing
     r2 = run_test(spark, "sf_rel", "s", "unique", store_failures_dir=out)
     assert r2.passed and r2.stored_at is None
+
+
+def test_severity_warn_and_thresholds(spark):
+    """dbt severity contract: warn-severity violations don't fail; error_if
+    thresholds gate failure; warn_if marks warnings."""
+    from dbt_osmosis_spark.datatests import run_test
+
+    spark.createDataFrame(
+        [(1,), (1,), (2,)], "k long"
+    ).createOrReplaceTempView("sev_demo")
+    r = run_test(spark, "sev_demo", "k", "unique", {"severity": "warn"})
+    assert r.violations == 1 and r.status == "warn" and r.passed
+    r = run_test(spark, "sev_demo", "k", "unique", {"error_if": ">5"})
+    assert r.status == "warn" and r.passed  # below error threshold → warn
+    r = run_test(spark, "sev_demo", "k", "unique", {"error_if": ">0"})
+    assert r.status == "fail" and not r.passed
+    r = run_test(spark, "sev_demo", "k", "unique", {"error_if": ">5", "warn_if": ">5"})
+    assert r.status == "pass"

@@ -341,3 +341,25 @@ def test_threaded_materialize_matches_sequential(spark, manifest, tmp_path):
         for d in node.depends_on:
             if d in manifest.models:
                 assert pos[d] < pos[name], (d, name)
+
+
+def test_run_exclude_selector(spark, tmp_path):
+    """dbt --exclude: subtract from --select (or from all models); excluded
+    nodes still register lazily when a kept model refs them."""
+    from dbt_osmosis_spark.project import load_project
+    from dbt_osmosis_spark.runner import materialize
+
+    proj = tmp_path / "p"
+    (proj / "models").mkdir(parents=True)
+    (proj / "project.yml").write_text("name: p\n")
+    (proj / "models" / "a.sql").write_text("select 1 as x")
+    (proj / "models" / "b.sql").write_text("select x + 1 as y from {{ ref('a') }}")
+    (proj / "models" / "c.sql").write_text("select 3 as z")
+    m = load_project(proj)
+    r = materialize(spark, m, warehouse_dir=str(tmp_path / "wh"), exclude=["c"])
+    mats = {x.name: x.materialized for x in r.results if x.kind == "model"}
+    assert "c" not in mats and {"a", "b"} <= set(mats)
+    r2 = materialize(
+        spark, m, warehouse_dir=str(tmp_path / "wh"), select=["b"], exclude=["b"]
+    )
+    assert [x for x in r2.results if x.kind == "model"] == []
