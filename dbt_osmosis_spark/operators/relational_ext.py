@@ -908,3 +908,36 @@ def q39_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
                             AND o2.o_totalprice < 1000)
         ORDER BY c_custkey
     """)
+
+
+# ---- q40: latest-row-per-key (window dedup) --------------------------------
+# THE most common warehouse query shape: keep each entity's most recent
+# record (CDC snapshots, "current state" views, event compaction). One
+# shuffle on the entity key; the per-partition sort inside the window is
+# the only ordering work — no global sort. Ties break on o_orderkey so the
+# result is total and engine-exact.
+@register(
+    "q40_latest_per_key",
+    oracle="""
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+FROM ranked WHERE rn = 1
+ORDER BY o_custkey
+""",
+)
+def q40_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    win = W.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_custkey")
+    )
