@@ -18,8 +18,9 @@ Scale design:
 - **label centroids** (s03): vector-valued aggregation via posexplode +
   decimal-sum per (label, dim) — the order-independent way to average
   vectors on a cluster (a plain avg of doubles would drift run-to-run).
-- **batched kNN via Arrow** (s04, tests only): mapInPandas + numpy matmul —
-  the pattern for *many* queries at once, where per-row folds lose to BLAS.
+- **batched kNN via Arrow** (s04): mapInPandas + numpy matmul — the pattern
+  for *many* queries at once, where per-row folds lose to BLAS; oracle-exact
+  via 1e-6 half-up score quantization applied before ranking.
 """
 
 from __future__ import annotations
@@ -215,9 +216,14 @@ def label_centroid_means(emb: DataFrame) -> DataFrame:
 
 
 # ---- s04: Arrow-batched brute-force kNN (the many-queries pattern) ---------
-# Not oracle-registered (numpy reduction order ≠ sequential fold); verified
-# against s01's result in tests. This is the shape you use when there are
-# thousands of query vectors: per-partition numpy matmul via mapInPandas.
+# Oracle-registered via quantized scores: numpy's pairwise/SIMD reduction
+# order differs from DuckDB's sequential fold only at ~1e-15 relative, so
+# both engines emit floor(cosine * 1e6 + 0.5) / 1e6 (explicit half-up —
+# engines' round() rounding modes differ) and rank on the ROUNDED value with
+# a vec_id tie-break. Quantizing BEFORE top-k selection makes the ranking
+# itself engine- and partitioning-independent. This is the shape you use
+# when there are thousands of query vectors: per-partition numpy matmul via
+# mapInPandas — BLAS beats per-row folds by orders of magnitude.
 
 
 def knn_batch(
@@ -255,6 +261,9 @@ def knn_batch(
             vids = pdf["vec_id"].to_numpy()
             norms = np.linalg.norm(m, axis=1)
             cos = (m @ qm.T) / np.outer(norms, qn)  # (rows, nq)
+            # Quantize to 1e-6 (half-up, same formula as the oracle) BEFORE
+            # selection so rank order can't depend on sub-1e-6 float noise.
+            cos = np.floor(cos * 1e6 + 0.5) / 1e6
             # mask self-matches before top-k selection
             cos[vids[:, None] == ids[None, :]] = -np.inf
             kk = min(k, len(pdf))
@@ -289,12 +298,39 @@ def knn_batch(
     )
 
 
-@register("s04_knn_batch")
+_S04_IDS = (_QUERY_ID, _QUERY_ID + 1, _QUERY_ID + 2)
+
+_S04_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id IN {_S04_IDS}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         floor(({_DUCK_DOT.format(a="e.embedding::DOUBLE[]", b="q.qv", n=_DIM)}
+           / (sqrt({_DUCK_NORM2.format(a="e.embedding::DOUBLE[]")})
+              * sqrt({_DUCK_NORM2.format(a="q.qv")}))) * 1e6 + 0.5) / 1e6 AS cosine
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, cosine
+FROM ranked WHERE rn <= {_K}
+ORDER BY query_id, cosine DESC, vec_id
+"""
+
+
+@register("s04_knn_batch", oracle=_S04_ORACLE)
 def s04_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Many-queries kNN (rows-only check: numpy reduction order is not
-    bit-reproducible across engines; ranking agreement with s01's exact
-    top-k is pinned in tests/test_pipeline_ops.py)."""
-    return knn_batch(spark, sf_dir, query_ids=[_QUERY_ID, _QUERY_ID + 1, _QUERY_ID + 2])
+    """Many-queries kNN with a full value-hash oracle: both engines rank on
+    the 1e-6-quantized cosine (explicit half-up floor, vec_id tie-break), so
+    the sub-1e-6 difference between numpy's blocked reduction and DuckDB's
+    sequential fold cannot change either the ranking or the emitted values."""
+    return knn_batch(spark, sf_dir, query_ids=list(_S04_IDS))
 
 
 # ---- s05: IVF (inverted-file) ANN — coarse quantize, probe, re-rank --------
