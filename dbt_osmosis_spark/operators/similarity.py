@@ -158,18 +158,26 @@ def s02_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- s03: per-label centroids (order-independent vector mean) --------------
 
-# Determinism note: decimal-casting doubles is NOT cross-engine-safe here —
-# float32-origin values can land exactly on a rounding tie at any fixed
-# scale, and Spark rounds HALF_UP while DuckDB rounds HALF_EVEN. Instead
-# both engines left-fold the *sorted* value list: same multiset + same order
-# + same IEEE adds = bit-identical, at any partitioning.
+# Determinism design: float addition is not associative, and decimal-casting
+# raw doubles is not cross-engine-safe either (float32-origin dyadics like
+# k*2^-13 land exactly on a .5 rounding tie at fixed decimal scale, where
+# Spark rounds HALF_UP and DuckDB HALF_EVEN). So each component is first
+# quantized to an exact INTEGER with an explicit half-up floor —
+# floor(x * 1e9 + 0.5) is the same IEEE double op sequence in both engines,
+# so the integer is identical everywhere — then summed as DECIMAL(38,0):
+# integer addition is associative, so the sum is exact and independent of
+# partitioning/merge order, and Spark plans it as a map-side partial agg
+# with one shuffle on (label, pos). Per-group state is a single accumulator;
+# nothing is materialized per group. This is the 100 TB plan, not a
+# small-data stand-in.
 _S03_ORACLE = f"""
 WITH comp AS (
   SELECT label, d AS pos, (embedding::DOUBLE[])[d + 1] AS x
   FROM embeddings, (SELECT unnest(range(0, {_DIM})) AS d)
 )
 SELECT label, CAST(pos AS INT) AS pos,
-       list_reduce(list(x ORDER BY x), (a, b) -> a + b) / COUNT(*) AS m
+       CAST(SUM(CAST(floor(x * 1e9 + 0.5) AS DECIMAL(28,0))) AS DOUBLE)
+         / COUNT(*) / 1e9 AS m
 FROM comp GROUP BY label, pos
 ORDER BY label, pos
 """
@@ -182,9 +190,9 @@ def s03_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     would partition on. Reassemble with collect_list(struct(pos, m)) if a
     vector column is needed downstream.
 
-    The sorted-fold (collect_list + array_sort) exists only for bit-exact
-    cross-engine parity at oracle SF; at 100 TB use label_centroid_means
-    (plain avg, no per-group materialization) instead.
+    The mean is over 1e-9-quantized components (exact associative integer
+    sum — see the determinism note above); for the unquantized float mean
+    use label_centroid_means.
     """
     emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     comp = emb.select(
@@ -194,10 +202,9 @@ def s03_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         comp.groupBy("label", "pos")
         .agg(
             (
-                F.expr(
-                    "aggregate(array_sort(collect_list(x)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-                )
+                F.expr("CAST(SUM(CAST(floor(x * 1e9 + 0.5) AS DECIMAL(28,0))) AS DOUBLE)")
                 / F.count(F.lit(1))
+                / F.lit(1e9)
             ).alias("m")
         )
         .orderBy("label", "pos")

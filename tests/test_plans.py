@@ -115,6 +115,21 @@ def test_q33_unpivot_is_expand_not_join(q):
     assert exchange_count(df) <= 2
 
 
+def test_s03_centroids_partial_agg_no_collect_list(q):
+    """The registered centroid query must be the scale-safe plan: a plain
+    hash aggregate over a single accumulator per (label, pos) — no
+    collect_list materialization (which is per-group state proportional to
+    corpus size) and at most the agg shuffle + presentation sort."""
+    from dbt_osmosis_spark.plans.audit import physical_plan
+
+    df = q("s03_label_centroids")
+    plan = physical_plan(df)
+    assert "collect_list" not in plan
+    assert "ObjectHashAggregate" not in plan  # collect_list forces this mode
+    assert "HashAggregate" in plan  # partial + final hash agg, codegen-able
+    assert exchange_count(df) <= 2
+
+
 def test_p08_weighted_sample_is_top_k(q):
     # E-S selection must plan as TakeOrderedAndProject (per-partition heap
     # + small merge), not a global sort of the corpus
