@@ -497,9 +497,20 @@ ORDER BY nation
 
 @register("q13_cte_chain", oracle=_Q13_SQL)
 def q13_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    for name in ("nation", "customer", "orders"):
-        t(spark, sf_dir, name).createOrReplaceTempView(name)
-    return spark.sql(_Q13_SQL)
+    # DataFrames are passed as named sql() arguments, not session-global temp
+    # views — thread-safe under the layer-parallel runner (same pattern as
+    # q21). The SQL text only differs from the oracle in the table tokens.
+    sql = (
+        _Q13_SQL.replace("JOIN customer c", "JOIN {customer} c")
+        .replace("FROM orders", "FROM {orders}")
+        .replace("FROM nation n", "FROM {nation} n")
+    )
+    return spark.sql(
+        sql,
+        nation=t(spark, sf_dir, "nation"),
+        customer=t(spark, sf_dir, "customer"),
+        orders=t(spark, sf_dir, "orders"),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -896,18 +896,22 @@ ORDER BY c_custkey
 """,
 )
 def q39_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t(spark, sf_dir, "customer").createOrReplaceTempView("_q39_customer")
-    t(spark, sf_dir, "orders").createOrReplaceTempView("_q39_orders")
-    return spark.sql("""
+    # Named sql() arguments, not session-global temp views — thread-safe
+    # under the layer-parallel runner (same pattern as q21/q13).
+    return spark.sql(
+        """
         SELECT c_custkey, c_mktsegment
-        FROM _q39_customer c
-        WHERE EXISTS (SELECT 1 FROM _q39_orders o
+        FROM {customer} c
+        WHERE EXISTS (SELECT 1 FROM {orders} o
                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
-          AND NOT EXISTS (SELECT 1 FROM _q39_orders o2
+          AND NOT EXISTS (SELECT 1 FROM {orders} o2
                           WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
                             AND o2.o_totalprice < 1000)
         ORDER BY c_custkey
-    """)
+        """,
+        customer=t(spark, sf_dir, "customer"),
+        orders=t(spark, sf_dir, "orders"),
+    )
 
 
 # ---- q40: latest-row-per-key (window dedup) --------------------------------
