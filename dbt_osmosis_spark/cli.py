@@ -274,12 +274,15 @@ def cmd_test(args) -> int:
     )
     failed = 0
     for r in results:
-        status = {"pass": "pass", "warn": "WARN", "fail": "FAIL"}[r.status]
+        status = {"pass": "pass", "warn": "WARN", "fail": "FAIL", "error": "ERR "}[r.status]
         failed += 0 if r.passed else 1
         where = f"{r.model}.{r.column}" if r.column else r.model
-        extra = (
-            f" violations={r.violations} sample={r.sample}" if r.status != "pass" else ""
-        )
+        if r.status == "error":
+            extra = f" {r.message}"
+        elif r.status != "pass":
+            extra = f" violations={r.violations} sample={r.sample}"
+        else:
+            extra = ""
         print(f"{status:4s} {where}: {r.test}{extra}")
     print(f"{len(results) - failed}/{len(results)} tests passed")
     return 0 if failed == 0 else 1

@@ -31,13 +31,16 @@ class DataTestResult:
     sample: list = field(default_factory=list)
     stored_at: str | None = None  # store_failures artifact path
     # dbt severity contract: "pass" | "warn" | "fail" from the test's
-    # severity / warn_if / error_if config
+    # severity / warn_if / error_if config; "error" = the test itself is
+    # misconfigured (e.g. a malformed threshold) — that ONE test errors
+    # with a message, the rest of the command still runs
     status: str = "pass"
+    message: str | None = None
 
     @property
     def passed(self) -> bool:
         """Gate result — warnings do not fail a run (dbt semantics)."""
-        return self.status != "fail"
+        return self.status not in ("fail", "error")
 
 
 def _violations_df(
@@ -72,11 +75,21 @@ def _violations_df(
 
 
 def _threshold_met(n: int, expr: str) -> bool:
-    """dbt's warn_if/error_if condition strings ("!=0", ">10", ">=5")."""
+    """dbt's warn_if/error_if condition strings ("!=0", ">10", ">=5").
+
+    A malformed threshold (">=1.5", ">ten") is a CONFIG error naming the
+    bad value — never a bare ValueError mid-run that aborts the whole test
+    command with no pointer at the offending condition string."""
     expr = str(expr).replace(" ", "")
     for op in ("!=", ">=", "<=", "==", ">", "<"):
         if expr.startswith(op):
-            v = int(expr[len(op):])
+            try:
+                v = int(expr[len(op):])
+            except ValueError as exc:
+                raise ValueError(
+                    f"invalid warn_if/error_if threshold {expr!r}: the value "
+                    f"after {op!r} must be an integer"
+                ) from exc
             return {
                 "!=": n != v, ">=": n >= v, "<=": n <= v,
                 "==": n == v, ">": n > v, "<": n < v,
@@ -121,6 +134,12 @@ def run_test(
             store_failures_dir, f"{relation}__{column or 'model'}__{test}.parquet"
         )
         bad.write.mode("overwrite").parquet(stored)
+    try:
+        status, message = _test_status(n, config or {}), None
+    except ValueError as exc:
+        # misconfigured severity thresholds fail THIS test with a named
+        # config error; they must not abort the whole test command
+        status, message = "error", f"{test} on {relation}: {exc}"
     return DataTestResult(
         model=relation,
         column=column,
@@ -128,7 +147,8 @@ def run_test(
         violations=n,
         sample=[tuple(r) for r in head],
         stored_at=stored,
-        status=_test_status(n, config or {}),
+        status=status,
+        message=message,
     )
 
 

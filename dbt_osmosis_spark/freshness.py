@@ -62,7 +62,7 @@ def check_freshness(
     spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
     try:
         for key, src in manifest.sources.items():
-            if not src.loaded_at_field or not src.freshness:
+            if not src.loaded_at_field or not src.freshness or src.path is None:
                 continue
             df = read_source(spark, src.path, src.format)
             max_ts = df.agg(F.max(src.loaded_at_field).alias("m")).first().m

@@ -63,7 +63,8 @@ def _path_index(manifest: Manifest, warehouse_dir: str | None) -> dict[str, str]
     """Normalize node storage paths → node names, for scan attribution."""
     idx: dict[str, str] = {}
     for key, src in manifest.sources.items():
-        idx[os.path.abspath(src.path)] = key
+        if src.path is not None:
+            idx[os.path.abspath(src.path)] = key
     for name, seed in manifest.seeds.items():
         idx[os.path.abspath(seed.path)] = name
     if warehouse_dir:
@@ -93,6 +94,8 @@ def register_views(spark: SparkSession, manifest: Manifest) -> None:
 
     compiler = JinjaCompiler(manifest, spark=spark)
     for key, src in manifest.sources.items():
+        if src.path is None:
+            continue  # declared-only: no storage to register
         read_source(spark, src.path, src.format).createOrReplaceTempView(relation_name(key))
     for name, seed in manifest.seeds.items():
         load_seed(spark, seed.path, name=relation_name(name), column_types=seed.column_types)

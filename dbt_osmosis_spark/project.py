@@ -38,10 +38,13 @@ except ImportError:  # pragma: no cover
 
 @dataclass
 class SourceNode:
-    """An external table: name → storage path + format."""
+    """An external table: name → storage path + format. ``path=None`` marks
+    a declared-only (warehouse-native) source: visible to lineage/yaml/docs
+    but with nothing for Spark to read — registration skips it and the
+    runner raises a named diagnostic if an executed model reads it."""
 
     name: str
-    path: str
+    path: str | None
     format: str = "parquet"
     schema: str | None = None
     description: str = ""
@@ -527,11 +530,11 @@ def load_project(project_dir: str | Path) -> Manifest:
         key = f"{s['name']}.{tbl['name']}"
         meta = {**(s.get("meta") or {}), **(tbl.get("meta") or {})}
         ext = tbl.get("external") or {}
-        path = tbl.get("path") or meta.get("path") or ext.get("location")
-        if not path:
-            # warehouse-native source with no file location — nothing for
-            # Spark to read; declared-only (still visible to lineage/yaml)
-            return
+        # a warehouse-native source has no file location — record it as
+        # declared-only (path=None) so it stays visible to lineage/yaml and
+        # source() resolution gives a named error instead of a generic
+        # unresolved-ref KeyError; registration skips it
+        path = tbl.get("path") or meta.get("path") or ext.get("location") or None
         manifest.sources[key] = SourceNode(
             name=key,
             path=path,
@@ -721,6 +724,11 @@ def load_project(project_dir: str | Path) -> Manifest:
             if str(latest_raw or "").lstrip("-").isdigit()
             else max(nums)
         )
+        # an out-of-range latest_version (e.g. 3 with only v1/v2 declared)
+        # must not mint a dangling alias to a nonexistent node; degrade to
+        # max(nums) — validate_schema_doc reports latest-version-invalid
+        if latest not in nums:
+            latest = max(nums)
         base = manifest.models.get(name)
         for vspec in versions:
             vnum = int(vspec["v"])

@@ -117,8 +117,26 @@ def materialize(
             selected -= manifest.select(exclude, previous_state)
         needed = selected | manifest.ancestors(selected)
 
+    run_set = needed if needed is not None else set(manifest.models)
     for key, src in manifest.sources.items():
         rel = relation_name(key)
+        if src.path is None:
+            # declared-only source (no path/meta.path/external.location):
+            # nothing to register. Fail with a named diagnostic when an
+            # executed model reads it — never a generic unresolved-view
+            # error pointing at the model instead of the source.
+            readers = sorted(
+                n
+                for n in run_set
+                if n in manifest.models and key in manifest.models[n].depends_on
+            )
+            if readers:
+                raise ValueError(
+                    f"source '{key}' is declared without a file location "
+                    f"(path / meta.path / external.location) but is read by "
+                    f"{readers}; add a location or deselect those models"
+                )
+            continue
         df = read_source(spark, src.path, src.format)
         df.createOrReplaceTempView(rel)
         report.results.append(RunResult(key, "source", "view"))

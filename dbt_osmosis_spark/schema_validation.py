@@ -378,7 +378,12 @@ def validate_project_schemas(project_dir: str) -> dict[str, list[Violation]]:
             files.extend(sorted(p.rglob("*.yml")) + sorted(p.rglob("*.yaml")))
     out: dict[str, list[Violation]] = {}
     for f in files:
-        if f.name in ("project.yml", "dbt_project.yml", "profiles.yml", "dbt-osmosis.yml", "sources.yml"):
+        if f.name in ("project.yml", "dbt_project.yml", "profiles.yml", "dbt-osmosis.yml"):
+            continue
+        if f.name == "sources.yml" and f.parent == root:
+            # the native-layout root sources.yml is a source REGISTRY, not a
+            # property file; a models/sources.yml in dbt layout is a normal
+            # property file and must be validated like any other
             continue
         try:
             doc = _pyyaml.safe_load(f.read_text())

@@ -49,7 +49,7 @@ def fingerprint(manifest: Manifest) -> dict[str, str]:
             content = "missing"
         fp[f"seed:{name}"] = _h(content, json.dumps(seed.column_types, sort_keys=True))
     for key, src in manifest.sources.items():
-        fp[f"source:{key}"] = _h(src.path, src.format)
+        fp[f"source:{key}"] = _h(src.path or "<declared-only>", src.format)
     return fp
 
 

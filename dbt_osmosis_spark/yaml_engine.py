@@ -131,12 +131,16 @@ def ensure_model_entry(doc: dict, model_name: str) -> dict:
 
 def version_entry(entry: dict, v) -> dict | None:
     """Find a version's entry under a model; fail closed when two entries
-    identify the same version (v: 1 and v: "1" count as the same)."""
+    identify the same version (v: 1, v: 1.0 and v: "1" all count as the
+    same — the same float-canonical identity schema_validation uses, so the
+    sync guard and `yaml check-schemas` agree on what a duplicate is)."""
+    from dbt_osmosis_spark.schema_validation import _version_key
+
     seen: dict[str, tuple[int, dict]] = {}
     for i, ve in enumerate(entry.get("versions") or []):
         if not isinstance(ve, dict) or ve.get("v") is None:
             continue
-        key = str(ve.get("v"))
+        key = _version_key(ve.get("v"))
         if key in seen:
             raise YamlSyncError(
                 f"duplicate versions[] entries for model '{entry.get('name')}' "
@@ -144,7 +148,7 @@ def version_entry(entry: dict, v) -> dict | None:
                 "consolidate them before syncing"
             )
         seen[key] = (i, ve)
-    hit = seen.get(str(v))
+    hit = seen.get(_version_key(v))
     return hit[1] if hit else None
 
 

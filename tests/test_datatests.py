@@ -166,3 +166,16 @@ def test_severity_warn_and_thresholds(spark):
     assert r.status == "fail" and not r.passed
     r = run_test(spark, "sev_demo", "k", "unique", {"error_if": ">5", "warn_if": ">5"})
     assert r.status == "pass"
+
+
+def test_malformed_threshold_errors_one_test_only(spark):
+    """A malformed warn_if/error_if (ADVICE r2) must error THAT test with a
+    named config message — not raise mid-run and abort the command."""
+    spark.createDataFrame([(1,), (1,)], "k long").createOrReplaceTempView("thr_demo")
+    r = run_test(spark, "thr_demo", "k", "unique", {"error_if": ">=1.5"})
+    assert r.status == "error" and not r.passed
+    assert ">=1.5" in r.message and "integer" in r.message
+    r2 = run_test(spark, "thr_demo", "k", "unique", {"severity": "warn", "warn_if": ">ten"})
+    assert r2.status == "error" and ">ten" in r2.message
+    # well-formed configs are unaffected
+    assert run_test(spark, "thr_demo", "k", "unique", {"error_if": ">5"}).passed

@@ -254,3 +254,69 @@ def test_committed_demo_dbt_project_runs(spark, tmp_path):
     got = {r.account_id: float(r.revenue) for r in spark.table("account_revenue").collect()}
     assert got == {1: 12.5, 2: 9.9, 3: 44.0}
     assert {"dbt_valid_from", "dbt_valid_to"} <= set(spark.table("accounts_snapshot").columns)
+
+
+def test_out_of_range_latest_version_falls_back(tmp_path):
+    """latest_version pointing at an undeclared version (ADVICE r2) must
+    degrade to max(declared) at load — not mint a dangling alias that later
+    KeyErrors every bare ref() at compile time."""
+    proj = tmp_path / "p"
+    (proj / "models").mkdir(parents=True)
+    (proj / "dbt_project.yml").write_text("name: p\n")
+    (proj / "models" / "m.sql").write_text("select 1 as a")
+    (proj / "models" / "user.sql").write_text("select * from {{ ref('m') }}")
+    (proj / "models" / "m.yml").write_text(
+        "version: 2\nmodels:\n- name: m\n  latest_version: 3\n  versions:\n"
+        "  - v: 1\n  - v: 2\n"
+    )
+    m = load_project(proj)
+    assert m.version_aliases["m"] == "m_v2"
+    assert "m_v2" in m.models["user"].depends_on
+    # the degraded entry is still REPORTED by the validator
+    import yaml as pyyaml
+
+    from dbt_osmosis_spark.schema_validation import validate_schema_doc
+
+    codes = {
+        v.code
+        for v in validate_schema_doc(
+            pyyaml.safe_load((proj / "models" / "m.yml").read_text())
+        )
+    }
+    assert "latest-version-invalid" in codes
+
+
+def _declared_only_proj(tmp_path):
+    proj = tmp_path / "p"
+    (proj / "models").mkdir(parents=True)
+    (proj / "dbt_project.yml").write_text("name: p\n")
+    (proj / "models" / "sources.yml").write_text(
+        "version: 2\nsources:\n- name: raw\n  tables:\n  - name: native_tbl\n"
+    )
+    (proj / "models" / "ok.sql").write_text("select 1 as a")
+    (proj / "models" / "uses_src.sql").write_text(
+        "select * from {{ source('raw', 'native_tbl') }}"
+    )
+    return proj
+
+
+def test_declared_only_source_loads_and_names_failures(spark, tmp_path):
+    """A warehouse-native source without a file location (ADVICE r2) loads
+    as a declared-only node — visible to lineage/yaml — and a model reading
+    it fails with a diagnostic NAMING the source, not a generic
+    unresolved-ref error; models not reading it still run."""
+    import pytest
+
+    m = load_project(_declared_only_proj(tmp_path))
+    assert m.sources["raw.native_tbl"].path is None
+    # compile resolves source() cleanly (it IS declared)
+    from dbt_osmosis_spark.compile import JinjaCompiler
+
+    compiled = JinjaCompiler(m).compile(m.models["uses_src"].raw_sql)
+    assert "native_tbl" in compiled.compiled_sql
+    # running only the independent model succeeds
+    report = materialize(spark, m, warehouse_dir=str(tmp_path / "wh"), select=["ok"])
+    assert any(r.name == "ok" for r in report.results)
+    # running the reader names the source and the model in the error
+    with pytest.raises(ValueError, match="raw.native_tbl.*uses_src"):
+        materialize(spark, m, warehouse_dir=str(tmp_path / "wh2"))

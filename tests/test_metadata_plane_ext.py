@@ -679,3 +679,22 @@ def test_wire_server_loop(spark, tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_check_schemas_scopes_sources_yml_skip(tmp_path):
+    """Only a ROOT-level sources.yml (the native-layout registry) escapes
+    schema validation; a models/sources.yml is a normal dbt property file
+    and must be validated like any other (ADVICE r2)."""
+    from dbt_osmosis_spark.schema_validation import validate_project_schemas
+
+    proj = tmp_path / "p"
+    (proj / "models").mkdir(parents=True)
+    (proj / "dbt_project.yml").write_text("name: p\n")
+    # root registry: path-explicit, NOT a property file — stays skipped
+    (proj / "sources.yml").write_text("sources:\n- name: raw\n  tables: []\n")
+    # nested property file with a violation (table entry missing a name)
+    (proj / "models" / "sources.yml").write_text(
+        "version: 2\nsources:\n- name: raw\n  tables:\n  - description: no name here\n"
+    )
+    out = validate_project_schemas(str(proj))
+    assert any("models" in f and "sources.yml" in f for f in out), out

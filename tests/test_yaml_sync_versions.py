@@ -47,6 +47,19 @@ def test_duplicate_version_entries_fail_closed():
         ensure_version_entry(entry, 1)
 
 
+def test_version_identity_matches_validator(tmp_path):
+    """The sync guard keys on the same float-canonical identity as
+    schema_validation._version_key (ADVICE r2): 'v: 1' and 'v: 1.0' are the
+    SAME version — the guard must trip, and a float lookup must hit the int
+    entry instead of appending a duplicate."""
+    with pytest.raises(YamlSyncError, match="consolidate"):
+        version_entry({"name": "m", "versions": [{"v": 1}, {"v": 1.0}]}, 1)
+    entry = {"name": "m", "versions": [{"v": 1, "columns": [{"name": "a"}]}]}
+    assert version_entry(entry, 1.0) is entry["versions"][0]
+    assert ensure_version_entry(entry, "1") is entry["versions"][0]
+    assert len(entry["versions"]) == 1
+
+
 def test_versioned_sync_round_trip(tmp_path):
     ctx = _versioned_ctx(tmp_path)
     ctx.columns_of["stg_x_v1"] = {"a": {"description": "the a column (v1)"}}
