@@ -26,6 +26,25 @@ import sys
 PRINT_CAP = 50
 
 
+def _load_manifest(args):
+    """Project loading switch: a standard project directory by default, or a
+    pre-parsed public dbt artifact (target/manifest.json) via --manifest —
+    the hand-off path for users arriving from dbt-core with no project
+    source tree mounted (reference consumes the live equivalent at
+    src/dbt_osmosis/core/config.py:437-453)."""
+    mf = getattr(args, "manifest", None)
+    if mf:
+        import json as _json
+
+        from dbt_osmosis_spark.artifacts import load_manifest_json
+
+        vars_ = _json.loads(args.vars) if getattr(args, "vars", None) else None
+        return load_manifest_json(mf, vars=vars_, project_dir=args.project_dir)
+    from dbt_osmosis_spark.project import load_project
+
+    return load_project(args.project_dir)
+
+
 def _build_context(args, need_spark: bool = True, read_only: bool = True):
     """Load the manifest and register the DAG. Defaults to read-only
     registration (no warehouse writes, no hooks) — test/profile/yaml/sql/
@@ -36,7 +55,7 @@ def _build_context(args, need_spark: bool = True, read_only: bool = True):
     from dbt_osmosis_spark.runner import materialize
     from dbt_osmosis_spark.session import get_spark
 
-    manifest = load_project(args.project_dir)
+    manifest = _load_manifest(args)
     spark = None
     if need_spark:
         spark = get_spark(app_name="dbt-osmosis-spark-cli")
@@ -49,7 +68,7 @@ def cmd_run(args) -> int:
     from dbt_osmosis_spark.runner import materialize
     from dbt_osmosis_spark.session import get_spark
 
-    manifest = load_project(args.project_dir)
+    manifest = _load_manifest(args)
     if getattr(args, "vars", None):
         import json
 
@@ -422,7 +441,7 @@ def cmd_run_operation(args) -> int:
     if args.execute:
         spark, manifest = _build_context(args)
     else:
-        manifest = load_project(args.project_dir)
+        manifest = _load_manifest(args)
     rendered = JinjaCompiler(manifest).compile(template).compiled_sql
     if args.execute and rendered.strip():
         spark.sql(rendered).show(PRINT_CAP, truncate=False)
@@ -439,7 +458,7 @@ def cmd_source_freshness(args) -> int:
     from dbt_osmosis_spark.project import load_project
     from dbt_osmosis_spark.session import get_spark
 
-    manifest = load_project(args.project_dir)
+    manifest = _load_manifest(args)
     spark = get_spark(app_name="dbt-osmosis-spark-cli")
     results = check_freshness(spark, manifest)
     if not results:
@@ -491,7 +510,7 @@ def cmd_lineage(args) -> int:
     from dbt_osmosis_spark.project import load_project
     from dbt_osmosis_spark.session import get_spark
 
-    manifest = load_project(args.project_dir)
+    manifest = _load_manifest(args)
     spark = get_spark(app_name="dbt-osmosis-spark-cli")
     register_views(spark, manifest)
     if args.column:
@@ -508,6 +527,7 @@ def cmd_lineage(args) -> int:
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="dbt-osmosis-spark")
     p.add_argument("--project-dir", default=".", help="project directory")
+    p.add_argument("--manifest", default=None, help="load a pre-parsed public dbt target/manifest.json instead of parsing --project-dir")
     p.add_argument("--warehouse-dir", default="/tmp/dbt_osmosis_spark_warehouse")
     sub = p.add_subparsers(dest="command", required=True)
 

@@ -320,3 +320,82 @@ def test_declared_only_source_loads_and_names_failures(spark, tmp_path):
     # running the reader names the source and the model in the error
     with pytest.raises(ValueError, match="raw.native_tbl.*uses_src"):
         materialize(spark, m, warehouse_dir=str(tmp_path / "wh2"))
+
+
+def test_manifest_json_artifact_roundtrip(spark, tmp_path):
+    """dbt artifact interop (SURVEY M1-plane; reference consumes the live
+    Manifest at src/dbt_osmosis/core/config.py:437-453): serializing the
+    demo_dbt manifest to the public target/manifest.json schema and loading
+    it back must produce an equivalent project — same nodes, same compiled
+    SQL, and a `run` with identical results."""
+    from dbt_osmosis_spark.artifacts import load_manifest_json, write_manifest_json
+    from dbt_osmosis_spark.compile import JinjaCompiler
+
+    m1 = load_project("demo_dbt")
+    art = tmp_path / "target" / "manifest.json"
+    write_manifest_json(m1, art)
+    m2 = load_manifest_json(art, project_dir="demo_dbt")
+
+    assert set(m2.models) == set(m1.models)
+    assert set(m2.seeds) == set(m1.seeds)
+    assert set(m2.sources) == set(m1.sources)
+    assert m2.version_aliases == m1.version_aliases
+    for name in m1.models:
+        assert m2.models[name].depends_on == m1.models[name].depends_on, name
+        assert m2.models[name].materialized == m1.models[name].materialized, name
+    # compile parity: identical compiled SQL for every model
+    c1, c2 = JinjaCompiler(m1), JinjaCompiler(m2)
+    for name in m1.models:
+        if m1.models[name].language != "sql":
+            continue
+        assert (
+            c1.compile(m1.models[name].raw_sql).compiled_sql
+            == c2.compile(m2.models[name].raw_sql).compiled_sql
+        ), name
+    # run parity: materialize the reloaded project; same flagship result
+    report = materialize(spark, m2, warehouse_dir=str(tmp_path / "wh"), count_rows=True)
+    got = {r.account_id: float(r.revenue) for r in spark.table("account_revenue").collect()}
+    assert got == {1: 12.5, 2: 9.9, 3: 44.0}
+    by_name = {r.name: r for r in report.results}
+    assert by_name["account_revenue"].materialized == "table"
+
+
+def test_manifest_json_versioned_and_declared_only(spark, tmp_path):
+    """Versioned models (version/latest_version fields) and declared-only
+    sources survive the artifact round-trip."""
+    from dbt_osmosis_spark.artifacts import load_manifest_json, write_manifest_json
+
+    m1 = load_project(_jaffle(tmp_path))
+    art = tmp_path / "manifest.json"
+    write_manifest_json(m1, art)
+    m2 = load_manifest_json(art, project_dir=str(tmp_path / "jaffle"))
+    assert {"stg_customers_v1", "stg_customers_v2"} <= set(m2.models)
+    assert m2.version_aliases == {"stg_customers": "stg_customers_v1"}
+    assert "stg_customers_v1" in m2.models["customers"].depends_on
+
+    m3 = load_project(_declared_only_proj(tmp_path))
+    art2 = tmp_path / "manifest2.json"
+    write_manifest_json(m3, art2)
+    m4 = load_manifest_json(art2)
+    assert m4.sources["raw.native_tbl"].path is None
+
+
+def test_cli_accepts_manifest_artifact(spark, tmp_path, capsys):
+    """`run --manifest target/manifest.json` builds without the project
+    source tree being parsed."""
+    from dbt_osmosis_spark.artifacts import write_manifest_json
+    from dbt_osmosis_spark.cli import main
+
+    m1 = load_project("demo_dbt")
+    art = tmp_path / "manifest.json"
+    write_manifest_json(m1, art)
+    rc = main(
+        [
+            "--manifest", str(art),
+            "--project-dir", "demo_dbt",
+            "--warehouse-dir", str(tmp_path / "wh"),
+            "run",
+        ]
+    )
+    assert rc == 0
+    assert "account_revenue" in capsys.readouterr().out
