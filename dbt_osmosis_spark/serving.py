@@ -104,6 +104,55 @@ class SqlSession:
             sql = JinjaCompiler(self.manifest).compile(sql).compiled_sql
         return self.spark.sql(sql)
 
+    def workbench(self, sql: str, preview_rows: int = 200) -> dict:
+        """One compile-on-edit round-trip (SURVEY M35 — the reference's
+        interactive workbench loop, src/dbt_osmosis/workbench/app.py:423-489,
+        without the UI framework): compile the Jinja-SQL, lint it, execute a
+        bounded preview, and profile the preview columns. Stateless per
+        call — every editor keystroke-save is one request.
+
+        Scale note: the preview is `LIMIT preview_rows` pushed into the plan
+        (CollectLimit — no full scan barrier), and the profile runs over the
+        already-collected preview rows driver-side, so a workbench session
+        against a 100 TB table costs one bounded scan per edit."""
+        from dbt_osmosis_spark.lint import lint_sql
+
+        compiled = (
+            JinjaCompiler(self.manifest).compile(sql).compiled_sql
+            if has_jinja(sql)
+            else sql
+        )
+        out: dict = {"compiled_sql": compiled}
+        out["lint"] = [
+            {"rule": f.rule, "line": f.line, "message": f.message}
+            for f in lint_sql(compiled)
+        ]
+        df = self.spark.sql(compiled)
+        rows = df.limit(preview_rows).collect()
+        out["columns"] = list(df.columns)
+        out["rows"] = [[_json_cell(v) for v in r] for r in rows]
+        out["rowcount"] = len(rows)
+        # per-column preview profile (the workbench's profile pane):
+        # null/distinct counts and min/max over the collected sample
+        profile = {}
+        for i, col in enumerate(df.columns):
+            vals = [r[i] for r in rows]
+            non_null = [v for v in vals if v is not None]
+            orderable = [v for v in non_null if not isinstance(v, (list, dict, set, bytes))]
+            try:
+                lo = _json_cell(min(orderable)) if orderable else None
+                hi = _json_cell(max(orderable)) if orderable else None
+            except TypeError:
+                lo = hi = None
+            profile[col] = {
+                "nulls": len(vals) - len(non_null),
+                "distinct": len({repr(v) for v in non_null}),
+                "min": lo,
+                "max": hi,
+            }
+        out["profile"] = profile
+        return out
+
     def schema_map(self) -> dict[str, dict[str, list[str]]]:
         """db → table → [columns] map, the shape the proxy serves over the
         wire (reference: proxy.py:129-141)."""
@@ -155,6 +204,10 @@ def serve_wire(
                     req = json.loads(line)
                     if req.get("op") == "schema":
                         resp = {"schema": session.schema_map()}
+                    elif req.get("op") == "workbench":
+                        resp = session.workbench(
+                            req["sql"], int(req.get("preview") or 200)
+                        )
                     else:
                         df = session.query(req["sql"])
                         if df is None:

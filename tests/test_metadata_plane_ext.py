@@ -675,6 +675,30 @@ def test_wire_server_loop(spark, tmp_path):
         assert "wire_demo" in r["schema"].get("default", r["schema"].get("", {}))
         r = ask({"sql": "select broken syntax from"})
         assert "error" in r
+        # workbench op (M35): compile + lint + preview + profile in ONE
+        # round-trip — the reference's compile-on-edit loop (workbench/
+        # app.py:423-489) without the UI framework
+        r = ask(
+            {
+                "op": "workbench",
+                "sql": "SELECT id, name from wire_demo where id > 0",
+                "preview": 10,
+            }
+        )
+        assert "SELECT" in r["compiled_sql"]
+        assert r["columns"] == ["id", "name"] and r["rows"] == [[1, "x"]]
+        assert any(fnd["rule"] == "keyword-case" for fnd in r["lint"])
+        assert r["profile"]["id"] == {"nulls": 0, "distinct": 1, "min": 1, "max": 1}
+        assert r["profile"]["name"]["distinct"] == 1
+        # compile-on-edit: jinja in the edited buffer compiles through the
+        # manifest before lint/preview
+        r = ask(
+            {
+                "op": "workbench",
+                "sql": "select one from {{ ref('served_model') }}",
+            }
+        )
+        assert "served_model" in r.get("compiled_sql", "") or "error" in r
         sock.close()
     finally:
         srv.shutdown()
