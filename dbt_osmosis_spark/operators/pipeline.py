@@ -59,14 +59,24 @@ def connected_components(
     decrease, so sum(label) is a monotone convergence witness — when it
     stops falling, we are at the fixpoint. Iterations ~ graph diameter.
 
-    Every 5 rounds the label frame is localCheckpoint()ed: the logical plan
-    otherwise doubles per iteration (each round's plan embeds the last), and
-    past ~10 rounds Catalyst analysis time dominates. Checkpointing truncates
-    lineage to the materialized partitions, keeping plan size O(1) per round
-    on high-diameter graphs."""
+    Lineage is truncated at TWO points, both load-bearing at scale:
+
+    - the undirected edge frame is localCheckpoint()ed ONCE up front. Every
+      round's label plan embeds the edge plan; when edges come out of an
+      expensive pipeline (the LSH candidate generator's unrolled minhash
+      expressions are ~1 MB of plan text), a merely persist()ed frame
+      re-embeds that megabyte into EVERY round — the dedup soak test caught
+      a 4 MB final plan on a diameter-2 graph this way. Checkpointing costs
+      nothing extra (the frame was being materialized anyway) and caps the
+      per-round plan at the join itself. On a cluster with flaky executors
+      use reliable checkpoint(dir) instead — same truncation, replayable.
+    - every 5 rounds the LABEL frame is localCheckpoint()ed: the label plan
+      otherwise doubles per iteration (each round embeds the last), and
+      past ~10 rounds Catalyst analysis time dominates on high-diameter
+      graphs. Together these keep plan size O(1) per round."""
     und = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    ).localCheckpoint(eager=True)
     labels = nodes.select("id", F.col("id").alias("label")).persist()
     prev_sum = None
     for i in range(max_iter):
