@@ -56,7 +56,24 @@ def _uid_for(manifest: Manifest, dep: str) -> str | None:
     return None
 
 
-def manifest_to_artifact(manifest: Manifest) -> dict:
+def _portable_path(p: str | None, project_dir: str | None) -> str | None:
+    """Artifact path for a seed/source file location. With ``project_dir``,
+    paths inside the project root are written project-relative (dbt's own
+    convention for ``original_file_path``) so the artifact can be re-rooted
+    on another machine via load_manifest_json(..., project_dir=...);
+    everything else is made absolute for same-machine hand-off."""
+    if not p:
+        return p
+    ap = os.path.abspath(p)
+    if project_dir is not None:
+        root = os.path.abspath(project_dir)
+        rel = os.path.relpath(ap, root)
+        if not rel.startswith(".."):
+            return rel
+    return ap
+
+
+def manifest_to_artifact(manifest: Manifest, project_dir: str | None = None) -> dict:
     proj = manifest.project_name
     nodes: dict[str, dict] = {}
     for name, node in manifest.models.items():
@@ -90,16 +107,12 @@ def manifest_to_artifact(manifest: Manifest) -> dict:
         }
         nodes[uid] = entry
     for name, seed in manifest.seeds.items():
-        # absolute file location: the engine's seed paths are storage
-        # pointers, not project-relative source paths (a real dbt artifact's
-        # project-relative original_file_path resolves via project_dir on
-        # load instead)
         nodes[f"seed.{proj}.{name}"] = {
             "resource_type": "seed",
             "name": name,
             "package_name": proj,
             "path": seed.path,
-            "original_file_path": os.path.abspath(seed.path),
+            "original_file_path": _portable_path(seed.path, project_dir),
             "description": seed.description,
             "config": {"column_types": dict(seed.column_types)},
             "depends_on": {"nodes": [], "macros": []},
@@ -124,7 +137,7 @@ def manifest_to_artifact(manifest: Manifest) -> dict:
         source_name, table = key.split(".", 1)
         ext: dict = {}
         if src.path is not None:
-            ext = {"location": os.path.abspath(src.path), "file_format": src.format}
+            ext = {"location": _portable_path(src.path, project_dir), "file_format": src.format}
         sources[f"source.{proj}.{key}"] = {
             "resource_type": "source",
             "source_name": source_name,
@@ -178,12 +191,18 @@ def manifest_to_artifact(manifest: Manifest) -> dict:
     }
 
 
-def write_manifest_json(manifest: Manifest, path: str | Path) -> Path:
-    """Serialize to ``path`` (atomically); returns the written path."""
+def write_manifest_json(
+    manifest: Manifest, path: str | Path, project_dir: str | None = None
+) -> Path:
+    """Serialize to ``path`` (atomically); returns the written path.
+    Pass ``project_dir`` to write seed/source paths project-relative so the
+    artifact survives a machine/directory move (see :func:`_portable_path`)."""
     out = Path(path)
     out.parent.mkdir(parents=True, exist_ok=True)
     tmp = out.with_suffix(out.suffix + ".tmp")
-    tmp.write_text(json.dumps(manifest_to_artifact(manifest), indent=1, sort_keys=True))
+    tmp.write_text(
+        json.dumps(manifest_to_artifact(manifest, project_dir), indent=1, sort_keys=True)
+    )
     os.replace(tmp, out)
     return out
 

@@ -39,7 +39,12 @@ def _load_manifest(args):
         from dbt_osmosis_spark.artifacts import load_manifest_json
 
         vars_ = _json.loads(args.vars) if getattr(args, "vars", None) else None
-        return load_manifest_json(mf, vars=vars_, project_dir=args.project_dir)
+        # only pin project_dir when the user passed --project-dir; otherwise
+        # let the loader's artifact-relative fallback (manifest's target/..)
+        # resolve relative seed/source paths — the artifact knows its
+        # project root, the caller's CWD does not
+        pin = args.project_dir if getattr(args, "explicit_project_dir", True) else None
+        return load_manifest_json(mf, vars=vars_, project_dir=pin)
     from dbt_osmosis_spark.project import load_project
 
     return load_project(args.project_dir)
@@ -51,7 +56,6 @@ def _build_context(args, need_spark: bool = True, read_only: bool = True):
     lineage commands must not re-execute incremental or snapshot
     materializations (dbt's test and docs commands never write). Only
     `build` passes read_only=False."""
-    from dbt_osmosis_spark.project import load_project
     from dbt_osmosis_spark.runner import materialize
     from dbt_osmosis_spark.session import get_spark
 
@@ -64,7 +68,6 @@ def _build_context(args, need_spark: bool = True, read_only: bool = True):
 
 
 def cmd_run(args) -> int:
-    from dbt_osmosis_spark.project import load_project
     from dbt_osmosis_spark.runner import materialize
     from dbt_osmosis_spark.session import get_spark
 
@@ -433,7 +436,6 @@ def cmd_run_operation(args) -> int:
     import json
 
     from dbt_osmosis_spark.compile import JinjaCompiler
-    from dbt_osmosis_spark.project import load_project
 
     kwargs = json.loads(args.args)
     call = ", ".join(f"{k}={v!r}" for k, v in kwargs.items())
@@ -455,7 +457,6 @@ def cmd_source_freshness(args) -> int:
     (parquet aggregate pushdown — footer stats, no data scan) vs
     warn_after/error_after; exit 1 on any error status."""
     from dbt_osmosis_spark.freshness import check_freshness
-    from dbt_osmosis_spark.project import load_project
     from dbt_osmosis_spark.session import get_spark
 
     manifest = _load_manifest(args)
@@ -507,7 +508,6 @@ def cmd_lineage(args) -> int:
     """Column-level lineage from Catalyst pruning (no jobs run): which
     source columns can affect each output column of a model."""
     from dbt_osmosis_spark.lineage import column_lineage, model_lineage, register_views
-    from dbt_osmosis_spark.project import load_project
     from dbt_osmosis_spark.session import get_spark
 
     manifest = _load_manifest(args)
@@ -526,7 +526,11 @@ def cmd_lineage(args) -> int:
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="dbt-osmosis-spark")
-    p.add_argument("--project-dir", default=".", help="project directory")
+    # default=None so --manifest can tell "user pinned a project dir" apart
+    # from "CWD fallback": load_manifest_json's artifact-relative resolution
+    # (target/..) must win when --project-dir was not given. main() rewrites
+    # None -> "." after recording explicitness.
+    p.add_argument("--project-dir", default=None, help="project directory (default: .)")
     p.add_argument("--manifest", default=None, help="load a pre-parsed public dbt target/manifest.json instead of parsing --project-dir")
     p.add_argument("--warehouse-dir", default="/tmp/dbt_osmosis_spark_warehouse")
     sub = p.add_subparsers(dest="command", required=True)
@@ -645,6 +649,9 @@ _DISPATCH = {
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    args.explicit_project_dir = args.project_dir is not None
+    if args.project_dir is None:
+        args.project_dir = "."
     return _DISPATCH[args.command](args)
 
 

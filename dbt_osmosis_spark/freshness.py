@@ -62,7 +62,13 @@ def check_freshness(
     spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
     try:
         for key, src in manifest.sources.items():
-            if not src.loaded_at_field or not src.freshness or src.path is None:
+            if not src.loaded_at_field or not src.freshness:
+                continue
+            if src.path is None:
+                # declared-only source (no file location): the user asked
+                # for a staleness monitor but the engine cannot read the
+                # relation — report an error row, never silently drop it
+                results.append(FreshnessResult(key, None, None, "error"))
                 continue
             df = read_source(spark, src.path, src.format)
             max_ts = df.agg(F.max(src.loaded_at_field).alias("m")).first().m

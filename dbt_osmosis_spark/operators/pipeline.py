@@ -105,7 +105,9 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    und.unpersist()
+    # und was localCheckpoint()ed, not persist()ed — its blocks are
+    # reclaimed by the ContextCleaner when the frame is dereferenced on
+    # return; there is nothing to unpersist here.
     return labels.select(F.col("id"), F.col("label").alias("component"))
 
 

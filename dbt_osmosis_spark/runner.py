@@ -118,24 +118,16 @@ def materialize(
         needed = selected | manifest.ancestors(selected)
 
     run_set = needed if needed is not None else set(manifest.models)
+    declared_only: set[str] = set()
     for key, src in manifest.sources.items():
         rel = relation_name(key)
         if src.path is None:
             # declared-only source (no path/meta.path/external.location):
-            # nothing to register. Fail with a named diagnostic when an
-            # executed model reads it — never a generic unresolved-view
-            # error pointing at the model instead of the source.
-            readers = sorted(
-                n
-                for n in run_set
-                if n in manifest.models and key in manifest.models[n].depends_on
-            )
-            if readers:
-                raise ValueError(
-                    f"source '{key}' is declared without a file location "
-                    f"(path / meta.path / external.location) but is read by "
-                    f"{readers}; add a location or deselect those models"
-                )
+            # nothing to register. The error is deferred to the model that
+            # actually compiles against it (_require_sources) — a read-only
+            # registration whose reader is served by its existing warehouse
+            # relation never touches the source and must not fail.
+            declared_only.add(key)
             continue
         df = read_source(spark, src.path, src.format)
         df.createOrReplaceTempView(rel)
@@ -160,6 +152,35 @@ def materialize(
             hooks = [hooks]
         for h in hooks:
             spark.sql(compiler.compile(h, this=relation_name(node.name)).compiled_sql)
+
+    def _missing_sources(node) -> list[str]:
+        """Declared-only sources this model's COMPILE touches. Ephemeral
+        dependencies inline into the compile, so their sources count too."""
+        deps = set(node.depends_on)
+        stack = [
+            d
+            for d in deps
+            if d in manifest.models and manifest.models[d].materialized == "ephemeral"
+        ]
+        while stack:
+            for d in manifest.models[stack.pop()].depends_on:
+                if d not in deps:
+                    deps.add(d)
+                    if d in manifest.models and manifest.models[d].materialized == "ephemeral":
+                        stack.append(d)
+        return sorted(d for d in deps if d in declared_only)
+
+    def _require_sources(name: str, node) -> None:
+        """Named diagnostic for a model about to compile against a
+        declared-only source — never a generic unresolved-view error
+        pointing at the model instead of the source."""
+        missing = _missing_sources(node)
+        if missing:
+            raise ValueError(
+                f"model '{name}' reads source(s) {missing} declared without a "
+                f"file location (path / meta.path / external.location); add a "
+                f"location or deselect the model"
+            )
 
     def _existing_relation(node) -> DataFrame | None:
         """The model's already-materialized warehouse relation, if any —
@@ -188,6 +209,13 @@ def materialize(
         if existing is not None:
             existing.createOrReplaceTempView(rel)
             return RunResult(name, "model", f"{node.materialized}(existing)")
+        if declared_only and _missing_sources(node):
+            # read-only/unselected registration of a model whose source has
+            # no file location and no existing materialization: degrade to a
+            # skip so metadata commands (test/yaml/docs) over the REST of
+            # the project still work — `run` on this model raises a named
+            # error instead (_require_sources in _materialize_body)
+            return RunResult(name, "model", "skipped(declared-only-source)")
         if node.language == "python":
             _run_python_model(spark, node).createOrReplaceTempView(rel)
         else:
@@ -217,6 +245,7 @@ def materialize(
         return result
 
     def _materialize_body(name: str, node, rel: str) -> RunResult:
+        _require_sources(name, node)
         if node.materialized in ("incremental", "snapshot"):
             # dbt --full-refresh: drop and rebuild from scratch — unless the
             # model pins full_refresh=false (the guard that keeps a fat

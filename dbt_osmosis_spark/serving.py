@@ -205,9 +205,12 @@ def serve_wire(
                     if req.get("op") == "schema":
                         resp = {"schema": session.schema_map()}
                     elif req.get("op") == "workbench":
-                        resp = session.workbench(
-                            req["sql"], int(req.get("preview") or 200)
-                        )
+                        # client-supplied preview size is clamped to the
+                        # server's cap: the workbench path must not become a
+                        # driver-OOM bypass of the plain-query max_rows limit
+                        raw_preview = req.get("preview")
+                        preview = 200 if raw_preview is None else int(raw_preview)
+                        resp = session.workbench(req["sql"], max(1, min(preview, max_rows)))
                     else:
                         df = session.query(req["sql"])
                         if df is None:

@@ -318,8 +318,12 @@ def test_declared_only_source_loads_and_names_failures(spark, tmp_path):
     report = materialize(spark, m, warehouse_dir=str(tmp_path / "wh"), select=["ok"])
     assert any(r.name == "ok" for r in report.results)
     # running the reader names the source and the model in the error
-    with pytest.raises(ValueError, match="raw.native_tbl.*uses_src"):
+    with pytest.raises(ValueError, match="uses_src.*raw.native_tbl"):
         materialize(spark, m, warehouse_dir=str(tmp_path / "wh2"))
+    # read-only registration (test/profile/yaml commands) must NOT fail:
+    # the source is never compiled against unless the reader executes
+    report_ro = materialize(spark, m, warehouse_dir=str(tmp_path / "wh3"), read_only=True)
+    assert any(r.name == "ok" for r in report_ro.results)
 
 
 def test_manifest_json_artifact_roundtrip(spark, tmp_path):
@@ -399,3 +403,32 @@ def test_cli_accepts_manifest_artifact(spark, tmp_path, capsys):
     )
     assert rc == 0
     assert "account_revenue" in capsys.readouterr().out
+
+
+def test_manifest_artifact_is_portable_across_roots(tmp_path):
+    """An artifact written with project_dir has project-relative seed/source
+    paths (dbt's own convention), so moving the project tree and re-rooting
+    with a new project_dir resolves every path — the machine-hand-off case
+    the module docstring promises."""
+    import json as _json
+    import shutil
+    from pathlib import Path
+
+    from dbt_osmosis_spark.artifacts import load_manifest_json, write_manifest_json
+
+    rootA = tmp_path / "A"
+    shutil.copytree("demo_dbt", rootA)
+    m1 = load_project(rootA)
+    art = tmp_path / "manifest.json"
+    write_manifest_json(m1, art, project_dir=str(rootA))
+
+    doc = _json.loads(art.read_text())
+    for entry in doc["nodes"].values():
+        if entry["resource_type"] == "seed":
+            assert not entry["original_file_path"].startswith("/"), entry
+    # re-root on a "different machine" (the moved tree)
+    rootB = tmp_path / "B"
+    shutil.move(str(rootA), rootB)
+    m2 = load_manifest_json(art, project_dir=str(rootB))
+    for seed in m2.seeds.values():
+        assert Path(seed.path).is_file(), seed.path

@@ -65,14 +65,30 @@ def test_simhash_identical_docs_same_signature(spark, sf_dir):
 
 
 def test_knn_batch_matches_bruteforce_topk(spark, sf_dir):
+    """knn_batch ranks on the 1e-6-quantized cosine (vec_id tie-break);
+    s01 ranks on the exact cosine. Compare under the batch ranking's own
+    key: quantized score sequences must be identical, and vec_ids must
+    match at every rank whose quantized score is unambiguous (two
+    neighbors within 1e-6 of each other are *defined* as tied)."""
     from dbt_osmosis_spark.operators.similarity import knn_batch
 
-    brute = [r.vec_id for r in QUERIES["s01_cosine_topk"](spark, sf_dir).collect()]
-    batch = [
-        r.vec_id
-        for r in knn_batch(spark, sf_dir, query_ids=[0]).collect()
-    ]
-    assert batch == brute
+    def q6(x):
+        import math
+
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    brute_rows = sorted(
+        QUERIES["s01_cosine_topk"](spark, sf_dir).collect(),
+        key=lambda r: (-q6(r.cosine), r.vec_id),
+    )
+    batch_rows = knn_batch(spark, sf_dir, query_ids=[0]).collect()
+    bscores = [q6(r.cosine) for r in brute_rows]
+    kscores = [r.cosine for r in batch_rows]
+    assert kscores == bscores
+    for i, (b, k) in enumerate(zip(brute_rows, batch_rows)):
+        unique = bscores.count(bscores[i]) == 1
+        if unique:
+            assert k.vec_id == b.vec_id, f"rank {i}"
 
 
 def test_lsh_ann_is_subset_of_bruteforce_ranking(spark, sf_dir):
