@@ -37,8 +37,10 @@ def load_all() -> None:
         dedup,
         multimodal,
         pipeline,
+        pipeline_ext,
         relational,
         relational_ext,
+        relational_ext2,
         similarity,
         text,
     )

@@ -1,0 +1,345 @@
+"""Training-pipeline operators, band 2 (p12+): Bloom-filter
+decontamination, length-bucketed batch packing, LSH-diverse sampling, and a
+deterministic k-means Lloyd step.
+
+Same contract as pipeline.py: every op is a registered query with a DuckDB
+oracle built from the SAME deterministic md5 arithmetic, so the driver's
+hash harness verifies the algorithm end to end — and every plan is the one
+you would run at 100 TB (map-side signatures, broadcast of the small side,
+bounded shuffles; no driver-side loops over data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from dbt_osmosis_spark.operators import register
+from dbt_osmosis_spark.operators.similarity import (
+    _DUCK_BUCKET,
+    _DUCK_CELL,
+    _DUCK_CELL_DISTS,
+    _SPARK_BUCKET,
+    _SPARK_CELL,
+    _SPARK_CELL_DISTS,
+)
+from dbt_osmosis_spark.operators.text import (
+    _DUCK_TOK,
+    _duck_shingles,
+    spark_shingles_sql,
+    tokens,
+)
+from dbt_osmosis_spark.sources.parquet import read_parquet, spread
+
+# --------------------------------------------------------------------------
+# p12: Bloom-filter decontamination
+# --------------------------------------------------------------------------
+# p04 does exact-set decontamination with a broadcast join on the shingle
+# strings themselves. At 100 TB the eval-shingle set may be too big to ship
+# as strings; the standard fix is a Bloom filter: K deterministic bit
+# positions per shingle over an M-bit space. Membership = all K bits set —
+# no false negatives, bounded false positives (the n_exact_hits column
+# below measures them). Both engines compute the SAME bits (md5-derived),
+# so the oracle verifies the filter itself, not just the outcome. The bit
+# set (<= M rows) is the broadcast side; doc shingles never leave the
+# executors. Reference analog: none (dbt-osmosis has no data plane); this
+# extends the north-star pipeline family like p04.
+
+_P12_M = 1 << 14  # bits in the filter
+_P12_K = 3  # hash functions
+_P12_EVAL = "src0"  # contamination source (same split as p04)
+
+# bit position j of shingle s: md5int('b<j>#' || s) % M
+_SPARK_BIT = (
+    "CAST(conv(substr(md5(cast(concat('b', CAST({j} AS STRING), '#', {s}) AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
+    f" % {_P12_M}"
+)
+_DUCK_BIT = (
+    "CAST('0x' || substr(md5('b' || CAST({j} AS VARCHAR) || '#' || {s}), 1, 15) AS BIGINT)"
+    f" % {_P12_M}"
+)
+
+_P12_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source, {_DUCK_TOK} AS w FROM documents
+),
+sh AS (
+  SELECT doc_id, source, unnest({_duck_shingles(3)}) AS shingle
+  FROM tok WHERE len(w) >= 3
+),
+bloom AS (
+  SELECT DISTINCT {_DUCK_BIT.format(j="j", s="shingle")} AS bit
+  FROM (SELECT DISTINCT shingle FROM sh WHERE source = '{_P12_EVAL}'),
+       (SELECT unnest(range(0, {_P12_K})) AS j)
+),
+train AS (
+  SELECT DISTINCT doc_id, shingle FROM sh WHERE source <> '{_P12_EVAL}'
+),
+probes AS (
+  SELECT t.doc_id, t.shingle, {_DUCK_BIT.format(j="j", s="t.shingle")} AS bit
+  FROM train t, (SELECT unnest(range(0, {_P12_K})) AS j)
+),
+bloom_hits AS (
+  SELECT p.doc_id, p.shingle
+  FROM probes p JOIN bloom b ON p.bit = b.bit
+  GROUP BY p.doc_id, p.shingle
+  HAVING COUNT(*) = {_P12_K}
+),
+eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE source = '{_P12_EVAL}'),
+exact AS (
+  SELECT t.doc_id, COUNT(*) AS n_exact_hits
+  FROM train t JOIN eval_sh e ON t.shingle = e.shingle
+  GROUP BY t.doc_id
+)
+SELECT bh.doc_id AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bloom_hits,
+       CAST(COALESCE(ANY_VALUE(exact.n_exact_hits), 0) AS BIGINT) AS n_exact_hits
+FROM (SELECT doc_id, shingle FROM bloom_hits) bh
+LEFT JOIN exact ON bh.doc_id = exact.doc_id
+GROUP BY bh.doc_id
+ORDER BY bh.doc_id
+"""
+
+
+@register("p12_bloom_decontaminate", oracle=_P12_ORACLE)
+def p12_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    sh = (
+        spread(docs)
+        .withColumn("w", tokens())
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.expr(spark_shingles_sql("w", 3))).alias("shingle"),
+        )
+    )
+    js = F.explode(F.sequence(F.lit(0), F.lit(_P12_K - 1))).alias("j")
+    bit = F.expr(_SPARK_BIT.format(j="j", s="shingle"))
+    bloom = (
+        sh.filter(F.col("source") == _P12_EVAL)
+        .select("shingle")
+        .distinct()
+        .select("shingle", js)
+        .select(bit.alias("bit"))
+        .distinct()
+    )
+    train = (
+        sh.filter(F.col("source") != _P12_EVAL).select("doc_id", "shingle").distinct()
+    )
+    probes = train.select("doc_id", "shingle", js).select(
+        "doc_id", "shingle", bit.alias("bit")
+    )
+    bloom_hits = (
+        probes.join(F.broadcast(bloom), "bit")
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("nbits"))
+        .filter(F.col("nbits") == _P12_K)
+        .select("doc_id", "shingle")
+    )
+    eval_sh = sh.filter(F.col("source") == _P12_EVAL).select("shingle").distinct()
+    exact_hits = (
+        train.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_exact_hits"))
+    )
+    return (
+        bloom_hits.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_bloom_hits"))
+        .join(exact_hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_bloom_hits",
+            F.coalesce("n_exact_hits", F.lit(0)).cast("bigint").alias("n_exact_hits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# p13: length-bucketed batch packing
+# --------------------------------------------------------------------------
+# Training batches want docs of similar token length (padding waste scales
+# with the in-batch max). ntile(B) over (n_tokens, doc_id) gives exact
+# equal-size buckets; per-bucket padding waste = sum(bucket_max - len)
+# quantifies the win. The global ntile is a single total-sort window —
+# fine to the low billions of rows; at 100 TB compute approximate length
+# quantile boundaries instead and keep everything downstream (documented
+# trade: boundary rounding only).
+
+_P13_B = 8
+
+_P13_ORACLE = f"""
+WITH lens AS (
+  SELECT doc_id, CAST(len({_DUCK_TOK}) AS BIGINT) AS n_tokens FROM documents
+),
+bucketed AS (
+  SELECT doc_id, n_tokens,
+         ntile({_P13_B}) OVER (ORDER BY n_tokens, doc_id) AS bucket
+  FROM lens
+),
+with_max AS (
+  SELECT bucket, n_tokens,
+         MAX(n_tokens) OVER (PARTITION BY bucket) AS bmax
+  FROM bucketed
+)
+SELECT bucket,
+       COUNT(*) AS n_docs,
+       CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+       CAST(SUM(CAST(bmax - n_tokens AS DECIMAL(18,0))) AS BIGINT) AS padding_waste
+FROM with_max
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@register("p13_length_buckets", oracle=_P13_ORACLE)
+def p13_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    lens = docs.select("doc_id", F.size(tokens()).cast("bigint").alias("n_tokens"))
+    bucketed = lens.withColumn(
+        "bucket", F.ntile(_P13_B).over(W.orderBy("n_tokens", "doc_id"))
+    )
+    with_max = bucketed.withColumn(
+        "bmax", F.max("n_tokens").over(W.partitionBy("bucket"))
+    )
+    return (
+        with_max.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").cast("bigint").alias("min_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+            F.sum((F.col("bmax") - F.col("n_tokens")).cast("decimal(18,0)"))
+            .cast("bigint")
+            .alias("padding_waste"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# p14: diversity sampling via LSH buckets
+# --------------------------------------------------------------------------
+# "Take a diverse subset" at scale: hash every embedding into its
+# hyperplane-LSH bucket (reusing s02's planes — map-side, zero shuffle),
+# then keep the TOP_N per bucket by a deterministic md5 rank. Coverage of
+# the embedding space instead of an iterative MMR scan (which is
+# inherently sequential); one small shuffle on the bucket key.
+
+_P14_TOP = 2
+
+_SPARK_RANK = "CAST(conv(substr(md5(cast(concat('p14#', CAST(vec_id AS STRING)) AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
+_DUCK_RANK = "CAST('0x' || substr(md5('p14#' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)"
+
+_P14_ORACLE = f"""
+WITH vecs AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+bucketed AS (
+  SELECT vec_id, label,
+         {_DUCK_BUCKET} AS bucket,
+         {_DUCK_RANK} AS rk
+  FROM vecs
+),
+ranked AS (
+  SELECT vec_id, label, bucket,
+         row_number() OVER (PARTITION BY bucket ORDER BY rk, vec_id) AS rn
+  FROM bucketed
+)
+SELECT bucket, vec_id, label FROM ranked WHERE rn <= {_P14_TOP}
+ORDER BY bucket, vec_id
+"""
+
+
+@register("p14_diverse_sample", oracle=_P14_ORACLE)
+def p14_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    bucketed = emb.select(
+        "vec_id",
+        "label",
+        F.expr(_SPARK_BUCKET).alias("bucket"),
+        F.expr(_SPARK_RANK).alias("rk"),
+    )
+    w = W.partitionBy("bucket").orderBy("rk", "vec_id")
+    return (
+        bucketed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _P14_TOP)
+        .select("bucket", "vec_id", "label")
+        .orderBy("bucket", "vec_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# p15: one k-means Lloyd step from deterministic centroids
+# --------------------------------------------------------------------------
+# Assignment reuses s05's md5-derived IVF centroids (same constants, same
+# first-match argmin tie-break); the update step recomputes each centroid
+# as the exact decimal-mean of its members. Entirely map-side assignment +
+# one shuffle on the (tiny) cell key; each further Lloyd iteration is the
+# same plan with the new centroids broadcast — the canonical distributed
+# k-means. Output: per cell, member count, the first COMPONENTS centroid
+# coordinates (rounded), and mean distance-to-centroid as inertia.
+
+_P15_COMPONENTS = 4
+
+_P15_MEANS_DUCK = ",\n       ".join(
+    f"round(CAST(SUM(CAST(v[{i + 1}] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 9) AS c{i}"
+    for i in range(_P15_COMPONENTS)
+)
+
+_P15_ORACLE = f"""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+assigned AS (
+  SELECT vec_id, v, {_DUCK_CELL.format(a="v")} AS cell,
+         list_min({_DUCK_CELL_DISTS.format(a="v")}) AS d2
+  FROM vecs
+)
+SELECT cell,
+       COUNT(*) AS n,
+       {_P15_MEANS_DUCK},
+       round(CAST(SUM(CAST(sqrt(d2) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 9)
+         AS mean_dist
+FROM assigned
+GROUP BY cell
+ORDER BY cell
+"""
+
+
+@register("p15_kmeans_lloyd", oracle=_P15_ORACLE)
+def p15_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    assigned = emb.select(
+        "vec_id",
+        "v",
+        F.expr(_SPARK_CELL.format(a="v")).alias("cell"),
+        F.expr(f"array_min({_SPARK_CELL_DISTS.format(a='v')})").alias("d2"),
+    )
+    mean_cols = [
+        F.round(
+            F.sum(F.element_at("v", i + 1).cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias(f"c{i}")
+        for i in range(_P15_COMPONENTS)
+    ]
+    return (
+        assigned.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *mean_cols,
+            F.round(
+                F.sum(F.sqrt("d2").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("mean_dist"),
+        )
+        .orderBy("cell")
+    )

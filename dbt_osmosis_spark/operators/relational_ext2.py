@@ -1,0 +1,372 @@
+"""Second extension band of the relational surface (q41+): statistical
+aggregates, gaps-and-islands, time-grid resampling with forward fill, string
+edit distance, JSON extraction, exact median/mode.
+
+Same contract as relational_ext.py: every query is a Spark-first DataFrame
+plan with a DuckDB oracle twin (identical aliases, identical deterministic
+arithmetic — the decimal-sum convention from functions.numeric), registered
+for the driver's hash-match harness. The reference ships SQL like this to a
+warehouse verbatim (SURVEY §2A: the proxy/workbench accept arbitrary SQL,
+reference src/dbt_osmosis/sql/proxy.py:112-127); here each shape runs
+natively on Spark with the plan you would want at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from dbt_osmosis_spark.operators import register
+from dbt_osmosis_spark.operators.relational import t
+
+# --------------------------------------------------------------------------
+# q41: statistical aggregates — stddev/variance/corr/covariance per group
+# --------------------------------------------------------------------------
+# Spark's stddev/corr built-ins fold doubles in partition order, so their
+# last ulp is partitioning-dependent. For hash parity AND cluster-stable
+# results we compute the moment sums exactly (per-row double expression →
+# decimal cast → decimal SUM, associative) and derive the statistics from
+# those exact scalars with identical IEEE double arithmetic in both engines.
+# Same single-shuffle plan as a plain groupBy — the moments are just five
+# map-side partial aggregates.
+
+def _q41_moments() -> dict:
+    # built lazily: Column construction needs an active SparkContext
+    return {
+        "n": F.count(F.lit(1)),
+        "sx": F.sum(F.col("l_quantity").cast("decimal(28,4)")).cast("double"),
+        "sy": F.sum(F.col("l_extendedprice").cast("decimal(28,4)")).cast("double"),
+        "sxx": F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(28,4)")).cast(
+            "double"
+        ),
+        "syy": F.sum(
+            (F.col("l_extendedprice") * F.col("l_extendedprice")).cast("decimal(28,4)")
+        ).cast("double"),
+        "sxy": F.sum(
+            (F.col("l_quantity") * F.col("l_extendedprice")).cast("decimal(28,4)")
+        ).cast("double"),
+    }
+
+
+_Q41_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty,
+       round((syy - sy * sy / n) / (n - 1), 4) AS var_price,
+       round((sxy - sx * sy / n) / n, 6) AS covar_pop,
+       round((n * sxy - sx * sy)
+         / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS corr_qty_price
+FROM m
+ORDER BY l_returnflag
+"""
+
+
+@register("q41_stats_aggregates", oracle=_Q41_ORACLE)
+def q41_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_returnflag").agg(
+        *[c.alias(k) for k, c in _q41_moments().items()]
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 6).alias("stddev_qty"),
+        F.round((syy - sy * sy / n) / (n - 1), 4).alias("var_price"),
+        F.round((sxy - sx * sy / n) / n, 6).alias("covar_pop"),
+        F.round(
+            (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9
+        ).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
+
+
+# --------------------------------------------------------------------------
+# q42: gaps and islands — consecutive same-event-type streaks per user
+# --------------------------------------------------------------------------
+# The classic two-row_number difference: rn(user) - rn(user,type) is
+# constant within a run of equal types. Both windows shuffle on user_id
+# ONCE (same partitioning key, Spark reuses the exchange); the island
+# aggregation is a second small shuffle on the island key. Deterministic
+# order inside a user via (ts, event_id) — event_id breaks ts ties.
+
+_Q42_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+           AS grp
+  FROM events
+),
+islands AS (
+  SELECT user_id, event_type, grp, COUNT(*) AS len
+  FROM seq GROUP BY user_id, event_type, grp
+)
+SELECT event_type,
+       COUNT(*) AS n_islands,
+       CAST(MAX(len) AS BIGINT) AS max_len,
+       CAST(SUM(CAST(len AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*) AS avg_len
+FROM islands
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("q42_gaps_islands", oracle=_Q42_ORACLE)
+def q42_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w_user = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(w_user) - F.row_number().over(w_type)).alias("grp"),
+    )
+    islands = seq.groupBy("user_id", "event_type", "grp").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return (
+        islands.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.max("len").cast("bigint").alias("max_len"),
+            (F.sum(F.col("len").cast("decimal(18,0)")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_len"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q43: time-grid resample + forward fill (LOCF) per user
+# --------------------------------------------------------------------------
+# Downsample irregular events onto a 6-hour grid, carrying the last
+# observation forward — the feature-store/training-snapshot shape. The
+# scalable pattern (NO per-grid-point range join): union(observations,
+# grid) sorted per user by (time, is_grid) and last_value(ignorenulls)
+# over unbounded-preceding — one shuffle on user_id. The grid bounds come
+# from a 1-row global agg (broadcast cross join). Users capped to a fixed
+# panel (user_id < 8) so output size is grid×panel, independent of corpus
+# row count.
+
+_Q43_ORACLE = """
+WITH bounds AS (
+  SELECT date_trunc('day', MIN(ts)) AS lo, MAX(ts) AS hi FROM events
+),
+grid AS (
+  SELECT u.user_id, g.gts
+  FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 8) u,
+       (SELECT unnest(generate_series(lo, hi, INTERVAL 6 HOUR)) AS gts FROM bounds) g
+),
+obs AS (
+  SELECT user_id, ts, arg_max(value, event_id) AS value
+  FROM events WHERE user_id < 8 GROUP BY user_id, ts
+),
+unioned AS (
+  SELECT user_id, ts AS time, 0 AS is_grid, value FROM obs
+  UNION ALL
+  SELECT user_id, gts AS time, 1 AS is_grid, NULL AS value FROM grid
+),
+filled AS (
+  SELECT user_id, time, is_grid,
+         last_value(value IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY time, is_grid
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+  FROM unioned
+)
+SELECT user_id, time AS grid_ts, round(value, 6) AS value
+FROM filled WHERE is_grid = 1
+ORDER BY user_id, grid_ts
+"""
+
+
+@register("q43_resample_ffill", oracle=_Q43_ORACLE)
+def q43_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    panel = ev.filter(F.col("user_id") < 8)
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"), F.max("ts").alias("hi")
+    )
+    grid = (
+        panel.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 6 HOURS"))
+            ).alias("gts"),
+        )
+    )
+    obs = panel.groupBy("user_id", "ts").agg(
+        F.max_by("value", "event_id").alias("value")
+    )
+    unioned = obs.select(
+        "user_id", F.col("ts").alias("time"), F.lit(0).alias("is_grid"), "value"
+    ).unionByName(
+        grid.select(
+            "user_id",
+            F.col("gts").alias("time"),
+            F.lit(1).alias("is_grid"),
+            F.lit(None).cast("double").alias("value"),
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("time", "is_grid")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        unioned.withColumn("value", F.last("value", ignorenulls=True).over(w))
+        .filter(F.col("is_grid") == 1)
+        .select("user_id", F.col("time").alias("grid_ts"), F.round("value", 6).alias("value"))
+        .orderBy("user_id", "grid_ts")
+    )
+
+
+# --------------------------------------------------------------------------
+# q44: string edit distance — near-matching reference data values
+# --------------------------------------------------------------------------
+# Pairwise levenshtein over the DISTINCT brand domain (fixed cardinality in
+# TPC-H regardless of SF — the distinct-first shape is what makes a fuzzy
+# value-match feasible at 100 TB: dedupe to the domain, THEN go quadratic
+# on the tiny domain, broadcast both sides).
+
+_Q44_MAX_DIST = 2
+
+_Q44_ORACLE = f"""
+WITH b AS (SELECT DISTINCT p_brand FROM part)
+SELECT a.p_brand AS brand_a, c.p_brand AS brand_b,
+       CAST(levenshtein(a.p_brand, c.p_brand) AS INT) AS dist
+FROM b a JOIN b c ON a.p_brand < c.p_brand
+WHERE levenshtein(a.p_brand, c.p_brand) <= {_Q44_MAX_DIST}
+ORDER BY brand_a, brand_b
+"""
+
+
+@register("q44_edit_distance", oracle=_Q44_ORACLE)
+def q44_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = t(spark, sf_dir, "part").select("p_brand").distinct()
+    a = b.select(F.col("p_brand").alias("brand_a"))
+    c = b.select(F.col("p_brand").alias("brand_b"))
+    return (
+        a.join(F.broadcast(c), F.col("brand_a") < F.col("brand_b"))
+        .withColumn("dist", F.levenshtein("brand_a", "brand_b").cast("int"))
+        .filter(F.col("dist") <= _Q44_MAX_DIST)
+        .orderBy("brand_a", "brand_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# q45: JSON extraction — semi-structured props column
+# --------------------------------------------------------------------------
+# get_json_object is JVM-side (Jackson) and whole-stage-codegen friendly;
+# the JSON never leaves the executors and the extraction happens during the
+# scan projection — at 100 TB this is a single map-side pass + one agg
+# shuffle on the (tiny) event_type key.
+
+_Q45_ORACLE = """
+WITH x AS (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n,
+       COUNT(k) AS n_with_k,
+       CAST(MIN(k) AS INT) AS min_k,
+       CAST(MAX(k) AS INT) AS max_k,
+       CAST(SUM(CAST(k AS DECIMAL(18,0))) AS DOUBLE) / COUNT(k) AS avg_k,
+       CAST(SUM(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_gt_50
+FROM x
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("q45_json_extract", oracle=_Q45_ORACLE)
+def q45_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    x = ev.select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    return (
+        x.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("k").alias("n_with_k"),
+            F.min("k").cast("int").alias("min_k"),
+            F.max("k").cast("int").alias("max_k"),
+            (F.sum(F.col("k").cast("decimal(18,0)")).cast("double") / F.count("k")).alias(
+                "avg_k"
+            ),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).cast("bigint").alias("n_gt_50"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q46: exact median + deterministic mode per group
+# --------------------------------------------------------------------------
+# Exact interpolated median via percentile() (Spark sorts within the
+# group's partial state — exact, unlike approx_percentile) and mode with
+# an EXPLICIT (count DESC, value ASC) tie-break: engines' native mode()
+# picks an arbitrary tied value, so the deterministic form is a
+# count + row_number plan — two shuffles, both on small key domains.
+
+_Q46_ORACLE = """
+WITH counts AS (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+),
+modes AS (
+  SELECT o_orderstatus, o_orderpriority AS mode_priority,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY cnt DESC, o_orderpriority) AS rn
+  FROM counts
+),
+med AS (
+  SELECT o_orderstatus,
+         round(median(o_totalprice), 4) AS median_price,
+         COUNT(*) AS n
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT med.o_orderstatus AS o_orderstatus, med.n, med.median_price, modes.mode_priority
+FROM med JOIN modes ON med.o_orderstatus = modes.o_orderstatus AND modes.rn = 1
+ORDER BY med.o_orderstatus
+"""
+
+
+@register("q46_median_mode", oracle=_Q46_ORACLE)
+def q46_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = W.partitionBy("o_orderstatus").orderBy(F.desc("cnt"), "o_orderpriority")
+    modes = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"))
+    )
+    med = o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        med.join(F.broadcast(modes), "o_orderstatus")
+        .select("o_orderstatus", "n", "median_price", "mode_priority")
+        .orderBy("o_orderstatus")
+    )

@@ -157,3 +157,32 @@ def test_s06_s07_are_map_side(q):
         assert "Join" not in plan, name
         assert "Aggregate" not in plan.replace("aggregate(", ""), name
         assert exchange_count(df) <= 2, name
+
+
+def test_p12_broadcasts_bloom_bits(q):
+    """Bloom decontamination ships only the bit set (<= 2^14 rows) — both
+    small sides (bloom bits, eval shingles) must be broadcast; the train
+    shingle stream joins without shuffling itself by value."""
+    assert has_broadcast_join(q("p12_bloom_decontaminate"))
+
+
+def test_p15_assignment_is_map_side(q):
+    """The Lloyd step has exactly one aggregation shuffle (on the cell
+    key): assignment to centroids is a pure map-side expression — at 100 TB
+    there is no join and no second exchange before the partial agg."""
+    # final orderBy adds a range exchange; the agg itself contributes one.
+    assert exchange_count(q("p15_kmeans_lloyd")) <= 2
+    assert not has_cartesian(q("p15_kmeans_lloyd"))
+
+
+def test_q41_moments_single_shuffle(q):
+    """Exact moment statistics are five partial aggregates — one shuffle on
+    the group key, identical plan shape to a plain groupBy-sum."""
+    assert exchange_count(q("q41_stats_aggregates")) <= 2
+
+
+def test_q44_distinct_then_broadcast(q):
+    """Fuzzy value matching dedupes to the tiny distinct domain FIRST, then
+    broadcasts it — the quadratic comparison never touches fact rows."""
+    assert has_broadcast_join(q("q44_edit_distance"))
+    assert not has_cartesian(q("q44_edit_distance"))
