@@ -35,6 +35,25 @@ class CodecUnavailable(NotImplementedError):
     """Raised by real decoders when the codec library is missing."""
 
 
+_HAS_PIL: bool | None = None
+
+
+def codec_available() -> bool:
+    """One-time probe for the image codec. Hot loops must branch on this
+    instead of calling decode_image() per row and catching CodecUnavailable:
+    a FAILED import is not cached by Python, so the per-row try/except costs
+    a full sys.path scan plus two exception raises per payload."""
+    global _HAS_PIL
+    if _HAS_PIL is None:
+        try:
+            import PIL  # type: ignore  # noqa: F401
+
+            _HAS_PIL = True
+        except ImportError:
+            _HAS_PIL = False
+    return _HAS_PIL
+
+
 def decode_image(data: bytes) -> "object":
     """Real decoder — requires PIL, which this container does not ship.
 
@@ -87,27 +106,29 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     import numpy as np
 
     def one_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # Columnar inside the batch: numpy frombuffer + bincount per payload
-        # (payload lengths vary, so the outer loop stays per-row, but all
-        # per-byte work is vectorized), and the output frame is built from
-        # flat arrays — no iterrows, no Python-object rows.
+        # Fully columnar inside the batch: concatenate the (capped) payloads
+        # once, histogram all rows with a single segment-offset bincount
+        # (seg*8 + value), and build the output frame from flat arrays — no
+        # per-row numpy calls, no iterrows, no Python-object rows. The real
+        # decoder runs only when the codec library exists (one probe per
+        # worker, not a retried import + exception pair per payload).
+        use_real = codec_available()
         for pdf in batches:
             payloads = pdf["content"].to_numpy()
             n_rows = len(payloads)
-            feats = np.empty((n_rows, 8), dtype=np.float64)
-            n_bytes = np.empty(n_rows, dtype=np.int64)
-            for i, data in enumerate(payloads):
-                try:
-                    img = decode_image(data)  # real path
-                    _w, _h = img.size  # pragma: no cover
-                except Exception:  # noqa: BLE001 - any undecodable payload
-                    # falls back: CodecUnavailable (lib absent) AND decoder
-                    # errors (e.g. PIL present but payload isn't an image)
-                    _w, _h, _fmt = fake_decode_meta(data)
-                arr = np.frombuffer(data[:4096], dtype=np.uint8) % 8
-                n = max(len(arr), 1)
-                feats[i] = np.bincount(arr, minlength=8).astype(np.float64) / n
-                n_bytes[i] = len(data)
+            if use_real:  # pragma: no cover - codec absent in this container
+                for data in payloads:
+                    try:
+                        decode_image(data)  # real decode; metadata unused here
+                    except Exception:  # noqa: BLE001 - undecodable payload
+                        fake_decode_meta(data)
+            capped = [d[:4096] for d in payloads]
+            lens = np.fromiter((len(c) for c in capped), dtype=np.int64, count=n_rows)
+            joined = np.frombuffer(b"".join(capped), dtype=np.uint8).astype(np.int64) % 8
+            seg = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+            flat = np.bincount(seg * 8 + joined, minlength=n_rows * 8).reshape(n_rows, 8)
+            feats = flat.astype(np.float64) / np.maximum(lens, 1)[:, None]
+            n_bytes = np.fromiter((len(d) for d in payloads), dtype=np.int64, count=n_rows)
             yield pd.DataFrame(
                 {
                     "doc_id": np.repeat(pdf[id_col].to_numpy(), 8),
