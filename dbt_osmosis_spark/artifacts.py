@@ -380,3 +380,75 @@ def load_manifest_json(
                 {manifest.version_aliases.get(d, d) for d in node.depends_on}
             )
     return manifest
+
+
+# --------------------------------------------------------------------------
+# run_results.json: the public dbt run artifact
+# --------------------------------------------------------------------------
+# Schema: https://schemas.getdbt.com/dbt/run-results/v6.json (subset). dbt
+# writes this after every run/build/test invocation; CI systems and
+# `dbt retry` consume it. The engine writes/reads the same shape so those
+# integrations work unchanged.
+
+_RUN_RESULTS_SCHEMA_URL = "https://schemas.getdbt.com/dbt/run-results/v6.json"
+
+
+def write_run_results(
+    manifest: Manifest,
+    results,
+    path: str | Path,
+    elapsed: float | None = None,
+) -> Path:
+    """Serialize a RunReport's results to the public run_results schema.
+
+    ``results`` is an iterable of runner.RunResult. Statuses map 1:1
+    (success/error/skipped); seeds/sources get their artifact unique_ids so
+    `retry`-style consumers can select precisely.
+    """
+    entries = []
+    for r in results:
+        if r.kind == "model":
+            uid = _uid_for(manifest, r.name) or f"model.{manifest.project_name}.{r.name}"
+        elif r.kind == "seed":
+            uid = f"seed.{manifest.project_name}.{r.name}"
+        else:
+            uid = f"source.{manifest.project_name}.{r.name}"
+        entries.append(
+            {
+                "unique_id": uid,
+                "status": r.status,
+                "message": r.error,
+                "execution_time": r.execution_time or 0.0,
+                "adapter_response": {"rows_affected": r.rows},
+                "relation_name": r.name,
+                "failures": None,
+            }
+        )
+    doc = {
+        "metadata": {
+            "dbt_schema_version": _RUN_RESULTS_SCHEMA_URL,
+            "project_name": manifest.project_name,
+            "adapter_type": "spark",
+        },
+        "results": entries,
+        "elapsed_time": elapsed or 0.0,
+        "args": {},
+    }
+    out = Path(path)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    tmp = out.with_suffix(out.suffix + ".tmp")
+    tmp.write_text(json.dumps(doc, indent=1, sort_keys=True))
+    os.replace(tmp, out)
+    return out
+
+
+def load_run_results(path: str | Path) -> dict[str, str]:
+    """{relation/local name: status} from a run_results.json (ours or
+    dbt-core's — unique_id last segment is the node name in both)."""
+    doc = json.loads(Path(path).read_text())
+    out: dict[str, str] = {}
+    for entry in doc.get("results") or []:
+        name = entry.get("relation_name") or (entry.get("unique_id") or "").rsplit(".", 1)[-1]
+        if name:
+            out[name] = entry.get("status") or "unknown"
+    return out

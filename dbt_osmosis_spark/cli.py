@@ -22,6 +22,7 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+from pathlib import Path as _Path
 
 PRINT_CAP = 50
 
@@ -67,6 +68,16 @@ def _build_context(args, need_spark: bool = True, read_only: bool = True):
     return spark, manifest
 
 
+def _write_run_results(args, manifest, report, elapsed: float) -> None:
+    """dbt writes target/run_results.json after every run; CI and `retry`
+    consume it (public schema, artifacts.write_run_results)."""
+    from dbt_osmosis_spark.artifacts import write_run_results
+
+    out = _Path(args.project_dir) / "target" / "run_results.json"
+    write_run_results(manifest, report.results, out, elapsed=round(elapsed, 3))
+    print(f"run results written: {out}")
+
+
 def cmd_run(args) -> int:
     from dbt_osmosis_spark.runner import materialize
     from dbt_osmosis_spark.session import get_spark
@@ -83,6 +94,9 @@ def cmd_run(args) -> int:
         from dbt_osmosis_spark.state import load_state
 
         previous_state = load_state(args.state)
+    import time as _time
+
+    t0 = _time.perf_counter()
     report = materialize(
         spark,
         manifest,
@@ -93,15 +107,19 @@ def cmd_run(args) -> int:
         previous_state=previous_state,
         threads=getattr(args, "threads", 1),
         full_refresh=getattr(args, "full_refresh", False),
+        # dbt default: model failures don't abort the run; dependents skip
+        on_error="raise" if getattr(args, "fail_fast", False) else "continue",
     )
     for r in report.results:
         rows = "" if r.rows is None else f"  rows={r.rows}"
-        print(f"{r.kind:7s} {r.name:30s} {r.materialized}{rows}")
+        flag = "" if r.status == "success" else f"  [{r.status.upper()}] {r.error}"
+        print(f"{r.kind:7s} {r.name:30s} {r.materialized}{rows}{flag}")
+    _write_run_results(args, manifest, report, _time.perf_counter() - t0)
     if getattr(args, "write_state", None):
         from dbt_osmosis_spark.state import write_state
 
         print(f"state written: {write_state(manifest, args.write_state)}")
-    return 0
+    return 0 if report.ok else 1
 
 
 def cmd_sql(args) -> int:
@@ -557,6 +575,18 @@ def build_parser() -> argparse.ArgumentParser:
     rp.add_argument(
         "--write-state", default=None, help="write state.json fingerprints to this dir after the run"
     )
+    rp.add_argument(
+        "--fail-fast",
+        action="store_true",
+        help="abort on the first model failure (default: record error, skip dependents, keep building)",
+    )
+
+    ryp = sub.add_parser(
+        "retry", help="re-run the models that errored/skipped in the last run (dbt retry analog)"
+    )
+    ryp.add_argument("--vars", default=None, help="JSON object overriding project vars")
+    ryp.add_argument("--threads", type=int, default=1)
+    ryp.add_argument("--fail-fast", action="store_true")
 
     sp = sub.add_parser("sql", help="compile/execute ad-hoc jinja-SQL")
     sp.add_argument("action", choices=["run", "compile"])
@@ -624,8 +654,30 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def cmd_retry(args) -> int:
+    """dbt retry analog: read target/run_results.json, select the nodes
+    that errored or were skipped, and re-run ONLY those (their successful
+    ancestors register as existing relations — no rebuild)."""
+    from dbt_osmosis_spark.artifacts import load_run_results
+
+    rr_path = _Path(args.project_dir) / "target" / "run_results.json"
+    if not rr_path.is_file():
+        print(f"nothing to retry: {rr_path} not found (run `run` first)")
+        return 1
+    statuses = load_run_results(rr_path)
+    failed = sorted(n for n, s in statuses.items() if s in ("error", "skipped"))
+    if not failed:
+        print("nothing to retry: previous run succeeded")
+        return 0
+    print(f"retrying {len(failed)} node(s): {', '.join(failed)}")
+    args.select = failed
+    args.exclude = None
+    return cmd_run(args)
+
+
 _DISPATCH = {
     "run": cmd_run,
+    "retry": cmd_retry,
     "sql": cmd_sql,
     "yaml": cmd_yaml,
     "lint": cmd_lint,

@@ -37,6 +37,10 @@ class RunResult:
     materialized: str
     rows: int | None = None  # only counted when count_rows=True
     compiled_sql: str | None = None
+    # dbt run_results fields: success | error | skipped (upstream failed)
+    status: str = "success"
+    error: str | None = None
+    execution_time: float | None = None
 
 
 @dataclass
@@ -45,6 +49,10 @@ class RunReport:
 
     def names(self) -> list[str]:
         return [r.name for r in self.results]
+
+    @property
+    def ok(self) -> bool:
+        return all(r.status == "success" for r in self.results)
 
 
 def _swap_dirs(out: str, tmp: str) -> None:
@@ -73,6 +81,7 @@ def materialize(
     threads: int = 1,
     full_refresh: bool = False,
     read_only: bool = False,
+    on_error: str = "raise",
 ) -> RunReport:
     """Register all nodes as Spark relations, parents first.
 
@@ -98,6 +107,13 @@ def materialize(
     their existing warehouse parquet when present (falling back to a lazy
     view of the compiled body), hooks are skipped, and nothing is written —
     so a blind-append incremental can never double rows under `test`.
+
+    ``on_error="continue"`` is dbt's default run behavior: a model failure
+    records an error result, its transitive dependents record skipped
+    results, and independent subtrees keep building (``"raise"``, the
+    library default, keeps the fail-fast contract existing callers rely
+    on). Source/seed registration always raises — a broken input is a
+    project config error, not a per-model failure.
     """
     report = RunReport()
     manifest.check_access()
@@ -222,6 +238,52 @@ def materialize(
             compiled = compiler.compile(node.raw_sql)
             spark.sql(compiled.compiled_sql).createOrReplaceTempView(rel)
         return RunResult(name, "model", label)
+
+    # on_error="continue": names that errored or were skipped. Guarded by a
+    # lock — the layer-parallel runner mutates it from worker threads.
+    import threading as _threading
+    import time as _time
+
+    blocked: set[str] = set()
+    blocked_lock = _threading.Lock()
+
+    def _process_model_tracked(name: str) -> RunResult | None:
+        """dbt-run semantics around _process_model: time every model, and
+        under on_error='continue' convert a failure into an error result and
+        cascade 'skipped' to dependents instead of aborting the command."""
+        node = manifest.models.get(name)
+        if node is not None and on_error == "continue":
+            with blocked_lock:
+                bad = sorted(d for d in node.depends_on if d in blocked)
+            if bad:
+                with blocked_lock:
+                    blocked.add(name)
+                return RunResult(
+                    name,
+                    "model",
+                    node.materialized,
+                    status="skipped",
+                    error=f"upstream failed: {bad}",
+                )
+        t0 = _time.perf_counter()
+        try:
+            result = _process_model(name)
+        except Exception as exc:  # noqa: BLE001 - per-model failure boundary
+            if on_error != "continue":
+                raise
+            with blocked_lock:
+                blocked.add(name)
+            return RunResult(
+                name,
+                "model",
+                node.materialized if node is not None else "?",
+                status="error",
+                error=f"{type(exc).__name__}: {exc}",
+                execution_time=round(_time.perf_counter() - t0, 4),
+            )
+        if result is not None:
+            result.execution_time = round(_time.perf_counter() - t0, 4)
+        return result
 
     def _process_model(name: str) -> RunResult | None:
         node = manifest.models[name]
@@ -348,7 +410,7 @@ def materialize(
 
     if threads <= 1:
         for name in manifest.topo_sort():
-            result = _process_model(name)
+            result = _process_model_tracked(name)
             if result is not None:
                 report.results.append(result)
     else:
@@ -356,7 +418,7 @@ def materialize(
 
         for layer in manifest.topo_layers():
             with ThreadPoolExecutor(max_workers=threads) as pool:
-                for result in pool.map(_process_model, sorted(layer)):
+                for result in pool.map(_process_model_tracked, sorted(layer)):
                     if result is not None:
                         report.results.append(result)
 

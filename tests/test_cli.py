@@ -193,3 +193,49 @@ def test_cli_list_and_selectors(proj, tmp_path, capsys):
     some = next(iter(m.models.values()))
     by_path = m.select([f"path:{some.path}"])
     assert some.name in by_path
+
+
+def test_cli_run_continues_on_error_and_retry(proj, tmp_path, capsys):
+    """dbt run semantics: a failing model records an error, dependents
+    skip, siblings build; target/run_results.json (public schema) captures
+    statuses; `retry` re-runs only the failed+skipped set and flips the
+    artifact green once the model is fixed."""
+    from pathlib import Path
+
+    bad = Path(proj) / "models" / "bad_model.sql"
+    bad.write_text("select nonexistent_column from {{ ref('stg_orders') }}\n")
+    (Path(proj) / "models" / "bad_child.sql").write_text(
+        "select * from {{ ref('bad_model') }}\n"
+    )
+
+    rc = _run(proj, tmp_path, "run")
+    assert rc == 1
+    out = capsys.readouterr().out
+    assert "[ERROR]" in out and "[SKIPPED]" in out
+
+    rr = json.loads((Path(proj) / "target" / "run_results.json").read_text())
+    by_name = {e["relation_name"]: e["status"] for e in rr["results"]}
+    assert by_name["bad_model"] == "error"
+    assert by_name["bad_child"] == "skipped"
+    assert by_name["customers"] == "success"  # sibling subtree unaffected
+
+    # fail-fast opt-out restores the raise behavior
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        _run(proj, tmp_path, "run", "--fail-fast")
+    capsys.readouterr()
+
+    # fix the model; retry runs ONLY the failed+skipped pair
+    bad.write_text("select order_id from {{ ref('stg_orders') }}\n")
+    rc = main(["--project-dir", proj, "--warehouse-dir", str(tmp_path / "wh"), "retry"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "retrying 2 node(s): bad_child, bad_model" in out
+    rr2 = json.loads((Path(proj) / "target" / "run_results.json").read_text())
+    by_name2 = {e["relation_name"]: e["status"] for e in rr2["results"]}
+    assert by_name2["bad_model"] == "success"
+    assert by_name2["bad_child"] == "success"
+    # a second retry has nothing to do
+    assert main(["--project-dir", proj, "retry"]) == 0
+    assert "nothing to retry" in capsys.readouterr().out
