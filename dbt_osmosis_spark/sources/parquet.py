@@ -61,9 +61,39 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     spark = df.sparkSession
     if min_partitions is None:
         min_partitions = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= min_partitions:
+    # Estimate the scan's split count from the file index instead of
+    # df.rdd.getNumPartitions(): the RDD conversion re-analyzes the plan
+    # (~70 ms per fresh DataFrame) where inputFiles() is ~1 ms. Callers
+    # pass scan + narrow ops only, so scan splits == partition count.
+    cur: int | None = None
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 - non-file-backed plans
+        files = []
+    if files:
+        import math
+
+        mpb = _bytes_conf(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+        cur = 0
+        for f in files:
+            local = f[len("file:") :] if f.startswith("file:") else f
+            try:
+                cur += max(1, math.ceil(os.path.getsize(local) / mpb))
+            except OSError:
+                cur = None  # remote/unstattable file: fall back to the probe
+                break
+    if cur is None:
+        cur = df.rdd.getNumPartitions()
+    if cur >= min_partitions:
         return df
     return df.repartition(min_partitions)
+
+
+def _bytes_conf(v: str) -> int:
+    """Spark size conf: plain bytes or k/m/g-suffixed."""
+    v = v.strip().lower().removesuffix("b")
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}.get(v[-1:], 1)
+    return int(v[:-1] if mult != 1 else v) * mult
 
 
 # (SparkSession id, path, mtime) → DataFrame. A DataFrame is a lazy plan —
