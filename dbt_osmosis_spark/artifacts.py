@@ -443,12 +443,26 @@ def write_run_results(
 
 
 def load_run_results(path: str | Path) -> dict[str, str]:
-    """{relation/local name: status} from a run_results.json (ours or
-    dbt-core's — unique_id last segment is the node name in both)."""
+    """{local node name: status} from a run_results.json (ours or
+    dbt-core's). Names come from the unique_id — dbt-core's
+    ``relation_name`` is a quoted fully-qualified relation string, NOT the
+    node name, so it is only a last-resort fallback. unique_id shapes:
+    ``model.proj.name``, versioned ``model.proj.base.vN`` (local node
+    ``base_vN``), ``source.proj.src.tbl`` (local key ``src.tbl``)."""
+    import re as _re
+
     doc = json.loads(Path(path).read_text())
     out: dict[str, str] = {}
     for entry in doc.get("results") or []:
-        name = entry.get("relation_name") or (entry.get("unique_id") or "").rsplit(".", 1)[-1]
+        parts = (entry.get("unique_id") or "").split(".")
+        if len(parts) >= 3 and parts[0] == "source":
+            name = ".".join(parts[2:])
+        elif len(parts) >= 4 and _re.fullmatch(r"v\d+", parts[3]):
+            name = f"{parts[2]}_{parts[3]}"
+        elif len(parts) >= 3:
+            name = parts[2]
+        else:
+            name = entry.get("relation_name") or ""
         if name:
             out[name] = entry.get("status") or "unknown"
     return out

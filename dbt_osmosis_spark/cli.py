@@ -97,19 +97,26 @@ def cmd_run(args) -> int:
     import time as _time
 
     t0 = _time.perf_counter()
-    report = materialize(
-        spark,
-        manifest,
-        warehouse_dir=args.warehouse_dir,
-        count_rows=True,
-        select=getattr(args, "select", None),
-        exclude=getattr(args, "exclude", None),
-        previous_state=previous_state,
-        threads=getattr(args, "threads", 1),
-        full_refresh=getattr(args, "full_refresh", False),
-        # dbt default: model failures don't abort the run; dependents skip
-        on_error="raise" if getattr(args, "fail_fast", False) else "continue",
-    )
+    try:
+        report = materialize(
+            spark,
+            manifest,
+            warehouse_dir=args.warehouse_dir,
+            count_rows=True,
+            select=getattr(args, "select", None),
+            exclude=getattr(args, "exclude", None),
+            previous_state=previous_state,
+            threads=getattr(args, "threads", 1),
+            full_refresh=getattr(args, "full_refresh", False),
+            # dbt default: model failures don't abort the run; dependents skip
+            on_error="raise" if getattr(args, "fail_fast", False) else "continue",
+        )
+    except Exception:
+        # --fail-fast abort: no report exists, so remove the previous run's
+        # artifact — a later `retry` must not act on stale statuses that
+        # predate this failure
+        (_Path(args.project_dir) / "target" / "run_results.json").unlink(missing_ok=True)
+        raise
     for r in report.results:
         rows = "" if r.rows is None else f"  rows={r.rows}"
         flag = "" if r.status == "success" else f"  [{r.status.upper()}] {r.error}"
@@ -666,6 +673,14 @@ def cmd_retry(args) -> int:
         return 1
     statuses = load_run_results(rr_path)
     failed = sorted(n for n, s in statuses.items() if s in ("error", "skipped"))
+    manifest = _load_manifest(args)
+    known = manifest.node_names()
+    gone = [n for n in failed if n not in known]
+    if gone:
+        # a failed node deleted/renamed since the run: drop it rather than
+        # crash Manifest.select on an unknown name
+        print(f"ignoring {len(gone)} node(s) no longer in the project: {', '.join(gone)}")
+        failed = [n for n in failed if n in known]
     if not failed:
         print("nothing to retry: previous run succeeded")
         return 0

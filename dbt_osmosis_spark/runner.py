@@ -252,7 +252,18 @@ def materialize(
         under on_error='continue' convert a failure into an error result and
         cascade 'skipped' to dependents instead of aborting the command."""
         node = manifest.models.get(name)
-        if node is not None and on_error == "continue":
+        # the skip cascade applies only to models that would EXECUTE their
+        # materialization: out-of-selection dependents must stay absent
+        # from the report (and run_results.json — a retry must not rebuild
+        # nodes the user never selected), and lazily-registered ancestors
+        # keep their own error handling
+        executes = (
+            node is not None
+            and not read_only
+            and (needed is None or name in needed)
+            and (selected is None or name in selected)
+        )
+        if executes and on_error == "continue":
             with blocked_lock:
                 bad = sorted(d for d in node.depends_on if d in blocked)
             if bad:

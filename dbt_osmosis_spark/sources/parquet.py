@@ -65,6 +65,10 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     # df.rdd.getNumPartitions(): the RDD conversion re-analyzes the plan
     # (~70 ms per fresh DataFrame) where inputFiles() is ~1 ms. Callers
     # pass scan + narrow ops only, so scan splits == partition count.
+    # Mirrors Spark's FilePartition.maxSplitBytes formula —
+    # min(maxPartitionBytes, max(openCostInBytes, totalBytes/parallelism))
+    # with files padded by the open cost — so the estimate agrees with the
+    # probe and a well-split scan never gets a redundant repartition.
     cur: int | None = None
     try:
         files = df.inputFiles()
@@ -73,15 +77,24 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if files:
         import math
 
-        mpb = _bytes_conf(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
-        cur = 0
-        for f in files:
-            local = f[len("file:") :] if f.startswith("file:") else f
-            try:
-                cur += max(1, math.ceil(os.path.getsize(local) / mpb))
-            except OSError:
-                cur = None  # remote/unstattable file: fall back to the probe
-                break
+        try:
+            mpb = _bytes_conf(
+                spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+            )
+            open_cost = _bytes_conf(
+                spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
+            )
+            sizes = []
+            for f in files:
+                local = f[len("file:") :] if f.startswith("file:") else f
+                sizes.append(os.path.getsize(local))
+            total = sum(sizes) + open_cost * len(sizes)
+            par = max(spark.sparkContext.defaultParallelism, 1)
+            max_split = min(mpb, max(open_cost, total / par))
+            # Spark bin-packs splits up to max_split per partition
+            cur = max(1, math.ceil(total / max_split))
+        except (OSError, ValueError):
+            cur = None  # remote file / exotic size conf: fall back to probe
     if cur is None:
         cur = df.rdd.getNumPartitions()
     if cur >= min_partitions:
@@ -90,9 +103,11 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
 
 
 def _bytes_conf(v: str) -> int:
-    """Spark size conf: plain bytes or k/m/g-suffixed."""
+    """Spark size conf: plain bytes or b/k/m/g/t/p-suffixed (kb/mb/... too)."""
     v = v.strip().lower().removesuffix("b")
-    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}.get(v[-1:], 1)
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40, "p": 1 << 50}.get(
+        v[-1:], 1
+    )
     return int(v[:-1] if mult != 1 else v) * mult
 
 

@@ -219,13 +219,6 @@ def test_cli_run_continues_on_error_and_retry(proj, tmp_path, capsys):
     assert by_name["bad_child"] == "skipped"
     assert by_name["customers"] == "success"  # sibling subtree unaffected
 
-    # fail-fast opt-out restores the raise behavior
-    import pytest as _pytest
-
-    with _pytest.raises(Exception):
-        _run(proj, tmp_path, "run", "--fail-fast")
-    capsys.readouterr()
-
     # fix the model; retry runs ONLY the failed+skipped pair
     bad.write_text("select order_id from {{ ref('stg_orders') }}\n")
     rc = main(["--project-dir", proj, "--warehouse-dir", str(tmp_path / "wh"), "retry"])
@@ -239,3 +232,43 @@ def test_cli_run_continues_on_error_and_retry(proj, tmp_path, capsys):
     # a second retry has nothing to do
     assert main(["--project-dir", proj, "retry"]) == 0
     assert "nothing to retry" in capsys.readouterr().out
+
+
+def test_cli_retry_edge_cases(proj, tmp_path, capsys):
+    """Retry resilience: out-of-selection dependents stay out of
+    run_results; a deleted failed model is dropped from the retry set; a
+    --fail-fast abort clears the stale artifact."""
+    from pathlib import Path
+
+    bad = Path(proj) / "models" / "bad_model.sql"
+    bad.write_text("select nonexistent from {{ ref('stg_orders') }}\n")
+    (Path(proj) / "models" / "bad_child.sql").write_text(
+        "select * from {{ ref('bad_model') }}\n"
+    )
+
+    # selection-scoped run: bad_child is OUTSIDE --select, so it must not
+    # appear in run_results at all (a retry must not rebuild unselected nodes)
+    rc = _run(proj, tmp_path, "run", "--select", "bad_model")
+    assert rc == 1
+    capsys.readouterr()
+    rr = json.loads((Path(proj) / "target" / "run_results.json").read_text())
+    names = {e["relation_name"] for e in rr["results"]}
+    assert "bad_model" in names and "bad_child" not in names
+
+    # delete the broken model: retry drops it instead of crashing
+    bad.unlink()
+    rc = main(["--project-dir", proj, "--warehouse-dir", str(tmp_path / "wh"), "retry"])
+    out = capsys.readouterr().out
+    assert "ignoring 1 node(s) no longer in the project: bad_model" in out
+    assert rc in (0, 1)
+
+    # --fail-fast abort removes the stale artifact
+    (Path(proj) / "models" / "bad_model.sql").write_text(
+        "select nonexistent from {{ ref('stg_orders') }}\n"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        _run(proj, tmp_path, "run", "--fail-fast")
+    capsys.readouterr()
+    assert not (Path(proj) / "target" / "run_results.json").exists()

@@ -25,7 +25,7 @@ import time
 
 from pyspark.sql import functions as F
 
-from dbt_osmosis_spark.operators.similarity import _DIM, _SPARK_BUCKET, _SPARK_CELL
+from dbt_osmosis_spark.operators.similarity import _SPARK_BUCKET, _SPARK_CELL
 from dbt_osmosis_spark.sources.parquet import read_parquet
 
 _COPIES = 16
