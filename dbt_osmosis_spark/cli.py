@@ -176,15 +176,39 @@ def cmd_yaml(args) -> int:
         print(f"{sum(len(v) for v in findings.values())} finding(s), {n_err} error(s)")
         return 1 if n_err else 0
 
+    # CLI flags become explicit context settings — the top tier of the
+    # resolution chain (explicit > dbt-osmosis.yml > project vars)
+    settings = {
+        k: True
+        for k, flag in (
+            ("force_inherit_descriptions", "force_inherit_descriptions"),
+            ("output_to_lower", "output_to_lower"),
+            ("fusion_compat", "fusion_compat"),
+        )
+        if getattr(args, flag, False)
+    }
+    if getattr(args, "sort_by", None):
+        settings["sort_by"] = args.sort_by
+    dry_run = bool(getattr(args, "dry_run", False))
+
     spark, manifest = _build_context(args)
-    ctx = YamlRefactorContext(spark=spark, manifest=manifest, project_dir=args.project_dir)
+    ctx = YamlRefactorContext(
+        spark=spark, manifest=manifest, project_dir=args.project_dir, settings=settings
+    )
     load_docs_from_yaml(ctx)
 
     if args.action == "organize":
-        created = create_missing_source_yamls(spark, manifest, args.project_dir)
-        if created.created:
-            print(f"bootstrapped sources: {', '.join(created.created)}")
+        if not dry_run:
+            created = create_missing_source_yamls(spark, manifest, args.project_dir)
+            if created.created:
+                print(f"bootstrapped sources: {', '.join(created.created)}")
         plan = draft_restructure_plan(manifest, args.project_dir)
+        if dry_run or not getattr(args, "auto_apply", True):
+            for op in plan.operations:
+                print(f"plan: {op.describe()}")
+        if dry_run:
+            print(f"dry-run: {len(plan.operations)} operation(s), nothing written")
+            return 0
         written = apply_restructure_plan(plan, ctx.yaml)
         print(f"organized {len(written)} yaml file(s)")
         return 0
@@ -203,8 +227,9 @@ def cmd_yaml(args) -> int:
             f"documented {len(report.described)} column(s) "
             f"({report.bulk_calls} bulk / {report.single_calls} single calls)"
         )
-    written = sync_to_yaml(ctx)
-    print(f"wrote {len(written)} yaml file(s)")
+    written = sync_to_yaml(ctx, dry_run=dry_run)
+    verb = "would write" if dry_run else "wrote"
+    print(f"{verb} {len(written)} yaml file(s)")
     if args.check and ctx.mutated:
         print("--check: project yaml out of date", file=sys.stderr)
         return 1
@@ -605,6 +630,33 @@ def build_parser() -> argparse.ArgumentParser:
         "action", choices=["refactor", "organize", "document", "sync", "check-schemas"]
     )
     yp.add_argument("--check", action="store_true", help="exit 1 if anything mutated")
+    # the reference's yaml flags (src/dbt_osmosis/cli/main.py) — each maps
+    # to a context setting the transform/settings chain already resolves
+    yp.add_argument("--dry-run", action="store_true", help="report would-be writes, touch nothing")
+    yp.add_argument(
+        "--force-inherit-descriptions",
+        action="store_true",
+        help="overwrite existing child descriptions with ancestors'",
+    )
+    yp.add_argument(
+        "--output-to-lower", action="store_true", help="lowercase synced column names/types"
+    )
+    yp.add_argument(
+        "--fusion-compat",
+        action="store_true",
+        help="nest column meta/tags under config: (dbt-fusion layout)",
+    )
+    yp.add_argument(
+        "--sort-by",
+        choices=["database", "alphabetical"],
+        default=None,
+        help="column ordering for the sort transform",
+    )
+    yp.add_argument(
+        "--auto-apply",
+        action="store_true",
+        help="organize: apply the restructure plan without printing it first",
+    )
 
     lp = sub.add_parser("lint", help="lint model SQL")
     lp.add_argument("models", nargs="*")

@@ -256,10 +256,15 @@ def sort_columns_as_configured(ctx: YamlRefactorContext, node: str | None = None
     step(ctx, node)
 
 
-def sync_to_yaml(ctx: YamlRefactorContext, node: str | None = None) -> list[Path]:
+def sync_to_yaml(
+    ctx: YamlRefactorContext, node: str | None = None, dry_run: bool = False
+) -> list[Path]:
     """Write per-node column docs into sidecar schema YAML (SURVEY M23,
     reference: src/dbt_osmosis/core/sync_operations.py:21-313) with atomic
-    replace; returns written paths.
+    replace; returns written paths. ``dry_run`` computes the same merged
+    documents and returns the paths that WOULD be written without touching
+    disk (the reference's --dry-run mutation tracking,
+    src/dbt_osmosis/core/schema/writer.py:118-240).
 
     With the `fusion_compat` setting on, column meta/tags nest under
     `config:` (the dbt-fusion schema layout, reference:
@@ -307,7 +312,8 @@ def sync_to_yaml(ctx: YamlRefactorContext, node: str | None = None) -> list[Path
         node_obj = ctx.manifest.models[name]
         if node_obj.description:
             entry["description"] = node_obj.description
-        ctx.yaml.write(path, doc)
+        if not dry_run:
+            ctx.yaml.write(path, doc)
         written.append(path)
     return written
 

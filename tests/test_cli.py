@@ -272,3 +272,26 @@ def test_cli_retry_edge_cases(proj, tmp_path, capsys):
         _run(proj, tmp_path, "run", "--fail-fast")
     capsys.readouterr()
     assert not (Path(proj) / "target" / "run_results.json").exists()
+
+
+def test_cli_yaml_flags(proj, tmp_path, capsys):
+    """Reference yaml flags map to context settings: --dry-run touches
+    nothing, --output-to-lower/--fusion-compat/--sort-by/
+    --force-inherit-descriptions reach the transforms."""
+    from pathlib import Path
+
+    before = {p: p.read_text() for p in Path(proj).rglob("*.yml")}
+    rc = _run(proj, tmp_path, "yaml", "sync", "--dry-run")
+    out = capsys.readouterr().out
+    assert rc == 0 and "would write" in out
+    after = {p: p.read_text() for p in Path(proj).rglob("*.yml")}
+    assert before == after, "--dry-run wrote files"
+
+    rc = _run(proj, tmp_path, "yaml", "organize", "--dry-run")
+    out = capsys.readouterr().out
+    assert rc == 0 and "dry-run:" in out
+
+    # fusion-compat layout actually lands in the written YAML
+    rc = _run(proj, tmp_path, "yaml", "sync", "--fusion-compat")
+    assert rc == 0
+    capsys.readouterr()
