@@ -213,6 +213,14 @@ def cmd_yaml(args) -> int:
         print(f"organized {len(written)} yaml file(s)")
         return 0
 
+    # positional models scope the whole pipeline (the reference's
+    # per-model yaml invocation); default is every non-ephemeral node
+    targets = [m for m in (getattr(args, "models", None) or [])]
+    unknown = [m for m in targets if m not in manifest.models]
+    if unknown:
+        print(f"unknown model(s): {', '.join(unknown)}", file=sys.stderr)
+        return 2
+
     pipeline = (
         inject_missing_columns
         >> remove_columns_not_in_database
@@ -220,14 +228,24 @@ def cmd_yaml(args) -> int:
         >> sort_columns_as_in_database
         >> synchronize_data_types
     )
-    pipeline(ctx)
+    if targets:
+        for m in targets:
+            pipeline(ctx, m)
+    else:
+        pipeline(ctx)
     if args.action == "document":
-        report = synthesize_missing_documentation(ctx.columns_of, manifest.topo_sort())
+        order = [m for m in manifest.topo_sort() if not targets or m in targets]
+        report = synthesize_missing_documentation(ctx.columns_of, order)
         print(
             f"documented {len(report.described)} column(s) "
             f"({report.bulk_calls} bulk / {report.single_calls} single calls)"
         )
-    written = sync_to_yaml(ctx, dry_run=dry_run)
+    if targets:
+        written = []
+        for m in targets:
+            written.extend(sync_to_yaml(ctx, node=m, dry_run=dry_run))
+    else:
+        written = sync_to_yaml(ctx, dry_run=dry_run)
     verb = "would write" if dry_run else "wrote"
     print(f"{verb} {len(written)} yaml file(s)")
     if args.check and ctx.mutated:
@@ -628,6 +646,9 @@ def build_parser() -> argparse.ArgumentParser:
     yp = sub.add_parser("yaml", help="yaml pipeline: refactor/organize/document/sync")
     yp.add_argument(
         "action", choices=["refactor", "organize", "document", "sync", "check-schemas"]
+    )
+    yp.add_argument(
+        "models", nargs="*", help="scope the pipeline to these models (default: all)"
     )
     yp.add_argument("--check", action="store_true", help="exit 1 if anything mutated")
     # the reference's yaml flags (src/dbt_osmosis/cli/main.py) — each maps

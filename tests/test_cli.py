@@ -295,3 +295,19 @@ def test_cli_yaml_flags(proj, tmp_path, capsys):
     rc = _run(proj, tmp_path, "yaml", "sync", "--fusion-compat")
     assert rc == 0
     capsys.readouterr()
+
+
+def test_cli_yaml_model_scoped(proj, tmp_path, capsys):
+    """Positional models scope the yaml pipeline: only the named model's
+    sidecar is written; unknown names exit 2."""
+    from pathlib import Path
+
+    rc = _run(proj, tmp_path, "yaml", "sync", "customers")
+    out = capsys.readouterr().out
+    assert rc == 0 and "wrote 1 yaml file(s)" in out
+    doc = pyyaml.safe_load((Path(proj) / "models/marts/customers.yml").read_text())
+    assert any(c["name"] == "customer_id" for c in doc["models"][0]["columns"])
+
+    rc = _run(proj, tmp_path, "yaml", "sync", "no_such_model")
+    assert rc == 2
+    assert "unknown model(s): no_such_model" in capsys.readouterr().err
