@@ -404,3 +404,59 @@ def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
 def t09_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
     return normalize_text(docs).select("doc_id", "norm_text", "n_tokens").orderBy("doc_id")
+
+
+# ---- t10: readability scoring (Flesch reading ease, heuristic syllables) ---
+# Syllables = vowel-group count per token (the standard cheap heuristic),
+# sentences = terminal-punctuation count (min 1). All counts are exact
+# integers computed by JVM regexes inside higher-order functions — zero
+# Python, map-side only; the Flesch formula is then deterministic IEEE
+# double arithmetic, identical in both engines.
+
+_T10_ORACLE = """
+WITH feat AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(string_split(trim(text), ' '),
+              x -> len(regexp_extract_all(x, '[aeiouy]+')))) AS BIGINT) AS n_syllables,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]')), 1) AS BIGINT) AS n_sentences
+  FROM documents
+)
+SELECT doc_id, source, n_words, n_syllables, n_sentences,
+       round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6) AS flesch
+FROM feat
+WHERE n_words > 0
+ORDER BY doc_id
+"""
+
+
+@register("t10_readability", oracle=_T10_ORACLE)
+def t10_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    tok = tokens()
+    feat = docs.select(
+        "doc_id",
+        "source",
+        F.size(tok).cast("bigint").alias("n_words"),
+        F.expr(
+            "CAST(aggregate(split(trim(text), ' '), 0, "
+            "(acc, x) -> acc + size(regexp_extract_all(x, '[aeiouy]+', 0))) AS BIGINT)"
+        ).alias("n_syllables"),
+        F.greatest(
+            F.expr("size(regexp_extract_all(text, '[.!?]', 0))"), F.lit(1)
+        )
+        .cast("bigint")
+        .alias("n_sentences"),
+    )
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words").cast("double") / F.col("n_sentences"))
+        - F.lit(84.6) * (F.col("n_syllables").cast("double") / F.col("n_words")),
+        6,
+    )
+    return (
+        feat.filter(F.col("n_words") > 0)
+        .select("doc_id", "source", "n_words", "n_syllables", "n_sentences", flesch.alias("flesch"))
+        .orderBy("doc_id")
+    )
