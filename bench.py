@@ -51,21 +51,22 @@ def main() -> None:
     for name in HEADLINE:
         QUERIES[name](spark, "/root/testdata/sf0.001").collect()
 
-    # Best-of-3 per query: this container shares a host, and single-shot
-    # timings jitter by up to 4x under neighbor load. The minimum is the
+    # Best-of-3 per query, reps back-to-back (same methodology as r2):
+    # this container shares a host and single-shot timings jitter by up to
+    # 4x under neighbor load; the minimum of consecutive warm reps is the
     # steady-state cost of the plan — what a deployment would see.
-    # Reps run ROUND-ROBIN across queries (not back-to-back): host load
-    # spikes last seconds, and three consecutive reps of one query can all
-    # land inside a spike; interleaving spreads each query's reps across
-    # the whole suite window so its minimum dodges transient noise.
+    # (Interleaving reps across queries was tried and rejected: it trades
+    # spike robustness for cold JIT/executor state per rep and raised
+    # every steady-state minimum ~20%.)
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    times: dict[str, float] = {name: float("inf") for name in HEADLINE}
-    for _ in range(reps):
-        for name in HEADLINE:
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        best = float("inf")
+        for _ in range(reps):
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).collect()
-            times[name] = min(times[name], time.perf_counter() - t0)
-    times = {k: round(v, 3) for k, v in times.items()}
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     print(
