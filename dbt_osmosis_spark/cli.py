@@ -158,6 +158,7 @@ def cmd_yaml(args) -> int:
         inject_missing_columns,
         load_docs_from_yaml,
         remove_columns_not_in_database,
+        sort_columns_alphabetically,
         sort_columns_as_in_database,
         sync_to_yaml,
         synchronize_data_types,
@@ -179,13 +180,9 @@ def cmd_yaml(args) -> int:
     # CLI flags become explicit context settings — the top tier of the
     # resolution chain (explicit > dbt-osmosis.yml > project vars)
     settings = {
-        k: True
-        for k, flag in (
-            ("force_inherit_descriptions", "force_inherit_descriptions"),
-            ("output_to_lower", "output_to_lower"),
-            ("fusion_compat", "fusion_compat"),
-        )
-        if getattr(args, flag, False)
+        name: True
+        for name in ("force_inherit_descriptions", "output_to_lower", "fusion_compat")
+        if getattr(args, name, False)
     }
     if getattr(args, "sort_by", None):
         settings["sort_by"] = args.sort_by
@@ -198,34 +195,62 @@ def cmd_yaml(args) -> int:
     load_docs_from_yaml(ctx)
 
     if args.action == "organize":
-        if not dry_run:
-            created = create_missing_source_yamls(spark, manifest, args.project_dir)
-            if created.created:
-                print(f"bootstrapped sources: {', '.join(created.created)}")
+        created = create_missing_source_yamls(
+            spark, manifest, args.project_dir, dry_run=dry_run
+        )
+        if created.created:
+            verb = "would bootstrap" if dry_run else "bootstrapped"
+            print(f"{verb} sources: {', '.join(created.created)}")
         plan = draft_restructure_plan(manifest, args.project_dir)
-        if dry_run or not getattr(args, "auto_apply", True):
-            for op in plan.operations:
-                print(f"plan: {op.describe()}")
+        for op in plan.operations:
+            print(f"plan: {op.describe()}")
         if dry_run:
             print(f"dry-run: {len(plan.operations)} operation(s), nothing written")
+            return 0
+        # reference semantics: the plan applies only under --auto-apply
+        # (interactive confirmation is the reference's other path; this CLI
+        # is non-interactive, so preview is the default)
+        if plan.operations and not getattr(args, "auto_apply", False):
+            print(
+                f"{len(plan.operations)} operation(s) planned; "
+                "pass --auto-apply to apply them"
+            )
             return 0
         written = apply_restructure_plan(plan, ctx.yaml)
         print(f"organized {len(written)} yaml file(s)")
         return 0
 
     # positional models scope the whole pipeline (the reference's
-    # per-model yaml invocation); default is every non-ephemeral node
-    targets = [m for m in (getattr(args, "models", None) or [])]
+    # per-model yaml invocation); default is every non-ephemeral node.
+    # Ephemeral models never become relations (no columns to introspect) —
+    # the unscoped path excludes them, so the scoped path must too.
+    targets = list(dict.fromkeys(getattr(args, "models", None) or []))
     unknown = [m for m in targets if m not in manifest.models]
     if unknown:
         print(f"unknown model(s): {', '.join(unknown)}", file=sys.stderr)
         return 2
+    ephemeral = [
+        m for m in targets if manifest.models[m].materialized == "ephemeral"
+    ]
+    if ephemeral:
+        print(
+            f"skipping ephemeral model(s) (no relation to introspect): "
+            f"{', '.join(ephemeral)}"
+        )
+        targets = [m for m in targets if m not in ephemeral]
+        if not targets:
+            return 0
 
+    sort_step = (
+        sort_columns_alphabetically
+        if settings.get("sort_by") == "alphabetical"
+        else sort_columns_as_in_database
+    )
     pipeline = (
         inject_missing_columns
         >> remove_columns_not_in_database
         >> inherit_upstream_column_knowledge
-        >> sort_columns_as_in_database
+        >> sort_step
         >> synchronize_data_types
     )
     if targets:
@@ -243,7 +268,9 @@ def cmd_yaml(args) -> int:
     if targets:
         written = []
         for m in targets:
-            written.extend(sync_to_yaml(ctx, node=m, dry_run=dry_run))
+            for p in sync_to_yaml(ctx, node=m, dry_run=dry_run):
+                if p not in written:  # versioned models share a sidecar
+                    written.append(p)
     else:
         written = sync_to_yaml(ctx, dry_run=dry_run)
     verb = "would write" if dry_run else "wrote"
@@ -660,7 +687,9 @@ def build_parser() -> argparse.ArgumentParser:
         help="overwrite existing child descriptions with ancestors'",
     )
     yp.add_argument(
-        "--output-to-lower", action="store_true", help="lowercase synced column names/types"
+        "--output-to-lower",
+        action="store_true",
+        help="lowercase column names and data types in the written YAML",
     )
     yp.add_argument(
         "--fusion-compat",
@@ -676,7 +705,7 @@ def build_parser() -> argparse.ArgumentParser:
     yp.add_argument(
         "--auto-apply",
         action="store_true",
-        help="organize: apply the restructure plan without printing it first",
+        help="organize: apply the restructure plan (default: preview only)",
     )
 
     lp = sub.add_parser("lint", help="lint model SQL")

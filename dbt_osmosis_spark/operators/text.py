@@ -433,7 +433,7 @@ ORDER BY doc_id
 
 @register("t10_readability", oracle=_T10_ORACLE)
 def t10_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
     tok = tokens()
     feat = docs.select(
         "doc_id",

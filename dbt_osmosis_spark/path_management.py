@@ -80,12 +80,15 @@ def create_missing_source_yamls(
     project_dir: str | Path,
     source_name: str = "main",
     database: str | None = None,
+    dry_run: bool = False,
 ) -> SourceBootstrapResult:
     """Register catalog tables that no declared source covers.
 
     One `listTables` sweep (the reference's `list_relations`), then a schema
     describe per new table; appends to <project_dir>/sources.yml and mirrors
     the entries into manifest.sources so a reload isn't required.
+    ``dry_run`` reports the would-be-created tables without writing the
+    file or mutating the manifest.
     """
     try:
         import yaml as _pyyaml
@@ -117,11 +120,14 @@ def create_missing_source_yamls(
             }
         )
         key = f"{source_name}.{name}"
-        manifest.sources[key] = SourceNode(
-            name=key, path=name, format="table", schema=source_name
-        )
+        if not dry_run:
+            manifest.sources[key] = SourceNode(
+                name=key, path=name, format="table", schema=source_name
+            )
         result.created.append(name)
 
+    if dry_run:
+        return result
     src_file = project_dir / "sources.yml"
     doc = _pyyaml.safe_load(src_file.read_text()) if src_file.exists() else None
     doc = doc or {"version": 2, "sources": []}

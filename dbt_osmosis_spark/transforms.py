@@ -271,6 +271,7 @@ def sync_to_yaml(
     src/dbt_osmosis/core/sync_operations.py:210-257); default is the
     classic flat layout."""
     fusion = bool(ctx.settings.get("fusion_compat"))
+    lower = bool(ctx.settings.get("output_to_lower"))
     written: list[Path] = []
     candidates = [node] if node else [
         n
@@ -303,6 +304,12 @@ def sync_to_yaml(
                     if v or k == "description"  # keep empty description keys
                 },
             }
+            if lower:
+                # reference --output-to-lower: column names and types land
+                # lowercase in the written YAML (transforms.py:321-399)
+                item["name"] = item["name"].lower()
+                if isinstance(item.get("data_type"), str):
+                    item["data_type"] = item["data_type"].lower()
             if fusion and (item.get("meta") or item.get("tags")):
                 item["config"] = {
                     k: item.pop(k) for k in ("meta", "tags") if item.get(k)

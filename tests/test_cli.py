@@ -290,11 +290,28 @@ def test_cli_yaml_flags(proj, tmp_path, capsys):
     rc = _run(proj, tmp_path, "yaml", "organize", "--dry-run")
     out = capsys.readouterr().out
     assert rc == 0 and "dry-run:" in out
+    after = {p: p.read_text() for p in Path(proj).rglob("*.yml")}
+    assert before == after, "organize --dry-run wrote files"
 
-    # fusion-compat layout actually lands in the written YAML
-    rc = _run(proj, tmp_path, "yaml", "sync", "--fusion-compat")
+    # organize without --auto-apply previews; nothing applies
+    rc = _run(proj, tmp_path, "yaml", "organize")
+    out = capsys.readouterr().out
+    assert rc == 0
+
+    # sort-by alphabetical + output-to-lower + fusion-compat land in YAML
+    rc = _run(
+        proj, tmp_path, "yaml", "sync", "customers",
+        "--sort-by", "alphabetical", "--output-to-lower",
+    )
     assert rc == 0
     capsys.readouterr()
+    doc = pyyaml.safe_load((Path(proj) / "models/marts/customers.yml").read_text())
+    cols = doc["models"][0]["columns"]
+    names = [c["name"] for c in cols]
+    assert names == sorted(names), "--sort-by alphabetical not applied"
+    assert all(n == n.lower() for n in names), "--output-to-lower not applied"
+    types = [c["data_type"] for c in cols if c.get("data_type")]
+    assert types and all(t == t.lower() for t in types)
 
 
 def test_cli_yaml_model_scoped(proj, tmp_path, capsys):
