@@ -432,3 +432,34 @@ def test_manifest_artifact_is_portable_across_roots(tmp_path):
     m2 = load_manifest_json(art, project_dir=str(rootB))
     for seed in m2.seeds.values():
         assert Path(seed.path).is_file(), seed.path
+
+
+def test_load_run_results_dbt_core_shapes(tmp_path):
+    """run_results.json interop: names come from unique_id — dbt-core's
+    relation_name is a quoted fully-qualified string and must not leak in;
+    versioned models and sources map to the engine's local node names."""
+    import json as _json
+
+    from dbt_osmosis_spark.artifacts import load_run_results
+
+    doc = {
+        "results": [
+            {
+                "unique_id": "model.jaffle.customers",
+                "relation_name": '"dev"."main"."customers"',
+                "status": "error",
+            },
+            {"unique_id": "model.jaffle.stg_customers.v2", "status": "skipped"},
+            {"unique_id": "source.jaffle.raw.orders_tbl", "status": "success"},
+            {"unique_id": "seed.jaffle.raw_customers", "status": "success"},
+        ]
+    }
+    p = tmp_path / "run_results.json"
+    p.write_text(_json.dumps(doc))
+    got = load_run_results(p)
+    assert got == {
+        "customers": "error",
+        "stg_customers_v2": "skipped",
+        "raw.orders_tbl": "success",
+        "raw_customers": "success",
+    }
