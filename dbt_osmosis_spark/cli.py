@@ -48,7 +48,11 @@ def _load_manifest(args):
         return load_manifest_json(mf, vars=vars_, project_dir=pin)
     from dbt_osmosis_spark.project import load_project
 
-    return load_project(args.project_dir)
+    return load_project(
+        args.project_dir,
+        profiles_dir=getattr(args, "profiles_dir", None),
+        target=getattr(args, "target", None),
+    )
 
 
 def _build_context(args, need_spark: bool = True, read_only: bool = True):
@@ -627,6 +631,14 @@ def build_parser() -> argparse.ArgumentParser:
     # None -> "." after recording explicitness.
     p.add_argument("--project-dir", default=None, help="project directory (default: .)")
     p.add_argument("--manifest", default=None, help="load a pre-parsed public dbt target/manifest.json instead of parsing --project-dir")
+    p.add_argument(
+        "--profiles-dir",
+        default=None,
+        help="directory holding profiles.yml (dbt --profiles-dir; default: the project dir)",
+    )
+    p.add_argument(
+        "--target", default=None, help="profile target to record (dbt --target)"
+    )
     p.add_argument("--warehouse-dir", default="/tmp/dbt_osmosis_spark_warehouse")
     sub = p.add_subparsers(dest="command", required=True)
 

@@ -476,7 +476,11 @@ def _paths(cfg: dict, key: str, default: str) -> list[str]:
     return [v] if isinstance(v, str) else list(v)
 
 
-def load_project(project_dir: str | Path) -> Manifest:
+def load_project(
+    project_dir: str | Path,
+    profiles_dir: str | Path | None = None,
+    target: str | None = None,
+) -> Manifest:
     """Parse a project directory into a Manifest (the reference's
     `create_dbt_project_context` analog, reference:
     src/dbt_osmosis/core/config.py:610-660 — minus dbt-core).
@@ -492,6 +496,12 @@ def load_project(project_dir: str | Path) -> Manifest:
       at an existing dbt repo and it loads.
     - **native layout**: `project.yml` + `sources.yml` (path-explicit
       sources), as used by this repo's demo project.
+
+    ``profiles_dir`` overrides where `profiles.yml` is read from (dbt's
+    --profiles-dir; default is the project directory, matching dbt's
+    project-local profile lookup). ``target`` overrides the profile's
+    default target (dbt's --target); both are metadata here — Spark is
+    always the engine.
     """
     project_dir = Path(project_dir)
     manifest = Manifest()
@@ -520,11 +530,13 @@ def load_project(project_dir: str | Path) -> Manifest:
     seed_configs: dict = {} if dbt_layout else (cfg.get("seeds", {}) or {})
 
     manifest.profile = cfg.get("profile")
-    prof_file = project_dir / "profiles.yml"
+    prof_file = (Path(profiles_dir) if profiles_dir else project_dir) / "profiles.yml"
     if dbt_layout and manifest.profile and prof_file.exists() and _pyyaml is not None:
         pcfg = _pyyaml.safe_load(prof_file.read_text()) or {}
         prof = pcfg.get(manifest.profile) or {}
         manifest.target = prof.get("target")
+    if target is not None:
+        manifest.target = target
 
     def _add_source_entry(s: dict, tbl: dict) -> None:
         key = f"{s['name']}.{tbl['name']}"

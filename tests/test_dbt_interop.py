@@ -463,3 +463,19 @@ def test_load_run_results_dbt_core_shapes(tmp_path):
         "raw.orders_tbl": "success",
         "raw_customers": "success",
     }
+
+
+def test_profiles_dir_and_target_overrides(tmp_path):
+    """dbt --profiles-dir/--target: profiles.yml can live outside the
+    project tree, and the target override wins over the profile default."""
+    proj = _jaffle(tmp_path)
+    (proj / "profiles.yml").unlink()
+    alt = tmp_path / "creds"
+    alt.mkdir()
+    (alt / "profiles.yml").write_text(
+        "jaffle:\n  target: prod\n  outputs:\n    prod:\n      type: spark\n"
+    )
+    m = load_project(proj, profiles_dir=alt)
+    assert m.profile == "jaffle" and m.target == "prod"
+    m2 = load_project(proj, profiles_dir=alt, target="ci")
+    assert m2.target == "ci"
