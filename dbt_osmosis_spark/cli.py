@@ -355,6 +355,26 @@ def cmd_catalog(args) -> int:
     return 0
 
 
+def cmd_docs(args) -> int:
+    """`dbt docs generate` analog: write BOTH public artifacts —
+    target/manifest.json (the parsed project) and target/catalog.json
+    (introspected relations) — so downstream dbt tooling (docs sites,
+    lineage viewers, dbt-osmosis itself) can consume this engine's
+    output unchanged."""
+    from dbt_osmosis_spark.artifacts import write_manifest_json
+    from dbt_osmosis_spark.introspect import write_catalog
+
+    spark, manifest = _build_context(args)
+    target_dir = _Path(args.project_dir) / "target"
+    mpath = write_manifest_json(
+        manifest, target_dir / "manifest.json", project_dir=args.project_dir
+    )
+    catalog = write_catalog(spark, str(target_dir / "catalog.json"))
+    print(f"wrote {mpath}")
+    print(f"wrote {target_dir / 'catalog.json'} ({len(catalog['nodes'])} relations)")
+    return 0
+
+
 def cmd_coverage(args) -> int:
     from dbt_osmosis_spark.suggestions import coverage_stats, find_documentation_gaps
     from dbt_osmosis_spark.transforms import YamlRefactorContext, load_docs_from_yaml
@@ -729,6 +749,9 @@ def build_parser() -> argparse.ArgumentParser:
     dp = sub.add_parser("diff", help="yaml-vs-live schema diff for a model")
     dp.add_argument("model")
 
+    dg = sub.add_parser("docs", help="dbt docs generate analog: write target/manifest.json + catalog.json")
+    dg.add_argument("action", choices=["generate"])
+
     cp = sub.add_parser("catalog", help="write catalog.json artifact")
     cp.add_argument("--out", default="catalog.json")
 
@@ -813,6 +836,7 @@ _DISPATCH = {
     "validate": cmd_validate,
     "diff": cmd_diff,
     "catalog": cmd_catalog,
+    "docs": cmd_docs,
     "coverage": cmd_coverage,
     "test-suggest": cmd_test_suggest,
     "test": cmd_test,

@@ -328,3 +328,23 @@ def test_cli_yaml_model_scoped(proj, tmp_path, capsys):
     rc = _run(proj, tmp_path, "yaml", "sync", "no_such_model")
     assert rc == 2
     assert "unknown model(s): no_such_model" in capsys.readouterr().err
+
+
+def test_cli_docs_generate(proj, tmp_path, capsys):
+    """docs generate writes both public artifacts; the manifest round-trips
+    through the artifact loader."""
+    from pathlib import Path
+
+    from dbt_osmosis_spark.artifacts import load_manifest_json
+    from dbt_osmosis_spark.project import load_project
+
+    rc = _run(proj, tmp_path, "docs", "generate")
+    out = capsys.readouterr().out
+    assert rc == 0 and "manifest.json" in out and "catalog.json" in out
+    target = Path(proj) / "target"
+    assert (target / "manifest.json").is_file() and (target / "catalog.json").is_file()
+    m1 = load_project(proj)
+    m2 = load_manifest_json(target / "manifest.json", project_dir=proj)
+    assert set(m2.models) == set(m1.models)
+    cat = json.loads((target / "catalog.json").read_text())
+    assert "customers" in cat["nodes"]
