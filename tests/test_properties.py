@@ -173,3 +173,89 @@ def test_fingerprint_stable_under_config_ordering_and_sql_sensitive(sql, cfg):
     assert f1 == f2  # dict ordering never matters
     f3 = fingerprint(mk(sql + "x", cfg))
     assert f1["model:m"] != f3["model:m"]  # any body edit is detected
+
+
+@st.composite
+def rich_manifests(draw):
+    """Random manifests exercising the artifact writer/loader surface:
+    models with deps/config/tags/columns, seeds, sources (with and without
+    paths), hooks, exposures."""
+    n = draw(st.integers(min_value=1, max_value=8))
+    models = {}
+    for i in range(n):
+        deps = (
+            draw(st.lists(st.integers(min_value=0, max_value=i - 1), max_size=3, unique=True))
+            if i
+            else []
+        )
+        models[f"m{i}"] = ModelNode(
+            name=f"m{i}",
+            raw_sql=draw(st.text(alphabet="selct from1 ", min_size=1, max_size=30)),
+            path=f"models/m{i}.sql",
+            materialized=draw(st.sampled_from(["view", "table", "ephemeral", "incremental"])),
+            depends_on=sorted(f"m{d}" for d in deps),
+            description=draw(st.text(max_size=20)),
+            tags=draw(st.lists(names, max_size=2, unique=True)),
+            config=draw(
+                st.dictionaries(names, st.one_of(st.integers(), st.booleans(), names), max_size=3)
+            ),
+            columns=[
+                {"name": c, "description": draw(st.text(max_size=10))}
+                for c in draw(st.lists(names, max_size=3, unique=True))
+            ],
+            meta=draw(st.dictionaries(names, st.integers(), max_size=2)),
+        )
+    from dbt_osmosis_spark.project import SeedNode, SourceNode
+
+    manifest = Manifest(models=models, project_name=draw(names))
+    for s in draw(st.lists(names, max_size=2, unique=True)):
+        manifest.seeds[s] = SeedNode(name=s, path=f"seeds/{s}.csv")
+    for s in draw(st.lists(names, max_size=2, unique=True)):
+        key = f"raw.{s}"
+        manifest.sources[key] = SourceNode(
+            name=key,
+            path=draw(st.one_of(st.none(), st.just(f"data/{s}.parquet"))),
+            schema="raw",
+        )
+    manifest.on_run_start = draw(st.lists(st.just("select 1"), max_size=2))
+    manifest.exposures = {
+        e: {"type": "dashboard", "owner": {}, "description": "", "depends_on": []}
+        for e in draw(st.lists(names, max_size=1, unique=True))
+    }
+    return manifest
+
+
+@given(rich_manifests())
+@settings(max_examples=40, deadline=None)
+def test_manifest_artifact_roundtrip_property(manifest):
+    """write -> load of the public artifact schema preserves the graph:
+    node sets, dependency edges, materializations, configs, columns,
+    descriptions, hooks, and declared-only sources."""
+    import json
+    import tempfile
+    from pathlib import Path
+
+    from dbt_osmosis_spark.artifacts import load_manifest_json, write_manifest_json
+
+    with tempfile.TemporaryDirectory() as td:
+        art = Path(td) / "manifest.json"
+        write_manifest_json(manifest, art)
+        json.loads(art.read_text())  # valid JSON on disk
+        m2 = load_manifest_json(art)
+    assert set(m2.models) == set(manifest.models)
+    assert set(m2.seeds) == set(manifest.seeds)
+    assert set(m2.sources) == set(manifest.sources)
+    for name, node in manifest.models.items():
+        got = m2.models[name]
+        assert got.depends_on == sorted(node.depends_on), name
+        assert got.materialized == node.materialized, name
+        assert got.description == node.description, name
+        assert sorted(got.tags) == sorted(node.tags), name
+        assert {c["name"] for c in got.columns if isinstance(c, dict)} == {
+            c["name"] for c in node.columns
+        }, name
+        assert got.meta == node.meta, name
+    for key, src in manifest.sources.items():
+        assert (m2.sources[key].path is None) == (src.path is None), key
+    assert m2.on_run_start == manifest.on_run_start
+    assert set(m2.exposures) == set(manifest.exposures)
