@@ -343,3 +343,59 @@ def p15_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# --------------------------------------------------------------------------
+# p16: incremental dedup against an existing corpus
+# --------------------------------------------------------------------------
+# Production dedup is rarely one-shot: a new crawl batch must dedup against
+# BOTH the already-ingested corpus (its fingerprint table) and itself.
+# The scale shape: the corpus side is fingerprints only (16-byte hashes,
+# not documents); the incoming batch anti-joins it on the hash, then
+# first-occurrence-wins within the batch. One shuffle on the hash for the
+# join + one for the window — never touches corpus text. Here the
+# "existing corpus" is the deterministic doc_id % 5 == 0 slice.
+
+_P16_ORACLE = """
+WITH corpus AS (
+  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 5 = 0
+),
+incoming AS (
+  SELECT doc_id, md5(text) AS h, n_chars FROM documents WHERE doc_id % 5 <> 0
+),
+fresh AS (
+  SELECT i.doc_id, i.h, i.n_chars
+  FROM incoming i LEFT JOIN corpus c ON i.h = c.h
+  WHERE c.h IS NULL
+),
+ranked AS (
+  SELECT doc_id, h, n_chars,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+  FROM fresh
+)
+SELECT doc_id, h AS content_hash, n_chars
+FROM ranked WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+@register("p16_incremental_dedup", oracle=_P16_ORACLE)
+def p16_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as _W
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    h = F.md5(F.col("text").cast("binary"))
+    corpus = (
+        docs.filter(F.col("doc_id") % 5 == 0).select(h.alias("h")).distinct()
+    )
+    incoming = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id", h.alias("h"), "n_chars"
+    )
+    fresh = incoming.join(corpus, "h", "left_anti")
+    w = _W.partitionBy("h").orderBy("doc_id")
+    return (
+        fresh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("h").alias("content_hash"), "n_chars")
+        .orderBy("doc_id")
+    )
