@@ -466,3 +466,81 @@ def load_run_results(path: str | Path) -> dict[str, str]:
         if name:
             out[name] = entry.get("status") or "unknown"
     return out
+
+
+# --------------------------------------------------------------------------
+# catalog.json: the public dbt docs artifact
+# --------------------------------------------------------------------------
+# Schema: https://schemas.getdbt.com/dbt/catalog/v1.json. dbt docs sites and
+# dbt-osmosis's catalog path key nodes by unique_id with name-keyed column
+# dicts; the engine's internal catalog (introspect.py) keeps its simpler
+# relation-keyed shape for its own cache, and `docs generate` emits THIS
+# public form.
+
+_CATALOG_SCHEMA_URL = "https://schemas.getdbt.com/dbt/catalog/v1.json"
+
+
+def write_catalog_json(manifest: Manifest, spark, path: str | Path) -> dict:
+    """Public dbt catalog artifact for every manifest node with a live
+    relation (models/seeds by relation name, sources by key). Columns come
+    from the Spark catalog — one schema lookup per node, no data scans."""
+    from dbt_osmosis_spark.introspect import get_columns
+    from dbt_osmosis_spark.runner import relation_name
+
+    def entry(uid: str, rel: str, schema: str) -> dict | None:
+        try:
+            cols = get_columns(spark, rel, use_cache=False)
+        except Exception:  # noqa: BLE001 - node without a live relation
+            return None
+        return {
+            "unique_id": uid,
+            "metadata": {"type": "view", "schema": schema, "name": rel},
+            "columns": {
+                c.name: {
+                    "name": c.name,
+                    "type": c.data_type,
+                    "index": i + 1,
+                    "comment": None,
+                }
+                for i, c in enumerate(cols)
+            },
+            "stats": {},
+        }
+
+    nodes: dict[str, dict] = {}
+    for name, node in manifest.models.items():
+        if node.materialized == "ephemeral":
+            continue
+        uid = _uid_for(manifest, name) or f"model.{manifest.project_name}.{name}"
+        e = entry(uid, relation_name(name), "main")
+        if e:
+            nodes[uid] = e
+    for name in manifest.seeds:
+        e = entry(f"seed.{manifest.project_name}.{name}", relation_name(name), "main")
+        if e:
+            nodes[f"seed.{manifest.project_name}.{name}"] = e
+    sources: dict[str, dict] = {}
+    for key, src in manifest.sources.items():
+        if src.path is None:
+            continue
+        uid = f"source.{manifest.project_name}.{key}"
+        e = entry(uid, relation_name(key), src.schema or "main")
+        if e:
+            sources[uid] = e
+
+    doc = {
+        "metadata": {
+            "dbt_schema_version": _CATALOG_SCHEMA_URL,
+            "project_name": manifest.project_name,
+            "adapter_type": "spark",
+        },
+        "nodes": nodes,
+        "sources": sources,
+        "errors": None,
+    }
+    out = Path(path)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    tmp = out.with_suffix(out.suffix + ".tmp")
+    tmp.write_text(json.dumps(doc, indent=1, sort_keys=True))
+    os.replace(tmp, out)
+    return doc

@@ -45,7 +45,13 @@ def _load_manifest(args):
         # resolve relative seed/source paths — the artifact knows its
         # project root, the caller's CWD does not
         pin = args.project_dir if getattr(args, "explicit_project_dir", True) else None
-        return load_manifest_json(mf, vars=vars_, project_dir=pin)
+        m = load_manifest_json(mf, vars=vars_, project_dir=pin)
+        # --target applies on this path too (the artifact carries no
+        # profile, so there is no default to read; --profiles-dir is only
+        # meaningful when parsing a project tree)
+        if getattr(args, "target", None):
+            m.target = args.target
+        return m
     from dbt_osmosis_spark.project import load_project
 
     return load_project(
@@ -361,17 +367,16 @@ def cmd_docs(args) -> int:
     (introspected relations) — so downstream dbt tooling (docs sites,
     lineage viewers, dbt-osmosis itself) can consume this engine's
     output unchanged."""
-    from dbt_osmosis_spark.artifacts import write_manifest_json
-    from dbt_osmosis_spark.introspect import write_catalog
+    from dbt_osmosis_spark.artifacts import write_catalog_json, write_manifest_json
 
     spark, manifest = _build_context(args)
     target_dir = _Path(args.project_dir) / "target"
     mpath = write_manifest_json(
         manifest, target_dir / "manifest.json", project_dir=args.project_dir
     )
-    catalog = write_catalog(spark, str(target_dir / "catalog.json"))
+    catalog = write_catalog_json(manifest, spark, target_dir / "catalog.json")
     print(f"wrote {mpath}")
-    print(f"wrote {target_dir / 'catalog.json'} ({len(catalog['nodes'])} relations)")
+    print(f"wrote {target_dir / 'catalog.json'} ({len(catalog['nodes'])} nodes)")
     return 0
 
 

@@ -261,9 +261,11 @@ class JinjaCompiler:
             execute=self.spark is not None,
             dbt_utils=_DbtUtils(self),
             # dbt target context: the engine IS the target (profiles.yml's
-            # role collapses to the SparkSession)
+            # role collapses to the SparkSession), but target.name carries
+            # the profile's selected output (or --target override) so
+            # `{% if target.name == 'prod' %}` project logic still branches
             target={
-                "name": "spark",
+                "name": self.manifest.target or "spark",
                 "type": "spark",
                 "schema": "default",
                 "threads": 1,

@@ -381,8 +381,6 @@ ORDER BY doc_id
 
 @register("p16_incremental_dedup", oracle=_P16_ORACLE)
 def p16_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as _W
-
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     h = F.md5(F.col("text").cast("binary"))
     corpus = (
@@ -392,7 +390,7 @@ def p16_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", h.alias("h"), "n_chars"
     )
     fresh = incoming.join(corpus, "h", "left_anti")
-    w = _W.partitionBy("h").orderBy("doc_id")
+    w = W.partitionBy("h").orderBy("doc_id")
     return (
         fresh.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

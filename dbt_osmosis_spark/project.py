@@ -531,9 +531,18 @@ def load_project(
 
     manifest.profile = cfg.get("profile")
     prof_file = (Path(profiles_dir) if profiles_dir else project_dir) / "profiles.yml"
-    if dbt_layout and manifest.profile and prof_file.exists() and _pyyaml is not None:
+    if profiles_dir is not None and not prof_file.exists():
+        # an explicit --profiles-dir pointing nowhere must fail loudly
+        # (dbt errors when the profile cannot be found), never degrade to
+        # target=None indistinguishable from success
+        raise ValueError(f"--profiles-dir: no profiles.yml at {prof_file}")
+    if manifest.profile and prof_file.exists() and _pyyaml is not None:
         pcfg = _pyyaml.safe_load(prof_file.read_text()) or {}
         prof = pcfg.get(manifest.profile) or {}
+        if profiles_dir is not None and not prof:
+            raise ValueError(
+                f"profile '{manifest.profile}' not found in {prof_file}"
+            )
         manifest.target = prof.get("target")
     if target is not None:
         manifest.target = target

@@ -347,4 +347,10 @@ def test_cli_docs_generate(proj, tmp_path, capsys):
     m2 = load_manifest_json(target / "manifest.json", project_dir=proj)
     assert set(m2.models) == set(m1.models)
     cat = json.loads((target / "catalog.json").read_text())
-    assert "customers" in cat["nodes"]
+    # public catalog schema: metadata header, nodes keyed by unique_id,
+    # name-keyed column dicts with 1-based ordinals
+    assert "dbt_schema_version" in cat["metadata"]
+    uid = f"model.{m1.project_name}.customers"
+    assert uid in cat["nodes"]
+    cols = cat["nodes"][uid]["columns"]
+    assert "customer_id" in cols and cols["customer_id"]["index"] >= 1

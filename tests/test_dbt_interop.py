@@ -479,3 +479,25 @@ def test_profiles_dir_and_target_overrides(tmp_path):
     assert m.profile == "jaffle" and m.target == "prod"
     m2 = load_project(proj, profiles_dir=alt, target="ci")
     assert m2.target == "ci"
+
+
+def test_target_name_reaches_jinja(tmp_path):
+    """--target / profile target flows into {{ target.name }} so
+    environment-branching project logic compiles correctly."""
+    from dbt_osmosis_spark.compile import JinjaCompiler
+
+    proj = _jaffle(tmp_path)
+    m = load_project(proj)
+    assert m.target == "dev"
+    sql = "select '{{ target.name }}' as env"
+    assert "'dev'" in JinjaCompiler(m).compile(sql).compiled_sql
+    m2 = load_project(proj, target="prod")
+    assert "'prod'" in JinjaCompiler(m2).compile(sql).compiled_sql
+
+
+def test_profiles_dir_typo_errors_loudly(tmp_path):
+    import pytest as _pytest
+
+    proj = _jaffle(tmp_path)
+    with _pytest.raises(ValueError, match="no profiles.yml"):
+        load_project(proj, profiles_dir=tmp_path / "nope")
