@@ -370,3 +370,53 @@ def q46_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderstatus", "n", "median_price", "mode_priority")
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# q47: time-RANGE window frames — rolling 24h aggregates per user
+# --------------------------------------------------------------------------
+# q26 covers ROWS frames; RANGE BETWEEN INTERVAL frames are the other half
+# of the window surface: the frame is defined by the ORDER BY *value*
+# (event time), so ties and gaps behave differently from row counting —
+# and the rolling-day metric is the canonical feature-engineering shape.
+# One shuffle on user_id; the frame scan is per-partition. Value-based
+# frames are deterministic under ties by construction (all tied rows share
+# a frame), so only the decimal-cast sum is needed for hash parity.
+
+_Q47_ORACLE = """
+WITH rolled AS (
+  SELECT user_id, event_id, ts,
+         COUNT(*) OVER w AS n_24h,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_24h
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, n_24h, round(sum_24h, 4) AS sum_24h
+FROM rolled
+WHERE user_id < 16
+ORDER BY user_id, event_id
+"""
+
+
+@register("q47_range_frame_rolling", oracle=_Q47_ORACLE)
+def q47_range_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    # parameterized spark.sql (thread-safe: no session-global view names)
+    return spark.sql(
+        """
+WITH rolled AS (
+  SELECT user_id, event_id, ts,
+         COUNT(*) OVER w AS n_24h,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_24h
+  FROM {events}
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, n_24h, round(sum_24h, 4) AS sum_24h
+FROM rolled
+WHERE user_id < 16
+ORDER BY user_id, event_id
+""",
+        events=ev,
+    )
