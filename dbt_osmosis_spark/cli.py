@@ -601,15 +601,34 @@ def cmd_source_freshness(args) -> int:
 def cmd_build(args) -> int:
     """`dbt build` analog: materialize everything (seeds, models,
     snapshots, incrementals) then run declared data tests and unit tests;
-    exit 1 on any failure."""
+    exit 1 on any failure. Follows dbt build's failure semantics: a model
+    failure records an error, its dependents skip, the rest keeps
+    building, tests of failed/skipped models are not run, and the public
+    target/run_results.json is written."""
+    import time as _time
+
     from dbt_osmosis_spark.datatests import run_project_tests
+    from dbt_osmosis_spark.runner import materialize
+    from dbt_osmosis_spark.session import get_spark
     from dbt_osmosis_spark.transforms import YamlRefactorContext
     from dbt_osmosis_spark.unittests import run_unit_tests_from_doc
 
-    spark, manifest = _build_context(args, read_only=False)  # materializes the DAG
+    manifest = _load_manifest(args)
+    spark = get_spark(app_name="dbt-osmosis-spark-cli")
+    t0 = _time.perf_counter()
+    report = materialize(
+        spark,
+        manifest,
+        warehouse_dir=args.warehouse_dir,
+        on_error="continue",
+    )
+    bad_models = {r.name for r in report.results if r.status != "success"}
+    for r in report.results:
+        if r.status != "success":
+            print(f"model {r.name}: [{r.status.upper()}] {r.error}")
     ctx = YamlRefactorContext(spark=spark, manifest=manifest, project_dir=args.project_dir)
-    failed = 0
-    for r in run_project_tests(spark, ctx):
+    failed = len(bad_models)
+    for r in run_project_tests(spark, ctx, skip_models=bad_models):
         status = "pass" if r.passed else "FAIL"
         failed += 0 if r.passed else 1
         where = f"{r.model}.{r.column}" if r.column else r.model
@@ -621,9 +640,13 @@ def cmd_build(args) -> int:
         if not (doc or {}).get("unit_tests"):
             continue
         for u in run_unit_tests_from_doc(spark, manifest, doc):
+            if u.model in bad_models:
+                print(f"unit skip {u.model}: {u.name} (model not built)")
+                continue
             status = "pass" if u.passed else "FAIL"
             failed += 0 if u.passed else 1
             print(f"unit {status:4s} {u.model}: {u.name}" + ("" if u.passed else f" — {u.message}"))
+    _write_run_results(args, manifest, report, _time.perf_counter() - t0)
     print(f"build: {'ok' if not failed else f'{failed} failure(s)'}")
     return 1 if failed else 0
 

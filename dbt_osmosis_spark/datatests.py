@@ -186,15 +186,22 @@ def run_model_tests(
 
 
 def run_project_tests(
-    spark: SparkSession, ctx, store_failures_dir: str | None = None
+    spark: SparkSession,
+    ctx,
+    store_failures_dir: str | None = None,
+    skip_models: set[str] | None = None,
 ) -> list[DataTestResult]:
     """All declared tests across the project (ctx = YamlRefactorContext).
-    Reads test declarations from each model's sidecar YAML doc."""
+    Reads test declarations from each model's sidecar YAML doc.
+    ``skip_models`` drops models whose build failed — dbt build never
+    tests a relation that was not (re)built this invocation."""
     from dbt_osmosis_spark.compile import relation_name
     from dbt_osmosis_spark.yaml_engine import model_entry
 
     results: list[DataTestResult] = []
     for name in ctx.manifest.topo_sort():
+        if skip_models and name in skip_models:
+            continue
         path = ctx.doc_path(name)
         if not path.exists():
             continue

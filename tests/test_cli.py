@@ -354,3 +354,30 @@ def test_cli_docs_generate(proj, tmp_path, capsys):
     assert uid in cat["nodes"]
     cols = cat["nodes"][uid]["columns"]
     assert "customer_id" in cols and cols["customer_id"]["index"] >= 1
+
+
+def test_build_continues_and_skips_tests_of_failed_models(tmp_path, capsys):
+    """dbt build semantics: a broken model errors, its tests are not run,
+    healthy models still build+test, run_results.json lands."""
+    from pathlib import Path
+
+    from dbt_osmosis_spark.cli import main
+
+    proj = tmp_path / "proj"
+    (proj / "models").mkdir(parents=True)
+    (proj / "project.yml").write_text("name: builddemo\n")
+    (proj / "models" / "good.sql").write_text("select 1 as id\n")
+    (proj / "models" / "bad.sql").write_text("select oops from nonexistent_rel\n")
+    (proj / "models" / "good.yml").write_text(
+        "models:\n- name: good\n  columns:\n  - name: id\n    tests: [unique, not_null]\n"
+        "- name: bad\n  columns:\n  - name: oops\n    tests: [not_null]\n"
+    )
+    rc = main(["--project-dir", str(proj), "--warehouse-dir", str(tmp_path / "wh"), "build"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "model bad: [ERROR]" in out
+    assert "test pass good.id: unique" in out
+    assert "bad.oops" not in out  # tests of the failed model skipped
+    rr = json.loads((proj / "target" / "run_results.json").read_text())
+    statuses = {e["relation_name"]: e["status"] for e in rr["results"]}
+    assert statuses["bad"] == "error" and statuses["good"] == "success"
