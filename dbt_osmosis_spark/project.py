@@ -316,6 +316,23 @@ class Manifest:
             plus_post = sel.endswith("+")
             name = sel.strip("+")
             if name not in self.models:
+                if name in self.seeds or name in self.sources:
+                    # dbt selectors accept seeds/sources; seeds and sources
+                    # always register here (cheap lazy views), so selecting
+                    # one contributes its model descendants under `name+`
+                    # and nothing otherwise
+                    if plus_post:
+                        out |= {
+                            n
+                            for n, node in self.models.items()
+                            if name in node.depends_on
+                        } | {
+                            d
+                            for n, node in self.models.items()
+                            if name in node.depends_on
+                            for d in closure(n, children)
+                        }
+                    continue
                 raise ValueError(f"unknown model in --select: {name!r}")
             out.add(name)
             if plus_post:

@@ -363,3 +363,21 @@ def test_run_exclude_selector(spark, tmp_path):
         spark, m, warehouse_dir=str(tmp_path / "wh"), select=["b"], exclude=["b"]
     )
     assert [x for x in r2.results if x.kind == "model"] == []
+
+
+def test_select_accepts_seed_and_source_names(spark, tmp_path):
+    """dbt selectors accept seeds/sources: `seed_name+` selects the models
+    reading it; a bare seed name is valid and selects no models (seeds
+    always register)."""
+    import shutil
+
+    proj = tmp_path / "proj"
+    shutil.copytree("/root/repo/demo_spark", proj)
+    from dbt_osmosis_spark.project import load_project
+
+    m = load_project(proj)
+    seed = next(iter(m.seeds))
+    assert m.select([seed]) == set()
+    desc = m.select([f"{seed}+"])
+    direct = {n for n, node in m.models.items() if seed in node.depends_on}
+    assert direct <= desc and desc  # descendants include direct readers
