@@ -301,12 +301,18 @@ class Manifest:
                     for d in deps:
                         out |= closure(d, None)
                 continue
-            if sel in ("state:modified", "state:modified+"):
+            if sel in ("state:modified", "state:modified+", "state:new", "state:new+"):
                 if previous_state is None:
-                    raise ValueError("state:modified requires a --state fingerprint file")
+                    raise ValueError(f"{sel.rstrip('+')} requires a --state fingerprint file")
                 from dbt_osmosis_spark.state import modified_models
 
-                changed = modified_models(self, previous_state)
+                if sel.startswith("state:new"):
+                    # dbt state:new — models with no previous fingerprint
+                    changed = {
+                        n for n in self.models if f"model:{n}" not in previous_state
+                    }
+                else:
+                    changed = modified_models(self, previous_state)
                 out |= changed
                 if sel.endswith("+"):
                     for name in changed:

@@ -137,3 +137,24 @@ def test_exposures_parse_and_select(spark, tmp_path):
     assert exp["depends_on"] == ["agg"] and exp["type"] == "dashboard"
     assert manifest.select(["exposure:weekly_dash"]) == {"agg"}
     assert manifest.select(["+exposure:weekly_dash"]) == {"agg", "stg"}
+
+
+def test_state_new_selector(tmp_path):
+    """state:new selects only models absent from the previous
+    fingerprints (dbt slim-CI: run just the newly added models)."""
+    import shutil
+
+    from dbt_osmosis_spark.project import load_project
+    from dbt_osmosis_spark.state import fingerprint
+
+    proj = tmp_path / "proj"
+    shutil.copytree("/root/repo/demo_spark", proj)
+    m = load_project(proj)
+    prev = fingerprint(m)
+    (proj / "models" / "brand_new.sql").write_text(
+        "select * from {{ ref('stg_orders') }}\n"
+    )
+    m2 = load_project(proj)
+    assert m2.select(["state:new"], prev) == {"brand_new"}
+    # state:modified also includes it (new == modified-from-nothing)
+    assert "brand_new" in m2.select(["state:modified"], prev)
