@@ -321,6 +321,12 @@ class Manifest:
             plus_pre = sel.startswith("+")
             plus_post = sel.endswith("+")
             name = sel.strip("+")
+            if name.startswith("source:"):
+                # dbt `source:src.table[+]` — same resolution as a bare
+                # source key
+                name = name[len("source:") :]
+                if name not in self.sources:
+                    raise ValueError(f"unknown source in --select: {name!r}")
             if name not in self.models:
                 if name in self.seeds or name in self.sources:
                     # dbt selectors accept seeds/sources; seeds and sources

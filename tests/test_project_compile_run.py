@@ -381,3 +381,23 @@ def test_select_accepts_seed_and_source_names(spark, tmp_path):
     desc = m.select([f"{seed}+"])
     direct = {n for n, node in m.models.items() if seed in node.depends_on}
     assert direct <= desc and desc  # descendants include direct readers
+
+
+def test_source_selector_prefix(spark, tmp_path):
+    """dbt `source:src.table+` selects the source's model descendants."""
+    import shutil
+
+    proj = tmp_path / "proj"
+    shutil.copytree("/root/repo/demo_spark", proj)
+    from dbt_osmosis_spark.project import load_project
+
+    m = load_project(proj)
+    if not m.sources:
+        return
+    key = next(iter(m.sources))
+    direct = {n for n, node in m.models.items() if key in node.depends_on}
+    assert direct <= m.select([f"source:{key}+"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown source"):
+        m.select(["source:nope.nothing"])
