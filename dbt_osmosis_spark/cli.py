@@ -415,8 +415,16 @@ def cmd_test(args) -> int:
 
     spark, manifest = _build_context(args)
     ctx = YamlRefactorContext(spark=spark, manifest=manifest, project_dir=args.project_dir)
+    skip: set[str] | None = None
+    if getattr(args, "select", None):
+        # dbt test --select: only the selected models' tests run
+        selected = manifest.select(args.select)
+        skip = set(manifest.models) - selected
     results = run_project_tests(
-        spark, ctx, store_failures_dir=getattr(args, "store_failures", None)
+        spark,
+        ctx,
+        store_failures_dir=getattr(args, "store_failures", None),
+        skip_models=skip,
     )
     failed = 0
     for r in results:
@@ -790,6 +798,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--store-failures",
         default=None,
         help="dir to persist each failing test's violating rows as parquet",
+    )
+    tp.add_argument(
+        "--select",
+        nargs="+",
+        default=None,
+        help="dbt-style selectors: only the selected models' tests run",
     )
 
     ls = sub.add_parser("list", help="enumerate project nodes (dbt ls analog)")

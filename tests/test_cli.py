@@ -381,3 +381,27 @@ def test_build_continues_and_skips_tests_of_failed_models(tmp_path, capsys):
     rr = json.loads((proj / "target" / "run_results.json").read_text())
     statuses = {e["relation_name"]: e["status"] for e in rr["results"]}
     assert statuses["bad"] == "error" and statuses["good"] == "success"
+
+
+def test_cli_test_select(tmp_path, capsys):
+    """dbt test --select: only the selected models' tests run."""
+    from dbt_osmosis_spark.cli import main
+
+    proj = tmp_path / "proj"
+    (proj / "models").mkdir(parents=True)
+    (proj / "project.yml").write_text("name: tsel\n")
+    (proj / "models" / "a.sql").write_text("select 1 as id\n")
+    (proj / "models" / "b.sql").write_text("select null as id\n")
+    (proj / "models" / "a.yml").write_text(
+        "models:\n- name: a\n  columns:\n  - name: id\n    tests: [not_null]\n"
+    )
+    (proj / "models" / "b.yml").write_text(
+        "models:\n- name: b\n  columns:\n  - name: id\n    tests: [not_null]\n"
+    )
+    wh = str(tmp_path / "wh")
+    rc = main(["--project-dir", str(proj), "--warehouse-dir", wh, "test", "--select", "a"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "a.id" in out and "b.id" not in out
+    rc = main(["--project-dir", str(proj), "--warehouse-dir", wh, "test"])
+    out = capsys.readouterr().out
+    assert rc == 1 and "b.id" in out  # unselected run includes the failing test
