@@ -442,6 +442,30 @@ def cmd_test(args) -> int:
     return 0 if failed == 0 else 1
 
 
+def cmd_compile(args) -> int:
+    """`dbt compile` analog: render every SQL model's Jinja to
+    target/compiled/<project>/<model path> — the debugging artifact dbt
+    users diff and paste into consoles. Pure text stage; no Spark session,
+    no warehouse reads."""
+    from dbt_osmosis_spark.compile import JinjaCompiler
+
+    manifest = _load_manifest(args)
+    compiler = JinjaCompiler(manifest)
+    out_root = _Path(args.project_dir) / "target" / "compiled" / manifest.project_name
+    n = 0
+    for name in manifest.topo_sort():
+        node = manifest.models[name]
+        if node.language != "sql":
+            continue
+        compiled = compiler.compile(node.raw_sql).compiled_sql
+        out = out_root / node.path
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_text(compiled + "\n")
+        n += 1
+    print(f"compiled {n} model(s) under {out_root}")
+    return 0
+
+
 def cmd_list(args) -> int:
     """`dbt ls` analog: enumerate nodes, optionally narrowed by the same
     selector syntax `run --select` takes (name+/+name/tag:/path:/
@@ -806,6 +830,8 @@ def build_parser() -> argparse.ArgumentParser:
         help="dbt-style selectors: only the selected models' tests run",
     )
 
+    sub.add_parser("compile", help="dbt compile analog: render all models to target/compiled/")
+
     ls = sub.add_parser("list", help="enumerate project nodes (dbt ls analog)")
     ls.add_argument("--select", nargs="+", default=None)
 
@@ -879,6 +905,7 @@ _DISPATCH = {
     "diff": cmd_diff,
     "catalog": cmd_catalog,
     "docs": cmd_docs,
+    "compile": cmd_compile,
     "coverage": cmd_coverage,
     "test-suggest": cmd_test_suggest,
     "test": cmd_test,

@@ -405,3 +405,15 @@ def test_cli_test_select(tmp_path, capsys):
     rc = main(["--project-dir", str(proj), "--warehouse-dir", wh, "test"])
     out = capsys.readouterr().out
     assert rc == 1 and "b.id" in out  # unselected run includes the failing test
+
+
+def test_cli_compile_writes_target_compiled(proj, tmp_path, capsys):
+    from pathlib import Path
+
+    rc = _run(proj, tmp_path, "compile")
+    out = capsys.readouterr().out
+    assert rc == 0 and "compiled" in out
+    compiled = list((Path(proj) / "target" / "compiled").rglob("*.sql"))
+    assert compiled
+    text = "\n".join(p.read_text() for p in compiled)
+    assert "{{" not in text and "ref(" not in text  # jinja fully rendered
