@@ -418,7 +418,13 @@ def cmd_test(args) -> int:
     skip: set[str] | None = None
     if getattr(args, "select", None):
         # dbt test --select: only the selected models' tests run
-        selected = manifest.select(args.select)
+        # (state:modified/state:new need --state, like run)
+        previous_state = None
+        if getattr(args, "state", None):
+            from dbt_osmosis_spark.state import load_state
+
+            previous_state = load_state(args.state)
+        selected = manifest.select(args.select, previous_state)
         skip = set(manifest.models) - selected
     results = run_project_tests(
         spark,
@@ -447,7 +453,7 @@ def cmd_compile(args) -> int:
     target/compiled/<project>/<model path> — the debugging artifact dbt
     users diff and paste into consoles. Pure text stage; no Spark session,
     no warehouse reads."""
-    from dbt_osmosis_spark.compile import JinjaCompiler
+    from dbt_osmosis_spark.compile import JinjaCompiler, relation_name
 
     manifest = _load_manifest(args)
     compiler = JinjaCompiler(manifest)
@@ -457,7 +463,9 @@ def cmd_compile(args) -> int:
         node = manifest.models[name]
         if node.language != "sql":
             continue
-        compiled = compiler.compile(node.raw_sql).compiled_sql
+        # {{ this }} resolves to the model's own relation (the runner does
+        # the same at materialization time)
+        compiled = compiler.compile(node.raw_sql, this=relation_name(name)).compiled_sql
         out = out_root / node.path
         out.parent.mkdir(parents=True, exist_ok=True)
         out.write_text(compiled + "\n")
@@ -633,10 +641,14 @@ def cmd_source_freshness(args) -> int:
 def cmd_build(args) -> int:
     """`dbt build` analog: materialize everything (seeds, models,
     snapshots, incrementals) then run declared data tests and unit tests;
-    exit 1 on any failure. Follows dbt build's failure semantics: a model
-    failure records an error, its dependents skip, the rest keeps
+    exit 1 on any failure. Model-failure semantics follow dbt build: a
+    model failure records an error, its dependents skip, the rest keeps
     building, tests of failed/skipped models are not run, and the public
-    target/run_results.json is written."""
+    target/run_results.json is written. Known delta vs dbt: dbt
+    interleaves tests into the DAG so a TEST failure also blocks
+    downstream BUILDS; here all selected models materialize first and
+    tests run after, so a failed test reports but does not un-build
+    dependents."""
     import time as _time
 
     from dbt_osmosis_spark.datatests import run_project_tests
@@ -655,11 +667,14 @@ def cmd_build(args) -> int:
         on_error="continue",
     )
     bad_models = {r.name for r in report.results if r.status != "success"}
+    n_errors = sum(1 for r in report.results if r.status == "error")
+    n_skipped = sum(1 for r in report.results if r.status == "skipped")
     for r in report.results:
         if r.status != "success":
             print(f"model {r.name}: [{r.status.upper()}] {r.error}")
     ctx = YamlRefactorContext(spark=spark, manifest=manifest, project_dir=args.project_dir)
-    failed = len(bad_models)
+    # dbt counts errors as failures; skipped dependents report separately
+    failed = n_errors
     for r in run_project_tests(spark, ctx, skip_models=bad_models):
         status = "pass" if r.passed else "FAIL"
         failed += 0 if r.passed else 1
@@ -669,17 +684,24 @@ def cmd_build(args) -> int:
 
     for f in sorted(Path(args.project_dir).rglob("*.yml")):
         doc = ctx.yaml.read(f)
-        if not (doc or {}).get("unit_tests"):
+        specs = (doc or {}).get("unit_tests") or []
+        if not specs:
             continue
-        for u in run_unit_tests_from_doc(spark, manifest, doc):
-            if u.model in bad_models:
-                print(f"unit skip {u.model}: {u.name} (model not built)")
-                continue
+        # filter BEFORE running: a unit test compiles the model's SQL, so
+        # a failed model's test would raise the same error uncaught
+        kept = []
+        for spec in specs:
+            if spec.get("model") in bad_models:
+                print(f"unit skip {spec.get('model')}: {spec.get('name')} (model not built)")
+            else:
+                kept.append(spec)
+        for u in run_unit_tests_from_doc(spark, manifest, {"unit_tests": kept}):
             status = "pass" if u.passed else "FAIL"
             failed += 0 if u.passed else 1
             print(f"unit {status:4s} {u.model}: {u.name}" + ("" if u.passed else f" — {u.message}"))
     _write_run_results(args, manifest, report, _time.perf_counter() - t0)
-    print(f"build: {'ok' if not failed else f'{failed} failure(s)'}")
+    skipnote = f", {n_skipped} skipped" if n_skipped else ""
+    print(f"build: {'ok' if not failed else f'{failed} failure(s)'}{skipnote}")
     return 1 if failed else 0
 
 
@@ -829,6 +851,7 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="dbt-style selectors: only the selected models' tests run",
     )
+    tp.add_argument("--state", default=None, help="state dir/file for state:modified/state:new")
 
     sub.add_parser("compile", help="dbt compile analog: render all models to target/compiled/")
 

@@ -334,16 +334,11 @@ class Manifest:
                     # one contributes its model descendants under `name+`
                     # and nothing otherwise
                     if plus_post:
-                        out |= {
-                            n
-                            for n, node in self.models.items()
-                            if name in node.depends_on
-                        } | {
-                            d
-                            for n, node in self.models.items()
-                            if name in node.depends_on
-                            for d in closure(n, children)
-                        }
+                        # readers plus their descendants (closure includes
+                        # the reader itself)
+                        for n, node in self.models.items():
+                            if name in node.depends_on:
+                                out |= closure(n, children)
                     continue
                 raise ValueError(f"unknown model in --select: {name!r}")
             out.add(name)

@@ -417,3 +417,42 @@ def test_cli_compile_writes_target_compiled(proj, tmp_path, capsys):
     assert compiled
     text = "\n".join(p.read_text() for p in compiled)
     assert "{{" not in text and "ref(" not in text  # jinja fully rendered
+
+
+def test_build_skips_unit_tests_of_failed_models_without_crash(tmp_path, capsys):
+    """A failed model's unit test must be SKIPPED before execution (its
+    compile raises the same error), and run_results.json still lands."""
+    from pathlib import Path
+
+    from dbt_osmosis_spark.cli import main
+
+    proj = tmp_path / "proj"
+    (proj / "models").mkdir(parents=True)
+    (proj / "project.yml").write_text("name: bunit\n")
+    (proj / "models" / "good.sql").write_text("select 1 as id\n")
+    (proj / "models" / "bad.sql").write_text("select oops from nonexistent_rel\n")
+    (proj / "models" / "bad.yml").write_text(
+        "models:\n- name: bad\n"
+        "unit_tests:\n- name: bad_unit\n  model: bad\n  given: []\n"
+        "  expect:\n    rows:\n    - {oops: 1}\n"
+    )
+    rc = main(["--project-dir", str(proj), "--warehouse-dir", str(tmp_path / "wh"), "build"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "unit skip bad: bad_unit (model not built)" in out
+    assert (proj / "target" / "run_results.json").is_file()
+    assert "build: 1 failure(s)" in out
+
+
+def test_compile_renders_this(proj, tmp_path, capsys):
+    """{{ this }} compiles to the model's own relation, not empty."""
+    from pathlib import Path
+
+    (Path(proj) / "models" / "selfref.sql").write_text(
+        "select '{{ this }}' as me\n"
+    )
+    rc = _run(proj, tmp_path, "compile")
+    capsys.readouterr()
+    assert rc == 0
+    compiled = next((Path(proj) / "target" / "compiled").rglob("selfref.sql")).read_text()
+    assert "''" not in compiled and "selfref" in compiled
