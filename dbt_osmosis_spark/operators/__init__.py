@@ -43,4 +43,5 @@ def load_all() -> None:
         relational_ext2,
         similarity,
         text,
+        text_ext,
     )

@@ -155,6 +155,56 @@ def d06_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- d09: end-to-end near-dup removal → the kept corpus --------------------
+# d03 emits candidate pairs and d06 the duplicate clusters; this is the op
+# users actually run: the full MinHash→LSH→connected-components pipeline
+# ending in the deduplicated corpus itself (canonical = min doc_id per
+# component; singletons keep themselves, so "kept" is simply
+# component == doc_id). The drop set is tiny relative to the corpus, so the
+# final membership test is a LEFT SEMI join on doc_id — one shuffle of ids,
+# never a second pass over text. At 100 TB you would persist `comp`
+# partitioned by doc_id alongside the corpus and let the semi join
+# co-locate.
+
+_D09_ORACLE = f"""
+WITH RECURSIVE {DUCK_LSH_CTES},
+edges2 AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM cand
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges2 e ON e.src = r.node
+),
+comp AS (
+  SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN comp c ON c.doc_id = d.doc_id
+WHERE c.component = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@register("d09_dedup_keep", oracle=_D09_ORACLE)
+def d09_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    sig = minhash_signatures(docs).persist()
+    pairs = lsh_candidate_pairs(lsh_bands(sig))
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comp = connected_components(docs.select(F.col("doc_id").alias("id")), edges)
+    kept = comp.filter(F.col("component") == F.col("id")).select(
+        F.col("id").alias("doc_id")
+    )
+    return (
+        docs.join(kept, "doc_id", "left_semi")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
 # ---- p01: deterministic hash sampling --------------------------------------
 # Reproducible ~rate sampling by md5(key) threshold. Unlike df.sample(),
 # membership depends only on the key — stable across runs, partitionings,

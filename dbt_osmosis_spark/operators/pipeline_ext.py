@@ -397,3 +397,62 @@ def p16_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("h").alias("content_hash"), "n_chars")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# p17: corpus report — the dataset-card summary per (source, lang)
+# --------------------------------------------------------------------------
+# Every training-data release ships a per-slice summary: doc counts, token
+# totals, size stats, exact-duplicate rate. One map-side tokenize pass +
+# one partial-aggregated groupBy on a low-cardinality key — the cheapest
+# possible full-corpus statement, and at 100 TB it is exactly the job you
+# run first to size everything else. count(DISTINCT md5) plans as a
+# two-stage partial distinct (hash is computed map-side); all outputs are
+# exact integers plus single int/int IEEE divisions (engine-bit-exact).
+
+_P17_ORACLE = """
+WITH d AS (
+  SELECT source, lang, n_chars,
+         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+         md5(text) AS h
+  FROM documents
+)
+SELECT source, lang,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS total_tokens,
+       SUM(n_chars) AS total_chars,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+       COUNT(DISTINCT h) AS n_unique,
+       CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_exact_dups
+FROM d
+GROUP BY source, lang
+ORDER BY source, lang
+"""
+
+
+@register("p17_corpus_report", oracle=_P17_ORACLE)
+def p17_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    d = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(tokens()).cast("bigint").alias("n_tokens"),
+        F.md5(F.col("text").cast("binary")).alias("h"),
+    )
+    return (
+        d.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+            F.countDistinct("h").alias("n_unique"),
+            (F.count(F.lit(1)) - F.countDistinct("h")).cast("bigint").alias("n_exact_dups"),
+        )
+        .orderBy("source", "lang")
+    )

@@ -1,0 +1,172 @@
+"""Text-analysis extensions: character entropy + Gopher-style quality rules.
+
+Like text.py, everything is JVM-side ``pyspark.sql.functions`` / SQL
+higher-order functions — zero Python UDFs, purely map-side per-document
+work, so both operators scale linearly with executors and involve no
+shuffle at all (the final orderBy is presentation-only and the driver
+would drop it in a pipeline context).
+
+Determinism notes:
+- t11 folds the per-character entropy terms in SORTED distinct-char order
+  in both engines (``array_sort(array_distinct(...))`` / ``list_sort(
+  list_distinct(...))``), so the float accumulation order is identical;
+  the only residual drift is the last-ulp difference between the JVM's and
+  DuckDB's ``log2``, absorbed by ``round(..., 6)`` (same move as t10's
+  Flesch score).
+- t12 emits only exact integers and single IEEE divisions of exact
+  integers (bit-identical across engines), so it needs no rounding; flags
+  are cast to INT because the canonical hash treats booleans and ints
+  differently across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_osmosis_spark.operators import register
+from dbt_osmosis_spark.sources.parquet import read_parquet, spread
+
+# ---- t11: character-level Shannon entropy ----------------------------------
+# The classic cheap "is this natural text or binary junk/boilerplate"
+# signal for web-crawl filtering: very low entropy = repeated filler,
+# very high = random bytes/base64 blobs. Per-doc cost is
+# O(distinct_chars × len) inside one codegen'd expression — no explode,
+# no shuffle, no per-char rows.
+
+_T11_ORACLE = """
+WITH c AS (
+  SELECT doc_id, lang,
+         string_split(text, '') AS cs,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+  WHERE length(text) > 0
+)
+SELECT doc_id, lang, n_chars,
+       CAST(len(list_distinct(cs)) AS BIGINT) AS n_distinct,
+       round(-list_sum(list_transform(list_sort(list_distinct(cs)),
+             ch -> (CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE) / n_chars)
+                   * log2(CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE) / n_chars))),
+             6) AS entropy_bits
+FROM c
+ORDER BY doc_id
+"""
+
+
+@register("t11_char_entropy", oracle=_T11_ORACLE)
+def t11_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    c = docs.filter(F.length("text") > 0).select(
+        "doc_id",
+        "lang",
+        F.split(F.col("text"), "").alias("cs"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    entropy = F.expr(
+        "-aggregate(array_sort(array_distinct(cs)), CAST(0 AS DOUBLE), (acc, ch) -> "
+        "acc + (CAST(size(filter(cs, x -> x = ch)) AS DOUBLE) / n_chars)"
+        "      * log2(CAST(size(filter(cs, x -> x = ch)) AS DOUBLE) / n_chars))"
+    )
+    return c.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.expr("CAST(size(array_distinct(cs)) AS BIGINT)").alias("n_distinct"),
+        F.round(entropy, 6).alias("entropy_bits"),
+    ).orderBy("doc_id")
+
+
+# ---- t12: Gopher-style quality rules ---------------------------------------
+# The published Gopher / MassiveText quality heuristics (word-count bounds,
+# mean word length bounds, alphabetic-word fraction, stopword presence)
+# as per-doc flags — the standard pre-training corpus filter, kept as
+# FLAGS rather than a filter so downstream mixing can weight instead of
+# drop. Every value is an exact integer or a single int/int IEEE division.
+
+_WC_LO, _WC_HI = 50, 100_000
+_MWL_LO, _MWL_HI = 3.0, 10.0
+_ALPHA_FRAC = 0.80
+_MIN_STOP = 2
+
+_T12_ORACLE = f"""
+WITH feat AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(string_split(trim(text), ' '), x -> len(x)))
+              AS BIGINT) AS sum_len,
+         CAST(len(list_filter(string_split(trim(text), ' '),
+              x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+         CAST(len(list_filter(string_split(trim(text), ' '),
+              x -> list_contains(['the', 'a'], x))) AS BIGINT) AS n_stopwords
+  FROM documents
+  WHERE len(string_split(trim(text), ' ')) > 0
+),
+scored AS (
+  SELECT doc_id, source, n_words, n_stopwords,
+         CAST(sum_len AS DOUBLE) / n_words AS mean_word_len,
+         CAST(n_alpha AS DOUBLE) / n_words AS frac_alpha
+  FROM feat
+)
+SELECT doc_id, source, n_words, mean_word_len, frac_alpha, n_stopwords,
+       CAST(n_words BETWEEN {_WC_LO} AND {_WC_HI} AS INT) AS pass_word_count,
+       CAST(mean_word_len BETWEEN {_MWL_LO} AND {_MWL_HI} AS INT) AS pass_mean_len,
+       CAST(frac_alpha > {_ALPHA_FRAC} AS INT) AS pass_alpha,
+       CAST(n_stopwords >= {_MIN_STOP} AS INT) AS pass_stop,
+       CAST(n_words BETWEEN {_WC_LO} AND {_WC_HI}
+            AND mean_word_len BETWEEN {_MWL_LO} AND {_MWL_HI}
+            AND frac_alpha > {_ALPHA_FRAC}
+            AND n_stopwords >= {_MIN_STOP} AS INT) AS passes
+FROM scored
+ORDER BY doc_id
+"""
+
+
+def gopher_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Map-side Gopher feature columns over a text column (reusable on any
+    corpus DataFrame, not just the registered testdata query)."""
+    tok = F.split(F.trim(F.col(text_col)), " ")
+    return (
+        df.withColumn("_tok", tok)
+        .filter(F.size("_tok") > 0)
+        .withColumn("n_words", F.size("_tok").cast("bigint"))
+        .withColumn(
+            "_sum_len",
+            F.expr("CAST(aggregate(_tok, 0, (acc, x) -> acc + length(x)) AS BIGINT)"),
+        )
+        .withColumn(
+            "_n_alpha",
+            F.expr("CAST(size(filter(_tok, x -> x rlike '[a-zA-Z]')) AS BIGINT)"),
+        )
+        .withColumn(
+            "n_stopwords",
+            F.expr(
+                "CAST(size(filter(_tok, x -> array_contains(array('the', 'a'), x))) AS BIGINT)"
+            ),
+        )
+        .withColumn("mean_word_len", F.col("_sum_len").cast("double") / F.col("n_words"))
+        .withColumn("frac_alpha", F.col("_n_alpha").cast("double") / F.col("n_words"))
+        .drop("_tok", "_sum_len", "_n_alpha")
+    )
+
+
+@register("t12_gopher_rules", oracle=_T12_ORACLE)
+def t12_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    feat = gopher_features(docs)
+    pass_wc = F.col("n_words").between(_WC_LO, _WC_HI)
+    pass_mwl = F.col("mean_word_len").between(_MWL_LO, _MWL_HI)
+    pass_alpha = F.col("frac_alpha") > _ALPHA_FRAC
+    pass_stop = F.col("n_stopwords") >= _MIN_STOP
+    return feat.select(
+        "doc_id",
+        "source",
+        "n_words",
+        "mean_word_len",
+        "frac_alpha",
+        "n_stopwords",
+        pass_wc.cast("int").alias("pass_word_count"),
+        pass_mwl.cast("int").alias("pass_mean_len"),
+        pass_alpha.cast("int").alias("pass_alpha"),
+        pass_stop.cast("int").alias("pass_stop"),
+        (pass_wc & pass_mwl & pass_alpha & pass_stop).cast("int").alias("passes"),
+    ).orderBy("doc_id")
