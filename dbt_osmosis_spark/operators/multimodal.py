@@ -340,3 +340,84 @@ def m04_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = attach_fake_payloads(spread(read_parquet(spark, f"{sf_dir}/documents.parquet")))
     return resize_payloads(docs).orderBy("doc_id", "pos")
+
+
+# ---- m05: perceptual-hash (aHash) near-dup detection over payloads ---------
+# The image-dedup staple: sample the payload down to a tiny fixed grid,
+# threshold against the grid mean, pack the bits — visually-identical
+# payloads (resizes, re-encodes) collide. Real pipelines decode + grayscale
+# + 8x8-resize inside the batch (PIL path, gated by codec_available); the
+# stub samples 60 evenly-spaced raw bytes as the "pixels", which keeps the
+# whole operator — sampling, mean threshold, bit packing, dedup grouping —
+# oracle-exact in DuckDB (ASCII text: byte == char). 60 bits keeps the
+# packed hash a positive BIGINT (the repo-wide hash convention).
+#
+# Scale shape: hashing is columnar numpy inside Arrow batches (one gather
+# matrix per batch, no per-row Python); the only shuffle is the final
+# groupBy on the 8-byte hash — identical to exact dedup (d01), because
+# after hashing that is exactly what perceptual dedup IS.
+
+_PHASH_BITS = 60
+PHASH_SCHEMA = "doc_id long, phash long"
+
+
+def phash_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    import numpy as np
+
+    def one_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        use_real = codec_available()
+        for pdf in batches:
+            payloads = pdf["content"].to_numpy()
+            n_rows = len(payloads)
+            if use_real:  # pragma: no cover - codec absent in this container
+                for data in payloads:
+                    try:
+                        decode_image(data)  # real path: grayscale + resize
+                    except Exception:  # noqa: BLE001 - undecodable payload
+                        pass
+            lens = np.fromiter((len(d) for d in payloads), dtype=np.int64, count=n_rows)
+            flat = np.frombuffer(b"".join(payloads), dtype=np.uint8).astype(np.int64)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            # (n, 60) gather of evenly-spaced sample positions per payload
+            idx = starts[:, None] + (np.arange(_PHASH_BITS)[None, :] * lens[:, None]) // _PHASH_BITS
+            pixels = flat[idx]
+            mean = pixels.sum(axis=1).astype(np.float64)[:, None] / _PHASH_BITS
+            bits = (pixels > mean).astype(np.int64)
+            hashes = bits @ (np.int64(1) << np.arange(_PHASH_BITS, dtype=np.int64))
+            yield pd.DataFrame({"doc_id": pdf[id_col].to_numpy(), "phash": hashes})
+
+    return df.filter(F.length("content") > 0).select(id_col, "content").mapInPandas(
+        one_batch, schema=PHASH_SCHEMA
+    )
+
+
+_M05_ORACLE = f"""
+WITH px AS (
+  SELECT doc_id, length(text) AS L,
+         list_transform(range(0, {_PHASH_BITS}),
+             i -> ascii(substr(text, CAST(i * length(text) // {_PHASH_BITS} + 1 AS INT), 1))) AS p
+  FROM documents WHERE length(text) > 0
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, {_PHASH_BITS}),
+             i -> CASE WHEN p[i + 1] > list_sum(p) / {_PHASH_BITS}.0
+                  THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
+  FROM px
+)
+SELECT phash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+FROM hashed
+GROUP BY phash
+ORDER BY phash
+"""
+
+
+@register("m05_phash_dedup", oracle=_M05_ORACLE)
+def m05_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = attach_fake_payloads(spread(read_parquet(spark, f"{sf_dir}/documents.parquet")))
+    hashed = phash_payloads(docs)
+    return (
+        hashed.groupBy("phash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .orderBy("phash")
+    )

@@ -605,3 +605,130 @@ def s07_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v", F.col("embedding").cast("array<double>")
     )
     return random_projection(emb).orderBy("vec_id", "dim")
+
+
+# ---- s08: product quantization + ADC (asymmetric distance) search ----------
+# The memory-scale path for billion-vector search: each 64-dim float vector
+# compresses to M=8 sub-codes (one byte each — 32x smaller than float32),
+# and a query scans CODES ONLY via an 8x16 lookup table of exact
+# query-to-centroid distances (Jegou et al., "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011). Spark layout:
+#   encode: one map-side pass; the nested 8x16x8-term distance tensor is
+#           materialized ONCE per row as a column (`_pqd`) so the argmin
+#           does not re-evaluate the md5 folds (Catalyst does not CSE
+#           duplicated expression trees — the s05 lesson).
+#   query:  the LUT is built inside the broadcast single-row query frame —
+#           8x16 exact sub-distances computed once, never per candidate.
+#   scan:   per-candidate cost is 8 array lookups + 8 adds, independent of
+#           dim; top-k plans as TakeOrderedAndProject.
+# The sub-quantizer codebooks are DETERMINISTIC md5-derived constants
+# (salt 'pq'), the same trick as s02/s05, so encode + ADC are bit-identical
+# in DuckDB and a full value-hash oracle applies; a trained per-subspace
+# k-means codebook drops in without changing the plan. No rounding is
+# needed anywhere: both engines left-fold the same term order.
+
+_PQ_M = 8          # subspaces
+_PQ_SUBDIM = _DIM // _PQ_M
+_PQ_K = 16         # centroids per subspace (4-bit codes)
+
+# Centroid component: subspace {m}, code {c}, sub-dim {d} -> [-1, 1].
+_SPARK_PQ_CENT = (
+    "(CAST(conv(substr(md5(cast(concat('pq', CAST({m} AS STRING), ',', CAST({c} AS STRING), "
+    "',', CAST({d} AS STRING)) AS BINARY)), 1, 15), 16, 10) AS BIGINT) % 2001 - 1000) / 1000.0"
+)
+_DUCK_PQ_CENT = (
+    "(CAST('0x' || substr(md5('pq' || CAST({m} AS VARCHAR) || ',' || CAST({c} AS VARCHAR) "
+    "|| ',' || CAST({d} AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000) / 1000.0"
+)
+
+# Squared distance between the {m}-th subvector of a vector column {a} and
+# centroid ({m}, {c}): an 8-term left fold, identical order both engines.
+_SPARK_PQ_DIST2 = (
+    f"aggregate(sequence(0, {_PQ_SUBDIM} - 1), CAST(0 AS DOUBLE), (acc, d) -> acc + "
+    f"(element_at({{a}}, {{m}} * {_PQ_SUBDIM} + d + 1) - ({_SPARK_PQ_CENT.format(m='{m}', c='{c}', d='d')})) "
+    f"* (element_at({{a}}, {{m}} * {_PQ_SUBDIM} + d + 1) - ({_SPARK_PQ_CENT.format(m='{m}', c='{c}', d='d')})))"
+)
+_DUCK_PQ_DIST2 = (
+    f"list_sum(list_transform(range(0, {_PQ_SUBDIM}), d -> "
+    f"(({{a}})[{{m}} * {_PQ_SUBDIM} + d + 1] - ({_DUCK_PQ_CENT.format(m='{m}', c='{c}', d='d')})) "
+    f"* (({{a}})[{{m}} * {_PQ_SUBDIM} + d + 1] - ({_DUCK_PQ_CENT.format(m='{m}', c='{c}', d='d')}))))"
+)
+
+# 8x16 nested distance tensor for a vector column {a}.
+_SPARK_PQ_TENSOR = (
+    f"transform(sequence(0, {_PQ_M} - 1), m -> transform(sequence(0, {_PQ_K} - 1), c -> "
+    + _SPARK_PQ_DIST2.format(a="{a}", m="m", c="c")
+    + "))"
+)
+_DUCK_PQ_TENSOR = (
+    f"list_transform(range(0, {_PQ_M}), m -> list_transform(range(0, {_PQ_K}), c -> "
+    + _DUCK_PQ_DIST2.format(a="{a}", m="m", c="c")
+    + "))"
+)
+
+# Codes from a materialized tensor column {t}: per-subspace argmin with
+# first-match (smallest code) tie-break.
+_SPARK_PQ_CODES = "transform({t}, ds -> array_position(ds, array_min(ds)) - 1)"
+_DUCK_PQ_CODES = "list_transform({t}, ds -> list_position(ds, list_min(ds)) - 1)"
+
+# ADC distance: codes array {codes} against LUT {lut} (the query's tensor).
+_SPARK_PQ_ADC = (
+    f"aggregate(sequence(0, {_PQ_M} - 1), CAST(0 AS DOUBLE), (acc, m) -> acc + "
+    "element_at(element_at({lut}, m + 1), CAST(element_at({codes}, m + 1) + 1 AS INT)))"
+)
+_DUCK_PQ_ADC = (
+    f"list_sum(list_transform(range(0, {_PQ_M}), m -> ({{lut}})[m + 1][({{codes}})[m + 1] + 1]))"
+)
+
+_S08_ORACLE = f"""
+WITH vecs AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+encoded AS (
+  SELECT vec_id, label, {_DUCK_PQ_CODES.format(t=_DUCK_PQ_TENSOR.format(a="v"))} AS codes
+  FROM vecs
+),
+q AS (
+  SELECT {_DUCK_PQ_TENSOR.format(a="v")} AS lut FROM vecs WHERE vec_id = {_QUERY_ID}
+)
+SELECT e.vec_id, e.label,
+       {_DUCK_PQ_ADC.format(lut="q.lut", codes="e.codes")} AS adc_dist
+FROM encoded e, q
+WHERE e.vec_id <> {_QUERY_ID}
+ORDER BY adc_dist, vec_id
+LIMIT {_K}
+"""
+
+
+def pq_encode(emb: DataFrame, vec_col: str = "v") -> DataFrame:
+    """Map-side PQ encoding against the deterministic codebooks: adds a
+    `codes` column (array<bigint>, one 0..15 code per subspace). At index
+    build time you persist (vec_id, codes) — 8 bytes of payload per vector
+    — and drop the floats from the search path entirely."""
+    return (
+        emb.withColumn("_pqd", F.expr(_SPARK_PQ_TENSOR.format(a=vec_col)))
+        .withColumn("codes", F.expr(_SPARK_PQ_CODES.format(t="_pqd")))
+        .drop("_pqd")
+    )
+
+
+@register("s08_pq_adc_topk", oracle=_S08_ORACLE)
+def s08_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(read_parquet(spark, f"{sf_dir}/embeddings.parquet")).withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    encoded = pq_encode(emb).select("vec_id", "label", "codes")
+    q = emb.filter(F.col("vec_id") == _QUERY_ID).select(
+        F.expr(_SPARK_PQ_TENSOR.format(a="v")).alias("lut")
+    )
+    return (
+        encoded.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != _QUERY_ID)
+        .select(
+            "vec_id",
+            "label",
+            F.expr(_SPARK_PQ_ADC.format(lut="lut", codes="codes")).alias("adc_dist"),
+        )
+        .orderBy("adc_dist", "vec_id")
+        .limit(_K)
+    )
