@@ -538,3 +538,121 @@ def test_resize_pooling_bounds(spark, sf_dir):
         # ≤32 contiguous cells starting at 0
         assert [r.pos for r in sorted(rs, key=lambda x: x.pos)] == list(range(len(rs)))
         assert len(rs) <= 32
+
+
+def test_char_entropy_bounds(spark, sf_dir):
+    """0 <= H <= log2(n_distinct) for every doc; a single-char doc is 0."""
+    import math
+
+    rows = QUERIES["t11_char_entropy"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r.entropy_bits <= math.log2(max(r.n_distinct, 2)) + 1e-6, r
+
+
+def test_gopher_features_flags_consistent(spark, sf_dir):
+    """Each flag must equal its recomputed predicate; `passes` = AND of all."""
+    rows = QUERIES["t12_gopher_rules"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.pass_word_count == int(50 <= r.n_words <= 100_000)
+        assert r.pass_mean_len == int(3.0 <= r.mean_word_len <= 10.0)
+        assert r.pass_alpha == int(r.frac_alpha > 0.80)
+        assert r.pass_stop == int(r.n_stopwords >= 2)
+        assert r.passes == int(
+            bool(r.pass_word_count and r.pass_mean_len and r.pass_alpha and r.pass_stop)
+        )
+
+
+def test_dedup_keep_is_canonical_cover(spark, sf_dir):
+    """d09's kept set = every doc minus non-canonical members of d06's
+    multi-doc components; exactly one survivor per component."""
+    kept = {r.doc_id for r in QUERIES["d09_dedup_keep"](spark, sf_dir).collect()}
+    comps = QUERIES["d06_dedup_components"](spark, sf_dir).collect()
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    all_ids = {
+        r.doc_id
+        for r in read_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id").collect()
+    }
+    dropped = all_ids - kept
+    assert sum(c.n_docs - 1 for c in comps) == len(dropped)
+    for c in comps:
+        assert c.keep_doc_id in kept
+
+
+def test_pq_codes_shape_and_adc_positive(spark, sf_dir):
+    """Every vector encodes to 8 codes in 0..15; ADC distances are
+    non-negative and the query's own ADC distance to itself is the minimum
+    possible (its codes hit the per-subspace argmin cells)."""
+    from dbt_osmosis_spark.operators.similarity import pq_codebook, pq_encode
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    enc = pq_encode(emb, pq_codebook(emb)).select("vec_id", "codes").limit(50).collect()
+    assert enc
+    for r in enc:
+        assert len(r.codes) == 8
+        assert all(0 <= c <= 15 for c in r.codes)
+    top = QUERIES["s08_pq_adc_topk"](spark, sf_dir).collect()
+    assert len(top) == 10
+    assert all(r.adc_dist >= 0 and r.sq_dist >= 0 for r in top)
+    assert top == sorted(top, key=lambda r: (r.sq_dist, r.vec_id))
+
+
+def test_pq_adc_recall_vs_exact(spark, sf_dir):
+    """The ADC-shortlist + exact-re-rank pipeline must recover a solid
+    fraction of the true L2 top-10 (uniform random embeddings are PQ's
+    worst case — no cluster structure — so the bar is recall, not
+    equality; measured 6/10 at sf0.001, 7/10 at sf0.01)."""
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    from dbt_osmosis_spark.operators.similarity import _SPARK_DIST2
+
+    exact = {
+        r.vec_id
+        for r in emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.expr(_SPARK_DIST2.format(a="v", b="qv")).alias("d2"))
+        .orderBy("d2", "vec_id")
+        .limit(10)
+        .collect()
+    }
+    adc = {r.vec_id for r in QUERIES["s08_pq_adc_topk"](spark, sf_dir).collect()}
+    assert len(exact & adc) >= 4, f"PQ recall collapsed: overlap={exact & adc}"
+
+
+def test_phash_identical_payloads_collide(spark):
+    """Same bytes -> same perceptual hash; a tiny payload perturbation that
+    preserves the sampled pixels also collides (that is the point of
+    perceptual hashing)."""
+    from dbt_osmosis_spark.operators.multimodal import phash_payloads
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abcdefgh" * 40)), (2, bytearray(b"abcdefgh" * 40)), (3, bytearray(b"zzzzyyyy" * 40))],
+        "doc_id long, content binary",
+    )
+    rows = {r.doc_id: r.phash for r in phash_payloads(df).collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+
+
+def test_corpus_report_totals_match_table(spark, sf_dir):
+    """The per-slice report must reconcile with whole-table totals."""
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    rep = QUERIES["p17_corpus_report"](spark, sf_dir).collect()
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    assert sum(r.n_docs for r in rep) == n
+    assert sum(r.total_chars for r in rep) == docs.agg(F.sum("n_chars")).first()[0]
+    for r in rep:
+        assert r.n_unique <= r.n_docs
+        assert r.n_exact_dups == r.n_docs - r.n_unique
+        assert r.min_chars <= r.avg_chars <= r.max_chars

@@ -186,3 +186,33 @@ def test_q44_distinct_then_broadcast(q):
     broadcasts it — the quadratic comparison never touches fact rows."""
     assert has_broadcast_join(q("q44_edit_distance"))
     assert not has_cartesian(q("q44_edit_distance"))
+
+
+def test_s08_pq_broadcasts_lut_and_topk(q):
+    # the 8x16 ADC lookup table is a 1-row broadcast; the code scan merges
+    # via per-partition top-k, never a global sort
+    df = q("s08_pq_adc_topk")
+    assert has_broadcast_join(df)
+    assert uses_top_k(df)
+
+
+def test_m05_phash_single_shuffle(q):
+    # perceptual dedup after hashing IS exact dedup: one shuffle for the
+    # hash groupBy (+1 for the presentation sort), hashing itself map-side
+    df = q("m05_phash_dedup")
+    assert exchange_count(df) <= 2
+
+
+def test_t11_t12_are_map_side(q):
+    # per-doc text scoring must not shuffle anything except its
+    # presentation orderBy (range partitioning for the sort)
+    for name in ("t11_char_entropy", "t12_gopher_rules"):
+        assert exchange_count(q(name)) <= 1, name
+
+
+def test_p17_single_agg_shuffle(q):
+    # dataset-card rollup: partial agg map-side, one shuffle on the
+    # low-cardinality (source, lang) key; countDistinct adds its expand
+    # stage but no extra wide exchange beyond the two-stage distinct
+    df = q("p17_corpus_report")
+    assert exchange_count(df) <= 3
