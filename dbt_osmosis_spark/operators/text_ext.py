@@ -1,10 +1,11 @@
-"""Text-analysis extensions: character entropy + Gopher-style quality rules.
+"""Text-analysis extensions: character entropy, Gopher-style quality rules,
+and bigram-LM perplexity scoring.
 
 Like text.py, everything is JVM-side ``pyspark.sql.functions`` / SQL
-higher-order functions — zero Python UDFs, purely map-side per-document
-work, so both operators scale linearly with executors and involve no
-shuffle at all (the final orderBy is presentation-only and the driver
-would drop it in a pipeline context).
+higher-order functions — zero Python UDFs. t11/t12 are purely map-side
+per-document work (no shuffle at all; the final orderBy is
+presentation-only and a pipeline caller would drop it); t13 adds the two
+bounded model-building aggregations its language model needs.
 
 Determinism notes:
 - t11 folds the per-character entropy terms in SORTED distinct-char order
@@ -170,3 +171,88 @@ def t12_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass_stop.cast("int").alias("pass_stop"),
         (pass_wc & pass_mwl & pass_alpha & pass_stop).cast("int").alias("passes"),
     ).orderBy("doc_id")
+
+
+# ---- t13: bigram-LM perplexity scoring -------------------------------------
+# The CCNet/FineWeb-style quality signal: score each document by its
+# cross-entropy under an n-gram language model — here a bigram model with
+# add-alpha smoothing trained on the corpus itself in the same job.
+# Two corpus-wide aggregations build the model (bigram counts + prefix
+# counts, one shuffle each, both partial-aggregated); scoring joins each
+# document's bigrams against the model table. On this corpus the model
+# table is tiny and BROADCASTS; a production model over a web-scale vocab
+# shuffle-joins on the bigram key instead — same plan, Spark picks the
+# strategy from the model-table stats. Per-doc accumulation quantizes each
+# log-probability to an exact integer (floor(x*1e9+0.5), the s03 move) so
+# the per-doc sum is associative — order-independent under any
+# partitioning — and the oracle hash is stable.
+
+_T13_ALPHA = 0.5  # add-alpha smoothing
+
+_T13_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+  WHERE len(string_split(trim(text), ' ')) >= 2
+),
+big AS (
+  SELECT doc_id, w[i] AS a, w[i + 1] AS b
+  FROM toks, UNNEST(range(1, len(w))) AS t(i)
+),
+c2 AS (SELECT a, b, COUNT(*) AS n2 FROM big GROUP BY a, b),
+c1 AS (SELECT a, SUM(n2) AS n1 FROM c2 GROUP BY a),
+vocab AS (SELECT COUNT(DISTINCT b) AS v FROM c2),
+scored AS (
+  SELECT g.doc_id,
+         floor(log2((c2.n2 + {_T13_ALPHA}) / (c1.n1 + {_T13_ALPHA} * vocab.v)) * 1e9 + 0.5) AS qlp
+  FROM big g
+  JOIN c2 ON g.a = c2.a AND g.b = c2.b
+  JOIN c1 ON g.a = c1.a
+  CROSS JOIN vocab
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       round(-CAST(SUM(CAST(qlp AS DECIMAL(28,0))) AS DOUBLE) / COUNT(*) / 1e9, 6)
+         AS cross_entropy_bits
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("t13_bigram_perplexity", oracle=_T13_ORACLE)
+def t13_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    toks = docs.select("doc_id", F.split(F.trim(F.col("text")), " ").alias("w")).filter(
+        F.size("w") >= 2
+    )
+    big = toks.select(
+        "doc_id",
+        F.posexplode(F.expr("transform(sequence(1, size(w) - 1), i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))")).alias("_i", "bg"),
+    ).select("doc_id", F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+    c2 = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = c2.groupBy("a").agg(F.sum("n2").alias("n1"))
+    vocab = c2.agg(F.countDistinct("b").alias("v"))
+    scored = (
+        big.join(F.broadcast(c2), ["a", "b"])
+        .join(F.broadcast(c1), "a")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.expr(
+                f"floor(log2((n2 + {_T13_ALPHA}) / (n1 + {_T13_ALPHA} * v)) * 1e9 + 0.5)"
+            ).alias("qlp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                -F.expr("CAST(SUM(CAST(qlp AS DECIMAL(28,0))) AS DOUBLE)")
+                / F.count(F.lit(1))
+                / F.lit(1e9),
+                6,
+            ).alias("cross_entropy_bits"),
+        )
+        .orderBy("doc_id")
+    )

