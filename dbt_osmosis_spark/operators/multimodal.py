@@ -361,8 +361,17 @@ _PHASH_BITS = 60
 PHASH_SCHEMA = "doc_id long, phash long"
 
 
-def phash_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def phash_payloads(
+    df: DataFrame, id_col: str = "doc_id", extra_cols: tuple = ()
+) -> DataFrame:
+    """``extra_cols`` pass through the Arrow batch untouched (e.g. an
+    event-time column for the streaming variant below); their types are
+    lifted from the input schema."""
     import numpy as np
+
+    extra_schema = "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}" for c in extra_cols
+    )
 
     def one_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         use_real = codec_available()
@@ -384,11 +393,28 @@ def phash_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             mean = pixels.sum(axis=1).astype(np.float64)[:, None] / _PHASH_BITS
             bits = (pixels > mean).astype(np.int64)
             hashes = bits @ (np.int64(1) << np.arange(_PHASH_BITS, dtype=np.int64))
-            yield pd.DataFrame({"doc_id": pdf[id_col].to_numpy(), "phash": hashes})
+            out = {"doc_id": pdf[id_col].to_numpy(), "phash": hashes}
+            for c in extra_cols:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return df.filter(F.length("content") > 0).select(id_col, "content").mapInPandas(
-        one_batch, schema=PHASH_SCHEMA
-    )
+    return df.filter(F.length("content") > 0).select(
+        id_col, "content", *extra_cols
+    ).mapInPandas(one_batch, schema=PHASH_SCHEMA + extra_schema)
+
+
+def phash_dedup_stream(docs: DataFrame, ts_col: str = "ts", watermark: str = "2 hours") -> DataFrame:
+    """Streaming perceptual dedup: the SAME Arrow-batched hasher runs
+    inside a Structured Streaming micro-batch (mapInPandas is
+    streaming-capable), then ``dropDuplicatesWithinWatermark`` keeps the
+    first payload seen per phash and — unlike plain dropDuplicates —
+    EVICTS each hash from the state store once the watermark passes it,
+    so state is bounded by the dedup horizon instead of growing with the
+    stream's lifetime. This is the ingest-time image-dedup pattern: hash
+    at the edge, dedup within the freshness window, exact-dedup the
+    compacted corpus offline (m05) for the long tail."""
+    hashed = phash_payloads(docs, extra_cols=(ts_col,))
+    return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["phash"])
 
 
 _M05_ORACLE = f"""

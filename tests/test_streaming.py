@@ -253,3 +253,40 @@ def test_transform_with_state_plan_builds(spark, sf_dir):
     df = tws_user_totals(stream_events(spark, sf_dir).select("user_id", "value"))
     assert df.isStreaming
     assert [f.name for f in df.schema.fields] == ["user_id", "n_events", "total_value"]
+
+
+def test_streaming_phash_dedup_bounded_state(spark, sf_dir, tmp_path):
+    """The Arrow-batched perceptual hasher must run inside a stream, and
+    dropDuplicatesWithinWatermark must emit exactly one row per phash for
+    a corpus where every payload arrives twice."""
+    from dbt_osmosis_spark.operators.multimodal import (
+        attach_fake_payloads,
+        phash_dedup_stream,
+        phash_payloads,
+    )
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").limit(100)
+    base = attach_fake_payloads(docs).select("doc_id", "content")
+    dup = base.union(base.withColumn("doc_id", F.col("doc_id") + 100000))
+    staged = dup.withColumn(
+        "ts",
+        (F.lit(1_700_000_000) + (F.col("doc_id") % 60)).cast("timestamp"),
+    )
+    src = str(tmp_path / "phash_src")
+    staged.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(staged.schema).parquet(src)
+    out = phash_dedup_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("phash_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM phash_dedup").collect()
+    n_hashes = len({r.phash for r in phash_payloads(staged).collect()})
+    assert len(got) == n_hashes
+    assert len({r.phash for r in got}) == len(got)
