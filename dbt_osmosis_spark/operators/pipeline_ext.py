@@ -456,3 +456,124 @@ def p17_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+# --------------------------------------------------------------------------
+# p18: end-to-end training-corpus preparation (the composed pipeline)
+# --------------------------------------------------------------------------
+# The operators above are stages; this is the pipeline a data team actually
+# ships: quality gate → exact dedup → eval-set decontamination → per-source
+# domain cap, in one statement. Each stage keeps its scale shape from the
+# standalone op (map-side feature flags; one shuffle per dedup window;
+# broadcast eval shingles; one window per source cap), and Catalyst fuses
+# the chain — the quality filter prunes before anything shuffles, the
+# dedup window and the cap window are the only wide stages over surviving
+# docs. Thresholds are corpus-adapted here (the testdata docs are 10-110
+# words); a production run passes its own.
+
+_P18_WC_LO = 10
+_P18_MIN_STOP = 1
+_P18_EVAL_SOURCE = "src0"
+_P18_CONTAM = 0.5
+_P18_CAP = 20
+
+_P18_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, text, source, lang, n_chars, {_DUCK_TOK} AS w FROM documents
+),
+quality AS (
+  SELECT * FROM tok
+  WHERE len(w) >= {_P18_WC_LO}
+    AND CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / len(w) BETWEEN 3 AND 10
+    AND CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / len(w) > 0.8
+    AND len(list_filter(w, x -> list_contains(['the', 'a'], x))) >= {_P18_MIN_STOP}
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM quality
+  ) WHERE rn = 1
+),
+sh AS (
+  SELECT doc_id, source, unnest({_duck_shingles(3)}) AS shingle
+  FROM deduped WHERE len(w) >= 3
+),
+eval_sh AS (
+  SELECT DISTINCT shingle FROM sh WHERE source = '{_P18_EVAL_SOURCE}'
+),
+train_sh AS (
+  SELECT doc_id, shingle FROM sh WHERE source <> '{_P18_EVAL_SOURCE}'
+),
+contaminated AS (
+  SELECT t.doc_id
+  FROM train_sh t JOIN eval_sh e ON t.shingle = e.shingle
+  GROUP BY t.doc_id
+  HAVING CAST(COUNT(*) AS DOUBLE)
+         / (SELECT COUNT(*) FROM train_sh s WHERE s.doc_id = t.doc_id) >= {_P18_CONTAM}
+),
+clean AS (
+  SELECT d.* FROM deduped d
+  WHERE d.source <> '{_P18_EVAL_SOURCE}'
+    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+capped AS (
+  SELECT doc_id, source, lang, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM clean
+)
+SELECT doc_id, source, lang, n_chars FROM capped
+WHERE rk <= {_P18_CAP}
+ORDER BY doc_id
+"""
+
+
+@register("p18_training_corpus", oracle=_P18_ORACLE)
+def p18_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_osmosis_spark.operators.pipeline import cap_per_source
+    from dbt_osmosis_spark.operators.text_ext import gopher_features
+
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    quality = gopher_features(docs).filter(
+        (F.col("n_words") >= _P18_WC_LO)
+        & F.col("mean_word_len").between(3, 10)
+        & (F.col("frac_alpha") > 0.8)
+        & (F.col("n_stopwords") >= _P18_MIN_STOP)
+    )
+    rn = F.row_number().over(
+        W.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    )
+    deduped = quality.withColumn("rn", rn).filter(F.col("rn") == 1)
+    sh = (
+        deduped.withColumn("w", tokens())
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.expr(spark_shingles_sql("w", 3))).alias("shingle"),
+        )
+        .persist()
+    )
+    eval_sh = (
+        sh.filter(F.col("source") == _P18_EVAL_SOURCE).select("shingle").distinct()
+    )
+    train_sh = sh.filter(F.col("source") != _P18_EVAL_SOURCE).select("doc_id", "shingle")
+    sizes = train_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        train_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    contaminated = (
+        hits.join(sizes, "doc_id")
+        .filter(F.col("n_hit").cast("double") / F.col("n_shingles") >= _P18_CONTAM)
+        .select("doc_id")
+    )
+    clean = deduped.filter(F.col("source") != _P18_EVAL_SOURCE).join(
+        contaminated, "doc_id", "left_anti"
+    )
+    return (
+        cap_per_source(clean, _P18_CAP)
+        .select("doc_id", "source", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
