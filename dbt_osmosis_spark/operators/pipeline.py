@@ -980,3 +980,64 @@ def p11_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_chars", "rk")
         .orderBy("doc_id")
     )
+
+
+# ---- d10: cross-document duplicate n-gram rate -----------------------------
+# The Lee-et-al. ("Deduplicating Training Data Makes Language Models
+# Better") exact-substring SIGNAL as a per-doc score: what fraction of a
+# document's distinct 5-gram spans also occur in at least one other
+# document. p10 removes duplicated passages; this measures them — the
+# ranking input for "drop the N% most-boilerplate docs" policies. Scale
+# shape: distinct shingles per doc are map-side; one shuffle groups each
+# shingle's distinct-doc count (partial agg on the shingle key); one
+# broadcast-or-shuffle join back and one per-doc agg. The shingle string
+# itself never leaves the first shuffle — the join key could be its md5
+# at 100 TB to cut shuffle bytes (same pattern as d08's shingle index).
+
+_D10_K = 5
+
+_D10_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {_DUCK_TOK} AS w FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest({_duck_shingles(_D10_K)}) AS shingle
+  FROM tok WHERE len(w) >= {_D10_K}
+),
+freq AS (
+  SELECT shingle, COUNT(DISTINCT doc_id) AS n_docs FROM sh GROUP BY shingle
+)
+SELECT s.doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       CAST(SUM(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_rate
+FROM sh s JOIN freq f ON s.shingle = f.shingle
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+"""
+
+
+@register("d10_crossdoc_ngram_rate", oracle=_D10_ORACLE)
+def d10_crossdoc_ngram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    sh = (
+        docs.withColumn("w", tokens())
+        .filter(F.size("w") >= _D10_K)
+        .select(
+            "doc_id",
+            F.explode(F.expr(spark_shingles_sql("w", _D10_K))).alias("shingle"),
+        )
+        .persist()
+    )
+    freq = sh.groupBy("shingle").agg(F.countDistinct("doc_id").alias("n_docs"))
+    shared = F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).cast("bigint")
+    return (
+        sh.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            shared.alias("n_shared"),
+            (shared.cast("double") / F.count(F.lit(1))).alias("dup_rate"),
+        )
+        .orderBy("doc_id")
+    )
