@@ -420,3 +420,100 @@ ORDER BY user_id, event_id
 """,
         events=ev,
     )
+
+
+# --------------------------------------------------------------------------
+# q48: LATERAL correlated subquery — top-N per group without a window
+# --------------------------------------------------------------------------
+# The SQL-standard lateral join (Spark 4 LATERAL; Catalyst decorrelates to
+# a ranked join, so there is no per-row re-execution at scale). Per-nation
+# top-2 customers by balance — ties broken by name, both engines.
+
+_Q48_ORACLE = """
+SELECT n.n_name, c.c_name, c.c_acctbal
+FROM nation n,
+     LATERAL (SELECT c_name, c_acctbal FROM customer
+              WHERE c_nationkey = n.n_nationkey
+              ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+ORDER BY n.n_name, c.c_acctbal DESC, c.c_name
+"""
+
+
+@register("q48_lateral_topn", oracle=_Q48_ORACLE)
+def q48_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        """
+SELECT n.n_name, c.c_name, c.c_acctbal
+FROM {nation} n,
+     LATERAL (SELECT c_name, c_acctbal FROM {customer}
+              WHERE c_nationkey = n.n_nationkey
+              ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+ORDER BY n.n_name, c.c_acctbal DESC, c.c_name
+""",
+        nation=t(spark, sf_dir, "nation"),
+        customer=t(spark, sf_dir, "customer"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q49: recursive CTE — calendar spine with per-month rollup
+# --------------------------------------------------------------------------
+# WITH RECURSIVE landed in Spark 4; the canonical warehouse use is a
+# generated spine joined back to facts (months with zero orders must
+# appear). The recursion is bounded by the data's date range — a driver-
+# side loop is never needed. (The non-recursive sequence() date spine is
+# q32; this exercises the recursive-execution path itself.)
+
+_Q49_ORACLE = """
+WITH RECURSIVE bounds AS (
+  SELECT date_trunc('month', MIN(o_orderdate)) AS lo,
+         date_trunc('month', MAX(o_orderdate)) AS hi
+  FROM orders
+),
+months(m) AS (
+  SELECT lo FROM bounds
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH FROM months, bounds WHERE m < hi
+),
+per AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT CAST(months.m AS DATE) AS month,
+       COALESCE(per.n_orders, 0) AS n_orders,
+       COALESCE(per.revenue, 0.0) AS revenue
+FROM months LEFT JOIN per ON per.m = months.m
+ORDER BY month
+"""
+
+
+@register("q49_recursive_months", oracle=_Q49_ORACLE)
+def q49_recursive_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        """
+WITH RECURSIVE bounds AS (
+  SELECT date_trunc('month', MIN(o_orderdate)) AS lo,
+         date_trunc('month', MAX(o_orderdate)) AS hi
+  FROM {orders}
+),
+months(m) AS (
+  SELECT lo FROM bounds
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH FROM months, bounds WHERE m < hi
+),
+per AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM {orders} GROUP BY 1
+)
+SELECT CAST(months.m AS DATE) AS month,
+       COALESCE(per.n_orders, 0) AS n_orders,
+       COALESCE(per.revenue, 0.0) AS revenue
+FROM months LEFT JOIN per ON per.m = months.m
+ORDER BY month
+""",
+        orders=t(spark, sf_dir, "orders"),
+    )
