@@ -378,6 +378,10 @@ def phash_payloads(
         for pdf in batches:
             payloads = pdf["content"].to_numpy()
             n_rows = len(payloads)
+            if n_rows == 0:
+                # an empty Arrow batch would make `starts` below a 1-long
+                # [0] (cumsum of nothing) and desync from the 0-row output
+                continue
             if use_real:  # pragma: no cover - codec absent in this container
                 for data in payloads:
                     try:

@@ -577,3 +577,51 @@ def p18_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "lang", "n_chars")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# p19: deterministic global ordering WITHOUT a global sort
+# --------------------------------------------------------------------------
+# Trainers need a stable global enumeration of the corpus (shard assembly,
+# curriculum order, resumable iteration). A naive row_number() OVER
+# (ORDER BY ...) collapses the whole corpus into one partition — the
+# classic 100 TB killer. The scale pattern: rank WITHIN buckets in
+# parallel (one window per bucket partition), aggregate per-bucket counts
+# (tiny), turn them into cumulative offsets on the tiny frame only, and
+# broadcast the offsets back: global_pos = bucket_offset + local_rank.
+# The only single-partition work is the |buckets|-row offset window. The
+# order key is md5-deterministic, so the enumeration is stable across
+# runs, partitionings, and engines.
+
+_P19_ORACLE = """
+SELECT doc_id, lang,
+       CAST(row_number() OVER (ORDER BY lang, md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+            AS BIGINT) AS global_pos
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("p19_global_order", oracle=_P19_ORACLE)
+def p19_global_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    mk = F.md5(F.col("doc_id").cast("string"))
+    rk = F.row_number().over(W.partitionBy("lang").orderBy(mk, "doc_id"))
+    ranked = docs.select("doc_id", "lang", (rk - 1).cast("bigint").alias("local_rank"))
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    # |buckets| rows: the single-partition window is bounded by bucket
+    # cardinality, never by corpus size
+    off = F.coalesce(
+        F.sum("n").over(W.orderBy("lang").rowsBetween(W.unboundedPreceding, -1)),
+        F.lit(0),
+    ).cast("bigint")
+    offsets = counts.select("lang", off.alias("bucket_off"))
+    return (
+        ranked.join(F.broadcast(offsets), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("bucket_off") + F.col("local_rank")).alias("global_pos"),
+        )
+        .orderBy("doc_id")
+    )

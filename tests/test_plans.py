@@ -216,3 +216,12 @@ def test_p17_single_agg_shuffle(q):
     # stage but no extra wide exchange beyond the two-stage distinct
     df = q("p17_corpus_report")
     assert exchange_count(df) <= 3
+
+
+def test_p19_no_corpus_wide_single_partition(q):
+    # the global enumeration must not plan a corpus-wide single-partition
+    # sort: the only SinglePartition exchange allowed is the tiny
+    # bucket-offset window (input = groupBy(lang) counts)
+    df = q("p19_global_order")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange SinglePartition") <= 1
