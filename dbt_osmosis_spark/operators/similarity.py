@@ -783,3 +783,103 @@ def s08_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("sq_dist", "vec_id")
         .limit(_K)
     )
+
+
+# ---- s09: IVF+PQ — the composed billion-vector index layout ----------------
+# s05's coarse cells bound WHICH vectors a query touches; s08's product
+# codes bound the BYTES per touched vector. Composed, they are the
+# standard billion-scale ANN index (FAISS IVFPQ): probe nprobe cells,
+# ADC-scan only those cells' codes, shortlist, exact re-rank the
+# shortlist. Spark layout: cell assignment and PQ encoding are one
+# map-side pass each at index build (persisted partitionBy('cell') in a
+# real deployment, so the probe prunes partitions); the query side is a
+# broadcast row carrying (probe list, LUT, exact vector). Per-candidate
+# scan cost: one array_contains + 8 lookups. All constants are the same
+# deterministic md5 derivations as the parent operators, so the composed
+# pipeline keeps the full value-hash oracle.
+
+_S09_SHORTLIST = 50
+
+_S09_ORACLE = f"""
+WITH vecs AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+seeds AS (
+  SELECT v, md5(CAST(vec_id AS VARCHAR)) AS mk, vec_id FROM vecs
+  ORDER BY mk, vec_id LIMIT {_PQ_K}
+),
+book AS (
+  SELECT list(v ORDER BY mk, vec_id) AS cb FROM seeds
+),
+indexed AS (
+  SELECT vec_id, label, v,
+         {_DUCK_CELL.format(a="v")} AS cell,
+         {_DUCK_PQ_CODES.format(t=_DUCK_PQ_TENSOR.format(a="v"))} AS codes
+  FROM vecs, book
+),
+q AS (
+  SELECT v AS qv,
+         {_DUCK_PROBE.format(a="v")} AS probe,
+         {_DUCK_PQ_TENSOR.format(a="v")} AS lut
+  FROM vecs, book WHERE vec_id = {_QUERY_ID}
+),
+short AS (
+  SELECT i.vec_id, i.label, i.v, q.qv,
+         {_DUCK_PQ_ADC.format(lut="q.lut", codes="i.codes")} AS adc_dist
+  FROM indexed i, q
+  WHERE list_contains(q.probe, i.cell) AND i.vec_id <> {_QUERY_ID}
+  ORDER BY adc_dist, vec_id
+  LIMIT {_S09_SHORTLIST}
+)
+SELECT vec_id, label, adc_dist,
+       {_DUCK_DIST2.format(a="v", b="qv", n=_DIM)} AS sq_dist
+FROM short
+ORDER BY sq_dist, vec_id
+LIMIT {_K}
+"""
+
+
+@register("s09_ivfpq_topk", oracle=_S09_ORACLE)
+def s09_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(read_parquet(spark, f"{sf_dir}/embeddings.parquet")).withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    book = pq_codebook(emb)
+    indexed = pq_encode(ivf_assign(emb, "v"), book).select(
+        "vec_id", "label", "v", "cell", "codes"
+    )
+    q = (
+        emb.filter(F.col("vec_id") == _QUERY_ID)
+        .crossJoin(F.broadcast(book))
+        .select(
+            F.col("v").alias("qv"),
+            F.expr(_SPARK_PROBE.format(a="v")).alias("probe"),
+            F.expr(_SPARK_PQ_TENSOR.format(a="v")).alias("lut"),
+        )
+    )
+    short = (
+        indexed.crossJoin(F.broadcast(q))
+        .filter(
+            F.array_contains(F.col("probe"), F.col("cell"))
+            & (F.col("vec_id") != _QUERY_ID)
+        )
+        .select(
+            "vec_id",
+            "label",
+            "v",
+            "qv",
+            F.expr(_SPARK_PQ_ADC.format(lut="lut", codes="codes")).alias("adc_dist"),
+        )
+        .orderBy("adc_dist", "vec_id")
+        .limit(_S09_SHORTLIST)
+    )
+    return (
+        short.select(
+            "vec_id",
+            "label",
+            "adc_dist",
+            F.expr(_SPARK_DIST2.format(a="v", b="qv")).alias("sq_dist"),
+        )
+        .orderBy("sq_dist", "vec_id")
+        .limit(_K)
+    )

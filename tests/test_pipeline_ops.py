@@ -674,3 +674,28 @@ def test_bigram_perplexity_sanity(spark, sf_dir):
     ces = [r.cross_entropy_bits for r in rows]
     assert min(ces) < max(ces)
     assert max(ces) < 2 * (sum(ces) / len(ces)) + 1e-9 or math.isfinite(max(ces))
+
+
+def test_ivfpq_recall_vs_exact(spark, sf_dir):
+    """The composed IVF+PQ index (probe -> ADC shortlist -> exact re-rank)
+    must recover a usable fraction of the exact L2 top-10; its recall is
+    bounded above by the IVF probe (missed cells are gone for good)."""
+    from dbt_osmosis_spark.operators.similarity import _SPARK_DIST2
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    exact = {
+        r.vec_id
+        for r in emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.expr(_SPARK_DIST2.format(a="v", b="qv")).alias("d2"))
+        .orderBy("d2", "vec_id")
+        .limit(10)
+        .collect()
+    }
+    got = {r.vec_id for r in QUERIES["s09_ivfpq_topk"](spark, sf_dir).collect()}
+    assert len(got) == 10
+    assert len(exact & got) >= 2, f"IVFPQ recall collapsed: {exact & got}"
