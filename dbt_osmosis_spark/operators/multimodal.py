@@ -451,3 +451,103 @@ def m05_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
         .orderBy("phash")
     )
+
+
+# ---- m06: audio feature extraction — framed energy + zero-crossing ---------
+# The audio-modality analog of m02: treat the payload as 8-bit PCM, frame
+# it (128 samples, no overlap), and emit the two classic cheap features —
+# RMS energy and DC-removed zero-crossing count — per frame. Real
+# pipelines decode with soundfile/ffmpeg inside the same batch loop (the
+# codec gate pattern); the stub reads raw bytes as samples, which keeps
+# every number oracle-exact in DuckDB (ASCII corpus: byte == char).
+#
+# Numeric design (NO rounding anywhere): RMS comes from the exact integer
+# sums s = Σx and ss = Σx² via var = ss/n - (s/n)², and the zero-crossing
+# sign test is done in scaled integers ((x[i]*n - s) sign == sign of
+# x[i] - mean) — so every emitted double is the result of the identical
+# IEEE op sequence in both engines. Columnar inside Arrow batches: one
+# gather matrix per batch covering all frames of all payloads, no per-row
+# Python.
+
+_FRAME_N = 128
+AUDIO_SCHEMA = "doc_id long, frame_no int, rms double, zero_crossings int"
+
+
+def audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    import numpy as np
+
+    def one_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        use_real = codec_available()
+        for pdf in batches:
+            payloads = pdf["content"].to_numpy()
+            n_rows = len(payloads)
+            if n_rows == 0:
+                continue
+            if use_real:  # pragma: no cover - codec absent in this container
+                for data in payloads:
+                    try:
+                        decode_image(data)  # placeholder for audio decode
+                    except Exception:  # noqa: BLE001
+                        pass
+            lens = np.fromiter((len(d) for d in payloads), dtype=np.int64, count=n_rows)
+            flat = np.frombuffer(b"".join(payloads), dtype=np.uint8).astype(np.int64)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            n_frames = lens // _FRAME_N
+            total = int(n_frames.sum())
+            if total == 0:
+                continue
+            f_doc = np.repeat(np.arange(n_rows), n_frames)
+            frame_no = np.arange(total) - np.repeat(
+                np.concatenate(([0], np.cumsum(n_frames)[:-1])), n_frames
+            )
+            f_start = starts[f_doc] + frame_no * _FRAME_N
+            samples = flat[f_start[:, None] + np.arange(_FRAME_N)[None, :]]
+            s = samples.sum(axis=1)
+            ss = (samples * samples).sum(axis=1)
+            var = ss / _FRAME_N - (s / _FRAME_N) * (s / _FRAME_N)
+            centered = samples * _FRAME_N - s[:, None]
+            zc = (centered[:, 1:] * centered[:, :-1] < 0).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].to_numpy()[f_doc],
+                    "frame_no": frame_no.astype(np.int32),
+                    "rms": np.sqrt(var),
+                    "zero_crossings": zc.astype(np.int32),
+                }
+            )
+
+    return df.filter(F.length("content") >= _FRAME_N).select(id_col, "content").mapInPandas(
+        one_batch, schema=AUDIO_SCHEMA
+    )
+
+
+_M06_ORACLE = f"""
+WITH framed AS (
+  SELECT doc_id, CAST(i AS INT) AS frame_no,
+         list_transform(string_split(substr(text, CAST(i * {_FRAME_N} + 1 AS INT), {_FRAME_N}), ''),
+                        c -> CAST(ascii(c) AS BIGINT)) AS x
+  FROM documents,
+       UNNEST(range(0, length(text) // {_FRAME_N})) AS t(i)
+  WHERE length(text) >= {_FRAME_N}
+),
+sums AS (
+  SELECT doc_id, frame_no, x,
+         list_sum(x) AS s,
+         list_sum(list_transform(x, v -> v * v)) AS ss
+  FROM framed
+)
+SELECT doc_id, frame_no,
+       sqrt(CAST(ss AS DOUBLE) / {_FRAME_N}
+            - (CAST(s AS DOUBLE) / {_FRAME_N}) * (CAST(s AS DOUBLE) / {_FRAME_N})) AS rms,
+       CAST(list_sum(list_transform(range(1, {_FRAME_N}),
+            i -> CASE WHEN (x[i] * {_FRAME_N} - s) * (x[i + 1] * {_FRAME_N} - s) < 0
+                 THEN 1 ELSE 0 END)) AS INT) AS zero_crossings
+FROM sums
+ORDER BY doc_id, frame_no
+"""
+
+
+@register("m06_audio_energy", oracle=_M06_ORACLE)
+def m06_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = attach_fake_payloads(spread(read_parquet(spark, f"{sf_dir}/documents.parquet")))
+    return audio_features(docs).orderBy("doc_id", "frame_no")

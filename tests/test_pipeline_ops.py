@@ -699,3 +699,23 @@ def test_ivfpq_recall_vs_exact(spark, sf_dir):
     got = {r.vec_id for r in QUERIES["s09_ivfpq_topk"](spark, sf_dir).collect()}
     assert len(got) == 10
     assert len(exact & got) >= 2, f"IVFPQ recall collapsed: {exact & got}"
+
+
+def test_audio_features_frame_accounting(spark, sf_dir):
+    """One row per full 128-byte frame; rms within [0, 127]; constant
+    frames have zero energy and zero crossings."""
+    from dbt_osmosis_spark.operators.multimodal import audio_features
+
+    rows = QUERIES["m06_audio_energy"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.rms <= 127.0
+        assert 0 <= r.zero_crossings <= 127
+    flat = spark.createDataFrame(
+        [(1, bytearray(b"a" * 256)), (2, bytearray(b"ab" * 128))],
+        "doc_id long, content binary",
+    )
+    got = {(r.doc_id, r.frame_no): r for r in audio_features(flat).collect()}
+    assert set(got) == {(1, 0), (1, 1), (2, 0), (2, 1)}
+    assert got[(1, 0)].rms == 0.0 and got[(1, 0)].zero_crossings == 0
+    assert got[(2, 0)].zero_crossings == 127  # alternating signal
