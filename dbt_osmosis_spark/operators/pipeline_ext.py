@@ -625,3 +625,50 @@ def p19_global_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# p20: shard assembly — fixed-size shards + per-shard manifest
+# --------------------------------------------------------------------------
+# The write-side end of the pipeline: deterministic global position (p19's
+# bucket-offset enumeration) → shard_id = pos // SHARD_SIZE → one manifest
+# row per shard (counts, position range, byte totals). In production the
+# next line is df.repartitionByRange('shard_id').write.partitionBy(
+# 'shard_id') — every shard lands as one contiguous file set and the
+# manifest is the training loader's index. The manifest agg is one
+# partial-aggregated shuffle on shard_id.
+
+_P20_SHARD = 64
+
+_P20_ORACLE = f"""
+WITH pos AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY lang, md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS p
+  FROM documents
+)
+SELECT CAST(p // {_P20_SHARD} AS BIGINT) AS shard_id,
+       COUNT(*) AS n_docs,
+       MIN(p) AS first_pos,
+       MAX(p) AS last_pos,
+       SUM(n_chars) AS total_chars
+FROM pos
+GROUP BY 1
+ORDER BY shard_id
+"""
+
+
+@register("p20_pack_shards", oracle=_P20_ORACLE)
+def p20_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id", "n_chars")
+    pos = p19_global_order(spark, sf_dir).join(docs, "doc_id")
+    return (
+        pos.withColumn("shard_id", F.expr(f"global_pos DIV {_P20_SHARD}"))
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("global_pos").alias("first_pos"),
+            F.max("global_pos").alias("last_pos"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("shard_id")
+    )
