@@ -136,6 +136,15 @@ ORDER BY c.component
 """
 
 
+def lsh_components(docs: DataFrame) -> DataFrame:
+    """The shared MinHash→LSH→connected-components chain behind d06/d09:
+    (id, component) for every doc, component = min reachable doc_id."""
+    sig = minhash_signatures(docs).persist()
+    pairs = lsh_candidate_pairs(lsh_bands(sig))
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    return connected_components(docs.select(F.col("doc_id").alias("id")), edges)
+
+
 @register("d06_dedup_components", oracle=_D06_ORACLE)
 def d06_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: transitive closure of MinHash-LSH candidate pairs;
@@ -143,10 +152,7 @@ def d06_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-doc components (the dedup 'drop list' is everything else in them).
     """
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
-    sig = minhash_signatures(docs).persist()
-    pairs = lsh_candidate_pairs(lsh_bands(sig))
-    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    comp = connected_components(docs.select(F.col("doc_id").alias("id")), edges)
+    comp = lsh_components(docs)
     return (
         comp.groupBy("component")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("id").alias("keep_doc_id"))
@@ -191,10 +197,7 @@ ORDER BY d.doc_id
 @register("d09_dedup_keep", oracle=_D09_ORACLE)
 def d09_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
-    sig = minhash_signatures(docs).persist()
-    pairs = lsh_candidate_pairs(lsh_bands(sig))
-    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    comp = connected_components(docs.select(F.col("doc_id").alias("id")), edges)
+    comp = lsh_components(docs)
     kept = comp.filter(F.col("component") == F.col("id")).select(
         F.col("id").alias("doc_id")
     )

@@ -602,29 +602,34 @@ ORDER BY doc_id
 """
 
 
-@register("p19_global_order", oracle=_P19_ORACLE)
-def p19_global_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+def global_order(docs: DataFrame, bucket_col: str = "lang") -> DataFrame:
+    """Add a deterministic ``global_pos`` column without a global sort:
+    per-bucket ranks in parallel + broadcast cumulative bucket offsets.
+    Every input column rides through, so downstream consumers (p20's
+    shard manifest) never re-scan or re-join the corpus for attributes
+    the enumeration already had in hand."""
     mk = F.md5(F.col("doc_id").cast("string"))
-    rk = F.row_number().over(W.partitionBy("lang").orderBy(mk, "doc_id"))
-    ranked = docs.select("doc_id", "lang", (rk - 1).cast("bigint").alias("local_rank"))
-    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    rk = F.row_number().over(W.partitionBy(bucket_col).orderBy(mk, "doc_id"))
+    ranked = docs.withColumn("_local_rank", (rk - 1).cast("bigint"))
+    counts = docs.groupBy(bucket_col).agg(F.count(F.lit(1)).alias("n"))
     # |buckets| rows: the single-partition window is bounded by bucket
     # cardinality, never by corpus size
     off = F.coalesce(
-        F.sum("n").over(W.orderBy("lang").rowsBetween(W.unboundedPreceding, -1)),
+        F.sum("n").over(W.orderBy(bucket_col).rowsBetween(W.unboundedPreceding, -1)),
         F.lit(0),
     ).cast("bigint")
-    offsets = counts.select("lang", off.alias("bucket_off"))
+    offsets = counts.select(bucket_col, off.alias("_bucket_off"))
     return (
-        ranked.join(F.broadcast(offsets), "lang")
-        .select(
-            "doc_id",
-            "lang",
-            (F.col("bucket_off") + F.col("local_rank")).alias("global_pos"),
-        )
-        .orderBy("doc_id")
+        ranked.join(F.broadcast(offsets), bucket_col)
+        .withColumn("global_pos", F.col("_bucket_off") + F.col("_local_rank"))
+        .drop("_local_rank", "_bucket_off")
     )
+
+
+@register("p19_global_order", oracle=_P19_ORACLE)
+def p19_global_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return global_order(docs).select("doc_id", "lang", "global_pos").orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------
@@ -659,8 +664,9 @@ ORDER BY shard_id
 
 @register("p20_pack_shards", oracle=_P20_ORACLE)
 def p20_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id", "n_chars")
-    pos = p19_global_order(spark, sf_dir).join(docs, "doc_id")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    # n_chars rides through the enumeration — one corpus scan, no re-join
+    pos = global_order(docs).select("doc_id", "n_chars", "global_pos")
     return (
         pos.withColumn("shard_id", F.expr(f"global_pos DIV {_P20_SHARD}"))
         .groupBy("shard_id")

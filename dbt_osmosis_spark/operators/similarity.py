@@ -751,7 +751,7 @@ def s08_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v", F.col("embedding").cast("array<double>")
     )
     book = pq_codebook(emb)
-    encoded = pq_encode(emb, book).select("vec_id", "label", "v", "codes", "cb")
+    encoded = pq_encode(emb, book).select("vec_id", "label", "v", "codes")
     q = (
         emb.filter(F.col("vec_id") == _QUERY_ID)
         .crossJoin(F.broadcast(book))

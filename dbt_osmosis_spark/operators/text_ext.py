@@ -227,7 +227,7 @@ def t13_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     big = toks.select(
         "doc_id",
-        F.posexplode(F.expr("transform(sequence(1, size(w) - 1), i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))")).alias("_i", "bg"),
+        F.explode(F.expr("transform(sequence(1, size(w) - 1), i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))")).alias("bg"),
     ).select("doc_id", F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
     c2 = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n2"))
     c1 = c2.groupBy("a").agg(F.sum("n2").alias("n1"))

@@ -659,21 +659,23 @@ def test_corpus_report_totals_match_table(spark, sf_dir):
 
 
 def test_bigram_perplexity_sanity(spark, sf_dir):
-    """Cross-entropy is positive and bounded by log2 of the smoothed event
-    space; a doc of one repeated bigram scores near the model's floor for
-    that bigram (the corpus's most predictable docs rank lowest)."""
+    """Cross-entropy is positive and bounded by the smoothed model's
+    worst-case surprisal log2((n1_max + alpha*V) / alpha) — no doc can
+    score above the floor probability's cost."""
     import math
 
     rows = QUERIES["t13_bigram_perplexity"](spark, sf_dir).collect()
     assert rows
-    # vocab is tiny (~31): H must sit inside (0, log2(n1_max + alpha*V)]
     for r in rows:
-        assert 0 < r.cross_entropy_bits < 32, r
         assert r.n_bigrams >= 1
-    # repeated text compresses: min-entropy doc must be well under the max
+    n_bigrams_total = sum(r.n_bigrams for r in rows)
+    # alpha=0.5; V <= 40 on this corpus; n1 <= total bigram count
+    h_max = math.log2((n_bigrams_total + 0.5 * 40) / 0.5)
+    for r in rows:
+        assert 0 < r.cross_entropy_bits <= h_max + 1e-6, r
+    # repeated text compresses: the corpus must show real spread
     ces = [r.cross_entropy_bits for r in rows]
     assert min(ces) < max(ces)
-    assert max(ces) < 2 * (sum(ces) / len(ces)) + 1e-9 or math.isfinite(max(ces))
 
 
 def test_ivfpq_recall_vs_exact(spark, sf_dir):

@@ -285,7 +285,11 @@ def test_streaming_phash_dedup_bounded_state(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    try:
+        finished = q.awaitTermination(120)
+        assert finished, "availableNow stream did not finish within 120s"
+    finally:
+        q.stop()
     got = spark.sql("SELECT * FROM phash_dedup").collect()
     n_hashes = len({r.phash for r in phash_payloads(staged).collect()})
     assert len(got) == n_hashes
