@@ -678,3 +678,43 @@ def p20_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+# --------------------------------------------------------------------------
+# p21: deterministic train/val/test split
+# --------------------------------------------------------------------------
+# The md5-threshold idea of p01 applied to DISJOINT labeled splits: a doc's
+# assignment depends only on its id, so splits are stable across runs,
+# engines, partitionings, and incremental re-ingests — a doc can never
+# migrate between train and test when the corpus grows (the leakage mode
+# df.randomSplit has). Pure map-side; zero shuffle.
+
+_P21_TRAIN, _P21_VAL = 80, 90  # <80 train, <90 val, else test (of %100)
+
+_P21_BUCKET_DUCK = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100"
+)
+_P21_BUCKET_SPARK = (
+    "CAST(conv(substr(md5(cast(CAST(doc_id AS STRING) AS BINARY)), 1, 15), 16, 10) AS BIGINT) % 100"
+)
+
+_P21_ORACLE = f"""
+SELECT doc_id, lang, source,
+       CASE WHEN {_P21_BUCKET_DUCK} < {_P21_TRAIN} THEN 'train'
+            WHEN {_P21_BUCKET_DUCK} < {_P21_VAL} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("p21_train_val_split", oracle=_P21_ORACLE)
+def p21_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    bucket = F.expr(_P21_BUCKET_SPARK)
+    split = (
+        F.when(bucket < _P21_TRAIN, "train")
+        .when(bucket < _P21_VAL, "val")
+        .otherwise("test")
+    )
+    return docs.select("doc_id", "lang", "source", split.alias("split")).orderBy("doc_id")
