@@ -551,3 +551,71 @@ ORDER BY doc_id, frame_no
 def m06_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = attach_fake_payloads(spread(read_parquet(spark, f"{sf_dir}/documents.parquet")))
     return audio_features(docs).orderBy("doc_id", "frame_no")
+
+
+# ---- m07: video scene-change detection (frame differencing) ----------------
+# The video-pipeline staple: sample frames, diff consecutive frames, flag
+# cuts where the mean absolute per-pixel change spikes. The stub diffs
+# 64-byte "frames" of the raw payload (ffmpeg-decoded luma planes in the
+# real container — same loop, same schema). Unlike m02/m05/m06 this one
+# needs NO Python at all: frame extraction and the per-byte fold are
+# JVM-side higher-order expressions over ascii(substr(...)) — pure
+# whole-stage-codegen map work, zero shuffle. All-integer arithmetic
+# (sums of abs diffs, one exact division), so the oracle needs no
+# rounding.
+
+_M07_FRAME = 64
+_M07_CUT = 28.0  # mean-abs-diff threshold (corpus mid-point)
+
+_M07_ORACLE = f"""
+WITH pairs AS (
+  SELECT doc_id, CAST(i AS INT) AS frame_no,
+         list_sum(list_transform(range(0, {_M07_FRAME}),
+             j -> abs(ascii(substr(text, CAST(i * {_M07_FRAME} + j + 1 AS INT), 1))
+                      - ascii(substr(text, CAST((i + 1) * {_M07_FRAME} + j + 1 AS INT), 1))))) AS sad
+  FROM documents,
+       UNNEST(range(0, length(text) // {_M07_FRAME} - 1)) AS t(i)
+  WHERE length(text) >= {_M07_FRAME} * 2
+)
+SELECT doc_id, frame_no,
+       CAST(sad AS BIGINT) AS sad,
+       CAST(sad AS DOUBLE) / {_M07_FRAME} AS mad,
+       CAST(CAST(sad AS DOUBLE) / {_M07_FRAME} > {_M07_CUT} AS INT) AS is_cut
+FROM pairs
+ORDER BY doc_id, frame_no
+"""
+
+
+def scene_changes(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Frame-difference columns over a payload-bearing frame; `is_cut`
+    flags boundaries where mean absolute change exceeds the threshold."""
+    sad = F.expr(
+        f"aggregate(sequence(0, {_M07_FRAME} - 1), 0, (acc, j) -> acc + "
+        f"abs(ascii(substring({text_col}, i * {_M07_FRAME} + j + 1, 1)) "
+        f"- ascii(substring({text_col}, (i + 1) * {_M07_FRAME} + j + 1, 1))))"
+    )
+    return (
+        df.filter(F.length(text_col) >= _M07_FRAME * 2)
+        .select(
+            "doc_id",
+            text_col,
+            F.explode(
+                F.expr(
+                    f"sequence(0, CAST(length({text_col}) / {_M07_FRAME} AS INT) - 2)"
+                )
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("int").alias("frame_no"),
+            sad.cast("bigint").alias("sad"),
+        )
+        .withColumn("mad", F.col("sad").cast("double") / _M07_FRAME)
+        .withColumn("is_cut", (F.col("mad") > _M07_CUT).cast("int"))
+    )
+
+
+@register("m07_scene_changes", oracle=_M07_ORACLE)
+def m07_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    return scene_changes(docs).orderBy("doc_id", "frame_no")

@@ -225,3 +225,12 @@ def test_p19_no_corpus_wide_single_partition(q):
     df = q("p19_global_order")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_m07_map_side_no_join(q):
+    # frame differencing is per-doc map work: the plan must contain no
+    # join and no shuffle beyond the presentation sort
+    df = q("m07_scene_changes")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert exchange_count(df) <= 1
