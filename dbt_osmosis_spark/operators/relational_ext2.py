@@ -517,3 +517,45 @@ ORDER BY month
 """,
         orders=t(spark, sf_dir, "orders"),
     )
+
+
+# --------------------------------------------------------------------------
+# q50: FILTER-clause conditional aggregation
+# --------------------------------------------------------------------------
+# The SQL-standard FILTER (WHERE ...) aggregate modifier — the declarative
+# form of q02's CASE-WHEN pivot; Catalyst compiles both to the same
+# conditional partial aggregates (one shuffle), but FILTER composes with
+# every aggregate (count/sum/avg/min/max) without NULL-placeholder
+# gymnastics.
+
+_Q50_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F')
+            AS DOUBLE) AS finished_revenue,
+       MAX(o_orderdate) FILTER (WHERE o_orderstatus = 'O') AS latest_open
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("q50_filter_aggregates", oracle=_Q50_ORACLE)
+def q50_filter_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F')
+            AS DOUBLE) AS finished_revenue,
+       MAX(o_orderdate) FILTER (WHERE o_orderstatus = 'O') AS latest_open
+FROM {orders}
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+        orders=t(spark, sf_dir, "orders"),
+    )

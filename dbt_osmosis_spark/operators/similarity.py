@@ -883,3 +883,40 @@ def s09_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("sq_dist", "vec_id")
         .limit(_K)
     )
+
+
+# ---- s10: maximum inner product search (MIPS) ------------------------------
+# Recommendation-scoring semantics: rank by RAW dot product, not cosine —
+# item popularity (vector norm) is signal, not noise. Same broadcast-
+# query + TakeOrderedAndProject shape as s01. For approximate MIPS at
+# scale, the standard reduction (Shrivastava & Li, NeurIPS 2014) appends
+# sqrt(M² − ‖x‖²) to each item and 0 to the query, turning MIPS into the
+# L2/cosine problem s02/s05/s08/s09 already index — one extra map-side
+# column, every ANN structure above reusable unchanged.
+
+_S10_ORACLE = f"""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {_QUERY_ID}
+)
+SELECT e.vec_id, e.label,
+       {_DUCK_DOT.format(a="e.embedding::DOUBLE[]", b="q.qv", n=_DIM)} AS dot
+FROM embeddings e, q
+WHERE e.vec_id <> {_QUERY_ID}
+ORDER BY dot DESC, vec_id
+LIMIT {_K}
+"""
+
+
+@register("s10_mips_topk", oracle=_S10_ORACLE)
+def s10_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") == _QUERY_ID).select(F.col("v").alias("qv"))
+    return (
+        emb.filter(F.col("vec_id") != _QUERY_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", F.expr(_SPARK_DOT.format(a="v", b="qv")).alias("dot"))
+        .orderBy(F.desc("dot"), "vec_id")
+        .limit(_K)
+    )
