@@ -559,3 +559,47 @@ ORDER BY o_orderpriority
 """,
         orders=t(spark, sf_dir, "orders"),
     )
+
+
+# --------------------------------------------------------------------------
+# q51: SCD-2 interval builder from an event stream
+# --------------------------------------------------------------------------
+# Compact an event log into slowly-changing-dimension type-2 history:
+# keep only CHANGE points (event_type differs from the previous event),
+# then close each version with the next change's timestamp (open-ended =
+# current). Two windows over the same (user_id, ts) partitioning — Spark
+# reuses the one shuffle for both. Deterministic ordering: (ts, event_id)
+# within user; lead() over (valid_from, event_type) so same-instant
+# changes close in a fixed order. This is the warehouse "dim from CDC
+# stream" pattern (the runner's snapshot materialization is the
+# file-plane analog).
+
+_Q51_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM {events}
+  WHERE user_id < 16
+),
+changes AS (
+  SELECT user_id, event_type, ts AS valid_from
+  FROM ordered WHERE prev_type IS NULL OR event_type <> prev_type
+),
+versioned AS (
+  SELECT user_id, event_type, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id
+                                ORDER BY valid_from, event_type) AS valid_to
+  FROM changes
+)
+SELECT user_id, event_type, valid_from, valid_to,
+       CAST(valid_to IS NULL AS INT) AS is_current
+FROM versioned
+ORDER BY user_id, valid_from, event_type
+"""
+
+_Q51_ORACLE = _Q51_SQL.format(events="events")
+
+
+@register("q51_scd2_intervals", oracle=_Q51_ORACLE)
+def q51_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_Q51_SQL, events=t(spark, sf_dir, "events"))
