@@ -259,3 +259,101 @@ def test_manifest_artifact_roundtrip_property(manifest):
         assert (m2.sources[key].path is None) == (src.path is None), key
     assert m2.on_run_start == manifest.on_run_start
     assert set(m2.exposures) == set(manifest.exposures)
+
+
+# ---- round-3 operator properties (pure-python mirrors, no Spark) -----------
+
+
+@given(
+    st.lists(st.binary(min_size=1, max_size=400), min_size=1, max_size=20),
+)
+@settings(max_examples=30, deadline=None)
+def test_phash_bit_pack_matches_reference(payloads):
+    """The vectorized gather/threshold/pack must equal a per-row reference
+    implementation for arbitrary byte payloads."""
+    import numpy as np
+
+    bits_n = 60
+    lens = np.fromiter((len(d) for d in payloads), dtype=np.int64, count=len(payloads))
+    flat = np.frombuffer(b"".join(payloads), dtype=np.uint8).astype(np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    idx = starts[:, None] + (np.arange(bits_n)[None, :] * lens[:, None]) // bits_n
+    pixels = flat[idx]
+    mean = pixels.sum(axis=1).astype(np.float64)[:, None] / bits_n
+    hashes = (pixels > mean).astype(np.int64) @ (
+        np.int64(1) << np.arange(bits_n, dtype=np.int64)
+    )
+    for row, data in enumerate(payloads):
+        px = [data[(i * len(data)) // bits_n] for i in range(bits_n)]
+        m = sum(px) / bits_n
+        expect = sum(1 << i for i, p in enumerate(px) if p > m)
+        assert hashes[row] == expect
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.sampled_from("abcde")),
+        min_size=1,
+        max_size=200,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_global_order_offsets_are_a_permutation(rows):
+    """p19's bucket-offset construction (per-bucket rank + cumulative
+    offsets) must yield exactly 0..n-1 and agree with the single-sort
+    definition, for any bucket assignment."""
+    import hashlib
+
+    def mk(i):
+        return hashlib.md5(str(i).encode()).hexdigest()
+
+    # single-sort reference
+    ref = {
+        doc: pos
+        for pos, (doc, _) in enumerate(
+            sorted(rows, key=lambda t: (t[1], mk(t[0]), t[0]))
+        )
+    }
+    # bucket construction
+    buckets = sorted({b for _, b in rows})
+    offsets, acc = {}, 0
+    for b in buckets:
+        offsets[b] = acc
+        acc += sum(1 for _, bb in rows if bb == b)
+    got = {}
+    for b in buckets:
+        members = sorted((d for d, bb in rows if bb == b), key=lambda d: (mk(d), d))
+        for r, d in enumerate(members):
+            got[d] = offsets[b] + r
+    assert got == ref
+    assert sorted(got.values()) == list(range(len(rows)))
+
+
+@given(st.binary(min_size=128, max_size=1024))
+@settings(max_examples=30, deadline=None)
+def test_audio_feature_math_matches_reference(data):
+    """m06's sum-of-squares variance and scaled-integer zero-crossing test
+    must equal the direct mean-centered definitions per frame."""
+    import math
+
+    n = 128
+    for f in range(len(data) // n):
+        x = list(data[f * n : (f + 1) * n])
+        s, ss = sum(x), sum(v * v for v in x)
+        var = ss / n - (s / n) * (s / n)
+        mean = s / n
+        direct_var = sum((v - mean) ** 2 for v in x) / n
+        assert math.isclose(var, direct_var, rel_tol=1e-9, abs_tol=1e-6)
+        zc_scaled = sum(
+            1
+            for i in range(n - 1)
+            if (x[i] * n - s) * (x[i + 1] * n - s) < 0
+        )
+        zc_direct = sum(
+            1
+            for i in range(n - 1)
+            if (x[i] - mean) * (x[i + 1] - mean) < 0
+            and (x[i] != mean and x[i + 1] != mean)
+        )
+        assert zc_scaled == zc_direct
