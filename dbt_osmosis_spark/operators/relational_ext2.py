@@ -603,3 +603,32 @@ _Q51_ORACLE = _Q51_SQL.format(events="events")
 @register("q51_scd2_intervals", oracle=_Q51_ORACLE)
 def q51_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q51_SQL, events=t(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# q52: bitwise aggregation — presence-bitmap rollup
+# --------------------------------------------------------------------------
+# The warehouse bitmap trick: OR per-row one-hot words into a fixed-width
+# presence bitmap per group (here user_id mod 60 per event_type/day), then
+# bit_count approximates distinct presence with a single BIGINT of group
+# state — the cheapest mergeable "which slots were seen" sketch, and the
+# building block real bitmap indexes (roaring) scale up. All-integer,
+# engine-exact; one partial-aggregated shuffle.
+
+_Q52_SQL = """
+SELECT event_type,
+       CAST(date_trunc('day', ts) AS DATE) AS day,
+       BIT_OR(CAST(1 AS BIGINT) << CAST(user_id % 60 AS INT)) AS user_bitmap,
+       BIT_COUNT(BIT_OR(CAST(1 AS BIGINT) << CAST(user_id % 60 AS INT))) AS slots_seen,
+       COUNT(*) AS n_events
+FROM {events}
+GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)
+ORDER BY event_type, day
+"""
+
+_Q52_ORACLE = _Q52_SQL.format(events="events")
+
+
+@register("q52_bitmap_rollup", oracle=_Q52_ORACLE)
+def q52_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_Q52_SQL, events=t(spark, sf_dir, "events"))
