@@ -718,3 +718,163 @@ def p21_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
     )
     return docs.select("doc_id", "lang", "source", split.alias("split")).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# d11: incremental NEAR-dup join — new batch vs ingested corpus
+# --------------------------------------------------------------------------
+# p16 is the exact-hash version of incremental dedup; this is its
+# near-dup sibling: the incoming batch's MinHash bands join the CORPUS
+# band index (persisted at ingest in production — 8 band keys of 16 bytes
+# per doc, never the documents), candidates verify with exact Jaccard.
+# Asymmetric by construction: only batch×corpus pairs, never
+# batch×batch (d03/d09 handle within-batch), and the corpus side ships
+# fingerprints only. One shuffle on the band key + the bounded verify
+# join.
+
+from dbt_osmosis_spark.operators.dedup import (  # noqa: E402
+    _duck_minhash_sig,
+    _DUCK_H28,
+    _JACCARD_THRESHOLD,
+    _B as _LSH_B,
+    _R as _LSH_R,
+    lsh_bands,
+    minhash_signatures,
+)
+
+_D11_DUCK_SIDE = """{name} AS (
+  SELECT doc_id, s, {sig} AS sig FROM (
+    SELECT doc_id, s, list_transform(s, x -> {h28}) AS hs FROM (
+      SELECT doc_id, {shingles} AS s FROM (
+        SELECT doc_id, {tok} AS w FROM documents WHERE doc_id % 5 {op} 0
+      ) WHERE len(w) >= 3
+    )
+  )
+),
+{name}_bands AS (
+  SELECT doc_id, band,
+         md5(array_to_string(list_slice(sig, band * {r} + 1, band * {r} + {r}), ',')) AS band_key
+  FROM {name}, (SELECT unnest(range(0, {b})) AS band)
+)"""
+
+
+def _d11_side(name: str, op: str) -> str:
+    return _D11_DUCK_SIDE.format(
+        name=name,
+        op=op,
+        sig=_duck_minhash_sig(),
+        h28=_DUCK_H28,
+        shingles=_duck_shingles(3),
+        tok=_DUCK_TOK,
+        r=_LSH_R,
+        b=_LSH_B,
+    )
+
+
+_D11_ORACLE = f"""
+WITH {_d11_side("corp", "=")},
+{_d11_side("batch", "<>")},
+cand AS (
+  SELECT DISTINCT b.doc_id AS batch_doc, c.doc_id AS corpus_doc
+  FROM batch_bands b JOIN corp_bands c
+    ON b.band = c.band AND b.band_key = c.band_key
+),
+verified AS (
+  SELECT cd.batch_doc, cd.corpus_doc,
+         CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+           / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jaccard
+  FROM cand cd
+  JOIN batch x ON x.doc_id = cd.batch_doc
+  JOIN corp y ON y.doc_id = cd.corpus_doc
+)
+SELECT batch_doc, corpus_doc, jaccard
+FROM verified
+WHERE jaccard >= {_JACCARD_THRESHOLD}
+ORDER BY batch_doc, corpus_doc
+"""
+
+
+@register("d11_incremental_neardup", oracle=_D11_ORACLE)
+def d11_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    sig_c = minhash_signatures(docs.filter(F.col("doc_id") % 5 == 0)).persist()
+    sig_b = minhash_signatures(docs.filter(F.col("doc_id") % 5 != 0)).persist()
+    cand = (
+        lsh_bands(sig_b)
+        .alias("b")
+        .join(
+            lsh_bands(sig_c).alias("c"),
+            (F.col("b.band") == F.col("c.band"))
+            & (F.col("b.band_key") == F.col("c.band_key")),
+        )
+        .select(
+            F.col("b.doc_id").alias("batch_doc"), F.col("c.doc_id").alias("corpus_doc")
+        )
+        .distinct()
+    )
+    x = sig_b.select(F.col("doc_id").alias("xid"), F.col("s").alias("xs"))
+    y = sig_c.select(F.col("doc_id").alias("yid"), F.col("s").alias("ys"))
+    inter = F.size(F.array_intersect(F.col("xs"), F.col("ys")))
+    jac = inter.cast("double") / (F.size("xs") + F.size("ys") - inter)
+    return (
+        cand.join(x, F.col("batch_doc") == F.col("xid"))
+        .join(y, F.col("corpus_doc") == F.col("yid"))
+        .select("batch_doc", "corpus_doc", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .orderBy("batch_doc", "corpus_doc")
+    )
+
+
+# --------------------------------------------------------------------------
+# p22: overlapping chunk windows (RAG / context-window splitting)
+# --------------------------------------------------------------------------
+# Split each document into token windows of N with stride S (50% overlap)
+# — the retrieval-corpus / long-context preprocessing staple. Pure
+# map-side: the window starts come from an in-plan sequence, slices are
+# higher-order array ops, no shuffle at all. Runt tails shorter than
+# _P22_MIN tokens are dropped (they duplicate the previous window's
+# suffix).
+
+_P22_N, _P22_S, _P22_MIN = 64, 32, 8
+
+_P22_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {_DUCK_TOK} AS w FROM documents
+),
+chunks AS (
+  SELECT doc_id, CAST(k AS INT) AS chunk_id,
+         list_slice(w, k * {_P22_S} + 1, k * {_P22_S} + {_P22_N}) AS c
+  FROM tok, UNNEST(range(0, (len(w) + {_P22_S} - 1) // {_P22_S})) AS t(k)
+  WHERE k * {_P22_S} < len(w)
+)
+SELECT doc_id, chunk_id,
+       CAST(len(c) AS INT) AS n_tokens,
+       array_to_string(c, ' ') AS chunk_text
+FROM chunks
+WHERE len(c) >= {_P22_MIN}
+ORDER BY doc_id, chunk_id
+"""
+
+
+@register("p22_chunk_windows", oracle=_P22_ORACLE)
+def p22_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    tok = docs.select("doc_id", tokens().alias("w"))
+    chunks = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"sequence(0, CAST(ceil(size(w) / {_P22_S}) AS INT) - 1)")
+        ).alias("k"),
+        "w",
+    ).filter(F.col("k") * _P22_S < F.size("w"))
+    c = F.expr(f"slice(w, k * {_P22_S} + 1, {_P22_N})")
+    return (
+        chunks.select(
+            "doc_id",
+            F.col("k").cast("int").alias("chunk_id"),
+            F.size(c).cast("int").alias("n_tokens"),
+            F.array_join(c, " ").alias("chunk_text"),
+        )
+        .filter(F.col("n_tokens") >= _P22_MIN)
+        .orderBy("doc_id", "chunk_id")
+    )
