@@ -156,32 +156,43 @@ def _duck_minhash_sig() -> str:
     )
 
 
-# Shared LSH CTE chain (tok -> shingles -> hashed -> minhash sig -> bands ->
-# candidate pairs): reused verbatim by d03 (pair verification) and d06
-# (connected-component clustering in operators/pipeline.py) so both stay
-# bit-identical to the Spark side.
-DUCK_LSH_CTES = f"""tok AS (
-  SELECT doc_id, {_DUCK_TOK} AS w FROM documents
+def duck_lsh_side_ctes(name: str, predicate: str = "") -> str:
+    """The tok→shingles→hashed→minhash-sig→bands oracle chain for ONE
+    document subset, as CTEs ``{name}`` (doc_id, sig, s) and
+    ``{name}_bands`` (doc_id, band, band_key). Single source of truth for
+    the banding/signature formulas — DUCK_LSH_CTES below and d11's
+    asymmetric batch-vs-corpus join (pipeline_ext.py) both build from it,
+    so the formula can never drift between oracles."""
+    where = f" WHERE {predicate}" if predicate else ""
+    return f"""{name} AS (
+  SELECT doc_id, {_duck_minhash_sig()} AS sig, s FROM (
+    SELECT doc_id, s, list_transform(s, x -> {_DUCK_H28}) AS hs FROM (
+      SELECT doc_id, {_duck_shingles(3)} AS s FROM (
+        SELECT doc_id, {_DUCK_TOK} AS w FROM documents{where}
+      ) WHERE len(w) >= 3
+    )
+  )
 ),
-sh AS (
-  SELECT doc_id, {_duck_shingles(3)} AS s FROM tok WHERE len(w) >= 3
-),
-hashed AS (
-  SELECT doc_id, s, list_transform(s, x -> {_DUCK_H28}) AS hs FROM sh
-),
-sig AS (
-  SELECT doc_id, {_duck_minhash_sig()} AS sig, s FROM hashed
-),
-bands AS (
+{name}_bands AS (
   SELECT doc_id, band,
          md5(array_to_string(list_slice(sig, band * {_R} + 1, band * {_R} + {_R}), ',')) AS band_key
-  FROM sig, (SELECT unnest(range(0, {_B})) AS band)
-),
+  FROM {name}, (SELECT unnest(range(0, {_B})) AS band)
+)"""
+
+
+# Shared LSH CTE chain (sig + bands + self-join candidate pairs): reused
+# verbatim by d03 (pair verification) and d06/d09 (connected-component
+# clustering in operators/pipeline.py) so all stay bit-identical to the
+# Spark side. Exposed CTE names: `sig` (doc_id, sig, s) and `cand`.
+DUCK_LSH_CTES = (
+    duck_lsh_side_ctes("sig")
+    + """,
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
+  FROM sig_bands a JOIN sig_bands b
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 )"""
+)
 
 _D03_ORACLE = f"""
 WITH {DUCK_LSH_CTES},

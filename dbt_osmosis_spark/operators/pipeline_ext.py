@@ -733,47 +733,15 @@ def p21_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # join.
 
 from dbt_osmosis_spark.operators.dedup import (  # noqa: E402
-    _duck_minhash_sig,
-    _DUCK_H28,
     _JACCARD_THRESHOLD,
-    _B as _LSH_B,
-    _R as _LSH_R,
+    duck_lsh_side_ctes,
     lsh_bands,
     minhash_signatures,
 )
 
-_D11_DUCK_SIDE = """{name} AS (
-  SELECT doc_id, s, {sig} AS sig FROM (
-    SELECT doc_id, s, list_transform(s, x -> {h28}) AS hs FROM (
-      SELECT doc_id, {shingles} AS s FROM (
-        SELECT doc_id, {tok} AS w FROM documents WHERE doc_id % 5 {op} 0
-      ) WHERE len(w) >= 3
-    )
-  )
-),
-{name}_bands AS (
-  SELECT doc_id, band,
-         md5(array_to_string(list_slice(sig, band * {r} + 1, band * {r} + {r}), ',')) AS band_key
-  FROM {name}, (SELECT unnest(range(0, {b})) AS band)
-)"""
-
-
-def _d11_side(name: str, op: str) -> str:
-    return _D11_DUCK_SIDE.format(
-        name=name,
-        op=op,
-        sig=_duck_minhash_sig(),
-        h28=_DUCK_H28,
-        shingles=_duck_shingles(3),
-        tok=_DUCK_TOK,
-        r=_LSH_R,
-        b=_LSH_B,
-    )
-
-
 _D11_ORACLE = f"""
-WITH {_d11_side("corp", "=")},
-{_d11_side("batch", "<>")},
+WITH {duck_lsh_side_ctes("corp", "doc_id % 5 = 0")},
+{duck_lsh_side_ctes("batch", "doc_id % 5 <> 0")},
 cand AS (
   SELECT DISTINCT b.doc_id AS batch_doc, c.doc_id AS corpus_doc
   FROM batch_bands b JOIN corp_bands c
@@ -831,9 +799,11 @@ def d11_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Split each document into token windows of N with stride S (50% overlap)
 # — the retrieval-corpus / long-context preprocessing staple. Pure
 # map-side: the window starts come from an in-plan sequence, slices are
-# higher-order array ops, no shuffle at all. Runt tails shorter than
+# higher-order array ops, no shuffle at all. Runt TAILS shorter than
 # _P22_MIN tokens are dropped (they duplicate the previous window's
-# suffix).
+# suffix) — but a document's FIRST window always survives, however short
+# the document: a sub-minimum doc has no previous window covering it and
+# must not vanish from the chunked corpus.
 
 _P22_N, _P22_S, _P22_MIN = 64, 32, 8
 
@@ -851,7 +821,7 @@ SELECT doc_id, chunk_id,
        CAST(len(c) AS INT) AS n_tokens,
        array_to_string(c, ' ') AS chunk_text
 FROM chunks
-WHERE len(c) >= {_P22_MIN}
+WHERE len(c) >= {_P22_MIN} OR chunk_id = 0
 ORDER BY doc_id, chunk_id
 """
 
@@ -875,6 +845,6 @@ def p22_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(c).cast("int").alias("n_tokens"),
             F.array_join(c, " ").alias("chunk_text"),
         )
-        .filter(F.col("n_tokens") >= _P22_MIN)
+        .filter((F.col("n_tokens") >= _P22_MIN) | (F.col("chunk_id") == 0))
         .orderBy("doc_id", "chunk_id")
     )

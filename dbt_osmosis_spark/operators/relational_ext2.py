@@ -528,24 +528,7 @@ ORDER BY month
 # every aggregate (count/sum/avg/min/max) without NULL-placeholder
 # gymnastics.
 
-_Q50_ORACLE = """
-SELECT o_orderpriority,
-       COUNT(*) AS n_orders,
-       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
-       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F')
-            AS DOUBLE) AS finished_revenue,
-       MAX(o_orderdate) FILTER (WHERE o_orderstatus = 'O') AS latest_open
-FROM orders
-GROUP BY o_orderpriority
-ORDER BY o_orderpriority
-"""
-
-
-@register("q50_filter_aggregates", oracle=_Q50_ORACLE)
-def q50_filter_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(
-        """
+_Q50_SQL = """
 SELECT o_orderpriority,
        COUNT(*) AS n_orders,
        COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
@@ -556,9 +539,14 @@ SELECT o_orderpriority,
 FROM {orders}
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
-""",
-        orders=t(spark, sf_dir, "orders"),
-    )
+"""
+
+_Q50_ORACLE = _Q50_SQL.format(orders="orders")
+
+
+@register("q50_filter_aggregates", oracle=_Q50_ORACLE)
+def q50_filter_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_Q50_SQL, orders=t(spark, sf_dir, "orders"))
 
 
 # --------------------------------------------------------------------------

@@ -15,6 +15,7 @@ from dbt_osmosis_spark.plans.audit import (
     exchange_count,
     has_broadcast_join,
     has_cartesian,
+    physical_plan,
     pushed_filters,
     scan_schemas,
     uses_top_k,
@@ -142,7 +143,7 @@ def test_p10_passage_dedup_shuffles_bounded(q):
     orderBy + the small-file spread repartition)."""
     df = q("p10_passage_dedup")
     assert not has_cartesian(df)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = physical_plan(df)
     assert "md5" in plan  # dedup key is hashed — uniform shuffle distribution
     assert exchange_count(df) <= 5
 
@@ -153,7 +154,7 @@ def test_s06_s07_are_map_side(q):
     presentation sort."""
     for name in ("s06_int8_quantize", "s07_random_projection"):
         df = q(name)
-        plan = df._jdf.queryExecution().executedPlan().toString()
+        plan = physical_plan(df)
         assert "Join" not in plan, name
         assert "Aggregate" not in plan.replace("aggregate(", ""), name
         assert exchange_count(df) <= 2, name
@@ -223,7 +224,7 @@ def test_p19_no_corpus_wide_single_partition(q):
     # sort: the only SinglePartition exchange allowed is the tiny
     # bucket-offset window (input = groupBy(lang) counts)
     df = q("p19_global_order")
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = physical_plan(df)
     assert plan.count("Exchange SinglePartition") <= 1
 
 
@@ -231,6 +232,6 @@ def test_m07_map_side_no_join(q):
     # frame differencing is per-doc map work: the plan must contain no
     # join and no shuffle beyond the presentation sort
     df = q("m07_scene_changes")
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = physical_plan(df)
     assert "Join" not in plan
     assert exchange_count(df) <= 1
