@@ -848,3 +848,56 @@ def p22_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_tokens") >= _P22_MIN) | (F.col("chunk_id") == 0))
         .orderBy("doc_id", "chunk_id")
     )
+
+
+# --------------------------------------------------------------------------
+# p23: epoch oversampling — integer repetition toward source balance
+# --------------------------------------------------------------------------
+# The other half of mixture control next to p11's capping: small sources
+# get repeated whole epochs (the "2 epochs of Wikipedia" pattern) so no
+# slice is drowned out. epochs_s = clamp(ceil(Nmax / Ns), 1, 4) in exact
+# integer arithmetic; the repetition is an in-plan explode(sequence) —
+# rows multiply inside the executors, nothing is re-scanned, and the
+# factor is data-derived from one tiny aggregate (broadcast).
+
+_P23_MAX_EPOCHS = 4
+
+_P23_ORACLE = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS ns FROM documents GROUP BY source
+),
+factors AS (
+  SELECT source, ns,
+         least((((SELECT MAX(ns) FROM counts) + ns - 1) // ns), {_P23_MAX_EPOCHS}) AS epochs
+  FROM counts
+)
+SELECT d.doc_id, d.source, CAST(t.copy_no AS INT) AS copy_no, CAST(f.epochs AS INT) AS epochs
+FROM documents d
+JOIN factors f ON d.source = f.source,
+UNNEST(range(1, f.epochs + 1)) AS t(copy_no)
+ORDER BY d.doc_id, copy_no
+"""
+
+
+@register("p23_epoch_oversample", oracle=_P23_ORACLE)
+def p23_epoch_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
+    nmax = counts.agg(F.max("ns").alias("nmax"))
+    factors = counts.crossJoin(F.broadcast(nmax)).select(
+        "source",
+        F.least(
+            F.expr("(nmax + ns - 1) DIV ns"), F.lit(_P23_MAX_EPOCHS).cast("bigint")
+        ).alias("epochs"),
+    )
+    return (
+        docs.join(F.broadcast(factors), "source")
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.expr("sequence(1, CAST(epochs AS INT))")).alias("copy_no"),
+            F.col("epochs").cast("int").alias("epochs"),
+        )
+        .withColumn("copy_no", F.col("copy_no").cast("int"))
+        .orderBy("doc_id", "copy_no")
+    )

@@ -256,3 +256,74 @@ def t13_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---- t14: per-source vocabulary divergence (KL to corpus) ------------------
+# Mixture-design analytics: how far each source's unigram distribution
+# sits from the corpus distribution, as KL(Q_s ‖ P) in bits. Three
+# partial-aggregated count passes (per-(source,word), per-source, corpus
+# word) then one join back; the corpus word table broadcasts (it is the
+# vocabulary). Per-term values are quantized to exact integers before the
+# per-source sum (the t13 move), so the result is partition-order-
+# independent; the final round(6) absorbs only log2 ulp.
+
+_T14_ORACLE = """
+WITH words AS (
+  SELECT source, unnest(string_split(trim(text), ' ')) AS word FROM documents
+),
+csw AS (SELECT source, word, COUNT(*) AS n_sw FROM words GROUP BY source, word),
+ns AS (SELECT source, SUM(n_sw) AS n_s FROM csw GROUP BY source),
+cw AS (SELECT word, SUM(n_sw) AS n_w FROM csw GROUP BY word),
+tot AS (SELECT SUM(n_w) AS n FROM cw),
+terms AS (
+  SELECT csw.source,
+         floor((CAST(csw.n_sw AS DOUBLE) / ns.n_s)
+               * log2((CAST(csw.n_sw AS DOUBLE) / ns.n_s)
+                      / (CAST(cw.n_w AS DOUBLE) / tot.n)) * 1e9 + 0.5) AS qterm
+  FROM csw JOIN ns ON csw.source = ns.source
+  JOIN cw ON csw.word = cw.word
+  CROSS JOIN tot
+)
+SELECT source,
+       COUNT(*) AS n_words,
+       round(CAST(SUM(CAST(qterm AS DECIMAL(28,0))) AS DOUBLE) / 1e9, 6) AS kl_bits
+FROM terms
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("t14_source_divergence", oracle=_T14_ORACLE)
+def t14_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    words = docs.select(
+        "source", F.explode(F.split(F.trim(F.col("text")), " ")).alias("word")
+    )
+    csw = words.groupBy("source", "word").agg(F.count(F.lit(1)).alias("n_sw"))
+    ns = csw.groupBy("source").agg(F.sum("n_sw").alias("n_s"))
+    cw = csw.groupBy("word").agg(F.sum("n_sw").alias("n_w"))
+    tot = cw.agg(F.sum("n_w").alias("n"))
+    terms = (
+        csw.join(F.broadcast(ns), "source")
+        .join(F.broadcast(cw), "word")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.expr(
+                "floor((CAST(n_sw AS DOUBLE) / n_s)"
+                " * log2((CAST(n_sw AS DOUBLE) / n_s)"
+                " / (CAST(n_w AS DOUBLE) / n)) * 1e9 + 0.5)"
+            ).alias("qterm"),
+        )
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.round(
+                F.expr("CAST(SUM(CAST(qterm AS DECIMAL(28,0))) AS DOUBLE)") / F.lit(1e9),
+                6,
+            ).alias("kl_bits"),
+        )
+        .orderBy("source")
+    )
