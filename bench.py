@@ -37,6 +37,19 @@ HEADLINE = [
     "s04_knn_batch",
 ]
 
+# Round-3 flagship paths, measured the same way but reported under
+# "extended" and NOT counted in "value": the headline total stays
+# directly comparable round-over-round while the new surface is still on
+# the measured board. d09 = end-to-end near-dup removal (LSH + connected
+# components), s08 = PQ compressed ANN, t13 = in-job bigram-LM scoring,
+# p18 = the composed quality→dedup→decontaminate→cap pipeline.
+EXTENDED = [
+    "d09_dedup_keep",
+    "s08_pq_adc_topk",
+    "t13_bigram_perplexity",
+    "p18_training_corpus",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -48,7 +61,7 @@ def main() -> None:
     # running each headline plan once at the smallest SF (first execution of
     # a plan pays ~seconds of janino compilation that no steady-state
     # deployment would count).
-    for name in HEADLINE:
+    for name in HEADLINE + EXTENDED:
         QUERIES[name](spark, "/root/testdata/sf0.001").collect()
 
     # Best-of-3 per query, reps back-to-back (same methodology as r2):
@@ -59,14 +72,20 @@ def main() -> None:
     # spike robustness for cold JIT/executor state per rep and raised
     # every steady-state minimum ~20%.)
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
+
+    def best_of(names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf_dir).collect()
+                best = min(best, time.perf_counter() - t0)
+            out[name] = round(best, 3)
+        return out
+
+    times = best_of(HEADLINE)
+    extended = best_of(EXTENDED)
 
     total = round(sum(times.values()), 3)
     print(
@@ -76,6 +95,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "extended": extended,
                 "sf": sf,
             }
         )
