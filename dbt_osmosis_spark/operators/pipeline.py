@@ -1044,3 +1044,110 @@ def d10_crossdoc_ngram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---- d12: PageRank over the near-dup candidate graph -----------------------
+# Iterative numeric graph analytics beyond connected components: PageRank
+# on the LSH candidate graph surfaces the most-connected duplicate hubs
+# (the docs whose removal shrinks the dup graph fastest). Fixed 4 damped
+# iterations. Every per-node neighbor sum is an ASSOCIATIVE integer sum:
+# contributions are quantized to 1e-9 ints before summing and each new
+# rank is re-quantized (the s03/t13 move applied per iteration), so the
+# result is independent of partitioning AND bit-identical in DuckDB's
+# unrolled-CTE mirror — an honest full-value oracle for an iterative
+# float algorithm. Spark side: one join+groupBy per iteration on a
+# localCheckpoint()ed edge frame (the d06 lineage lesson); per-round plan
+# size is O(1).
+
+_D12_ITERS = 4
+# e0 suffix forces DOUBLE literals in BOTH engines: a bare 0.85 parses as
+# DECIMAL in Spark SQL, and decimal division truncates the teleport term
+# at decimal scale (0.003333 vs 0.00333333...) while DuckDB promotes the
+# same literal to double — a 3e-7 cross-engine drift per iteration
+_D12_DAMP = "0.85e0"
+_D12_TELEPORT = "0.15e0"
+
+
+def _duck_pr_iter(prev: str, cur: str) -> str:
+    return f"""{cur} AS (
+  SELECT n.node,
+         floor(({_D12_TELEPORT} / (SELECT nn FROM ncount)
+                + {_D12_DAMP} * (COALESCE(recv.s, 0) / 1e9)) * 1e9 + 0.5) / 1e9 AS rank
+  FROM nodes n
+  LEFT JOIN (
+    SELECT e.dst AS node,
+           SUM(CAST(floor(p.rank / d.deg * 1e9 + 0.5) AS DECIMAL(28,0))) AS s
+    FROM und e
+    JOIN {prev} p ON p.node = e.src
+    JOIN deg d ON d.node = e.src
+    GROUP BY e.dst
+  ) recv ON recv.node = n.node
+)"""
+
+
+_D12_ORACLE = (
+    f"WITH RECURSIVE {DUCK_LSH_CTES},\n"
+    + """und AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM cand
+),
+nodes AS (SELECT DISTINCT src AS node FROM und),
+ncount AS (SELECT COUNT(*) AS nn FROM nodes),
+deg AS (SELECT src AS node, COUNT(*) AS deg FROM und GROUP BY src),
+it0 AS (
+  SELECT node, floor(1e9 / (SELECT nn FROM ncount) + 0.5) / 1e9 AS rank FROM nodes
+),
+"""
+    + ",\n".join(_duck_pr_iter(f"it{i}", f"it{i + 1}") for i in range(_D12_ITERS))
+    + f"""
+SELECT node AS doc_id, rank
+FROM it{_D12_ITERS}
+ORDER BY rank DESC, doc_id
+"""
+)
+
+
+@register("d12_pagerank_dupgraph", oracle=_D12_ORACLE)
+def d12_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    sig = minhash_signatures(docs).persist()
+    pairs = lsh_candidate_pairs(lsh_bands(sig))
+    und = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    nodes = und.select(F.col("src").alias("node")).distinct()
+    nn = nodes.count()  # scalar graph size: drives the teleport constant
+    # deg derives from und — rename its key so the per-iteration join never
+    # degenerates into the Spark derived-frame self-join ambiguity (shared
+    # attribute ids make und.src == deg.src resolve to a tautology)
+    deg = und.groupBy(F.col("src").alias("dnode")).agg(F.count(F.lit(1)).alias("deg"))
+    rank = nodes.select(
+        "node", F.expr(f"floor(1e9 / {nn} + 0.5) / 1e9").alias("rank")
+    )
+    for _ in range(_D12_ITERS):
+        # per-node outgoing weight first (node-keyed), then one edge join
+        w = (
+            rank.join(deg, rank["node"] == deg["dnode"])
+            .select(
+                rank["node"].alias("wnode"),
+                F.expr("CAST(floor(rank / deg * 1e9 + 0.5) AS DECIMAL(28,0))").alias("c"),
+            )
+        )
+        recv = (
+            und.join(w, und["src"] == w["wnode"])
+            .groupBy(und["dst"].alias("rnode"))
+            .agg(F.sum("c").alias("s"))
+        )
+        rank = nodes.join(recv, nodes["node"] == recv["rnode"], "left").select(
+            "node",
+            F.expr(
+                f"floor(({_D12_TELEPORT} / {nn}"
+                f" + {_D12_DAMP} * (COALESCE(CAST(s AS DOUBLE), 0) / 1e9)) * 1e9 + 0.5) / 1e9"
+            ).alias("rank"),
+        )
+    return rank.select(F.col("node").alias("doc_id"), "rank").orderBy(
+        F.desc("rank"), "doc_id"
+    )
