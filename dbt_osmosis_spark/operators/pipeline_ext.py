@@ -17,12 +17,17 @@ from pyspark.sql.window import Window as W
 
 from dbt_osmosis_spark.operators import register
 from dbt_osmosis_spark.operators.similarity import (
+    _DIM,
     _DUCK_BUCKET,
     _DUCK_CELL,
     _DUCK_CELL_DISTS,
+    _DUCK_DOT,
+    _DUCK_NORM2,
     _SPARK_BUCKET,
     _SPARK_CELL,
     _SPARK_CELL_DISTS,
+    _SPARK_DOT,
+    _SPARK_NORM2,
 )
 from dbt_osmosis_spark.operators.text import (
     _DUCK_TOK,
@@ -900,4 +905,131 @@ def p23_epoch_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("copy_no", F.col("copy_no").cast("int"))
         .orderBy("doc_id", "copy_no")
+    )
+
+
+# --------------------------------------------------------------------------
+# d13: semantic dedup — cluster embeddings, prune near-dups within clusters
+# --------------------------------------------------------------------------
+# The SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540): k-means the
+# embedding space, then compute pairwise cosines ONLY within each cluster
+# and drop one member of every pair above the threshold — the member
+# CLOSEST to its centroid (the most "typical", hence most redundant, per
+# the paper's keep-low-centroid-similarity finding). Clustering bounds the
+# candidate set exactly like LSH does for d05, but with semantically
+# meaningful buckets: at 100 TB you raise the cluster count (the paper uses
+# ~100k) so per-cell membership stays ~constant and the within-cell verify
+# never goes quadratic in the corpus. Plan shape: map-side cell assignment
+# (broadcast centroid constants), one shuffle on the cell key for the
+# self-join, then two tiny pair-derived joins back onto the corpus.
+#
+# Determinism: cells + distances reuse s05/p15's md5-derived centroids and
+# identical left-to-right folds in both engines, so the pair set and the
+# per-pair victim choice (smaller distance-to-centroid loses; exact-tie →
+# the larger vec_id) are engine-exact with NO rounding. Unlike the paper's
+# sequential keep-first sweep, the victim rule is per-pair and order-free —
+# a chain a~b~c may drop both b and c — which is what makes it expressible
+# as one declarative plan on both engines.
+#
+# Reference analog: none (dbt-osmosis has no data plane); north-star dedup
+# family, the embedding sibling of d06/d09's graph-based removal.
+
+_D13_THRESHOLD = 0.4  # same corpus calibration as d05 (max off-diag ~0.51)
+
+
+def _d13_cos(duck: bool, a: str, b: str) -> str:
+    dot = _DUCK_DOT if duck else _SPARK_DOT
+    n2 = _DUCK_NORM2 if duck else _SPARK_NORM2
+    return (
+        f"({dot.format(a=a, b=b, n=_DIM)}"
+        f" / (sqrt({n2.format(a=a)}) * sqrt({n2.format(a=b)})))"
+    )
+
+
+_D13_ORACLE = f"""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+assigned AS (
+  SELECT vec_id, v, {_DUCK_CELL.format(a="v")} AS cell,
+         list_min({_DUCK_CELL_DISTS.format(a="v")}) AS d2
+  FROM vecs
+),
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         CASE WHEN a.d2 < b.d2 THEN a.vec_id
+              WHEN b.d2 < a.d2 THEN b.vec_id
+              ELSE b.vec_id END AS loser
+  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {_d13_cos(True, "a.v", "b.v")} >= {_D13_THRESHOLD}
+),
+part AS (
+  SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_dups
+  FROM (SELECT va AS vec_id FROM pairs UNION ALL SELECT vb AS vec_id FROM pairs)
+  GROUP BY vec_id
+),
+losers AS (SELECT DISTINCT loser AS vec_id FROM pairs)
+SELECT s.vec_id AS vec_id, s.cell AS cell,
+       CAST(COALESCE(p.n_dups, 0) AS BIGINT) AS n_dups,
+       CAST(l.vec_id IS NULL AS INT) AS kept
+FROM assigned s
+LEFT JOIN part p ON s.vec_id = p.vec_id
+LEFT JOIN losers l ON s.vec_id = l.vec_id
+ORDER BY s.vec_id
+"""
+
+
+@register("d13_semantic_dedup", oracle=_D13_ORACLE)
+def d13_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(read_parquet(spark, f"{sf_dir}/embeddings.parquet")).withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    assigned = emb.select(
+        "vec_id",
+        "v",
+        F.expr(_SPARK_CELL.format(a="v")).alias("cell"),
+        F.expr(f"array_min({_SPARK_CELL_DISTS.format(a='v')})").alias("d2"),
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("va"),
+        F.col("v").alias("xa"),
+        F.col("cell").alias("ca"),
+        F.col("d2").alias("da"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vb"),
+        F.col("v").alias("xb"),
+        F.col("cell").alias("cb"),
+        F.col("d2").alias("db"),
+    )
+    pairs = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("va") < F.col("vb")))
+        .filter(F.expr(_d13_cos(False, "xa", "xb")) >= _D13_THRESHOLD)
+        .select(
+            "va",
+            "vb",
+            F.when(F.col("da") < F.col("db"), F.col("va"))
+            .when(F.col("db") < F.col("da"), F.col("vb"))
+            .otherwise(F.col("vb"))
+            .alias("loser"),
+        )
+    )
+    part = (
+        pairs.select(F.explode(F.array("va", "vb")).alias("vec_id"))
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dups"))
+    )
+    losers = pairs.select(F.col("loser").alias("vec_id")).distinct().withColumn(
+        "_rm", F.lit(1)
+    )
+    return (
+        assigned.join(part, "vec_id", "left")
+        .join(losers, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce(F.col("n_dups"), F.lit(0)).cast("bigint").alias("n_dups"),
+            F.when(F.col("_rm").isNotNull(), F.lit(0)).otherwise(F.lit(1)).cast("int").alias("kept"),
+        )
+        .orderBy("vec_id")
     )

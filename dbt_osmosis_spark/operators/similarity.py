@@ -920,3 +920,76 @@ def s10_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dot"), "vec_id")
         .limit(_K)
     )
+
+
+# ---- s11: 1-bit (sign) quantized Hamming top-k -----------------------------
+# The most aggressive embedding compression that still searches: keep ONE
+# bit per dimension (the sign), pack 64 dims into two BIGINT words, and
+# rank by Hamming distance to the query's signature — popcount(xor), pure
+# integer ALU work. 64 float32 dims (256 B) become 8 B: a 10^12-vector
+# corpus's code table is ~8 TB and scans as sequential integer columns
+# inside whole-stage codegen, no floats touched. Sign-bit Hamming is the
+# classic angle estimator (Charikar 2002 SimHash: P[bit differs] = θ/π),
+# so ranking by Hamming ≈ ranking by cosine; production recalls re-rank
+# the Hamming shortlist with exact cosine (s01's plan on the shortlist —
+# compose as needed). Unlike s04/s05's rounded-score oracles, every value
+# here is an integer, so the oracle is exact with NO quantization step.
+# Plan: map-side packing, broadcast 1-row query signature,
+# TakeOrderedAndProject top-k — identical scan shape to s01 at 1/32 the
+# bytes. Reference analog: none (north-star similarity family).
+
+_S11_WORDS = 2  # 64 dims / 32 bits
+
+_SPARK_SIGNWORD = (
+    "aggregate(transform(sequence(0, 31), i -> "
+    "IF(element_at({a}, {base} + i + 1) > CAST(0 AS DOUBLE), "
+    "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), "
+    "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+)
+_DUCK_SIGNWORD = (
+    "CAST(list_sum(list_transform(range(0, 32), i -> "
+    "CASE WHEN ({a})[{base} + i + 1] > 0 THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT)"
+)
+
+_S11_ORACLE = f"""
+WITH sigs AS (
+  SELECT vec_id, label,
+         {_DUCK_SIGNWORD.format(a="embedding::DOUBLE[]", base=0)} AS w0,
+         {_DUCK_SIGNWORD.format(a="embedding::DOUBLE[]", base=32)} AS w1
+  FROM embeddings
+),
+q AS (SELECT w0 AS q0, w1 AS q1 FROM sigs WHERE vec_id = {_QUERY_ID})
+SELECT s.vec_id, s.label,
+       CAST(bit_count(xor(s.w0, q.q0)) + bit_count(xor(s.w1, q.q1)) AS INT)
+         AS hamming
+FROM sigs s, q
+WHERE s.vec_id <> {_QUERY_ID}
+ORDER BY hamming, s.vec_id
+LIMIT {_K}
+"""
+
+
+@register("s11_hamming_topk", oracle=_S11_ORACLE)
+def s11_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    sigs = emb.select(
+        "vec_id",
+        "label",
+        F.expr(_SPARK_SIGNWORD.format(a="v", base=0)).alias("w0"),
+        F.expr(_SPARK_SIGNWORD.format(a="v", base=32)).alias("w1"),
+    )
+    q = sigs.filter(F.col("vec_id") == _QUERY_ID).select(
+        F.col("w0").alias("q0"), F.col("w1").alias("q1")
+    )
+    hamming = (
+        F.bit_count(F.expr("w0 ^ q0")) + F.bit_count(F.expr("w1 ^ q1"))
+    ).cast("int")
+    return (
+        sigs.filter(F.col("vec_id") != _QUERY_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", hamming.alias("hamming"))
+        .orderBy("hamming", "vec_id")
+        .limit(_K)
+    )

@@ -235,3 +235,23 @@ def test_m07_map_side_no_join(q):
     plan = physical_plan(df)
     assert "Join" not in plan
     assert exchange_count(df) <= 1
+
+
+def test_d13_semantic_dedup_clustered_not_allpairs(q):
+    # SemDeDup's whole point: the pair join is keyed on the cluster cell
+    # (SortMergeJoin/ShuffledHashJoin on cell equality), never a cartesian
+    # all-pairs product — that is what keeps the verify sub-quadratic when
+    # the cluster count scales with the corpus
+    df = q("d13_semantic_dedup")
+    assert not has_cartesian(df)
+    plan = physical_plan(df)
+    assert "Join" in plan
+
+
+def test_s11_hamming_broadcast_topk(q):
+    # 1-bit codes: packing is map-side, the 1-row query signature
+    # broadcasts, and ranking is per-partition top-k (TakeOrderedAndProject)
+    # — the same scan shape as s01 at 1/32 the bytes
+    df = q("s11_hamming_topk")
+    assert has_broadcast_join(df)
+    assert uses_top_k(df)
