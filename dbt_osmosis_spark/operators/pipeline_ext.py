@@ -1033,3 +1033,117 @@ def d13_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# p24: DSIR-style importance selection toward a target distribution
+# --------------------------------------------------------------------------
+# Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169): score every raw-pool document by the log-likelihood
+# ratio of its hashed n-gram features under a target-domain distribution
+# vs the raw-pool distribution, then keep the highest-weight docs — the
+# standard way to tilt a 100 TB crawl toward a curated domain without
+# training a classifier. Exactly DSIR's shape in-plan: features are
+# md5-hashed unigram buckets (fixed B-dim multinomial, so the model table
+# is bounded at B rows REGARDLESS of vocabulary — that is the scale
+# trick), the two bucket-count aggregations partial-aggregate into B-row
+# tables that broadcast, and per-doc scoring is one broadcast join + an
+# associative quantized-integer sum (t13's move), order-independent under
+# any partitioning. Target here = the 'src0' slice (the same split
+# p04/p12 treat as the curated set); selection = top-N by mean per-token
+# log-ratio (the deterministic analog of DSIR's Gumbel resampling; rank
+# by the weight, tie-break doc_id) via TakeOrderedAndProject.
+
+_P24_B = 4096  # hashed feature buckets
+_P24_ALPHA = 0.5  # add-alpha smoothing
+_P24_TARGET = "src0"
+_P24_N = 100
+
+_P24_SPARK_BUCKET = "pmod(CAST(conv(substr(md5(cast(word AS BINARY)), 1, 15), 16, 10) AS BIGINT), {b})"
+_P24_DUCK_BUCKET = "(CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) % {b})"
+
+_P24_ORACLE = f"""
+WITH occ AS (
+  SELECT doc_id, source,
+         {_P24_DUCK_BUCKET.format(b=_P24_B)} AS bucket
+  FROM (SELECT doc_id, source, unnest({_DUCK_TOK}) AS word
+        FROM documents WHERE length(trim(text)) > 0)
+),
+tc AS (
+  SELECT bucket, COUNT(*) AS ct FROM occ WHERE source = '{_P24_TARGET}' GROUP BY bucket
+),
+rc AS (
+  SELECT bucket, COUNT(*) AS cr FROM occ WHERE source <> '{_P24_TARGET}' GROUP BY bucket
+),
+nt AS (SELECT COUNT(*) AS n FROM occ WHERE source = '{_P24_TARGET}'),
+nr AS (SELECT COUNT(*) AS n FROM occ WHERE source <> '{_P24_TARGET}'),
+model AS (
+  SELECT rc.bucket,
+         floor((log2((COALESCE(tc.ct, 0) + {_P24_ALPHA}) / (nt.n + {_P24_ALPHA} * {_P24_B}))
+               - log2((rc.cr + {_P24_ALPHA}) / (nr.n + {_P24_ALPHA} * {_P24_B}))) * 1e9 + 0.5)
+           AS qlr
+  FROM rc LEFT JOIN tc ON rc.bucket = tc.bucket CROSS JOIN nt CROSS JOIN nr
+),
+scored AS (
+  SELECT o.doc_id, ANY_VALUE(o.source) AS source,
+         COUNT(*) AS n_tokens,
+         round(CAST(SUM(CAST(m.qlr AS DECIMAL(28,0))) AS DOUBLE) / COUNT(*) / 1e9, 6)
+           AS avg_logratio
+  FROM occ o JOIN model m ON o.bucket = m.bucket
+  WHERE o.source <> '{_P24_TARGET}'
+  GROUP BY o.doc_id
+)
+SELECT doc_id, source, n_tokens, avg_logratio
+FROM scored
+ORDER BY avg_logratio DESC, doc_id
+LIMIT {_P24_N}
+"""
+
+
+@register("p24_dsir_select", oracle=_P24_ORACLE)
+def p24_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    occ = (
+        docs.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", "source", F.explode(tokens()).alias("word"))
+        .select(
+            "doc_id",
+            "source",
+            F.expr(_P24_SPARK_BUCKET.format(b=_P24_B)).alias("bucket"),
+        )
+    )
+    tgt = occ.filter(F.col("source") == _P24_TARGET)
+    raw = occ.filter(F.col("source") != _P24_TARGET)
+    tc = tgt.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    rc = raw.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    nt = tgt.agg(F.count(F.lit(1)).alias("nt"))
+    nr = raw.agg(F.count(F.lit(1)).alias("nr"))
+    model = (
+        rc.join(tc, "bucket", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "bucket",
+            F.expr(
+                f"floor((log2((COALESCE(ct, 0) + {_P24_ALPHA}) / (nt + {_P24_ALPHA} * {_P24_B}))"
+                f" - log2((cr + {_P24_ALPHA}) / (nr + {_P24_ALPHA} * {_P24_B}))) * 1e9 + 0.5)"
+            ).alias("qlr"),
+        )
+    )
+    return (
+        raw.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("source").alias("source"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.expr("CAST(SUM(CAST(qlr AS DECIMAL(28,0))) AS DOUBLE)")
+                / F.count(F.lit(1))
+                / F.lit(1e9),
+                6,
+            ).alias("avg_logratio"),
+        )
+        .select("doc_id", "source", "n_tokens", "avg_logratio")
+        .orderBy(F.desc("avg_logratio"), "doc_id")
+        .limit(_P24_N)
+    )

@@ -255,3 +255,12 @@ def test_s11_hamming_broadcast_topk(q):
     df = q("s11_hamming_topk")
     assert has_broadcast_join(df)
     assert uses_top_k(df)
+
+
+def test_p24_dsir_model_broadcasts_and_topk(q):
+    # the hashed-bucket model is bounded at B rows regardless of vocab, so
+    # it must broadcast to the scoring join; selection is per-partition
+    # top-N (TakeOrderedAndProject), never a global sort of the pool
+    df = q("p24_dsir_select")
+    assert has_broadcast_join(df)
+    assert uses_top_k(df)
