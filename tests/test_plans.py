@@ -264,3 +264,11 @@ def test_p24_dsir_model_broadcasts_and_topk(q):
     df = q("p24_dsir_select")
     assert has_broadcast_join(df)
     assert uses_top_k(df)
+
+
+def test_s12_recall_eval_broadcasts_exact_set(q):
+    # the k-row exact top-k must broadcast to the union of ANN shortlists;
+    # the eval never reshuffles the corpus (all scans live in the four
+    # composed ANN sub-plans)
+    df = q("s12_ann_recall")
+    assert has_broadcast_join(df)
