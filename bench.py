@@ -48,6 +48,10 @@ EXTENDED = [
     "s08_pq_adc_topk",
     "t13_bigram_perplexity",
     "p18_training_corpus",
+    # late-round-3 flagships: semantic dedup (within-cell cosine verify)
+    # and DSIR selection (hashed-bucket model build + broadcast scoring)
+    "d13_semantic_dedup",
+    "p24_dsir_select",
 ]
 
 

@@ -100,24 +100,55 @@ def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # never a scan-side IN-list, so the shape survives a batched query set.
 _P = 4
 
-_SPARK_PLANE = (
-    "transform(sequence(0, {dim} - 1), d -> "
-    "(CAST(conv(substr(md5(cast(concat(CAST({p} AS STRING), ',', CAST(d AS STRING)) AS BINARY)), 1, 15), 16, 10) AS BIGINT) % 2001 - 1000) / 1000.0)"
-)
-_DUCK_PLANE = (
-    "list_transform(range(0, {dim}), d -> "
-    "(CAST('0x' || substr(md5(CAST({p} AS VARCHAR) || ',' || CAST(d AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000) / 1000.0)"
-)
+# The plane/centroid constants are md5-derived and DATA-INDEPENDENT, so
+# they are computed ONCE here on the driver and inlined as double literals
+# in both engines' SQL. The formula-in-SQL variant (md5 inside the lambda)
+# is NOT constant-folded by either engine — it re-hashed every (plane, dim)
+# pair per ROW (256-3000+ md5 calls/row), which dominated every IVF/LSH
+# operator's runtime; literal inlining removed ~9 s/2000 rows of pure
+# constant recomputation at sf0.1. Value identity with the old formula is
+# asserted by test_plans/test_properties (repr round-trips the exact
+# double; (n % 2001 - 1000)/1000.0 is the same IEEE op in Python, Spark
+# and DuckDB — verified element-wise).
+
+
+def _md5int60(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _plane_val(p: int, d: int) -> float:
+    return (_md5int60(f"{p},{d}") % 2001 - 1000) / 1000.0
+
+
+def _spark_dlit(vals: list[float]) -> str:
+    return "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in vals) + ")"
+
+
+def _duck_dlit(vals: list[float]) -> str:
+    return "[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in vals) + "]"
+
+
+_PLANE_VALS = [[_plane_val(p, d) for d in range(_DIM)] for p in range(_P)]
 
 _SPARK_BUCKET = (
-    f"aggregate(sequence(0, {_P - 1}), CAST(0 AS BIGINT), (acc, p) -> acc + "
-    f"CASE WHEN {_SPARK_DOT.format(a='v', b=_SPARK_PLANE.format(p='p', dim=_DIM))} > 0 "
-    f"THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) END)"
+    "("
+    + " + ".join(
+        f"CASE WHEN {_SPARK_DOT.format(a='v', b=_spark_dlit(_PLANE_VALS[p]))} > 0 "
+        f"THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for p in range(_P)
+    )
+    + ")"
 )
 _DUCK_BUCKET = (
-    f"list_aggregate(list_transform(range(0, {_P}), p -> "
-    f"CASE WHEN {_DUCK_DOT.format(a='v', b=_DUCK_PLANE.format(p='p', dim=_DIM), n=_DIM)} > 0 "
-    f"THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END), 'sum')"
+    "("
+    + " + ".join(
+        f"CASE WHEN {_DUCK_DOT.format(a='v', b=_duck_dlit(_PLANE_VALS[p]), n=_DIM)} > 0 "
+        f"THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for p in range(_P)
+    )
+    + ")"
 )
 
 _S02_ORACLE = f"""
@@ -383,15 +414,17 @@ _N_CELLS = 16
 _NPROBE = 4
 
 # Centroid c, dim d constant in [-1, 1]: md5('ivf' c ',' d) — salted so the
-# constants differ from s02's hyperplanes.
-_SPARK_CENT = (
-    "transform(sequence(0, {dim} - 1), d -> "
-    "(CAST(conv(substr(md5(cast(concat('ivf', CAST({c} AS STRING), ',', CAST(d AS STRING)) AS BINARY)), 1, 15), 16, 10) AS BIGINT) % 2001 - 1000) / 1000.0)"
-)
-_DUCK_CENT = (
-    "list_transform(range(0, {dim}), d -> "
-    "(CAST('0x' || substr(md5('ivf' || CAST({c} AS VARCHAR) || ',' || CAST(d AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000) / 1000.0)"
-)
+# constants differ from s02's hyperplanes. Computed on the driver and
+# inlined as double literals (see the plane-constant note above): the
+# formula-in-SQL variant re-hashed 16x64 md5s per ROW per evaluation,
+# which neither engine constant-folds.
+
+
+def _cent_val(c: int, d: int) -> float:
+    return (_md5int60(f"ivf{c},{d}") % 2001 - 1000) / 1000.0
+
+
+_CENT_VALS = [[_cent_val(c, d) for d in range(_DIM)] for c in range(_N_CELLS)]
 
 _SPARK_DIST2 = (
     "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
@@ -400,16 +433,22 @@ _DUCK_DIST2 = (
     "list_sum(list_transform(range(1, {n} + 1), i -> (({a})[i] - ({b})[i]) * (({a})[i] - ({b})[i])))"
 )
 
-# All-cell distance vector for a vector column {a}; argmin = cell id.
+# All-cell distance vector for a vector column {a} (unrolled over the
+# literal centroids); argmin = cell id.
 _SPARK_CELL_DISTS = (
-    f"transform(sequence(0, {_N_CELLS} - 1), c -> "
-    + _SPARK_DIST2.format(a="{a}", b=_SPARK_CENT.format(c="c", dim=_DIM))
+    "array("
+    + ", ".join(
+        _SPARK_DIST2.format(a="{a}", b=_spark_dlit(_CENT_VALS[c])) for c in range(_N_CELLS)
+    )
     + ")"
 )
 _DUCK_CELL_DISTS = (
-    f"list_transform(range(0, {_N_CELLS}), c -> "
-    + _DUCK_DIST2.format(a="{a}", b=_DUCK_CENT.format(c="c", dim=_DIM), n=_DIM)
-    + ")"
+    "["
+    + ", ".join(
+        _DUCK_DIST2.format(a="{a}", b=_duck_dlit(_CENT_VALS[c]), n=_DIM)
+        for c in range(_N_CELLS)
+    )
+    + "]"
 )
 
 # argmin by value equality (exact doubles, same fold order both engines);
@@ -424,14 +463,26 @@ _DUCK_CELL = (
 
 # nprobe nearest cells for the query: sort (dist, cell) structs, take cells.
 _SPARK_PROBE = (
-    f"slice(transform(array_sort(transform(sequence(0, {_N_CELLS} - 1), c -> "
-    "struct(" + _SPARK_DIST2.format(a="{a}", b=_SPARK_CENT.format(c="c", dim=_DIM)) + " AS d, c AS c)"
-    f")), s -> s.c), 1, {_NPROBE})"
+    "slice(transform(array_sort(array("
+    + ", ".join(
+        "struct("
+        + _SPARK_DIST2.format(a="{a}", b=_spark_dlit(_CENT_VALS[c]))
+        + f" AS d, {c} AS c)"
+        for c in range(_N_CELLS)
+    )
+    + f")), s -> s.c), 1, {_NPROBE})"
 )
 _DUCK_PROBE = (
-    f"list_transform(list_sort(list_transform(range(0, {_N_CELLS}), c -> "
-    "{{'d': " + _DUCK_DIST2.format(a="{a}", b=_DUCK_CENT.format(c="c", dim=_DIM), n=_DIM) + ", 'c': c}}"
-    f")), s -> s.c)[1:{_NPROBE}]"
+    "list_transform(list_sort(["
+    + ", ".join(
+        "{{'d': "
+        + _DUCK_DIST2.format(a="{a}", b=_duck_dlit(_CENT_VALS[c]), n=_DIM)
+        + ", 'c': "
+        + str(c)
+        + "}}"
+        for c in range(_N_CELLS)
+    )
+    + f"]), s -> s.c)[1:{_NPROBE}]"
 )
 
 _S05_ORACLE = f"""
@@ -961,8 +1012,6 @@ def s10_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # TakeOrderedAndProject top-k — identical scan shape to s01 at 1/32 the
 # bytes. Reference analog: none (north-star similarity family).
 
-_S11_WORDS = 2  # 64 dims / 32 bits
-
 _SPARK_SIGNWORD = (
     "aggregate(transform(sequence(0, 31), i -> "
     "IF(element_at({a}, {base} + i + 1) > CAST(0 AS DOUBLE), "
@@ -1038,9 +1087,6 @@ def s11_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # to 0.3. 64 sign bits simply can't separate this corpus finely (hamming
 # agrees at 0.3); the structure-aware quantizers (IVF cells, PQ
 # codebooks) are the recall path, and now there is a number proving it.
-
-_S12_METHODS = "('lsh', 'ivf', 'pq', 'hamming')"
-
 
 def _s12_sub(sql: str) -> str:
     return "(" + sql + ")"

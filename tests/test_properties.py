@@ -357,3 +357,37 @@ def test_audio_feature_math_matches_reference(data):
             and (x[i] != mean and x[i + 1] != mean)
         )
         assert zc_scaled == zc_direct
+
+
+def test_inlined_lsh_ivf_constants_match_md5_formula():
+    """The driver-inlined plane/centroid literals (similarity.py) must be
+    bit-identical to the md5-in-SQL formula they replaced — evaluated here
+    in DuckDB, the oracle engine. If a constant ever drifted, every
+    IVF/LSH oracle would silently diverge from its historical results."""
+    import duckdb
+
+    from dbt_osmosis_spark.operators.similarity import (
+        _CENT_VALS,
+        _DIM,
+        _N_CELLS,
+        _P,
+        _PLANE_VALS,
+    )
+
+    con = duckdb.connect()
+    cent = con.execute(
+        f"""SELECT c, d,
+              (CAST('0x' || substr(md5('ivf' || CAST(c AS VARCHAR) || ',' || CAST(d AS VARCHAR)), 1, 15) AS BIGINT)
+               % 2001 - 1000) / 1000.0
+            FROM range(0, {_N_CELLS}) t1(c), range(0, {_DIM}) t2(d)"""
+    ).fetchall()
+    for c, d, v in cent:
+        assert _CENT_VALS[c][d] == v, (c, d)
+    plane = con.execute(
+        f"""SELECT p, d,
+              (CAST('0x' || substr(md5(CAST(p AS VARCHAR) || ',' || CAST(d AS VARCHAR)), 1, 15) AS BIGINT)
+               % 2001 - 1000) / 1000.0
+            FROM range(0, {_P}) t1(p), range(0, {_DIM}) t2(d)"""
+    ).fetchall()
+    for p, d, v in plane:
+        assert _PLANE_VALS[p][d] == v, (p, d)
