@@ -642,31 +642,49 @@ def s06_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _S07_OUT_DIM = 8
 
-_SPARK_SIGN = (
-    "(CAST(conv(substr(md5(cast(concat('rp', CAST({j} AS STRING), ',', CAST({d} AS STRING)) AS BINARY)), 1, 15), 16, 10) AS BIGINT) % 2) * 2 - 1"
-)
-_DUCK_SIGN = (
-    "(CAST('0x' || substr(md5('rp' || CAST({j} AS VARCHAR) || ',' || CAST({d} AS VARCHAR)), 1, 15) AS BIGINT) % 2) * 2 - 1"
-)
+# ±1 signs md5('rp' j ',' d)-derived — data-independent like the
+# planes/centroids above, so they are computed once and inlined as INT
+# literals (the in-SQL md5 re-hashed 8x64 signs per row in both engines).
+_SIGN_VALS = [
+    [(_md5int60(f"rp{j},{d}") % 2) * 2 - 1 for d in range(_DIM)]
+    for j in range(_S07_OUT_DIM)
+]
+
+
+def _int_arr(vals: list[int], duck: bool) -> str:
+    body = ", ".join(str(v) for v in vals)
+    return ("[" + body + "]") if duck else ("array(" + body + ")")
+
 
 _S07_ORACLE = f"""
 WITH vecs AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-)
-SELECT vec_id, CAST(j AS INT) AS dim,
+),
+flat AS (
+  {" UNION ALL ".join(
+    f'''SELECT vec_id, {j} AS dim,
        round(list_sum(list_transform(range(1, {_DIM} + 1),
-             d -> v[d] * ({_DUCK_SIGN.format(j="j", d="d - 1")}))) / sqrt({_S07_OUT_DIM}.0), 6) AS value
-FROM vecs, UNNEST(range(0, {_S07_OUT_DIM})) AS t(j)
+             d -> v[d] * ({_int_arr(_SIGN_VALS[j], True)})[d])) / sqrt({_S07_OUT_DIM}.0), 6) AS value
+    FROM vecs''' for j in range(_S07_OUT_DIM))}
+)
+SELECT vec_id, CAST(dim AS INT) AS dim, value
+FROM flat
 ORDER BY vec_id, dim
 """
 
 
 def random_projection(emb: DataFrame, vec_col: str = "v", out_dim: int = _S07_OUT_DIM) -> DataFrame:
+    if out_dim > _S07_OUT_DIM:
+        raise ValueError(f"out_dim > {_S07_OUT_DIM} needs more sign rows")
     proj = (
-        f"transform(sequence(0, {out_dim} - 1), j -> "
-        f"round(aggregate(zip_with({vec_col}, sequence(0, {_DIM} - 1), "
-        f"(x, d) -> x * ({_SPARK_SIGN.format(j='j', d='d')})), "
-        f"CAST(0 AS DOUBLE), (acc, e) -> acc + e) / sqrt({out_dim}.0), 6))"
+        "array("
+        + ", ".join(
+            f"round(aggregate(zip_with({vec_col}, {_int_arr(_SIGN_VALS[j], False)}, "
+            f"(x, s) -> x * s), "
+            f"CAST(0 AS DOUBLE), (acc, e) -> acc + e) / sqrt({out_dim}.0), 6)"
+            for j in range(out_dim)
+        )
+        + ")"
     )
     return emb.select(
         "vec_id", F.posexplode(F.expr(proj)).alias("dim", "value")
