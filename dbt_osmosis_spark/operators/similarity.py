@@ -674,12 +674,21 @@ ORDER BY vec_id, dim
 
 
 def random_projection(emb: DataFrame, vec_col: str = "v", out_dim: int = _S07_OUT_DIM) -> DataFrame:
-    if out_dim > _S07_OUT_DIM:
-        raise ValueError(f"out_dim > {_S07_OUT_DIM} needs more sign rows")
+    """JL sign-projection of ``vec_col`` to ``out_dim`` flat (dim, value) rows.
+
+    Any ``out_dim`` is supported: the first ``_S07_OUT_DIM`` sign rows are
+    the precomputed literals (shared with the s07 oracle); beyond that the
+    rows come from the same md5 formula, sized lazily at plan-build time
+    (driver-side, data-independent — a few microseconds per extra row).
+    """
+    signs = _SIGN_VALS + [
+        [(_md5int60(f"rp{j},{d}") % 2) * 2 - 1 for d in range(_DIM)]
+        for j in range(_S07_OUT_DIM, out_dim)
+    ]
     proj = (
         "array("
         + ", ".join(
-            f"round(aggregate(zip_with({vec_col}, {_int_arr(_SIGN_VALS[j], False)}, "
+            f"round(aggregate(zip_with({vec_col}, {_int_arr(signs[j], False)}, "
             f"(x, s) -> x * s), "
             f"CAST(0 AS DOUBLE), (acc, e) -> acc + e) / sqrt({out_dim}.0), 6)"
             for j in range(out_dim)
@@ -1120,13 +1129,18 @@ ann AS (
   SELECT 'pq' AS method, vec_id FROM {_s12_sub(_S08_ORACLE)} _a3
   UNION ALL
   SELECT 'hamming' AS method, vec_id FROM {_s12_sub(_S11_ORACLE)} _a4
+),
+counts AS (
+  SELECT a.method AS method, COUNT(e.vec_id) AS n_hits
+  FROM ann a LEFT JOIN exact e ON a.vec_id = e.vec_id
+  GROUP BY a.method
 )
-SELECT a.method AS method,
-       CAST(COUNT(e.vec_id) AS BIGINT) AS n_hits,
-       CAST(COUNT(e.vec_id) AS DOUBLE) / {_K} AS recall_at_k
-FROM ann a LEFT JOIN exact e ON a.vec_id = e.vec_id
-GROUP BY a.method
-ORDER BY a.method
+SELECT m.method AS method,
+       CAST(COALESCE(c.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(c.n_hits, 0) AS DOUBLE) / {_K} AS recall_at_k
+FROM (VALUES ('hamming'), ('ivf'), ('lsh'), ('pq')) m(method)
+LEFT JOIN counts c ON m.method = c.method
+ORDER BY m.method
 """
 
 
@@ -1147,12 +1161,27 @@ def s12_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(name).alias("method"), F.col("vec_id")
         )
         ann = part if ann is None else ann.unionAll(part)
-    return (
+    counts = (
         ann.join(F.broadcast(exact), "vec_id", "left")
         .groupBy("method")
-        .agg(
-            F.count("_hit").cast("bigint").alias("n_hits"),
-            (F.count("_hit").cast("double") / F.lit(_K)).alias("recall_at_k"),
+        .agg(F.count("_hit").alias("_n"))
+    )
+    # Left-join a fixed method spine so a method whose ANN shortlist comes
+    # back empty still reports recall_at_k = 0.0 — the exact total-miss
+    # failure mode this eval exists to surface — instead of vanishing from
+    # the output (its union branch would contribute zero GROUP BY rows).
+    spine = spark.createDataFrame(
+        [(name,) for name, _ in methods], "method string"
+    )
+    return (
+        F.broadcast(spine)
+        .join(counts, "method", "left")
+        .select(
+            "method",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce(F.col("_n"), F.lit(0)).cast("double") / F.lit(_K)).alias(
+                "recall_at_k"
+            ),
         )
         .orderBy("method")
     )
