@@ -499,15 +499,23 @@ def cmd_list(args) -> int:
 
 
 def cmd_serve(args) -> int:
-    """Wire server (M34): newline-delimited-JSON SQL over TCP, mounted on
-    the serving session (ref()-aware compile, DDL-comment intercept,
-    schema op). Real deployments front Spark Connect / Thrift; this is the
-    reference's lightweight-proxy analog."""
-    from dbt_osmosis_spark.serving import serve_wire
+    """Wire server (M34): SQL over TCP mounted on the serving session
+    (ref()-aware compile, DDL-comment intercept, schema op). Two codecs
+    over the same protocol-agnostic SqlSession: the native MySQL
+    client/server protocol (default — any stock MySQL client connects,
+    like the reference's sql/proxy.py:174-179) or newline-delimited JSON
+    (--protocol json). Real deployments front Spark Connect / Thrift."""
+    if args.protocol == "mysql":
+        from dbt_osmosis_spark.mysql_wire import serve_mysql as _serve
+    else:
+        from dbt_osmosis_spark.serving import serve_wire as _serve
 
     spark, manifest = _build_context(args)
-    srv = serve_wire(spark, manifest, host=args.host, port=args.port)
-    print(f"serving on {srv.server_address[0]}:{srv.server_address[1]}")
+    srv = _serve(spark, manifest, host=args.host, port=args.port)
+    print(
+        f"serving {args.protocol} on "
+        f"{srv.server_address[0]}:{srv.server_address[1]}"
+    )
     try:
         srv.serve_forever()
     except KeyboardInterrupt:
@@ -858,9 +866,12 @@ def build_parser() -> argparse.ArgumentParser:
     ls = sub.add_parser("list", help="enumerate project nodes (dbt ls analog)")
     ls.add_argument("--select", nargs="+", default=None)
 
-    sv = sub.add_parser("serve", help="JSON-lines SQL wire server over the serving session")
+    sv = sub.add_parser(
+        "serve", help="SQL wire server (native MySQL protocol or JSON lines)"
+    )
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=7817)
+    sv.add_argument("--protocol", choices=["mysql", "json"], default="mysql")
 
     pp = sub.add_parser("profile", help="one-pass distributed column profile")
     pp.add_argument("model")
