@@ -897,7 +897,175 @@ def build_parser() -> argparse.ArgumentParser:
     lnp = sub.add_parser("lineage", help="column-level lineage via Catalyst pruning")
     lnp.add_argument("model")
     lnp.add_argument("--column", default=None, help="single output column (default: all)")
+
+    gp = sub.add_parser(
+        "generate", help="generate dbt artifacts: query/model from NL, staging, sources"
+    )
+    gsub = gp.add_subparsers(dest="action", required=True)
+    gq = gsub.add_parser("query", help="NL -> SQL (optionally execute)")
+    gq.add_argument("query")
+    gq.add_argument("--execute", action="store_true")
+    gm = gsub.add_parser("model", help="NL -> model SQL + schema.yml")
+    gm.add_argument("query")
+    gm.add_argument("--model-name", default=None)
+    gm.add_argument("--output-path", default=None)
+    gm.add_argument("--schema-yml", default=None)
+    gm.add_argument("--dry-run", action="store_true")
+    gm.add_argument("--overwrite", action="store_true")
+    gs = gsub.add_parser("staging", help="staging model from a source table")
+    gs.add_argument("source_name")
+    gs.add_argument("table_name")
+    gs.add_argument("--staging-path", default=None)
+    gs.add_argument("--dry-run", action="store_true")
+    gs.add_argument("--overwrite", action="store_true")
+    gsrc = gsub.add_parser("sources", help="bootstrap sources.yml from the catalog")
+    gsrc.add_argument("--source-name", default="main")
+    gsrc.add_argument("--dry-run", action="store_true")
+
+    np_ = sub.add_parser("nl", help="natural-language interface (query / generate)")
+    nsub = np_.add_subparsers(dest="action", required=True)
+    nq = nsub.add_parser("query", help="alias of `generate query`")
+    nq.add_argument("query")
+    nq.add_argument("--execute", action="store_true")
+    ng = nsub.add_parser("generate", help="deprecated alias of `generate model`")
+    ng.add_argument("query")
+    ng.add_argument("--model-name", default=None)
+    ng.add_argument("--output-path", default=None)
+    ng.add_argument("--schema-yml", default=None)
+    ng.add_argument("--dry-run", action="store_true")
+    ng.add_argument("--overwrite", action="store_true")
     return p
+
+
+def _slug_model_name(question: str, prefix: str = "nl") -> str:
+    """Model name from an NL question (reference auto-generates when
+    --model-name is absent, cli/main.py:846)."""
+    import re as _re
+
+    words = _re.findall(r"[a-z0-9]+", question.lower())[:6]
+    return f"{prefix}_" + "_".join(words or ["model"])
+
+
+def cmd_generate(args) -> int:
+    """`generate` group (SURVEY L3/L4/L5; reference cli/main.py:839-1451):
+    query = NL→SQL (optionally execute), model = NL→model SQL + schema.yml,
+    staging = source table → staging model + YAML, sources = bootstrap
+    sources.yml from the live catalog. The NL translation runs on the
+    configured backend (offline default: deterministic schema-grounded
+    template, llm.py) — same CLI contract either way."""
+    from dbt_osmosis_spark.llm import generate_staging_model, nl_to_sql
+    from dbt_osmosis_spark.yaml_engine import YamlHandler
+
+    if args.action == "query":
+        if args.execute:
+            from dbt_osmosis_spark.sql_ops import execute_sql_code
+
+            spark, manifest = _build_context(args)
+            sql = nl_to_sql(args.query, manifest)
+            print(sql)
+            _, df = execute_sql_code(spark, manifest, sql)
+            df.show(PRINT_CAP, truncate=False)
+        else:
+            _, manifest = _build_context(args, need_spark=False)
+            print(nl_to_sql(args.query, manifest))
+        return 0
+
+    if args.action == "model":
+        _, manifest = _build_context(args, need_spark=False)
+        name = args.model_name or _slug_model_name(args.query)
+        sql = nl_to_sql(args.query, manifest)
+        out_sql = _Path(
+            args.output_path or _Path(args.project_dir) / "models" / f"{name}.sql"
+        )
+        out_yml = _Path(
+            args.schema_yml or out_sql.with_name(f"{name}.yml")
+        )
+        doc = {
+            "version": 2,
+            "models": [{"name": name, "description": f"Generated from: {args.query}"}],
+        }
+        if args.dry_run:
+            print(f"-- would write {out_sql}\n{sql}")
+            print(f"# would write {out_yml}")
+            return 0
+        if out_yml.exists() and not args.overwrite:
+            print(f"refusing to overwrite {out_yml} (pass --overwrite)")
+            return 1
+        out_sql.parent.mkdir(parents=True, exist_ok=True)
+        out_sql.write_text(sql + "\n")
+        YamlHandler().write(out_yml, doc)
+        print(f"wrote {out_sql}\nwrote {out_yml}")
+        return 0
+
+    if args.action == "staging":
+        from dbt_osmosis_spark.compile import relation_name
+        from dbt_osmosis_spark.introspect import get_columns
+
+        spark, manifest = _build_context(args)
+        source_key = f"{args.source_name}.{args.table_name}"
+        cols = [c.name for c in get_columns(spark, relation_name(source_key))]
+        spec = generate_staging_model(source_key, cols)
+        sql = spec.to_sql(cols)
+        name = f"stg_{args.table_name}"
+        stg_dir = _Path(args.staging_path or _Path(args.project_dir) / "models" / "staging")
+        out_sql = stg_dir / f"{name}.sql"
+        out_yml = stg_dir / f"{name}.yml"
+        doc = {
+            "version": 2,
+            "models": [
+                {
+                    "name": name,
+                    "description": f"Staging model for {source_key}",
+                    "columns": [
+                        {"name": spec.renames.get(c, c)} for c in cols
+                    ],
+                }
+            ],
+        }
+        if args.dry_run:
+            print(f"-- would write {out_sql}\n{sql}\n# would write {out_yml}")
+            return 0
+        if out_yml.exists() and not args.overwrite:
+            print(f"refusing to overwrite {out_yml} (pass --overwrite)")
+            return 1
+        stg_dir.mkdir(parents=True, exist_ok=True)
+        out_sql.write_text(sql + "\n")
+        YamlHandler().write(out_yml, doc)
+        print(f"wrote {out_sql}\nwrote {out_yml}")
+        return 0
+
+    # sources: register catalog tables no declared source covers (L5)
+    from dbt_osmosis_spark.path_management import create_missing_source_yamls
+
+    spark, manifest = _build_context(args)
+    result = create_missing_source_yamls(
+        spark,
+        manifest,
+        args.project_dir,
+        source_name=args.source_name,
+        dry_run=args.dry_run,
+    )
+    verb = "would create" if args.dry_run else "created"
+    for t in result.created:
+        print(f"{verb} source: {args.source_name}.{t}")
+    if not result.created:
+        print("all catalog tables already covered by declared sources")
+    return 0
+
+
+def cmd_nl(args) -> int:
+    """`nl` group — kept as the reference keeps it (cli/main.py:1300,1451):
+    `nl query` aliases `generate query`; `nl generate` is the deprecated
+    alias of `generate model`."""
+    if args.action == "generate":
+        print(
+            "warning: `nl generate` is deprecated; use `generate model` instead",
+            file=sys.stderr,
+        )
+        args.action = "model"
+    else:
+        args.action = "query"
+    return cmd_generate(args)
 
 
 def cmd_retry(args) -> int:
@@ -952,6 +1120,8 @@ _DISPATCH = {
     "source-freshness": cmd_source_freshness,
     "run-operation": cmd_run_operation,
     "build": cmd_build,
+    "generate": cmd_generate,
+    "nl": cmd_nl,
 }
 
 

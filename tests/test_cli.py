@@ -456,3 +456,88 @@ def test_compile_renders_this(proj, tmp_path, capsys):
     assert rc == 0
     compiled = next((Path(proj) / "target" / "compiled").rglob("selfref.sql")).read_text()
     assert "''" not in compiled and "selfref" in compiled
+
+
+def test_cli_generate_query_and_nl(proj, tmp_path, capsys):
+    """generate query / nl query: NL -> schema-grounded SQL, --execute runs
+    it (L3 CLI surface; reference cli/main.py:1215-1298,1451). Offline the
+    deterministic backend emits the grounded template — no network key."""
+    assert _run(proj, tmp_path, "generate", "query", "top customers by revenue") == 0
+    out = capsys.readouterr().out
+    assert "-- question: top customers by revenue" in out
+    assert "ref('" in out
+
+    assert (
+        _run(proj, tmp_path, "generate", "query", "count all rows", "--execute") == 0
+    )
+    out = capsys.readouterr().out
+    assert "ref('" in out and "limit 100" in out
+
+    # nl query aliases generate query
+    assert _run(proj, tmp_path, "nl", "query", "anything at all") == 0
+    assert "-- question: anything at all" in capsys.readouterr().out
+
+
+def test_cli_generate_model_writes_sql_and_yaml(proj, tmp_path, capsys):
+    """generate model: NL -> model .sql + schema .yml, dry-run and
+    overwrite guard (reference cli/main.py:839-976)."""
+    assert (
+        _run(proj, tmp_path, "generate", "model", "churned customers last month",
+             "--dry-run") == 0
+    )
+    out = capsys.readouterr().out
+    assert "would write" in out and "churned" in out
+
+    assert _run(proj, tmp_path, "generate", "model", "churned customers last month") == 0
+    capsys.readouterr()
+    sql_path = tmp_path / "proj/models/nl_churned_customers_last_month.sql"
+    yml_path = tmp_path / "proj/models/nl_churned_customers_last_month.yml"
+    assert sql_path.exists() and "select" in sql_path.read_text()
+    doc = pyyaml.safe_load(yml_path.read_text())
+    assert doc["models"][0]["name"] == "nl_churned_customers_last_month"
+
+    # overwrite guard on the YAML
+    assert _run(proj, tmp_path, "generate", "model", "churned customers last month") == 1
+    assert "refusing to overwrite" in capsys.readouterr().out
+    assert (
+        _run(proj, tmp_path, "generate", "model", "churned customers last month",
+             "--overwrite") == 0
+    )
+    capsys.readouterr()
+
+    # nl generate = deprecated alias of generate model
+    assert (
+        _run(proj, tmp_path, "nl", "generate", "weekly actives", "--model-name",
+             "weekly_actives") == 0
+    )
+    capsys.readouterr()
+    assert (tmp_path / "proj/models/weekly_actives.sql").exists()
+
+
+def test_cli_generate_staging_and_sources(proj, tmp_path, capsys):
+    """generate staging SOURCE TABLE -> stg model + YAML from live columns;
+    generate sources -> bootstrap sources.yml (L4/L5 CLI surface;
+    reference cli/main.py:978-1213)."""
+    assert (
+        _run(proj, tmp_path, "generate", "staging", "analytics", "events",
+             "--dry-run") == 0
+    )
+    out = capsys.readouterr().out
+    assert "would write" in out and "source('analytics', 'events')" in out
+
+    assert _run(proj, tmp_path, "generate", "staging", "analytics", "events") == 0
+    capsys.readouterr()
+    stg_sql = tmp_path / "proj/models/staging/stg_events.sql"
+    stg_yml = tmp_path / "proj/models/staging/stg_events.yml"
+    assert stg_sql.exists()
+    body = stg_sql.read_text()
+    assert "from {{ source('analytics', 'events') }}" in body
+    doc = pyyaml.safe_load(stg_yml.read_text())
+    cols = [c["name"] for c in doc["models"][0]["columns"]]
+    assert "event_id" in cols or len(cols) > 0
+
+    assert _run(proj, tmp_path, "generate", "sources", "--dry-run") == 0
+    capsys.readouterr()
+    assert _run(proj, tmp_path, "generate", "sources") == 0
+    out = capsys.readouterr().out
+    assert "created source" in out or "already covered" in out
