@@ -253,7 +253,7 @@ ranked AS (
   SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY k) AS rk
   FROM keyed
 )
-SELECT lang, doc_id, rk
+SELECT lang, doc_id, CAST(rk AS INTEGER) AS rk
 FROM ranked
 WHERE rk <= {_P02_PER_STRATUM}
 ORDER BY lang, rk
@@ -415,7 +415,7 @@ _P05_MASK = "[REDACTED]"
 
 _P05_ORACLE = f"""
 SELECT doc_id,
-       len(regexp_extract_all(text, '{_P05_TERMS}')) AS n_redacted,
+       CAST(len(regexp_extract_all(text, '{_P05_TERMS}')) AS INTEGER) AS n_redacted,
        regexp_replace(text, '{_P05_TERMS}', '{_P05_MASK}', 'g') AS redacted_text
 FROM documents
 WHERE len(regexp_extract_all(text, '{_P05_TERMS}')) > 0
@@ -583,7 +583,7 @@ cand AS (
   FROM blocks a JOIN blocks b
     ON a.b = b.b AND a.block_val = b.block_val AND a.doc_id < b.doc_id
 )
-SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b)) AS hamming
+SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
 FROM cand
 WHERE bit_count(xor(sig_a, sig_b)) <= {_HB_MAX_HAMMING}
 ORDER BY doc_a, doc_b
@@ -729,7 +729,7 @@ ranked AS (
          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rk
   FROM scored
 )
-SELECT doc_id, word, tf, df, tfidf, rk
+SELECT doc_id, word, tf, df, tfidf, CAST(rk AS INTEGER) AS rk
 FROM ranked
 WHERE rk <= {_T07_TOPK_PER_DOC}
 ORDER BY doc_id, rk
@@ -820,8 +820,8 @@ WITH tok AS (
   SELECT doc_id, {_DUCK_TOK} AS w FROM documents
 )
 SELECT doc_id,
-       LEAST(len(w), {_P09_MAX_TOKENS}) AS n_kept,
-       GREATEST(len(w) - {_P09_MAX_TOKENS}, 0) AS n_dropped,
+       CAST(LEAST(len(w), {_P09_MAX_TOKENS}) AS INTEGER) AS n_kept,
+       CAST(GREATEST(len(w) - {_P09_MAX_TOKENS}, 0) AS INTEGER) AS n_dropped,
        array_to_string(w[1:{_P09_MAX_TOKENS}], ' ') AS truncated
 FROM tok
 ORDER BY doc_id

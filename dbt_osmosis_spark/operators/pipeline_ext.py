@@ -191,7 +191,7 @@ with_max AS (
          MAX(n_tokens) OVER (PARTITION BY bucket) AS bmax
   FROM bucketed
 )
-SELECT bucket,
+SELECT CAST(bucket AS INTEGER) AS bucket,
        COUNT(*) AS n_docs,
        CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
        CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
@@ -426,8 +426,8 @@ WITH d AS (
 )
 SELECT source, lang,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS total_tokens,
-       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        MIN(n_chars) AS min_chars,
        MAX(n_chars) AS max_chars,
        CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
@@ -662,7 +662,7 @@ SELECT CAST(p // {_P20_SHARD} AS BIGINT) AS shard_id,
        COUNT(*) AS n_docs,
        MIN(p) AS first_pos,
        MAX(p) AS last_pos,
-       SUM(n_chars) AS total_chars
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM pos
 GROUP BY 1
 ORDER BY shard_id

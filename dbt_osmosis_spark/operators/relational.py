@@ -347,7 +347,7 @@ def q08_subquery_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT * FROM (
   SELECT o_custkey AS customer_id, o_orderkey AS order_id,
          CAST(o_totalprice AS DOUBLE) AS totalprice,
-         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2)))
               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend

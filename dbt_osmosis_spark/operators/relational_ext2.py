@@ -607,7 +607,7 @@ _Q52_SQL = """
 SELECT event_type,
        CAST(date_trunc('day', ts) AS DATE) AS day,
        BIT_OR(CAST(1 AS BIGINT) << CAST(user_id % 60 AS INT)) AS user_bitmap,
-       BIT_COUNT(BIT_OR(CAST(1 AS BIGINT) << CAST(user_id % 60 AS INT))) AS slots_seen,
+       CAST(BIT_COUNT(BIT_OR(CAST(1 AS BIGINT) << CAST(user_id % 60 AS INT))) AS INT) AS slots_seen,
        COUNT(*) AS n_events
 FROM {events}
 GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)

@@ -587,7 +587,7 @@ quant AS (
   FROM scaled WHERE amax > 0
 )
 SELECT vec_id, label, amax,
-       len(list_filter(q, x -> abs(x) >= 127)) AS n_sat,
+       CAST(len(list_filter(q, x -> abs(x) >= 127)) AS INTEGER) AS n_sat,
        round(list_sum(list_transform(range(1, {_DIM} + 1),
              i -> abs(v[i] - q[i] * amax / 127.0))), 6) AS abs_err
 FROM quant

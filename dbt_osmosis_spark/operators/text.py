@@ -73,7 +73,7 @@ SELECT source,
        COUNT(*) AS n_docs,
        CAST(SUM(CAST(len(w) AS DECIMAL(18,0))) AS BIGINT) AS total_tokens,
        CAST(SUM(CAST(len(w) AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_tokens,
-       MAX(len(w)) AS max_tokens,
+       CAST(MAX(len(w)) AS INTEGER) AS max_tokens,
        CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS BIGINT) AS total_chars
 FROM tok
 GROUP BY source
@@ -114,10 +114,10 @@ feat AS (
          len(list_filter(w, x -> len(x) >= 6)) AS n_long
   FROM tok
 )
-SELECT doc_id, source, n_tokens,
+SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens,
        CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
        CAST(n_long AS DOUBLE) / n_tokens AS long_token_ratio,
-       CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1.0 ELSE 0.0 END AS length_ok,
+       CAST(CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS length_ok,
        (CAST(n_stop AS DOUBLE) / n_tokens)
          + (CAST(n_long AS DOUBLE) / n_tokens)
          + (CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1.0 ELSE 0.0 END)
@@ -256,7 +256,7 @@ SELECT doc_id,
          list_transform(s, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)),
          'min'
        ) AS fingerprint,
-       len(s) AS n_shingles
+       CAST(len(s) AS INTEGER) AS n_shingles
 FROM sh
 ORDER BY doc_id
 """
@@ -291,8 +291,8 @@ _BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
 _T05_ORACLE = f"""
 WITH seg AS (
   SELECT doc_id, source,
-         len(regexp_extract_all(trim(text), '{_BPE_PATTERN}')) AS n_bpe,
-         len({_DUCK_TOK}) AS n_ws
+         CAST(len(regexp_extract_all(trim(text), '{_BPE_PATTERN}')) AS INTEGER) AS n_bpe,
+         CAST(len({_DUCK_TOK}) AS INTEGER) AS n_ws
   FROM documents
 )
 SELECT doc_id, source, n_bpe, n_ws,
@@ -340,7 +340,7 @@ feat AS (
            'max') AS top_token_count
   FROM tok WHERE len(w) >= 3
 )
-SELECT doc_id, n_tokens,
+SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
        1.0 - CAST(distinct_shingles AS DOUBLE) / total_shingles AS dup_shingle_frac,
        CAST(top_token_count AS DOUBLE) / n_tokens AS top_token_frac
 FROM feat
@@ -385,7 +385,7 @@ _T09_ORACLE = """
 SELECT doc_id,
        regexp_replace(trim(lower(regexp_replace(text, '[ ]+', ' ', 'g'))),
                       '(^[.,;:!?]+)|([.,;:!?]+$)', '', 'g') AS norm_text,
-       len(string_split(trim(lower(regexp_replace(text, '[ ]+', ' ', 'g'))), ' ')) AS n_tokens
+       CAST(len(string_split(trim(lower(regexp_replace(text, '[ ]+', ' ', 'g'))), ' ')) AS INTEGER) AS n_tokens
 FROM documents
 ORDER BY doc_id
 """

@@ -41,6 +41,89 @@ def duckdb_connect(sf_dir: str):
     return con
 
 
+# ---- dtype discipline --------------------------------------------------
+# The driver canonicalizes values dtype-sensitively (the round-2 q37
+# lesson: an int64/int32 drift hash-mismatches even when stringified
+# values agree), while _norm_cell below compares stringifications. These
+# maps project Spark simpleString and DuckDB DESCRIBE types onto one
+# canonical vocabulary so a dtype drift fails HERE, naming the column,
+# before the driver sees it.
+
+_SPARK_CANON = {
+    "tinyint": "i8",
+    "smallint": "i16",
+    "int": "i32",
+    "integer": "i32",
+    "bigint": "i64",
+    "float": "f32",
+    "double": "f64",
+    "string": "str",
+    "boolean": "bool",
+    "date": "date",
+    "timestamp": "ts",
+    "timestamp_ntz": "ts",
+    "binary": "bin",
+}
+
+_DUCK_CANON = {
+    "tinyint": "i8",
+    "smallint": "i16",
+    "integer": "i32",
+    "bigint": "i64",
+    "hugeint": "i128",
+    "float": "f32",
+    "real": "f32",
+    "double": "f64",
+    "varchar": "str",
+    "boolean": "bool",
+    "date": "date",
+    "timestamp": "ts",
+    "timestamp with time zone": "ts",
+    "timestamp_ns": "ts",
+    "blob": "bin",
+}
+
+
+def _canon_spark_type(t: str) -> str:
+    t = t.strip().lower()
+    if t.startswith("decimal("):
+        return "dec" + t[len("decimal"):]
+    if t.startswith("array<") and t.endswith(">"):
+        return f"arr<{_canon_spark_type(t[6:-1])}>"
+    return _SPARK_CANON.get(t, t)
+
+
+def _canon_duck_type(t: str) -> str:
+    t = t.strip().lower()
+    if t.startswith("decimal("):
+        return "dec" + t[len("decimal"):].replace(" ", "")
+    if t.endswith("[]"):
+        return f"arr<{_canon_duck_type(t[:-2])}>"
+    return _DUCK_CANON.get(t, t)
+
+
+def _dtype_issues(spark_schema, con, oracle_sql: str) -> list[str]:
+    """Per-column canonical dtype comparison via DuckDB DESCRIBE (no data
+    scan). Returns issue strings naming each drifted column."""
+    duck_types = {
+        row[0]: str(row[1])
+        for row in con.execute(f"DESCRIBE {oracle_sql}").fetchall()
+    }
+    issues = []
+    for f in spark_schema.fields:
+        if f.name not in duck_types:
+            continue  # column-name mismatch is reported separately
+        s, d = _canon_spark_type(f.dataType.simpleString()), _canon_duck_type(
+            duck_types[f.name]
+        )
+        if s != d:
+            issues.append(
+                f"dtype drift on '{f.name}': spark={f.dataType.simpleString()}"
+                f" ({s}) oracle={duck_types[f.name]} ({d})"
+            )
+    return issues
+
+
 def _norm_cell(v) -> str:
     if v is None:
         return "NULL"
@@ -89,12 +172,16 @@ def check_parity(spark: SparkSession, name: str, sf_dir: str, con=None) -> Parit
     if own_con:
         con = duckdb_connect(sf_dir)
     try:
+        dtype_issues = _dtype_issues(sdf.schema, con, ORACLES[name])
         cur = con.execute(ORACLES[name])
         oracle_cols = [d[0] for d in cur.description]
         oracle_rows = cur.fetchall()
     finally:
         if own_con:
             con.close()
+    if dtype_issues:
+        res.ok = False
+        res.issues.extend(dtype_issues)
     res.oracle_rows = len(oracle_rows)
 
     if sorted(spark_cols) != sorted(oracle_cols):
