@@ -246,3 +246,38 @@ def test_mysql_wire_conversation(spark):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_workbench_client_example(spark):
+    """examples/workbench_client.py drives a live JSON server end-to-end:
+    spawn serve_wire, run the compile+preview+profile round-trip, render."""
+    import importlib.util
+    import threading
+
+    from dbt_osmosis_spark.project import Manifest
+    from dbt_osmosis_spark.serving import serve_wire
+
+    spec = importlib.util.spec_from_file_location(
+        "workbench_client", "/root/repo/examples/workbench_client.py"
+    )
+    client = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(client)
+
+    spark.createDataFrame(
+        [(1, "a"), (2, None)], "id long, tag string"
+    ).createOrReplaceTempView("wb_demo")
+    srv = serve_wire(spark, Manifest())
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        resp = client.workbench_roundtrip(
+            "127.0.0.1", port, "SELECT id, tag from wb_demo where id > 0"
+        )
+        text = client.render(resp)
+        assert "-- compiled --" in text and "-- profile --" in text
+        assert "id | tag" in text and "NULL" in text
+        assert "keyword-case" in text  # lint pane fired on the mixed case
+        assert "nulls=1" in text  # tag column profile
+    finally:
+        srv.shutdown()
+        srv.server_close()
