@@ -922,6 +922,10 @@ def build_parser() -> argparse.ArgumentParser:
     gsrc.add_argument("--source-name", default="main")
     gsrc.add_argument("--dry-run", action="store_true")
 
+    wb = sub.add_parser("workbench", help="browser workbench (editor + preview + profile)")
+    wb.add_argument("--host", default="127.0.0.1")
+    wb.add_argument("--port", type=int, default=7818)
+
     np_ = sub.add_parser("nl", help="natural-language interface (query / generate)")
     nsub = np_.add_subparsers(dest="action", required=True)
     nq = nsub.add_parser("query", help="alias of `generate query`")
@@ -944,6 +948,25 @@ def _slug_model_name(question: str, prefix: str = "nl") -> str:
 
     words = _re.findall(r"[a-z0-9]+", question.lower())[:6]
     return f"{prefix}_" + "_".join(words or ["model"])
+
+
+def cmd_workbench(args) -> int:
+    """Browser workbench (M35): zero-dependency http.server shell around
+    SqlSession.workbench — editor, compile/lint/preview/profile panes,
+    schema sidebar (the reference's Streamlit app without Streamlit)."""
+    from dbt_osmosis_spark.workbench_http import serve_workbench
+
+    spark, manifest = _build_context(args)
+    srv = serve_workbench(spark, manifest, host=args.host, port=args.port)
+    print(f"workbench at http://{srv.server_address[0]}:{srv.server_address[1]}/")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    return 0
 
 
 def cmd_generate(args) -> int:
@@ -1122,6 +1145,7 @@ _DISPATCH = {
     "build": cmd_build,
     "generate": cmd_generate,
     "nl": cmd_nl,
+    "workbench": cmd_workbench,
 }
 
 
