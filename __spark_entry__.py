@@ -41,7 +41,8 @@ def _ordered_names() -> list[str]:
     CORRECTNESS rows.
     """
     never_sampled = (
-        [f"d{i:02d}" for i in (13, 10, 11, 12)]
+        ["s13", "p25", "t15"]  # new in round 4 — never sampled anywhere
+        + [f"d{i:02d}" for i in (13, 10, 11, 12)]
         + [f"t{i:02d}" for i in range(11, 15)]
         + [f"q{i:02d}" for i in range(19, 53)]
         + [f"p{i:02d}" for i in range(12, 25)]

@@ -1202,3 +1202,83 @@ def p24_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("avg_logratio"), "doc_id")
         .limit(_P24_N)
     )
+
+
+# --------------------------------------------------------------------------
+# p25: temperature-scaled source mixing
+# --------------------------------------------------------------------------
+# THE standard multi-source/multilingual rebalancing knob (mT5/mC4 style,
+# arXiv:1910.10683 §3.4.3 / arXiv:2010.11934): sample source s with
+# probability p_s ∝ n_s^τ. τ=1 keeps natural proportions, τ→0 flattens —
+# τ=0.5 (here) upsamples rare sources. Unlike p06's FIXED weights, the
+# per-source keep-rates derive from the live counts, so the whole thing is
+# computed in-plan: count per source (partial agg), fold the tiny
+# per-source table into one broadcast row for the normalizers, derive
+# rate_s = keep_frac * T * p_s / n_s capped at 1, then the deterministic
+# md5-threshold keep (p06's machinery) — docs shuffle ZERO times; the only
+# exchanges are on the few-row source table.
+#
+# Determinism: sqrt is IEEE-correctly-rounded in both engines (unlike
+# libm pow), so τ is fixed at 0.5; each sqrt(n_s) is quantized to an
+# integer (×1e9, half-up) BEFORE the cross-source sum so the normalizer
+# is an exact integer in any partition order (t13's move); the rate is
+# rebuilt from exact integers with identically-parenthesized IEEE ops and
+# compared as floor(rate × 65536) vs the doc's 16-bit md5 key — pure
+# integer compare, zero drift surface.
+
+_P25_TAU_SQRT = True  # τ = 0.5 via sqrt (IEEE-exact; libm pow is not)
+_P25_KEEP_FRAC = 0.5
+
+_P25_ORACLE = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n,
+         CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS qs
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS t, CAST(SUM(qs) AS BIGINT) AS qz FROM counts
+),
+rates AS (
+  SELECT c.source, c.n,
+         CAST(floor(least(
+           (({_P25_KEEP_FRAC} * CAST(tot.t AS DOUBLE))
+            * (CAST(c.qs AS DOUBLE) / CAST(tot.qz AS DOUBLE)))
+           / CAST(c.n AS DOUBLE), 1.0) * 65536.0) AS BIGINT) AS thr
+  FROM counts c CROSS JOIN tot
+)
+SELECT d.doc_id AS doc_id, d.source AS source, r.thr AS thr
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS BIGINT) < r.thr
+ORDER BY d.doc_id
+"""
+
+
+@register("p25_temperature_mix", oracle=_P25_ORACLE)
+def p25_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)").alias(
+            "qs"
+        ),
+    )
+    tot = counts.agg(
+        F.sum("n").cast("bigint").alias("t"), F.sum("qs").cast("bigint").alias("qz")
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.expr(
+            f"CAST(floor(least((({_P25_KEEP_FRAC} * CAST(t AS DOUBLE))"
+            " * (CAST(qs AS DOUBLE) / CAST(qz AS DOUBLE)))"
+            " / CAST(n AS DOUBLE), CAST(1.0 AS DOUBLE)) * 65536.0) AS BIGINT)"
+        ).alias("thr"),
+    )
+    key = F.expr(
+        "CAST(conv(substr(md5(cast(CAST(doc_id AS STRING) AS BINARY)), 1, 4), 16, 10) AS BIGINT)"
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(key < F.col("thr"))
+        .select("doc_id", "source", "thr")
+        .orderBy("doc_id")
+    )

@@ -1185,3 +1185,88 @@ def s12_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("method")
     )
+
+
+# ---- s13: int8 two-stage retrieval (integer-dot shortlist + exact re-rank) --
+# The production serving layout for billion-vector search on commodity
+# nodes: the corpus lives as int8 codes (s06's symmetric quantization, 4x
+# smaller than float32), stage 1 ranks by PURE-INTEGER dot product against
+# the query's codes (SIMD int8 GEMM territory — the scan never touches a
+# float until scoring), stage 2 re-ranks only the top-C shortlist with the
+# exact float cosine. Approximate score = int_dot * amax_v * amax_q / 127^2
+# — the dequantized dot; int_dot is an exact BIGINT fold and the two
+# double multiplies are the same IEEE ops in both engines, so the
+# shortlist is engine-exact with NO rounding. Plan: map-side quantization,
+# broadcast 1-row query codes, TakeOrderedAndProject top-C (never a global
+# sort), exact cosine on C rows. At 10^12 vectors the code table is ~64 TB
+# (vs 256 TB float32) and stage 1 is a sequential integer-column scan
+# inside whole-stage codegen; C stays constant, so re-rank cost is
+# corpus-size-independent. Reference analog: none (north-star similarity
+# family; sibling of s08's PQ and s11's 1-bit stages).
+
+_S13_C = 50  # stage-1 shortlist size
+
+_S13_INT_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+_S13_DUCK_INT_DOT = "list_sum(list_transform(range(1, {n} + 1), i -> ({a})[i] * ({b})[i]))"
+
+_S13_ORACLE = f"""
+WITH vecs AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+quant AS (
+  SELECT vec_id, label, v, amax,
+         list_transform(v, x -> CAST(floor(x * (127.0 / amax) + 0.5) AS BIGINT)) AS q
+  FROM (SELECT *, list_max(list_transform(v, x -> abs(x))) AS amax FROM vecs)
+  WHERE amax > 0
+),
+qv AS (SELECT v AS qvec, q AS qcodes, amax AS qamax FROM quant WHERE vec_id = {_QUERY_ID}),
+shortlist AS (
+  SELECT c.vec_id, c.label, c.v, qv.qvec,
+         ((CAST({_S13_DUCK_INT_DOT.format(a="c.q", b="qv.qcodes", n=_DIM)} AS DOUBLE)
+           * c.amax) * qv.qamax) / 16129.0 AS approx
+  FROM quant c, qv
+  WHERE c.vec_id <> {_QUERY_ID}
+  ORDER BY approx DESC, c.vec_id
+  LIMIT {_S13_C}
+)
+SELECT vec_id, label, round(approx, 6) AS approx_dot,
+       {_DUCK_DOT.format(a="v", b="qvec", n=_DIM)}
+         / (sqrt({_DUCK_NORM2.format(a="v")}) * sqrt({_DUCK_NORM2.format(a="qvec")}))
+         AS cosine
+FROM shortlist
+ORDER BY cosine DESC, vec_id
+LIMIT {_K}
+"""
+
+
+@register("s13_int8_rerank_topk", oracle=_S13_ORACLE)
+def s13_int8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(read_parquet(spark, f"{sf_dir}/embeddings.parquet")).withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    quant = quantize_int8(emb).select("vec_id", "label", "v", "amax", "q")
+    qv = quant.filter(F.col("vec_id") == _QUERY_ID).select(
+        F.col("v").alias("qvec"), F.col("q").alias("qcodes"), F.col("amax").alias("qamax")
+    )
+    int_dot = F.expr(_S13_INT_DOT.format(a="q", b="qcodes"))
+    approx = ((int_dot.cast("double") * F.col("amax")) * F.col("qamax")) / F.lit(16129.0)
+    shortlist = (
+        quant.filter(F.col("vec_id") != _QUERY_ID)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", "label", "v", "qvec", approx.alias("approx"))
+        .orderBy(F.desc("approx"), "vec_id")
+        .limit(_S13_C)
+    )
+    dot = F.expr(_SPARK_DOT.format(a="v", b="qvec"))
+    n_v = F.expr(_SPARK_NORM2.format(a="v"))
+    n_q = F.expr(_SPARK_NORM2.format(a="qvec"))
+    return (
+        shortlist.select(
+            "vec_id",
+            "label",
+            F.round(F.col("approx"), 6).alias("approx_dot"),
+            (dot / (F.sqrt(n_v) * F.sqrt(n_q))).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(_K)
+    )

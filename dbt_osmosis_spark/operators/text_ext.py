@@ -327,3 +327,82 @@ def t14_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---- t15: bigram novelty rate (dataset staleness / memorization signal) ----
+# For a corpus consumed in doc_id order (crawl snapshots, dated shards),
+# the fraction of each document's distinct bigrams never seen in any
+# earlier document is the standard staleness curve: it decays as the
+# corpus saturates, and a sudden drop flags a scrape that is re-crawling
+# known content (the inverse signal of d10's duplication rate). Plan: one
+# shuffle keyed on the 60-bit md5 of the bigram (the string itself never
+# shuffles — the hash is 8 bytes regardless of shingle length, d03/t04's
+# move), min(doc_id) per key = first sighting, broadcast-free join back,
+# per-doc count. novelty_rate is a single IEEE division of exact integer
+# counts — bit-identical across engines, no rounding. At 100 TB the
+# first-seen index is itself reusable state: persist it and d11-style
+# incremental batches anti-join against it.
+# Reference analog: none (north-star text-diagnostics family).
+
+from dbt_osmosis_spark.operators.text import (  # noqa: E402
+    SPARK_MD5INT,
+    _DUCK_TOK,
+    _duck_shingles,
+    spark_shingles_sql,
+    tokens,
+)
+
+_T15_DUCK_MD5 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+_T15_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {_DUCK_TOK} AS w FROM documents
+),
+bg AS (
+  SELECT DISTINCT doc_id, {_T15_DUCK_MD5.format(x="s")} AS h
+  FROM (SELECT doc_id, unnest({_duck_shingles(2)}) AS s
+        FROM tok WHERE len(w) >= 2)
+),
+first_seen AS (
+  SELECT h, MIN(doc_id) AS first_doc FROM bg GROUP BY h
+)
+SELECT b.doc_id AS doc_id,
+       CAST(COUNT(*) AS INT) AS n_bigrams,
+       CAST(SUM(CASE WHEN f.first_doc = b.doc_id THEN 1 ELSE 0 END) AS INT)
+         AS n_novel,
+       CAST(SUM(CASE WHEN f.first_doc = b.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS novelty_rate
+FROM bg b JOIN first_seen f ON b.h = f.h
+GROUP BY b.doc_id
+ORDER BY b.doc_id
+"""
+
+
+@register("t15_bigram_novelty", oracle=_T15_ORACLE)
+def t15_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    bg = (
+        docs.withColumn("w", tokens())
+        .filter(F.size("w") >= 2)
+        .select("doc_id", F.explode(F.expr(spark_shingles_sql("w", 2))).alias("s"))
+        .select("doc_id", F.expr(SPARK_MD5INT.format(x="s")).alias("h"))
+        .distinct()
+    )
+    first_seen = bg.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        bg.join(first_seen, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("int")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_bigrams")).alias("novelty_rate"),
+        )
+        .orderBy("doc_id")
+    )

@@ -272,3 +272,28 @@ def test_s12_recall_eval_broadcasts_exact_set(q):
     # composed ANN sub-plans)
     df = q("s12_ann_recall")
     assert has_broadcast_join(df)
+
+
+def test_s13_int8_rerank_two_stage(q):
+    # int8 two-stage retrieval: the 1-row query codes broadcast, stage 1
+    # ranks by pure-integer dot via per-partition top-C
+    # (TakeOrderedAndProject — never a global sort), and the exact cosine
+    # touches only the C-row shortlist
+    df = q("s13_int8_rerank_topk")
+    assert has_broadcast_join(df)
+    assert uses_top_k(df)
+    assert not has_cartesian(df)
+
+
+def test_p25_temperature_mix_docs_never_shuffle(q):
+    # the per-source rate table is the ONLY thing that aggregates; docs
+    # take the broadcast-join + filter path — no exchange keyed on doc rows
+    df = q("p25_temperature_mix")
+    assert has_broadcast_join(df)
+
+
+def test_t15_novelty_single_key_shuffle(q):
+    # first-seen index shuffles on the 8-byte bigram hash, not the bigram
+    # string; no cartesian, no broadcast of the (corpus-sized) bigram set
+    df = q("t15_bigram_novelty")
+    assert not has_cartesian(df)
