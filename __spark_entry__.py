@@ -41,7 +41,7 @@ def _ordered_names() -> list[str]:
     CORRECTNESS rows.
     """
     never_sampled = (
-        ["s13", "p25", "t15"]  # new in round 4 — never sampled anywhere
+        ["s13", "p25", "t15", "d15", "m08"]  # new in round 4 — never sampled anywhere
         + [f"d{i:02d}" for i in (13, 10, 11, 12)]
         + [f"t{i:02d}" for i in range(11, 15)]
         + [f"q{i:02d}" for i in range(19, 53)]

@@ -612,3 +612,131 @@ def d14_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall"),
         )
     )
+
+
+# ---- d15: exact-substring repeated-span coverage ----------------------------
+# The suffix-array exact-substring dedup signal (Lee et al. 2021,
+# "Deduplicating Training Data Makes Language Models Better",
+# arXiv:2107.06499) re-expressed for a shuffle engine: instead of one
+# global suffix array (which needs a machine-sized sort over every byte),
+# slide a k-token window with stride 1, hash each window to 8 bytes
+# map-side, and call a window "repeated" when its hash occurs >= 2 times
+# across ALL (doc, pos) sites — within-doc repeats count, exactly like the
+# suffix-array criterion. The per-doc fraction of token POSITIONS covered
+# by the union of repeated windows (overlaps merged via DISTINCT position)
+# is the actionable number: docs above a cutoff get their spans cut or are
+# dropped. Differs from d10 (shared distinct-shingle RATE) by measuring
+# positional coverage — 40 repeated windows stacked on one span and 40
+# spread across the doc score identically in d10 but very differently
+# here.
+#
+# Scale shape: windows never materialize their strings past the map stage
+# (the 60-bit md5 shuffles, ~8 bytes/site regardless of k); one shuffle
+# keyed on the hash builds the occurrence counts; the coverage explode is
+# bounded by k x repeated_sites. At 100 TB with k=50 this is the
+# practical substitute for a suffix array — the known miss is a repeated
+# span shorter than k, the known false-positive rate is the md5 collision
+# rate (~2^-60 per pair). Reference analog: none (north-star dedup
+# family; sibling of d10's rate and d09's keep-pipeline).
+
+_D15_K = 8
+
+_D15_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {_DUCK_TOK} AS w FROM documents
+),
+base AS (
+  SELECT doc_id, len(w) AS n_tokens, w FROM tok WHERE len(w) >= {_D15_K}
+),
+pos AS (
+  SELECT doc_id, n_tokens, w,
+         unnest(range(1, n_tokens - {_D15_K} + 2)) AS pos
+  FROM base
+),
+win AS (
+  SELECT doc_id, n_tokens, pos,
+         CAST('0x' || substr(md5(array_to_string(w[pos:pos + {_D15_K} - 1], ' ')), 1, 15)
+           AS BIGINT) AS h
+  FROM pos
+),
+counts AS (
+  SELECT h, COUNT(*) AS cnt FROM win GROUP BY h
+),
+rep AS (
+  SELECT w.doc_id, w.pos FROM win w JOIN counts c ON w.h = c.h WHERE c.cnt >= 2
+),
+cov AS (
+  SELECT doc_id, COUNT(DISTINCT p) AS covered
+  FROM (SELECT doc_id, unnest(range(pos, pos + {_D15_K})) AS p FROM rep)
+  GROUP BY doc_id
+),
+perdoc AS (
+  SELECT doc_id, n_tokens, COUNT(*) AS n_windows
+  FROM win GROUP BY doc_id, n_tokens
+),
+repc AS (
+  SELECT doc_id, COUNT(*) AS n_rep FROM rep GROUP BY doc_id
+)
+SELECT p.doc_id AS doc_id,
+       CAST(p.n_tokens AS INT) AS n_tokens,
+       CAST(p.n_windows AS INT) AS n_windows,
+       CAST(COALESCE(r.n_rep, 0) AS INT) AS n_repeated,
+       CAST(COALESCE(c.covered, 0) AS INT) AS covered_positions,
+       CAST(COALESCE(c.covered, 0) AS DOUBLE) / p.n_tokens AS coverage_rate
+FROM perdoc p
+LEFT JOIN repc r ON p.doc_id = r.doc_id
+LEFT JOIN cov c ON p.doc_id = c.doc_id
+ORDER BY doc_id
+"""
+
+
+@register("d15_repeated_span_coverage", oracle=_D15_ORACLE)
+def d15_repeated_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = _D15_K
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    win = (
+        docs.withColumn("w", tokens())
+        .filter(F.size("w") >= k)
+        .select(
+            "doc_id",
+            F.size("w").alias("n_tokens"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {k} + 1),"
+                    f" i -> struct(i AS pos, {SPARK_MD5INT.format(x=f'concat_ws(chr(32), slice(w, i, {k}))')} AS h))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "n_tokens", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+        .persist()
+    )
+    counts = win.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+    rep = (
+        win.join(counts, "h")
+        .filter(F.col("cnt") >= 2)
+        .select("doc_id", "pos")
+        .persist()
+    )
+    cov = (
+        rep.select("doc_id", F.explode(F.expr(f"sequence(pos, pos + {k} - 1)")).alias("p"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("covered"))
+    )
+    perdoc = win.groupBy("doc_id", "n_tokens").agg(F.count(F.lit(1)).alias("n_windows"))
+    repc = rep.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_rep"))
+    return (
+        perdoc.join(repc, "doc_id", "left")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.col("n_windows").cast("int").alias("n_windows"),
+            F.coalesce("n_rep", F.lit(0)).cast("int").alias("n_repeated"),
+            F.coalesce("covered", F.lit(0)).cast("int").alias("covered_positions"),
+            (
+                F.coalesce("covered", F.lit(0)).cast("double") / F.col("n_tokens")
+            ).alias("coverage_rate"),
+        )
+        .orderBy("doc_id")
+    )

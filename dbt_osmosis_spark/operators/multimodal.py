@@ -619,3 +619,101 @@ def scene_changes(df: DataFrame, text_col: str = "text") -> DataFrame:
 def m07_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
     return scene_changes(docs).orderBy("doc_id", "frame_no")
+
+
+# ---- m08: caption-image alignment filtering (CLIP-score style) --------------
+# The LAION-5B construction filter (arXiv:2210.08402 §2.2): keep an
+# image-text pair only when the cosine between the caption's embedding and
+# the image's embedding clears a threshold. Here the image tower is the
+# stored `embeddings` vector (doc_id = vec_id pairing) and the caption
+# tower is a deterministic feature-hashed bag-of-words (the hashing trick,
+# Weinberger et al. 2009): token -> dim = md5 % 64, sign = bit 6 of the
+# same hash, caption vector = signed token counts. One md5 per token,
+# computed map-side once; the 64 dimension sums fold over the cached
+# (dim, sign) list, never re-hashing. The alignment is a fold in fixed
+# index order of exact-integer x double products, so Spark and DuckDB
+# produce bit-identical doubles — no quantization needed.
+#
+# Scale shape: the caption vector and the cosine are pure map-side
+# JVM expressions inside whole-stage codegen; the only exchange is the
+# doc_id = vec_id join (sort-merge at 100 TB, both sides pre-bucketable
+# by id). In the real container the caption tower is a model served via
+# mapInPandas (m02's Arrow pattern); the hashed tower keeps the plumbing
+# testable and the plan identical. Reference analog: none (north-star
+# multimodal family).
+
+_M08_DIMS = 64
+_M08_THRESHOLD = 0.0
+
+_M08_SPARK_H = "CAST(conv(substr(md5(cast(x AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
+_M08_DUCK_H = "CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)"
+
+_M08_ORACLE = f"""
+WITH cap AS (
+  SELECT doc_id,
+         list_transform(string_split(trim(text), ' '),
+                        x -> struct_pack(
+                          d := {_M08_DUCK_H} % {_M08_DIMS},
+                          s := CASE WHEN ({_M08_DUCK_H} // {_M08_DIMS}) % 2 = 0
+                                    THEN 1 ELSE -1 END)) AS ds
+  FROM documents
+),
+vec AS (
+  SELECT doc_id,
+         list_transform(range(0, {_M08_DIMS}),
+                        j -> CAST(list_sum(list_transform(ds,
+                               p -> CASE WHEN p.d = j THEN p.s ELSE 0 END))
+                             AS DOUBLE)) AS t
+  FROM cap
+),
+pair AS (
+  SELECT v.doc_id, e.label, v.t, e.embedding::DOUBLE[] AS img
+  FROM vec v JOIN embeddings e ON v.doc_id = e.vec_id
+),
+scored AS (
+  SELECT doc_id, label,
+         list_sum(list_transform(range(1, {_M08_DIMS} + 1), i -> t[i] * img[i]))
+           / (sqrt(list_sum(list_transform(t, x -> x * x)))
+              * sqrt(list_sum(list_transform(img, x -> x * x)))) AS alignment
+  FROM pair
+  WHERE list_sum(list_transform(t, x -> x * x)) > 0
+)
+SELECT doc_id, label, alignment
+FROM scored
+WHERE alignment >= {_M08_THRESHOLD}
+ORDER BY doc_id
+"""
+
+
+@register("m08_caption_alignment", oracle=_M08_ORACLE)
+def m08_caption_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"),
+        "label",
+        F.col("embedding").cast("array<double>").alias("img"),
+    )
+    ds = F.expr(
+        f"transform(split(trim(text), ' '), x -> named_struct("
+        f"'d', pmod({_M08_SPARK_H}, {_M08_DIMS}), "
+        f"'s', CASE WHEN pmod(({_M08_SPARK_H} div {_M08_DIMS}), 2) = 0 "
+        f"THEN 1 ELSE -1 END))"
+    )
+    t = F.expr(
+        f"transform(sequence(0, {_M08_DIMS - 1}), "
+        f"j -> CAST(aggregate(ds, 0L, (acc, p) -> "
+        f"acc + CASE WHEN p.d = j THEN CAST(p.s AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS DOUBLE))"
+    )
+    cap = docs.select("doc_id", ds.alias("ds")).select("doc_id", t.alias("t"))
+    dot = F.expr(
+        f"aggregate(zip_with(t, img, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    nt = F.expr("aggregate(transform(t, x -> x * x), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    ni = F.expr("aggregate(transform(img, x -> x * x), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    return (
+        cap.join(emb, "doc_id")
+        .filter(nt > 0)
+        .select("doc_id", "label", (dot / (F.sqrt(nt) * F.sqrt(ni))).alias("alignment"))
+        .filter(F.col("alignment") >= _M08_THRESHOLD)
+        .orderBy("doc_id")
+    )

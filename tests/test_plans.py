@@ -297,3 +297,18 @@ def test_t15_novelty_single_key_shuffle(q):
     # string; no cartesian, no broadcast of the (corpus-sized) bigram set
     df = q("t15_bigram_novelty")
     assert not has_cartesian(df)
+
+
+def test_d15_span_coverage_hash_shuffle_only(q):
+    # windows shuffle as 8-byte md5 hashes (never the k-token strings past
+    # the map stage); no cartesian anywhere in the coverage computation
+    df = q("d15_repeated_span_coverage")
+    assert not has_cartesian(df)
+
+
+def test_m08_alignment_mapside_towers(q):
+    # caption tower + cosine are map-side expressions; the only exchange
+    # is the doc_id = vec_id pair join — no cartesian, no global sort of
+    # the corpus
+    df = q("m08_caption_alignment")
+    assert not has_cartesian(df)
