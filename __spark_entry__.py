@@ -35,17 +35,19 @@ def _ordered_names() -> list[str]:
     """Registry names with never-driver-sampled entries first.
 
     The driver samples the first N entries of ``queries()`` per round;
-    r1-r3 covered t01-t10, d01-d09, d14, s01-s12, m01-m07, p01-p11 and
-    q01-q18. Leading with the remaining 55 (d10-d13, t11-t14, q19-q52,
-    p12-p24) converts their judge-side verification into driver
-    CORRECTNESS rows.
+    rounds 1-4 cumulatively covered everything except p15-p24 (the r4
+    sample of 50 cut just before them). Leading with those 10 — plus any
+    operators new this round — completes the driver CORRECTNESS board:
+    every registered query then has a driver row.
     """
     never_sampled = (
-        ["s13", "p25", "t15", "d15", "m08"]  # new in round 4 — never sampled anywhere
+        [f"p{i:02d}" for i in range(15, 25)]  # only entries without a driver row
+        + []  # round-5 additions go here, ahead of the re-sample backlog
+        + ["s13", "p25", "t15", "d15", "m08"]
         + [f"d{i:02d}" for i in (13, 10, 11, 12)]
         + [f"t{i:02d}" for i in range(11, 15)]
         + [f"q{i:02d}" for i in range(19, 53)]
-        + [f"p{i:02d}" for i in range(12, 25)]
+        + [f"p{i:02d}" for i in range(12, 15)]
     )
     by_prefix = {name[:3]: name for name in QUERIES}
     lead = [by_prefix[p] for p in never_sampled if p in by_prefix]

@@ -1011,8 +1011,11 @@ def cmd_generate(args) -> int:
             print(f"-- would write {out_sql}\n{sql}")
             print(f"# would write {out_yml}")
             return 0
-        if out_yml.exists() and not args.overwrite:
-            print(f"refusing to overwrite {out_yml} (pass --overwrite)")
+        # guard BOTH targets: with a custom --schema-yml the .yml may not
+        # exist while the model .sql does — never clobber it silently
+        clobber = [p for p in (out_sql, out_yml) if p.exists()]
+        if clobber and not args.overwrite:
+            print(f"refusing to overwrite {', '.join(map(str, clobber))} (pass --overwrite)")
             return 1
         out_sql.parent.mkdir(parents=True, exist_ok=True)
         out_sql.write_text(sql + "\n")
@@ -1048,8 +1051,9 @@ def cmd_generate(args) -> int:
         if args.dry_run:
             print(f"-- would write {out_sql}\n{sql}\n# would write {out_yml}")
             return 0
-        if out_yml.exists() and not args.overwrite:
-            print(f"refusing to overwrite {out_yml} (pass --overwrite)")
+        clobber = [p for p in (out_sql, out_yml) if p.exists()]
+        if clobber and not args.overwrite:
+            print(f"refusing to overwrite {', '.join(map(str, clobber))} (pass --overwrite)")
             return 1
         stg_dir.mkdir(parents=True, exist_ok=True)
         out_sql.write_text(sql + "\n")

@@ -125,24 +125,45 @@ def read_lenenc_str(buf: bytes, pos: int) -> tuple[bytes, int]:
 def write_packet(wfile, payload: bytes, seq: int) -> int:
     """Frame ``payload`` (3-byte LE length + sequence id); returns next seq.
 
-    Payloads >= 2^24-1 bytes would need continuation packets; resultsets
-    here are row-at-a-time and bounded, so a single frame always fits.
+    Payloads >= 2^24-1 bytes are split into 0xFFFFFF-sized frames with
+    continuation packets, per the MySQL protocol: a resultset is
+    row-at-a-time so row COUNT is bounded by max_rows, but row WIDTH is
+    not — one large text/binary cell would otherwise emit a 3-byte length
+    that wraps and desynchronizes stock clients (ADVICE r4).  A payload of
+    exactly k*0xFFFFFF bytes is followed by an empty terminating frame, as
+    the protocol requires.
     """
-    wfile.write(struct.pack("<I", len(payload))[:3] + bytes([seq & 0xFF]) + payload)
-    return (seq + 1) & 0xFF
+    max_frame = 0xFFFFFF
+    offset = 0
+    while True:
+        chunk = payload[offset : offset + max_frame]
+        wfile.write(struct.pack("<I", len(chunk))[:3] + bytes([seq & 0xFF]) + chunk)
+        seq = (seq + 1) & 0xFF
+        offset += len(chunk)
+        if len(chunk) < max_frame:  # last frame (possibly empty terminator)
+            return seq
 
 
 def read_packet(rfile) -> tuple[bytes, int] | None:
-    """Read one frame; returns (payload, seq) or None on EOF."""
-    head = rfile.read(4)
-    if len(head) < 4:
-        return None
-    length = int.from_bytes(head[:3], "little")
-    seq = head[3]
-    payload = rfile.read(length) if length else b""
-    if length and len(payload) < length:
-        return None
-    return payload, seq
+    """Read one logical packet; returns (payload, seq) or None on EOF.
+
+    Frames of exactly 0xFFFFFF bytes are continued by the next frame
+    (mirror of the split in ``write_packet``); seq returned is the last
+    frame's sequence id.
+    """
+    parts: list[bytes] = []
+    while True:
+        head = rfile.read(4)
+        if len(head) < 4:
+            return None
+        length = int.from_bytes(head[:3], "little")
+        seq = head[3]
+        payload = rfile.read(length) if length else b""
+        if length and len(payload) < length:
+            return None
+        parts.append(payload)
+        if length < 0xFFFFFF:
+            return b"".join(parts), seq
 
 
 # ---- server-side packets ----------------------------------------------------

@@ -20,10 +20,25 @@ ORACLES: dict[str, str] = {}
 
 
 def register(name: str, oracle: Optional[str] = None):
-    """Decorator: add a query builder (and optional DuckDB oracle SQL)."""
+    """Decorator: add a query builder (and optional DuckDB oracle SQL).
+
+    The registered callable releases the previous operator's cached
+    frames on entry (see ``operators.caching``): persisted intermediates
+    survive exactly until the next query starts, so long-lived sessions
+    never accumulate sketch/signature caches across operators.
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        def dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from dbt_osmosis_spark.operators.caching import release_caches
+
+            release_caches()
+            return fn(spark, sf_dir)
+
+        dispatch.__name__ = fn.__name__
+        dispatch.__doc__ = fn.__doc__
+        dispatch.__wrapped__ = fn
+        QUERIES[name] = dispatch
         if oracle is not None:
             ORACLES[name] = oracle
         return fn

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dbt_osmosis_spark.operators import register
+from dbt_osmosis_spark.operators.caching import keep_cached
 from dbt_osmosis_spark.operators.text import (
     SPARK_MD5INT,
     _DUCK_TOK,
@@ -96,7 +97,7 @@ def d02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         spread(docs).withColumn("w", tokens())
         .filter(F.size("w") >= 3)
         .select("doc_id", F.explode(F.expr(spark_shingles_sql("w", 3))).alias("shingle"))
-    ).persist()
+    ).transform(keep_cached)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -274,7 +275,7 @@ def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides x/y); without persist() Spark recomputes the md5-heavy subtree
     # per branch — 4x the dominant cost. At cluster scale this is exactly
     # where you'd checkpoint/materialize the signature table.
-    sig = minhash_signatures(docs).persist()
+    sig = minhash_signatures(docs).transform(keep_cached)
     cand = lsh_candidate_pairs(lsh_bands(sig))
     x = sig.select(F.col("doc_id").alias("xid"), F.col("s").alias("xs"))
     y = sig.select(F.col("doc_id").alias("yid"), F.col("s").alias("ys"))
@@ -489,7 +490,7 @@ def d08_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("w") >= 4)
         .select("doc_id", F.explode(F.expr(spark_shingles_sql("w", 4))).alias("shingle"))
         .distinct()
-    ).persist()
+    ).transform(keep_cached)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     pair_common = (
@@ -567,7 +568,7 @@ FROM counts
 @register("d14_dedup_eval", oracle=_D14_ORACLE)
 def d14_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
-    sig = minhash_signatures(docs).persist()
+    sig = minhash_signatures(docs).transform(keep_cached)
     cand = lsh_candidate_pairs(lsh_bands(sig))
     sh = sig.select("doc_id", F.explode("s").alias("shingle"))
     sizes = sig.select("doc_id", F.size("s").cast("bigint").alias("n"))
@@ -708,14 +709,14 @@ def d15_repeated_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         )
         .select("doc_id", "n_tokens", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
-        .persist()
+        .transform(keep_cached)
     )
     counts = win.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
     rep = (
         win.join(counts, "h")
         .filter(F.col("cnt") >= 2)
         .select("doc_id", "pos")
-        .persist()
+        .transform(keep_cached)
     )
     cov = (
         rep.select("doc_id", F.explode(F.expr(f"sequence(pos, pos + {k} - 1)")).alias("p"))

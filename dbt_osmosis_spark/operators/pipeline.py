@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dbt_osmosis_spark.operators import register
+from dbt_osmosis_spark.operators.caching import keep_cached
 from dbt_osmosis_spark.operators.dedup import (
     DUCK_LSH_CTES,
     lsh_bands,
@@ -139,7 +140,7 @@ ORDER BY c.component
 def lsh_components(docs: DataFrame) -> DataFrame:
     """The shared MinHash→LSH→connected-components chain behind d06/d09:
     (id, component) for every doc, component = min reachable doc_id."""
-    sig = minhash_signatures(docs).persist()
+    sig = minhash_signatures(docs).transform(keep_cached)
     pairs = lsh_candidate_pairs(lsh_bands(sig))
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     return connected_components(docs.select(F.col("doc_id").alias("id")), edges)
@@ -381,7 +382,7 @@ def p04_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.explode(F.expr(spark_shingles_sql("w", 3))).alias("shingle"),
         )
-    ).persist()
+    ).transform(keep_cached)
     eval_sh = sh.filter(F.col("source") == _P04_EVAL_SOURCE).select("shingle").distinct()
     train_sh = sh.filter(F.col("source") != _P04_EVAL_SOURCE).select("doc_id", "shingle")
     sizes = train_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
@@ -596,7 +597,7 @@ def d07_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     mask = (1 << _HB_BLOCK_BITS) - 1
-    sigs = simhash_signatures(docs).persist()
+    sigs = simhash_signatures(docs).transform(keep_cached)
     blocks = sigs.select(
         "doc_id",
         "simhash",
@@ -1030,7 +1031,7 @@ def d10_crossdoc_ngram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.explode(F.expr(spark_shingles_sql("w", _D10_K))).alias("shingle"),
         )
-        .persist()
+        .transform(keep_cached)
     )
     freq = sh.groupBy("shingle").agg(F.countDistinct("doc_id").alias("n_docs"))
     shared = F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).cast("bigint")
@@ -1111,7 +1112,7 @@ ORDER BY rank DESC, doc_id
 @register("d12_pagerank_dupgraph", oracle=_D12_ORACLE)
 def d12_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
-    sig = minhash_signatures(docs).persist()
+    sig = minhash_signatures(docs).transform(keep_cached)
     pairs = lsh_candidate_pairs(lsh_bands(sig))
     und = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))

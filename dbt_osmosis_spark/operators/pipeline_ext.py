@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from dbt_osmosis_spark.operators import register
+from dbt_osmosis_spark.operators.caching import keep_cached
 from dbt_osmosis_spark.operators.similarity import (
     _DIM,
     _DUCK_BUCKET,
@@ -559,7 +560,7 @@ def p18_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.explode(F.expr(spark_shingles_sql("w", 3))).alias("shingle"),
         )
-        .persist()
+        .transform(keep_cached)
     )
     eval_sh = (
         sh.filter(F.col("source") == _P18_EVAL_SOURCE).select("shingle").distinct()
@@ -772,8 +773,8 @@ ORDER BY batch_doc, corpus_doc
 @register("d11_incremental_neardup", oracle=_D11_ORACLE)
 def d11_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
-    sig_c = minhash_signatures(docs.filter(F.col("doc_id") % 5 == 0)).persist()
-    sig_b = minhash_signatures(docs.filter(F.col("doc_id") % 5 != 0)).persist()
+    sig_c = minhash_signatures(docs.filter(F.col("doc_id") % 5 == 0)).transform(keep_cached)
+    sig_b = minhash_signatures(docs.filter(F.col("doc_id") % 5 != 0)).transform(keep_cached)
     cand = (
         lsh_bands(sig_b)
         .alias("b")
@@ -950,11 +951,17 @@ _D13_THRESHOLD = 0.4  # same corpus calibration as d05 (max off-diag ~0.51)
 # and a candidate pair only reaches the exact 64-term cosine when
 # popcount(xor) <= this bound — ~6 integer ops guarding ~130 float ops.
 # Charikar's estimator says a cos >= 0.4 pair differs in ~23.6/64 bits
-# in expectation; the bound is calibrated ABOVE the observed maximum for
-# true pairs on this corpus (27 bits at sf0.01, 30 at sf0.1), so the
-# registered result is bit-identical to the unfiltered plan at both
-# tested scales while ~55% of within-cluster candidates skip the cosine.
-_D13_HAM_BOUND = 30
+# in expectation; the observed maximum for true pairs on this corpus is
+# 27 bits at sf0.01 and 30 at sf0.1.  The bound carries an 8-bit SAFETY
+# MARGIN above that observed maximum (sigma of the estimator at 64 bits
+# is ~sqrt(64)/2 = 4 bits, so +8 is ~2 sigma past worst-observed): a new
+# corpus whose true pairs drift a few bits hotter still passes the
+# pre-filter, while ~40% of within-cluster candidates skip the cosine.
+# tests/test_pipeline_ops.py guards the calibration: the bounded plan
+# must be row-identical to the unfiltered (bound=128) plan at every
+# tested scale, so drift is caught when data changes, not silently
+# absorbed as a semantics change (ADVICE r4).
+_D13_HAM_BOUND = 38
 
 
 def _d13_cos(duck: bool, a: str, b: str) -> str:
@@ -1007,6 +1014,13 @@ ORDER BY s.vec_id
 
 @register("d13_semantic_dedup", oracle=_D13_ORACLE)
 def d13_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _d13_plan(spark, sf_dir, _D13_HAM_BOUND)
+
+
+def _d13_plan(spark: SparkSession, sf_dir: str, ham_bound: int) -> DataFrame:
+    """d13 with an explicit Hamming pre-filter bound (128 disables it —
+    every 64-bit pair passes — giving the exact unfiltered plan for the
+    calibration guard test)."""
     emb = spread(read_parquet(spark, f"{sf_dir}/embeddings.parquet")).withColumn(
         "v", F.col("embedding").cast("array<double>")
     )
@@ -1022,7 +1036,7 @@ def d13_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"array_min({_SPARK_CELL_DISTS.format(a='v')})").alias("d2"),
         F.expr(_SPARK_SIGNWORD.format(a="v", base=0)).alias("w0"),
         F.expr(_SPARK_SIGNWORD.format(a="v", base=32)).alias("w1"),
-    ).persist()
+    ).transform(keep_cached)
     a = assigned.select(
         F.col("vec_id").alias("va"),
         F.col("v").alias("xa"),
@@ -1056,7 +1070,7 @@ def d13_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.bit_count(F.expr("wa0 ^ wb0"))
                     + F.bit_count(F.expr("wa1 ^ wb1"))
                 )
-                <= _D13_HAM_BOUND
+                <= ham_bound
             )
             & (F.expr(_d13_cos(False, "xa", "xb")) >= _D13_THRESHOLD)
         )

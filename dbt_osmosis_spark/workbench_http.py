@@ -13,6 +13,16 @@ Endpoints:
                          preview+profile JSON (SqlSession.workbench)
   GET  /api/schema    -> db -> table -> [columns] map (sidebar tree)
 
+Hardening (ADVICE r4):
+  - every value the page renders (cells, column names, lint messages,
+    schema names) is inserted via DOM ``textContent`` — never string-built
+    ``innerHTML`` — so HTML/JS living in table data cannot execute in the
+    workbench page (stored XSS);
+  - the server validates the ``Host`` header against the bound address on
+    every request (DNS-rebinding defence) and requires a per-process
+    ``X-Workbench-Token`` — embedded in the served page, unknown to other
+    origins — on ``/api/*`` POSTs (CSRF defence).
+
 Scale note: same bound as the wire servers — preview is a pushed-down
 LIMIT (CollectLimit), so each editor save against a 100 TB table costs
 one bounded scan.
@@ -21,6 +31,7 @@ one bounded scan.
 from __future__ import annotations
 
 import json
+import secrets
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -53,30 +64,60 @@ _PAGE = """<!doctype html>
   <h4>profile</h4><div id="profile"></div>
 </div>
 <script>
+const TOKEN = "__WORKBENCH_TOKEN__";
+// All server-derived strings go through el()/textContent — never string-built
+// innerHTML — so HTML living in table data renders inert (stored-XSS defence).
+function el(tag, text, cls) {
+  const e = document.createElement(tag);
+  if (text !== undefined && text !== null) e.textContent = text;
+  if (cls) e.className = cls;
+  return e;
+}
+function table(headers, rows) {
+  const t = el('table');
+  const hr = el('tr');
+  headers.forEach(h => hr.appendChild(el('th', h)));
+  t.appendChild(hr);
+  rows.forEach(r => {
+    const tr = el('tr');
+    r.forEach(v => tr.appendChild(el('td', v === null ? 'NULL' : String(v))));
+    t.appendChild(tr);
+  });
+  return t;
+}
+function replace(id, ...nodes) {
+  const e = document.getElementById(id);
+  e.replaceChildren(...nodes);
+}
 async function run() {
   const sql = document.getElementById('sql').value;
   const r = await fetch('/api/workbench', {method: 'POST',
-    headers: {'Content-Type': 'application/json'},
+    headers: {'Content-Type': 'application/json', 'X-Workbench-Token': TOKEN},
     body: JSON.stringify({sql: sql, preview: 200})});
   const d = await r.json();
-  if (d.error) { document.getElementById('compiled').textContent = 'ERROR: ' + d.error; return; }
+  if (d.error) { replace('compiled', el('span', 'ERROR: ' + d.error)); return; }
   document.getElementById('compiled').textContent = d.compiled_sql;
-  document.getElementById('lint').innerHTML = d.lint.length
-    ? d.lint.map(f => `<div class="lint">L${f.line} [${f.rule}] ${f.message}</div>`).join('')
-    : '<i>clean</i>';
-  const head = '<tr>' + d.columns.map(c => `<th>${c}</th>`).join('') + '</tr>';
-  const rows = d.rows.map(r => '<tr>' + r.map(v => `<td>${v === null ? 'NULL' : v}</td>`).join('') + '</tr>').join('');
-  document.getElementById('preview').innerHTML = `<table>${head}${rows}</table> (${d.rowcount} rows)`;
-  const prof = Object.entries(d.profile).map(([c, p]) =>
-    `<tr><td>${c}</td><td>${p.nulls}</td><td>${p.distinct}</td><td>${p.min}</td><td>${p.max}</td></tr>`).join('');
-  document.getElementById('profile').innerHTML =
-    `<table><tr><th>column</th><th>nulls</th><th>distinct</th><th>min</th><th>max</th></tr>${prof}</table>`;
+  replace('lint', ...(d.lint.length
+    ? d.lint.map(f => el('div', 'L' + f.line + ' [' + f.rule + '] ' + f.message, 'lint'))
+    : [el('i', 'clean')]));
+  replace('preview', table(d.columns, d.rows), el('span', ' (' + d.rowcount + ' rows)'));
+  replace('profile', table(['column', 'nulls', 'distinct', 'min', 'max'],
+    Object.entries(d.profile).map(([c, p]) => [c, p.nulls, p.distinct, p.min, p.max])));
 }
 fetch('/api/schema').then(r => r.json()).then(d => {
-  document.getElementById('tree').innerHTML = Object.entries(d.schema).map(([db, tables]) =>
-    `<b>${db}</b>` + Object.entries(tables).map(([t, cols]) =>
-      `<div>&nbsp;${t}<div style="color:#888">${cols.map(c => '&nbsp;&nbsp;' + c).join('<br>')}</div></div>`).join('')
-  ).join('');
+  const nodes = [];
+  Object.entries(d.schema).forEach(([db, tables]) => {
+    nodes.push(el('b', db));
+    Object.entries(tables).forEach(([t, cols]) => {
+      const tdiv = el('div', '\\u00a0' + t);
+      const cdiv = el('div');
+      cdiv.style.color = '#888';
+      cols.forEach(c => { cdiv.appendChild(el('div', '\\u00a0\\u00a0' + c)); });
+      tdiv.appendChild(cdiv);
+      nodes.push(tdiv);
+    });
+  });
+  replace('tree', ...nodes);
 });
 </script>
 </body></html>
@@ -91,11 +132,14 @@ def serve_workbench(
     max_rows: int = 1000,
 ):
     """Start the workbench HTTP server; returns it (caller drives
-    serve_forever; .server_address exposes the bound port)."""
+    serve_forever; .server_address exposes the bound port, .workbench_token
+    the per-process CSRF token)."""
     # one shared session: workbench is stateless per request, and comment
     # intercepts should mutate the shared manifest like the wire servers
     session = SqlSession(spark=spark, manifest=manifest)
     lock = threading.Lock()  # Spark driver calls serialized per process
+    token = secrets.token_hex(16)
+    page = _PAGE.replace("__WORKBENCH_TOKEN__", token).encode()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet
@@ -111,9 +155,21 @@ def serve_workbench(
         def _send_json(self, obj, code: int = 200) -> None:
             self._send(code, json.dumps(obj).encode(), "application/json")
 
+        def _host_ok(self) -> bool:
+            # DNS-rebinding defence: a rebound hostname resolves here but
+            # carries the attacker's Host header; only the bound address
+            # (or localhost aliases of it) may address this server.
+            got = (self.headers.get("Host") or "").rsplit(":", 1)
+            bound_port = str(self.server.server_address[1])
+            if len(got) == 2 and got[1] != bound_port:
+                return False
+            return got[0] in {host, "localhost", "127.0.0.1", "[::1]"}
+
         def do_GET(self):
-            if self.path == "/" or self.path == "/index.html":
-                self._send(200, _PAGE.encode(), "text/html; charset=utf-8")
+            if not self._host_ok():
+                self._send_json({"error": "forbidden: bad Host header"}, 403)
+            elif self.path == "/" or self.path == "/index.html":
+                self._send(200, page, "text/html; charset=utf-8")
             elif self.path == "/api/schema":
                 with lock:
                     try:
@@ -124,8 +180,16 @@ def serve_workbench(
                 self._send(404, b"not found", "text/plain")
 
         def do_POST(self):
+            if not self._host_ok():
+                self._send_json({"error": "forbidden: bad Host header"}, 403)
+                return
             if self.path != "/api/workbench":
                 self._send(404, b"not found", "text/plain")
+                return
+            if self.headers.get("X-Workbench-Token") != token:
+                # CSRF defence: the token lives only in the served page, so
+                # a cross-origin form/fetch cannot present it.
+                self._send_json({"error": "forbidden: missing or bad token"}, 403)
                 return
             n = int(self.headers.get("Content-Length", 0))
             try:
@@ -137,4 +201,6 @@ def serve_workbench(
             except Exception as exc:  # noqa: BLE001 - http boundary
                 self._send_json({"error": f"{type(exc).__name__}: {exc}"}, 200)
 
-    return ThreadingHTTPServer((host, port), Handler)
+    srv = ThreadingHTTPServer((host, port), Handler)
+    srv.workbench_token = token
+    return srv

@@ -505,6 +505,20 @@ def test_cli_generate_model_writes_sql_and_yaml(proj, tmp_path, capsys):
     )
     capsys.readouterr()
 
+    # guard also fires when the .sql exists but the .yml does not (ADVICE
+    # r4: deleting the yml, or pointing --schema-yml elsewhere, must not
+    # silently clobber the model SQL)
+    yml_path.unlink()
+    assert _run(proj, tmp_path, "generate", "model", "churned customers last month") == 1
+    out = capsys.readouterr().out
+    assert "refusing to overwrite" in out and str(sql_path) in out
+    assert (
+        _run(proj, tmp_path, "generate", "model", "churned customers last month",
+             "--overwrite") == 0
+    )
+    capsys.readouterr()
+    assert yml_path.exists()
+
     # nl generate = deprecated alias of generate model
     assert (
         _run(proj, tmp_path, "nl", "generate", "weekly actives", "--model-name",

@@ -281,3 +281,26 @@ def test_workbench_client_example(spark):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_write_packet_splits_16mb_frames():
+    """Payloads >= 0xFFFFFF bytes must split into continuation frames and
+    read_packet must reassemble them (ADVICE r4: one oversized text cell
+    would otherwise emit a wrapped 3-byte length and desynchronize stock
+    clients). Also covers the exact-boundary case, which requires an empty
+    terminating frame."""
+    import io
+
+    from dbt_osmosis_spark.mysql_wire import read_packet, write_packet
+
+    for size in (0, 5, 0xFFFFFE, 0xFFFFFF, 0xFFFFFF + 7, 2 * 0xFFFFFF):
+        payload = bytes(range(256)) * (size // 256) + bytes(size % 256)
+        buf = io.BytesIO()
+        next_seq = write_packet(buf, payload, seq=3)
+        n_frames = max(1, size // 0xFFFFFF + 1)
+        assert next_seq == (3 + n_frames) & 0xFF
+        buf.seek(0)
+        got, last_seq = read_packet(buf)
+        assert got == payload
+        assert last_seq == (3 + n_frames - 1) & 0xFF
+        assert buf.read() == b""  # no trailing bytes — framing is exact

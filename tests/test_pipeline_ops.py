@@ -721,3 +721,22 @@ def test_audio_features_frame_accounting(spark, sf_dir):
     assert set(got) == {(1, 0), (1, 1), (2, 0), (2, 1)}
     assert got[(1, 0)].rms == 0.0 and got[(1, 0)].zero_crossings == 0
     assert got[(2, 0)].zero_crossings == 127  # alternating signal
+
+
+def test_d13_hamming_prefilter_is_lossless(spark):
+    """Calibration guard for the d13 sign-bit pre-filter (ADVICE r4): the
+    bounded plan must be ROW-IDENTICAL to the unfiltered plan (bound=128
+    passes every 64-bit pair) at every scale present on disk, so a corpus
+    whose true pairs drift past the 8-bit safety margin fails here instead
+    of silently changing semantic-dedup semantics."""
+    import os
+
+    from dbt_osmosis_spark.operators.pipeline_ext import _D13_HAM_BOUND, _d13_plan
+
+    assert _D13_HAM_BOUND >= 36  # observed max 30 at sf0.1 + safety margin
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        if not os.path.isdir(sf_dir):
+            continue
+        bounded = _d13_plan(spark, sf_dir, _D13_HAM_BOUND).collect()
+        exact = _d13_plan(spark, sf_dir, 128).collect()
+        assert bounded == exact, f"Hamming pre-filter dropped true pairs at {sf_dir}"

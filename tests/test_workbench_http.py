@@ -13,11 +13,16 @@ def _get(url: str) -> tuple[int, bytes]:
         return r.status, r.read()
 
 
-def _post_json(url: str, payload: dict) -> dict:
+def _post_json(url: str, payload: dict, token: str | None = None, host: str | None = None) -> dict:
+    headers = {"Content-Type": "application/json"}
+    if token:
+        headers["X-Workbench-Token"] = token
+    if host:
+        headers["Host"] = host
     req = urllib.request.Request(
         url,
         data=json.dumps(payload).encode(),
-        headers={"Content-Type": "application/json"},
+        headers=headers,
         method="POST",
     )
     with urllib.request.urlopen(req, timeout=60) as r:
@@ -38,6 +43,7 @@ def test_workbench_http_roundtrip(spark):
 
     srv = serve_workbench(spark, m)
     port = srv.server_address[1]
+    token = srv.workbench_token
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     base = f"http://127.0.0.1:{port}"
     try:
@@ -45,6 +51,10 @@ def test_workbench_http_roundtrip(spark):
         status, body = _get(base + "/")
         assert status == 200
         assert b"workbench" in body and b"/api/workbench" in body
+        assert token.encode() in body  # page embeds the per-process CSRF token
+        # stored-XSS defence: the page never string-builds HTML from data —
+        # all server-derived values land via textContent / createElement
+        assert b"textContent" in body and b".innerHTML" not in body
 
         # schema sidebar API
         status, body = _get(base + "/api/schema")
@@ -57,6 +67,7 @@ def test_workbench_http_roundtrip(spark):
         d = _post_json(
             base + "/api/workbench",
             {"sql": "SELECT id, tag from wb_http_demo where id > 0", "preview": 10},
+            token=token,
         )
         assert "SELECT" in d["compiled_sql"]
         assert d["columns"] == ["id", "tag"] and d["rowcount"] == 2
@@ -67,12 +78,30 @@ def test_workbench_http_roundtrip(spark):
         d = _post_json(
             base + "/api/workbench",
             {"sql": "select one from {{ ref('wb_model') }}"},
+            token=token,
         )
         assert "wb_model" in d.get("compiled_sql", "") or "error" in d
 
         # error path returns a structured error, not a 500 crash
-        d = _post_json(base + "/api/workbench", {"sql": "select broken from"})
+        d = _post_json(base + "/api/workbench", {"sql": "select broken from"}, token=token)
         assert "error" in d
+
+        # CSRF defence: no token (or a wrong one) -> 403, nothing executes
+        for bad in (None, "deadbeef"):
+            try:
+                _post_json(base + "/api/workbench", {"sql": "select 1"}, token=bad)
+                raise AssertionError("expected 403 without the page token")
+            except urllib.error.HTTPError as e:
+                assert e.code == 403
+
+        # DNS-rebinding defence: a foreign Host header is refused even
+        # with the token
+        try:
+            _post_json(base + "/api/workbench", {"sql": "select 1"},
+                       token=token, host="evil.example:80")
+            raise AssertionError("expected 403 for foreign Host")
+        except urllib.error.HTTPError as e:
+            assert e.code == 403
 
         # 404 for unknown path
         try:
