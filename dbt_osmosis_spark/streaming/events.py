@@ -305,6 +305,16 @@ def tws_user_totals(events: DataFrame, ttl_ms: int | None = None) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
+    # TWS requires the RocksDB state store: its typed state variables are
+    # column families, which the default HDFSBackedStateStoreProvider
+    # rejects outright (STATE_STORE_MULTIPLE_COLUMN_FAMILIES). RocksDB is
+    # also the provider a 100 TB deployment wants — state lives off-heap
+    # and spills to disk instead of competing with executor heap.
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
     class RunningTotals(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             ttl = ttl_ms if ttl_ms and ttl_ms > 0 else None

@@ -193,8 +193,12 @@ def test_foreach_batch_merge_upsert(spark, sf_dir, tmp_path):
 
 
 def _protobuf_available() -> bool:
-    # transformWithState's driver worker speaks protobuf to the JVM state
-    # server; without google.protobuf the query cannot start
+    # transformWithState's Python worker speaks protobuf to the JVM state
+    # server; without google.protobuf the query cannot start. The vendored
+    # runtime (vendor/google/protobuf) fills in when none is installed.
+    from dbt_osmosis_spark.session import _ensure_protobuf
+
+    _ensure_protobuf()
     try:
         from google.protobuf import descriptor  # noqa: F401
 
@@ -205,9 +209,9 @@ def _protobuf_available() -> bool:
 
 @pytest.mark.skipif(
     not _protobuf_available(),
-    reason="transformWithState needs google.protobuf (not in this container); "
-    "the same semantics are covered by test_stateful_running_totals_match_batch "
-    "on the legacy applyInPandasWithState API",
+    reason="transformWithState needs google.protobuf (no installed or "
+    "vendored runtime found); the same semantics are covered by "
+    "test_stateful_running_totals_match_batch on the legacy API",
 )
 def test_transform_with_state_matches_batch_twin(spark, sf_dir):
     """transformWithState running totals: after draining the backlog the
