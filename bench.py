@@ -64,6 +64,38 @@ FAMILIES = [
     "t14_source_divergence",
 ]
 
+# Scale-slope flagships: timed at sf0.1 AND at the generated 10x sf1
+# corpus (scale_gen.py), with physical-plan exchange counts at both
+# scales. A scale-shaped plan shows ~linear time growth and the SAME
+# number of exchanges — a new exchange appearing only at sf1 would mean
+# the plan degrades with data size.
+SCALE_FLAGSHIPS = [
+    "d09_dedup_keep",
+    "d13_semantic_dedup",
+    "d15_repeated_span_coverage",
+    "p18_training_corpus",
+    "s13_int8_rerank_topk",
+]
+
+
+def _cross_round_best() -> dict[str, float]:
+    """Per-query minimum across every committed BENCH_r*.json (all blocks)."""
+    import glob
+
+    best: dict[str, float] = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        try:
+            rec = json.load(open(path))
+        except Exception:
+            continue
+        rec = rec.get("parsed") or rec  # driver wraps the bench line under "parsed"
+        for block in ("queries", "extended", "families"):
+            for name, sec in (rec.get(block) or {}).items():
+                if isinstance(sec, (int, float)):
+                    best[name] = min(best.get(name, float("inf")), float(sec))
+    return best
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -125,6 +157,57 @@ def main() -> None:
     warm(FAMILIES)
     families = best_of(FAMILIES)
 
+    # Scale-slope block (judge r4 item 4): flagships at sf0.1 vs the 10x
+    # generated sf1 corpus, plus exchange counts at both scales. Opt out
+    # with SPARK_GRAFT_SCALE_BLOCK=0.
+    scale: dict[str, object] = {}
+    if os.environ.get("SPARK_GRAFT_SCALE_BLOCK", "1") != "0":
+        try:
+            from dbt_osmosis_spark.plans.audit import exchange_count
+            from scale_gen import ensure_sf1
+
+            sf1_dir = ensure_sf1()
+            spark.catalog.clearCache()
+            warm(SCALE_FLAGSHIPS)
+            base = best_of(SCALE_FLAGSHIPS)
+            spark.catalog.clearCache()
+            t_sf1: dict[str, float] = {}
+            for name in SCALE_FLAGSHIPS:
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    QUERIES[name](spark, sf1_dir).collect()
+                    best = min(best, time.perf_counter() - t0)
+                t_sf1[name] = round(best, 3)
+            exch = {
+                name: [
+                    exchange_count(QUERIES[name](spark, sf_dir)),
+                    exchange_count(QUERIES[name](spark, sf1_dir)),
+                ]
+                for name in SCALE_FLAGSHIPS
+            }
+            scale = {
+                "sf0.1_sec": base,
+                "sf1_sec": t_sf1,
+                "ratio_10x": {
+                    n: round(t_sf1[n] / base[n], 2) if base[n] > 0 else None
+                    for n in SCALE_FLAGSHIPS
+                },
+                "exchanges_sf0.1_vs_sf1": exch,
+            }
+        except Exception as exc:  # scale block must never sink the bench
+            scale = {"error": f"{type(exc).__name__}: {exc}"}
+
+    # Per-query ratchet vs the cross-round best of every committed
+    # BENCH_r*.json (judge r4 item 2): >1.10 marks a straggler.
+    best = _cross_round_best()
+    all_times = {**times, **extended, **families}
+    vs_best = {
+        n: round(v / best[n], 3)
+        for n, v in all_times.items()
+        if n in best and best[n] > 0
+    }
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -135,6 +218,8 @@ def main() -> None:
                 "queries": times,
                 "extended": extended,
                 "families": families,
+                "vs_best": vs_best,
+                "sf1": scale,
                 "sf": sf,
             }
         )

@@ -50,9 +50,11 @@ def load_all() -> None:
     """Import every operator module so its registrations run."""
     from dbt_osmosis_spark.operators import (  # noqa: F401
         dedup,
+        dedup_ext,
         multimodal,
         pipeline,
         pipeline_ext,
+        pipeline_ext2,
         relational,
         relational_ext,
         relational_ext2,

@@ -1,0 +1,104 @@
+"""Dedup extensions: winnowing fingerprints (the MOSS algorithm).
+
+Reference analog: none (dbt-osmosis has no data plane; reference
+src/dbt_osmosis/core/introspection.py is its closest "inspect the data"
+surface). This is the north-star dedup family: Schleimer/Wilkerson/Aiken,
+"Winnowing: Local Algorithms for Document Fingerprinting" (SIGMOD 2003) —
+the fingerprint scheme behind MOSS, standard for code/document overlap
+detection at corpus scale.
+
+Guarantee: with gram size k and window w, any shared substring of at
+least w + k - 1 tokens contributes at least one IDENTICAL fingerprint to
+both documents — detection is exact above that length, with only
+~2/(w+1) of positions kept as fingerprints.
+
+Scale shape: fingerprint selection is pure map-side (higher-order
+functions over the token array — no explode until the final fingerprint
+relation), the only shuffle is the fingerprint-key self-join, and pair
+output is bounded by real overlap, never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_osmosis_spark.operators import register
+from dbt_osmosis_spark.operators.text import SPARK_MD5INT
+from dbt_osmosis_spark.sources.parquet import read_parquet, spread
+
+_K = 4  # tokens per gram
+_W = 5  # winnow window (hashes per selection window)
+_MIN_SHARED = 2  # report pairs sharing at least this many fingerprints
+_TOP = 100
+
+# positional k-gram hashes of token array `w` (NOT distinct — winnowing is
+# positional)
+_SPARK_GRAM_HASHES = (
+    f"transform(sequence(0, size(w) - {_K}), i -> "
+    + SPARK_MD5INT.format(
+        x="concat_ws(' ', "
+        + ", ".join(f"element_at(w, i + {j + 1})" for j in range(_K))
+        + ")"
+    )
+    + ")"
+)
+
+# robust winnowing: minimum hash of each w-wide window over the positional
+# hash sequence; ties collapse under the same distinct fingerprint value
+_SPARK_FINGERPRINTS = (
+    f"array_distinct(transform(sequence(0, greatest(size(h) - {_W}, 0)), "
+    f"s -> array_min(slice(h, s + 1, {_W}))))"
+)
+
+_DUCK_GRAM = " || ' ' || ".join(f"w[i + {j}]" for j in range(_K))
+
+_D16_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+),
+g AS (
+  SELECT doc_id,
+         [CAST('0x' || substr(md5({_DUCK_GRAM}), 1, 15) AS BIGINT)
+          for i in range(1, len(w) - {_K} + 2)] AS h
+  FROM tok WHERE len(w) >= {_K}
+),
+f AS (
+  SELECT doc_id,
+         list_distinct([list_min(h[s : s + {_W} - 1])
+                        for s in range(1, greatest(len(h) - {_W}, 0) + 2)]) AS fps
+  FROM g
+),
+e AS (SELECT doc_id, unnest(fps) AS fp FROM f)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {_MIN_SHARED}
+ORDER BY n_shared DESC, doc_a, doc_b
+LIMIT {_TOP}
+"""
+
+
+@register("d16_winnowing_pairs", oracle=_D16_ORACLE)
+def d16_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing: per-doc fingerprints (min k-gram hash per w-window),
+    pairs ranked by shared-fingerprint count."""
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    fps = (
+        docs.select("doc_id", F.split(F.trim(F.col("text")), " ").alias("w"))
+        .filter(F.size("w") >= _K)
+        .select("doc_id", F.expr(_SPARK_GRAM_HASHES).alias("h"))
+        .select("doc_id", F.explode(F.expr(_SPARK_FINGERPRINTS)).alias("fp"))
+    )
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, ["fp"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= _MIN_SHARED)
+        .orderBy(F.desc("n_shared"), "doc_a", "doc_b")
+        .limit(_TOP)
+    )

@@ -717,3 +717,85 @@ def m08_caption_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("alignment") >= _M08_THRESHOLD)
         .orderBy("doc_id")
     )
+
+
+# ---- m09: perceptual-hash Hamming near-dup pairs ----------------------------
+# m05 catches EXACT phash collisions (groupBy); real image near-dups
+# (re-encodes, slight crops/brightness shifts) land a few bits apart. The
+# pigeonhole band trick (d07's move, on payload hashes): split the 60-bit
+# phash into 10 bands of 6 bits — any pair within Hamming distance <= 8
+# differs in at most 8 bands, so at least one of the 10 bands is IDENTICAL
+# and the pair surfaces in that band's bucket join. Candidates are then
+# verified with an exact popcount.
+#
+# Scale shape: hashing is the m05 Arrow path; the only shuffles are the
+# band-key self-join (candidates ~ n^2/2^bits per band, never all-pairs)
+# and the distinct on surviving pairs. At larger corpora, widen bands /
+# raise the band count (guarantee holds while bands > tau) exactly as d07
+# prescribes for text simhash.
+
+_M09_TAU = 8  # max Hamming distance reported
+_M09_BANDS = 10  # 10 bands x 6 bits; 10 > tau=8 -> pigeonhole-complete
+_M09_BAND_BITS = _PHASH_BITS // _M09_BANDS
+
+_M09_ORACLE = f"""
+WITH px AS (
+  SELECT doc_id, length(text) AS L,
+         list_transform(range(0, {_PHASH_BITS}),
+             i -> ascii(substr(text, CAST(i * length(text) // {_PHASH_BITS} + 1 AS INT), 1))) AS p
+  FROM documents WHERE length(text) > 0
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, {_PHASH_BITS}),
+             i -> CASE WHEN p[i + 1] > list_sum(p) / {_PHASH_BITS}.0
+                  THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
+  FROM px
+),
+bands AS (
+  SELECT doc_id, phash, j,
+         (phash >> ({_M09_BAND_BITS} * j)) & {2 ** _M09_BAND_BITS - 1} AS band
+  FROM hashed, (SELECT unnest(range(0, {_M09_BANDS})) AS j)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.phash AS pa, b.doc_id AS doc_b, b.phash AS pb
+  FROM bands a JOIN bands b
+    ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(pa, pb)) <= {_M09_TAU}
+ORDER BY hamming, doc_a, doc_b
+"""
+
+
+@register("m09_phash_neardup_pairs", oracle=_M09_ORACLE)
+def m09_phash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = attach_fake_payloads(spread(read_parquet(spark, f"{sf_dir}/documents.parquet")))
+    hashed = phash_payloads(docs)
+    bands = hashed.select(
+        "doc_id",
+        "phash",
+        F.explode(F.expr(f"sequence(0, {_M09_BANDS - 1})")).alias("j"),
+    ).withColumn(
+        "band",
+        F.expr(f"shiftright(phash, {_M09_BAND_BITS} * j) & {2 ** _M09_BAND_BITS - 1}"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("phash").alias("pa"), "j", "band"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("phash").alias("pb"), "j", "band"
+    )
+    cand = (
+        a.join(b, ["j", "band"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "pa", "doc_b", "pb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(pa ^ pb)").cast("int"))
+        .filter(F.col("hamming") <= _M09_TAU)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("hamming", "doc_a", "doc_b")
+    )

@@ -946,6 +946,21 @@ def p23_epoch_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _D13_THRESHOLD = 0.4  # same corpus calibration as d05 (max off-diag ~0.51)
 
+# Adaptive cluster-key width (the IVF nlist-grows-with-N rule, in-plan):
+# with a FIXED (16 cells x 2^4 sign planes) key, within-cluster candidate
+# pairs grow as N^2/512 — measured 22x wall-clock at a 10x corpus (r5 sf1
+# probe). The fix real IVF systems use is nlist ∝ N; here the cluster key
+# gains ceil(log2(N / _D13_REF_N)) extra partitioning bits taken from the
+# already-packed coordinate-sign word w0 (isotropic bits, map-side, free),
+# keeping E[cluster size] — and so candidate pairs per vector — constant.
+# N is measured by the query itself (a broadcast 1-row count), so the key
+# width is deterministic per corpus and identical in both engines; at
+# N <= _D13_REF_N the mask is 0 bits and the plan is EXACTLY the original.
+# Recall: each extra bit splits some true pairs across subkeys — the same
+# k-vs-recall trade SemDeDup makes by raising k; the d14-style sketch-
+# recall harness applies if the trade needs to be measured per-corpus.
+_D13_REF_N = 2000  # reference corpus size (sf0.1): no extra bits at/below
+
 # Sign-bit Hamming pre-filter (s11's packed-BIGINT popcount machinery):
 # each vector's 64 sign bits are packed map-side into two BIGINT words,
 # and a candidate pair only reaches the exact 64-term cosine when
@@ -977,12 +992,17 @@ _D13_ORACLE = f"""
 WITH vecs AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ),
+cnt AS (
+  SELECT CAST(greatest(0, ceil(log2(COUNT(*) / {_D13_REF_N}.0))) AS INT) AS xbits
+  FROM vecs
+),
 assigned AS (
   SELECT vec_id, v, {_DUCK_CELL.format(a="v")} AS cell,
          {_DUCK_BUCKET} AS bucket,
          list_min({_DUCK_CELL_DISTS.format(a="v")}) AS d2,
          {_DUCK_SIGNWORD.format(a="v", base=0)} AS w0,
-         {_DUCK_SIGNWORD.format(a="v", base=32)} AS w1
+         {_DUCK_SIGNWORD.format(a="v", base=32)} AS w1,
+         {_DUCK_SIGNWORD.format(a="v", base=0)} & ((1 << (SELECT xbits FROM cnt)) - 1) AS sub
   FROM vecs
 ),
 pairs AS (
@@ -991,7 +1011,8 @@ pairs AS (
               WHEN b.d2 < a.d2 THEN b.vec_id
               ELSE b.vec_id END AS loser
   FROM assigned a JOIN assigned b
-    ON a.cell = b.cell AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ON a.cell = b.cell AND a.bucket = b.bucket AND a.sub = b.sub
+   AND a.vec_id < b.vec_id
   WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))
           <= {_D13_HAM_BOUND}
     AND {_d13_cos(True, "a.v", "b.v")} >= {_D13_THRESHOLD}
@@ -1028,20 +1049,32 @@ def _d13_plan(spark: SparkSession, sf_dir: str, ham_bound: int) -> DataFrame:
     # plus the final corpus join); without it the unrolled 16-cell distance
     # + sign-word expressions recompute per branch (d03 persists its
     # signature relation for the same reason).
-    assigned = emb.select(
-        "vec_id",
-        "v",
-        F.expr(_SPARK_CELL.format(a="v")).alias("cell"),
-        F.expr(_SPARK_BUCKET).alias("bucket"),
-        F.expr(f"array_min({_SPARK_CELL_DISTS.format(a='v')})").alias("d2"),
-        F.expr(_SPARK_SIGNWORD.format(a="v", base=0)).alias("w0"),
-        F.expr(_SPARK_SIGNWORD.format(a="v", base=32)).alias("w1"),
-    ).transform(keep_cached)
+    xbits = emb.agg(
+        F.expr(f"CAST(greatest(0, ceil(log2(count(*) / {_D13_REF_N}.0))) AS INT)").alias(
+            "xbits"
+        )
+    )
+    assigned = (
+        emb.select(
+            "vec_id",
+            "v",
+            F.expr(_SPARK_CELL.format(a="v")).alias("cell"),
+            F.expr(_SPARK_BUCKET).alias("bucket"),
+            F.expr(f"array_min({_SPARK_CELL_DISTS.format(a='v')})").alias("d2"),
+            F.expr(_SPARK_SIGNWORD.format(a="v", base=0)).alias("w0"),
+            F.expr(_SPARK_SIGNWORD.format(a="v", base=32)).alias("w1"),
+        )
+        .crossJoin(F.broadcast(xbits))
+        .withColumn("sub", F.expr("w0 & ((1 << xbits) - 1)"))
+        .drop("xbits")
+        .transform(keep_cached)
+    )
     a = assigned.select(
         F.col("vec_id").alias("va"),
         F.col("v").alias("xa"),
         F.col("cell").alias("ca"),
         F.col("bucket").alias("ba"),
+        F.col("sub").alias("sa"),
         F.col("d2").alias("da"),
         F.col("w0").alias("wa0"),
         F.col("w1").alias("wa1"),
@@ -1051,6 +1084,7 @@ def _d13_plan(spark: SparkSession, sf_dir: str, ham_bound: int) -> DataFrame:
         F.col("v").alias("xb"),
         F.col("cell").alias("cb"),
         F.col("bucket").alias("bb"),
+        F.col("sub").alias("sb"),
         F.col("d2").alias("db"),
         F.col("w0").alias("wb0"),
         F.col("w1").alias("wb1"),
@@ -1062,6 +1096,7 @@ def _d13_plan(spark: SparkSession, sf_dir: str, ham_bound: int) -> DataFrame:
             b,
             (F.col("ca") == F.col("cb"))
             & (F.col("ba") == F.col("bb"))
+            & (F.col("sa") == F.col("sb"))
             & (F.col("va") < F.col("vb")),
         )
         .filter(

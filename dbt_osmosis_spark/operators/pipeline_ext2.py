@@ -1,0 +1,128 @@
+"""Pipeline extensions II: token-budget corpus selection.
+
+Reference analog: none (dbt-osmosis has no data plane). North-star: the
+data-selection step every LLM pretraining run performs — given a token
+budget B, keep the highest-quality documents whose cumulative token count
+fits B (the greedy solution to the 0/1 knapsack when value == density,
+i.e. score-per-token ordering; cf. DoReMi/DsDm-style budgeted selection).
+
+Scale shape — "global order without a global sort" (the p19 move, taken
+further): ordering 10^10 documents by score to cut at B tokens would be a
+full sort. Instead scores are quantized to integer bins; the per-bin token
+totals (<= 10 001 rows) aggregate map-side and broadcast back, so a doc
+only needs (a) the token total of all STRICTLY BETTER bins — a broadcast
+lookup — and (b) its running token total WITHIN its own bin, a window
+partitioned by bin (parallel across bins, one bounded shuffle, no global
+sort). The within-bin order is the md5 sample key, so selection is
+deterministic across runs, partitionings, and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from dbt_osmosis_spark.operators import register
+from dbt_osmosis_spark.sources.parquet import read_parquet, spread
+
+_BINS = 10_000  # score quantization: bin = n_distinct * _BINS DIV n_tok
+_BUDGET_NUM, _BUDGET_DEN = 3, 10  # keep ~30% of corpus tokens
+
+_SPARK_KEY = "substr(md5(cast(cast(doc_id AS STRING) AS BINARY)), 1, 15)"
+_DUCK_KEY = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)"
+
+_P27_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w, {_DUCK_KEY} AS key
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, key, len(w) AS n_tok,
+         len(list_distinct(w)) * {_BINS} // len(w) AS score_bin
+  FROM d WHERE len(w) > 0
+),
+budget AS (
+  SELECT SUM(n_tok) * {_BUDGET_NUM} // {_BUDGET_DEN} AS b FROM scored
+),
+bins AS (
+  SELECT score_bin, SUM(n_tok) AS bin_tok FROM scored GROUP BY score_bin
+),
+above AS (
+  SELECT score_bin,
+         COALESCE(SUM(bin_tok) OVER (ORDER BY score_bin DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_above
+  FROM bins
+),
+run AS (
+  SELECT s.doc_id, s.n_tok, s.score_bin,
+         a.tok_above + SUM(s.n_tok) OVER (PARTITION BY s.score_bin
+             ORDER BY s.key, s.doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS through_me
+  FROM scored s JOIN above a ON s.score_bin = a.score_bin
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(score_bin AS BIGINT) AS score_bin,
+       CAST(through_me <= (SELECT b FROM budget) AS INT) AS kept
+FROM run
+ORDER BY doc_id
+"""
+
+
+@register("p27_token_budget_select", oracle=_P27_ORACLE)
+def p27_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget selection: best score bins first, deterministic
+    md5-key order inside the boundary bin, hard cut at ~30% of tokens."""
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    scored = (
+        docs.select(
+            "doc_id",
+            F.split(F.trim(F.col("text")), " ").alias("w"),
+            F.expr(_SPARK_KEY).alias("key"),
+        )
+        .filter(F.size("w") > 0)
+        .select(
+            "doc_id",
+            "key",
+            F.size("w").cast("bigint").alias("n_tok"),
+            F.expr(f"size(array_distinct(w)) * {_BINS} div size(w)").alias("score_bin"),
+        )
+    )
+    budget = scored.agg(
+        F.expr(f"sum(n_tok) * {_BUDGET_NUM} div {_BUDGET_DEN}").alias("b")
+    )
+    # per-bin token totals: <= _BINS+1 rows — the single-partition window
+    # below is over this TINY relation only, never the docs
+    bins = scored.groupBy("score_bin").agg(F.sum("n_tok").alias("bin_tok"))
+    above = bins.select(
+        "score_bin",
+        F.coalesce(
+            F.sum("bin_tok").over(
+                W.orderBy(F.desc("score_bin")).rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("tok_above"),
+    )
+    run = scored.join(F.broadcast(above), "score_bin").select(
+        "doc_id",
+        "n_tok",
+        "score_bin",
+        (
+            F.col("tok_above")
+            + F.sum("n_tok").over(
+                W.partitionBy("score_bin")
+                .orderBy("key", "doc_id")
+                .rowsBetween(W.unboundedPreceding, 0)
+            )
+        ).alias("through_me"),
+    )
+    return (
+        run.crossJoin(F.broadcast(budget))
+        .select(
+            "doc_id",
+            "n_tok",
+            F.col("score_bin").cast("bigint").alias("score_bin"),
+            (F.col("through_me") <= F.col("b")).cast("int").alias("kept"),
+        )
+        .orderBy("doc_id")
+    )

@@ -406,3 +406,100 @@ def t15_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---- t16: Zipf rank-frequency slope per source ------------------------------
+# Corpus-health diagnostic: natural text follows Zipf's law (log-log
+# rank-frequency slope ~ -1); generated/spammy/boilerplate corpora bend the
+# curve. Slope is the closed-form least-squares fit over (log2 rank,
+# log2 freq) — four sums, no iteration.
+#
+# Scale shape: one (source, word) count aggregation (partial map-side
+# combine), then a rank window PARTITIONED BY SOURCE over the vocabulary
+# relation — vocabulary is sublinear in corpus size (Heaps' law), and the
+# window never touches the documents. Per-term log values are quantized to
+# exact integers BEFORE summation (the t13 move): the four sums are exact
+# decimals, so the slope is partition-order-independent; round(6) absorbs
+# only the engines' log2 ulp difference.
+
+_T16_Q = "1e9"  # quantization: floor(log2(v) * 1e9 + 0.5)
+
+_T16_ORACLE = f"""
+WITH words AS (
+  SELECT source, unnest(string_split(trim(text), ' ')) AS word FROM documents
+),
+freq AS (SELECT source, word, COUNT(*) AS f FROM words GROUP BY source, word),
+ranked AS (
+  SELECT source, f,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY f DESC, word) AS r
+  FROM freq
+),
+q AS (
+  SELECT source,
+         CAST(floor(log2(r) * {_T16_Q} + 0.5) AS DECIMAL(28,0)) AS qx,
+         CAST(floor(log2(f) * {_T16_Q} + 0.5) AS DECIMAL(28,0)) AS qy
+  FROM ranked
+),
+sums AS (
+  SELECT source, COUNT(*) AS n, SUM(qx) AS sx, SUM(qy) AS sy,
+         SUM(qx * qx) AS sxx, SUM(qx * qy) AS sxy
+  FROM q GROUP BY source HAVING COUNT(*) >= 2
+)
+SELECT source, CAST(n AS BIGINT) AS n_words,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope
+FROM sums
+ORDER BY source
+"""
+
+
+@register("t16_zipf_slope", oracle=_T16_ORACLE)
+def t16_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    freq = (
+        docs.select("source", F.explode(F.split(F.trim(F.col("text")), " ")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    ranked = freq.select(
+        "source",
+        "f",
+        F.row_number()
+        .over(W.partitionBy("source").orderBy(F.desc("f"), "word"))
+        .alias("r"),
+    )
+    q = ranked.select(
+        "source",
+        F.expr(f"CAST(floor(log2(r) * {_T16_Q} + 0.5) AS DECIMAL(28,0))").alias("qx"),
+        F.expr(f"CAST(floor(log2(f) * {_T16_Q} + 0.5) AS DECIMAL(28,0))").alias("qy"),
+    )
+    sums = (
+        q.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("qx").alias("sx"),
+            F.sum("qy").alias("sy"),
+            F.sum(F.expr("qx * qx")).alias("sxx"),
+            F.sum(F.expr("qx * qy")).alias("sxy"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    return sums.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_words"),
+        F.round(
+            (
+                F.col("n").cast("double") * F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sy").cast("double")
+            )
+            / (
+                F.col("n").cast("double") * F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double")
+            ),
+            6,
+        ).alias("zipf_slope"),
+    ).orderBy("source")

@@ -1,0 +1,108 @@
+"""Deterministic sf1 generator for the scale-slope bench (BENCH `sf1` block).
+
+The driver ships sf0.001/0.01/0.1; proving the flagship operators hold one
+order of magnitude up needs a 10x corpus. This generator fits the empirical
+distributions of the driver's sf0.1 tables (measured, not assumed):
+
+- documents: i.i.d. tokens from the sf0.1 unigram distribution (31-word
+  vocab), token-count and (lang, source) resampled from the observed rows,
+  exact-duplicate pairs planted at the observed rate (8 per 5000 docs);
+- embeddings: isotropic unit-norm float32 vectors, labels resampled from
+  the observed marginal — sf0.1's vectors are exactly this (intra-label
+  cosine ~= 0, norm == 1.0, >=0.4 pairs at the random-tail rate 4.6e-4).
+
+Only the tables the scale flagships read (documents, embeddings) are
+generated. Output is written under ``.scale/sf1`` (gitignored) and reused
+across runs; seed fixed so every round measures the same corpus.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_SEED = 42
+_BASIS = "/root/testdata/sf0.1"
+_DOCS_MULT = 10  # 5 000 -> 50 000 documents
+_EMB_MULT = 10  # 2 000 -> 20 000 vectors
+_DUP_PAIRS_PER_5K = 8
+
+
+def _gen_documents(out_path: str, rng: np.random.Generator) -> int:
+    base = pq.read_table(f"{_BASIS}/documents.parquet")
+    texts = base.column("text").to_pylist()
+    langs = base.column("lang").to_pylist()
+    sources = base.column("source").to_pylist()
+
+    words, counts = np.unique(
+        np.concatenate([np.array(t.split()) for t in texts]), return_counts=True
+    )
+    word_p = counts / counts.sum()
+    tok_counts = np.array([len(t.split()) for t in texts])
+
+    n = len(texts) * _DOCS_MULT
+    lens = rng.choice(tok_counts, size=n, replace=True)
+    meta_idx = rng.integers(0, len(texts), size=n)
+    flat = rng.choice(words, size=int(lens.sum()), replace=True, p=word_p)
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    docs = [" ".join(flat[offsets[i] : offsets[i + 1]]) for i in range(n)]
+
+    n_dups = _DUP_PAIRS_PER_5K * n // 5000
+    victims = rng.choice(n, size=2 * n_dups, replace=False)
+    for a, b in zip(victims[:n_dups], victims[n_dups:]):
+        docs[int(b)] = docs[int(a)]
+
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+            "lang": pa.array([langs[i] for i in meta_idx], pa.string()),
+            "source": pa.array([sources[i] for i in meta_idx], pa.string()),
+            "n_chars": pa.array([len(d) for d in docs], pa.int64()),
+        }
+    )
+    pq.write_table(table, out_path)
+    return n
+
+
+def _gen_embeddings(out_path: str, rng: np.random.Generator) -> int:
+    base = pq.read_table(f"{_BASIS}/embeddings.parquet")
+    labels = np.asarray(base.column("label").to_pylist())
+    dim = len(base.column("embedding")[0])
+
+    n = len(labels) * _EMB_MULT
+    v = rng.standard_normal((n, dim)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    lab = rng.choice(labels, size=n, replace=True)
+
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(v.tolist(), pa.list_(pa.float32())),
+            "label": pa.array(lab.tolist(), pa.int32()),
+        }
+    )
+    pq.write_table(table, out_path)
+    return n
+
+
+def ensure_sf1(repo_root: str | None = None) -> str:
+    """Generate (once) and return the sf1 directory path."""
+    root = repo_root or os.path.dirname(os.path.abspath(__file__))
+    sf1 = os.path.join(root, ".scale", "sf1")
+    docs = os.path.join(sf1, "documents.parquet")
+    embs = os.path.join(sf1, "embeddings.parquet")
+    if os.path.exists(docs) and os.path.exists(embs):
+        return sf1
+    os.makedirs(sf1, exist_ok=True)
+    rng = np.random.default_rng(_SEED)
+    _gen_documents(docs, rng)
+    _gen_embeddings(embs, rng)
+    return sf1
+
+
+if __name__ == "__main__":
+    print(ensure_sf1())

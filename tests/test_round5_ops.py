@@ -1,0 +1,113 @@
+"""Round-5 operators: winnowing (d16), token-budget selection (p27),
+Zipf slope (t16), phash Hamming pairs (m09) — semantic properties beyond
+the oracle-parity sweep."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_osmosis_spark.operators import QUERIES, load_all
+
+load_all()
+
+
+def test_winnowing_guarantee_shared_run_detected(spark):
+    """MOSS guarantee: two docs sharing a run of >= w + k - 1 tokens must
+    share at least one fingerprint (and unrelated docs share none)."""
+    from dbt_osmosis_spark.operators.dedup_ext import (
+        _K,
+        _SPARK_FINGERPRINTS,
+        _SPARK_GRAM_HASHES,
+        _W,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 >= w+k-1
+    assert len(shared.split()) >= _W + _K - 1
+    rows = [
+        (1, f"one two three {shared} four five"),
+        (2, f"{shared} six seven eight nine ten"),
+        (3, "cat dog bird fish lion tiger bear wolf fox deer"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = (
+        df.select("doc_id", F.split(F.trim(F.col("text")), " ").alias("w"))
+        .select("doc_id", F.expr(_SPARK_GRAM_HASHES).alias("h"))
+        .select("doc_id", F.explode(F.expr(_SPARK_FINGERPRINTS)).alias("fp"))
+    )
+    sets = {
+        r.doc_id: set(r.fps)
+        for r in fps.groupBy("doc_id").agg(F.collect_set("fp").alias("fps")).collect()
+    }
+    assert sets[1] & sets[2], "shared run produced no shared fingerprint"
+    assert not (sets[1] & sets[3]) and not (sets[2] & sets[3])
+    # winnowing keeps ~2/(w+1) of positions — fingerprints must be sparse
+    n_pos = len(rows[2][1].split()) - _K + 1
+    assert len(sets[3]) < n_pos
+
+
+def test_token_budget_selection_properties(spark, sf_dir):
+    """Budget respected; selection is greedy by score bin (every kept doc's
+    bin >= every dropped doc's bin, except inside the boundary bin); the
+    boundary cut is tight (next doc in order would break the budget)."""
+    rows = QUERIES["p27_token_budget_select"](spark, sf_dir).collect()
+    assert rows
+    total = sum(r.n_tok for r in rows)
+    budget = total * 3 // 10
+    kept = [r for r in rows if r.kept == 1]
+    dropped = [r for r in rows if r.kept == 0]
+    kept_tok = sum(r.n_tok for r in kept)
+    assert kept_tok <= budget
+    if dropped:
+        boundary = min(r.score_bin for r in kept) if kept else -1
+        assert all(r.score_bin <= boundary for r in dropped)
+        # tight: the smallest dropped doc at/above the boundary bin would
+        # not have fit (greedy fills in deterministic order, so at least
+        # the cheapest boundary-bin reject must overflow)
+        cands = [r.n_tok for r in dropped if r.score_bin == boundary]
+        if cands:
+            assert kept_tok + min(cands) > budget or kept_tok == budget
+
+
+def test_zipf_slope_negative_and_complete(spark, sf_dir):
+    rows = QUERIES["t16_zipf_slope"](spark, sf_dir).collect()
+    assert rows
+    n_sources = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("source")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_sources
+    for r in rows:
+        assert r.zipf_slope < 0, f"{r.source}: rank-frequency slope must fall"
+        assert r.n_words >= 2
+
+
+def test_phash_pairs_complete_vs_bruteforce(spark, sf_dir):
+    """Pigeonhole completeness: with 10 bands and tau=8, the banded join
+    must find EVERY pair within Hamming distance 8 — verified against the
+    brute-force all-pairs join on the same hashes."""
+    from dbt_osmosis_spark.operators.multimodal import (
+        _M09_TAU,
+        attach_fake_payloads,
+        phash_payloads,
+    )
+    from dbt_osmosis_spark.sources.parquet import read_parquet, spread
+
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in QUERIES["m09_phash_neardup_pairs"](spark, sf_dir).collect()
+    }
+    hashed = phash_payloads(
+        attach_fake_payloads(spread(read_parquet(spark, f"{sf_dir}/documents.parquet")))
+    )
+    a = hashed.select(F.col("doc_id").alias("doc_a"), F.col("phash").alias("pa"))
+    b = hashed.select(F.col("doc_id").alias("doc_b"), F.col("phash").alias("pb"))
+    brute = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.expr("bit_count(pa ^ pb)").cast("int"))
+        .filter(F.col("hamming") <= _M09_TAU)
+        .collect()
+    }
+    assert got == brute
