@@ -200,6 +200,16 @@ def main() -> None:
 
     # Per-query ratchet vs the cross-round best of every committed
     # BENCH_r*.json (judge r4 item 2): >1.10 marks a straggler.
+    #
+    # METHODOLOGY BREAK (r5): operators now release their persisted
+    # intermediates on the next query start (operators/caching.py), so a
+    # best-of-N rep no longer inherits the previous rep's cached sketch/
+    # signature frames — every rep times the FULL computation. Pre-r5
+    # minima for cache-heavy queries (d03, p18, p24, d13) were flattered
+    # by cross-rep cache hits measuring a partially-cached execution;
+    # those bests are not reachable by an honest single execution, so
+    # vs_best > 1 on exactly those queries reflects the fix, not a
+    # regression.
     best = _cross_round_best()
     all_times = {**times, **extended, **families}
     vs_best = {
@@ -219,6 +229,7 @@ def main() -> None:
                 "extended": extended,
                 "families": families,
                 "vs_best": vs_best,
+                "methodology": "r5: per-rep cache release — cross-rep cache reuse eliminated",
                 "sf1": scale,
                 "sf": sf,
             }

@@ -384,8 +384,28 @@ def d04_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COSINE_NEARDUP_THRESHOLD = 0.4  # synthetic corpus: max off-diagonal ~0.51
 
 
+# Corpus-adaptive bucket widening (the d13 move, shared rationale there):
+# 2^4 hyperplane buckets are quadratic-in-N once the corpus outgrows the
+# reference size; extra sign-word bits keep E[bucket size] constant. 0
+# extra bits at/below the reference corpus — plans and results unchanged
+# at the driver scales.
+_D05_REF_N = 2000
+
+
 def _d05_parts():
     from dbt_osmosis_spark.operators.similarity import (
+        _DIM,
+        _DUCK_BUCKET,
+        _DUCK_DOT,
+        _DUCK_NORM2,
+        _DUCK_SIGNWORD,
+        _SPARK_BUCKET,
+        _SPARK_DOT,
+        _SPARK_NORM2,
+        _SPARK_SIGNWORD,
+    )
+
+    return (
         _DIM,
         _DUCK_BUCKET,
         _DUCK_DOT,
@@ -393,24 +413,30 @@ def _d05_parts():
         _SPARK_BUCKET,
         _SPARK_DOT,
         _SPARK_NORM2,
+        _DUCK_SIGNWORD,
+        _SPARK_SIGNWORD,
     )
-
-    return _DIM, _DUCK_BUCKET, _DUCK_DOT, _DUCK_NORM2, _SPARK_BUCKET, _SPARK_DOT, _SPARK_NORM2
 
 
 def _d05_oracle() -> str:
-    dim, duck_bucket, duck_dot, duck_norm2, *_ = _d05_parts()
+    dim, duck_bucket, duck_dot, duck_norm2, _sb, _sd, _sn, duck_sw, _ssw = _d05_parts()
     return f"""
 WITH vecs AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ),
+cnt AS (
+  SELECT CAST(greatest(0, ceil(log2(COUNT(*) / {_D05_REF_N}.0))) AS INT) AS xbits
+  FROM vecs
+),
 bucketed AS (
-  SELECT vec_id, v, {duck_bucket} AS bucket FROM vecs
+  SELECT vec_id, v, {duck_bucket} AS bucket,
+         {duck_sw.format(a="v", base=0)} & ((1 << (SELECT xbits FROM cnt)) - 1) AS sub
+  FROM vecs
 ),
 cand AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.v AS va, b.v AS vb
   FROM bucketed a JOIN bucketed b
-    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ON a.bucket = b.bucket AND a.sub = b.sub AND a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b,
        {duck_dot.format(a="va", b="vb", n=dim)}
@@ -425,22 +451,43 @@ ORDER BY vec_a, vec_b
 
 @register("d05_embedding_neardup", oracle=_d05_oracle())
 def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _dim, _db, _dd, _dn, spark_bucket, spark_dot, spark_norm2 = _d05_parts()
+    _dim, _db, _dd, _dn, spark_bucket, spark_dot, spark_norm2, _dsw, spark_sw = _d05_parts()
     emb = spread(read_parquet(spark, f"{sf_dir}/embeddings.parquet")).withColumn(
         "v", F.col("embedding").cast("array<double>")
     )
-    bucketed = emb.select("vec_id", "v", F.expr(spark_bucket).alias("bucket"))
+    xbits = emb.agg(
+        F.expr(f"CAST(greatest(0, ceil(log2(count(*) / {_D05_REF_N}.0))) AS INT)").alias(
+            "xbits"
+        )
+    )
+    bucketed = (
+        emb.select(
+            "vec_id",
+            "v",
+            F.expr(spark_bucket).alias("bucket"),
+            F.expr(spark_sw.format(a="v", base=0)).alias("w0"),
+        )
+        .crossJoin(F.broadcast(xbits))
+        .select("vec_id", "v", "bucket", F.expr("w0 & ((1 << xbits) - 1)").alias("sub"))
+    )
     a = bucketed.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("bucket").alias("ba")
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+        F.col("bucket").alias("ba"), F.col("sub").alias("sa"),
     )
     b = bucketed.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("bucket").alias("bb")
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+        F.col("bucket").alias("bb"), F.col("sub").alias("sb"),
     )
     cosine = F.expr(spark_dot.format(a="va", b="vb")) / (
         F.sqrt(F.expr(spark_norm2.format(a="va"))) * F.sqrt(F.expr(spark_norm2.format(a="vb")))
     )
     return (
-        a.join(b, (F.col("ba") == F.col("bb")) & (F.col("vec_a") < F.col("vec_b")))
+        a.join(
+            b,
+            (F.col("ba") == F.col("bb"))
+            & (F.col("sa") == F.col("sb"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
         .select("vec_a", "vec_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= _COSINE_NEARDUP_THRESHOLD)
         .orderBy("vec_a", "vec_b")
