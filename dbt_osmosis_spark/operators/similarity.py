@@ -1270,3 +1270,160 @@ def s13_int8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(_K)
     )
+
+
+# ---- s14: MMR diverse re-rank (maximal marginal relevance) -----------------
+# Carbonell & Goldstein (SIGIR 1998): retrieval that balances relevance to
+# the query against redundancy with what is already selected — the
+# standard recipe for assembling a DIVERSE context set (RAG context
+# packing, few-shot exemplar pools) instead of k near-identical hits.
+# Greedy: next = argmax over remaining of lambda*rel(c) - (1-lambda)*
+# max_{s in S} sim(c, s), seeded with the most relevant item.
+#
+# Scale shape — bounded two-stage (the s13 pattern): stage 1 is the s01
+# exact-cosine shortlist (TakeOrderedAndProject, scan scales with the
+# corpus); stage 2 — the inherently sequential greedy — runs over the
+# CONSTANT-size shortlist only (C=30 rows, C^2=870 pair sims), so its
+# cost is independent of corpus size. The pairwise sims are computed
+# JVM-side with the same fold as everything else; the greedy itself is
+# PURE INTEGER arithmetic over quantized scores inside one Arrow batch
+# (applyInPandas on a single constant group), so selection order is
+# bit-deterministic and the DuckDB oracle (the same greedy unrolled as
+# K chained CTEs) matches exactly.
+
+_S14_C = 30  # shortlist size (stage-1 top-C by relevance)
+_S14_K = 8  # selections
+_S14_LAM_NUM, _S14_DIV_NUM = 7, 3  # lambda = 0.7, as integers (x10)
+_S14_Q = "1e9"  # cosine quantization: floor(cos * 1e9 + 0.5)
+
+
+def _s14_oracle() -> str:
+    cos_q = (
+        f"({_DUCK_DOT.format(a='a.v', b='b.v', n=_DIM)}"
+        f" / (sqrt({_DUCK_NORM2.format(a='a.v')}) * sqrt({_DUCK_NORM2.format(a='b.v')})))"
+    )
+    rel = (
+        f"({_DUCK_DOT.format(a='e.v', b='q.qv', n=_DIM)}"
+        f" / (sqrt({_DUCK_NORM2.format(a='e.v')}) * sqrt({_DUCK_NORM2.format(a='q.qv')})))"
+    )
+    parts = [
+        f"""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+q AS MATERIALIZED (SELECT v AS qv FROM vecs WHERE vec_id = {_QUERY_ID}),
+short AS MATERIALIZED (
+  SELECT e.vec_id, e.v,
+         CAST(floor({rel} * {_S14_Q} + 0.5) AS BIGINT) AS qrel
+  FROM vecs e, q WHERE e.vec_id <> {_QUERY_ID}
+  ORDER BY {rel} DESC, e.vec_id LIMIT {_S14_C}
+),
+pair AS MATERIALIZED (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         CAST(floor({cos_q} * {_S14_Q} + 0.5) AS BIGINT) AS qsim
+  FROM short a JOIN short b ON a.vec_id <> b.vec_id
+),
+s1 AS MATERIALIZED (SELECT vec_id, qrel, {_S14_LAM_NUM} * qrel AS score
+       FROM short ORDER BY score DESC, vec_id LIMIT 1),
+p1 AS MATERIALIZED (SELECT vec_id FROM s1)"""
+    ]
+    for k in range(2, _S14_K + 1):
+        parts.append(f""",
+s{k} AS MATERIALIZED (
+  SELECT s.vec_id, s.qrel,
+         {_S14_LAM_NUM} * s.qrel - {_S14_DIV_NUM} * (
+            SELECT MAX(qsim) FROM pair
+            WHERE ia = s.vec_id AND ib IN (SELECT vec_id FROM p{k - 1})) AS score
+  FROM short s WHERE s.vec_id NOT IN (SELECT vec_id FROM p{k - 1})
+  ORDER BY score DESC, s.vec_id LIMIT 1
+),
+p{k} AS MATERIALIZED (SELECT vec_id FROM p{k - 1} UNION ALL SELECT vec_id FROM s{k})""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT {k} AS rank, vec_id, qrel, score FROM s{k}"
+        for k in range(1, _S14_K + 1)
+    )
+    parts.append(
+        f"""
+SELECT CAST(rank AS INT) AS rank, vec_id, qrel, score FROM ({union})
+ORDER BY rank"""
+    )
+    return "".join(parts)
+
+
+@register("s14_mmr_rerank", oracle=_s14_oracle())
+def s14_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") == _QUERY_ID).select(F.col("v").alias("qv"))
+    rel = (
+        F.expr(_SPARK_DOT.format(a="v", b="qv"))
+        / (
+            F.sqrt(F.expr(_SPARK_NORM2.format(a="v")))
+            * F.sqrt(F.expr(_SPARK_NORM2.format(a="qv")))
+        )
+    )
+    short = (
+        emb.filter(F.col("vec_id") != _QUERY_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "v",
+            F.expr(
+                f"CAST(floor(({_SPARK_DOT.format(a='v', b='qv')}"
+                f" / (sqrt({_SPARK_NORM2.format(a='v')}) * sqrt({_SPARK_NORM2.format(a='qv')})))"
+                f" * {_S14_Q} + 0.5) AS BIGINT)"
+            ).alias("qrel"),
+            rel.alias("_rel"),
+        )
+        .orderBy(F.desc("_rel"), "vec_id")
+        .limit(_S14_C)
+        .drop("_rel")
+    )
+    a = short.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"), "qrel")
+    b = short.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+    cos_ab = (
+        f"({_SPARK_DOT.format(a='va', b='vb')}"
+        f" / (sqrt({_SPARK_NORM2.format(a='va')}) * sqrt({_SPARK_NORM2.format(a='vb')})))"
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("ia") != F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            "qrel",
+            F.expr(f"CAST(floor({cos_ab} * {_S14_Q} + 0.5) AS BIGINT)").alias("qsim"),
+        )
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        # pure-integer MMR over the constant-size shortlist — one batch
+        qrel = {}
+        qsim = {}
+        for r in pdf.itertuples(index=False):
+            qrel[int(r.ia)] = int(r.qrel)
+            qsim[(int(r.ia), int(r.ib))] = int(r.qsim)
+        remaining = set(qrel)
+        picked: list[tuple[int, int, int, int]] = []
+        while remaining and len(picked) < _S14_K:
+            best = None
+            for c in sorted(remaining):  # ascending id -> ties pick min id
+                if picked:
+                    maxsim = max(qsim[(c, p[1])] for p in picked)
+                    score = _S14_LAM_NUM * qrel[c] - _S14_DIV_NUM * maxsim
+                else:
+                    score = _S14_LAM_NUM * qrel[c]
+                if best is None or score > best[1]:
+                    best = (c, score)
+            picked.append((len(picked) + 1, best[0], qrel[best[0]], best[1]))
+            remaining.discard(best[0])
+        return pd.DataFrame(picked, columns=["rank", "vec_id", "qrel", "score"])
+
+    return (
+        pairs.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(greedy, schema="rank int, vec_id long, qrel long, score long")
+        .orderBy("rank")
+    )
