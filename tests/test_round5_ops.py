@@ -111,3 +111,18 @@ def test_phash_pairs_complete_vs_bruteforce(spark, sf_dir):
         .collect()
     }
     assert got == brute
+
+
+def test_mmr_diversity_binds(spark, sf_dir):
+    """MMR must not equal plain relevance top-k (the diversity term has to
+    reorder at least one pick on this corpus) and every selection after the
+    seed must have score <= the seed's (greedy marginal gains shrink)."""
+    rows = QUERIES["s14_mmr_rerank"](spark, sf_dir).collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    by_rank = [r.vec_id for r in rows]
+    topk_by_rel = [
+        r.vec_id
+        for r in sorted(rows, key=lambda r: (-r.qrel, r.vec_id))
+    ]
+    assert by_rank != topk_by_rel, "diversity term never changed the order"
+    assert rows[0].score == max(r.score for r in rows)
