@@ -62,6 +62,10 @@ FAMILIES = [
     "q47_range_frame_rolling",
     "q51_scd2_intervals",
     "t14_source_divergence",
+    # round-5 additions: budgeted corpus selection (p-family window/broadcast
+    # pattern) and the bounded two-stage MMR re-rank (Arrow greedy stage)
+    "p27_token_budget_select",
+    "s14_mmr_rerank",
 ]
 
 # Scale-slope flagships: timed at sf0.1 AND at the generated 10x sf1

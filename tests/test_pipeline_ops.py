@@ -740,3 +740,41 @@ def test_d13_hamming_prefilter_is_lossless(spark):
         bounded = _d13_plan(spark, sf_dir, _D13_HAM_BOUND).collect()
         exact = _d13_plan(spark, sf_dir, 128).collect()
         assert bounded == exact, f"Hamming pre-filter dropped true pairs at {sf_dir}"
+
+
+def test_star_cc_equals_min_label_on_corpus(spark, sf_dir):
+    """Large-star/small-star and min-label propagation must compute the
+    SAME components on the real LSH dup graph (and on a high-diameter
+    chain, where star's O(log^2 n) rounds are the point)."""
+    from dbt_osmosis_spark.operators.dedup import (
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from dbt_osmosis_spark.operators.pipeline import (
+        connected_components,
+        connected_components_hybrid,
+        connected_components_star,
+    )
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    sig = minhash_signatures(docs)
+    edges = lsh_candidate_pairs(lsh_bands(sig)).selectExpr(
+        "doc_a AS src", "doc_b AS dst"
+    )
+    nodes = docs.selectExpr("doc_id AS id")
+    a = {(r.id, r.component) for r in connected_components(nodes, edges).collect()}
+    b = {(r.id, r.component) for r in connected_components_star(nodes, edges).collect()}
+    c = {(r.id, r.component) for r in connected_components_hybrid(nodes, edges).collect()}
+    assert a == b == c
+
+    # high-diameter chain: star and hybrid must resolve it even though a
+    # 60-hop graph is far past hybrid's 4 min-label warm-up rounds
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "src long, dst long"
+    )
+    cn = spark.createDataFrame([(i,) for i in range(61)], "id long")
+    for engine in (connected_components_star, connected_components_hybrid):
+        out = {r.component for r in engine(cn, chain).collect()}
+        assert out == {0}, engine.__name__

@@ -312,3 +312,45 @@ def test_m08_alignment_mapside_towers(q):
     # the corpus
     df = q("m08_caption_alignment")
     assert not has_cartesian(df)
+
+
+def test_d16_winnowing_fingerprint_join_only(q):
+    # fingerprint selection is higher-order-function map work; the only
+    # join is the fingerprint-key self-join — no cartesian, and the top
+    # pair ranking is TakeOrderedAndProject, not a global sort
+    df = q("d16_winnowing_pairs")
+    assert not has_cartesian(df)
+    assert uses_top_k(df)
+
+
+def test_p27_budget_select_no_global_doc_sort(q):
+    # per-bin totals broadcast back; the docs-side window partitions by
+    # score_bin (parallel) — the plan must not contain a global (empty-
+    # partition-spec) window over the document relation, and the tiny bin
+    # relation joins back via broadcast
+    from dbt_osmosis_spark.plans.audit import physical_plan
+
+    df = q("p27_token_budget_select")
+    assert has_broadcast_join(df)
+    plan = physical_plan(df)
+    # only tiny relations collapse to one partition: the <= 10001-row
+    # bin-cumsum window and the 1-row budget aggregate; the doc-side
+    # running-total window must hash-partition on score_bin, never
+    # collapse the corpus
+    assert plan.count("Exchange SinglePartition") <= 2
+    assert "Exchange hashpartitioning(score_bin" in plan
+    assert not has_cartesian(df)
+
+
+def test_m09_phash_bands_no_cartesian(q):
+    # band-key equi-join + distinct + popcount verify — never all-pairs
+    df = q("m09_phash_neardup_pairs")
+    assert not has_cartesian(df)
+
+
+def test_s14_mmr_shortlist_is_topk(q):
+    # stage 1 must plan as TakeOrderedAndProject (per-partition heap over
+    # the corpus scan); stage 2's greedy sees only the constant-C rows
+    df = q("s14_mmr_rerank")
+    assert uses_top_k(df)
+    assert not has_cartesian(df)
