@@ -30,6 +30,12 @@ from dbt_osmosis_spark.sources.parquet import read_parquet, spread
 _K = 4  # tokens per gram
 _W = 5  # winnow window (hashes per selection window)
 _MIN_SHARED = 2  # report pairs sharing at least this many fingerprints
+# Stop-fingerprint cap: a fingerprint appearing in > _MAX_DF documents is
+# boilerplate (site chrome, license headers) and would contribute df^2
+# candidate pairs; dropping it bounds every bucket's pair count at the
+# 100 TB scale. Observed max df on the test corpora is 6 (sf0.1), so the
+# cap never fires at driver scales — results are unchanged there.
+_MAX_DF = 100
 _TOP = 100
 
 # positional k-gram hashes of token array `w` (NOT distinct — winnowing is
@@ -69,7 +75,9 @@ f AS (
                         for s in range(1, greatest(len(h) - {_W}, 0) + 2)]) AS fps
   FROM g
 ),
-e AS (SELECT doc_id, unnest(fps) AS fp FROM f)
+e0 AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+keepfp AS (SELECT fp FROM e0 GROUP BY fp HAVING COUNT(*) <= {_MAX_DF}),
+e AS (SELECT e0.doc_id, e0.fp FROM e0 JOIN keepfp USING (fp))
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(COUNT(*) AS BIGINT) AS n_shared
 FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
@@ -85,12 +93,19 @@ def d16_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS winnowing: per-doc fingerprints (min k-gram hash per w-window),
     pairs ranked by shared-fingerprint count."""
     docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
-    fps = (
+    fps0 = (
         docs.select("doc_id", F.split(F.trim(F.col("text")), " ").alias("w"))
         .filter(F.size("w") >= _K)
         .select("doc_id", F.expr(_SPARK_GRAM_HASHES).alias("h"))
         .select("doc_id", F.explode(F.expr(_SPARK_FINGERPRINTS)).alias("fp"))
     )
+    keepfp = (
+        fps0.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _MAX_DF)
+        .select("fp")
+    )
+    fps = fps0.join(keepfp, "fp")
     a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
     b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
     return (
