@@ -121,7 +121,15 @@ def _min_label_rounds(
     # und was localCheckpoint()ed, not persist()ed — its blocks are
     # reclaimed by the ContextCleaner when the frame is dereferenced on
     # return; there is nothing to unpersist here.
-    return labels, converged
+    #
+    # Truncate the RETURNED plan: each round's label plan references the
+    # previous round twice (join side + neighbor side), so the final
+    # lineage is ~2^rounds copies of the base — runtime dedupes through
+    # the per-round persist, but downstream plans (d09's joins, plan
+    # audits, exchange counts) would carry the exponential TEXT. The
+    # frame is tiny (id, label) and already materialized; an eager
+    # checkpoint caps it at a flat scan.
+    return labels.localCheckpoint(eager=True), converged
 
 
 def connected_components_star(
