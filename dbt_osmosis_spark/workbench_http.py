@@ -158,7 +158,13 @@ def serve_workbench(
         def _host_ok(self) -> bool:
             # DNS-rebinding defence: a rebound hostname resolves here but
             # carries the attacker's Host header; only the bound address
-            # (or localhost aliases of it) may address this server.
+            # (or localhost aliases of it) may address this server. The
+            # check applies to LOOPBACK binds — that is the rebinding
+            # threat model; an explicit non-local bind (0.0.0.0, LAN IP)
+            # is reachable under names the server can't enumerate, and
+            # the API token still gates every mutating request there.
+            if host not in {"127.0.0.1", "localhost", "::1"}:
+                return True
             got = (self.headers.get("Host") or "").rsplit(":", 1)
             bound_port = str(self.server.server_address[1])
             if len(got) == 2 and got[1] != bound_port:
