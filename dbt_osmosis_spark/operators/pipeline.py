@@ -75,7 +75,14 @@ def connected_components(
       otherwise doubles per iteration (each round embeds the last), and
       past ~10 rounds Catalyst analysis time dominates on high-diameter
       graphs. Together these keep plan size O(1) per round."""
-    labels, _ = _min_label_rounds(nodes, edges, max_iter)
+    labels, converged = _min_label_rounds(nodes, edges, max_iter)
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds the cap) — partial labels would be "
+            "silently wrong. Raise max_iter, or use "
+            "connected_components_hybrid/_star (O(log^2 n) rounds)."
+        )
     return labels.select(F.col("id"), F.col("label").alias("component"))
 
 

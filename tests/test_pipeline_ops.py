@@ -778,3 +778,79 @@ def test_star_cc_equals_min_label_on_corpus(spark, sf_dir):
     for engine in (connected_components_star, connected_components_hybrid):
         out = {r.component for r in engine(cn, chain).collect()}
         assert out == {0}, engine.__name__
+
+
+def test_cc_engines_match_union_find_on_random_graphs(spark):
+    """All three CC engines vs a Python union-find reference, over 20
+    seeded random graphs (varied density incl. empty and chain-heavy)
+    batched into ONE disjoint graph so the whole fuzz costs one Spark run
+    per engine."""
+    import random
+
+    from dbt_osmosis_spark.operators.pipeline import (
+        connected_components,
+        connected_components_hybrid,
+        connected_components_star,
+    )
+
+    rng = random.Random(42)
+    all_nodes, all_edges = [], []
+    base = 0
+    for g in range(20):
+        n = rng.randint(1, 40)
+        density = rng.choice([0.0, 0.05, 0.1, 0.3])
+        nodes = list(range(base, base + n))
+        edges = [
+            (u, v)
+            for u in nodes
+            for v in nodes
+            if u < v and rng.random() < density
+        ]
+        if g % 4 == 0 and n > 2:  # force some deep chains
+            edges += [(nodes[i], nodes[i + 1]) for i in range(n - 1)]
+        all_nodes += nodes
+        all_edges += edges
+        base += n + 7  # gap keeps graphs disjoint
+
+    # union-find reference
+    parent = {u: u for u in all_nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in all_edges:
+        parent[find(u)] = find(v)
+    # canonical label = min id per component
+    comps: dict[int, list[int]] = {}
+    for u in all_nodes:
+        comps.setdefault(find(u), []).append(u)
+    want = {}
+    for members in comps.values():
+        m = min(members)
+        for u in members:
+            want[u] = m
+
+    ndf = spark.createDataFrame([(u,) for u in all_nodes], "id long")
+    edf = spark.createDataFrame(
+        all_edges or [(-1, -2)], "src long, dst long"
+    )  # engines tolerate edges over absent nodes
+    import functools
+
+    import pytest as _pytest
+
+    for engine in (
+        # min-label needs rounds ~ max chain length (40 here); the default
+        # 25-round cap must RAISE on such graphs, not silently mislabel —
+        # asserted below
+        functools.partial(connected_components, max_iter=60),
+        connected_components_star,
+        connected_components_hybrid,
+    ):
+        got = {r.id: r.component for r in engine(ndf, edf).collect()}
+        assert got == want, getattr(engine, "__name__", "min_label_60")
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(ndf, edf).collect()
