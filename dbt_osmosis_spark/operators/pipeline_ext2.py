@@ -126,3 +126,121 @@ def p27_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---- p28: cross-split leakage report ---------------------------------------
+# Eval hygiene for the p21 train/val/test split: near-duplicate pairs that
+# STRADDLE splits are contamination — a val/test doc whose near-copy sits
+# in train inflates every metric. This runs the d03 MinHash->LSH->Jaccard
+# pipeline and reports only the straddling pairs, aggregated per split
+# pair, plus how many distinct eval-side documents are compromised.
+#
+# Scale shape: identical to d03 (map-side signatures, one band-key
+# shuffle, verification on candidates only) — the split label is a
+# map-side md5 expression joined for free on the already-shuffled pair
+# relation. The canonical production loop: run this BEFORE training; a
+# nonzero val/test row routes the leaked doc_ids into the holdout rebuild.
+
+_P28_ORACLE = None  # assembled below (reuses d03's oracle CTE machinery)
+
+
+def _p28_oracle() -> str:
+    from dbt_osmosis_spark.operators.dedup import _JACCARD_THRESHOLD, DUCK_LSH_CTES
+    from dbt_osmosis_spark.operators.pipeline_ext import (
+        _P21_BUCKET_DUCK,
+        _P21_TRAIN,
+        _P21_VAL,
+    )
+
+    split = (
+        f"CASE WHEN {_P21_BUCKET_DUCK} < {_P21_TRAIN} THEN 'train' "
+        f"WHEN {_P21_BUCKET_DUCK} < {_P21_VAL} THEN 'val' ELSE 'test' END"
+    )
+    return f"""
+WITH {DUCK_LSH_CTES},
+verified AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN sig x ON x.doc_id = c.doc_a
+  JOIN sig y ON y.doc_id = c.doc_b
+  WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+          / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))
+        >= {_JACCARD_THRESHOLD}
+),
+labeled AS (
+  SELECT v.doc_a, v.doc_b, sa.split AS split_a, sb.split AS split_b
+  FROM verified v
+  JOIN (SELECT doc_id, {split} AS split FROM documents) sa ON sa.doc_id = v.doc_a
+  JOIN (SELECT doc_id, {split} AS split FROM documents) sb ON sb.doc_id = v.doc_b
+  WHERE sa.split <> sb.split
+)
+SELECT least(split_a, split_b) AS split_lo,
+       greatest(split_a, split_b) AS split_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT CASE WHEN split_a <> 'train' THEN doc_a
+                                WHEN split_b <> 'train' THEN doc_b END)
+            AS BIGINT) AS n_eval_docs_leaked
+FROM labeled
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("p28_split_leakage", oracle=_p28_oracle())
+def p28_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_osmosis_spark.operators.dedup import (
+        _JACCARD_THRESHOLD,
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from dbt_osmosis_spark.operators.caching import keep_cached
+    from dbt_osmosis_spark.operators.pipeline_ext import (
+        _P21_BUCKET_SPARK,
+        _P21_TRAIN,
+        _P21_VAL,
+    )
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    sig = minhash_signatures(docs).transform(keep_cached)
+    cand = lsh_candidate_pairs(lsh_bands(sig))
+    x = sig.select(F.col("doc_id").alias("xid"), F.col("s").alias("xs"))
+    y = sig.select(F.col("doc_id").alias("yid"), F.col("s").alias("ys"))
+    inter = F.size(F.array_intersect(F.col("xs"), F.col("ys")))
+    jac = inter.cast("double") / (F.size("xs") + F.size("ys") - inter)
+    verified = (
+        cand.join(x, F.col("doc_a") == F.col("xid"))
+        .join(y, F.col("doc_b") == F.col("yid"))
+        .filter(jac >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    split_expr = (
+        f"CASE WHEN {_P21_BUCKET_SPARK} < {_P21_TRAIN} THEN 'train' "
+        f"WHEN {_P21_BUCKET_SPARK} < {_P21_VAL} THEN 'val' ELSE 'test' END"
+    )
+    splits = docs.select("doc_id", F.expr(split_expr).alias("split"))
+    labeled = (
+        verified.join(
+            splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")),
+            "doc_a",
+        )
+        .join(
+            splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")),
+            "doc_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+    eval_doc = F.when(F.col("split_a") != "train", F.col("doc_a")).when(
+        F.col("split_b") != "train", F.col("doc_b")
+    )
+    return (
+        labeled.groupBy(
+            F.least("split_a", "split_b").alias("split_lo"),
+            F.greatest("split_a", "split_b").alias("split_hi"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.countDistinct(eval_doc).cast("bigint").alias("n_eval_docs_leaked"),
+        )
+        .orderBy("split_lo", "split_hi")
+    )
