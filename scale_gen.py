@@ -89,19 +89,30 @@ def _gen_embeddings(out_path: str, rng: np.random.Generator) -> int:
     return n
 
 
-def ensure_sf1(repo_root: str | None = None) -> str:
-    """Generate (once) and return the sf1 directory path."""
+def ensure_scale(mult: int, repo_root: str | None = None) -> str:
+    """Generate (once) and return a ``mult``x-of-sf0.1 directory path."""
+    global _DOCS_MULT, _EMB_MULT
     root = repo_root or os.path.dirname(os.path.abspath(__file__))
-    sf1 = os.path.join(root, ".scale", "sf1")
-    docs = os.path.join(sf1, "documents.parquet")
-    embs = os.path.join(sf1, "embeddings.parquet")
+    out = os.path.join(root, ".scale", f"sf{mult // 10}" if mult % 10 == 0 else f"x{mult}")
+    docs = os.path.join(out, "documents.parquet")
+    embs = os.path.join(out, "embeddings.parquet")
     if os.path.exists(docs) and os.path.exists(embs):
-        return sf1
-    os.makedirs(sf1, exist_ok=True)
-    rng = np.random.default_rng(_SEED)
-    _gen_documents(docs, rng)
-    _gen_embeddings(embs, rng)
-    return sf1
+        return out
+    os.makedirs(out, exist_ok=True)
+    saved = (_DOCS_MULT, _EMB_MULT)
+    _DOCS_MULT = _EMB_MULT = mult
+    try:
+        rng = np.random.default_rng(_SEED)
+        _gen_documents(docs, rng)
+        _gen_embeddings(embs, rng)
+    finally:
+        _DOCS_MULT, _EMB_MULT = saved
+    return out
+
+
+def ensure_sf1(repo_root: str | None = None) -> str:
+    """Generate (once) and return the sf1 (10x) directory path."""
+    return ensure_scale(10, repo_root)
 
 
 if __name__ == "__main__":

@@ -126,3 +126,26 @@ def test_mmr_diversity_binds(spark, sf_dir):
     ]
     assert by_rank != topk_by_rel, "diversity term never changed the order"
     assert rows[0].score == max(r.score for r in rows)
+
+
+def test_split_leakage_consistent_with_d03_pairs(spark, sf_dir):
+    """p28's report must equal the leakage computed independently from
+    d03's verified near-dup pairs plus p21's split assignment."""
+    from collections import defaultdict
+
+    pairs = [(r.doc_a, r.doc_b) for r in QUERIES["d03_minhash_lsh_pairs"](spark, sf_dir).collect()]
+    split = {r.doc_id: r.split for r in QUERIES["p21_train_val_split"](spark, sf_dir).collect()}
+    want_pairs = defaultdict(int)
+    want_docs = defaultdict(set)
+    for a, b in pairs:
+        sa, sb = split[a], split[b]
+        if sa == sb:
+            continue
+        key = (min(sa, sb), max(sa, sb))
+        want_pairs[key] += 1
+        want_docs[key].add(a if sa != "train" else b)
+    got = {
+        (r.split_lo, r.split_hi): (r.n_pairs, r.n_eval_docs_leaked)
+        for r in QUERIES["p28_split_leakage"](spark, sf_dir).collect()
+    }
+    assert got == {k: (v, len(want_docs[k])) for k, v in want_pairs.items()}
