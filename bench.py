@@ -77,6 +77,7 @@ SCALE_FLAGSHIPS = [
     "d09_dedup_keep",
     "d13_semantic_dedup",
     "d15_repeated_span_coverage",
+    "d16_winnowing_pairs",
     "p18_training_corpus",
     "s13_int8_rerank_topk",
 ]

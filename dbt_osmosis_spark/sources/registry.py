@@ -2,10 +2,11 @@
 external source (runner, lineage, freshness).
 
 Formats: parquet (with nanosecond-timestamp normalization), csv
-(header+infer), json (JSONL), orc. Table formats with their own readers
-(delta, iceberg) route through `spark.read.format(...)` when their
-packages are on the classpath — gated with a clear error here because
-this container ships neither.
+(header+infer), json (JSONL), orc. Formats with their own reader modules
+(delta, iceberg, avro — avro's core jars ship with Spark but the
+spark-avro DataSource module does not) route through
+`spark.read.format(...)` when their packages are on the classpath —
+gated with a clear error here because this container ships none of them.
 """
 
 from __future__ import annotations
@@ -15,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from dbt_osmosis_spark.sources.parquet import read_parquet
 
 _PLAIN_FORMATS = ("orc",)
-_TABLE_FORMATS = ("delta", "iceberg")
+_TABLE_FORMATS = ("delta", "iceberg", "avro")
 
 
 def read_source(spark: SparkSession, path: str, format: str = "parquet") -> DataFrame:
