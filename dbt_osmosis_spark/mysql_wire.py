@@ -144,14 +144,21 @@ def write_packet(wfile, payload: bytes, seq: int) -> int:
             return seq
 
 
-def read_packet(rfile) -> tuple[bytes, int] | None:
+MAX_PACKET = 64 * 1024 * 1024  # server-side max_allowed_packet analog
+
+
+def read_packet(rfile, max_packet: int = MAX_PACKET) -> tuple[bytes, int] | None:
     """Read one logical packet; returns (payload, seq) or None on EOF.
 
     Frames of exactly 0xFFFFFF bytes are continued by the next frame
     (mirror of the split in ``write_packet``); seq returned is the last
-    frame's sequence id.
+    frame's sequence id. Reassembly is capped at ``max_packet`` bytes —
+    continuation frames mean a client could otherwise stream unbounded
+    data into server memory before the first return (the cap mirrors
+    MySQL's max_allowed_packet); exceeding it drops the connection.
     """
     parts: list[bytes] = []
+    total = 0
     while True:
         head = rfile.read(4)
         if len(head) < 4:
@@ -162,6 +169,9 @@ def read_packet(rfile) -> tuple[bytes, int] | None:
         if length and len(payload) < length:
             return None
         parts.append(payload)
+        total += length
+        if total > max_packet:
+            return None  # oversized logical packet: treat as protocol error
         if length < 0xFFFFFF:
             return b"".join(parts), seq
 

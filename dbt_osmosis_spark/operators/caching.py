@@ -18,9 +18,12 @@ group boundaries) call :func:`release_caches` directly.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
 _PENDING: list[DataFrame] = []
+_LOCK = threading.Lock()  # serve/workbench threads share one registry
 
 
 def keep_cached(df: DataFrame) -> DataFrame:
@@ -31,13 +34,15 @@ def keep_cached(df: DataFrame) -> DataFrame:
     starts (or when :func:`release_caches` is called explicitly).
     """
     df = df.persist()
-    _PENDING.append(df)
+    with _LOCK:
+        _PENDING.append(df)
     return df
 
 
 def track_cache(df: DataFrame) -> DataFrame:
     """Register an already-persisted/checkpointed frame for deferred release."""
-    _PENDING.append(df)
+    with _LOCK:
+        _PENDING.append(df)
     return df
 
 
@@ -46,11 +51,14 @@ def release_caches() -> int:
 
     Returns the number of frames released.  Blocking=False: the executor
     blocks are dropped asynchronously; correctness never depends on the
-    cache, only cost does.
+    cache — a concurrent thread whose frame is released mid-build only
+    recomputes, which is why the wire/workbench servers serialize Spark
+    work behind their own per-process lock in the first place.
     """
+    with _LOCK:
+        pending, _PENDING[:] = _PENDING[:], []
     n = 0
-    while _PENDING:
-        df = _PENDING.pop()
+    for df in reversed(pending):
         try:
             df.unpersist()
         except Exception:

@@ -391,6 +391,8 @@ _COSINE_NEARDUP_THRESHOLD = 0.4  # synthetic corpus: max off-diagonal ~0.51
 # at the driver scales.
 _D05_REF_N = 2000
 
+from dbt_osmosis_spark.operators.similarity import ADAPTIVE_SUB_SQL as _ASUB  # noqa: E402
+
 
 def _d05_parts():
     from dbt_osmosis_spark.operators.similarity import (
@@ -419,18 +421,23 @@ def _d05_parts():
 
 
 def _d05_oracle() -> str:
+    from dbt_osmosis_spark.operators.similarity import (
+        ADAPTIVE_SUB_SQL as _asub,
+        adaptive_xbits_agg_sql as _ax,
+    )
+
     dim, duck_bucket, duck_dot, duck_norm2, _sb, _sd, _sn, duck_sw, _ssw = _d05_parts()
     return f"""
 WITH vecs AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ),
 cnt AS (
-  SELECT CAST(greatest(0, ceil(log2(COUNT(*) / {_D05_REF_N}.0))) AS INT) AS xbits
+  SELECT {_ax(_D05_REF_N)} AS xbits
   FROM vecs
 ),
 bucketed AS (
   SELECT vec_id, v, {duck_bucket} AS bucket,
-         {duck_sw.format(a="v", base=0)} & ((1 << (SELECT xbits FROM cnt)) - 1) AS sub
+         {_asub.format(w=duck_sw.format(a="v", base=0), xbits="(SELECT xbits FROM cnt)")} AS sub
   FROM vecs
 ),
 cand AS (
@@ -455,11 +462,9 @@ def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(read_parquet(spark, f"{sf_dir}/embeddings.parquet")).withColumn(
         "v", F.col("embedding").cast("array<double>")
     )
-    xbits = emb.agg(
-        F.expr(f"CAST(greatest(0, ceil(log2(count(*) / {_D05_REF_N}.0))) AS INT)").alias(
-            "xbits"
-        )
-    )
+    from dbt_osmosis_spark.operators.similarity import adaptive_xbits_agg_sql
+
+    xbits = emb.agg(F.expr(adaptive_xbits_agg_sql(_D05_REF_N)).alias("xbits"))
     bucketed = (
         emb.select(
             "vec_id",
@@ -468,7 +473,12 @@ def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(spark_sw.format(a="v", base=0)).alias("w0"),
         )
         .crossJoin(F.broadcast(xbits))
-        .select("vec_id", "v", "bucket", F.expr("w0 & ((1 << xbits) - 1)").alias("sub"))
+        .select(
+            "vec_id",
+            "v",
+            "bucket",
+            F.expr(_ASUB.format(w="w0", xbits="xbits")).alias("sub"),
+        )
     )
     a = bucketed.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),

@@ -421,8 +421,9 @@ def phash_dedup_stream(docs: DataFrame, ts_col: str = "ts", watermark: str = "2 
     return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["phash"])
 
 
-_M05_ORACLE = f"""
-WITH px AS (
+# Shared oracle CTE: the DuckDB mirror of phash_payloads (single source of
+# truth — m05's grouping and m09's banded pairs must verify the SAME hash)
+_PHASH_DUCK_CTE = f"""WITH px AS (
   SELECT doc_id, length(text) AS L,
          list_transform(range(0, {_PHASH_BITS}),
              i -> ascii(substr(text, CAST(i * length(text) // {_PHASH_BITS} + 1 AS INT), 1))) AS p
@@ -434,7 +435,10 @@ hashed AS (
              i -> CASE WHEN p[i + 1] > list_sum(p) / {_PHASH_BITS}.0
                   THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
   FROM px
-)
+)"""
+
+_M05_ORACLE = f"""
+{_PHASH_DUCK_CTE}
 SELECT phash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
 FROM hashed
 GROUP BY phash
@@ -739,19 +743,7 @@ _M09_BANDS = 10  # 10 bands x 6 bits; 10 > tau=8 -> pigeonhole-complete
 _M09_BAND_BITS = _PHASH_BITS // _M09_BANDS
 
 _M09_ORACLE = f"""
-WITH px AS (
-  SELECT doc_id, length(text) AS L,
-         list_transform(range(0, {_PHASH_BITS}),
-             i -> ascii(substr(text, CAST(i * length(text) // {_PHASH_BITS} + 1 AS INT), 1))) AS p
-  FROM documents WHERE length(text) > 0
-),
-hashed AS (
-  SELECT doc_id,
-         CAST(list_sum(list_transform(range(0, {_PHASH_BITS}),
-             i -> CASE WHEN p[i + 1] > list_sum(p) / {_PHASH_BITS}.0
-                  THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
-  FROM px
-),
+{_PHASH_DUCK_CTE},
 bands AS (
   SELECT doc_id, phash, j,
          (phash >> ({_M09_BAND_BITS} * j)) & {2 ** _M09_BAND_BITS - 1} AS band

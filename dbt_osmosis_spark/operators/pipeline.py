@@ -136,7 +136,9 @@ def _min_label_rounds(
     # audits, exchange counts) would carry the exponential TEXT. The
     # frame is tiny (id, label) and already materialized; an eager
     # checkpoint caps it at a flat scan.
-    return labels.localCheckpoint(eager=True), converged
+    out = labels.localCheckpoint(eager=True)
+    labels.unpersist()  # the checkpoint replaces the cache entirely
+    return out, converged
 
 
 def connected_components_star(
@@ -208,6 +210,13 @@ def connected_components_star(
         if cur == prev_chk and e.exceptAll(prev).isEmpty():
             break
         prev, prev_chk = e, cur
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not reach its fixed point in "
+            f"{max_iter} rounds — partial star edges would yield silently "
+            "wrong components. Raise max_iter (rounds are O(log^2 n), so "
+            "this indicates either a pathological graph or a bug)."
+        )
     roots = e.select(F.greatest("u", "v").alias("id"), F.least("u", "v").alias("r"))
     comp = roots.groupBy("id").agg(F.min("r").alias("r"))
     return nodes.join(comp, "id", "left").select(

@@ -18,6 +18,8 @@ from pyspark.sql.window import Window as W
 from dbt_osmosis_spark.operators import register
 from dbt_osmosis_spark.operators.caching import keep_cached
 from dbt_osmosis_spark.operators.similarity import (
+    ADAPTIVE_SUB_SQL,
+    adaptive_xbits_agg_sql,
     _DIM,
     _DUCK_BUCKET,
     _DUCK_CELL,
@@ -993,7 +995,7 @@ WITH vecs AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ),
 cnt AS (
-  SELECT CAST(greatest(0, ceil(log2(COUNT(*) / {_D13_REF_N}.0))) AS INT) AS xbits
+  SELECT {adaptive_xbits_agg_sql(_D13_REF_N)} AS xbits
   FROM vecs
 ),
 assigned AS (
@@ -1002,7 +1004,7 @@ assigned AS (
          list_min({_DUCK_CELL_DISTS.format(a="v")}) AS d2,
          {_DUCK_SIGNWORD.format(a="v", base=0)} AS w0,
          {_DUCK_SIGNWORD.format(a="v", base=32)} AS w1,
-         {_DUCK_SIGNWORD.format(a="v", base=0)} & ((1 << (SELECT xbits FROM cnt)) - 1) AS sub
+         {ADAPTIVE_SUB_SQL.format(w=_DUCK_SIGNWORD.format(a="v", base=0), xbits="(SELECT xbits FROM cnt)")} AS sub
   FROM vecs
 ),
 pairs AS (
@@ -1049,11 +1051,7 @@ def _d13_plan(spark: SparkSession, sf_dir: str, ham_bound: int) -> DataFrame:
     # plus the final corpus join); without it the unrolled 16-cell distance
     # + sign-word expressions recompute per branch (d03 persists its
     # signature relation for the same reason).
-    xbits = emb.agg(
-        F.expr(f"CAST(greatest(0, ceil(log2(count(*) / {_D13_REF_N}.0))) AS INT)").alias(
-            "xbits"
-        )
-    )
+    xbits = emb.agg(F.expr(adaptive_xbits_agg_sql(_D13_REF_N)).alias("xbits"))
     assigned = (
         emb.select(
             "vec_id",
@@ -1065,7 +1063,7 @@ def _d13_plan(spark: SparkSession, sf_dir: str, ham_bound: int) -> DataFrame:
             F.expr(_SPARK_SIGNWORD.format(a="v", base=32)).alias("w1"),
         )
         .crossJoin(F.broadcast(xbits))
-        .withColumn("sub", F.expr("w0 & ((1 << xbits) - 1)"))
+        .withColumn("sub", F.expr(ADAPTIVE_SUB_SQL.format(w="w0", xbits="xbits")))
         .drop("xbits")
         .transform(keep_cached)
     )

@@ -85,7 +85,9 @@ def p27_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "key",
             F.size("w").cast("bigint").alias("n_tok"),
-            F.expr(f"size(array_distinct(w)) * {_BINS} div size(w)").alias("score_bin"),
+            F.expr(
+                f"cast(size(array_distinct(w)) AS BIGINT) * {_BINS} div size(w)"
+            ).alias("score_bin"),
         )
     )
     budget = scored.agg(

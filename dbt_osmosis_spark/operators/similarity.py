@@ -1039,6 +1039,21 @@ def s10_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # TakeOrderedAndProject top-k — identical scan shape to s01 at 1/32 the
 # bytes. Reference analog: none (north-star similarity family).
 
+# Corpus-adaptive cluster-key widening (shared by d05/d13): real IVF/LSH
+# systems grow the partition count with N; these fragments add
+# ceil(log2(N / ref_n)) extra key bits taken from an already-computed
+# sign word, with N measured in-plan (broadcast 1-row count). One source
+# of truth so the two operators (x two engines) cannot drift.
+
+ADAPTIVE_SUB_SQL = "{w} & ((1 << {xbits}) - 1)"  # same text both engines
+
+
+def adaptive_xbits_agg_sql(ref_n: int) -> str:
+    """Aggregate expression computing the extra-bit count from COUNT(*).
+    Valid in both Spark SQL and DuckDB."""
+    return f"CAST(greatest(0, ceil(log2(COUNT(*) / {ref_n}.0))) AS INT)"
+
+
 _SPARK_SIGNWORD = (
     "aggregate(transform(sequence(0, 31), i -> "
     "IF(element_at({a}, {base} + i + 1) > CAST(0 AS DOUBLE), "
@@ -1396,6 +1411,18 @@ def s14_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qrel",
             F.expr(f"CAST(floor({cos_ab} * {_S14_Q} + 0.5) AS BIGINT)").alias("qsim"),
         )
+        # self rows carry the candidate set itself: a 1-candidate shortlist
+        # has NO pairs, and the greedy must still seed with that candidate
+        # (the oracle's s1 CTE does) — deriving candidates from pairs alone
+        # would return empty there
+        .unionByName(
+            short.select(
+                F.col("vec_id").alias("ia"),
+                F.col("vec_id").alias("ib"),
+                "qrel",
+                F.lit(None).cast("long").alias("qsim"),
+            )
+        )
     )
 
     def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1404,7 +1431,8 @@ def s14_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         qsim = {}
         for r in pdf.itertuples(index=False):
             qrel[int(r.ia)] = int(r.qrel)
-            qsim[(int(r.ia), int(r.ib))] = int(r.qsim)
+            if r.ia != r.ib:
+                qsim[(int(r.ia), int(r.ib))] = int(r.qsim)
         remaining = set(qrel)
         picked: list[tuple[int, int, int, int]] = []
         while remaining and len(picked) < _S14_K:

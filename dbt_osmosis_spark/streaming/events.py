@@ -310,10 +310,22 @@ def tws_user_totals(events: DataFrame, ttl_ms: int | None = None) -> DataFrame:
     # rejects outright (STATE_STORE_MULTIPLE_COLUMN_FAMILIES). RocksDB is
     # also the provider a 100 TB deployment wants — state lives off-heap
     # and spills to disk instead of competing with executor heap.
-    events.sparkSession.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    #
+    # The conf is session-level and read at query START, so it must be in
+    # place before .start(); it is only switched when the session still
+    # runs the DEFAULT provider — an explicit user-set provider is left
+    # alone (and TWS will fail loudly against HDFS, which beats silently
+    # flipping the provider under queries whose checkpoints were written
+    # by it: a checkpoint is only readable by the provider that wrote it).
+    _ROCKSDB = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     )
+    _key = "spark.sql.streaming.stateStore.providerClass"
+    _default = (
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    )
+    if events.sparkSession.conf.get(_key, _default) == _default:
+        events.sparkSession.conf.set(_key, _ROCKSDB)
 
     class RunningTotals(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:

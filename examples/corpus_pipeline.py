@@ -77,7 +77,7 @@ def main(sf_dir: str) -> None:
         "doc_id",
         "source",
         F.size("w").cast("bigint").alias("n_tok"),
-        F.expr("size(array_distinct(w)) * 10000 div size(w)").alias("bin"),
+        F.expr("cast(size(array_distinct(w)) AS BIGINT) * 10000 div size(w)").alias("bin"),
     )
     budget = scored.agg(F.expr("sum(n_tok) * 3 div 10").alias("b"))
     bins = scored.groupBy("bin").agg(F.sum("n_tok").alias("bt"))

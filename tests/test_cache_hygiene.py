@@ -21,6 +21,8 @@ load_all()
 _PERSISTING_OPS = [
     "d02_ngram_jaccard_pairs",
     "d03_minhash_lsh_pairs",
+    "d06_dedup_components",
+    "d09_dedup_keep",
     "d07_simhash_neardup",
     "d08_containment_pairs",
     "d10_crossdoc_ngram_rate",
@@ -66,6 +68,6 @@ def test_operator_caches_released_between_operators(spark, sf_dir):
     released = release_caches()
     assert released >= 1  # the final operator's frames were still pending
     assert _cache_manager_empty(spark), "release_caches left cached plans behind"
-    # high-water across 12 persisting operators stays one-operator-sized,
+    # high-water across 14 persisting operators stays one-operator-sized,
     # not 12-operators-sized
     assert high_water <= 10, f"high-water {high_water} persistent RDDs"

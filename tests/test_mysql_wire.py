@@ -304,3 +304,20 @@ def test_write_packet_splits_16mb_frames():
         assert got == payload
         assert last_seq == (3 + n_frames - 1) & 0xFF
         assert buf.read() == b""  # no trailing bytes — framing is exact
+
+
+def test_read_packet_caps_oversized_logical_packets():
+    """Continuation reassembly must not buffer unbounded client data: a
+    logical packet over max_packet returns None (connection dropped)
+    instead of accumulating frames forever."""
+    import io
+
+    from dbt_osmosis_spark.mysql_wire import read_packet, write_packet
+
+    buf = io.BytesIO()
+    write_packet(buf, b"x" * (2 * 0xFFFFFF + 5), seq=0)
+    buf.seek(0)
+    assert read_packet(buf, max_packet=0xFFFFFF) is None
+    buf.seek(0)
+    got, _ = read_packet(buf, max_packet=64 * 1024 * 1024)
+    assert len(got) == 2 * 0xFFFFFF + 5

@@ -60,12 +60,28 @@ def test_token_budget_selection_properties(spark, sf_dir):
     if dropped:
         boundary = min(r.score_bin for r in kept) if kept else -1
         assert all(r.score_bin <= boundary for r in dropped)
-        # tight: the smallest dropped doc at/above the boundary bin would
-        # not have fit (greedy fills in deterministic order, so at least
-        # the cheapest boundary-bin reject must overflow)
-        cands = [r.n_tok for r in dropped if r.score_bin == boundary]
-        if cands:
-            assert kept_tok + min(cands) > budget or kept_tok == budget
+        # tight IN CUMULATIVE ORDER: the FIRST boundary-bin reject (by the
+        # md5-key order the greedy fills in) must overflow the budget —
+        # NOT min(rejects): a small doc late in key order is legitimately
+        # rejected once the cumulative total has passed the cut
+        import hashlib
+
+        def key(doc_id):
+            return hashlib.md5(str(doc_id).encode()).hexdigest()[:15]
+
+        b_rejects = sorted(
+            (r for r in dropped if r.score_bin == boundary),
+            key=lambda r: (key(r.doc_id), r.doc_id),
+        )
+        if b_rejects:
+            first = b_rejects[0]
+            kept_before = sum(
+                r.n_tok
+                for r in kept
+                if r.score_bin > boundary
+                or (key(r.doc_id), r.doc_id) < (key(first.doc_id), first.doc_id)
+            )
+            assert kept_before + first.n_tok > budget
 
 
 def test_zipf_slope_negative_and_complete(spark, sf_dir):
