@@ -80,6 +80,9 @@ SCALE_FLAGSHIPS = [
     "d16_winnowing_pairs",
     "p18_training_corpus",
     "s13_int8_rerank_topk",
+    # batched bounded-scan ANN: candidates per query stay ~n·(P+1)/2^P, so
+    # the 10x slope should track the scan, not a pair blowup
+    "s15_batched_lsh_topk",
 ]
 
 

@@ -59,6 +59,7 @@ def load_all() -> None:
         relational_ext,
         relational_ext2,
         similarity,
+        similarity_ext,
         text,
         text_ext,
     )

@@ -1,0 +1,141 @@
+"""Batched ANN serving: many queries against one bucketed corpus.
+
+s02 is the single-query LSH path and s04 the batched *brute-force* path
+(Arrow matmul — every query touches every vector). What production
+retrieval actually runs is the third shape: a **batch of queries against a
+bucketed index where each query touches only its probe buckets**. s15 is
+that shape.
+
+Scale design (the 100 TB / 10^9-vector plan):
+- The corpus is bucketed ONCE per batch (map-side sign-bit math, no
+  shuffle); at index-build time this column is precomputed and the table
+  is laid out ``partitionBy(bucket)`` so probes prune partitions.
+- The query side explodes to (n_queries × (P+1)) probe rows — tiny — and
+  is broadcast, so the candidate join is a broadcast-hash join against
+  the corpus scan: zero corpus shuffle, scan fraction ≈ (P+1)/2^P per
+  query regardless of corpus size.
+- Per-query top-k is a ``row_number() OVER (PARTITION BY qid)`` window:
+  the only exchange in the plan is on qid (n_queries keys). Candidate
+  sets are LSH-bounded, so no qid partition can skew beyond
+  ~n·(P+1)/2^P; AQE splits stragglers if a hot bucket appears.
+- Key width adapts like d05/d13: the bucket formula here inherits s02's
+  P sign planes; at a larger corpus you widen P by ceil(log2(N/N_ref))
+  (see ``similarity.adaptive_xbits_agg_sql``) — candidates per query stay
+  constant while the probe count grows only linearly in P.
+
+Cross-engine determinism: same md5-derived plane literals as s02, dot
+products are identical left-to-right folds, and the rank tie-break is
+(cosine DESC, vec_id) in both engines — full value-hash oracle.
+
+Reference analog: none (north-star similarity family — the reference ships
+queries to a warehouse; batched bounded-scan retrieval is part of the
+LLM-pipeline surface this engine adds, sibling of s02/s04/s13).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbt_osmosis_spark.operators import register
+from dbt_osmosis_spark.operators.similarity import (
+    _DIM,
+    _DUCK_BUCKET,
+    _DUCK_DOT,
+    _DUCK_NORM2,
+    _K,
+    _P,
+    _SPARK_BUCKET,
+    _SPARK_DOT,
+    _SPARK_NORM2,
+)
+from dbt_osmosis_spark.sources.parquet import read_parquet, spread
+
+# Queries = the first 8 corpus vectors (vec_id < 8): deterministic, and
+# realistic — production batches re-embed incoming requests, which are
+# distributed like the corpus.
+_S15_NQ = 8
+
+_S15_ORACLE = f"""
+WITH vecs AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+bucketed AS (
+  SELECT vec_id, label, v, {_DUCK_BUCKET} AS bucket FROM vecs
+),
+q AS (
+  SELECT vec_id AS qid, v AS qv, bucket AS qbucket
+  FROM bucketed WHERE vec_id < {_S15_NQ}
+),
+probes AS (
+  SELECT qid, qv, unnest([qbucket] || list_transform(range(0, {_P}),
+                    j -> xor(qbucket, CAST(1 AS BIGINT) << j))) AS bucket
+  FROM q
+),
+cand AS (
+  SELECT p.qid, b.vec_id, b.label, b.v, p.qv
+  FROM bucketed b JOIN probes p ON b.bucket = p.bucket
+  WHERE b.vec_id <> p.qid
+),
+scored AS (
+  SELECT qid, vec_id, label,
+         {_DUCK_DOT.format(a="v", b="qv", n=_DIM)}
+           / (sqrt({_DUCK_NORM2.format(a="v")}) * sqrt({_DUCK_NORM2.format(a="qv")}))
+           AS cosine
+  FROM cand
+),
+ranked AS (
+  SELECT qid, vec_id, label, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT qid, CAST(rn AS INT) AS rnk, vec_id, label, cosine
+FROM ranked WHERE rn <= {_K}
+ORDER BY qid, rnk
+"""
+
+
+@register("s15_batched_lsh_topk", oracle=_S15_ORACLE)
+def s15_batched_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(read_parquet(spark, f"{sf_dir}/embeddings.parquet")).withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    bucketed = emb.select("vec_id", "label", "v", F.expr(_SPARK_BUCKET).alias("bucket"))
+    q = bucketed.filter(F.col("vec_id") < _S15_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    # Multi-probe explode on the QUERY side only: n_queries x (P+1) rows.
+    # Probe buckets per query are distinct and each corpus vector has
+    # exactly one bucket, so (qid, vec_id) needs no dedup after the join.
+    probes = q.select(
+        "qid",
+        "qv",
+        F.explode(
+            F.expr(
+                f"concat(array(qbucket), transform(sequence(0, {_P} - 1),"
+                f" j -> qbucket ^ shiftleft(CAST(1 AS BIGINT), j)))"
+            )
+        ).alias("bucket"),
+    )
+    dot = F.expr(_SPARK_DOT.format(a="v", b="qv"))
+    n_v = F.expr(_SPARK_NORM2.format(a="v"))
+    n_q = F.expr(_SPARK_NORM2.format(a="qv"))
+    scored = (
+        bucketed.join(F.broadcast(probes), "bucket")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            (dot / (F.sqrt(n_v) * F.sqrt(n_q))).alias("cosine"),
+        )
+    )
+    win = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= _K)
+        .select("qid", "rnk", "vec_id", "label", "cosine")
+        .orderBy("qid", "rnk")
+    )

@@ -354,3 +354,16 @@ def test_s14_mmr_shortlist_is_topk(q):
     df = q("s14_mmr_rerank")
     assert uses_top_k(df)
     assert not has_cartesian(df)
+
+
+def test_s15_batched_lsh_plan_shape(q):
+    """Batched ANN serving: probe rows broadcast against the bucketed
+    corpus (zero corpus-side shuffle before the join), per-query top-k via
+    a qid-partitioned window — the only hash exchange is on qid."""
+    df = q("s15_batched_lsh_topk")
+    assert has_broadcast_join(df)
+    assert not has_cartesian(df)
+    plan = physical_plan(df)
+    # the window must partition by qid, never collapse to one partition
+    assert "hashpartitioning(qid" in plan
+    assert "Exchange SinglePartition" not in plan
