@@ -1,0 +1,111 @@
+"""Continuous-ingest dedup: the streaming twin of p16_incremental_dedup.
+
+Production training-data pipelines don't re-dedup the whole corpus per
+drop — they ingest document batches continuously and admit only content
+that is new against everything already accepted. This module is that loop
+as Structured Streaming: ``readStream`` over a landing directory →
+``foreachBatch`` → (within-batch first-occurrence dedup) → (anti-join
+against the accepted-content fingerprint index) → append kept docs to the
+corpus sink AND their hashes to the index, so the next micro-batch
+deduplicates against everything before it.
+
+Scale design (the 100 TB shape):
+- State lives in the INDEX TABLE, not the state store: the stream itself
+  is stateless (no watermark bookkeeping, nothing accumulates per key in
+  RocksDB), so arbitrarily long ingest histories cost stream memory
+  nothing. The index is (hash) — 16 bytes/doc, ~10^10 rows per PB of
+  accepted docs — a parquet/Delta table the anti-join shuffles against.
+- The anti-join partial: md5 is computed map-side; the join shuffles
+  (batch ∪ index) on the hash. When the index dwarfs every batch, the
+  production refinement is a broadcast Bloom filter of the index in front
+  of the exact anti-join (p12's fixed-K-bit construction) — same results,
+  index-side scan pruned to Bloom positives; the exact join stays for
+  correctness.
+- Delivery semantics: foreachBatch is at-least-once on replay. The sink
+  pair (docs append, index append) is written docs-first; a crash between
+  the writes re-emits that batch's docs on replay (the index doesn't know
+  them yet) — duplicates land in the SINK but never poison the INDEX
+  twice, and the sink stays consumable because admitted content is
+  keyed by content hash (consumers re-dedup exactly like d01). With a
+  transactional table format both appends join one commit and the loop is
+  exactly-once; the caller-visible contract here is at-least-once with an
+  idempotent index.
+
+Twin equivalence (tested): processing files in doc_id order with
+``maxFilesPerTrigger=1`` yields exactly the batch p16 result — sequential
+(batch-local window + anti-join) composes to the same first-occurrence
+choice the global window makes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def content_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, h, n_chars): the md5 content fingerprint p16/d01 key on."""
+    return docs.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("h"), "n_chars"
+    )
+
+
+def dedup_batch_against_index(
+    batch: DataFrame, spark: SparkSession, index_dir: str
+) -> DataFrame:
+    """One micro-batch step: first-occurrence within the batch (min doc_id
+    per hash), then left-anti against the accepted-hash index."""
+    hashed = content_hashes(batch)
+    w = Window.partitionBy("h").orderBy("doc_id")
+    fresh = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    if os.path.exists(index_dir):
+        idx = spark.read.parquet(index_dir).select("h")
+        fresh = fresh.join(idx, "h", "left_anti")
+    return fresh
+
+
+def run_dedup_ingest(
+    incoming_dir: str,
+    index_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    spark: SparkSession,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drain the landing directory through the dedup loop (availableNow).
+
+    ``index_dir`` may be pre-seeded with the existing corpus fingerprints
+    (one parquet of ``h``) — the bootstrap a migration from batch p16
+    does; absent, the first batch seeds it.
+    """
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(incoming_dir)
+    )
+
+    def _sink(batch_df: DataFrame, _bid: int) -> None:
+        kept = dedup_batch_against_index(batch_df, spark, index_dir)
+        # one job, two writes: materialize once so the anti-join (and its
+        # index scan) doesn't run twice; released before the batch returns
+        kept = kept.persist()
+        try:
+            kept.write.mode("append").parquet(out_dir)
+            kept.select("h").write.mode("append").parquet(index_dir)
+        finally:
+            kept.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -298,3 +298,76 @@ def test_streaming_phash_dedup_bounded_state(spark, sf_dir, tmp_path):
     n_hashes = len({r.phash for r in phash_payloads(staged).collect()})
     assert len(got) == n_hashes
     assert len({r.phash for r in got}) == len(got)
+
+
+def test_streaming_dedup_ingest_matches_batch_p16(spark, sf_dir, tmp_path):
+    """Continuous-ingest dedup (readStream → foreachBatch anti-join against
+    the accepted-hash index) must equal batch p16 once the backlog drains:
+    sequential per-batch dedup composes to the same first-occurrence choice
+    the global window makes when files arrive in doc_id order."""
+    import glob
+    import os
+    import shutil
+
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+    from dbt_osmosis_spark.streaming.ingest import content_hashes, run_dedup_ingest
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 5 == 0)
+    incoming = docs.filter(F.col("doc_id") % 5 != 0)
+
+    index_dir = str(tmp_path / "index")
+    incoming_dir = str(tmp_path / "incoming")
+    out_dir = str(tmp_path / "accepted")
+    os.makedirs(incoming_dir)
+    # bootstrap the index with the existing corpus fingerprints
+    content_hashes(corpus).select("h").distinct().write.parquet(index_dir)
+
+    # land two files in doc_id order (distinct mtimes pin source ordering).
+    # sf0.001 has no natural exact dups, so inject one duplicate class per
+    # rejection path — all must be rejected, so the batch-p16 baseline is
+    # unchanged and the equivalence below is non-vacuous:
+    #   corpus text into batch0  -> rejected via the bootstrap index
+    #   batch0 text into batch1  -> rejected via the cross-batch index update
+    #   batch1 text into batch1  -> rejected via the within-batch window
+    cut = incoming.approxQuantile("doc_id", [0.5], 0.0)[0]
+    half0 = incoming.filter(F.col("doc_id") <= cut)
+    half1 = incoming.filter(F.col("doc_id") > cut)
+
+    def clones(src, offset, n=5):
+        return src.orderBy("doc_id").limit(n).select(
+            (F.col("doc_id") + offset).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        )
+
+    halves = [
+        half0.unionByName(clones(corpus, 100_000)),
+        half1.unionByName(clones(half0, 200_000)).unionByName(clones(half1, 300_000)),
+    ]
+    for i, half in enumerate(halves):
+        stage = str(tmp_path / f"stage{i}")
+        half.coalesce(1).write.parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{incoming_dir}/batch{i}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+    run_dedup_ingest(
+        incoming_dir, index_dir, out_dir, str(tmp_path / "ckpt"), spark
+    )
+
+    got = {
+        (r.doc_id, r.h, r.n_chars)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (r.doc_id, r.content_hash, r.n_chars)
+        for r in QUERIES["p16_incremental_dedup"](spark, sf_dir).collect()
+    }
+    assert got == want
+    # equality implies every injected duplicate was rejected; the landed
+    # stream was strictly larger, so rejection actually ran
+    assert len(got) == incoming.count()
