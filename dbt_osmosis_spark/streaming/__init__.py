@@ -1,6 +1,7 @@
 from dbt_osmosis_spark.streaming.ingest import (
     content_hashes,
     dedup_batch_against_index,
+    index_bloom_bits,
     run_dedup_ingest,
 )
 from dbt_osmosis_spark.streaming.events import (
@@ -17,5 +18,6 @@ __all__ = [
     "run_to_memory",
     "content_hashes",
     "dedup_batch_against_index",
+    "index_bloom_bits",
     "run_dedup_ingest",
 ]

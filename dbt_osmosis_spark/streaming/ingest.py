@@ -16,10 +16,12 @@ Scale design (the 100 TB shape):
   nothing. The index is (hash) — 16 bytes/doc, ~10^10 rows per PB of
   accepted docs — a parquet/Delta table the anti-join shuffles against.
 - The anti-join partial: md5 is computed map-side; the join shuffles
-  (batch ∪ index) on the hash. When the index dwarfs every batch, the
-  production refinement is a broadcast Bloom filter of the index in front
-  of the exact anti-join (p12's fixed-K-bit construction) — same results,
-  index-side scan pruned to Bloom positives; the exact join stays for
+  (batch ∪ index) on the hash. When the index dwarfs every batch,
+  ``bloom=True`` puts a broadcast Bloom filter of the index in front of
+  the exact anti-join (p12's fixed-K-bit construction): definitely-new
+  rows skip the shuffle join map-side, and only Bloom-positives — actual
+  duplicates plus the tiny false-positive tail — pay the exact join.
+  Same accepted set by construction; the exact join stays for
   correctness.
 - Delivery semantics: foreachBatch is at-least-once on replay. The sink
   pair (docs append, index append) is written docs-first; a crash between
@@ -52,11 +54,42 @@ def content_hashes(docs: DataFrame) -> DataFrame:
     )
 
 
+# Bloom pre-filter sizing: M bits / K hashes bound the false-positive rate
+# at ~(n_index*K/M)^K; false positives only cost an extra exact-join probe,
+# never a wrong result. At PB-scale indexes you raise M (the broadcast is
+# M/8 bytes worst-case, far less as a distinct-bit list until fill-rate
+# saturates) or shard the filter by a hash prefix.
+_BLOOM_M = 1 << 20
+_BLOOM_K = 3
+
+# same conv-md5 bit derivation as p12's decontamination filter
+# (operators/pipeline_ext.py) — deterministic, engine-portable
+_BIT = (
+    "CAST(conv(substr(md5(cast(concat('b', CAST(j AS STRING), '#', h) AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
+    f" % {_BLOOM_M}"
+)
+
+
+def index_bloom_bits(idx: DataFrame) -> DataFrame:
+    """(bit): the distinct set bits of the accepted-hash index — the
+    broadcastable membership sketch built in one pass over the index."""
+    js = F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))).alias("j")
+    return idx.select("h").select("h", js).select(F.expr(_BIT).alias("bit")).distinct()
+
+
 def dedup_batch_against_index(
-    batch: DataFrame, spark: SparkSession, index_dir: str
+    batch: DataFrame, spark: SparkSession, index_dir: str, bloom: bool = False
 ) -> DataFrame:
     """One micro-batch step: first-occurrence within the batch (min doc_id
-    per hash), then left-anti against the accepted-hash index."""
+    per hash), then left-anti against the accepted-hash index.
+
+    ``bloom=True`` is the big-index path: a broadcast Bloom filter of the
+    index splits the batch map-side into definitely-new rows (no set bit
+    missing -> skip the shuffle join entirely) and Bloom-positives, and
+    only the positives — duplicates plus the tiny false-positive tail —
+    pay the exact anti-join. Same accepted set by construction (Bloom has
+    no false negatives: identical bit derivation on both sides), tested
+    against the exact path."""
     hashed = content_hashes(batch)
     w = Window.partitionBy("h").orderBy("doc_id")
     fresh = (
@@ -66,7 +99,24 @@ def dedup_batch_against_index(
     )
     if os.path.exists(index_dir):
         idx = spark.read.parquet(index_dir).select("h")
-        fresh = fresh.join(idx, "h", "left_anti")
+        if bloom:
+            bits = index_bloom_bits(idx)
+            js = F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))).alias("j")
+            probes = fresh.select("doc_id", "h", js).select(
+                "doc_id", F.expr(_BIT).alias("bit")
+            )
+            pos_ids = (
+                probes.join(F.broadcast(bits), "bit")
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("nb"))
+                .filter(F.col("nb") == _BLOOM_K)
+                .select("doc_id")
+            )
+            definite_new = fresh.join(F.broadcast(pos_ids), "doc_id", "left_anti")
+            maybe = fresh.join(F.broadcast(pos_ids), "doc_id", "left_semi")
+            fresh = definite_new.unionByName(maybe.join(idx, "h", "left_anti"))
+        else:
+            fresh = fresh.join(idx, "h", "left_anti")
     return fresh
 
 
@@ -77,6 +127,7 @@ def run_dedup_ingest(
     checkpoint: str,
     spark: SparkSession,
     max_files_per_trigger: int = 1,
+    bloom: bool = False,
 ) -> None:
     """Drain the landing directory through the dedup loop (availableNow).
 
@@ -92,7 +143,7 @@ def run_dedup_ingest(
     )
 
     def _sink(batch_df: DataFrame, _bid: int) -> None:
-        kept = dedup_batch_against_index(batch_df, spark, index_dir)
+        kept = dedup_batch_against_index(batch_df, spark, index_dir, bloom=bloom)
         # one job, two writes: materialize once so the anti-join (and its
         # index scan) doesn't run twice; released before the batch returns
         kept = kept.persist()

@@ -371,3 +371,38 @@ def test_streaming_dedup_ingest_matches_batch_p16(spark, sf_dir, tmp_path):
     # equality implies every injected duplicate was rejected; the landed
     # stream was strictly larger, so rejection actually ran
     assert len(got) == incoming.count()
+
+
+def test_bloom_prefiltered_ingest_step_equals_exact(spark, sf_dir, tmp_path):
+    """The Bloom pre-filtered micro-batch step must admit exactly the same
+    rows as the exact anti-join: Bloom has no false negatives (identical
+    bit derivation on both sides), and positives still pay the exact join."""
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+    from dbt_osmosis_spark.streaming.ingest import (
+        content_hashes,
+        dedup_batch_against_index,
+    )
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 5 == 0)
+    # batch = the other docs plus re-landed copies of 10 corpus docs (so
+    # the Bloom-positive branch actually rejects something)
+    relanded = corpus.orderBy("doc_id").limit(10).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    batch = docs.filter(F.col("doc_id") % 5 != 0).unionByName(relanded)
+
+    index_dir = str(tmp_path / "index")
+    content_hashes(corpus).select("h").distinct().write.parquet(index_dir)
+
+    exact = {
+        (r.doc_id, r.h)
+        for r in dedup_batch_against_index(batch, spark, index_dir).collect()
+    }
+    bloomed = {
+        (r.doc_id, r.h)
+        for r in dedup_batch_against_index(batch, spark, index_dir, bloom=True).collect()
+    }
+    assert bloomed == exact
+    # the re-landed duplicates were rejected on both paths
+    assert all(d < 100_000 for d, _ in exact)
