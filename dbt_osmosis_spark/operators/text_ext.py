@@ -503,3 +503,139 @@ def t16_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("zipf_slope"),
     ).orderBy("source")
+
+
+# ---- p29: quality-filter agreement matrix ----------------------------------
+# Corpus curation runs several independent quality gates (heuristic score,
+# Gopher rules, entropy); the first question before composing them is how
+# much they AGREE — near-identical filters are redundant, near-disjoint
+# ones multiply removal. p29 reports, for every filter pair, the removal
+# counts and the Jaccard overlap of the removed sets.
+#
+# Scale shape: ONE map-side pass computes all three removal flags per doc
+# (reusing t02/t12/t11's exact formulas), then a single global aggregate
+# of 7 integer sums (partial-agg -> 1 row) and a driver-free stack() into
+# the 6 pair rows. No joins, no per-filter passes — the cost is one
+# corpus scan however many filters participate, which is why the flags
+# are computed together instead of running t02/t12/t11 separately.
+# Thresholds sit at the corpus median so every filter genuinely splits.
+# Cross-engine: all flags are exact-integer comparisons except entropy,
+# which reuses t11's identical-fold + round(.,6) discipline before the
+# threshold compare.
+# Reference analog: none (north-star pipeline-diagnostics family,
+# sibling of d14/s12/p28).
+
+_P29_Q_THRESH = 1.2
+_P29_E_THRESH = 4.05
+
+_P29_ORACLE = f"""
+WITH feat AS (
+  SELECT doc_id,
+         {_DUCK_TOK} AS w,
+         string_split(text, '') AS cs,
+         CAST(length(text) AS BIGINT) AS nc
+  FROM documents
+  WHERE length(text) > 0
+),
+flags AS (
+  SELECT doc_id,
+    CASE WHEN
+      (CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS DOUBLE) / len(w))
+      + (CAST(len(list_filter(w, x -> len(x) >= 6)) AS DOUBLE) / len(w))
+      + (CASE WHEN len(w) BETWEEN 20 AND 80 THEN 1.0 ELSE 0.0 END)
+      < {_P29_Q_THRESH} THEN 1 ELSE 0 END AS rq,
+    CASE WHEN NOT (
+      len(w) BETWEEN 50 AND 100000
+      AND (CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / len(w)) BETWEEN 3.0 AND 10.0
+      AND (CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / len(w)) > 0.80
+      AND len(list_filter(w, x -> list_contains(['the', 'a'], x))) >= 2
+    ) THEN 1 ELSE 0 END AS rg,
+    CASE WHEN round(-list_sum(list_transform(list_sort(list_distinct(cs)),
+           ch -> (CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE) / nc)
+                 * log2(CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE) / nc))), 6)
+         < {_P29_E_THRESH} THEN 1 ELSE 0 END AS re
+  FROM feat
+),
+tot AS (
+  SELECT CAST(SUM(rq) AS BIGINT) AS q, CAST(SUM(rg) AS BIGINT) AS g,
+         CAST(SUM(re) AS BIGINT) AS e,
+         CAST(SUM(rq * rg) AS BIGINT) AS qg, CAST(SUM(rq * re) AS BIGINT) AS qe,
+         CAST(SUM(rg * re) AS BIGINT) AS ge
+  FROM flags
+),
+pairs AS (
+  SELECT 'entropy' AS filter_a, 'entropy' AS filter_b, e AS n_removed_a, e AS n_removed_b, e AS n_removed_both FROM tot
+  UNION ALL SELECT 'entropy', 'gopher', e, g, ge FROM tot
+  UNION ALL SELECT 'entropy', 'quality', e, q, qe FROM tot
+  UNION ALL SELECT 'gopher', 'gopher', g, g, g FROM tot
+  UNION ALL SELECT 'gopher', 'quality', g, q, qg FROM tot
+  UNION ALL SELECT 'quality', 'quality', q, q, q FROM tot
+)
+SELECT filter_a, filter_b, n_removed_a, n_removed_b, n_removed_both,
+       CASE WHEN n_removed_a + n_removed_b - n_removed_both = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE CAST(n_removed_both AS DOUBLE) / (n_removed_a + n_removed_b - n_removed_both)
+       END AS overlap_jaccard
+FROM pairs
+ORDER BY filter_a, filter_b
+"""
+
+
+@register("p29_filter_agreement", oracle=_P29_ORACLE)
+def p29_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    feat = docs.filter(F.length("text") > 0).select(
+        "doc_id",
+        tokens().alias("w"),
+        F.split(F.col("text"), "").alias("cs"),
+        F.length("text").cast("bigint").alias("nc"),
+    )
+    q_score = (
+        F.expr("CAST(size(filter(w, x -> x IN ('the', 'a'))) AS DOUBLE) / size(w)")
+        + F.expr("CAST(size(filter(w, x -> length(x) >= 6)) AS DOUBLE) / size(w)")
+        + F.expr("CASE WHEN size(w) BETWEEN 20 AND 80 THEN 1.0 ELSE 0.0 END")
+    )
+    gopher_pass = F.expr(
+        "size(w) BETWEEN 50 AND 100000"
+        " AND (CAST(aggregate(w, 0L, (acc, x) -> acc + length(x)) AS DOUBLE) / size(w)) BETWEEN 3.0 AND 10.0"
+        " AND (CAST(size(filter(w, x -> x rlike '[a-zA-Z]')) AS DOUBLE) / size(w)) > 0.80"
+        " AND size(filter(w, x -> x IN ('the', 'a'))) >= 2"
+    )
+    entropy = F.expr(
+        "-aggregate(array_sort(array_distinct(cs)), CAST(0 AS DOUBLE), (acc, ch) -> "
+        "acc + (CAST(size(filter(cs, x -> x = ch)) AS DOUBLE) / nc)"
+        "      * log2(CAST(size(filter(cs, x -> x = ch)) AS DOUBLE) / nc))"
+    )
+    flags = feat.select(
+        F.when(q_score < _P29_Q_THRESH, 1).otherwise(0).alias("rq"),
+        F.when(~gopher_pass, 1).otherwise(0).alias("rg"),
+        F.when(F.round(entropy, 6) < _P29_E_THRESH, 1).otherwise(0).alias("re"),
+    )
+    tot = flags.agg(
+        F.sum("rq").cast("bigint").alias("q"),
+        F.sum("rg").cast("bigint").alias("g"),
+        F.sum("re").cast("bigint").alias("e"),
+        F.sum(F.col("rq") * F.col("rg")).cast("bigint").alias("qg"),
+        F.sum(F.col("rq") * F.col("re")).cast("bigint").alias("qe"),
+        F.sum(F.col("rg") * F.col("re")).cast("bigint").alias("ge"),
+    )
+    pairs = tot.selectExpr(
+        "stack(6,"
+        " 'entropy', 'entropy', e, e, e,"
+        " 'entropy', 'gopher', e, g, ge,"
+        " 'entropy', 'quality', e, q, qe,"
+        " 'gopher', 'gopher', g, g, g,"
+        " 'gopher', 'quality', g, q, qg,"
+        " 'quality', 'quality', q, q, q"
+        ") AS (filter_a, filter_b, n_removed_a, n_removed_b, n_removed_both)"
+    )
+    denom = F.col("n_removed_a") + F.col("n_removed_b") - F.col("n_removed_both")
+    return pairs.select(
+        "filter_a",
+        "filter_b",
+        "n_removed_a",
+        "n_removed_b",
+        "n_removed_both",
+        F.when(denom == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("n_removed_both").cast("double") / denom)
+        .alias("overlap_jaccard"),
+    ).orderBy("filter_a", "filter_b")

@@ -367,3 +367,14 @@ def test_s15_batched_lsh_plan_shape(q):
     # the window must partition by qid, never collapse to one partition
     assert "hashpartitioning(qid" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_p29_single_scan_single_aggregate(q):
+    """Filter agreement must cost ONE corpus scan and one global aggregate
+    (partial -> 1 row), however many filters participate: no joins, no
+    per-filter passes — the only exchange is the final single-partition
+    aggregate over the 32 partial rows."""
+    df = q("p29_filter_agreement")
+    assert exchange_count(df) == 1
+    assert not has_cartesian(df)
+    assert len(scan_schemas(df)) == 1
