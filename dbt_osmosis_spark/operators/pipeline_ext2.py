@@ -246,3 +246,75 @@ def p28_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split_lo", "split_hi")
     )
+
+
+# ---- p26: cluster-balanced diversity sampling (D4-style) -------------------
+# After near-dup clustering, dropping all-but-one doc per cluster (d09)
+# discards intra-cluster variation; keeping everything over-represents
+# duplicated content. The published middle ground (D4: "Improving LLM
+# Pretraining via Document De-Duplication and Diversification", Tirumala
+# et al. 2023) samples INVERSELY to duplicate-cluster size: each doc keeps
+# with p = 1/cluster_size, so every near-dup cluster contributes ~one
+# expected representative while singletons always survive — duplicate
+# density is flattened, not truncated.
+#
+# Determinism: the keep rule is exact integer math — u = 60-bit
+# md5('p26#'||doc_id) < 2^60 DIV cluster_size — no float probabilities,
+# so the SAME docs are kept across runs, partitionings, and engines (the
+# oracle reproduces the rule bit-for-bit). Scale shape: the cluster
+# machinery is the shared d06/d09 chain (band-key shuffle + hybrid CC);
+# on top of it, one groupBy(component) count and one join on component —
+# both partition on the same key, no new scan of text, no global sort.
+
+def _p26_oracle() -> str:
+    from dbt_osmosis_spark.operators.dedup import DUCK_LSH_CTES
+
+    return f"""
+WITH RECURSIVE {DUCK_LSH_CTES},
+edges2 AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM cand
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges2 e ON e.src = r.node
+),
+comp AS (
+  SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node
+),
+sized AS (
+  SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM comp GROUP BY component
+),
+keyed AS (
+  SELECT c.doc_id, c.component, s.cluster_size,
+         CAST('0x' || substr(md5('p26#' || CAST(c.doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS u
+  FROM comp c JOIN sized s USING (component)
+)
+SELECT doc_id, component, cluster_size
+FROM keyed
+WHERE u < CAST({1 << 60} AS BIGINT) // cluster_size
+ORDER BY doc_id
+"""
+
+
+@register("p26_cluster_balanced_sample", oracle=_p26_oracle())
+def p26_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_osmosis_spark.operators.pipeline import lsh_components
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    comp = lsh_components(docs)
+    sized = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    u = F.expr(
+        "CAST(conv(substr(md5(cast(concat('p26#', CAST(id AS STRING)) AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
+    )
+    return (
+        comp.join(sized, "component")
+        .withColumn("u", u)
+        .filter(F.col("u") < F.expr(f"CAST({1 << 60} AS BIGINT) DIV cluster_size"))
+        .select(F.col("id").alias("doc_id"), "component", "cluster_size")
+        .orderBy("doc_id")
+    )

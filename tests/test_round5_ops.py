@@ -165,3 +165,29 @@ def test_split_leakage_consistent_with_d03_pairs(spark, sf_dir):
         for r in QUERIES["p28_split_leakage"](spark, sf_dir).collect()
     }
     assert got == {k: (v, len(want_docs[k])) for k, v in want_pairs.items()}
+
+
+def test_cluster_balanced_sample_properties(spark, sf_dir):
+    """p26: singletons always survive (threshold 2^60 keeps every u);
+    multi-doc clusters keep at most their size and flatten density —
+    kept count per cluster is <= size, and expected ~1."""
+    load_all()
+    kept = QUERIES["p26_cluster_balanced_sample"](spark, sf_dir).collect()
+    comp = QUERIES["d06_dedup_components"](spark, sf_dir).collect()
+    multi = {r.component: r.n_docs for r in comp}
+    kept_by_comp = {}
+    for r in kept:
+        kept_by_comp[r.component] = kept_by_comp.get(r.component, 0) + 1
+        assert r.cluster_size >= 1
+        if r.cluster_size == 1:
+            assert r.component not in multi
+    # every singleton is kept: kept singletons == total docs - multi members
+    total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n_multi_members = sum(multi.values())
+    n_singletons_kept = sum(1 for r in kept if r.cluster_size == 1)
+    assert n_singletons_kept == total - n_multi_members
+    # multi clusters never keep more than their size; at least one cluster
+    # actually dropped something (non-vacuous)
+    for c, n in multi.items():
+        assert kept_by_comp.get(c, 0) <= n
+    assert sum(kept_by_comp.get(c, 0) for c in multi) < n_multi_members
