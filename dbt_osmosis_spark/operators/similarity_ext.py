@@ -139,3 +139,76 @@ def s15_batched_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "rnk", "vec_id", "label", "cosine")
         .orderBy("qid", "rnk")
     )
+
+
+# ---- IVF index persistence: the build/serve split made concrete ------------
+# Every IVF-family docstring (s05/s09) says "at index-build time you'd
+# persist this partitionBy('cell') so probes prune partitions". These two
+# functions ARE that split: write the cell-assigned corpus as a
+# cell-partitioned parquet index once, then serve queries that read back
+# ONLY the probed cells — static partition pruning, verified by plan test.
+# At 10^9 vectors the serve-side scan is nprobe/n_cells of the corpus
+# (plus the parquet footer listing), independent of how many queries have
+# run before; the index build is one map-side pass + one partitioned
+# write, re-run only when the corpus changes.
+
+from dbt_osmosis_spark.operators.similarity import (  # noqa: E402
+    _CENT_VALS,
+    _N_CELLS,
+    _NPROBE,
+    ivf_assign,
+)
+
+
+def write_ivf_index(emb: DataFrame, path: str) -> None:
+    """Build + persist the IVF index: cell assignment is map-side against
+    the deterministic centroid literals; one shuffle on cell groups each
+    cell's vectors into its own partition directory."""
+    indexed = ivf_assign(emb)
+    (
+        indexed.select("vec_id", "label", "v", "cell")
+        .repartition("cell")
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def probe_cells(qv: list[float], nprobe: int = _NPROBE) -> list[int]:
+    """The query's nprobe nearest coarse cells, computed driver-side with
+    the SAME left-fold double arithmetic as the in-plan SQL — this is
+    query planning (it decides which partitions exist in the scan), so it
+    belongs on the driver."""
+    dists = []
+    for c in range(_N_CELLS):
+        acc = 0.0
+        for x, y in zip(qv, _CENT_VALS[c]):
+            acc = acc + (x - y) * (x - y)
+        dists.append((acc, c))
+    dists.sort()
+    return [c for _, c in dists[:nprobe]]
+
+
+def query_ivf_index(
+    spark: SparkSession,
+    path: str,
+    qv: list[float],
+    k: int = _K,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Serve one query from the persisted index: read back only the probed
+    cell partitions (isin on the partition column -> static pruning at the
+    scan), exact cosine within them, TakeOrderedAndProject top-k."""
+    probes = probe_cells(qv)
+    qlit = "array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in qv) + ")"
+    idx = spark.read.parquet(path).filter(F.col("cell").isin(probes))
+    if exclude_id is not None:
+        idx = idx.filter(F.col("vec_id") != exclude_id)
+    dot = F.expr(_SPARK_DOT.format(a="v", b=qlit))
+    n_v = F.expr(_SPARK_NORM2.format(a="v"))
+    n_q = F.expr(_SPARK_NORM2.format(a=qlit))
+    return (
+        idx.select("vec_id", "label", (dot / (F.sqrt(n_v) * F.sqrt(n_q))).alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(k)
+    )

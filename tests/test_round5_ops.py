@@ -191,3 +191,42 @@ def test_cluster_balanced_sample_properties(spark, sf_dir):
     for c, n in multi.items():
         assert kept_by_comp.get(c, 0) <= n
     assert sum(kept_by_comp.get(c, 0) for c in multi) < n_multi_members
+
+
+def test_ivf_index_roundtrip_matches_s05_and_prunes_partitions(spark, sf_dir, tmp_path):
+    """write_ivf_index + query_ivf_index must (a) return exactly what the
+    in-plan s05 computes for the same query and (b) prune the scan to the
+    probed cell partitions — the serve-side cost model the IVF docstrings
+    promise."""
+    from dbt_osmosis_spark.operators.similarity_ext import (
+        probe_cells,
+        query_ivf_index,
+        write_ivf_index,
+    )
+    from dbt_osmosis_spark.sources.parquet import read_parquet, spread
+
+    load_all()
+    emb = spread(read_parquet(spark, f"{sf_dir}/embeddings.parquet")).withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, path)
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("v").collect()[0][0]]
+    res = query_ivf_index(spark, path, qv, exclude_id=0)
+    got = res.collect()
+    want = QUERIES["s05_ivf_topk"](spark, sf_dir).collect()
+    assert [r.vec_id for r in got] == [r.vec_id for r in want]
+    for g, w in zip(got, want):
+        assert abs(g.cosine - w.cosine) < 1e-12
+
+    # partition pruning reached the scan: the cell IN-list is a
+    # PartitionFilter, not a post-scan DataFilter
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scan_lines and any(
+        "PartitionFilters" in ln and "cell" in ln.split("PartitionFilters", 1)[1][:120]
+        for ln in scan_lines
+    ), scan_lines
+    # and the probe set is the static planner's choice
+    assert len(probe_cells(qv)) == 4
