@@ -18,10 +18,13 @@ Scale design (the 100 TB / 10^9-vector plan):
   the only exchange in the plan is on qid (n_queries keys). Candidate
   sets are LSH-bounded, so no qid partition can skew beyond
   ~n·(P+1)/2^P; AQE splits stragglers if a hot bucket appears.
-- Key width adapts like d05/d13: the bucket formula here inherits s02's
-  P sign planes; at a larger corpus you widen P by ceil(log2(N/N_ref))
-  (see ``similarity.adaptive_xbits_agg_sql``) — candidates per query stay
-  constant while the probe count grows only linearly in P.
+- Key width adapts like d05/d13 (and unlike s02's fixed P): the join key
+  is (bucket, sub) where sub = the first ceil(log2(N/N_ref)) sign bits of
+  the embedding's packed signword, computed in-plan from a broadcast
+  1-row COUNT aggregate. Candidates per query stay ~constant as the
+  corpus grows; at the reference scale xbits = 0, so results are
+  bit-identical to the unwidened key (the trade at larger N is d05/d13's:
+  extra key bits narrow recall along the unprobed sub dimension).
 
 Cross-engine determinism: same md5-derived plane literals as s02, dot
 products are identical left-to-right folds, and the rank tie-break is
@@ -39,15 +42,19 @@ from pyspark.sql import functions as F
 
 from dbt_osmosis_spark.operators import register
 from dbt_osmosis_spark.operators.similarity import (
+    ADAPTIVE_SUB_SQL,
     _DIM,
     _DUCK_BUCKET,
     _DUCK_DOT,
     _DUCK_NORM2,
+    _DUCK_SIGNWORD,
     _K,
     _P,
     _SPARK_BUCKET,
     _SPARK_DOT,
     _SPARK_NORM2,
+    _SPARK_SIGNWORD,
+    adaptive_xbits_agg_sql,
 )
 from dbt_osmosis_spark.sources.parquet import read_parquet, spread
 
@@ -55,26 +62,32 @@ from dbt_osmosis_spark.sources.parquet import read_parquet, spread
 # realistic — production batches re-embed incoming requests, which are
 # distributed like the corpus.
 _S15_NQ = 8
+_S15_REF_N = 2000  # same reference corpus size as d05 (sf0.1 embeddings)
 
 _S15_ORACLE = f"""
 WITH vecs AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
 ),
+cnt AS (
+  SELECT {adaptive_xbits_agg_sql(_S15_REF_N)} AS xbits FROM vecs
+),
 bucketed AS (
-  SELECT vec_id, label, v, {_DUCK_BUCKET} AS bucket FROM vecs
+  SELECT vec_id, label, v, {_DUCK_BUCKET} AS bucket,
+         {ADAPTIVE_SUB_SQL.format(w=_DUCK_SIGNWORD.format(a="v", base=0), xbits="(SELECT xbits FROM cnt)")} AS sub
+  FROM vecs
 ),
 q AS (
-  SELECT vec_id AS qid, v AS qv, bucket AS qbucket
+  SELECT vec_id AS qid, v AS qv, bucket AS qbucket, sub AS qsub
   FROM bucketed WHERE vec_id < {_S15_NQ}
 ),
 probes AS (
-  SELECT qid, qv, unnest([qbucket] || list_transform(range(0, {_P}),
+  SELECT qid, qv, qsub, unnest([qbucket] || list_transform(range(0, {_P}),
                     j -> xor(qbucket, CAST(1 AS BIGINT) << j))) AS bucket
   FROM q
 ),
 cand AS (
   SELECT p.qid, b.vec_id, b.label, b.v, p.qv
-  FROM bucketed b JOIN probes p ON b.bucket = p.bucket
+  FROM bucketed b JOIN probes p ON b.bucket = p.bucket AND b.sub = p.qsub
   WHERE b.vec_id <> p.qid
 ),
 scored AS (
@@ -100,11 +113,29 @@ def s15_batched_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(read_parquet(spark, f"{sf_dir}/embeddings.parquet")).withColumn(
         "v", F.col("embedding").cast("array<double>")
     )
-    bucketed = emb.select("vec_id", "label", "v", F.expr(_SPARK_BUCKET).alias("bucket"))
+    xbits = emb.agg(F.expr(adaptive_xbits_agg_sql(_S15_REF_N)).alias("xbits"))
+    bucketed = (
+        emb.select(
+            "vec_id",
+            "label",
+            "v",
+            F.expr(_SPARK_BUCKET).alias("bucket"),
+            F.expr(_SPARK_SIGNWORD.format(a="v", base=0)).alias("w0"),
+        )
+        .crossJoin(F.broadcast(xbits))
+        .select(
+            "vec_id",
+            "label",
+            "v",
+            "bucket",
+            F.expr(ADAPTIVE_SUB_SQL.format(w="w0", xbits="xbits")).alias("sub"),
+        )
+    )
     q = bucketed.filter(F.col("vec_id") < _S15_NQ).select(
         F.col("vec_id").alias("qid"),
         F.col("v").alias("qv"),
         F.col("bucket").alias("qbucket"),
+        F.col("sub").alias("qsub"),
     )
     # Multi-probe explode on the QUERY side only: n_queries x (P+1) rows.
     # Probe buckets per query are distinct and each corpus vector has
@@ -112,6 +143,7 @@ def s15_batched_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = q.select(
         "qid",
         "qv",
+        "qsub",
         F.explode(
             F.expr(
                 f"concat(array(qbucket), transform(sequence(0, {_P} - 1),"
@@ -123,7 +155,10 @@ def s15_batched_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_v = F.expr(_SPARK_NORM2.format(a="v"))
     n_q = F.expr(_SPARK_NORM2.format(a="qv"))
     scored = (
-        bucketed.join(F.broadcast(probes), "bucket")
+        bucketed.join(
+            F.broadcast(probes),
+            (bucketed.bucket == probes.bucket) & (bucketed.sub == probes.qsub),
+        )
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",

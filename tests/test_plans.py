@@ -364,9 +364,13 @@ def test_s15_batched_lsh_plan_shape(q):
     assert has_broadcast_join(df)
     assert not has_cartesian(df)
     plan = physical_plan(df)
-    # the window must partition by qid, never collapse to one partition
+    # the window must partition by qid, never collapse to one partition;
+    # the only single-partition collapses allowed are the 1-row adaptive
+    # key-width (xbits) aggregates — replayed once per join side, but each
+    # is a metadata-only COUNT(*) (ReadSchema: struct<>), never a data scan
     assert "hashpartitioning(qid" in plan
-    assert "Exchange SinglePartition" not in plan
+    assert plan.count("Exchange SinglePartition") <= 2
+    assert "ReadSchema: struct<>" in plan
 
 
 def test_p29_single_scan_single_aggregate(q):
