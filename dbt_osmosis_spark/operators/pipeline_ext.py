@@ -37,6 +37,7 @@ from dbt_osmosis_spark.operators.similarity import (
 from dbt_osmosis_spark.operators.text import (
     _DUCK_TOK,
     _duck_shingles,
+    spark_bloom_bit_sql,
     spark_shingles_sql,
     tokens,
 )
@@ -61,10 +62,7 @@ _P12_K = 3  # hash functions
 _P12_EVAL = "src0"  # contamination source (same split as p04)
 
 # bit position j of shingle s: md5int('b<j>#' || s) % M
-_SPARK_BIT = (
-    "CAST(conv(substr(md5(cast(concat('b', CAST({j} AS STRING), '#', {s}) AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
-    f" % {_P12_M}"
-)
+_SPARK_BIT = spark_bloom_bit_sql("{j}", "{s}", _P12_M)
 _DUCK_BIT = (
     "CAST('0x' || substr(md5('b' || CAST({j} AS VARCHAR) || '#' || {s}), 1, 15) AS BIGINT)"
     f" % {_P12_M}"

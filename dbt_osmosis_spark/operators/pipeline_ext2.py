@@ -308,9 +308,9 @@ def p26_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized = comp.groupBy("component").agg(
         F.count(F.lit(1)).cast("bigint").alias("cluster_size")
     )
-    u = F.expr(
-        "CAST(conv(substr(md5(cast(concat('p26#', CAST(id AS STRING)) AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
-    )
+    from dbt_osmosis_spark.operators.text import SPARK_MD5INT
+
+    u = F.expr(SPARK_MD5INT.format(x="concat('p26#', CAST(id AS STRING))"))
     return (
         comp.join(sized, "component")
         .withColumn("u", u)

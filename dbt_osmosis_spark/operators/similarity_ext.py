@@ -61,8 +61,9 @@ from dbt_osmosis_spark.sources.parquet import read_parquet, spread
 # Queries = the first 8 corpus vectors (vec_id < 8): deterministic, and
 # realistic — production batches re-embed incoming requests, which are
 # distributed like the corpus.
+from dbt_osmosis_spark.operators.dedup import _D05_REF_N as _S15_REF_N  # noqa: E402
+
 _S15_NQ = 8
-_S15_REF_N = 2000  # same reference corpus size as d05 (sf0.1 embeddings)
 
 _S15_ORACLE = f"""
 WITH vecs AS (

@@ -40,6 +40,13 @@ def md5_int(c: Column) -> Column:
 SPARK_MD5INT = "CAST(conv(substr(md5(cast({x} AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
 
 
+def spark_bloom_bit_sql(j: str, s: str, m: int) -> str:
+    """The canonical Bloom bit derivation: 60-bit md5 of ('b', j, '#', s)
+    mod m. Shared by p12's decontamination filter and the streaming-ingest
+    index sketch so the two Bloom constructions cannot drift apart."""
+    return SPARK_MD5INT.format(x=f"concat('b', CAST({j} AS STRING), '#', {s})") + f" % {m}"
+
+
 def spark_shingles_sql(tok_col: str, k: int = 3) -> str:
     """Distinct k-gram word shingles of token array `tok_col` — built-ins
     only (sequence/transform/concat_ws): pure map-side, no explode."""

@@ -41,10 +41,10 @@ choice the global window makes.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from dbt_osmosis_spark.operators.text import spark_bloom_bit_sql
 
 
 def content_hashes(docs: DataFrame) -> DataFrame:
@@ -52,6 +52,19 @@ def content_hashes(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id", F.md5(F.col("text").cast("binary")).alias("h"), "n_chars"
     )
+
+
+def _read_parquet_if_present(spark: SparkSession, path: str) -> DataFrame | None:
+    """Storage-agnostic existence probe: os.path.exists only answers for
+    the driver-local filesystem and would silently disable dedup for an
+    HDFS/S3 index URI — let the reader resolve the path instead and treat
+    an unresolvable path as an absent (not-yet-seeded) table."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        return None
 
 
 # Bloom pre-filter sizing: M bits / K hashes bound the false-positive rate
@@ -62,12 +75,8 @@ def content_hashes(docs: DataFrame) -> DataFrame:
 _BLOOM_M = 1 << 20
 _BLOOM_K = 3
 
-# same conv-md5 bit derivation as p12's decontamination filter
-# (operators/pipeline_ext.py) — deterministic, engine-portable
-_BIT = (
-    "CAST(conv(substr(md5(cast(concat('b', CAST(j AS STRING), '#', h) AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
-    f" % {_BLOOM_M}"
-)
+# the canonical p12 bit derivation, shared so the constructions can't drift
+_BIT = spark_bloom_bit_sql("j", "h", _BLOOM_M)
 
 
 def index_bloom_bits(idx: DataFrame) -> DataFrame:
@@ -78,7 +87,11 @@ def index_bloom_bits(idx: DataFrame) -> DataFrame:
 
 
 def dedup_batch_against_index(
-    batch: DataFrame, spark: SparkSession, index_dir: str, bloom: bool = False
+    batch: DataFrame,
+    spark: SparkSession,
+    index_dir: str,
+    bloom: bool = False,
+    bits: DataFrame | None = None,
 ) -> DataFrame:
     """One micro-batch step: first-occurrence within the batch (min doc_id
     per hash), then left-anti against the accepted-hash index.
@@ -89,18 +102,26 @@ def dedup_batch_against_index(
     only the positives — duplicates plus the tiny false-positive tail —
     pay the exact anti-join. Same accepted set by construction (Bloom has
     no false negatives: identical bit derivation on both sides), tested
-    against the exact path."""
-    hashed = content_hashes(batch)
+    against the exact path. ``bits`` supplies a pre-maintained sketch
+    (run_dedup_ingest appends per-batch bits to a sibling table) so the
+    filter is NOT rebuilt from the full index every batch; absent, it is
+    derived from the index — the one-off/direct-call path.
+
+    Kept rows carry every batch column plus ``h`` — the sink receives the
+    admitted DOCUMENTS, not just their fingerprints."""
+    hashed = batch.withColumn("h", F.md5(F.col("text").cast("binary")))
     w = Window.partitionBy("h").orderBy("doc_id")
     fresh = (
         hashed.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
-    if os.path.exists(index_dir):
-        idx = spark.read.parquet(index_dir).select("h")
+    idx = _read_parquet_if_present(spark, index_dir)
+    if idx is not None:
+        idx = idx.select("h")
         if bloom:
-            bits = index_bloom_bits(idx)
+            if bits is None:
+                bits = index_bloom_bits(idx)
             js = F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))).alias("j")
             probes = fresh.select("doc_id", "h", js).select(
                 "doc_id", F.expr(_BIT).alias("bit")
@@ -134,6 +155,11 @@ def run_dedup_ingest(
     ``index_dir`` may be pre-seeded with the existing corpus fingerprints
     (one parquet of ``h``) — the bootstrap a migration from batch p16
     does; absent, the first batch seeds it.
+
+    With ``bloom=True`` the sketch is MAINTAINED, not rebuilt: the bit
+    table lives beside the index (``<index_dir>_bits``), is bootstrapped
+    from the index once, and each batch appends only its kept rows' bits
+    — per-batch Bloom cost is O(bit-table scan), never a full index pass.
     """
     schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
     stream = (
@@ -142,14 +168,31 @@ def run_dedup_ingest(
         .parquet(incoming_dir)
     )
 
+    bits_dir = index_dir.rstrip("/") + "_bits"
+
     def _sink(batch_df: DataFrame, _bid: int) -> None:
-        kept = dedup_batch_against_index(batch_df, spark, index_dir, bloom=bloom)
-        # one job, two writes: materialize once so the anti-join (and its
-        # index scan) doesn't run twice; released before the batch returns
+        bits = None
+        if bloom:
+            bits_df = _read_parquet_if_present(spark, bits_dir)
+            if bits_df is None:
+                idx0 = _read_parquet_if_present(spark, index_dir)
+                if idx0 is not None:
+                    index_bloom_bits(idx0).write.parquet(bits_dir)
+                    bits_df = spark.read.parquet(bits_dir)
+            if bits_df is not None:
+                # appended per-batch bits may repeat across batches
+                bits = bits_df.distinct()
+        kept = dedup_batch_against_index(
+            batch_df, spark, index_dir, bloom=bloom, bits=bits
+        )
+        # one job, three writes: materialize once so the anti-join (and its
+        # index scan) doesn't run thrice; released before the batch returns
         kept = kept.persist()
         try:
             kept.write.mode("append").parquet(out_dir)
             kept.select("h").write.mode("append").parquet(index_dir)
+            if bloom:
+                index_bloom_bits(kept.select("h")).write.mode("append").parquet(bits_dir)
         finally:
             kept.unpersist()
 

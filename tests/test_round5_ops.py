@@ -228,5 +228,15 @@ def test_ivf_index_roundtrip_matches_s05_and_prunes_partitions(spark, sf_dir, tm
         "PartitionFilters" in ln and "cell" in ln.split("PartitionFilters", 1)[1][:120]
         for ln in scan_lines
     ), scan_lines
-    # and the probe set is the static planner's choice
-    assert len(probe_cells(qv)) == 4
+    # the driver-side probe computation must reproduce the in-plan nprobe
+    # expression exactly (same fold order, same tie-break) — this is the
+    # contract that makes static pruning equivalent to s05's in-plan filter
+    from dbt_osmosis_spark.operators.similarity import _SPARK_PROBE
+
+    in_plan = (
+        emb.filter(F.col("vec_id") == 0)
+        .selectExpr(f"{_SPARK_PROBE.format(a='v')} AS probe")
+        .collect()[0]
+        .probe
+    )
+    assert probe_cells(qv) == list(in_plan)

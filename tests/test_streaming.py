@@ -300,11 +300,14 @@ def test_streaming_phash_dedup_bounded_state(spark, sf_dir, tmp_path):
     assert len({r.phash for r in got}) == len(got)
 
 
-def test_streaming_dedup_ingest_matches_batch_p16(spark, sf_dir, tmp_path):
+@pytest.mark.parametrize("bloom", [False, True])
+def test_streaming_dedup_ingest_matches_batch_p16(spark, sf_dir, tmp_path, bloom):
     """Continuous-ingest dedup (readStream → foreachBatch anti-join against
     the accepted-hash index) must equal batch p16 once the backlog drains:
     sequential per-batch dedup composes to the same first-occurrence choice
-    the global window makes when files arrive in doc_id order."""
+    the global window makes when files arrive in doc_id order. bloom=True
+    additionally exercises the maintained bit-table path (bootstrap from
+    the seeded index + per-batch appends)."""
     import glob
     import os
     import shutil
@@ -356,13 +359,14 @@ def test_streaming_dedup_ingest_matches_batch_p16(spark, sf_dir, tmp_path):
         os.utime(dst, (1_000_000 + i, 1_000_000 + i))
 
     run_dedup_ingest(
-        incoming_dir, index_dir, out_dir, str(tmp_path / "ckpt"), spark
+        incoming_dir, index_dir, out_dir, str(tmp_path / "ckpt"), spark, bloom=bloom
     )
 
-    got = {
-        (r.doc_id, r.h, r.n_chars)
-        for r in spark.read.parquet(out_dir).collect()
-    }
+    accepted = spark.read.parquet(out_dir)
+    # the sink receives the admitted DOCUMENTS (all columns + h), not
+    # just fingerprints
+    assert {"doc_id", "text", "lang", "source", "n_chars", "h"} <= set(accepted.columns)
+    got = {(r.doc_id, r.h, r.n_chars) for r in accepted.collect()}
     want = {
         (r.doc_id, r.content_hash, r.n_chars)
         for r in QUERIES["p16_incremental_dedup"](spark, sf_dir).collect()
