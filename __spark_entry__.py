@@ -43,7 +43,7 @@ def _ordered_names() -> list[str]:
     never_sampled = (
         [f"p{i:02d}" for i in range(15, 25)]  # only entries without a driver row
         + ["d16", "p27", "t16", "m09", "s14", "p28"]  # new in round 5
-        + ["s15", "p26", "p29"]  # new in the round-5 continuation session
+        + ["s15", "p26", "p29", "s16"]  # new in the round-5 continuation session
         + ["s13", "p25", "t15", "d15", "m08"]
         + [f"d{i:02d}" for i in (13, 10, 11, 12)]
         + [f"t{i:02d}" for i in range(11, 15)]

@@ -248,3 +248,105 @@ def query_ivf_index(
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(k)
     )
+
+
+# ---- s16: per-label centroid outliers (prototypicality pruning) ------------
+# The SemDeDup/D4-family companion to d13: after clustering/labeling,
+# prune vectors FAR from their cluster centroid — outliers are often
+# mislabeled, corrupted, or off-distribution content that harms training
+# more than duplicates do (Sorscher et al. 2022 prune by exactly this
+# "prototypicality" distance). s16 flags the farthest ~5% per label.
+#
+# Scale shape: the centroid build is s03's exact-decimal discipline
+# (quantize components to integers -> DECIMAL sums: order-independent,
+# engine-exact), folded per label into a 64-double array — 20 rows, a
+# broadcast model exactly like t13's bigram LM. The distance pass is one
+# map-side fold against the broadcast centroid; the only other exchange
+# is the per-label rank window (bounded labels -> bounded skew). The
+# outlier cut is integer math on the rank (rn > n - ceil(n/20)), never a
+# float quantile. Distances are rounded half-up to 1e-6 BEFORE ranking
+# (the s04 move) so rank order is engine-exact.
+# Reference analog: none (north-star similarity family).
+
+_S16_TOP_PCT = 20  # flag the top 1/20th (~5%) farthest per label
+
+_S16_ORACLE = f"""
+WITH comp AS (
+  SELECT label, d AS pos, (embedding::DOUBLE[])[d + 1] AS x
+  FROM embeddings, (SELECT unnest(range(0, {_DIM})) AS d)
+),
+cent AS (
+  SELECT label, pos,
+         CAST(SUM(CAST(floor(x * 1e9 + 0.5) AS DECIMAL(28,0))) AS DOUBLE)
+           / COUNT(*) / 1e9 AS m
+  FROM comp GROUP BY label, pos
+),
+cvec AS (
+  SELECT label, list(m ORDER BY pos) AS c FROM cent GROUP BY label
+),
+dists AS (
+  SELECT e.vec_id, e.label,
+         floor(list_sum(list_transform(range(1, {_DIM} + 1),
+               i -> ((e.embedding::DOUBLE[])[i] - cv.c[i])
+                    * ((e.embedding::DOUBLE[])[i] - cv.c[i]))) * 1e6 + 0.5) / 1e6
+           AS dist2
+  FROM embeddings e JOIN cvec cv ON cv.label = e.label
+),
+ranked AS (
+  SELECT vec_id, label, dist2,
+         row_number() OVER (PARTITION BY label ORDER BY dist2, vec_id) AS rn,
+         COUNT(*) OVER (PARTITION BY label) AS n
+  FROM dists
+)
+SELECT vec_id, label, dist2,
+       CAST(rn > n - CAST(ceil(CAST(n AS DOUBLE) / {_S16_TOP_PCT}) AS BIGINT) AS INT)
+         AS is_outlier
+FROM ranked
+ORDER BY vec_id
+"""
+
+
+@register("s16_centroid_outliers", oracle=_S16_ORACLE)
+def s16_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(read_parquet(spark, f"{sf_dir}/embeddings.parquet"))
+    comp = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    )
+    cent = comp.groupBy("label", "pos").agg(
+        (
+            F.sum(F.expr("CAST(floor(x * 1e9 + 0.5) AS DECIMAL(28,0))")).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1e9)
+        ).alias("m")
+    )
+    cvec = cent.groupBy("label").agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").alias("c")
+    )
+    dist2 = F.expr(
+        "floor(aggregate(zip_with(CAST(embedding AS array<double>), c,"
+        " (x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        " * 1e6 + 0.5) / 1e6"
+    )
+    dists = emb.join(F.broadcast(cvec), "label").select(
+        "vec_id", "label", dist2.alias("dist2")
+    )
+    w = Window.partitionBy("label").orderBy("dist2", "vec_id")
+    wn = Window.partitionBy("label")
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .select(
+            "vec_id",
+            "label",
+            "dist2",
+            (
+                F.col("rn")
+                > F.col("n")
+                - F.expr(f"CAST(ceil(CAST(n AS DOUBLE) / {_S16_TOP_PCT}) AS BIGINT)")
+            )
+            .cast("int")
+            .alias("is_outlier"),
+        )
+        .orderBy("vec_id")
+    )

@@ -382,3 +382,13 @@ def test_p29_single_scan_single_aggregate(q):
     assert exchange_count(df) == 1
     assert not has_cartesian(df)
     assert len(scan_schemas(df)) == 1
+
+
+def test_s16_broadcasts_centroid_model(q):
+    """The 20-row centroid model must broadcast to the distance pass; the
+    corpus never shuffles for the join (only the posexplode aggregate and
+    the per-label rank window exchange)."""
+    df = q("s16_centroid_outliers")
+    assert has_broadcast_join(df)
+    assert not has_cartesian(df)
+    assert "hashpartitioning(label" in physical_plan(df)

@@ -240,3 +240,24 @@ def test_ivf_index_roundtrip_matches_s05_and_prunes_partitions(spark, sf_dir, tm
         .probe
     )
     assert probe_cells(qv) == list(in_plan)
+
+
+def test_centroid_outliers_flag_rate_and_extremity(spark, sf_dir):
+    """s16: each label flags exactly ceil(n/20) vectors, and the flagged
+    set is precisely the farthest tail — no flagged vector may be closer
+    to its centroid than an unflagged one of the same label."""
+    import math
+
+    load_all()
+    rows = QUERIES["s16_centroid_outliers"](spark, sf_dir).collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r)
+    assert len(by_label) > 1
+    for label, rs in by_label.items():
+        n = len(rs)
+        flagged = [r for r in rs if r.is_outlier == 1]
+        assert len(flagged) == math.ceil(n / 20), (label, n, len(flagged))
+        max_in = max(r.dist2 for r in rs if r.is_outlier == 0)
+        min_out = min(r.dist2 for r in flagged)
+        assert min_out >= max_in
