@@ -31,29 +31,52 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q03_customer_ltv"](spark, "/root/testdata/sf0.001")
 
 
-def _ordered_names() -> list[str]:
-    """Registry names with never-driver-sampled entries first.
+def _driver_last_round() -> dict[str, int]:
+    """Per query name, the latest round with a committed driver row.
 
-    The driver samples the first N entries of ``queries()`` per round;
-    rounds 1-4 cumulatively covered everything except p15-p24 (the r4
-    sample of 50 cut just before them). Leading with those 10 — plus any
-    operators new this round — completes the driver CORRECTNESS board:
-    every registered query then has a driver row.
+    Derived from the CORRECTNESS_r*.json artifacts the driver itself
+    commits, so the rotation needs no hand-maintained list and can never
+    go stale: a query absent from every file has never been sampled.
     """
-    never_sampled = (
-        [f"p{i:02d}" for i in range(15, 25)]  # only entries without a driver row
-        + ["d16", "p27", "t16", "m09", "s14", "p28"]  # new in round 5
-        + ["s15", "p26", "p29", "s16"]  # new in the round-5 continuation session
-        + ["s13", "p25", "t15", "d15", "m08"]
-        + [f"d{i:02d}" for i in (13, 10, 11, 12)]
-        + [f"t{i:02d}" for i in range(11, 15)]
-        + [f"q{i:02d}" for i in range(19, 53)]
-        + [f"p{i:02d}" for i in range(12, 15)]
-    )
-    by_prefix = {name[:3]: name for name in QUERIES}
-    lead = [by_prefix[p] for p in never_sampled if p in by_prefix]
-    rest = [n for n in QUERIES if n not in set(lead)]
-    return lead + rest
+    import glob
+    import json
+    import re
+
+    last: dict[str, int] = {}
+    for path in glob.glob(str(Path(_REPO) / "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.load(open(path))
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name in rows:
+            last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+def _ordered_names() -> list[str]:
+    """Registry names, staleness-first (judge r5 item 2).
+
+    The driver samples the first ~50 entries of ``queries()`` per round.
+    Ordering never/oldest-driver-row first guarantees every registered
+    query gets a fresh driver CORRECTNESS row at least once every
+    ceil(len(registry)/50) rounds, with no bookkeeping: new queries have
+    no committed row (round 0) and automatically lead; after the driver
+    commits CORRECTNESS_r{N}.json they rotate to the back of the queue.
+    Ties break on registry order, which is deterministic.
+    """
+    return _ordered_by_staleness(_driver_last_round())
+
+
+def _ordered_by_staleness(last: dict[str, int]) -> list[str]:
+    names = list(QUERIES)
+    pos = {n: i for i, n in enumerate(names)}
+    return sorted(names, key=lambda n: (last.get(n, 0), pos[n]))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

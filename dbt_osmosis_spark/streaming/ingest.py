@@ -189,10 +189,19 @@ def run_dedup_ingest(
         # index scan) doesn't run thrice; released before the batch returns
         kept = kept.persist()
         try:
+            # Write order is a crash-replay contract: docs → bits → index.
+            # Docs first: a crash before the index write re-emits the batch
+            # on replay (duplicates in the sink, never a lost admit). Bits
+            # BEFORE the index: a crash between them leaves spurious bits
+            # (safe — they only cost an exact-join probe on replay), whereas
+            # index-first would leave hashes in the index whose bits never
+            # land (replay recomputes kept as empty), turning later
+            # duplicates of those docs into permanent Bloom false negatives
+            # that skip the exact join and get admitted forever.
             kept.write.mode("append").parquet(out_dir)
-            kept.select("h").write.mode("append").parquet(index_dir)
             if bloom:
                 index_bloom_bits(kept.select("h")).write.mode("append").parquet(bits_dir)
+            kept.select("h").write.mode("append").parquet(index_dir)
         finally:
             kept.unpersist()
 

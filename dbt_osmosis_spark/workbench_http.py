@@ -165,11 +165,25 @@ def serve_workbench(
             # the API token still gates every mutating request there.
             if host not in {"127.0.0.1", "localhost", "::1"}:
                 return True
-            got = (self.headers.get("Host") or "").rsplit(":", 1)
+            raw = self.headers.get("Host") or ""
             bound_port = str(self.server.server_address[1])
-            if len(got) == 2 and got[1] != bound_port:
-                return False
-            return got[0] in {host, "localhost", "127.0.0.1", "[::1]"}
+            if raw.startswith("["):
+                # bracketed IPv6 literal: the colons inside the brackets are
+                # part of the address — strip an optional :port only after
+                # the closing bracket (a bare "[::1]" must parse as host
+                # "[::1]", not host "[:" / port "1]").
+                end = raw.find("]")
+                if end < 0:
+                    return False
+                name, tail = raw[: end + 1], raw[end + 1 :]
+                if tail and (not tail.startswith(":") or tail[1:] != bound_port):
+                    return False
+            else:
+                got = raw.rsplit(":", 1)
+                if len(got) == 2 and got[1] != bound_port:
+                    return False
+                name = got[0]
+            return name in {host, "localhost", "127.0.0.1", "[::1]"}
 
         def do_GET(self):
             if not self._host_ok():
