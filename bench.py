@@ -70,6 +70,9 @@ FAMILIES = [
     # pattern) and the bounded two-stage MMR re-rank (Arrow greedy stage)
     "p27_token_budget_select",
     "s14_mmr_rerank",
+    # round-6: the IVF build/serve split — one cell-partitioned index write
+    # + an 8-query serve that prunes the scan to the probed cells
+    "s17_ivf_index_serve",
 ]
 
 # Scale-slope flagships: timed at sf0.1 AND at the generated 10x sf1

@@ -392,3 +392,21 @@ def test_s16_broadcasts_centroid_model(q):
     assert has_broadcast_join(df)
     assert not has_cartesian(df)
     assert "hashpartitioning(label" in physical_plan(df)
+
+
+def test_s17_serve_scan_prunes_to_probed_cells(q):
+    """The registered build/serve query must read back ONLY the probed
+    cell partitions: the batch's cell IN-list is a PartitionFilter at the
+    index FileScan (static pruning — the scan never lists unprobed
+    cells), the 8-row query relation broadcasts, and per-query top-k is a
+    qid window, not a global sort."""
+    df = q("s17_ivf_index_serve")
+    assert has_broadcast_join(df)
+    assert not has_cartesian(df)
+    plan = physical_plan(df)
+    scan_lines = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert any(
+        "PartitionFilters" in ln and "cell" in ln.split("PartitionFilters", 1)[1][:160]
+        for ln in scan_lines
+    ), scan_lines
+    assert "hashpartitioning(qid" in plan
