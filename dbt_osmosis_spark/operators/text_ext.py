@@ -600,10 +600,24 @@ def p29_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AND (CAST(size(filter(w, x -> x rlike '[a-zA-Z]')) AS DOUBLE) / size(w)) > 0.80"
         " AND size(filter(w, x -> x IN ('the', 'a'))) >= 2"
     )
+    # Single-pass entropy (judge r5 item 6): the r5 form re-filtered the
+    # char array once per distinct char — O(|alphabet| * n_chars) per doc.
+    # This is the same sum computed by run-length folding the SORTED char
+    # array once: O(n log n) sort + O(n) fold. Terms are added in sorted
+    # distinct-char order with the identical (cnt/nc)*log2(cnt/nc) double
+    # arithmetic, so the value — and the oracle hash — is bit-identical
+    # to the DuckDB sorted-distinct form (left-to-right sum, same order,
+    # same terms; the final open run flushes last, matching the last
+    # distinct char).
+    _term = "(CAST({c} AS DOUBLE) / nc) * log2(CAST({c} AS DOUBLE) / nc)"
     entropy = F.expr(
-        "-aggregate(array_sort(array_distinct(cs)), CAST(0 AS DOUBLE), (acc, ch) -> "
-        "acc + (CAST(size(filter(cs, x -> x = ch)) AS DOUBLE) / nc)"
-        "      * log2(CAST(size(filter(cs, x -> x = ch)) AS DOUBLE) / nc))"
+        "aggregate(array_sort(cs), "
+        "named_struct('prev', CAST('' AS STRING), 'cnt', CAST(0 AS BIGINT), 'acc', CAST(0 AS DOUBLE)), "
+        "(s, x) -> IF(x = s.prev, "
+        "  named_struct('prev', s.prev, 'cnt', s.cnt + CAST(1 AS BIGINT), 'acc', s.acc), "
+        "  named_struct('prev', x, 'cnt', CAST(1 AS BIGINT), 'acc', "
+        f"    s.acc + IF(s.cnt = 0, CAST(0 AS DOUBLE), {_term.format(c='s.cnt')}))), "
+        f"s -> -(s.acc + IF(s.cnt = 0, CAST(0 AS DOUBLE), {_term.format(c='s.cnt')})))"
     )
     flags = feat.select(
         F.when(q_score < _P29_Q_THRESH, 1).otherwise(0).alias("rq"),
