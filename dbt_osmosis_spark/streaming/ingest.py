@@ -75,6 +75,20 @@ def _read_parquet_if_present(spark: SparkSession, path: str) -> DataFrame | None
 _BLOOM_M = 1 << 20
 _BLOOM_K = 3
 
+# Test-only fault injection: set to "docs" or "bits" to make the NEXT sink
+# invocation raise immediately after that write completes, simulating the
+# process dying between the append pair (the at-least-once replay window
+# the module docstring documents). One-shot: cleared before raising, so a
+# restarted stream replays cleanly. Production never sets this.
+_CRASH_AFTER: str | None = None
+
+
+def _maybe_crash(point: str) -> None:
+    global _CRASH_AFTER
+    if _CRASH_AFTER == point:
+        _CRASH_AFTER = None
+        raise RuntimeError(f"injected crash after {point} write")
+
 # the canonical p12 bit derivation, shared so the constructions can't drift
 _BIT = spark_bloom_bit_sql("j", "h", _BLOOM_M)
 
@@ -199,8 +213,10 @@ def run_dedup_ingest(
             # duplicates of those docs into permanent Bloom false negatives
             # that skip the exact join and get admitted forever.
             kept.write.mode("append").parquet(out_dir)
+            _maybe_crash("docs")
             if bloom:
                 index_bloom_bits(kept.select("h")).write.mode("append").parquet(bits_dir)
+                _maybe_crash("bits")
             kept.select("h").write.mode("append").parquet(index_dir)
         finally:
             kept.unpersist()
