@@ -146,3 +146,107 @@ def d16_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_shared"), "doc_a", "doc_b")
         .limit(_TOP)
     )
+
+
+# ---- d17: fuzzy decontamination (train-vs-benchmark MinHash LSH) -----------
+# p04/p12 decontaminate on EXACT shingle overlap; real pipelines (GPT-3
+# appendix C, Llama, Dolma) additionally remove training docs that are
+# NEAR-duplicates of benchmark items — paraphrased or lightly-edited eval
+# content that exact shingles miss. d17 is that step: MinHash signatures
+# on both sides, banded-LSH candidate generation, exact-Jaccard verify,
+# aggregated to a per-training-doc contamination verdict.
+#
+# Scale shape (the 100 TB asymmetry): the eval suite is tiny and FIXED
+# (thousands of items) while the corpus is the 100 TB side — so the eval
+# bands AND eval signatures broadcast, the corpus side never shuffles
+# (its bands are map-side), and the whole operator is one broadcast-hash
+# join + a per-doc aggregate. The threshold sits BELOW the dedup bar
+# (0.35 vs d03's 0.5): contamination removal wants recall — dropping a
+# borderline training doc is cheap, leaking an eval item is not.
+# Reuses minhash_signatures/lsh_bands/duck_lsh_side_ctes from dedup.py
+# (single source of truth — the formulas cannot drift between oracles).
+# Reference analog: none (north-star dedup family).
+
+_D17_TAU = 0.35
+_D17_EVAL_MOD = 10  # stand-in benchmark: every 10th doc plays the eval set
+
+from dbt_osmosis_spark.operators.dedup import duck_lsh_side_ctes  # noqa: E402
+
+_D17_ORACLE = f"""
+WITH {duck_lsh_side_ctes("corp", f"doc_id % {_D17_EVAL_MOD} <> 0")},
+{duck_lsh_side_ctes("ev", f"doc_id % {_D17_EVAL_MOD} = 0")},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS eval_id
+  FROM corp_bands a JOIN ev_bands b
+    ON a.band = b.band AND a.band_key = b.band_key
+),
+verified AS (
+  SELECT c.doc_id, c.eval_id,
+         CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+           / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jaccard
+  FROM cand c
+  JOIN corp x ON x.doc_id = c.doc_id
+  JOIN ev y ON y.doc_id = c.eval_id
+),
+hits AS (
+  SELECT doc_id, eval_id, jaccard,
+         row_number() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, eval_id) AS rn,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_eval_matches
+  FROM verified WHERE jaccard >= {_D17_TAU}
+)
+SELECT doc_id, CAST(n_eval_matches AS BIGINT) AS n_eval_matches,
+       jaccard AS max_jaccard, eval_id AS best_eval_id
+FROM hits WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+@register("d17_fuzzy_decontamination", oracle=_D17_ORACLE)
+def d17_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs near-duplicating any benchmark item, with match count
+    and best-matching eval doc. Eval side broadcasts end-to-end; the
+    corpus side computes signatures map-side and never shuffles."""
+    from pyspark.sql import Window
+
+    from dbt_osmosis_spark.operators.dedup import lsh_bands, minhash_signatures
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    corp = minhash_signatures(docs.filter(F.col("doc_id") % _D17_EVAL_MOD != 0))
+    ev = minhash_signatures(docs.filter(F.col("doc_id") % _D17_EVAL_MOD == 0))
+    cand = (
+        lsh_bands(corp)
+        .join(
+            F.broadcast(
+                lsh_bands(ev).select(
+                    "band", "band_key", F.col("doc_id").alias("eval_id")
+                )
+            ),
+            ["band", "band_key"],
+        )
+        .select("doc_id", "eval_id")
+        .distinct()
+    )
+    x = corp.select("doc_id", F.col("s").alias("xs"))
+    y = ev.select(F.col("doc_id").alias("yid"), F.col("s").alias("ys"))
+    inter = F.size(F.array_intersect(F.col("xs"), F.col("ys")))
+    jac = inter.cast("double") / (F.size("xs") + F.size("ys") - inter)
+    verified = (
+        cand.join(x, "doc_id")
+        .join(F.broadcast(y), F.col("eval_id") == F.col("yid"))
+        .select("doc_id", "eval_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= _D17_TAU)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("jaccard"), "eval_id")
+    wn = Window.partitionBy("doc_id")
+    return (
+        verified.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_eval_matches", F.count(F.lit(1)).over(wn).cast("bigint"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "n_eval_matches",
+            F.col("jaccard").alias("max_jaccard"),
+            F.col("eval_id").alias("best_eval_id"),
+        )
+        .orderBy("doc_id")
+    )

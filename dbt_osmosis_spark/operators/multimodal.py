@@ -791,3 +791,62 @@ def m09_phash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "hamming")
         .orderBy("hamming", "doc_a", "doc_b")
     )
+
+
+# ---- m10: corrupt-payload detection ----------------------------------------
+# The first validation pass every binary-media pipeline runs at ingest:
+# compare each payload's ACTUAL bytes against its DECLARED metadata and
+# quarantine disagreements (truncated downloads, bad transcodes, wrong
+# content-type) before any decoder touches them — a corrupt sample inside
+# a 100 TB training shard otherwise kills the decode stage far from its
+# cause. Pure map-side JVM work (length/substring on the binary column —
+# no Python, no decode, no shuffle); the output is the driver-sized
+# quarantine list. Corruption here is injected deterministically (every
+# 13th payload is truncated to half) since the manufactured payloads are
+# otherwise always self-consistent; the validation logic — recompute the
+# meta formula from the bytes and compare — is exactly the production
+# check.
+# Reference analog: none (north-star multimodal family).
+
+_M10_MOD = 13
+
+_M10_ORACLE = f"""
+WITH sized AS (
+  SELECT doc_id,
+         CAST(16 + length(text) % 1024 AS INT) AS declared_width,
+         CASE WHEN doc_id % {_M10_MOD} = 0
+              THEN CAST(floor(length(text) / 2) AS BIGINT)
+              ELSE CAST(length(text) AS BIGINT) END AS clen
+  FROM documents
+)
+SELECT doc_id, declared_width,
+       CAST(16 + clen % 1024 AS INT) AS actual_width,
+       CAST(clen AS INT) AS n_bytes
+FROM sized
+WHERE declared_width <> 16 + clen % 1024
+ORDER BY doc_id
+"""
+
+
+@register("m10_corrupt_detect", oracle=_M10_ORACLE)
+def m10_corrupt_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = attach_fake_payloads(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    corrupted = docs.withColumn(
+        "content",
+        F.when(
+            F.col("doc_id") % _M10_MOD == 0,
+            F.expr("substring(content, 1, CAST(floor(length(content) / 2) AS INT))"),
+        ).otherwise(F.col("content")),
+    )
+    declared = F.col("meta.width").alias("declared_width")
+    actual = (16 + F.length("content") % 1024).cast("int")
+    return (
+        corrupted.select(
+            "doc_id",
+            declared,
+            actual.alias("actual_width"),
+            F.length("content").cast("int").alias("n_bytes"),
+        )
+        .filter(F.col("declared_width") != F.col("actual_width"))
+        .orderBy("doc_id")
+    )

@@ -620,3 +620,88 @@ _Q52_ORACLE = _Q52_SQL.format(events="events")
 @register("q52_bitmap_rollup", oracle=_Q52_ORACLE)
 def q52_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q52_SQL, events=t(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# q53: ordered event funnel — the classic product-analytics shape the
+# reference's warehouse users run constantly: of users who viewed, how
+# many then clicked AFTER their first view, and then purchased AFTER that
+# first qualifying click. Sequencing is by MIN-timestamp chaining (first
+# view -> first later click -> first later purchase), which expresses the
+# whole funnel as three co-partitioned groupBys on user_id — each stage's
+# relation shrinks, the join key never changes (one shuffle key end to
+# end, AQE coalesces the tail), and nothing resembles the quadratic
+# self-join a naive "pairs of events" formulation would produce. The
+# final 3-row rollup is driver-sized; its lag() window is presentation.
+# --------------------------------------------------------------------------
+_Q53_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.t1
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.t2
+  GROUP BY e.user_id
+),
+counts AS (
+  SELECT 1 AS step_no, 'view' AS step, (SELECT COUNT(*) FROM v) AS n_users
+  UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM c)
+  UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM p)
+)
+SELECT step_no, step, CAST(n_users AS BIGINT) AS n_users,
+       CAST(n_users AS DOUBLE)
+         / NULLIF(lag(n_users) OVER (ORDER BY step_no), 0) AS conv_from_prev
+FROM counts ORDER BY step_no
+"""
+
+
+@register("q53_event_funnel", oracle=_Q53_ORACLE)
+def q53_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(df: DataFrame, no: int, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).select(
+            F.lit(no).alias("step_no"), F.lit(name).alias("step"), "n_users"
+        )
+
+    counts = (
+        stage(v, 1, "view")
+        .unionByName(stage(c, 2, "click"))
+        .unionByName(stage(p, 3, "purchase"))
+    )
+    prev = F.lag("n_users").over(W.orderBy("step_no"))
+    return counts.select(
+        "step_no",
+        "step",
+        "n_users",
+        (
+            F.col("n_users").cast("double")
+            / F.when(prev == 0, F.lit(None)).otherwise(prev)
+        ).alias("conv_from_prev"),
+    ).orderBy("step_no")

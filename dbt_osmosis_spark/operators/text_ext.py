@@ -653,3 +653,78 @@ def p29_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("n_removed_both").cast("double") / denom)
         .alias("overlap_jaccard"),
     ).orderBy("filter_a", "filter_b")
+
+
+# ---- t17: OOV rate per source (vocab coverage diagnostics) -----------------
+# The mixing-diagnostics companion to t06/t14: how much of each source's
+# token mass falls outside the corpus head vocabulary. High OOV sources
+# are tokenizer-hostile (many rare/garbage tokens -> long byte-fallback
+# sequences) and show up in training as wasted sequence length; pipelines
+# track this per source when picking mixture weights.
+#
+# Scale shape: ONE heavy shuffle — the (source, word) partial-count
+# aggregate (map-side combine collapses repeated words before the
+# exchange). The global vocabulary derives from that already-aggregated
+# relation (second, much smaller word-key aggregate -> TakeOrdered top-K),
+# broadcasts back, and the per-source rollup reuses the (source, word)
+# frame — kept cached because it feeds both branches. The corpus text is
+# scanned exactly once at any scale.
+# Reference analog: none (north-star text-diagnostics family).
+
+_T17_VOCAB_K = 100
+
+_T17_ORACLE = f"""
+WITH words AS (
+  SELECT source, unnest({_DUCK_TOK}) AS word FROM documents
+),
+sw AS MATERIALIZED (
+  SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+  FROM words GROUP BY source, word
+),
+vocab AS (
+  SELECT word FROM (
+    SELECT word, SUM(c) AS tf FROM sw GROUP BY word
+    ORDER BY tf DESC, word LIMIT {_T17_VOCAB_K}
+  )
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN vocab.word IS NULL THEN c ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(SUM(CASE WHEN vocab.word IS NULL THEN c ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(c) AS DOUBLE) AS oov_rate
+FROM sw LEFT JOIN vocab ON sw.word = vocab.word
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("t17_oov_rate", oracle=_T17_ORACLE)
+def t17_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_osmosis_spark.operators.caching import keep_cached
+
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    sw = keep_cached(
+        docs.select("source", F.explode(tokens()).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    vocab = (
+        sw.groupBy("word")
+        .agg(F.sum("c").alias("tf"))
+        .orderBy(F.desc("tf"), "word")
+        .limit(_T17_VOCAB_K)
+        .select("word", F.lit(1).alias("in_vocab"))
+    )
+    oov_c = F.when(F.col("in_vocab").isNull(), F.col("c")).otherwise(F.lit(0))
+    return (
+        sw.join(F.broadcast(vocab), "word", "left")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.sum(oov_c).cast("bigint").alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate", F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")
+        )
+        .orderBy("source")
+    )

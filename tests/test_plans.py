@@ -410,3 +410,47 @@ def test_s17_serve_scan_prunes_to_probed_cells(q):
         for ln in scan_lines
     ), scan_lines
     assert "hashpartitioning(qid" in plan
+
+
+def test_d17_eval_side_broadcasts(q):
+    """Fuzzy decontamination: the benchmark side (bands AND signatures)
+    must broadcast — the corpus side never shuffles for the candidate
+    join. The only hash exchanges are the distinct over candidates and
+    the per-doc verdict window."""
+    df = q("d17_fuzzy_decontamination")
+    assert has_broadcast_join(df)
+    assert not has_cartesian(df)
+    plan = physical_plan(df)
+    assert "hashpartitioning(doc_id" in plan
+
+
+def test_t17_single_corpus_scan(q):
+    """OOV rate: the corpus text is scanned once — vocabulary and the
+    per-source rollup both derive from the cached (source, word) partial
+    aggregate, and the vocab joins back via broadcast."""
+    df = q("t17_oov_rate")
+    assert has_broadcast_join(df)
+    assert not has_cartesian(df)
+    assert len(scan_schemas(df)) <= 1  # 0 once the cached frame serves both
+
+
+def test_m10_mapside_validation(q):
+    """Corrupt-payload detection is map-side: no joins, no aggregates —
+    the only exchange is the presentation-order sort of the quarantine
+    list."""
+    df = q("m10_corrupt_detect")
+    assert not has_cartesian(df)
+    assert exchange_count(df) <= 1
+
+
+def test_q53_funnel_single_join_key(q):
+    """The funnel chains three groupBys on ONE key (user_id) — no
+    cartesian anywhere, and every hash exchange in the plan is on
+    user_id (the rollup itself is a 3-row union, SinglePartition)."""
+    df = q("q53_event_funnel")
+    assert not has_cartesian(df)
+    plan = physical_plan(df)
+    import re
+
+    keys = set(re.findall(r"hashpartitioning\((\w+)", plan))
+    assert keys <= {"user_id"}, keys
