@@ -850,3 +850,83 @@ def m10_corrupt_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("declared_width") != F.col("actual_width"))
         .orderBy("doc_id")
     )
+
+
+# ---- m11: video near-dup via sampled-frame pHash voting --------------------
+# The video twin of m09: two videos are near-duplicates when ENOUGH of
+# their sampled frames perceptually match at the same temporal position —
+# re-encodes and container changes alter bytes but not frame content, so
+# frame-level pHash voting is the standard first-pass video dedup (same
+# composition YouTube-scale dedup papers describe: sample -> perceptual
+# hash -> vote). Composes the m03 frame sampler with the m05/m09 Arrow
+# pHash stage end to end.
+#
+# Scale shape: frame sampling and hashing are map-side (posexplode +
+# mapInPandas Arrow batches, bounded _MAX_FRAMES rows per video); the
+# only shuffle is the (frame_no, phash) self-join — temporal alignment
+# keeps buckets to same-position frames, and the vote threshold bounds
+# output by real overlap, never all-pairs. The hashed-frame relation is
+# computed once and kept cached for both join sides (the d03 move).
+# Reference analog: none (north-star multimodal family).
+
+_M11_MIN_FRAMES = 2
+
+_M11_ORACLE = f"""
+WITH framed AS (
+  SELECT doc_id, CAST(i AS INT) AS frame_no,
+         substr(text, CAST(i * {_FRAME_BYTES} + 1 AS INT), {_FRAME_BYTES}) AS fb
+  FROM documents,
+       UNNEST(range(0, greatest(least(length(text) // {_FRAME_BYTES}, {_MAX_FRAMES}), 0))) AS t(i)
+),
+px AS (
+  SELECT doc_id, frame_no,
+         list_transform(range(0, {_PHASH_BITS}),
+             j -> ascii(substr(fb, CAST(j * length(fb) // {_PHASH_BITS} + 1 AS INT), 1))) AS p
+  FROM framed WHERE length(fb) > 0
+),
+fp AS (
+  SELECT doc_id, frame_no,
+         CAST(list_sum(list_transform(range(0, {_PHASH_BITS}),
+             j -> CASE WHEN p[j + 1] > list_sum(p) / {_PHASH_BITS}.0
+                  THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
+  FROM px
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_frames_matched
+FROM fp a JOIN fp b
+  ON a.frame_no = b.frame_no AND a.phash = b.phash AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {_M11_MIN_FRAMES}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("m11_video_neardup", oracle=_M11_ORACLE)
+def m11_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_osmosis_spark.operators.caching import keep_cached
+
+    docs = attach_fake_payloads(spread(read_parquet(spark, f"{sf_dir}/documents.parquet")))
+    n_frames = F.expr(
+        f"greatest(least(CAST(length(content) / {_FRAME_BYTES} AS INT), {_MAX_FRAMES}), 0)"
+    )
+    frames_arr = F.when(
+        n_frames > 0,
+        F.expr(
+            f"transform(sequence(0, greatest(least(CAST(length(content) / {_FRAME_BYTES} AS INT), {_MAX_FRAMES}), 1) - 1), "
+            f"i -> substring(content, i * {_FRAME_BYTES} + 1, {_FRAME_BYTES}))"
+        ),
+    ).otherwise(F.expr("array()"))
+    frames = docs.select(
+        "doc_id", F.posexplode(frames_arr).alias("frame_no", "content")
+    )
+    fp = keep_cached(phash_payloads(frames, extra_cols=("frame_no",)))
+    a = fp.select(F.col("doc_id").alias("doc_a"), "frame_no", "phash")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "frame_no", "phash")
+    return (
+        a.join(b, ["frame_no", "phash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_frames_matched"))
+        .filter(F.col("n_frames_matched") >= _M11_MIN_FRAMES)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -318,3 +318,93 @@ def p26_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("doc_id"), "component", "cluster_size")
         .orderBy("doc_id")
     )
+
+
+# ---- p30: quality-aware canonical selection in near-dup clusters -----------
+# d09 keeps the MIN-ID member of every near-dup cluster — fine for
+# determinism, wrong for data value: production dedup (CCNet, RefinedWeb,
+# FineWeb ablations) keeps the BEST copy, because near-dup clusters mix
+# clean originals with boilerplate-wrapped or truncated variants. p30 is
+# d09 with the production keep-rule: per connected component, keep the
+# member with the highest t02 quality score (tie -> smallest doc_id).
+#
+# Scale shape: reuses the shared MinHash->LSH->hybrid-CC chain (the d06/
+# d09 engine — no new corpus scan beyond the quality features), then ONE
+# window over (component) to pick the representative; quality is exact
+# integer ratios, so the rank order is engine-exact with no rounding.
+# Reference analog: none (north-star dedup/pipeline family).
+
+from dbt_osmosis_spark.operators.dedup import DUCK_LSH_CTES  # noqa: E402
+from dbt_osmosis_spark.operators.pipeline import lsh_components  # noqa: E402
+from dbt_osmosis_spark.operators.text import tokens  # noqa: E402
+
+_P30_ORACLE = f"""
+WITH RECURSIVE {DUCK_LSH_CTES},
+edges2 AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM cand
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges2 e ON e.src = r.node
+),
+comp AS (
+  SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node
+),
+feat AS (
+  SELECT doc_id,
+         (CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS DOUBLE) / len(w))
+           + (CAST(len(list_filter(w, x -> len(x) >= 6)) AS DOUBLE) / len(w))
+           + (CASE WHEN len(w) BETWEEN 20 AND 80 THEN 1.0 ELSE 0.0 END)
+           AS quality_score
+  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
+  WHERE len(w) > 0
+),
+ranked AS (
+  SELECT f.doc_id, c.component, f.quality_score,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY f.quality_score DESC, f.doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY c.component) AS cluster_size
+  FROM feat f JOIN comp c ON c.doc_id = f.doc_id
+)
+SELECT d.doc_id, CAST(r.cluster_size AS BIGINT) AS cluster_size,
+       r.quality_score, d.lang, d.source
+FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+WHERE r.rn = 1
+ORDER BY d.doc_id
+"""
+
+
+@register("p30_quality_keep", oracle=_P30_ORACLE)
+def p30_quality_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    tok = tokens()
+    stop_ratio = F.expr(
+        "CAST(size(filter(split(trim(text), ' '), x -> x IN ('the', 'a'))) AS DOUBLE)"
+    ) / F.size(tok)
+    long_ratio = F.expr(
+        "CAST(size(filter(split(trim(text), ' '), x -> length(x) >= 6)) AS DOUBLE)"
+    ) / F.size(tok)
+    length_ok = F.when(F.size(tok).between(20, 80), 1.0).otherwise(0.0)
+    feat = docs.filter(F.size(tok) > 0).select(
+        "doc_id", (stop_ratio + long_ratio + length_ok).alias("quality_score")
+    )
+    comp = lsh_components(docs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    ranked = feat.join(comp, "doc_id")
+    w = W.partitionBy("component").orderBy(F.desc("quality_score"), "doc_id")
+    wn = W.partitionBy("component")
+    kept = (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(wn).cast("bigint"))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "cluster_size", "quality_score")
+    )
+    return (
+        kept.join(docs.select("doc_id", "lang", "source"), "doc_id")
+        .select("doc_id", "cluster_size", "quality_score", "lang", "source")
+        .orderBy("doc_id")
+    )

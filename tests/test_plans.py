@@ -454,3 +454,24 @@ def test_q53_funnel_single_join_key(q):
 
     keys = set(re.findall(r"hashpartitioning\((\w+)", plan))
     assert keys <= {"user_id"}, keys
+
+
+def test_p30_single_rank_window_over_shared_cc(q):
+    """Quality-keep reuses the shared CC chain; the representative choice
+    is ONE window over component (plus the broadcast-join-backed quality
+    features) — no cartesian, no global sort of the corpus."""
+    df = q("p30_quality_keep")
+    assert not has_cartesian(df)
+    assert "hashpartitioning(component" in physical_plan(df)
+
+
+def test_m11_frame_join_is_bounded(q):
+    """Video near-dup: the only join is the (frame_no, phash) self-join —
+    temporal alignment in the key, no cartesian; the hashed-frame
+    relation is cached so the Arrow hashing runs once."""
+    df = q("m11_video_neardup")
+    assert not has_cartesian(df)
+    plan = physical_plan(df)
+    # at driver SFs the cached frame relation broadcasts (even better);
+    # at scale the join shuffles on the aligned (frame_no, phash) key
+    assert "hashpartitioning(frame_no" in plan or has_broadcast_join(df)
