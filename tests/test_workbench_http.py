@@ -103,6 +103,23 @@ def test_workbench_http_roundtrip(spark):
         except urllib.error.HTTPError as e:
             assert e.code == 403
 
+        # bracketed IPv6 loopback Host headers are allowed — with the
+        # bound port, or bare (ADVICE r5: '[::1]' must not parse as
+        # host '[:' + port '1]')
+        port = srv.server_address[1]
+        for ok_host in (f"[::1]:{port}", "[::1]"):
+            d = _post_json(base + "/api/workbench", {"sql": "select 1 as one"},
+                           token=token, host=ok_host)
+            assert "error" not in d, (ok_host, d)
+        # wrong port / unclosed bracket still refused
+        for bad_host in ("[::1]:9", "[::1"):
+            try:
+                _post_json(base + "/api/workbench", {"sql": "select 1"},
+                           token=token, host=bad_host)
+                raise AssertionError(f"expected 403 for Host {bad_host!r}")
+            except urllib.error.HTTPError as e:
+                assert e.code == 403
+
         # 404 for unknown path
         try:
             _get(base + "/nope")
