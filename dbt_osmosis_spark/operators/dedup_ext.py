@@ -201,18 +201,16 @@ ORDER BY doc_id
 """
 
 
-@register("d17_fuzzy_decontamination", oracle=_D17_ORACLE)
-def d17_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training docs near-duplicating any benchmark item, with match count
-    and best-matching eval doc. Eval side broadcasts end-to-end; the
-    corpus side computes signatures map-side and never shuffles."""
-    from pyspark.sql import Window
-
+def fuzzy_contamination_pairs(corpus: DataFrame, eval_docs: DataFrame) -> DataFrame:
+    """(doc_id, eval_id, jaccard >= tau): verified near-dup hits of corpus
+    docs against the benchmark set. The reusable core of d17 — p31's
+    composed hygiene pipeline anti-joins its training set against the
+    distinct ``doc_id`` of this relation. Eval side broadcasts end-to-end;
+    the corpus side computes signatures map-side and never shuffles."""
     from dbt_osmosis_spark.operators.dedup import lsh_bands, minhash_signatures
 
-    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
-    corp = minhash_signatures(docs.filter(F.col("doc_id") % _D17_EVAL_MOD != 0))
-    ev = minhash_signatures(docs.filter(F.col("doc_id") % _D17_EVAL_MOD == 0))
+    corp = minhash_signatures(corpus)
+    ev = minhash_signatures(eval_docs)
     cand = (
         lsh_bands(corp)
         .join(
@@ -230,11 +228,24 @@ def d17_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = ev.select(F.col("doc_id").alias("yid"), F.col("s").alias("ys"))
     inter = F.size(F.array_intersect(F.col("xs"), F.col("ys")))
     jac = inter.cast("double") / (F.size("xs") + F.size("ys") - inter)
-    verified = (
+    return (
         cand.join(x, "doc_id")
         .join(F.broadcast(y), F.col("eval_id") == F.col("yid"))
         .select("doc_id", "eval_id", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= _D17_TAU)
+    )
+
+
+@register("d17_fuzzy_decontamination", oracle=_D17_ORACLE)
+def d17_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs near-duplicating any benchmark item, with match count
+    and best-matching eval doc."""
+    from pyspark.sql import Window
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    verified = fuzzy_contamination_pairs(
+        docs.filter(F.col("doc_id") % _D17_EVAL_MOD != 0),
+        docs.filter(F.col("doc_id") % _D17_EVAL_MOD == 0),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("jaccard"), "eval_id")
     wn = Window.partitionBy("doc_id")

@@ -408,3 +408,151 @@ def p30_quality_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "cluster_size", "quality_score", "lang", "source")
         .orderBy("doc_id")
     )
+
+
+# ---- p31: the composed corpus-hygiene pipeline, round-6 edition ------------
+# p18 composes the r3-era steps (quality gate -> exact dedup -> exact
+# shingle decontamination -> per-source cap). p31 is the same "one fused
+# job" discipline over the round-6 hygiene chain a production run
+# actually schedules:
+#   1. hold out the benchmark set (it must never train),
+#   2. Gopher-gate the training side (t12's published rules),
+#   3. FUZZY-decontaminate: drop training docs near-duplicating any
+#      benchmark item (the d17 stage, reused verbatim),
+#   4. near-dup dedup keeping the BEST-quality representative per
+#      cluster (the p30 rule) — dedup runs AFTER decontamination so
+#      contaminated docs can't survive as cluster representatives.
+# One Catalyst chain: the eval side broadcasts (d17), the anti-join keys
+# on doc_id, the CC engine runs on the already-gated/cleaned subset
+# (strictly smaller than the corpus), and the representative choice is
+# one window over component. No step rescans text it already processed.
+# Reference analog: none (north-star pipeline family, sibling of p18).
+
+from dbt_osmosis_spark.operators.dedup import duck_lsh_side_ctes  # noqa: E402
+from dbt_osmosis_spark.operators.dedup_ext import (  # noqa: E402
+    _D17_EVAL_MOD,
+    fuzzy_contamination_pairs,
+)
+from dbt_osmosis_spark.operators.pipeline import lsh_components  # noqa: E402
+from dbt_osmosis_spark.operators.text_ext import gopher_features  # noqa: E402
+
+_P31_TAU = 0.35  # same recall-leaning contamination bar as d17
+
+_DUCK_W = "string_split(trim(text), ' ')"
+_P31_GOPHER_PRED = (
+    f"len({_DUCK_W}) BETWEEN 50 AND 100000"
+    f" AND (CAST(list_sum(list_transform({_DUCK_W}, x -> len(x))) AS DOUBLE)"
+    f"      / len({_DUCK_W})) BETWEEN 3.0 AND 10.0"
+    f" AND (CAST(len(list_filter({_DUCK_W}, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)"
+    f"      / len({_DUCK_W})) > 0.80"
+    f" AND len(list_filter({_DUCK_W}, x -> x IN ('the', 'a'))) >= 2"
+)
+
+_P31_ORACLE = f"""
+WITH RECURSIVE {duck_lsh_side_ctes("corp", f"doc_id % {_D17_EVAL_MOD} <> 0")},
+{duck_lsh_side_ctes("ev", f"doc_id % {_D17_EVAL_MOD} = 0")},
+ccand AS (
+  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS eval_id
+  FROM corp_bands a JOIN ev_bands b
+    ON a.band = b.band AND a.band_key = b.band_key
+),
+contaminated AS (
+  SELECT DISTINCT c.doc_id
+  FROM ccand c
+  JOIN corp x ON x.doc_id = c.doc_id
+  JOIN ev y ON y.doc_id = c.eval_id
+  WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+          / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= {_P31_TAU}
+),
+{duck_lsh_side_ctes(
+    "cl",
+    f"doc_id % {_D17_EVAL_MOD} <> 0 AND {_P31_GOPHER_PRED}"
+    " AND doc_id NOT IN (SELECT doc_id FROM contaminated)",
+)},
+dcand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM cl_bands a JOIN cl_bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+edges2 AS (
+  SELECT doc_a AS src, doc_b AS dst FROM dcand
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM dcand
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM cl
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges2 e ON e.src = r.node
+),
+comp AS (
+  SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node
+),
+feat AS (
+  SELECT c.doc_id, c.component,
+         (CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS DOUBLE) / len(w))
+           + (CAST(len(list_filter(w, x -> len(x) >= 6)) AS DOUBLE) / len(w))
+           + (CASE WHEN len(w) BETWEEN 20 AND 80 THEN 1.0 ELSE 0.0 END)
+           AS quality_score
+  FROM comp c JOIN (SELECT doc_id, {_DUCK_W} AS w FROM documents) d
+    ON d.doc_id = c.doc_id
+),
+ranked AS (
+  SELECT doc_id, component, quality_score,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY quality_score DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY component) AS cluster_size
+  FROM feat
+)
+SELECT r.doc_id, CAST(r.cluster_size AS BIGINT) AS cluster_size,
+       r.quality_score, d.lang, d.source
+FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+WHERE r.rn = 1
+ORDER BY r.doc_id
+"""
+
+
+@register("p31_decontaminated_corpus", oracle=_P31_ORACLE)
+def p31_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    train = docs.filter(F.col("doc_id") % _D17_EVAL_MOD != 0)
+    eval_docs = docs.filter(F.col("doc_id") % _D17_EVAL_MOD == 0)
+
+    gated = (
+        gopher_features(train)
+        .filter(
+            F.col("n_words").between(50, 100_000)
+            & F.col("mean_word_len").between(3.0, 10.0)
+            & (F.col("frac_alpha") > 0.80)
+            & (F.col("n_stopwords") >= 2)
+        )
+        .select("doc_id", "text", "lang", "source")
+    )
+    contaminated = (
+        fuzzy_contamination_pairs(train, eval_docs).select("doc_id").distinct()
+    )
+    clean = gated.join(contaminated, "doc_id", "left_anti")
+
+    comp = lsh_components(clean).select(F.col("id").alias("doc_id"), "component")
+    tok = F.split(F.trim(F.col("text")), " ")
+    stop_ratio = F.expr(
+        "CAST(size(filter(split(trim(text), ' '), x -> x IN ('the', 'a'))) AS DOUBLE)"
+    ) / F.size(tok)
+    long_ratio = F.expr(
+        "CAST(size(filter(split(trim(text), ' '), x -> length(x) >= 6)) AS DOUBLE)"
+    ) / F.size(tok)
+    length_ok = F.when(F.size(tok).between(20, 80), 1.0).otherwise(0.0)
+    feat = clean.select(
+        "doc_id",
+        "lang",
+        "source",
+        (stop_ratio + long_ratio + length_ok).alias("quality_score"),
+    ).join(comp, "doc_id")
+    w = W.partitionBy("component").orderBy(F.desc("quality_score"), "doc_id")
+    wn = W.partitionBy("component")
+    return (
+        feat.withColumn("rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(wn).cast("bigint"))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "cluster_size", "quality_score", "lang", "source")
+        .orderBy("doc_id")
+    )

@@ -98,3 +98,27 @@ def test_m11_exact_payload_dups_fully_match(spark, sf_dir):
     ha, hb = phashes(texts[da]), phashes(texts[db])
     want = sum(1 for x, y in zip(ha, hb) if x == y)
     assert votes == want, (da, db, votes, want)
+
+
+def test_p31_hygiene_invariants(spark, sf_dir):
+    """The composed pipeline's kept set must (a) exclude the held-out
+    benchmark split, (b) pass every Gopher rule, (c) contain no
+    contaminated doc, and (d) hold one representative per cluster."""
+    kept = QUERIES["p31_decontaminated_corpus"](spark, sf_dir).collect()
+    assert kept
+    ids = {r.doc_id for r in kept}
+    assert len(ids) == len(kept)
+    assert all(d % 10 != 0 for d in ids)
+    gopher = {
+        r.doc_id: r.passes for r in QUERIES["t12_gopher_rules"](spark, sf_dir).collect()
+    }
+    assert all(gopher.get(d) == 1 for d in ids)
+    contaminated = {
+        r.doc_id
+        for r in QUERIES["d17_fuzzy_decontamination"](spark, sf_dir).collect()
+    }
+    assert contaminated, "no contamination found — decontamination is vacuous"
+    assert not (ids & contaminated)
+    # the pipeline is strictly tighter than the Gopher gate alone
+    n_gated = sum(1 for d, p in gopher.items() if p == 1 and d % 10 != 0)
+    assert len(ids) < n_gated
