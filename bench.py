@@ -56,6 +56,9 @@ EXTENDED = [
     # and DSIR selection (hashed-bucket model build + broadcast scoring)
     "d13_semantic_dedup",
     "p24_dsir_select",
+    # round-6 composed pipeline: hold-out + Gopher gate + fuzzy
+    # decontamination + quality-keep dedup in one fused job (p18's sibling)
+    "p31_decontaminated_corpus",
 ]
 
 # One representative per operator family not already covered above, so the
@@ -90,6 +93,9 @@ SCALE_FLAGSHIPS = [
     # batched bounded-scan ANN: candidates per query stay ~n·(P+1)/2^P, so
     # the 10x slope should track the scan, not a pair blowup
     "s15_batched_lsh_topk",
+    # round-6: broadcast-eval fuzzy decontamination — the corpus side never
+    # shuffles, so the slope should track the signature scan
+    "d17_fuzzy_decontamination",
 ]
 
 

@@ -706,43 +706,3 @@ def q53_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("conv_from_prev"),
     ).orderBy("step_no")
 
-
-# --------------------------------------------------------------------------
-# q54: UNPIVOT (wide -> long) — the inverse of q02's CASE-WHEN pivot and
-# the last named relational reshaping verb the surface lacked. A wide
-# per-group measure table (sum_qty / sum_price / sum_disc per return
-# flag) melts into (returnflag, measure, value) rows. Spark's
-# DataFrame.unpivot plans a single Expand over the aggregated relation —
-# the melt itself adds NO shuffle and never rescans the input; only the
-# upstream groupBy exchanges. DuckDB's UNPIVOT mirrors it exactly.
-# --------------------------------------------------------------------------
-_Q54_ORACLE = """
-WITH wide AS (
-  SELECT l_returnflag AS returnflag,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-         CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
-  FROM lineitem GROUP BY l_returnflag
-)
-SELECT returnflag, measure, value
-FROM wide UNPIVOT (value FOR measure IN (sum_qty, sum_price, sum_disc))
-ORDER BY returnflag, measure
-"""
-
-
-@register("q54_unpivot_measures", oracle=_Q54_ORACLE)
-def q54_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dbt_osmosis_spark.functions.numeric import dec_sum
-
-    li = t(spark, sf_dir, "lineitem")
-    wide = li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
-        dec_sum("l_quantity").alias("sum_qty"),
-        dec_sum("l_extendedprice").alias("sum_price"),
-        dec_sum("l_discount").alias("sum_disc"),
-    )
-    return wide.unpivot(
-        ids=["returnflag"],
-        values=["sum_qty", "sum_price", "sum_disc"],
-        variableColumnName="measure",
-        valueColumnName="value",
-    ).orderBy("returnflag", "measure")
