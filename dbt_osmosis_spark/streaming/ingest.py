@@ -23,13 +23,16 @@ Scale design (the 100 TB shape):
   duplicates plus the tiny false-positive tail — pay the exact join.
   Same accepted set by construction; the exact join stays for
   correctness.
-- Delivery semantics: foreachBatch is at-least-once on replay. The sink
-  pair (docs append, index append) is written docs-first; a crash between
-  the writes re-emits that batch's docs on replay (the index doesn't know
-  them yet) — duplicates land in the SINK but never poison the INDEX
-  twice, and the sink stays consumable because admitted content is
-  keyed by content hash (consumers re-dedup exactly like d01). With a
-  transactional table format both appends join one commit and the loop is
+- Delivery semantics: foreachBatch is at-least-once on replay. Writes
+  land docs -> bits -> index: a crash before the index write re-emits
+  the batch's docs on replay (the index doesn't know them yet) —
+  duplicates land in the SINK but never poison the INDEX twice, and the
+  sink stays consumable because admitted content is keyed by content
+  hash (consumers re-dedup exactly like d01). Bits precede the index so
+  a crash between them leaves only harmless spurious bits — never index
+  hashes whose bits are missing, which would be permanent Bloom false
+  negatives (tested by the crash-replay fault-injection suite). With a
+  transactional table format the appends join one commit and the loop is
   exactly-once; the caller-visible contract here is at-least-once with an
   idempotent index.
 
