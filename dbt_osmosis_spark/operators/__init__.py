@@ -58,6 +58,7 @@ def load_all() -> None:
         relational,
         relational_ext,
         relational_ext2,
+        relational_ext3,
         similarity,
         similarity_ext,
         text,

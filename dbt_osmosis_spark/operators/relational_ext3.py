@@ -1,0 +1,203 @@
+"""Relational surface, part 4: interval analytics over the events stream.
+
+q55 is the classic "maximum concurrent intervals" sweep-line — the query
+behind capacity planning (peak concurrent sessions), licensing (max
+simultaneous seats), and infra sizing. The textbook formulation is a
+running SUM over ALL boundary events in one global timestamp order — a
+single-partition window, the same 100 TB killer p19 exists to avoid. The
+implementation here is the distributed form: per-hour-bin running sums in
+parallel, plus a broadcast cumulative net-delta offset per bin (the p19
+bucket-offset pattern applied to a sweep line). The only single-partition
+work is the |bins|-row offset window.
+
+q56 is cumulative-distinct accrual ("how fast does a user discover the
+product surface") — per-user first-touch flags turned into a running
+distinct count WITHOUT collect_set: a first-occurrence row_number flag
+summed over the per-user order. Both windows partition on user-scale keys,
+so the plan holds at any corpus size.
+
+Reference parity: the reference ships arbitrary SQL to a warehouse
+(src/dbt_osmosis/core/sql_operations.py — execute_sql_code); these queries
+are part of the engine-side surface a warehouse user would expect to run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from dbt_osmosis_spark.operators import register
+from dbt_osmosis_spark.operators.relational import t
+
+# --------------------------------------------------------------------------
+# q55: peak concurrent sessions per hour — distributed sweep line
+# --------------------------------------------------------------------------
+# Sessions are q15's 30-min-gap sessionization; each session contributes a
+# +1 boundary at its start and a -1 at its end. Sweep order is
+# (ts, delta DESC, user_id, session_id): at an identical timestamp a start
+# is processed before an end (touching sessions count as concurrent — the
+# closed-interval convention), and the (user_id, session_id) tail makes the
+# order total, so every intermediate running value is engine-exact.
+#
+# Scale shape: boundaries are binned by hour; the running sum is computed
+# per bin in parallel; per-bin NET deltas (a tiny agg) become cumulative
+# carry-in offsets via a window over |bins| rows only, broadcast back.
+# concurrency = carry_in + local_running. No global sort, no
+# single-partition pass over the data — the exact sweep-line answer with
+# p19's bucket-offset decomposition.
+
+_Q55_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM ordered
+),
+spans AS (
+  SELECT user_id, session_id, MIN(ts) AS s_ts, MAX(ts) AS e_ts
+  FROM sessions GROUP BY user_id, session_id
+),
+bounds AS (
+  SELECT user_id, session_id, s_ts AS ts, 1 AS delta FROM spans
+  UNION ALL
+  SELECT user_id, session_id, e_ts AS ts, -1 AS delta FROM spans
+),
+swept AS (
+  SELECT ts, delta,
+         SUM(delta) OVER (ORDER BY ts, delta DESC, user_id, session_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+  FROM bounds
+)
+SELECT date_trunc('hour', ts) AS hour,
+       COUNT(*) AS n_starts,
+       CAST(MAX(conc) AS BIGINT) AS max_concurrent
+FROM swept
+WHERE delta = 1
+GROUP BY 1
+ORDER BY hour
+"""
+
+
+@register("q55_concurrent_intervals", oracle=_Q55_ORACLE)
+def q55_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run = order.rowsBetween(W.unboundedPreceding, W.currentRow)
+    flagged = e.withColumn(
+        "is_new_session",
+        F.when(
+            F.lag("ts").over(order).isNull()
+            | (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(order) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    spans = (
+        flagged.withColumn("session_id", F.sum("is_new_session").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s_ts"), F.max("ts").alias("e_ts"))
+    )
+    bounds = (
+        spans.select(
+            "user_id", "session_id", F.col("s_ts").alias("ts"), F.lit(1).alias("delta")
+        )
+        .unionByName(
+            spans.select(
+                "user_id", "session_id", F.col("e_ts").alias("ts"), F.lit(-1).alias("delta")
+            )
+        )
+        .withColumn("bin", F.date_trunc("hour", F.col("ts")))
+    )
+    # Parallel within-bin sweep; total order (ts, delta DESC, user, session).
+    local = (
+        W.partitionBy("bin")
+        .orderBy("ts", F.desc("delta"), "user_id", "session_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    swept = bounds.withColumn("local_run", F.sum("delta").over(local))
+    # Carry-in per bin: cumulative net delta of all earlier bins. The
+    # unpartitioned window runs over |bins| rows only (one per hour), never
+    # over the boundary stream itself.
+    nets = bounds.groupBy("bin").agg(F.sum("delta").alias("net"))
+    carry = F.coalesce(
+        F.sum("net").over(W.orderBy("bin").rowsBetween(W.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    offsets = nets.select("bin", carry.alias("carry_in"))
+    return (
+        swept.join(F.broadcast(offsets), "bin")
+        .filter(F.col("delta") == 1)
+        .groupBy(F.col("bin").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_starts"),
+            F.max(F.col("carry_in") + F.col("local_run")).cast("bigint").alias("max_concurrent"),
+        )
+        .orderBy("hour")
+    )
+
+
+# --------------------------------------------------------------------------
+# q56: cumulative-distinct accrual — running COUNT(DISTINCT) without state
+# --------------------------------------------------------------------------
+# "When did each user first reach 3 distinct event types?" A running
+# distinct count is not a supported window aggregate (and collect_set over
+# a growing frame is O(n·k) state); the scalable identity is
+# running_distinct = SUM(first_occurrence_flag), where the flag is
+# row_number() = 1 over (user, type). Two windows, both partitioned by
+# user-scale keys; no set state anywhere.
+
+_Q56_REACH = 3
+
+_Q56_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS first_seen
+  FROM events
+),
+accrual AS (
+  SELECT user_id, ts,
+         SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_seen
+  FROM flagged
+)
+SELECT user_id,
+       CAST(MAX(n_seen) AS BIGINT) AS n_types,
+       MIN(ts) AS first_ts,
+       MIN(CASE WHEN n_seen >= {_Q56_REACH} THEN ts END) AS reach_ts
+FROM accrual
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("q56_distinct_accrual", oracle=_Q56_ORACLE)
+def q56_distinct_accrual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    first = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    accrual = e.withColumn(
+        "first_seen", F.when(F.row_number().over(first) == 1, 1).otherwise(0)
+    ).withColumn("n_seen", F.sum("first_seen").over(run))
+    return (
+        accrual.groupBy("user_id")
+        .agg(
+            F.max("n_seen").cast("bigint").alias("n_types"),
+            F.min("ts").alias("first_ts"),
+            F.min(F.when(F.col("n_seen") >= _Q56_REACH, F.col("ts"))).alias("reach_ts"),
+        )
+        .orderBy("user_id")
+    )

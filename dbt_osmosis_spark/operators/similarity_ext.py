@@ -194,6 +194,7 @@ from dbt_osmosis_spark.operators.similarity import (  # noqa: E402
     _DUCK_PROBE,
     _N_CELLS,
     _NPROBE,
+    _SPARK_PROBE,
     ivf_assign,
 )
 
@@ -452,4 +453,219 @@ def s16_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_outlier"),
         )
         .orderBy("vec_id")
+    )
+
+# ---- s18: persisted LSH bucket index (build/serve split) -------------------
+# s17 made the IVF build/serve split concrete; s18 is the same move for the
+# LSH family. s15 buckets the corpus PER BATCH (map-side, no shuffle, but a
+# full corpus scan per batch); production serving amortizes that scan by
+# laying the bucketed corpus out ONCE as a bucket-partitioned index, so
+# every subsequent batch reads back only the union of its probe buckets —
+# static partition pruning at the scan, asserted by plan test.
+#
+# Scale shape: the build is s15's map-side (bucket, sub) assignment + one
+# shuffle on bucket for the partitioned write (2^P=16 directories; at 10^9
+# vectors you'd raise _P so directories stay ~corpus/2^P rows). The
+# adaptive-sub width is frozen at build time from the corpus count and
+# persisted in a 1-row _meta sidecar — serve reads it back instead of
+# re-counting the corpus. The serve scan lists only probed bucket
+# partitions: fraction ≈ |union probes|/2^P of the corpus regardless of
+# how many batches have run. Probe selection (which partitions the scan
+# may list) is query planning, so the 8-row query batch is collected
+# driver-side (the s17/similarity.py:299 bounded-collect precedent) and
+# its Hamming-1 probe buckets are pure integer math on the driver.
+#
+# Results are identical to s15 by construction (the index is a reorganized
+# copy of the same bucketed frame), so s15's full value-hash oracle
+# applies verbatim. Reference analog: none (north-star similarity family).
+
+
+def write_lsh_index(emb_raw: DataFrame, path: str) -> None:
+    """Build + persist the LSH bucket index: map-side (bucket, sub)
+    assignment (s15's adaptive key), one shuffle on bucket into a
+    bucket-partitioned parquet layout, plus a 1-row ``_meta`` sidecar
+    pinning the adaptive sub width the corpus was built with."""
+    emb = emb_raw.withColumn("v", F.col("embedding").cast("array<double>"))
+    xbits = emb.agg(F.expr(adaptive_xbits_agg_sql(_S15_REF_N)).alias("xbits"))
+    bucketed = (
+        emb.select(
+            "vec_id",
+            "label",
+            "v",
+            F.expr(_SPARK_BUCKET).alias("bucket"),
+            F.expr(_SPARK_SIGNWORD.format(a="v", base=0)).alias("w0"),
+        )
+        .crossJoin(F.broadcast(xbits))
+        .select(
+            "vec_id",
+            "label",
+            "v",
+            F.expr(ADAPTIVE_SUB_SQL.format(w="w0", xbits="xbits")).alias("sub"),
+            "bucket",
+        )
+    )
+    (
+        bucketed.repartition("bucket")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    xbits.write.mode("overwrite").parquet(path + "_meta")
+
+
+def _s18_index_path(sf_dir: str) -> str:
+    repo = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    tag = _os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return _os.path.join(repo, ".lsh_index", tag)
+
+
+def serve_lsh_index(
+    spark: SparkSession, path: str, qbatch: list[tuple[int, list[float], int, int]]
+) -> DataFrame:
+    """Serve a query batch from the persisted index. ``qbatch`` rows are
+    (qid, qv, qbucket, qsub); probe buckets (exact + Hamming-1) are integer
+    math on the driver, and the scan reads ONLY those bucket partitions."""
+    probes = {
+        qid: [qbucket] + [qbucket ^ (1 << j) for j in range(_P)]
+        for qid, _, qbucket, _ in qbatch
+    }
+    all_buckets = sorted({b for bs in probes.values() for b in bs})
+    qdf = spark.createDataFrame(
+        [(qid, qv, qsub, probes[qid]) for qid, qv, qbucket, qsub in qbatch],
+        "qid bigint, qv array<double>, qsub bigint, probe array<bigint>",
+    )
+    idx = spark.read.parquet(path).filter(F.col("bucket").isin(all_buckets))
+    dot = F.expr(_SPARK_DOT.format(a="v", b="qv"))
+    n_v = F.expr(_SPARK_NORM2.format(a="v"))
+    n_q = F.expr(_SPARK_NORM2.format(a="qv"))
+    scored = (
+        idx.join(
+            F.broadcast(qdf),
+            F.expr("array_contains(probe, bucket)")
+            & (F.col("sub") == F.col("qsub"))
+            & (F.col("vec_id") != F.col("qid")),
+        )
+        .select("qid", "vec_id", "label", (dot / (F.sqrt(n_v) * F.sqrt(n_q))).alias("cosine"))
+    )
+    win = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= _K)
+        .select("qid", "rnk", "vec_id", "label", "cosine")
+        .orderBy("qid", "rnk")
+    )
+
+
+@register("s18_lsh_index_serve", oracle=_S15_ORACLE)
+def s18_lsh_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb_raw = spread(read_parquet(spark, f"{sf_dir}/embeddings.parquet"))
+    path = _s18_index_path(sf_dir)
+    write_lsh_index(emb_raw, path)
+    # Query batch: bucket/sub for the 8 query vectors, computed in a tiny
+    # job against the persisted sub width (8-row bounded collect).
+    meta = spark.read.parquet(path + "_meta")
+    emb = emb_raw.withColumn("v", F.col("embedding").cast("array<double>"))
+    qrows = (
+        emb.filter(F.col("vec_id") < _S15_NQ)
+        .select(
+            "vec_id",
+            "v",
+            F.expr(_SPARK_BUCKET).alias("bucket"),
+            F.expr(_SPARK_SIGNWORD.format(a="v", base=0)).alias("w0"),
+        )
+        .crossJoin(F.broadcast(meta))
+        .select(
+            "vec_id", "v", "bucket", F.expr(ADAPTIVE_SUB_SQL.format(w="w0", xbits="xbits")).alias("sub")
+        )
+        .collect()
+    )
+    qbatch = [
+        (int(r.vec_id), [float(x) for x in r.v], int(r.bucket), int(r.sub))
+        for r in sorted(qrows, key=lambda r: r.vec_id)
+    ]
+    return serve_lsh_index(spark, path, qbatch)
+
+
+# ---- s19: predicate-filtered ANN (in-class retrieval) ----------------------
+# Production vector search is rarely unfiltered: "nearest neighbors WHERE
+# tenant = x / lang = y / label = z" is the common shape, and the naive
+# plan (top-k first, filter after) silently under-returns. s19 does
+# filtered search the right way round: the label predicate is applied to
+# the candidate set BEFORE scoring, inside the probed IVF cells, so each
+# query's top-k is exact over its admissible subset of the probed region.
+#
+# Scale shape: identical to s05/s17 — map-side cell assignment, candidate
+# scan pruned to the probe cells, and the filter column rides WITH the
+# index (label is stored per row), so at serve time the predicate is a
+# scan-level filter (parquet row-group stats prune on label), not a
+# post-join step. The query relation (8 rows × probe lists) is broadcast;
+# the only exchange is the per-qid rank window. Reference analog: none
+# (north-star similarity family).
+
+_S19_NQ = 8
+
+_S19_ORACLE = f"""
+WITH vecs AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+assigned AS (
+  SELECT vec_id, label, v, {_DUCK_CELL.format(a="v")} AS cell FROM vecs
+),
+q AS (
+  SELECT vec_id AS qid, label AS qlabel, v AS qv, {_DUCK_PROBE.format(a="v")} AS probe
+  FROM vecs WHERE vec_id < {_S19_NQ}
+),
+cand AS (
+  SELECT q.qid, a.vec_id, a.label, a.v, q.qv
+  FROM assigned a JOIN q
+    ON list_contains(q.probe, a.cell) AND a.label = q.qlabel AND a.vec_id <> q.qid
+),
+scored AS (
+  SELECT qid, vec_id, label,
+         {_DUCK_DOT.format(a="v", b="qv", n=_DIM)}
+           / (sqrt({_DUCK_NORM2.format(a="v")}) * sqrt({_DUCK_NORM2.format(a="qv")}))
+           AS cosine
+  FROM cand
+),
+ranked AS (
+  SELECT qid, vec_id, label, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT qid, CAST(rn AS INT) AS rnk, vec_id, label, cosine
+FROM ranked WHERE rn <= {_K}
+ORDER BY qid, rnk
+"""
+
+
+@register("s19_filtered_ann", oracle=_S19_ORACLE)
+def s19_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(read_parquet(spark, f"{sf_dir}/embeddings.parquet")).withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    assigned = ivf_assign(emb).select("vec_id", "label", "v", "cell")
+    q = emb.filter(F.col("vec_id") < _S19_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+        F.expr(_SPARK_PROBE.format(a="v")).alias("probe"),
+    )
+    dot = F.expr(_SPARK_DOT.format(a="v", b="qv"))
+    n_v = F.expr(_SPARK_NORM2.format(a="v"))
+    n_q = F.expr(_SPARK_NORM2.format(a="qv"))
+    scored = (
+        assigned.join(
+            F.broadcast(q),
+            F.expr("array_contains(probe, cell)")
+            & (F.col("label") == F.col("qlabel"))
+            & (F.col("vec_id") != F.col("qid")),
+        )
+        .select("qid", "vec_id", "label", (dot / (F.sqrt(n_v) * F.sqrt(n_q))).alias("cosine"))
+    )
+    win = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= _K)
+        .select("qid", "rnk", "vec_id", "label", "cosine")
+        .orderBy("qid", "rnk")
     )

@@ -475,3 +475,55 @@ def test_m11_frame_join_is_bounded(q):
     # at driver SFs the cached frame relation broadcasts (even better);
     # at scale the join shuffles on the aligned (frame_no, phash) key
     assert "hashpartitioning(frame_no" in plan or has_broadcast_join(df)
+
+
+def test_s18_serve_scan_prunes_to_probed_buckets(q):
+    """The LSH index serve must read back ONLY the probed bucket
+    partitions (the batch's bucket IN-list is a PartitionFilter at the
+    index FileScan), the query relation broadcasts, and per-query top-k
+    is a qid window, not a global sort."""
+    df = q("s18_lsh_index_serve")
+    assert has_broadcast_join(df)
+    assert not has_cartesian(df)
+    plan = physical_plan(df)
+    scan_lines = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert any(
+        "PartitionFilters" in ln and "bucket" in ln.split("PartitionFilters", 1)[1][:160]
+        for ln in scan_lines
+    ), scan_lines
+    assert "hashpartitioning(qid" in plan
+
+
+def test_s19_filtered_ann_shape(q):
+    """Filtered ANN: the 8-row query relation (with probe lists and the
+    label predicate) broadcasts against the cell-assigned corpus — the
+    corpus never shuffles for the candidate join; the only exchange is
+    the per-qid rank window."""
+    df = q("s19_filtered_ann")
+    assert has_broadcast_join(df)
+    assert not has_cartesian(df)
+    plan = physical_plan(df)
+    assert "hashpartitioning(qid" in plan
+    assert exchange_count(df) <= 3
+
+
+def test_q55_sweep_line_is_binned(q):
+    """The concurrency sweep must NOT be a single global running sum: the
+    per-boundary window partitions on the hour bin (parallel), the
+    carry-in offsets join back via broadcast, and the only
+    single-partition window runs over the |bins|-row net frame."""
+    df = q("q55_concurrent_intervals")
+    assert has_broadcast_join(df)
+    assert not has_cartesian(df)
+    plan = physical_plan(df)
+    assert "hashpartitioning(bin" in plan
+
+
+def test_q56_no_single_partition_anywhere(q):
+    """Cumulative-distinct accrual runs entirely on user-partitioned
+    windows and aggregates — no SinglePartition exchange may appear (the
+    terminal sort is a range partitioning over oracle-sized output)."""
+    df = q("q56_distinct_accrual")
+    plan = physical_plan(df)
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(user_id" in plan

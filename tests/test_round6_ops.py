@@ -122,3 +122,69 @@ def test_p31_hygiene_invariants(spark, sf_dir):
     # the pipeline is strictly tighter than the Gopher gate alone
     n_gated = sum(1 for d, p in gopher.items() if p == 1 and d % 10 != 0)
     assert len(ids) < n_gated
+
+
+def test_s18_matches_s15_exactly(spark, sf_dir):
+    """The persisted LSH index is a reorganized copy of s15's bucketed
+    frame, so serving from it must reproduce s15's batch results row for
+    row (same probes, same adaptive sub width, same tie-break)."""
+    a = [tuple(r) for r in QUERIES["s15_batched_lsh_topk"](spark, sf_dir).collect()]
+    b = [tuple(r) for r in QUERIES["s18_lsh_index_serve"](spark, sf_dir).collect()]
+    assert a == b and len(a) > 0
+
+
+def test_s19_respects_the_label_predicate(spark, sf_dir):
+    """Filtered ANN: every returned neighbor carries the query's own
+    label, ranks are 1..k contiguous per query, and the result differs
+    from the unfiltered probe (the predicate actually bit somewhere)."""
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    rows = QUERIES["s19_filtered_ann"](spark, sf_dir).collect()
+    assert rows
+    labels = {
+        r.vec_id: r.label
+        for r in read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 8)
+        .select("vec_id", "label")
+        .collect()
+    }
+    by_q = {}
+    for r in rows:
+        assert r.label == labels[r.qid], (r.qid, r.label, labels[r.qid])
+        assert r.vec_id != r.qid
+        by_q.setdefault(r.qid, []).append(r.rnk)
+    for qid, rnks in by_q.items():
+        assert rnks == list(range(1, len(rnks) + 1)), (qid, rnks)
+
+
+def test_q55_concurrency_is_consistent_with_sessionization(spark, sf_dir):
+    """The sweep's per-hour start counts must total q15's session count,
+    and every max_concurrent is >= 1 (the starting session itself) and
+    <= the number of users (a user's sessions never overlap by
+    construction of the 30-min gap rule)."""
+    rows = QUERIES["q55_concurrent_intervals"](spark, sf_dir).collect()
+    q15 = QUERIES["q15_sessionization"](spark, sf_dir).collect()[0]
+    assert sum(r.n_starts for r in rows) == q15.n_sessions
+    assert all(r.max_concurrent >= 1 for r in rows)
+    assert all(r.max_concurrent <= q15.n_users for r in rows)
+
+
+def test_q56_accrual_bounds(spark, sf_dir):
+    """Distinct accrual: n_types is within [1, |event types|]; reach_ts
+    is never before first_ts; users who never reach the threshold have a
+    NULL reach_ts and n_types below it."""
+    from dbt_osmosis_spark.operators.relational_ext3 import _Q56_REACH
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    rows = QUERIES["q56_distinct_accrual"](spark, sf_dir).collect()
+    n_types_total = (
+        read_parquet(spark, f"{sf_dir}/events.parquet").select("event_type").distinct().count()
+    )
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_types <= n_types_total
+        if r.reach_ts is not None:
+            assert r.n_types >= _Q56_REACH
+            assert r.reach_ts >= r.first_ts
+        else:
+            assert r.n_types < _Q56_REACH
