@@ -556,3 +556,161 @@ def p31_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "cluster_size", "quality_score", "lang", "source")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# p32: incremental corpus statistics — mergeable partial-aggregate state
+# --------------------------------------------------------------------------
+# A 100 TB corpus is never re-scanned to refresh its dashboard: each ingest
+# batch contributes a PARTIAL state, and the report is a merge of partials.
+# That only works if every statistic is algebraic (sum/count/max merge by
+# sum/sum/max) — and the one that is NOT (distinct languages per source)
+# becomes mergeable by keeping state at the finer (source, lang) grain and
+# counting grain rows at report time. p32 exercises exactly that contract:
+# the corpus is processed as two disjoint batches (doc_id parity), each
+# reduced to (source, lang) partials map-side, the partials merged, and
+# the merged report must equal the oracle's single-scan GROUP BY — the
+# proof that batch boundaries never leak into the numbers.
+#
+# Scale shape: each batch's partial agg is one partial-aggregated shuffle
+# on (source, lang) — at steady state only the NEW batch is scanned; the
+# stored partial table (|sources| x |langs| rows) unions in for free. No
+# distinct-aggregation over history, no re-scan, no global anything.
+
+_P32_ORACLE = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       floor(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 AS avg_chars,
+       MAX(n_chars) AS max_chars,
+       COUNT(DISTINCT lang) AS n_langs
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+def partial_stats(batch: DataFrame) -> DataFrame:
+    """One batch's mergeable state: algebraic sums/counts/max at the
+    (source, lang) grain."""
+    return batch.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("decimal(18,0)")).alias("sum_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+def merge_stats(partials: DataFrame) -> DataFrame:
+    """Merge any number of partial-state frames (pre-unioned) into the
+    per-source report. Distinct languages = COUNT of merged grain rows."""
+    merged = partials.groupBy("source", "lang").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("sum_chars").alias("sum_chars"),
+        F.max("max_chars").alias("max_chars"),
+    )
+    total = F.sum("sum_chars").cast("bigint")
+    n = F.sum("n_docs").cast("bigint")
+    return (
+        merged.groupBy("source")
+        .agg(
+            n.alias("n_docs"),
+            total.alias("total_chars"),
+            F.floor(
+                total.cast("double") / n.cast("double") * F.lit(1e6) + F.lit(0.5)
+            ).cast("double").alias("avg_chars_e6"),
+            F.max("max_chars").alias("max_chars"),
+            F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            (F.col("avg_chars_e6") / F.lit(1e6)).alias("avg_chars"),
+            "max_chars",
+            "n_langs",
+        )
+    )
+
+
+@register("p32_incremental_stats", oracle=_P32_ORACLE)
+def p32_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    batch_a = partial_stats(docs.filter(F.col("doc_id") % 2 == 0))
+    batch_b = partial_stats(docs.filter(F.col("doc_id") % 2 == 1))
+    return merge_stats(batch_a.unionByName(batch_b)).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# p33: key-skew report — the diagnostic you run BEFORE choosing a salt
+# --------------------------------------------------------------------------
+# Every skew mitigation in this tree (salting, AQE skew join, adaptive key
+# widths) starts from the same question: how hot is the hottest key? p33
+# answers it per event_type over the events stream: row/key counts, the
+# heaviest key's share, and max/mean ratio — all from ONE partial-aggregated
+# shuffle on (event_type, user_id) plus tiny per-type rollups. The heavy
+# key itself is identified deterministically (smallest user_id among the
+# maxima) by joining the broadcast per-type max back to the counts frame.
+# skew_ratio = max*n_keys/n_rows is integer math until one final pinned
+# rounding, so the report value-hashes across engines.
+
+_P33_ORACLE = """
+WITH counts AS (
+  SELECT event_type, user_id, COUNT(*) AS c
+  FROM events GROUP BY event_type, user_id
+),
+per_type AS (
+  SELECT event_type,
+         CAST(SUM(c) AS BIGINT) AS n_rows,
+         COUNT(*) AS n_keys,
+         CAST(MAX(c) AS BIGINT) AS max_key_rows
+  FROM counts GROUP BY event_type
+),
+top AS (
+  SELECT c.event_type, MIN(c.user_id) AS top_user_id
+  FROM counts c JOIN per_type p
+    ON c.event_type = p.event_type AND c.c = p.max_key_rows
+  GROUP BY c.event_type
+)
+SELECT p.event_type, p.n_rows, p.n_keys, p.max_key_rows, t.top_user_id,
+       floor(CAST(p.max_key_rows * p.n_keys AS DOUBLE) / p.n_rows * 1e6 + 0.5) / 1e6
+         AS skew_ratio
+FROM per_type p JOIN top t ON p.event_type = t.event_type
+ORDER BY p.event_type
+"""
+
+
+@register("p33_skew_report", oracle=_P33_ORACLE)
+def p33_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_parquet(spark, f"{sf_dir}/events.parquet")
+    counts = e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("c"))
+    per_type = counts.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("c").cast("bigint").alias("max_key_rows"),
+    )
+    top = (
+        counts.join(
+            F.broadcast(per_type.select("event_type", "max_key_rows")),
+            ["event_type"],
+        )
+        .filter(F.col("c") == F.col("max_key_rows"))
+        .groupBy("event_type")
+        .agg(F.min("user_id").alias("top_user_id"))
+    )
+    ratio = (
+        F.floor(
+            (F.col("max_key_rows") * F.col("n_keys")).cast("double")
+            / F.col("n_rows").cast("double")
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        / F.lit(1e6)
+    )
+    return (
+        per_type.join(F.broadcast(top), "event_type")
+        .select(
+            "event_type", "n_rows", "n_keys", "max_key_rows", "top_user_id",
+            ratio.alias("skew_ratio"),
+        )
+        .orderBy("event_type")
+    )

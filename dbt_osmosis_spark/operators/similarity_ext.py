@@ -669,3 +669,86 @@ def s19_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "rnk", "vec_id", "label", "cosine")
         .orderBy("qid", "rnk")
     )
+
+
+# ---- s20: incremental IVF index maintenance (append, then serve) -----------
+# s17 builds the index in one shot; production corpora GROW. The IVF
+# layout makes increments cheap: a new batch is cell-assigned map-side
+# and APPENDED into its cell partition directories — no rebuild, no
+# touch of existing files, no shuffle of the resident corpus. s20
+# exercises exactly that lifecycle: build the index from half the
+# corpus (even vec_ids), append the other half as a second batch, then
+# serve the standard 8-query batch from the combined index. Results
+# must be identical to s17's one-shot build over the full corpus — the
+# cell of a vector depends only on the vector and the frozen centroid
+# literals, so assignment is batch-invariant, and parquet partition
+# append is a pure union. (With a TRAINED quantizer the same holds as
+# long as the centroid model is versioned with the index — re-training
+# forces a rebuild; the deterministic quantizer here never re-trains.)
+#
+# Scale shape: each increment costs one map-side assignment pass over
+# the NEW batch + a partitioned append; the serve plan is s17's
+# (pruned scan over probed cells, broadcast query relation, qid rank
+# window). Reference analog: none (north-star similarity family).
+
+_S20_ORACLE = _S17_ORACLE
+
+
+def append_ivf_batch(emb: DataFrame, path: str) -> None:
+    """Cell-assign a NEW batch map-side and append it into the existing
+    cell partition directories — the resident index is never read,
+    shuffled, or rewritten."""
+    indexed = ivf_assign(emb)
+    (
+        indexed.select("vec_id", "label", "v", "cell")
+        .repartition("cell")
+        .write.partitionBy("cell")
+        .mode("append")
+        .parquet(path)
+    )
+
+
+def _s20_index_path(sf_dir: str) -> str:
+    repo = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    tag = _os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return _os.path.join(repo, ".ivf_index", tag + "_incr")
+
+
+@register("s20_ivf_incremental_serve", oracle=_S20_ORACLE)
+def s20_ivf_incremental_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    emb = spread(read_parquet(spark, f"{sf_dir}/embeddings.parquet")).withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    path = _s20_index_path(sf_dir)
+    _shutil.rmtree(path, ignore_errors=True)  # idempotent re-run: append must not double
+    write_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), path)
+    append_ivf_batch(emb.filter(F.col("vec_id") % 2 == 1), path)
+    qrows = (
+        emb.filter(F.col("vec_id") < _S17_NQ).select("vec_id", "v").collect()
+    )  # bounded 8-row query batch (probe planning happens on the driver)
+    batch = [
+        (int(r.vec_id), [float(x) for x in r.v], probe_cells(list(r.v)))
+        for r in sorted(qrows, key=lambda r: r.vec_id)
+    ]
+    all_cells = sorted({c for _, _, cells in batch for c in cells})
+    qdf = spark.createDataFrame(batch, "qid bigint, qv array<double>, probe array<int>")
+    idx = spark.read.parquet(path).filter(F.col("cell").isin(all_cells))
+    dot = F.expr(_SPARK_DOT.format(a="v", b="qv"))
+    n_v = F.expr(_SPARK_NORM2.format(a="v"))
+    n_q = F.expr(_SPARK_NORM2.format(a="qv"))
+    scored = (
+        idx.join(
+            F.broadcast(qdf),
+            F.expr("array_contains(probe, cell)") & (F.col("vec_id") != F.col("qid")),
+        )
+        .select("qid", "vec_id", "label", (dot / (F.sqrt(n_v) * F.sqrt(n_q))).alias("cosine"))
+    )
+    win = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= _K)
+        .select("qid", "rnk", "vec_id", "label", "cosine")
+        .orderBy("qid", "rnk")
+    )

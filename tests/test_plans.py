@@ -527,3 +527,38 @@ def test_q56_no_single_partition_anywhere(q):
     plan = physical_plan(df)
     assert "SinglePartition" not in plan
     assert "hashpartitioning(user_id" in plan
+
+
+def test_s20_incremental_serve_scan_prunes(q):
+    """The incrementally-built index must serve exactly like s17's:
+    probed-cell PartitionFilters at the scan, broadcast query relation,
+    qid-window top-k."""
+    df = q("s20_ivf_incremental_serve")
+    assert has_broadcast_join(df)
+    plan = physical_plan(df)
+    scan_lines = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert any(
+        "PartitionFilters" in ln and "cell" in ln.split("PartitionFilters", 1)[1][:160]
+        for ln in scan_lines
+    ), scan_lines
+    assert "hashpartitioning(qid" in plan
+
+
+def test_p32_merge_never_single_partitions(q):
+    """Partial-state merge must stay key-partitioned end to end: no
+    SinglePartition exchange anywhere (the report is per-source)."""
+    df = q("p32_incremental_stats")
+    plan = physical_plan(df)
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(source" in plan
+
+
+def test_p33_one_counts_shuffle_then_broadcasts(q):
+    """The only data-sized shuffle is the (event_type, user_id) counts
+    aggregate; per-type rollup and hot-key identification join back via
+    broadcast."""
+    df = q("p33_skew_report")
+    assert has_broadcast_join(df)
+    assert not has_cartesian(df)
+    plan = physical_plan(df)
+    assert "hashpartitioning(event_type" in plan

@@ -188,3 +188,49 @@ def test_q56_accrual_bounds(spark, sf_dir):
             assert r.reach_ts >= r.first_ts
         else:
             assert r.n_types < _Q56_REACH
+
+
+def test_s20_incremental_append_matches_one_shot_build(spark, sf_dir):
+    """Appending the second half of the corpus into the index must yield
+    exactly the one-shot s17 build's serve results — cell assignment is
+    batch-invariant under the frozen quantizer."""
+    a = [tuple(r) for r in QUERIES["s17_ivf_index_serve"](spark, sf_dir).collect()]
+    b = [tuple(r) for r in QUERIES["s20_ivf_incremental_serve"](spark, sf_dir).collect()]
+    assert a == b and len(a) > 0
+
+
+def test_p32_report_is_batch_boundary_invariant(spark, sf_dir):
+    """The merged report must not depend on HOW the corpus was batched:
+    a 3-way doc_id%3 split merges to the same rows as the registered
+    2-way split, and as a single-batch 'merge'."""
+    from dbt_osmosis_spark.operators.pipeline_ext2 import merge_stats, partial_stats
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    registered = {
+        tuple(r) for r in QUERIES["p32_incremental_stats"](spark, sf_dir).collect()
+    }
+    three = [partial_stats(docs.filter(F.col("doc_id") % 3 == i)) for i in range(3)]
+    u = three[0].unionByName(three[1]).unionByName(three[2])
+    assert {tuple(r) for r in merge_stats(u).collect()} == registered
+    single = {tuple(r) for r in merge_stats(partial_stats(docs)).collect()}
+    assert single == registered
+
+
+def test_p33_skew_report_invariants(spark, sf_dir):
+    """Row totals reconcile with the raw table, the reported hot key is
+    genuinely maximal, and max/mean ratio is >= 1 by construction."""
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    rows = QUERIES["p33_skew_report"](spark, sf_dir).collect()
+    e = read_parquet(spark, f"{sf_dir}/events.parquet")
+    assert sum(r.n_rows for r in rows) == e.count()
+    for r in rows:
+        assert r.skew_ratio >= 1.0
+        top_n = (
+            e.filter(
+                (F.col("event_type") == r.event_type)
+                & (F.col("user_id") == r.top_user_id)
+            ).count()
+        )
+        assert top_n == r.max_key_rows
