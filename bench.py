@@ -76,6 +76,10 @@ FAMILIES = [
     # round-6: the IVF build/serve split — one cell-partitioned index write
     # + an 8-query serve that prunes the scan to the probed cells
     "s17_ivf_index_serve",
+    # round-6b: the LSH twin of s17 (bucket-partitioned index build +
+    # probed-bucket serve) and the distributed sweep-line concurrency query
+    "s18_lsh_index_serve",
+    "q55_concurrent_intervals",
 ]
 
 # Scale-slope flagships: timed at sf0.1 AND at the generated 10x sf1
@@ -96,6 +100,12 @@ SCALE_FLAGSHIPS = [
     # round-6: broadcast-eval fuzzy decontamination — the corpus side never
     # shuffles, so the slope should track the signature scan
     "d17_fuzzy_decontamination",
+    # round-6b: index build+serve (write cost should track corpus, serve
+    # scan stays ~|probed buckets|/2^P) and the binned sweep line (events
+    # scale 10x in BOTH rows and concurrency; bins are fixed, so per-bin
+    # windows absorb the growth in parallel)
+    "s18_lsh_index_serve",
+    "q55_concurrent_intervals",
 ]
 
 

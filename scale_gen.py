@@ -11,8 +11,12 @@ distributions of the driver's sf0.1 tables (measured, not assumed):
   the observed marginal — sf0.1's vectors are exactly this (intra-label
   cosine ~= 0, norm == 1.0, >=0.4 pairs at the random-tail rate 4.6e-4).
 
-Only the tables the scale flagships read (documents, embeddings) are
-generated. Output is written under ``.scale/sf1`` (gitignored) and reused
+- events: user count scales with mult (same per-user rate) over sf0.1's
+  fixed ~30-day window, (event_type, value, props) resampled jointly —
+  concurrency grows with scale, stressing the sweep-line flagship.
+
+Only the tables the scale flagships read (documents, embeddings, events)
+are generated. Output is written under ``.scale/sf1`` (gitignored) and reused
 across runs; seed fixed so every round measures the same corpus.
 """
 
@@ -89,6 +93,36 @@ def _gen_embeddings(out_path: str, rng: np.random.Generator) -> int:
     return n
 
 
+def _gen_events(out_path: str, rng: np.random.Generator, mult: int) -> int:
+    """mult-x events: user count scales with the corpus (same per-user
+    rate), the time window stays sf0.1's ~30 days — so CONCURRENCY scales,
+    which is exactly what the sweep-line flagship must absorb.
+    (event_type, value, props) are resampled jointly so their empirical
+    dependence structure is preserved; timestamps are uniform over the
+    observed window (sf0.1's arrivals are uniform)."""
+    base = pq.read_table(f"{_BASIS}/events.parquet")
+    n_base = base.num_rows
+    n = n_base * mult
+    n_users = int(np.asarray(base.column("user_id").to_numpy()).max()) + 1
+    ts_us = base.column("ts").cast(pa.int64()).to_numpy()
+    lo, hi = int(ts_us.min()), int(ts_us.max())
+
+    idx = rng.integers(0, n_base, size=n)
+    ts = np.sort(rng.integers(lo, hi + 1, size=n))
+    table = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(ts, pa.int64()).cast(base.schema.field("ts").type),
+            "user_id": pa.array(rng.integers(0, n_users * mult, size=n), pa.int64()),
+            "event_type": base.column("event_type").take(pa.array(idx)).combine_chunks(),
+            "value": base.column("value").take(pa.array(idx)).combine_chunks(),
+            "props": base.column("props").take(pa.array(idx)).combine_chunks(),
+        }
+    )
+    pq.write_table(table, out_path)
+    return n
+
+
 def ensure_scale(mult: int, repo_root: str | None = None) -> str:
     """Generate (once) and return a ``mult``x-of-sf0.1 directory path."""
     global _DOCS_MULT, _EMB_MULT
@@ -96,15 +130,23 @@ def ensure_scale(mult: int, repo_root: str | None = None) -> str:
     out = os.path.join(root, ".scale", f"sf{mult // 10}" if mult % 10 == 0 else f"x{mult}")
     docs = os.path.join(out, "documents.parquet")
     embs = os.path.join(out, "embeddings.parquet")
-    if os.path.exists(docs) and os.path.exists(embs):
+    evts = os.path.join(out, "events.parquet")
+    if os.path.exists(docs) and os.path.exists(embs) and os.path.exists(evts):
         return out
     os.makedirs(out, exist_ok=True)
     saved = (_DOCS_MULT, _EMB_MULT)
     _DOCS_MULT = _EMB_MULT = mult
     try:
         rng = np.random.default_rng(_SEED)
-        _gen_documents(docs, rng)
-        _gen_embeddings(embs, rng)
+        if not os.path.exists(docs):
+            _gen_documents(docs, rng)
+        if not os.path.exists(embs):
+            _gen_embeddings(embs, rng)
+        if not os.path.exists(evts):
+            # Dedicated stream so backfilling events into a directory that
+            # already has documents/embeddings yields the same bytes as a
+            # fresh full generation.
+            _gen_events(evts, np.random.default_rng(_SEED + 1), mult)
     finally:
         _DOCS_MULT, _EMB_MULT = saved
     return out
