@@ -714,3 +714,74 @@ def p33_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# p34: per-group top-k under extreme group skew — two-phase salted window
+# --------------------------------------------------------------------------
+# "Top vocabulary PER LANGUAGE" has a pathological shape at scale: only
+# |langs| (~5) groups, so a row_number() OVER (PARTITION BY lang) window
+# funnels the whole vocabulary through 5 reducers — the window twin of the
+# low-cardinality-key hotspot p33 measures. The fix is the classic salted
+# two-phase: rank within (lang, salt) buckets in parallel — any
+# deterministic salt of the WORD is correct, because each word's total
+# count is already final before salting, every word lives in exactly one
+# bucket, and a global top-k member is necessarily a top-k member of its
+# own bucket — then re-rank only the |langs| x _P34_SALTS x k surviving
+# candidates in the cheap final window. The salt function never needs
+# cross-engine agreement: it shapes intermediate candidate sets only, and
+# the final re-rank restores the exact answer (asserted by the oracle,
+# which computes the single-window form directly).
+#
+# Scale shape: one well-spread shuffle on (lang, word) for the counts, a
+# (lang, salt)-partitioned window (parallelism = |langs| x 32), and a
+# final window over <= |langs| x 32 x k rows. No 5-reducer stage anywhere.
+
+_P34_TOPK = 10
+_P34_SALTS = 32
+
+_P34_ORACLE = f"""
+WITH words AS (
+  SELECT lang, unnest({{tok}}) AS word FROM documents
+),
+counts AS (
+  SELECT lang, word, COUNT(*) AS n FROM words GROUP BY lang, word
+),
+ranked AS (
+  SELECT lang, word, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rn
+  FROM counts
+)
+SELECT lang, CAST(rn AS INT) AS rnk, word, n
+FROM ranked WHERE rn <= {_P34_TOPK}
+ORDER BY lang, rnk
+""".format(tok="string_split(trim(text), ' ')")
+
+
+@register("p34_salted_topk", oracle=_P34_ORACLE)
+def p34_salted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_osmosis_spark.operators.text import tokens
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    counts = (
+        spread(docs)
+        .select("lang", F.explode(tokens()).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    salted = counts.withColumn(
+        "salt", F.pmod(F.conv(F.substring(F.md5("word"), 1, 6), 16, 10).cast("long"), F.lit(_P34_SALTS))
+    )
+    pre = W.partitionBy("lang", "salt").orderBy(F.desc("n"), "word")
+    cand = (
+        salted.withColumn("prn", F.row_number().over(pre))
+        .filter(F.col("prn") <= _P34_TOPK)
+        .drop("prn", "salt")
+    )
+    final = W.partitionBy("lang").orderBy(F.desc("n"), "word")
+    return (
+        cand.withColumn("rnk", F.row_number().over(final))
+        .filter(F.col("rnk") <= _P34_TOPK)
+        .select("lang", "rnk", "word", "n")
+        .orderBy("lang", "rnk")
+    )

@@ -562,3 +562,13 @@ def test_p33_one_counts_shuffle_then_broadcasts(q):
     assert not has_cartesian(df)
     plan = physical_plan(df)
     assert "hashpartitioning(event_type" in plan
+
+
+def test_p34_salted_window_precedes_final(q):
+    """Two-phase top-k: the heavy ranking runs in (lang, salt) partitions
+    (parallelism |langs| x 32); the lang-only window exists but only ever
+    sees the <= |langs| x 32 x k candidate survivors."""
+    df = q("p34_salted_topk")
+    plan = physical_plan(df)
+    assert "hashpartitioning(lang" in plan and "salt" in plan
+    assert "SinglePartition" not in plan

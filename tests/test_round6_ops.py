@@ -234,3 +234,43 @@ def test_p33_skew_report_invariants(spark, sf_dir):
             ).count()
         )
         assert top_n == r.max_key_rows
+
+
+def test_p34_salt_does_not_change_the_answer(spark, sf_dir):
+    """The salted two-phase result must equal the direct single-window
+    computation (the salt shapes intermediates only), and per-bucket
+    pre-ranking must genuinely bound the candidate set."""
+    from dbt_osmosis_spark.operators.pipeline_ext2 import _P34_SALTS, _P34_TOPK
+    from dbt_osmosis_spark.operators.text import tokens
+    from dbt_osmosis_spark.sources.parquet import read_parquet, spread
+    from pyspark.sql.window import Window as W
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    counts = (
+        spread(docs)
+        .select("lang", F.explode(tokens()).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    win = W.partitionBy("lang").orderBy(F.desc("n"), "word")
+    direct = [
+        tuple(r)
+        for r in counts.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= _P34_TOPK)
+        .select("lang", "rnk", "word", "n")
+        .orderBy("lang", "rnk")
+        .collect()
+    ]
+    got = [tuple(r) for r in QUERIES["p34_salted_topk"](spark, sf_dir).collect()]
+    assert got == direct
+    n_langs = docs.select("lang").distinct().count()
+    assert len(got) == n_langs * _P34_TOPK
+    # each word maps to exactly one salt bucket (the correctness premise);
+    # the candidate frame is bounded by langs x salts x k
+    salt = F.pmod(
+        F.conv(F.substring(F.md5("word"), 1, 6), 16, 10).cast("long"), F.lit(_P34_SALTS)
+    )
+    per_word = counts.select("word", salt.alias("s")).groupBy("word").agg(
+        F.countDistinct("s").alias("ns")
+    )
+    assert per_word.filter(F.col("ns") != 1).count() == 0

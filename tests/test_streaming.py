@@ -499,3 +499,56 @@ def test_ingest_crash_between_appends_replays_idempotently(
         for r in QUERIES["p16_incremental_dedup"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_streaming_stats_maintenance_matches_batch_p32(spark, sf_dir, tmp_path):
+    """Continuous stats maintenance (per-batch partials into batch_id
+    partitions) must report exactly p32's merged result after the backlog
+    drains, stay exact across a crash-replay (idempotent partition
+    overwrite), and be report-invariant under state compaction."""
+    import glob
+    import os
+    import shutil
+
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+    from dbt_osmosis_spark.streaming import stats as st
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    incoming_dir = str(tmp_path / "incoming")
+    state_dir = str(tmp_path / "state")
+    os.makedirs(incoming_dir)
+    thirds = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    for i, third in enumerate(thirds):
+        stage = str(tmp_path / f"stage{i}")
+        third.coalesce(1).write.parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{incoming_dir}/batch{i}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+    # First run dies after batch 1's state write but BEFORE its checkpoint
+    # commit; the restart re-delivers batch 1 with the same batch_id and
+    # must overwrite its partition, not double-count it.
+    st._CRASH_AFTER = "state"
+    try:
+        st.run_stats_maintenance(
+            incoming_dir, state_dir, str(tmp_path / "ckpt"), spark
+        )
+    except Exception:
+        pass
+    assert st._CRASH_AFTER is None  # the injection actually fired
+    st.run_stats_maintenance(incoming_dir, state_dir, str(tmp_path / "ckpt"), spark)
+
+    want = [tuple(r) for r in QUERIES["p32_incremental_stats"](spark, sf_dir).collect()]
+    got = [tuple(r) for r in st.stats_report(spark, state_dir).collect()]
+    assert got == want
+    # three batches -> three state partitions (replay overwrote, not appended)
+    parts = sorted(os.listdir(state_dir))
+    assert [p for p in parts if p.startswith("batch_id=")] == [
+        "batch_id=0", "batch_id=1", "batch_id=2",
+    ]
+
+    # Compaction folds the partitions into one and must not move the report.
+    compact_dir = str(tmp_path / "state_compact")
+    st.compact_state(spark, state_dir, compact_dir)
+    assert [tuple(r) for r in st.stats_report(spark, compact_dir).collect()] == want
