@@ -728,3 +728,63 @@ def t17_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# t18: lexical richness per source — type/token ratio + hapax rate
+# --------------------------------------------------------------------------
+# The vocabulary-richness companion to t16's Zipf slope: sources whose
+# type-token ratio or hapax share (once-occurring words) is far off the
+# corpus norm are usually template/boilerplate farms (low richness) or
+# OCR/garbage streams (pathologically high hapax share) — both standard
+# pretraining exclusion signals. One (source, word) partial-aggregated
+# shuffle; the per-source rollup is |sources| x |vocab_s| rows; ratios are
+# integer math until one pinned rounding, so the report value-hashes.
+
+_T18_ORACLE = f"""
+WITH words AS (
+  SELECT source, unnest({_DUCK_TOK}) AS word FROM documents
+),
+wc AS (
+  SELECT source, word, COUNT(*) AS c FROM words GROUP BY source, word
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_types,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       floor(CAST(COUNT(*) AS DOUBLE) / SUM(c) * 1e6 + 0.5) / 1e6 AS type_token_ratio,
+       floor(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6
+         AS hapax_rate
+FROM wc
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("t18_lexical_richness", oracle=_T18_ORACLE)
+def t18_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    wc = (
+        spread(docs)
+        .select("source", F.explode(tokens()).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_tokens = F.sum("c").cast("bigint")
+    n_types = F.count(F.lit(1))
+    n_hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("bigint")
+    r6 = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return (
+        wc.groupBy("source")
+        .agg(
+            n_tokens.alias("n_tokens"),
+            n_types.alias("n_types"),
+            n_hapax.alias("n_hapax"),
+            r6(n_types.cast("double") / F.sum("c").cast("double")).alias("type_token_ratio"),
+            r6(
+                F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("hapax_rate"),
+        )
+        .orderBy("source")
+    )
