@@ -752,3 +752,143 @@ def s20_ivf_incremental_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "rnk", "vec_id", "label", "cosine")
         .orderBy("qid", "rnk")
     )
+
+
+# ---- s21: IVF probe sweep — the recall/cost tuning curve -------------------
+# nprobe is THE operating knob of an IVF deployment: scan fraction grows
+# linearly with it, recall saturates. Picking it by feel at 10^9 vectors
+# wastes either recall or scan budget; s21 measures the whole curve in one
+# job — for nprobe = 1..4, batch recall@k of the probed search against the
+# exact brute-force truth over the same queries.
+#
+# Scale shape: the query side explodes to (8 queries x (1+2+..+4)) probe
+# rows — tiny, broadcast; the corpus is touched twice, both map-side
+# joins: once cell-pruned for the sweep candidates, once for the truth
+# scan (the truth is the same exact batch s04 already runs; at production
+# scale you'd sample queries for the sweep, which drops cost linearly).
+# Rank windows partition on (nprobe, qid) / qid. Recall is integer
+# counting with one pinned rounding — full value-hash oracle.
+# Reference analog: none (north-star similarity family).
+
+_S21_NQ = 8
+
+_S21_ORACLE = f"""
+WITH vecs AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+assigned AS (
+  SELECT vec_id, v, {_DUCK_CELL.format(a="v")} AS cell FROM vecs
+),
+q AS (
+  SELECT vec_id AS qid, v AS qv, {_DUCK_PROBE.format(a="v")} AS probe
+  FROM vecs WHERE vec_id < {_S21_NQ}
+),
+configs AS (
+  SELECT qid, qv, np, probe[1:np] AS cells
+  FROM q, (SELECT unnest(range(1, {_NPROBE} + 1)) AS np)
+),
+cand AS (
+  SELECT c.np, c.qid, a.vec_id,
+         {_DUCK_DOT.format(a="a.v", b="c.qv", n=_DIM)}
+           / (sqrt({_DUCK_NORM2.format(a="a.v")}) * sqrt({_DUCK_NORM2.format(a="c.qv")}))
+           AS cosine
+  FROM assigned a JOIN configs c
+    ON list_contains(c.cells, a.cell) AND a.vec_id <> c.qid
+),
+hits AS (
+  SELECT np, qid, vec_id
+  FROM (SELECT np, qid, vec_id,
+               row_number() OVER (PARTITION BY np, qid ORDER BY cosine DESC, vec_id) AS rn
+        FROM cand)
+  WHERE rn <= {_K}
+),
+truth AS (
+  SELECT qid, vec_id
+  FROM (SELECT q.qid, a.vec_id,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 {_DUCK_DOT.format(a="a.v", b="q.qv", n=_DIM)}
+                   / (sqrt({_DUCK_NORM2.format(a="a.v")}) * sqrt({_DUCK_NORM2.format(a="q.qv")}))
+                 DESC, a.vec_id) AS rn
+        FROM assigned a JOIN q ON a.vec_id <> q.qid)
+  WHERE rn <= {_K}
+),
+matched AS (
+  SELECT h.np, COUNT(*) AS n_hit
+  FROM hits h JOIN truth t ON h.qid = t.qid AND h.vec_id = t.vec_id
+  GROUP BY h.np
+)
+SELECT CAST(np AS INT) AS nprobe,
+       n_hit AS n_matched,
+       floor(CAST(n_hit AS DOUBLE) / ({_S21_NQ} * {_K}) * 1e6 + 0.5) / 1e6 AS recall_at_k
+FROM matched
+ORDER BY nprobe
+"""
+
+
+@register("s21_ivf_probe_sweep", oracle=_S21_ORACLE)
+def s21_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(read_parquet(spark, f"{sf_dir}/embeddings.parquet")).withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    assigned = ivf_assign(emb).select("vec_id", "v", "cell")
+    q = emb.filter(F.col("vec_id") < _S21_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.expr(_SPARK_PROBE.format(a="v")).alias("probe"),
+    )
+    configs = q.select(
+        "qid",
+        "qv",
+        "probe",
+        F.explode(F.expr(f"sequence(1, {_NPROBE})")).alias("np"),
+    ).select("qid", "qv", "np", F.expr("slice(probe, 1, np)").alias("cells"))
+    dot = F.expr(_SPARK_DOT.format(a="v", b="qv"))
+    n_v = F.expr(_SPARK_NORM2.format(a="v"))
+    n_q = F.expr(_SPARK_NORM2.format(a="qv"))
+    cosine = (dot / (F.sqrt(n_v) * F.sqrt(n_q))).alias("cosine")
+    cand = (
+        assigned.join(
+            F.broadcast(configs),
+            F.expr("array_contains(cells, cell)") & (F.col("vec_id") != F.col("qid")),
+        )
+        .select("np", "qid", "vec_id", cosine)
+    )
+    hits = (
+        cand.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("np", "qid").orderBy(F.desc("cosine"), "vec_id")
+            ),
+        )
+        .filter(F.col("rn") <= _K)
+        .select("np", "qid", "vec_id")
+    )
+    truth = (
+        assigned.join(F.broadcast(q.select("qid", "qv")), F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cosine)
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")),
+        )
+        .filter(F.col("rn") <= _K)
+        .select("qid", "vec_id")
+    )
+    return (
+        hits.join(truth, ["qid", "vec_id"])
+        .groupBy("np")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .select(
+            F.col("np").cast("int").alias("nprobe"),
+            "n_matched",
+            (
+                F.floor(
+                    F.col("n_matched").cast("double")
+                    / F.lit(float(_S21_NQ * _K))
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("recall_at_k"),
+        )
+        .orderBy("nprobe")
+    )

@@ -572,3 +572,12 @@ def test_p34_salted_window_precedes_final(q):
     plan = physical_plan(df)
     assert "hashpartitioning(lang" in plan and "salt" in plan
     assert "SinglePartition" not in plan
+
+
+def test_s21_sweep_broadcasts_query_side(q):
+    """The probe sweep's corpus joins are both broadcast (configs and the
+    truth query batch); ranking partitions on (np, qid) / qid."""
+    df = q("s21_ivf_probe_sweep")
+    assert has_broadcast_join(df)
+    plan = physical_plan(df)
+    assert "hashpartitioning(np" in plan and "hashpartitioning(qid" in plan

@@ -274,3 +274,15 @@ def test_p34_salt_does_not_change_the_answer(spark, sf_dir):
         F.countDistinct("s").alias("ns")
     )
     assert per_word.filter(F.col("ns") != 1).count() == 0
+
+
+def test_s21_recall_curve_is_monotone_and_bounded(spark, sf_dir):
+    """More probes can only add candidates, so recall@k must be
+    non-decreasing in nprobe and within (0, 1]; the full-probe point must
+    dominate the single-probe point strictly somewhere on real data."""
+    rows = QUERIES["s21_ivf_probe_sweep"](spark, sf_dir).collect()
+    assert [r.nprobe for r in rows] == [1, 2, 3, 4]
+    rec = [r.recall_at_k for r in rows]
+    assert all(0 < r <= 1 for r in rec)
+    assert all(a <= b for a, b in zip(rec, rec[1:]))
+    assert rec[-1] > rec[0]
