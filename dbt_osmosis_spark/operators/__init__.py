@@ -61,6 +61,8 @@ def load_all() -> None:
         relational_ext3,
         similarity,
         similarity_ext,
+        similarity_ext2,
         text,
         text_ext,
+        text_ext2,
     )

@@ -261,3 +261,95 @@ def d17_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---- d18: paragraph-level dedup (Dolma/CCNet granularity) ------------------
+# Web-corpus dedup below document granularity: duplicated PASSAGES
+# (boilerplate, quoted chunks, syndicated intros) survive doc-level dedup
+# because the surrounding text differs. Dolma and CCNet both dedup at
+# paragraph granularity: hash each paragraph, keep only the corpus-wide
+# first occurrence, reassemble documents from their surviving paragraphs.
+# This corpus has no newlines, so "paragraphs" are fixed 12-token blocks
+# (the same surrogate p22 uses for chunk windows) — the plan is identical
+# for real newline-split paragraphs.
+#
+# Scale shape: block extraction is map-side (one higher-order transform,
+# then a single explode); the ONLY corpus-scale shuffle is the
+# first-occurrence window keyed by the 64-bit block hash (uniform key,
+# no skew by construction); reassembly shuffles kept blocks back on
+# doc_id. Output is corpus-sized, never pair-sized — paragraph dedup has
+# no candidate-pair blowup at all, which is why Dolma runs it at
+# trillions of tokens.
+
+_D18_BLK = 12  # tokens per block ("paragraph" surrogate)
+
+_D18_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+  WHERE length(trim(text)) > 0
+),
+blocks AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(list_slice(w, i * {_D18_BLK} + 1,
+                                    i * {_D18_BLK} + {_D18_BLK}), ' ') AS blk
+  FROM d, UNNEST(range(0, CAST(ceil(len(w) / {_D18_BLK}.0) AS BIGINT))) AS t(i)
+),
+ranked AS (
+  SELECT doc_id, idx, blk,
+         row_number() OVER (PARTITION BY substr(md5(blk), 1, 16)
+                            ORDER BY doc_id, idx) AS rn
+  FROM blocks
+)
+SELECT doc_id,
+       COUNT(*) AS n_blocks,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(CASE WHEN rn = 1 THEN blk END, ' ' ORDER BY idx), '')
+         AS new_text
+FROM ranked
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("d18_paragraph_dedup", oracle=_D18_ORACLE)
+def d18_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    blocks = (
+        docs.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "doc_id", F.split(F.trim(F.col("text")), " ").alias("w")
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, CAST(ceil(size(w) / {_D18_BLK}.0) AS INT) - 1), "
+                    f"i -> struct(CAST(i AS BIGINT) AS idx, "
+                    f"concat_ws(' ', slice(w, i * {_D18_BLK} + 1, {_D18_BLK})) AS blk))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.idx", "b.blk")
+        .withColumn("h", F.expr("substr(md5(cast(blk AS BINARY)), 1, 16)"))
+    )
+    rn = F.row_number().over(Window.partitionBy("h").orderBy("doc_id", "idx"))
+    ranked = blocks.withColumn("rn", rn)
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(CASE WHEN rn = 1 "
+                    "THEN struct(idx, blk) END)), s -> s.blk)"
+                ),
+                " ",
+            ).alias("new_text"),
+        )
+        .orderBy("doc_id")
+    )

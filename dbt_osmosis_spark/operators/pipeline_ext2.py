@@ -785,3 +785,136 @@ def p34_salted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "rnk", "word", "n")
         .orderBy("lang", "rnk")
     )
+
+
+# ---- p35: DoReMi-style domain reweighting ---------------------------------
+# Mixture design with a loss signal (Xie et al., "DoReMi", 2023): domains
+# whose text is HARDER for a reference model than the corpus floor get
+# up-weighted (they carry more learnable signal); trivially-easy domains
+# get only their size share. The proxy reference model here is t13's
+# corpus-trained add-alpha bigram LM — per-source mean negative
+# log-likelihood stands in for the per-domain excess loss, and the weight
+# is w_s ∝ n_bigrams_s · 2^(excess_s), normalized (the exponential-of-
+# excess form of DoReMi's multiplicative-weights update, one step from
+# the size-proportional prior).
+#
+# Determinism: per-bigram log-probs quantize to exact ints (t13's move);
+# the per-source MEAN quantizes to integer micro-bits with a single IEEE
+# division of exact ints; the excess is then an exact integer difference,
+# and the normalization denominator sums exact quantized weights — no
+# float accumulation anywhere an order could vary. The one transcendental
+# (pow(2, excess)) is a single scalar op per source, absorbed by the 1e-3
+# weight quantization + round(6) like t11's log2.
+#
+# Scale shape: the model build is t13's two partial-agg shuffles; scoring
+# re-joins bigrams against the (broadcastable) model; everything after
+# the per-source aggregate runs on |sources| rows (~20) — the final
+# min/sum "windows" are over the source dimension, never the corpus.
+
+_P35_ALPHA = 0.5  # add-alpha smoothing (t13's constant)
+
+_P35_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(trim(text), ' ') AS w FROM documents
+  WHERE len(string_split(trim(text), ' ')) >= 2
+),
+big AS (
+  SELECT doc_id, source, w[i] AS a, w[i + 1] AS b
+  FROM toks, UNNEST(range(1, len(w))) AS t(i)
+),
+c2 AS (SELECT a, b, COUNT(*) AS n2 FROM big GROUP BY a, b),
+c1 AS (SELECT a, SUM(n2) AS n1 FROM c2 GROUP BY a),
+vocab AS (SELECT COUNT(DISTINCT b) AS v FROM c2),
+scored AS (
+  SELECT g.source,
+         floor(log2((c2.n2 + {_P35_ALPHA}) / (c1.n1 + {_P35_ALPHA} * vocab.v)) * 1e9 + 0.5) AS qlp
+  FROM big g
+  JOIN c2 ON g.a = c2.a AND g.b = c2.b
+  JOIN c1 ON g.a = c1.a
+  CROSS JOIN vocab
+),
+per_src AS (
+  SELECT source,
+         COUNT(*) AS n_bigrams,
+         CAST(floor(-CAST(SUM(CAST(qlp AS DECIMAL(28,0))) AS DOUBLE)
+                    / (COUNT(*) * 1000.0) + 0.5) AS BIGINT) AS loss_ubits
+  FROM scored GROUP BY source
+),
+floored AS (
+  SELECT source, n_bigrams, loss_ubits,
+         loss_ubits - MIN(loss_ubits) OVER () AS excess_ubits
+  FROM per_src
+),
+quantized AS (
+  SELECT source, n_bigrams, loss_ubits, excess_ubits,
+         CAST(floor(n_bigrams * pow(2.0, excess_ubits / 1e6) * 1000 + 0.5)
+              AS BIGINT) AS qw
+  FROM floored
+)
+SELECT source, n_bigrams, loss_ubits, excess_ubits,
+       round(CAST(qw AS DOUBLE) / SUM(qw) OVER (), 6) AS weight
+FROM quantized
+ORDER BY source
+"""
+
+
+@register("p35_doremi_weights", oracle=_P35_ORACLE)
+def p35_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    toks = docs.select(
+        "doc_id", "source", F.split(F.trim(F.col("text")), " ").alias("w")
+    ).filter(F.size("w") >= 2)
+    big = toks.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1), i -> struct("
+                "element_at(w, i) AS a, element_at(w, i + 1) AS b))"
+            )
+        ).alias("g"),
+    ).select("source", "g.a", "g.b")
+    c2 = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = c2.groupBy("a").agg(F.sum("n2").alias("n1"))
+    vocab = c2.agg(F.countDistinct("b").alias("v"))
+    scored = (
+        big.join(F.broadcast(c2), ["a", "b"])
+        .join(F.broadcast(c1), "a")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "source",
+            F.expr(
+                f"floor(log2((n2 + {_P35_ALPHA}) / (n1 + {_P35_ALPHA} * v)) * 1e9 + 0.5)"
+            ).alias("qlp"),
+        )
+    )
+    per_src = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.expr(
+            "CAST(floor(-CAST(SUM(CAST(qlp AS DECIMAL(28,0))) AS DOUBLE)"
+            " / (COUNT(*) * 1000.0) + 0.5) AS BIGINT)"
+        ).alias("loss_ubits"),
+    )
+    # |sources| rows from here on — the unpartitioned windows are over the
+    # source dimension only (~20 rows), never the corpus.
+    all_w = W.partitionBy()
+    floored = per_src.withColumn(
+        "excess_ubits", F.col("loss_ubits") - F.min("loss_ubits").over(all_w)
+    )
+    quantized = floored.withColumn(
+        "qw",
+        F.expr(
+            "CAST(floor(n_bigrams * pow(2.0, excess_ubits / 1e6) * 1000 + 0.5) AS BIGINT)"
+        ),
+    )
+    return (
+        quantized.select(
+            "source",
+            "n_bigrams",
+            "loss_ubits",
+            "excess_ubits",
+            F.round(
+                F.col("qw").cast("double") / F.sum("qw").over(all_w), 6
+            ).alias("weight"),
+        )
+        .orderBy("source")
+    )

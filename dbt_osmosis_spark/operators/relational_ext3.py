@@ -201,3 +201,134 @@ def q56_distinct_accrual(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+# --------------------------------------------------------------------------
+# q57: weekly retention-cohort matrix — the product-analytics staple
+# --------------------------------------------------------------------------
+# Cohort = ISO week of each user's first event; cell (cohort_week,
+# week_offset) counts the cohort's users active offset weeks later. The
+# naive formulation joins raw events against a per-user firsts table; the
+# scalable form never re-touches raw events after ONE aggregate:
+# (user, week) distinct-activity rows (shuffle 1, partial-agg'd map-side —
+# collapses each user's events within a week before the exchange), a
+# per-user min-week window over those tiny rows (shuffle 2, user key),
+# then the cohort-cell aggregate over rows already distinct per
+# (user, week) — so COUNT(*) IS the distinct-user count, no
+# COUNT(DISTINCT) state. All keys are user-scale; nothing global.
+# date_trunc('week') is ISO-Monday in both engines, and the offset is an
+# exact integer division of whole days — engine-identical.
+
+_Q57_ORACLE = """
+WITH uw AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+  FROM events
+),
+cohorts AS (
+  SELECT user_id, wk,
+         MIN(wk) OVER (PARTITION BY user_id) AS cohort_week
+  FROM uw
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, wk) // 7 AS INT) AS week_offset,
+       COUNT(*) AS n_active_users
+FROM cohorts
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("q57_retention_cohorts", oracle=_Q57_ORACLE)
+def q57_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    uw = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    cohorts = uw.withColumn(
+        "cohort_week", F.min("wk").over(W.partitionBy("user_id"))
+    )
+    return (
+        cohorts.groupBy(
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+# --------------------------------------------------------------------------
+# q58: gap-filled hourly series — resample with explicit zeros
+# --------------------------------------------------------------------------
+# Downstream consumers (dashboards, anomaly detectors, forecast models)
+# need EVERY bucket present, including empty ones; a bare groupBy silently
+# drops hours with no events. The scalable shape: the observed aggregate
+# is one partial-agg'd shuffle on (event_type, hour); the dense grid is
+# |types| × |hours| — DIMENSION-sized, built by sequence()+explode from a
+# 1-row global min/max agg and the distinct type list (both tiny,
+# broadcast) — never corpus-sized. The grid LEFT-joins the observed
+# counts; at 100 TB the grid is still ~types × hours rows, so Spark
+# broadcasts whichever side is smaller and the raw events are touched
+# exactly once.
+
+_Q58_ORACLE = """
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+  FROM events
+),
+grid AS (
+  SELECT et.event_type, g.h AS hour
+  FROM (SELECT DISTINCT event_type FROM events) et
+  CROSS JOIN (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+              FROM bounds) g
+),
+obs AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT grid.event_type, grid.hour,
+       COALESCE(obs.n, 0) AS n_events,
+       COALESCE(obs.v, CAST(0 AS DOUBLE)) AS total_value
+FROM grid LEFT JOIN obs
+  ON grid.event_type = obs.event_type AND grid.hour = obs.hour
+ORDER BY grid.event_type, grid.hour
+"""
+
+
+@register("q58_gap_fill", oracle=_Q58_ORACLE)
+def q58_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    types = e.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(hours))
+    obs = (
+        e.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        .groupBy("event_type", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("v"),
+        )
+    )
+    return (
+        grid.join(obs, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.coalesce("v", F.lit(0.0)).alias("total_value"),
+        )
+        .orderBy("event_type", "hour")
+    )

@@ -1,0 +1,156 @@
+"""Text-analysis extensions II: trigram LM scoring with stupid backoff.
+
+Reference analog: none (dbt-osmosis has no data plane). North-star: the
+KenLM-style n-gram scorer every web-corpus quality pipeline runs (CCNet,
+FineWeb): score each document under a higher-order model, backing off to
+lower orders for unseen n-grams. t13 is the bigram form; t19 adds the
+order-3 model with **stupid backoff** (Brants et al. 2007 — the
+production choice at corpus scale precisely because its scores need no
+normalization pass) and singleton pruning (trigrams with count < 2 are
+dropped from the model — the standard size/regularization lever, and what
+makes backoff actually fire on a corpus the model was trained on).
+
+Scoring: S(c|a,b) = n3/n2(a,b)            if pruned trigram survives
+                    0.4 * n2(b,c)/n1(b)   otherwise (backoff to bigram)
+Log-scores are quantized to exact integers (floor(log2(S)*1e9 + 0.5), the
+t13 move) so per-document sums are associative under any partitioning.
+
+Scale shape: the model build is two partial-aggregated shuffles (trigram
+and bigram counts; unigram prefixes derive from bigrams with no extra
+scan). Scoring joins each document's trigrams against the model tables —
+tiny here so they broadcast; a web-scale vocab shuffle-joins on the same
+keys, the plan Spark picks from table stats. No Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_osmosis_spark.operators import register
+from dbt_osmosis_spark.sources.parquet import read_parquet, spread
+
+_MIN_N3 = 2  # singleton pruning: trigram must occur >= 2x to stay in model
+_BACKOFF = 0.4  # stupid-backoff multiplier (Brants et al. 2007)
+
+_T19_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+  WHERE len(string_split(trim(text), ' ')) >= 3
+),
+tri AS (
+  SELECT doc_id, w[i] AS a, w[i + 1] AS b, w[i + 2] AS c
+  FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+),
+c3 AS (
+  SELECT a, b, c, COUNT(*) AS n3 FROM tri GROUP BY a, b, c
+  HAVING COUNT(*) >= {_MIN_N3}
+),
+big AS (
+  SELECT doc_id, w[i] AS a, w[i + 1] AS b
+  FROM toks, UNNEST(range(1, len(w))) AS t(i)
+),
+c2 AS (SELECT a, b, COUNT(*) AS n2 FROM big GROUP BY a, b),
+c1 AS (SELECT a, SUM(n2) AS n1 FROM c2 GROUP BY a),
+scored AS (
+  SELECT g.doc_id,
+         CASE WHEN c3.n3 IS NOT NULL THEN 0 ELSE 1 END AS backed_off,
+         CASE WHEN c3.n3 IS NOT NULL
+              THEN floor(log2(CAST(c3.n3 AS DOUBLE) / p2.n2) * 1e9 + 0.5)
+              ELSE floor(log2({_BACKOFF} * CAST(b2.n2 AS DOUBLE) / b1.n1) * 1e9 + 0.5)
+         END AS qlp
+  FROM tri g
+  LEFT JOIN c3 ON g.a = c3.a AND g.b = c3.b AND g.c = c3.c
+  JOIN c2 p2 ON g.a = p2.a AND g.b = p2.b
+  JOIN c2 b2 ON g.b = b2.a AND g.c = b2.b
+  JOIN c1 b1 ON g.b = b1.a
+)
+SELECT doc_id,
+       COUNT(*) AS n_trigrams,
+       CAST(SUM(backed_off) AS BIGINT) AS n_backoff,
+       round(-CAST(SUM(CAST(qlp AS DECIMAL(28,0))) AS DOUBLE) / COUNT(*) / 1e9, 6)
+         AS score_bits
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("t19_trigram_backoff", oracle=_T19_ORACLE)
+def t19_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), " ").alias("w")
+    ).filter(F.size("w") >= 3)
+    tri = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 2), i -> struct("
+                "element_at(w, i) AS a, element_at(w, i + 1) AS b,"
+                " element_at(w, i + 2) AS c))"
+            )
+        ).alias("t"),
+    ).select("doc_id", "t.a", "t.b", "t.c")
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1), i -> struct("
+                "element_at(w, i) AS a, element_at(w, i + 1) AS b))"
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.a", "g.b")
+    c3 = (
+        tri.groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).alias("n3"))
+        .filter(F.col("n3") >= _MIN_N3)
+    )
+    c2 = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = c2.groupBy("a").agg(F.sum("n2").alias("n1"))
+    scored = (
+        tri.join(F.broadcast(c3), ["a", "b", "c"], "left")
+        .join(
+            F.broadcast(c2.select(F.col("a"), F.col("b"), F.col("n2").alias("p_n2"))),
+            ["a", "b"],
+        )
+        .join(
+            F.broadcast(
+                c2.select(
+                    F.col("a").alias("b"),
+                    F.col("b").alias("c"),
+                    F.col("n2").alias("b_n2"),
+                )
+            ),
+            ["b", "c"],
+        )
+        .join(F.broadcast(c1.select(F.col("a").alias("b"), "n1")), "b")
+        .select(
+            "doc_id",
+            F.when(F.col("n3").isNotNull(), 0).otherwise(1).alias("backed_off"),
+            F.when(
+                F.col("n3").isNotNull(),
+                F.expr("floor(log2(CAST(n3 AS DOUBLE) / p_n2) * 1e9 + 0.5)"),
+            )
+            .otherwise(
+                F.expr(
+                    f"floor(log2({_BACKOFF} * CAST(b_n2 AS DOUBLE) / n1) * 1e9 + 0.5)"
+                )
+            )
+            .alias("qlp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum("backed_off").cast("bigint").alias("n_backoff"),
+            F.round(
+                -F.expr("CAST(SUM(CAST(qlp AS DECIMAL(28,0))) AS DOUBLE)")
+                / F.count(F.lit(1))
+                / F.lit(1e9),
+                6,
+            ).alias("score_bits"),
+        )
+        .orderBy("doc_id")
+    )
