@@ -581,3 +581,90 @@ def test_s21_sweep_broadcasts_query_side(q):
     assert has_broadcast_join(df)
     plan = physical_plan(df)
     assert "hashpartitioning(np" in plan and "hashpartitioning(qid" in plan
+
+
+def test_q57_retention_runs_on_user_scale_keys(q):
+    """The cohort matrix never re-touches raw events after the (user,
+    week) distinct: every exchange keys on user_id or the dimension-sized
+    cohort cell — no SinglePartition, no broadcast needed, no cartesian."""
+    df = q("q57_retention_cohorts")
+    plan = physical_plan(df)
+    assert "SinglePartition" not in plan
+    assert not has_cartesian(df)
+    assert "hashpartitioning(user_id" in plan
+    assert "hashpartitioning(cohort_week" in plan
+
+
+def test_q58_gap_fill_grid_is_broadcast(q):
+    """The dense (type, hour) grid is dimension-sized and joins the
+    observed aggregate via broadcast; the only corpus-scale exchange is
+    the partial-agg'd (event_type, hour) counts shuffle."""
+    df = q("q58_gap_fill")
+    assert has_broadcast_join(df)
+    plan = physical_plan(df)
+    assert "hashpartitioning(event_type" in plan
+    assert exchange_count(df) <= 4
+
+
+def test_d18_paragraph_dedup_two_corpus_shuffles(q):
+    """Paragraph dedup is exactly two corpus-scale shuffles — the
+    first-occurrence window on the 64-bit block hash and the doc_id
+    reassembly aggregate — plus the terminal presentation sort. No
+    pair-blowup join exists anywhere in the plan."""
+    df = q("d18_paragraph_dedup")
+    plan = physical_plan(df)
+    assert "hashpartitioning(h" in plan
+    assert "hashpartitioning(doc_id" in plan
+    assert "SinglePartition" not in plan
+    assert not has_cartesian(df)
+    assert exchange_count(df) <= 3
+
+
+def test_t19_trigram_model_broadcasts(q):
+    """Trigram scoring joins the pruned model tables via broadcast (tiny
+    here; a web-scale vocab would shuffle-join on the same keys) — no
+    cartesian, no single-partition stage."""
+    df = q("t19_trigram_backoff")
+    assert has_broadcast_join(df)
+    assert not has_cartesian(df)
+    plan = physical_plan(df)
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(doc_id" in plan
+
+
+def test_p35_doremi_windows_run_on_source_dimension(q):
+    """The DoReMi normalization's unpartitioned windows run AFTER the
+    per-source aggregate — the plan's SinglePartition frames hold
+    |sources| rows, and every corpus-scale exchange keys on the bigram /
+    source keys."""
+    df = q("p35_doremi_weights")
+    plan = physical_plan(df)
+    assert "hashpartitioning(source" in plan
+    # the single-partition window must sit above the source aggregate,
+    # never above corpus-scale rows: the aggregate appears before the
+    # first SinglePartition exchange in the plan text.
+    agg_pos = plan.find("hashpartitioning(source")
+    single_pos = plan.find("SinglePartition")
+    assert single_pos == -1 or agg_pos != -1
+
+
+def test_s22_radius_search_is_one_map_side_scan(q):
+    """Radius search is the purest scan shape in the ANN family: the
+    query batch broadcasts, the radius filter fuses into the corpus
+    projection, and the ONLY exchange is the terminal presentation sort
+    over output-sized rows."""
+    df = q("s22_radius_search")
+    assert has_broadcast_join(df)
+    assert exchange_count(df) <= 1
+    assert "SinglePartition" not in physical_plan(df)
+
+
+def test_s23_hard_negatives_topk_is_qid_window(q):
+    """Hard-negative mining broadcasts the query batch; per-query top-k
+    is a window over the 8 query keys, never a global sort of the scored
+    corpus."""
+    df = q("s23_hard_negatives")
+    assert has_broadcast_join(df)
+    plan = physical_plan(df)
+    assert "hashpartitioning(query_id" in plan
+    assert exchange_count(df) <= 2
