@@ -351,3 +351,65 @@ def tws_user_totals(events: DataFrame, ttl_ms: int | None = None) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def distinct_accrual_stream(events: DataFrame, reach: int = 3) -> DataFrame:
+    """Streaming twin of q56_distinct_accrual: per-user running distinct
+    event-type count, with the timestamp at which each user first reached
+    ``reach`` distinct types.
+
+    Custom stateful operator (applyInPandasWithState): state per user is
+    the SET of event types seen (bounded by the type vocabulary — the same
+    bound that makes the batch twin's first-occurrence flag cheap), the
+    first event time, and the reach time once crossed. Each trigger emits
+    the user's current accrual row (update mode) — the standard
+    "activation funnel" live dashboard feed.
+
+    Event-time caveat (documented, inherent to accrual): rows are replayed
+    in (ts, event_id) order WITHIN a micro-batch, so with an in-order or
+    single-batch source (availableNow over a static landing dir — the twin
+    test's shape) the reach timestamp is exactly the batch answer. Under
+    cross-batch late data the already-emitted reach_ts is not retroactively
+    lowered — a monotone at-least-reached contract, the same trade every
+    streaming first-crossing metric makes.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_types long, first_ts timestamp, reach_ts timestamp"
+    state_schema = "seen array<string>, first_us long, reach_us long"
+
+    def update(key, pdfs, state: GroupState):
+        seen, first_us, reach_us = (
+            state.get if state.exists else ([], None, None)
+        )
+        seen = set(seen)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+        for ts, et in zip(rows["ts"], rows["event_type"]):
+            us = int(ts.value // 1_000)
+            if first_us is None or us < first_us:
+                first_us = us
+            if et not in seen:
+                seen.add(et)
+                if reach_us is None and len(seen) >= reach:
+                    reach_us = us
+        state.update((sorted(seen), first_us, reach_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_types": [len(seen)],
+                "first_ts": [pd.Timestamp(first_us * 1_000)],
+                "reach_ts": [
+                    pd.Timestamp(reach_us * 1_000) if reach_us is not None else pd.NaT
+                ],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

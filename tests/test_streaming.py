@@ -552,3 +552,33 @@ def test_streaming_stats_maintenance_matches_batch_p32(spark, sf_dir, tmp_path):
     compact_dir = str(tmp_path / "state_compact")
     st.compact_state(spark, state_dir, compact_dir)
     assert [tuple(r) for r in st.stats_report(spark, compact_dir).collect()] == want
+
+
+def test_distinct_accrual_stream_matches_batch_twin(spark, sf_dir):
+    """distinct_accrual_stream over the full events backlog must land in
+    exactly q56_distinct_accrual's final state: same n_types, first_ts and
+    reach_ts per user (single-batch availableNow source => event-time
+    order within the batch is total, so the first-crossing timestamps are
+    the batch answer)."""
+    from dbt_osmosis_spark.operators import QUERIES, load_all
+    from dbt_osmosis_spark.streaming.events import (
+        distinct_accrual_stream,
+        run_to_memory,
+        stream_events,
+    )
+
+    load_all()
+    stream = stream_events(spark, sf_dir)
+    out = distinct_accrual_stream(stream)
+    run_to_memory(out, "accrual_stream", output_mode="update")
+    got = {
+        r.user_id: (r.n_types, r.first_ts, r.reach_ts)
+        for r in spark.sql(
+            "SELECT * FROM accrual_stream"
+        ).collect()
+    }
+    want = {
+        r.user_id: (r.n_types, r.first_ts, r.reach_ts)
+        for r in QUERIES["q56_distinct_accrual"](spark, sf_dir).collect()
+    }
+    assert got == want
