@@ -80,6 +80,11 @@ FAMILIES = [
     # probed-bucket serve) and the distributed sweep-line concurrency query
     "s18_lsh_index_serve",
     "q55_concurrent_intervals",
+    # round-6c: paragraph-granularity dedup (the Dolma/CCNet sub-document
+    # dedup shape — two corpus shuffles, zero pair blowup) and trigram
+    # stupid-backoff LM scoring (the order-3 KenLM-style quality signal)
+    "d18_paragraph_dedup",
+    "t19_trigram_backoff",
 ]
 
 # Scale-slope flagships: timed at sf0.1 AND at the generated 10x sf1
@@ -106,6 +111,10 @@ SCALE_FLAGSHIPS = [
     # windows absorb the growth in parallel)
     "s18_lsh_index_serve",
     "q55_concurrent_intervals",
+    # round-6c: paragraph dedup's whole scale story is "corpus-sized, never
+    # pair-sized" — the 10x slope must track the block scan and the
+    # exchange count must not grow
+    "d18_paragraph_dedup",
 ]
 
 

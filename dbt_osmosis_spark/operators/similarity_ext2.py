@@ -168,3 +168,118 @@ def s23_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# ---- s24: tombstone-aware IVF serving (deletes without rebuild) ------------
+# Production vector indexes take deletions continuously (GDPR erasure,
+# retracted documents, recrawled pages) but rebuild rarely — the standard
+# contract is a TOMBSTONE set consulted at serve time: the scan still
+# prunes to the probed cells, deleted ids are anti-joined out BEFORE
+# ranking, and a periodic compaction folds tombstones into the index.
+# s24 is s17's build/serve split plus that serve-time exclusion; the
+# deleted set here is the deterministic ~1/7th (vec_id % 7 == 3) so the
+# oracle can name the same set with a predicate.
+#
+# Scale shape: identical to s17 (cell-pruned scan, broadcast query
+# relation, qid-window top-k) plus ONE broadcast left-anti join — the
+# tombstone set is deletes-since-compaction, orders of magnitude smaller
+# than the corpus by construction, so it never shuffles the candidates.
+# Ranking runs AFTER exclusion, so every query still returns a full k
+# survivors (excluding first, then ranking, is what makes tombstones
+# semantically equal to a rebuild).
+
+import os as _os
+
+from dbt_osmosis_spark.operators.similarity import _DUCK_CELL, _DUCK_PROBE, _K  # noqa: E402
+from dbt_osmosis_spark.operators.similarity_ext import (  # noqa: E402
+    probe_cells,
+    write_ivf_index,
+)
+from dbt_osmosis_spark.sources.parquet import spread  # noqa: E402
+
+_S24_DEL_MOD = 7  # tombstones: vec_id % 7 == 3 (~14% of the corpus)
+_S24_DEL_REM = 3
+
+_S24_ORACLE = f"""
+WITH vecs AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+assigned AS (
+  SELECT vec_id, label, v, {_DUCK_CELL.format(a="v")} AS cell FROM vecs
+  WHERE vec_id % {_S24_DEL_MOD} <> {_S24_DEL_REM}
+),
+q AS (
+  SELECT vec_id AS qid, v AS qv, {_DUCK_PROBE.format(a="v")} AS probe
+  FROM vecs WHERE vec_id < {_N_QUERIES}
+),
+cand AS (
+  SELECT q.qid, a.vec_id, a.label, a.v, q.qv
+  FROM assigned a JOIN q
+    ON list_contains(q.probe, a.cell) AND a.vec_id <> q.qid
+),
+scored AS (
+  SELECT qid, vec_id, label,
+         {_DUCK_DOT.format(a="v", b="qv", n=_DIM)}
+           / (sqrt({_DUCK_NORM2.format(a="v")}) * sqrt({_DUCK_NORM2.format(a="qv")}))
+           AS cosine
+  FROM cand
+),
+ranked AS (
+  SELECT qid, vec_id, label, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT qid, CAST(rn AS INT) AS rnk, vec_id, label, cosine
+FROM ranked WHERE rn <= {_K}
+ORDER BY qid, rnk
+"""
+
+
+def _s24_index_path(sf_dir: str) -> str:
+    repo = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+    tag = _os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return _os.path.join(repo, ".ivf_index", tag + "_s24")
+
+
+@register("s24_ivf_serve_with_deletes", oracle=_S24_ORACLE)
+def s24_ivf_serve_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(read_parquet(spark, f"{sf_dir}/embeddings.parquet")).withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    path = _s24_index_path(sf_dir)
+    write_ivf_index(emb, path)
+    # Tombstones arrive as a TABLE (deletes since the last compaction),
+    # not a predicate — the serve path must treat them as data.
+    tombstones = emb.filter(
+        F.col("vec_id") % _S24_DEL_MOD == _S24_DEL_REM
+    ).select(F.col("vec_id").alias("del_id"))
+    qrows = emb.filter(F.col("vec_id") < _N_QUERIES).select("vec_id", "v").collect()
+    batch = [
+        (int(r.vec_id), [float(x) for x in r.v], probe_cells(list(r.v)))
+        for r in sorted(qrows, key=lambda r: r.vec_id)
+    ]
+    all_cells = sorted({c for _, _, cells in batch for c in cells})
+    qdf = spark.createDataFrame(batch, "qid bigint, qv array<double>, probe array<int>")
+    idx = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(all_cells))
+        .join(F.broadcast(tombstones), F.col("vec_id") == F.col("del_id"), "left_anti")
+    )
+    dot = F.expr(_SPARK_DOT.format(a="v", b="qv"))
+    n_v = F.expr(_SPARK_NORM2.format(a="v"))
+    n_q = F.expr(_SPARK_NORM2.format(a="qv"))
+    scored = idx.join(
+        F.broadcast(qdf),
+        F.expr("array_contains(probe, cell)") & (F.col("vec_id") != F.col("qid")),
+    ).select(
+        "qid", "vec_id", "label", (dot / (F.sqrt(n_v) * F.sqrt(n_q))).alias("cosine")
+    )
+    win = W.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= _K)
+        .select("qid", "rnk", "vec_id", "label", "cosine")
+        .orderBy("qid", "rnk")
+    )

@@ -668,3 +668,20 @@ def test_s23_hard_negatives_topk_is_qid_window(q):
     plan = physical_plan(df)
     assert "hashpartitioning(query_id" in plan
     assert exchange_count(df) <= 2
+
+
+def test_s24_tombstone_serve_prunes_and_broadcasts(q):
+    """Tombstone-aware serving must keep s17's scan shape — probed-cell
+    PartitionFilters at the index FileScan — and exclude deletes via a
+    BROADCAST anti-join (the tombstone set never shuffles the
+    candidates); top-k stays a qid window."""
+    df = q("s24_ivf_serve_with_deletes")
+    assert has_broadcast_join(df)
+    plan = physical_plan(df)
+    scan_lines = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert any(
+        "PartitionFilters" in ln and "cell" in ln.split("PartitionFilters", 1)[1][:160]
+        for ln in scan_lines
+    ), scan_lines
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "hashpartitioning(qid" in plan
