@@ -41,7 +41,7 @@ from dbt_osmosis_spark.operators.similarity import (
     _SPARK_DOT,
     _SPARK_NORM2,
 )
-from dbt_osmosis_spark.sources.parquet import read_parquet
+from dbt_osmosis_spark.sources.parquet import read_parquet, spread
 
 _N_QUERIES = 8  # vec_id < 8 is the fixed query batch (s04/s15 convention)
 _TAU = 0.3  # radius: sf0.01 yields ~33 pairs, sf0.1 proportionally more
@@ -58,10 +58,15 @@ _DUCK_COS = (
 
 
 def _batch_scan(spark: SparkSession, sf_dir: str):
-    """(corpus df with v, broadcast query df with query_id/qv/qlabel)."""
-    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet").withColumn(
-        "v", F.col("embedding").cast("array<double>")
-    )
+    """(corpus df with v, broadcast query df with query_id/qv/qlabel).
+
+    spread(): the per-row work is an 8-query x 64-dim fold — fold-heavy
+    map compute, the exact case the small-file repartition exists for
+    (5.6x at the 30x probe corpus; a no-op on well-partitioned
+    production inputs)."""
+    emb = spread(
+        read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    ).withColumn("v", F.col("embedding").cast("array<double>"))
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -195,7 +200,6 @@ from dbt_osmosis_spark.operators.similarity_ext import (  # noqa: E402
     probe_cells,
     write_ivf_index,
 )
-from dbt_osmosis_spark.sources.parquet import spread  # noqa: E402
 
 _S24_DEL_MOD = 7  # tombstones: vec_id % 7 == 3 (~14% of the corpus)
 _S24_DEL_REM = 3

@@ -651,8 +651,10 @@ def test_p35_doremi_windows_run_on_source_dimension(q):
 def test_s22_radius_search_is_one_map_side_scan(q):
     """Radius search is the purest scan shape in the ANN family: the
     query batch broadcasts, the radius filter fuses into the corpus
-    projection, and the ONLY exchange is the terminal presentation sort
-    over output-sized rows."""
+    projection, and the ONLY shuffle exchange is the terminal
+    presentation sort over output-sized rows (the small-file spread is a
+    round-robin repartition — a no-op on well-partitioned production
+    inputs)."""
     df = q("s22_radius_search")
     assert has_broadcast_join(df)
     assert exchange_count(df) <= 1
