@@ -332,3 +332,81 @@ def q58_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+# --------------------------------------------------------------------------
+# q59: DAU / WAU / stickiness — rolling distinct-user engagement
+# --------------------------------------------------------------------------
+# The engagement dashboard staple: daily active users, trailing-7-day
+# active users, and their ratio (stickiness). A running COUNT(DISTINCT)
+# over a sliding range frame is not a supported window aggregate (and a
+# per-day distinct set is unbounded state); the scalable identity is the
+# CONTRIBUTION EXPLODE: each distinct (user, day) activity row contributes
+# membership to the 7 trailing report days, so WAU(d) = COUNT(*) over
+# distinct (user, report_day) contributions. Rows never exceed
+# |user-days| x 7 — activity-scale, not event-scale, and every shuffle
+# keys on (user, day) or day. Report days outside the observed range are
+# clipped by an inner join against the observed-day dimension (broadcast).
+
+_Q59_WIN = 7  # trailing window in days
+
+_Q59_ORACLE = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+  FROM events
+),
+days AS (SELECT DISTINCT day FROM ud),
+contrib AS (
+  SELECT DISTINCT ud.user_id, d.day AS report_day
+  FROM ud
+  JOIN days d ON d.day >= ud.day
+             AND d.day < ud.day + INTERVAL {_Q59_WIN} DAY
+),
+wau AS (
+  SELECT report_day AS day, COUNT(*) AS wau FROM contrib GROUP BY 1
+),
+dau AS (
+  SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1
+)
+SELECT dau.day, dau.dau, wau.wau,
+       round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+FROM dau JOIN wau ON dau.day = wau.day
+ORDER BY dau.day
+"""
+
+
+@register("q59_dau_wau_stickiness", oracle=_Q59_ORACLE)
+def q59_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    days = ud.select("day").distinct()
+    contrib = (
+        ud.join(
+            F.broadcast(days.select(F.col("day").alias("report_day"))),
+            (F.col("report_day") >= F.col("day"))
+            & (
+                F.col("report_day")
+                < F.col("day") + F.expr(f"INTERVAL {_Q59_WIN} DAY")
+            ),
+        )
+        .select("user_id", "report_day")
+        .distinct()
+    )
+    wau = contrib.groupBy(F.col("report_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("wau")
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )

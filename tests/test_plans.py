@@ -687,3 +687,16 @@ def test_s24_tombstone_serve_prunes_and_broadcasts(q):
     ), scan_lines
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "hashpartitioning(qid" in plan
+
+
+def test_q59_wau_contribution_explode_is_activity_scale(q):
+    """DAU/WAU must avoid running-distinct state: the trailing-window
+    membership comes from joining activity rows against the BROADCAST
+    observed-day dimension (never a corpus-side range shuffle), and every
+    shuffle keys on (user, day) / day. No SinglePartition anywhere."""
+    df = q("q59_dau_wau_stickiness")
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or has_broadcast_join(df)
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(user_id" in plan
+    assert "hashpartitioning(day" in plan
