@@ -413,3 +413,60 @@ def distinct_accrual_stream(events: DataFrame, reach: int = 3) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def click_attribution_outer(
+    events: DataFrame,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every click is emitted —
+    matched clicks with their attributed purchase, UNCONVERTED clicks with
+    nulls once the watermark proves no purchase can still arrive. The
+    conversion-funnel companion to click_purchase_join (which only ever
+    shows the winners).
+
+    Outer interval joins are the state-store's hardest contract: a click
+    row must be RETAINED until the watermark passes click_ts + window
+    (only then is "no match" proven), so both watermarks and the
+    two-sided time bound are mandatory — Spark rejects the query
+    otherwise. State still partitions by user_id and provably evicts.
+
+    End-of-stream caveat (inherent to event-time outer joins, not this
+    implementation): the final watermark stops at max(event_time) -
+    watermark delay, so clicks younger than (watermark + window) at
+    shutdown are still awaiting their verdict and are NOT emitted as
+    unconverted. The twin test compares the fully-resolved region only.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"c_user = user_id AND purchase_ts >= click_ts "
+            f"AND purchase_ts <= click_ts + interval {attribution_window}"
+        ),
+        "leftOuter",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_ts",
+        "value",
+    )

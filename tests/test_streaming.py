@@ -582,3 +582,76 @@ def test_distinct_accrual_stream_matches_batch_twin(spark, sf_dir):
         for r in QUERIES["q56_distinct_accrual"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_click_attribution_outer_matches_batch_twin(spark, sf_dir, tmp_path):
+    """The left-outer interval join must agree EXACTLY with the batch left
+    join on the fully-resolved region (clicks old enough that the final
+    watermark proved their verdict): same attributed pairs AND the same
+    unconverted clicks with nulls. Outer verdicts need the watermark to
+    PASS a click's deadline in a batch that still runs, so the backlog is
+    written as 10 chronological appends streamed one file per trigger —
+    the file source replays them in modification order, giving a
+    progressively advancing watermark (out-of-order files would be
+    DROPPED as late data: that is watermark semantics, not a bug)."""
+    import datetime
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+    from dbt_osmosis_spark.streaming.events import click_attribution_outer
+
+    e = read_parquet(spark, f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    src = str(tmp_path / "events_seq")
+    shutil.rmtree(src, ignore_errors=True)
+    bounds = e.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    lo, hi = bounds.lo, bounds.hi
+    step = (hi - lo) / 10
+    for i in range(10):
+        a = lo + step * i
+        b = hi + datetime.timedelta(seconds=1) if i == 9 else lo + step * (i + 1)
+        e.filter((F.col("ts") >= F.lit(a)) & (F.col("ts") < F.lit(b))).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        time.sleep(0.05)
+
+    stream = spark.readStream.schema(e.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = click_attribution_outer(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("click_outer")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(180), "availableNow stream did not finish"
+    finally:
+        q.stop()
+    got_df = spark.sql("SELECT * FROM click_outer")
+
+    cutoff = hi - datetime.timedelta(days=4)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"), "value"
+    )
+    want_df = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("interval 1 hour")),
+        "left",
+    ).select("user_id", "click_id", "click_ts", "purchase_ts", "value")
+    key = lambda r: (r.user_id, r.click_id, r.click_ts, r.purchase_ts, r.value)  # noqa: E731
+    got = {key(r) for r in got_df.filter(F.col("click_ts") <= F.lit(cutoff)).collect()}
+    want = {key(r) for r in want_df.filter(F.col("click_ts") <= F.lit(cutoff)).collect()}
+    assert got == want
+    assert any(r[3] is None for r in want), "twin region has no unconverted clicks"
