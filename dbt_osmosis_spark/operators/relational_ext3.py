@@ -410,3 +410,59 @@ def q59_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# q60: event-transition matrix — first-order Markov behavior model
+# --------------------------------------------------------------------------
+# "After a click, what happens next?" — the navigation model behind
+# next-action prediction, anomaly detection (improbable transitions) and
+# funnel design. Consecutive event pairs per user (a lag window over the
+# user's total (ts, event_id) order) aggregate into the |types|^2
+# transition matrix with row-normalized probabilities. Shuffles: the
+# per-user lag window (user key) and the (prev, next) aggregate
+# (dimension-sized). Probabilities are single IEEE divisions of exact
+# counts, rounded to 1e-6 — engine-identical.
+
+_Q60_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       round(CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+FROM pairs
+ORDER BY prev_type, next_type
+"""
+
+
+@register("q60_event_transitions", oracle=_Q60_ORACLE)
+def q60_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.withColumn("prev_type", F.lag("event_type").over(order))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # the row-normalizing window runs over the |types|^2 matrix (~25 rows)
+    return (
+        pairs.withColumn(
+            "p",
+            F.round(
+                F.col("n").cast("double")
+                / F.sum("n").over(W.partitionBy("prev_type")),
+                6,
+            ),
+        )
+        .orderBy("prev_type", "next_type")
+    )
