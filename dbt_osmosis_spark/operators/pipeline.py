@@ -1307,3 +1307,71 @@ def d12_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank.select(F.col("node").alias("doc_id"), "rank").orderBy(
         F.desc("rank"), "doc_id"
     )
+
+
+# ---- d19: dedup audit — cluster-size histogram over the shared CC chain ----
+# The report a data lead reads before approving a dedup run: how much of
+# the corpus sits in duplicate clusters, and in what shape (many pairs vs
+# a few giant boilerplate clusters — the latter usually means the
+# similarity threshold, not the data, is wrong). One row per cluster
+# size: n_clusters, n_docs, corpus share. Composes the d03/d06 chain
+# (signatures → band buckets → candidate pairs → hybrid CC), then two
+# DIMENSION-sized aggregates (per-component count, per-size count); the
+# share normalizer is a window over the |distinct sizes| histogram rows.
+# Singleton clusters are included — the "not duplicated" mass is the
+# number the report exists to show.
+
+_D19_ORACLE = f"""
+WITH RECURSIVE {DUCK_LSH_CTES},
+edges2 AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM cand
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges2 e ON e.src = r.node
+),
+comp AS (
+  SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node
+),
+sizes AS (
+  SELECT component, COUNT(*) AS sz FROM comp GROUP BY component
+),
+hist AS (
+  SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+         CAST(SUM(sz) AS BIGINT) AS n_docs
+  FROM sizes GROUP BY sz
+)
+SELECT cluster_size, n_clusters, n_docs,
+       round(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), 6) AS corpus_share
+FROM hist
+ORDER BY cluster_size
+"""
+
+
+@register("d19_dedup_audit", oracle=_D19_ORACLE)
+def d19_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    comp = lsh_components(docs)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    hist = sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("sz").cast("bigint").alias("n_docs"),
+    )
+    # |distinct sizes| rows — the unpartitioned share window is histogram-
+    # sized, never corpus-sized.
+    from pyspark.sql.window import Window as _W
+
+    return (
+        hist.withColumn(
+            "corpus_share",
+            F.round(
+                F.col("n_docs").cast("double")
+                / F.sum("n_docs").over(_W.partitionBy()),
+                6,
+            ),
+        )
+        .orderBy("cluster_size")
+    )
