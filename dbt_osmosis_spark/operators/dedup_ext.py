@@ -24,8 +24,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dbt_osmosis_spark.operators import register
+from dbt_osmosis_spark.operators.caching import keep_cached
+from dbt_osmosis_spark.operators.dedup import (
+    DUCK_LSH_CTES,
+    _JACCARD_THRESHOLD,
+    lsh_bands,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
 from dbt_osmosis_spark.operators.text import SPARK_MD5INT
 from dbt_osmosis_spark.sources.parquet import read_parquet, spread
+
+# d20 verifies at the same threshold d03 publishes pairs at — one knob.
+_D20_TAU = _JACCARD_THRESHOLD
 
 _K = 4  # tokens per gram
 _W = 5  # winnow window (hashes per selection window)
@@ -352,4 +363,88 @@ def d18_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("new_text"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---- d20: cross-source duplicate overlap matrix -----------------------------
+# WHERE does the duplication come from? Verified near-dup pairs (the exact
+# d03 chain: MinHash sigs -> band buckets -> candidate pairs -> Jaccard
+# verify at the shared threshold) labeled with each side's source, rolled
+# up to an unordered source-pair matrix. A mirror/scrape shows up as a hot
+# off-diagonal cell; template boilerplate as a hot diagonal one — the
+# report a data lead reads before deciding which source to cut. Scale: the
+# pair relation is bounded by real overlap (never all-pairs); the two
+# doc_id label joins read a two-column pruned scan of documents; the share
+# window runs over matrix-sized grouped rows only.
+
+_D20_ORACLE = f"""
+WITH {DUCK_LSH_CTES},
+verified AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN sig x ON x.doc_id = c.doc_a
+  JOIN sig y ON y.doc_id = c.doc_b
+  WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+          / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))
+        >= {_D20_TAU}
+),
+lab AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b
+  FROM verified v
+  JOIN documents da ON da.doc_id = v.doc_a
+  JOIN documents db ON db.doc_id = v.doc_b
+),
+mat AS (
+  SELECT source_a, source_b, COUNT(*) AS n_pairs
+  FROM lab GROUP BY source_a, source_b
+)
+SELECT source_a, source_b, n_pairs,
+       round(CAST(n_pairs AS DOUBLE) / SUM(n_pairs) OVER (), 6) AS pair_share
+FROM mat
+ORDER BY source_a, source_b
+"""
+
+
+@register("d20_cross_source_dup_matrix", oracle=_D20_ORACLE)
+def d20_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    sig = minhash_signatures(docs).transform(keep_cached)
+    cand = lsh_candidate_pairs(lsh_bands(sig))
+    x = sig.select(F.col("doc_id").alias("xid"), F.col("s").alias("xs"))
+    y = sig.select(F.col("doc_id").alias("yid"), F.col("s").alias("ys"))
+    inter = F.expr("size(array_intersect(xs, ys))").cast("double")
+    verified = (
+        cand.join(x, F.col("doc_a") == F.col("xid"))
+        .join(y, F.col("doc_b") == F.col("yid"))
+        .filter(
+            inter / (F.expr("size(xs) + size(ys)") - F.expr("size(array_intersect(xs, ys))"))
+            >= _D20_TAU
+        )
+        .select("doc_a", "doc_b")
+    )
+    src = docs.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    mat = (
+        verified.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    from pyspark.sql.window import Window as _W
+
+    return (
+        mat.withColumn(
+            "pair_share",
+            F.round(
+                F.col("n_pairs").cast("double") / F.sum("n_pairs").over(_W.partitionBy()),
+                6,
+            ),
+        )
+        .orderBy("source_a", "source_b")
     )

@@ -287,3 +287,108 @@ def s24_ivf_serve_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "rnk", "vec_id", "label", "cosine")
         .orderBy("qid", "rnk")
     )
+
+
+# ---- s25: approximate kNN graph (LSH-bucketed, exact in-bucket rerank) ------
+# The all-corpus neighbor graph behind SemDeDup-style clustering, kNN
+# label propagation, and graph-based diversity sampling: for EVERY vector,
+# its k nearest same-bucket neighbors by exact cosine. Candidate generation
+# is d05's random-hyperplane bucket chain (bucket + corpus-adaptive
+# sub-key, shared constants — the formulas can't drift), so the graph
+# build is one shuffle on the bucket key and an O(bucket^2) in-bucket
+# rerank — never an all-pairs corpus join; the per-vector top-k window
+# partitions on vec_id (bucket-bounded candidate lists, not the corpus).
+# Honest approximation: neighbors on the wrong side of a hyperplane are
+# missed — s12's recall harness quantifies exactly this family.
+
+from dbt_osmosis_spark.operators.dedup import _D05_REF_N as _S25_REF_N  # noqa: E402
+from dbt_osmosis_spark.operators.similarity import (  # noqa: E402
+    ADAPTIVE_SUB_SQL as _S25_ASUB,
+    _DUCK_BUCKET,
+    _DUCK_SIGNWORD,
+    _SPARK_BUCKET,
+    _SPARK_SIGNWORD,
+    adaptive_xbits_agg_sql as _s25_ax,
+)
+
+_S25_K = 5
+
+
+def _s25_oracle() -> str:
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cnt AS (
+  SELECT {_s25_ax(_S25_REF_N)} AS xbits FROM vecs
+),
+bucketed AS (
+  SELECT vec_id, v, {_DUCK_BUCKET} AS bucket,
+         {_S25_ASUB.format(w=_DUCK_SIGNWORD.format(a="v", base=0), xbits="(SELECT xbits FROM cnt)")} AS sub
+  FROM vecs
+),
+cand AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         {_DUCK_DOT.format(a="a.v", b="b.v", n=_DIM)}
+           / (sqrt({_DUCK_NORM2.format(a="a.v")}) * sqrt({_DUCK_NORM2.format(a="b.v")})) AS cosine
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.sub = b.sub AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT vec_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS nn_rank
+  FROM cand
+)
+SELECT vec_id, nn_rank, neighbor_id, round(cosine, 6) AS cosine
+FROM ranked
+WHERE nn_rank <= {_S25_K}
+ORDER BY vec_id, nn_rank
+"""
+
+
+@register("s25_knn_graph", oracle=_s25_oracle())
+def s25_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(read_parquet(spark, f"{sf_dir}/embeddings.parquet")).withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    xbits = emb.agg(F.expr(_s25_ax(_S25_REF_N)).alias("xbits"))
+    bucketed = (
+        emb.select(
+            "vec_id",
+            "v",
+            F.expr(_SPARK_BUCKET).alias("bucket"),
+            F.expr(_SPARK_SIGNWORD.format(a="v", base=0)).alias("w0"),
+        )
+        .crossJoin(F.broadcast(xbits))
+        .select(
+            "vec_id", "v", "bucket",
+            F.expr(_S25_ASUB.format(w="w0", xbits="xbits")).alias("sub"),
+        )
+    )
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_id"), F.col("v").alias("va"),
+        F.col("bucket").alias("ba"), F.col("sub").alias("sa"),
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("vb"),
+        F.col("bucket").alias("bb"), F.col("sub").alias("sb"),
+    )
+    cosine = F.expr(_SPARK_DOT.format(a="va", b="vb")) / (
+        F.sqrt(F.expr(_SPARK_NORM2.format(a="va"))) * F.sqrt(F.expr(_SPARK_NORM2.format(a="vb")))
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("ba") == F.col("bb"))
+            & (F.col("sa") == F.col("sb"))
+            & (F.col("vec_id") != F.col("neighbor_id")),
+        )
+        .select("vec_id", "neighbor_id", cosine.alias("cosine"))
+    )
+    win = W.partitionBy("vec_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        cand.withColumn("nn_rank", F.row_number().over(win).cast("bigint"))
+        .filter(F.col("nn_rank") <= _S25_K)
+        .select("vec_id", "nn_rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+        .orderBy("vec_id", "nn_rank")
+    )

@@ -177,9 +177,12 @@ def _score_sql(markers: tuple[str, ...], list_fn: str) -> str:
     return f"len({list_fn}(w, x -> x IN ({inlist})))"
 
 
-_LANG_ORACLE = (
-    f"""
-WITH tok AS (
+# tok -> marker scores -> argmax decision, exposed as CTEs ending in
+# `decided` (doc_id, labeled_lang, lang_pred). Shared by t03 (confusion
+# matrix) and t20 (per-language eval metrics, text_ext2.py) so the decision
+# rule can never drift between the two oracles.
+DUCK_LANGID_CTES = (
+    f"""tok AS (
   SELECT doc_id, lang AS labeled_lang, {_DUCK_TOK} AS w FROM documents
 ),
 scored AS (
@@ -202,18 +205,22 @@ decided AS (
            ELSE 'fr'
          END AS lang_pred
   FROM scored
+)"""
 )
+
+_LANG_ORACLE = f"""
+WITH {DUCK_LANGID_CTES}
 SELECT lang_pred, labeled_lang, COUNT(*) AS n_docs
 FROM decided
 GROUP BY lang_pred, labeled_lang
 ORDER BY lang_pred, labeled_lang
 """
-)
 
 
-@register("t03_lang_id", oracle=_LANG_ORACLE)
-def t03_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+def langid_decided(docs: DataFrame) -> DataFrame:
+    """(doc_id, labeled_lang, lang_pred): the Spark twin of
+    DUCK_LANGID_CTES' `decided`. Map-side only — marker counting and the
+    argmax CASE are per-row expressions; callers aggregate as they like."""
     scored = docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
@@ -240,8 +247,15 @@ def t03_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("fr")
         .alias("lang_pred"),
     )
+    return decided
+
+
+@register("t03_lang_id", oracle=_LANG_ORACLE)
+def t03_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return (
-        decided.groupBy("lang_pred", "labeled_lang")
+        langid_decided(docs)
+        .groupBy("lang_pred", "labeled_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang_pred", "labeled_lang")
     )

@@ -154,3 +154,79 @@ def t19_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---- t20: language-ID eval metrics (precision/recall/F1 per language) ------
+# The classifier scorecard over t03's decision rule: per language, how many
+# docs were predicted as it (n_pred), truly labeled as it (n_label), and
+# correctly matched (n_correct); precision/recall from those integers, and
+# F1 via the integer identity 2PR/(P+R) = 2*tp/(n_pred+n_label) — a single
+# IEEE division of exact BIGINTs, so the value is bit-identical across
+# engines with no rounding games. 'und' predictions (zero marker evidence)
+# naturally appear as a precision-0 row. Scale: two marginal aggregates
+# over the map-side decided relation, full-outer-joined on a ≤5-row key
+# set — the report never re-shuffles the corpus.
+
+from dbt_osmosis_spark.operators.text import DUCK_LANGID_CTES, langid_decided
+
+_T20_ORACLE = f"""
+WITH {DUCK_LANGID_CTES},
+pred AS (
+  SELECT lang_pred AS lang, COUNT(*) AS n_pred,
+         CAST(SUM(CASE WHEN lang_pred = labeled_lang THEN 1 ELSE 0 END) AS BIGINT) AS tp
+  FROM decided GROUP BY lang_pred
+),
+lab AS (
+  SELECT labeled_lang AS lang, COUNT(*) AS n_label FROM decided GROUP BY labeled_lang
+)
+SELECT COALESCE(p.lang, l.lang) AS lang,
+       COALESCE(p.n_pred, 0) AS n_pred,
+       COALESCE(l.n_label, 0) AS n_label,
+       COALESCE(p.tp, 0) AS n_correct,
+       CASE WHEN COALESCE(p.n_pred, 0) = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE CAST(COALESCE(p.tp, 0) AS DOUBLE) / p.n_pred END AS prec,
+       CASE WHEN COALESCE(l.n_label, 0) = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE CAST(COALESCE(p.tp, 0) AS DOUBLE) / l.n_label END AS rec,
+       CASE WHEN COALESCE(p.n_pred, 0) + COALESCE(l.n_label, 0) = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE 2.0 * COALESCE(p.tp, 0) / (COALESCE(p.n_pred, 0) + COALESCE(l.n_label, 0))
+       END AS f1
+FROM pred p FULL OUTER JOIN lab l ON p.lang = l.lang
+ORDER BY lang
+"""
+
+
+@register("t20_langid_eval", oracle=_T20_ORACLE)
+def t20_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    decided = langid_decided(docs)
+    pred = decided.groupBy(F.col("lang_pred").alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_pred"),
+        F.sum(F.when(F.col("lang_pred") == F.col("labeled_lang"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+    )
+    lab = decided.groupBy(F.col("labeled_lang").alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_label")
+    )
+    j = pred.join(lab, "lang", "full_outer")
+    n_pred = F.coalesce("n_pred", F.lit(0))
+    n_label = F.coalesce("n_label", F.lit(0))
+    tp = F.coalesce("tp", F.lit(0))
+    return (
+        j.select(
+            "lang",
+            n_pred.alias("n_pred"),
+            n_label.alias("n_label"),
+            tp.alias("n_correct"),
+            F.when(n_pred == 0, F.lit(None).cast("double"))
+            .otherwise(tp.cast("double") / F.col("n_pred"))
+            .alias("prec"),
+            F.when(n_label == 0, F.lit(None).cast("double"))
+            .otherwise(tp.cast("double") / F.col("n_label"))
+            .alias("rec"),
+            F.when(n_pred + n_label == 0, F.lit(None).cast("double"))
+            .otherwise(F.lit(2.0) * tp / (n_pred + n_label))
+            .alias("f1"),
+        )
+        .orderBy("lang")
+    )

@@ -700,3 +700,46 @@ def test_q59_wau_contribution_explode_is_activity_scale(q):
     assert "SinglePartition" not in plan
     assert "hashpartitioning(user_id" in plan
     assert "hashpartitioning(day" in plan
+
+
+def test_q61_bucketed_join_is_exchange_free_below_the_join(q):
+    """The bucketing lever: once lineitem/orders are WRITTEN bucketed on
+    the join key, the SortMergeJoin between them must have NO Exchange on
+    either input — the shuffle was paid once at ingest. Only the post-join
+    groupBy and the terminal sort may exchange."""
+    df = q("q61_bucketed_join")  # builds the bucketed tables, returns serve plan
+    plan = physical_plan(df)
+    assert "SortMergeJoin" in plan
+    # Split at the join: everything after (= below, in toString layout) the
+    # SMJ line up to the end of the tree section must be exchange-free.
+    tree = plan.split("== Physical Plan ==")[-1]
+    below = tree.split("SortMergeJoin", 1)[1].split("\n\n", 1)[0]
+    assert "Exchange" not in below, f"join inputs shuffle:\n{below}"
+    # Both scans read the bucketed tables, not raw parquet.
+    assert "bkt_lineitem" in plan and "bkt_orders" in plan
+
+
+def test_s25_knn_graph_is_bucket_bounded(q):
+    """The kNN graph must come from the LSH bucket self-join (bucket/sub
+    equi-keys), never an all-pairs corpus product: no cartesian, and the
+    only corpus-wide exchanges key on the bucket tuple / the per-vector
+    window."""
+    df = q("s25_knn_graph")
+    plan = physical_plan(df)
+    assert not has_cartesian(df)
+    # the pair join is an EQUI-join on the (bucket, sub) keys — whichever
+    # physical strategy AQE picks at this SF (broadcast here, SMJ at scale)
+    assert any(
+        j in plan for j in ("BroadcastHashJoin [ba", "SortMergeJoin [ba", "ShuffledHashJoin [ba")
+    ), plan
+    assert "hashpartitioning(vec_id" in plan  # per-vector top-k window
+
+
+def test_d20_matrix_share_window_is_matrix_sized(q):
+    """d20's share window runs over the grouped source-pair matrix; the
+    single-partition exchange it needs must sit above the groupBy (matrix
+    rows), and document label joins must not be cartesian."""
+    df = q("d20_cross_source_dup_matrix")
+    plan = physical_plan(df)
+    assert not has_cartesian(df)
+    assert plan.count("Exchange SinglePartition") <= 2  # share window + terminal sort
