@@ -448,3 +448,168 @@ def d20_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---- d21: LSH banding tuning curve ------------------------------------------
+# HOW to pick (bands, rows): for every banding of the K=24 MinHash
+# signature (b*r = 24), measure candidate volume and precision against
+# exact Jaccard at the shared threshold, plus the theoretical S-curve
+# midpoint (1/b)^(1/r). Recall is measured against the b=24,r=1 config,
+# which is a strict superset of every other banding's candidates (an
+# r-row band match requires each of its single hashes to match). This is
+# the report you run on a SAMPLE before committing a banding to a 100 TB
+# dedup pass — the d03/d13 production configs were hand-derived from
+# exactly this curve. Scale: signature build is map-side and computed
+# ONCE (cached, released by the registry on the next query); banding
+# explodes 24 keys per doc per config; each config's pair join keys on
+# (cfg, band, band_key) — bucket-bounded, never all-pairs; the summary is
+# 5 rows, its recall window trivial.
+
+from dbt_osmosis_spark.operators.dedup import (  # noqa: E402
+    _JACCARD_THRESHOLD as _D21_TAU,
+    duck_lsh_side_ctes as _duck_side,
+)
+
+_D21_CONFIGS = [(24, 1), (12, 2), (8, 3), (6, 4), (4, 6)]  # b * r = 24
+
+
+def _d21_label(b: int, r: int) -> str:
+    return f"b{b:02d}_r{r}"
+
+
+def _d21_expected_tau(b: int, r: int) -> float:
+    return round((1.0 / b) ** (1.0 / r), 6)
+
+
+def _d21_oracle() -> str:
+    bands_unions = "\n  UNION ALL\n".join(
+        f"""  SELECT doc_id, '{_d21_label(b, r)}' AS cfg, band,
+         md5(array_to_string(list_slice(sig, band * {r} + 1, band * {r} + {r}), ',')) AS band_key
+  FROM sig, (SELECT unnest(range(0, {b})) AS band)"""
+        for b, r in _D21_CONFIGS
+    )
+    tau_case = " ".join(
+        f"WHEN '{_d21_label(b, r)}' THEN {_d21_expected_tau(b, r)!r}"
+        for b, r in _D21_CONFIGS
+    )
+    b_case = " ".join(
+        f"WHEN '{_d21_label(b, r)}' THEN {b}" for b, r in _D21_CONFIGS
+    )
+    r_case = " ".join(
+        f"WHEN '{_d21_label(b, r)}' THEN {r}" for b, r in _D21_CONFIGS
+    )
+    return f"""
+WITH {_duck_side('sig0')},
+sig AS MATERIALIZED (SELECT * FROM sig0),
+keys AS MATERIALIZED (
+{bands_unions}
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.cfg, a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM keys a JOIN keys b
+    ON a.cfg = b.cfg AND a.band = b.band AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+verified AS MATERIALIZED (
+  SELECT c.cfg,
+         CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+           / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jaccard
+  FROM cand c
+  JOIN sig x ON x.doc_id = c.doc_a
+  JOIN sig y ON y.doc_id = c.doc_b
+),
+summary AS (
+  SELECT cfg, COUNT(*) AS n_candidates,
+         CAST(SUM(CASE WHEN jaccard >= {_D21_TAU} THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+  FROM verified GROUP BY cfg
+)
+SELECT cfg,
+       CAST(CASE cfg {b_case} END AS INT) AS bands,
+       CAST(CASE cfg {r_case} END AS INT) AS rows_per_band,
+       CAST(CASE cfg {tau_case} END AS DOUBLE) AS expected_tau,
+       n_candidates, n_true,
+       CAST(n_true AS DOUBLE) / n_candidates AS precision_at_tau,
+       CAST(n_true AS DOUBLE)
+         / MAX(CASE WHEN cfg = '{_d21_label(24, 1)}' THEN n_true END) OVER () AS recall_vs_widest
+FROM summary
+ORDER BY rows_per_band
+"""
+
+
+@register("d21_lsh_tuning_curve", oracle=_d21_oracle())
+def d21_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    sig = minhash_signatures(docs).transform(keep_cached)
+    # one map-side explode emits every (cfg, band, band_key) — the banding
+    # sweep costs one pass over the cached signatures, not one per config
+    struct_arrays = ", ".join(
+        f"transform(sequence(0, {b - 1}), bd -> named_struct("
+        f"'cfg', '{_d21_label(b, r)}', 'band', bd, "
+        f"'band_key', md5(cast(concat_ws(',', slice(sig, bd * {r} + 1, {r})) AS BINARY))))"
+        for b, r in _D21_CONFIGS
+    )
+    keys = sig.select(
+        "doc_id", F.expr(f"explode(flatten(array({struct_arrays})))").alias("kb")
+    ).select("doc_id", "kb.cfg", "kb.band", "kb.band_key")
+    a = keys.alias("a")
+    b_ = keys.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.cfg") == F.col("b.cfg"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.cfg").alias("cfg"), F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = sig.select(F.col("doc_id").alias("xid"), F.col("s").alias("xs"))
+    y = sig.select(F.col("doc_id").alias("yid"), F.col("s").alias("ys"))
+    jac = F.expr("size(array_intersect(xs, ys))").cast("double") / (
+        F.expr("size(xs) + size(ys)") - F.expr("size(array_intersect(xs, ys))")
+    )
+    verified = (
+        cand.join(x, F.col("doc_a") == F.col("xid"))
+        .join(y, F.col("doc_b") == F.col("yid"))
+        .select("cfg", jac.alias("jaccard"))
+    )
+    summary = verified.groupBy("cfg").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.when(F.col("jaccard") >= _D21_TAU, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_true"),
+    )
+    b_map = F.create_map(
+        *[x for b, r in _D21_CONFIGS for x in (F.lit(_d21_label(b, r)), F.lit(b))]
+    )
+    r_map = F.create_map(
+        *[x for b, r in _D21_CONFIGS for x in (F.lit(_d21_label(b, r)), F.lit(r))]
+    )
+    tau_map = F.create_map(
+        *[
+            x
+            for b, r in _D21_CONFIGS
+            for x in (F.lit(_d21_label(b, r)), F.lit(_d21_expected_tau(b, r)))
+        ]
+    )
+    from pyspark.sql.window import Window as _W
+
+    widest = F.max(
+        F.when(F.col("cfg") == _d21_label(24, 1), F.col("n_true"))
+    ).over(_W.partitionBy())
+    return (
+        summary.select(
+            "cfg",
+            b_map[F.col("cfg")].cast("int").alias("bands"),
+            r_map[F.col("cfg")].cast("int").alias("rows_per_band"),
+            tau_map[F.col("cfg")].cast("double").alias("expected_tau"),
+            "n_candidates",
+            "n_true",
+            (F.col("n_true").cast("double") / F.col("n_candidates")).alias(
+                "precision_at_tau"
+            ),
+            (F.col("n_true").cast("double") / widest).alias("recall_vs_widest"),
+        )
+        .orderBy("rows_per_band")
+    )

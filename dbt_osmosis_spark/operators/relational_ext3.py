@@ -565,3 +565,71 @@ def bucketed_join_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q61_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_bucketed_tables(spark, sf_dir)
     return bucketed_join_plan(spark, sf_dir)
+
+
+# ---- q62: date-partitioned layout + partition-pruned scan -------------------
+# q61's sibling layout lever, for the TIME axis: events written
+# partitionBy(day) once at ingest, so every date-bounded query afterwards
+# lists and reads ONLY the matching day directories — at 100 TB of events
+# the difference between scanning 3 days and scanning 3 years. The serve
+# plan's scan must show the day filter as a PartitionFilter (directory
+# pruning at planning time, before any I/O), pinned by tests/test_plans.py.
+# The build is the idempotent ingest twin; results are identical to
+# filtering raw parquet — the oracle computes exactly that. The partition
+# column is a DATE-derived string (day), keeping per-partition file counts
+# bounded (one dir per day, not per timestamp).
+
+import os as _os
+
+_Q62_FROM = "2024-01-10"
+_Q62_TO = "2024-01-13"  # exclusive
+
+_Q62_ORACLE = f"""
+SELECT CAST(ts AS DATE)::VARCHAR AS day, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+FROM events
+WHERE CAST(ts AS DATE) >= DATE '{_Q62_FROM}' AND CAST(ts AS DATE) < DATE '{_Q62_TO}'
+GROUP BY 1, 2
+ORDER BY day, event_type
+"""
+
+
+def _q62_layout_path(sf_dir: str) -> str:
+    repo = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    tag = _os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return _os.path.join(repo, ".events_by_day", tag)
+
+
+def build_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    path = _q62_layout_path(sf_dir)
+    ev = t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd")
+    )
+    ev.write.partitionBy("day").mode("overwrite").parquet(path)
+    return path
+
+
+def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve side only: the day predicate must prune at the directory
+    listing (PartitionFilters), not as a row filter after a full scan."""
+    ev = spark.read.parquet(_q62_layout_path(sf_dir))
+    return (
+        ev.filter((F.col("day") >= _Q62_FROM) & (F.col("day") < _Q62_TO))
+        # partition-column type inference reads `day` back as DATE; the
+        # oracle column is the written string — format AFTER the pruning
+        # filter so the PartitionFilters stay native
+        .withColumn("day", F.date_format("day", "yyyy-MM-dd"))
+        .groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dec_sum(F.col("value"), scale=6).alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+@register("q62_partitioned_layout", oracle=_Q62_ORACLE)
+def q62_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    build_partitioned_events(spark, sf_dir)
+    return partition_pruned_scan(spark, sf_dir)

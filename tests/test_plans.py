@@ -743,3 +743,29 @@ def test_d20_matrix_share_window_is_matrix_sized(q):
     plan = physical_plan(df)
     assert not has_cartesian(df)
     assert plan.count("Exchange SinglePartition") <= 2  # share window + terminal sort
+
+
+def test_q62_partitioned_scan_prunes_directories(q, spark, sf_dir):
+    """The date predicate must be a PartitionFilter (directory pruning at
+    planning time) with NO residual row-level DataFilters — at 100 TB of
+    events this is the difference between reading 3 days and 3 years."""
+    from dbt_osmosis_spark.operators.relational_ext3 import partition_pruned_scan
+
+    q("q62_partitioned_layout")  # builds the partitioned layout
+    df = partition_pruned_scan(spark, sf_dir)
+    plan = physical_plan(df)
+    scan_lines = [l for l in plan.splitlines() if "FileScan" in l]
+    assert scan_lines, plan
+    assert any("PartitionFilters: [" in l and "day" in l.split("PartitionFilters:")[1] for l in scan_lines)
+    assert all("DataFilters: []" in l for l in scan_lines), scan_lines
+
+
+def test_d21_tuning_sweep_single_signature_pass(q):
+    """The banding sweep must reuse ONE cached signature build (the
+    InMemoryTableScan appears on both join sides), key the pair join on
+    the (cfg, band, band_key) tuple, and never go cartesian."""
+    df = q("d21_lsh_tuning_curve")
+    plan = physical_plan(df)
+    assert not has_cartesian(df)
+    assert "InMemoryTableScan" in plan
+    assert "cfg" in plan and "band_key" in plan
