@@ -633,3 +633,85 @@ def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q62_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_partitioned_events(spark, sf_dir)
     return partition_pruned_scan(spark, sf_dir)
+
+
+# ---- q63: Pareto frontier (skyline) — distributed, no all-pairs -------------
+# "Which customers are on the spend/order-count efficiency frontier?" —
+# the SKYLINE operator (Borzsonyi et al., ICDE 2001). The naive form is an
+# all-pairs dominance anti-join (the oracle states it as NOT EXISTS —
+# correct and obviously-right, but O(n^2)); the engine plan is the exact
+# distributed decomposition, the same bucket-offset pattern as q55/p19:
+#   keep p iff  y(p) >  max y over points with x strictly greater
+#          and  y(p) == max y among points with the SAME x (ties all kept)
+# computed as (1) per-distinct-x max (one agg), (2) a strict running max
+# over distinct x within each x-bin (window over distinct values, not
+# rows), (3) cross-bin carry-in maxima via a |bins|-row window broadcast
+# back. No all-pairs join, no global sort, no single-partition pass over
+# customer-scale data anywhere.
+
+_Q63_BIN = 10_000.0  # spend per bin; |bins| stays tiny at any SF
+
+_Q63_ORACLE = """
+WITH pts AS (
+  SELECT o_custkey AS cust_key,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS spend,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT p.cust_key, p.spend, p.n_orders
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts o
+  WHERE o.spend >= p.spend AND o.n_orders >= p.n_orders
+    AND (o.spend > p.spend OR o.n_orders > p.n_orders)
+)
+ORDER BY p.spend DESC, p.cust_key
+"""
+
+
+@register("q63_pareto_frontier", oracle=_Q63_ORACLE)
+def q63_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    pts = o.groupBy(F.col("o_custkey").alias("cust_key")).agg(
+        _dec_sum(F.col("o_totalprice"), scale=2).alias("spend"),
+        F.count(F.lit(1)).alias("n_orders"),
+    ).withColumn("bin", F.floor(F.col("spend") / F.lit(_Q63_BIN)))
+    # (1) max y per distinct x — also the tie rule's keep bar at x itself
+    per_x = pts.groupBy("bin", "spend").agg(F.max("n_orders").alias("y_at_x"))
+    # (2) strict running max over DISTINCT spends within the bin: rows
+    # before the current distinct-spend row are exactly the strictly
+    # greater spends of the same bin
+    in_bin = (
+        W.partitionBy("bin")
+        .orderBy(F.desc("spend"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    per_x = per_x.withColumn("runmax_in_bin", F.max("y_at_x").over(in_bin))
+    # (3) cross-bin carry-in: max y of all strictly-higher bins (every
+    # spend there is strictly greater by bin construction). |bins| rows.
+    bin_max = pts.groupBy("bin").agg(F.max("n_orders").alias("bmax"))
+    above = (
+        W.orderBy(F.desc("bin")).rowsBetween(W.unboundedPreceding, -1)
+    )
+    carry = bin_max.select(
+        "bin", F.max("bmax").over(above).alias("carry_in")
+    )
+    bars = (
+        per_x.join(F.broadcast(carry), "bin")
+        .select(
+            "bin", "spend", "y_at_x",
+            F.greatest(
+                F.coalesce("runmax_in_bin", F.lit(-1)),
+                F.coalesce("carry_in", F.lit(-1)),
+            ).alias("best_above"),
+        )
+    )
+    return (
+        pts.join(bars, ["bin", "spend"])
+        .filter(
+            (F.col("n_orders") > F.col("best_above"))
+            & (F.col("n_orders") == F.col("y_at_x"))
+        )
+        .select("cust_key", "spend", "n_orders")
+        .orderBy(F.desc("spend"), "cust_key")
+    )

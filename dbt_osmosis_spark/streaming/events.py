@@ -470,3 +470,75 @@ def click_attribution_outer(
         "purchase_ts",
         "value",
     )
+
+
+def event_transition_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of q60's transition matrix input: per-user
+    FIRST-ORDER TRANSITIONS (prev_type -> next_type) emitted as raw rows,
+    via transformWithState keyed by user. State per user is one tiny row:
+    the (timestamp, type) of the user's latest event — the minimal state
+    any order-1 Markov feed needs, and the part a windowed aggregation
+    cannot express (the previous event may be arbitrarily far in the
+    past, outside any watermark-bounded window).
+
+    Rows are replayed in (ts, event_id) order WITHIN each micro-batch;
+    across batches the carried last-event state makes the boundary
+    transition exact as long as file arrival is chronological (the same
+    in-order-source contract the other event-time twins document). Each
+    transition is emitted exactly once (append semantics); downstream
+    aggregation to q60's row-normalized matrix is one groupBy over the
+    sink — counts first, probabilities at read time, the standard
+    stream-to-serving split.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    session = events.sparkSession
+    _ROCKSDB = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    _key = "spark.sql.streaming.stateStore.providerClass"
+    _default = (
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    )
+    if session.conf.get(_key, _default) == _default:
+        session.conf.set(_key, _ROCKSDB)
+
+    class Transitions(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._last = handle.getValueState("last", "last_us long, last_type string")
+
+        def handleInputRows(self, key, rows, timerValues):
+            last_us, last_type = (
+                self._last.get() if self._last.exists() else (None, None)
+            )
+            prevs, nexts, uss = [], [], []
+            for pdf in rows:
+                pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+                for ts, et in zip(pdf["ts"], pdf["event_type"]):
+                    us = int(ts.value // 1_000)
+                    if last_type is not None:
+                        prevs.append(last_type)
+                        nexts.append(et)
+                        uss.append(us)
+                    last_us, last_type = us, et
+            self._last.update((last_us, last_type))
+            if prevs:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]] * len(prevs),
+                        "prev_type": prevs,
+                        "next_type": nexts,
+                        "ts": [pd.Timestamp(u * 1_000) for u in uss],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Transitions(),
+        outputStructType="user_id long, prev_type string, next_type string, ts timestamp",
+        outputMode="Append",
+        timeMode="None",
+    )

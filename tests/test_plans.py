@@ -769,3 +769,14 @@ def test_d21_tuning_sweep_single_signature_pass(q):
     assert not has_cartesian(df)
     assert "InMemoryTableScan" in plan
     assert "cfg" in plan and "band_key" in plan
+
+
+def test_q63_skyline_no_allpairs(q):
+    """The Pareto frontier must use the bucket-offset decomposition — no
+    NOT-EXISTS anti-join against the full point set (that's the oracle's
+    job), no cartesian, and the only unpartitioned window runs over
+    |bins|-row aggregates."""
+    df = q("q63_pareto_frontier")
+    plan = physical_plan(df)
+    assert not has_cartesian(df)
+    assert "hashpartitioning(bin" in plan  # in-bin strict running max

@@ -655,3 +655,100 @@ def test_click_attribution_outer_matches_batch_twin(spark, sf_dir, tmp_path):
     want = {key(r) for r in want_df.filter(F.col("click_ts") <= F.lit(cutoff)).collect()}
     assert got == want
     assert any(r[3] is None for r in want), "twin region has no unconverted clicks"
+
+
+def test_event_transition_stream_matches_batch_q60_counts(spark, sf_dir):
+    """The TWS transition feed over the full backlog must contain exactly
+    the batch lag()-pairs: same (prev_type, next_type) count matrix as
+    q60's pre-normalization counts (single availableNow batch => total
+    event-time order per user)."""
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+    from dbt_osmosis_spark.streaming.events import (
+        event_transition_stream,
+        run_to_memory,
+        stream_events,
+    )
+    from pyspark.sql.window import Window as W
+
+    stream = stream_events(spark, sf_dir).select("user_id", "event_id", "ts", "event_type")
+    run_to_memory(event_transition_stream(stream), "trans_out", output_mode="append")
+    got = {
+        (r.prev_type, r.next_type): r.n
+        for r in spark.sql(
+            "select prev_type, next_type, count(*) n from trans_out group by 1, 2"
+        ).collect()
+    }
+    e = read_parquet(spark, f"{sf_dir}/events.parquet")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    want = {
+        (r.prev_type, r.next_type): r.n
+        for r in e.withColumn("prev_type", F.lag("event_type").over(order))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_event_transition_stream_state_spans_batches(spark, sf_dir, tmp_path):
+    """The boundary transition between two chronological micro-batches
+    must be emitted exactly once, from carried state: splitting the
+    backlog at the median timestamp and streaming it as two files yields
+    the SAME transition multiset as one batch."""
+    import shutil
+    import time
+
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+    from dbt_osmosis_spark.streaming.events import event_transition_stream
+
+    e = read_parquet(spark, f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    mid = e.selectExpr(
+        "timestamp_micros(CAST(percentile_cont(0.5) WITHIN GROUP "
+        "(ORDER BY unix_micros(ts)) AS BIGINT)) p"
+    ).collect()[0].p
+    land = str(tmp_path / "landing")
+    early = e.filter(F.col("ts") <= F.lit(mid))
+    late = e.filter(F.col("ts") > F.lit(mid))
+    for i, part in enumerate((early, late)):
+        staged = str(tmp_path / f"stage{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(staged)
+        import glob, os
+        os.makedirs(land, exist_ok=True)
+        src = glob.glob(f"{staged}/part-*.parquet")[0]
+        shutil.copy(src, f"{land}/batch{i}.parquet")
+        time.sleep(1.1)  # distinct mtimes => chronological replay order
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    out = event_transition_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("trans_two_batches")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.prev_type, r.next_type): r.n
+        for r in spark.sql(
+            "select prev_type, next_type, count(*) n from trans_two_batches group by 1, 2"
+        ).collect()
+    }
+    from pyspark.sql.window import Window as W
+
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    want = {
+        (r.prev_type, r.next_type): r.n
+        for r in e.withColumn("prev_type", F.lag("event_type").over(order))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
