@@ -85,6 +85,13 @@ FAMILIES = [
     # stupid-backoff LM scoring (the order-3 KenLM-style quality signal)
     "d18_paragraph_dedup",
     "t19_trigram_backoff",
+    # round-6d: physical-layout levers (bucketed exchange-free join; the
+    # build is part of the measured cost — it's the operator), the LSH
+    # banding sweep (one signature pass, five configs), and the
+    # bucket-bounded kNN graph build
+    "q61_bucketed_join",
+    "d21_lsh_tuning_curve",
+    "s25_knn_graph",
 ]
 
 # Scale-slope flagships: timed at sf0.1 AND at the generated 10x sf1
@@ -115,6 +122,12 @@ SCALE_FLAGSHIPS = [
     # pair-sized" — the 10x slope must track the block scan and the
     # exchange count must not grow
     "d18_paragraph_dedup",
+    # round-6d: the kNN graph must grow with bucket occupancy (corpus-
+    # adaptive sub-keys hold E[bucket] ~constant), and the banding sweep
+    # with candidate volume at its widest config — both bounded, neither
+    # all-pairs; exchange counts must stay flat
+    "s25_knn_graph",
+    "d21_lsh_tuning_curve",
 ]
 
 

@@ -472,6 +472,29 @@ from dbt_osmosis_spark.operators.dedup import (  # noqa: E402
 
 _D21_CONFIGS = [(24, 1), (12, 2), (8, 3), (6, 4), (4, 6)]  # b * r = 24
 
+# The widest banding (b=24, r=1 — single-hash buckets) is QUADRATIC in
+# bucket occupancy by construction: it exists to measure the permissive
+# corner of the curve, and measured at 10x it produced 22.4M candidate
+# pairs from 225k at 1x. A tuning report must not cost a dedup run — so
+# the sweep runs on a deterministic md5 doc sample capped at the sf0.1
+# corpus size: keep iff (md5_60bit(doc_id) mod 2^20) * N < CAP * 2^20,
+# exact integer math in both engines, rate = min(1, CAP/N) computed
+# in-plan from a broadcast 1-row COUNT. At every driver SF (N <= 5000)
+# the inequality is vacuously true — zero rows dropped, results
+# bit-identical to the unsampled sweep; at 10x/30x the sweep input stays
+# ~CAP docs, so report cost is corpus-independent (the point of a sample).
+_D21_CAP = 5000
+_D21_MOD = 1 << 20
+
+_D21_DUCK_H20 = (
+    "(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) "
+    f"% {_D21_MOD})"
+)
+_D21_SPARK_H20 = (
+    "pmod(CAST(conv(substr(md5(cast(CAST(doc_id AS STRING) AS BINARY)), 1, 15), 16, 10) "
+    f"AS BIGINT), {_D21_MOD})"
+)
+
 
 def _d21_label(b: int, r: int) -> str:
     return f"b{b:02d}_r{r}"
@@ -499,7 +522,12 @@ def _d21_oracle() -> str:
         f"WHEN '{_d21_label(b, r)}' THEN {r}" for b, r in _D21_CONFIGS
     )
     return f"""
-WITH {_duck_side('sig0')},
+WITH dcnt AS (SELECT COUNT(*) AS n FROM documents),
+sampled AS (
+  SELECT * FROM documents
+  WHERE {_D21_DUCK_H20} * (SELECT n FROM dcnt) < CAST({_D21_CAP} AS BIGINT) * {_D21_MOD}
+),
+{_duck_side('sig0').replace('FROM documents', 'FROM sampled')},
 sig AS MATERIALIZED (SELECT * FROM sig0),
 keys AS MATERIALIZED (
 {bands_unions}
@@ -539,7 +567,13 @@ ORDER BY rows_per_band
 @register("d21_lsh_tuning_curve", oracle=_d21_oracle())
 def d21_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
-    sig = minhash_signatures(docs).transform(keep_cached)
+    dcnt = docs.agg(F.count(F.lit(1)).alias("n"))
+    sampled = (
+        docs.crossJoin(F.broadcast(dcnt))
+        .filter(F.expr(_D21_SPARK_H20) * F.col("n") < F.lit(_D21_CAP * _D21_MOD))
+        .drop("n")
+    )
+    sig = minhash_signatures(sampled).transform(keep_cached)
     # one map-side explode emits every (cfg, band, band_key) — the banding
     # sweep costs one pass over the cached signatures, not one per config
     struct_arrays = ", ".join(

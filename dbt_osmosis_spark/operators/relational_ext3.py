@@ -715,3 +715,81 @@ def q63_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cust_key", "spend", "n_orders")
         .orderBy(F.desc("spend"), "cust_key")
     )
+
+
+# ---- q64: multi-touch (linear) click attribution ----------------------------
+# q30 rolls attributed purchases up per user; q64 answers the marketing
+# question q30 can't: WHICH click hours earn the credit when a purchase
+# had several preceding clicks? Linear attribution: each purchase's value
+# splits equally across all same-user clicks in the preceding hour, and
+# the credit aggregates by the CLICK's hour. Scale shape: one user-key
+# shuffle for the interval join (the time predicate prunes each user's
+# pair count to the window — q30's shape), a purchase-key window to count
+# touches (purchase-sized partitions), and a dimension-sized hour rollup.
+# Determinism: the per-pair credit value/n is one IEEE division, then
+# decimal-cast summation (the dec_sum convention) — order-free.
+
+_Q64_ORACLE = """
+WITH pairs AS (
+  SELECT c.event_id AS click_id, date_trunc('hour', c.ts) AS click_hour,
+         p.event_id AS purchase_id, p.value
+  FROM events c JOIN events p
+    ON c.user_id = p.user_id
+   AND c.event_type = 'click' AND p.event_type = 'purchase'
+   AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+),
+credited AS (
+  SELECT click_id, click_hour,
+         value / COUNT(*) OVER (PARTITION BY purchase_id) AS credit
+  FROM pairs
+)
+SELECT click_hour,
+       COUNT(*) AS n_credited_touches,
+       COUNT(DISTINCT click_id) AS n_clicks,
+       CAST(SUM(CAST(credit AS DECIMAL(28,6))) AS DOUBLE) AS credited_value
+FROM credited
+GROUP BY click_hour
+ORDER BY click_hour
+"""
+
+
+@register("q64_multitouch_attribution", oracle=_Q64_ORACLE)
+def q64_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    pairs = c.join(
+        p,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "click_id",
+        F.date_trunc("hour", F.col("cts")).alias("click_hour"),
+        "purchase_id",
+        "value",
+    )
+    credited = pairs.withColumn(
+        "credit",
+        F.col("value") / F.count(F.lit(1)).over(W.partitionBy("purchase_id")),
+    )
+    from dbt_osmosis_spark.functions.numeric import dec_sum as _ds
+
+    return (
+        credited.groupBy("click_hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_credited_touches"),
+            F.countDistinct("click_id").alias("n_clicks"),
+            _ds(F.col("credit"), scale=6).alias("credited_value"),
+        )
+        .orderBy("click_hour")
+    )

@@ -230,3 +230,151 @@ def t20_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---- t21: Heaps-law vocabulary growth per source ----------------------------
+# t16's companion diagnostic: natural text grows vocabulary as V(n) ~ K*n^b
+# with b ~ 0.4-0.6 (Heaps' law); template/generated corpora go flat (tiny
+# b) and ID-spam goes linear (b ~ 1). Measured as the least-squares slope
+# of (log2 docs, log2 distinct-words) over ten document-prefix
+# checkpoints, in doc_id order. The checkpoint assignment is pure integer
+# arithmetic (ceil division) and the fit uses t16's quantize-then-sum
+# move, so the slope is partition-order-independent and engine-exact.
+#
+# Scale shape: one (source, word) first-occurrence aggregate (partial
+# map-side combine over the exploded words), a doc-rank window per source
+# over the DOCUMENT relation (corpus-sized rows but dimension-sized
+# output), and a 10-row-per-source decile frame for the fit — the
+# vocabulary relation never re-joins the corpus.
+
+_T21_Q = "1e9"
+
+_T21_ORACLE = f"""
+WITH dr AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS drank,
+         COUNT(*) OVER (PARTITION BY source) AS n_docs
+  FROM documents
+),
+firsts AS (
+  SELECT w.source, MIN(d.drank) AS fr, ANY_VALUE(d.n_docs) AS n_docs
+  FROM (
+    SELECT source, doc_id, unnest(string_split(trim(text), ' ')) AS word
+    FROM documents
+  ) w
+  JOIN dr d ON d.source = w.source AND d.doc_id = w.doc_id
+  GROUP BY w.source, w.word
+),
+entering AS (
+  SELECT source, CAST((10 * fr + n_docs - 1) // n_docs AS BIGINT) AS dec_idx,
+         COUNT(*) AS new_words, ANY_VALUE(n_docs) AS n_docs
+  FROM firsts GROUP BY source, dec_idx
+),
+grid AS (
+  SELECT s.source, g.d, s.n_docs
+  FROM (SELECT source, ANY_VALUE(n_docs) AS n_docs FROM entering GROUP BY source) s,
+       (SELECT unnest(range(1, 11)) AS d) g
+),
+pts AS (
+  SELECT g.source, g.d,
+         CAST((g.d * g.n_docs + 9) // 10 AS BIGINT) AS n_at,
+         SUM(COALESCE(e.new_words, 0)) OVER (
+           PARTITION BY g.source ORDER BY g.d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_at
+  FROM grid g LEFT JOIN entering e ON e.source = g.source AND e.dec_idx = g.d
+),
+q AS (
+  SELECT source,
+         CAST(floor(log2(n_at) * {_T21_Q} + 0.5) AS DECIMAL(28,0)) AS qx,
+         CAST(floor(log2(v_at) * {_T21_Q} + 0.5) AS DECIMAL(28,0)) AS qy
+  FROM pts
+),
+sums AS (
+  SELECT source, COUNT(*) AS m, SUM(qx) AS sx, SUM(qy) AS sy,
+         SUM(qx * qx) AS sxx, SUM(qx * qy) AS sxy
+  FROM q GROUP BY source
+),
+vocab AS (
+  SELECT source, COUNT(*) AS vocab_size, ANY_VALUE(n_docs) AS n_docs
+  FROM firsts GROUP BY source
+)
+SELECT v.source, v.n_docs, v.vocab_size,
+       round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) + 0.0 AS heaps_beta
+FROM sums s JOIN vocab v ON v.source = s.source
+ORDER BY v.source
+"""
+
+
+@register("t21_heaps_law", oracle=_T21_ORACLE)
+def t21_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    dr = docs.select(
+        "source",
+        "doc_id",
+        F.row_number().over(W.partitionBy("source").orderBy("doc_id")).alias("drank"),
+        F.count(F.lit(1)).over(W.partitionBy("source")).alias("n_docs"),
+    )
+    words = docs.select(
+        "source", "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("word")
+    )
+    firsts = (
+        words.join(dr, ["source", "doc_id"])
+        .groupBy("source", "word")
+        .agg(F.min("drank").alias("fr"), F.first("n_docs").alias("n_docs"))
+    )
+    entering = firsts.groupBy(
+        "source",
+        F.expr("CAST((10 * fr + n_docs - 1) DIV n_docs AS BIGINT)").alias("dec_idx"),
+    ).agg(F.count(F.lit(1)).alias("new_words"), F.first("n_docs").alias("n_docs"))
+    per_source = entering.groupBy("source").agg(F.first("n_docs").alias("n_docs"))
+    grid = per_source.select(
+        "source", "n_docs", F.explode(F.sequence(F.lit(1), F.lit(10))).alias("d")
+    )
+    pts = (
+        grid.join(
+            entering.select("source", F.col("dec_idx").alias("d"), "new_words"),
+            ["source", "d"],
+            "left",
+        )
+        .withColumn(
+            "v_at",
+            F.sum(F.coalesce("new_words", F.lit(0))).over(
+                W.partitionBy("source").orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .withColumn("n_at", F.expr("CAST((d * n_docs + 9) DIV 10 AS BIGINT)"))
+    )
+    q = pts.select(
+        "source",
+        F.expr(f"CAST(floor(log2(n_at) * {_T21_Q} + 0.5) AS DECIMAL(28,0))").alias("qx"),
+        F.expr(f"CAST(floor(log2(v_at) * {_T21_Q} + 0.5) AS DECIMAL(28,0))").alias("qy"),
+    )
+    sums = q.groupBy("source").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("qx").alias("sx"),
+        F.sum("qy").alias("sy"),
+        F.sum(F.expr("qx * qx")).alias("sxx"),
+        F.sum(F.expr("qx * qy")).alias("sxy"),
+    )
+    vocab = firsts.groupBy("source").agg(
+        F.count(F.lit(1)).alias("vocab_size"), F.first("n_docs").alias("n_docs")
+    )
+    # + 0.0 canonicalizes IEEE -0.0 (an all-equal-y fit rounds to -0.0 in
+    # DuckDB but +0.0 in Spark; the sum maps both to +0.0 in both engines)
+    beta = F.round(
+        (F.col("m").cast("double") * F.col("sxy").cast("double")
+         - F.col("sx").cast("double") * F.col("sy").cast("double"))
+        / (F.col("m").cast("double") * F.col("sxx").cast("double")
+           - F.col("sx").cast("double") * F.col("sx").cast("double")),
+        6,
+    ) + F.lit(0.0)
+    return (
+        sums.join(vocab, "source")
+        .select("source", "n_docs", "vocab_size", beta.alias("heaps_beta"))
+        .orderBy("source")
+    )

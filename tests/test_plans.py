@@ -780,3 +780,23 @@ def test_q63_skyline_no_allpairs(q):
     plan = physical_plan(df)
     assert not has_cartesian(df)
     assert "hashpartitioning(bin" in plan  # in-bin strict running max
+
+
+def test_t21_heaps_fit_is_vocabulary_scale(q):
+    """Heaps fit: the corpus is touched by ONE exploded word aggregate and
+    one doc-rank window; the fit itself runs on 10 rows per source. No
+    cartesian, no corpus re-join after the first-occurrence aggregate."""
+    df = q("t21_heaps_law")
+    assert not has_cartesian(df)
+    plan = physical_plan(df)
+    assert "hashpartitioning(source" in plan
+
+
+def test_q64_attribution_join_is_user_keyed(q):
+    """Multi-touch attribution must shuffle on user_id for the interval
+    join (time predicate prunes within user), then window on purchase_id —
+    never a cross join across users."""
+    df = q("q64_multitouch_attribution")
+    assert not has_cartesian(df)
+    plan = physical_plan(df)
+    assert "hashpartitioning(purchase_id" in plan
