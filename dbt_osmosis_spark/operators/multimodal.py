@@ -930,3 +930,95 @@ def m11_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_frames_matched") >= _M11_MIN_FRAMES)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---- m12: perceptual-hash duplicate clusters --------------------------------
+# m09 emits near-dup PAIRS; a curation pass needs CLUSTERS — "this image
+# exists in 7 variants, keep one". Connected components over the m09 edge
+# set (Hamming <= tau, pigeonhole-complete banding), reported per cluster:
+# representative id (min doc_id), member count. Same CC engine as the
+# text dedup family (min-label propagation with a monotone convergence
+# witness and a hard non-convergence error); the edge relation is bounded
+# by real near-duplication, never all-pairs. Only multi-image clusters
+# are reported — the keep-list is `all images - (members - reps)`.
+
+_M12_ORACLE = f"""
+WITH RECURSIVE
+{_PHASH_DUCK_CTE.removeprefix("WITH ")},
+bands AS (
+  SELECT doc_id, phash, j,
+         (phash >> ({_M09_BAND_BITS} * j)) & {2 ** _M09_BAND_BITS - 1} AS band
+  FROM hashed, (SELECT unnest(range(0, {_M09_BANDS})) AS j)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= {_M09_TAU}
+),
+edges2 AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM cand
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM hashed
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges2 e ON e.src = r.node
+),
+comp AS (
+  SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node
+)
+SELECT component AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_images
+FROM comp
+GROUP BY component
+HAVING COUNT(*) >= 2
+ORDER BY n_images DESC, cluster_id
+"""
+
+
+@register("m12_phash_components", oracle=_M12_ORACLE)
+def m12_phash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_osmosis_spark.operators.caching import keep_cached
+    from dbt_osmosis_spark.operators.pipeline import connected_components
+
+    docs = attach_fake_payloads(spread(read_parquet(spark, f"{sf_dir}/documents.parquet")))
+    hashed = phash_payloads(docs)
+    # Quotient contraction: identical phashes are Hamming-0 edges, so
+    # collapsing them FIRST (one exact groupBy — the m05 shape) is an
+    # exact graph contraction. Banding, the pair join, and the CC rounds
+    # then run over DISTINCT hashes (node id = the group's min doc_id, so
+    # cluster_id semantics are unchanged); cluster sizes re-expand from
+    # the carried member counts. Same clusters, strictly less work — and
+    # the contraction is also the scale story: the join input is the
+    # distinct-hash relation, not the image corpus.
+    groups = (
+        hashed.groupBy("phash")
+        .agg(F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("n_docs"))
+        .transform(keep_cached)
+    )
+    bands = groups.select(
+        "rep",
+        "phash",
+        F.explode(F.expr(f"sequence(0, {_M09_BANDS - 1})")).alias("j"),
+    ).withColumn(
+        "band",
+        F.expr(f"shiftright(phash, {_M09_BAND_BITS} * j) & {2 ** _M09_BAND_BITS - 1}"),
+    )
+    a = bands.select(F.col("rep").alias("rep_a"), F.col("phash").alias("pa"), "j", "band")
+    b = bands.select(F.col("rep").alias("rep_b"), F.col("phash").alias("pb"), "j", "band")
+    edges = (
+        a.join(b, ["j", "band"])
+        .filter(F.col("rep_a") < F.col("rep_b"))
+        .filter(F.expr(f"bit_count(pa ^ pb) <= {_M09_TAU}"))
+        .select(F.col("rep_a").alias("src"), F.col("rep_b").alias("dst"))
+        .distinct()
+    )
+    comp = connected_components(groups.select(F.col("rep").alias("id")), edges)
+    return (
+        comp.join(groups.select(F.col("rep").alias("id"), "n_docs"), "id")
+        .groupBy(F.col("component").alias("cluster_id"))
+        .agg(F.sum("n_docs").cast("bigint").alias("n_images"))
+        .filter(F.col("n_images") >= 2)
+        .orderBy(F.desc("n_images"), "cluster_id")
+    )

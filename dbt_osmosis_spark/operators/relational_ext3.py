@@ -793,3 +793,118 @@ def q64_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("click_hour")
     )
+
+
+# ---- q65: RFM segmentation (broadcast-quantile scoring) ---------------------
+# The classic customer-value segmentation: per user, Recency (days since
+# last purchase), Frequency (purchase count), Monetary (decimal-exact
+# spend); each dimension scored 1-5 against its own corpus quintiles.
+# The scale trap in every textbook RFM query is ntile() OVER () — a
+# single-partition window over the USER dimension. Here the quintile
+# boundaries come from ONE tiny exact-percentile aggregate (q22's
+# percentile/quantile_cont pairing), broadcast back, and scores are
+# map-side integer comparison sums — no user-dimension window anywhere.
+# Recency is integer epoch-day arithmetic; monetary sums are decimal-cast
+# at both levels (user, segment), so every emitted number is engine-exact.
+
+_Q65_ORACLE = """
+WITH p AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+anchor AS (SELECT MAX(ts) AS maxts FROM p),
+rfm AS (
+  SELECT user_id,
+         CAST((epoch_us((SELECT maxts FROM anchor)) - epoch_us(MAX(ts))) // 86400000000 AS BIGINT) AS r_days,
+         COUNT(*) AS freq,
+         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS monetary
+  FROM p GROUP BY user_id
+),
+b AS (
+  SELECT quantile_cont(r_days, 0.2) AS r20, quantile_cont(r_days, 0.4) AS r40,
+         quantile_cont(r_days, 0.6) AS r60, quantile_cont(r_days, 0.8) AS r80,
+         quantile_cont(freq, 0.2) AS f20, quantile_cont(freq, 0.4) AS f40,
+         quantile_cont(freq, 0.6) AS f60, quantile_cont(freq, 0.8) AS f80,
+         quantile_cont(monetary, 0.2) AS m20, quantile_cont(monetary, 0.4) AS m40,
+         quantile_cont(monetary, 0.6) AS m60, quantile_cont(monetary, 0.8) AS m80
+  FROM rfm
+),
+scored AS (
+  SELECT user_id, monetary,
+         1 + CASE WHEN r_days < r80 THEN 1 ELSE 0 END + CASE WHEN r_days < r60 THEN 1 ELSE 0 END
+           + CASE WHEN r_days < r40 THEN 1 ELSE 0 END + CASE WHEN r_days < r20 THEN 1 ELSE 0 END AS r_score,
+         1 + CASE WHEN freq > f20 THEN 1 ELSE 0 END + CASE WHEN freq > f40 THEN 1 ELSE 0 END
+           + CASE WHEN freq > f60 THEN 1 ELSE 0 END + CASE WHEN freq > f80 THEN 1 ELSE 0 END AS f_score,
+         1 + CASE WHEN monetary > m20 THEN 1 ELSE 0 END + CASE WHEN monetary > m40 THEN 1 ELSE 0 END
+           + CASE WHEN monetary > m60 THEN 1 ELSE 0 END + CASE WHEN monetary > m80 THEN 1 ELSE 0 END AS m_score
+  FROM rfm, b
+)
+SELECT r_score, f_score, m_score,
+       COUNT(*) AS n_users,
+       CAST(SUM(CAST(monetary AS DECIMAL(28,6))) AS DOUBLE) AS total_monetary
+FROM scored
+GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score
+"""
+
+
+@register("q65_rfm_segments", oracle=_Q65_ORACLE)
+def q65_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_osmosis_spark.functions.numeric import dec_sum as _ds
+
+    e = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    anchor = e.agg(F.max("ts").alias("maxts"))
+    rfm = (
+        e.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("umax"),
+            F.count(F.lit(1)).alias("freq"),
+            _ds(F.col("value"), scale=6).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.expr("CAST((unix_micros(maxts) - unix_micros(umax)) DIV 86400000000 AS BIGINT)").alias("r_days"),
+            "freq",
+            "monetary",
+        )
+    )
+    b = rfm.agg(
+        *[
+            F.expr(f"percentile({c}, {q})").alias(f"{c[0]}{int(q * 100)}")
+            for c in ("r_days", "freq", "monetary")
+            for q in (0.2, 0.4, 0.6, 0.8)
+        ]
+    )
+    scored = rfm.crossJoin(F.broadcast(b)).select(
+        "user_id",
+        "monetary",
+        (
+            F.lit(1)
+            + F.when(F.col("r_days") < F.col("r80"), 1).otherwise(0)
+            + F.when(F.col("r_days") < F.col("r60"), 1).otherwise(0)
+            + F.when(F.col("r_days") < F.col("r40"), 1).otherwise(0)
+            + F.when(F.col("r_days") < F.col("r20"), 1).otherwise(0)
+        ).alias("r_score"),
+        (
+            F.lit(1)
+            + F.when(F.col("freq") > F.col("f20"), 1).otherwise(0)
+            + F.when(F.col("freq") > F.col("f40"), 1).otherwise(0)
+            + F.when(F.col("freq") > F.col("f60"), 1).otherwise(0)
+            + F.when(F.col("freq") > F.col("f80"), 1).otherwise(0)
+        ).alias("f_score"),
+        (
+            F.lit(1)
+            + F.when(F.col("monetary") > F.col("m20"), 1).otherwise(0)
+            + F.when(F.col("monetary") > F.col("m40"), 1).otherwise(0)
+            + F.when(F.col("monetary") > F.col("m60"), 1).otherwise(0)
+            + F.when(F.col("monetary") > F.col("m80"), 1).otherwise(0)
+        ).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            _ds(F.col("monetary"), scale=6).alias("total_monetary"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

@@ -800,3 +800,24 @@ def test_q64_attribution_join_is_user_keyed(q):
     assert not has_cartesian(df)
     plan = physical_plan(df)
     assert "hashpartitioning(purchase_id" in plan
+
+
+def test_q65_rfm_no_user_dimension_window(q):
+    """RFM scoring must come from ONE tiny percentile aggregate broadcast
+    back — no ntile()/percent_rank() single-partition window over the user
+    dimension (the textbook RFM scale trap)."""
+    df = q("q65_rfm_segments")
+    plan = physical_plan(df)
+    # ("percentile(" contains "ntile(" — strip it before the window check)
+    assert "ntile(" not in plan.replace("percentile(", "") and "percent_rank" not in plan
+    assert has_broadcast_join(df)
+
+
+def test_m12_components_contract_identical_hashes_first(q):
+    """The pHash cluster report must band DISTINCT hashes (quotient
+    contraction — groupBy(phash) feeds the join), never the raw image
+    corpus, and the pair join must stay keyed (no cartesian)."""
+    df = q("m12_phash_components")
+    assert not has_cartesian(df)
+    plan = physical_plan(df)
+    assert "hashpartitioning(phash" in plan
