@@ -647,3 +647,80 @@ def d21_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rows_per_band")
     )
+
+
+# ---- d22: source-level MinHash overlap matrix --------------------------------
+# Corpus-drift / wholesale-mirror detection one level above d20: estimate
+# the SHINGLE-SET Jaccard between whole sources from source-level MinHash
+# signatures. The union-set identity makes this exact for the estimator:
+# minhash(A ∪ B) = elementwise_min(minhash(A), minhash(B)), so a source's
+# signature is the elementwise MIN of its documents' signatures — one
+# ordinary aggregate, no source-level shingle materialization. Pairwise
+# estimate = matching positions / K, the textbook MinHash estimator; the
+# oracle computes the identical signature fold, so the check is exact on
+# the ESTIMATE (the estimator's +-1/sqrt(K) error vs true Jaccard is
+# d14's eval territory). Scale: doc signatures are map-side; the source
+# fold is one |sources|-group aggregate; the pair join runs on the ~20-row
+# source dimension — broadcast, trivially.
+
+from dbt_osmosis_spark.operators.dedup import _K as _D22_K  # noqa: E402
+
+
+def _d22_oracle() -> str:
+    mins = ", ".join(f"MIN(sig[{i + 1}]) AS m{i}" for i in range(_D22_K))
+    arr = "[" + ", ".join(f"m{i}" for i in range(_D22_K)) + "]"
+    return f"""
+WITH {_duck_side('sig0')},
+labeled AS (
+  SELECT d.source, s.sig FROM sig0 s JOIN documents d ON d.doc_id = s.doc_id
+),
+srcsig AS (
+  SELECT source, {mins} FROM labeled GROUP BY source
+),
+packed AS (SELECT source, {arr} AS sig FROM srcsig),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         len(list_filter(range(1, {_D22_K} + 1), i -> a.sig[i] = b.sig[i])) AS n_match
+  FROM packed a JOIN packed b ON a.source < b.source
+)
+SELECT source_a, source_b, CAST(n_match AS BIGINT) AS n_match,
+       CAST(n_match AS DOUBLE) / {_D22_K} AS est_jaccard
+FROM pairs
+WHERE n_match > 0
+ORDER BY est_jaccard DESC, source_a, source_b
+"""
+
+
+@register("d22_source_minhash_overlap", oracle=_d22_oracle())
+def d22_source_minhash_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    sig = minhash_signatures(docs)
+    labeled = sig.join(docs.select("doc_id", "source"), "doc_id")
+    srcsig = labeled.groupBy("source").agg(
+        *[F.min(F.expr(f"sig[{i}]")).alias(f"m{i}") for i in range(_D22_K)]
+    )
+    packed = srcsig.select(
+        "source", F.array(*[F.col(f"m{i}") for i in range(_D22_K)]).alias("sig")
+    )
+    a = packed.select(F.col("source").alias("source_a"), F.col("sig").alias("sa"))
+    b = packed.select(F.col("source").alias("source_b"), F.col("sig").alias("sb"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            F.expr(
+                f"size(filter(sequence(1, {_D22_K}), i -> element_at(sa, i) = element_at(sb, i)))"
+            ).cast("bigint").alias("n_match"),
+        )
+    )
+    return (
+        pairs.filter(F.col("n_match") > 0)
+        .select(
+            "source_a",
+            "source_b",
+            "n_match",
+            (F.col("n_match").cast("double") / F.lit(_D22_K)).alias("est_jaccard"),
+        )
+        .orderBy(F.desc("est_jaccard"), "source_a", "source_b")
+    )

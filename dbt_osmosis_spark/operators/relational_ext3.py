@@ -908,3 +908,78 @@ def q65_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+# ---- q66: session entry/exit analysis ----------------------------------------
+# The product-analytics staple built on q15's sessionization: which event
+# type OPENS sessions, which CLOSES them, and how often a session bounces
+# (one event). Output is the (entry_type, exit_type) matrix with bounce
+# counts — the report behind landing/exit-page optimization. Scale shape:
+# the sessionizer's user-keyed windows (q15's shape), one session-key
+# aggregate whose first/last picks ride the same struct-min trick both
+# engines compute identically ((ts, event_id) is unique, so the order is
+# total), and a dimension-sized matrix rollup.
+
+_Q66_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM ordered
+),
+per_session AS (
+  SELECT user_id, session_id,
+         MIN({'ts': ts, 'event_id': event_id, 'event_type': event_type}).event_type AS entry_type,
+         MAX({'ts': ts, 'event_id': event_id, 'event_type': event_type}).event_type AS exit_type,
+         COUNT(*) AS n_events
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT entry_type, exit_type,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS bounce_rate
+FROM per_session
+GROUP BY entry_type, exit_type
+ORDER BY entry_type, exit_type
+"""
+
+
+@register("q66_session_entry_exit", oracle=_Q66_ORACLE)
+def q66_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run = order.rowsBetween(W.unboundedPreceding, W.currentRow)
+    flagged = e.withColumn(
+        "is_new_session",
+        F.when(
+            F.lag("ts").over(order).isNull()
+            | (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(order) > 1800),
+            1,
+        ).otherwise(0),
+    ).withColumn("session_id", F.sum("is_new_session").over(run))
+    per_session = flagged.groupBy("user_id", "session_id").agg(
+        F.min(F.struct("ts", "event_id", "event_type"))["event_type"].alias("entry_type"),
+        F.max(F.struct("ts", "event_id", "event_type"))["event_type"].alias("exit_type"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bounces = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).cast("bigint")
+    return (
+        per_session.groupBy("entry_type", "exit_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            bounces.alias("n_bounces"),
+        )
+        .withColumn(
+            "bounce_rate",
+            F.col("n_bounces").cast("double") / F.col("n_sessions"),
+        )
+        .orderBy("entry_type", "exit_type")
+    )

