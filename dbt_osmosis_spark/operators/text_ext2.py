@@ -378,3 +378,94 @@ def t21_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "n_docs", "vocab_size", beta.alias("heaps_beta"))
         .orderBy("source")
     )
+
+
+# ---- t22: Count-Min sketch heavy-hitter evaluation ---------------------------
+# The third sketch family (after HLL q29 and Bloom p12), and the first one
+# that is FULLY hash-checkable: a Count-Min sketch is deterministic given
+# its hash functions, so the oracle recomputes the identical sketch and
+# the identical estimates — no error-bound-only testing needed. Build: d=3
+# rows x w=1024 counters, each word contributing one count per row via a
+# tagged 60-bit md5 (the Bloom-bit derivation pattern); the sketch build
+# is ONE partial-aggregated shuffle on (row, bucket) — 3072 cells
+# regardless of corpus size, the mergeable-summary property that makes CMS
+# the standard distributed heavy-hitter structure. Eval: the exact top-20
+# words (t06's TakeOrdered shape) joined against the broadcast sketch;
+# est = min over rows, overcount = est - exact >= 0 by the CMS guarantee
+# (tested as an invariant too).
+
+_T22_D = 3
+_T22_W = 1024
+_T22_TOPK = 20
+
+_T22_SPARK_H = (
+    "pmod(CAST(conv(substr(md5(cast(concat('cm', CAST({i} AS STRING), '#', {w}) AS BINARY)), 1, 15), 16, 10) AS BIGINT), "
+    f"{_T22_W})"
+)
+_T22_DUCK_H = (
+    "(CAST('0x' || substr(md5('cm' || CAST({i} AS VARCHAR) || '#' || {w}), 1, 15) AS BIGINT) "
+    f"% {_T22_W})"
+)
+
+_T22_ORACLE = f"""
+WITH words AS (
+  SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents
+),
+sketch AS (
+  SELECT i, {_T22_DUCK_H.format(i="i", w="word")} AS bucket, COUNT(*) AS cnt
+  FROM words, (SELECT unnest(range(0, {_T22_D})) AS i)
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT word, COUNT(*) AS exact_n FROM words GROUP BY word
+  ORDER BY exact_n DESC, word LIMIT {_T22_TOPK}
+),
+est AS (
+  SELECT e.word, e.exact_n, MIN(s.cnt) AS est_n
+  FROM exact e
+  JOIN sketch s
+    ON s.bucket = {_T22_DUCK_H.format(i="s.i", w="e.word")}
+  GROUP BY e.word, e.exact_n
+)
+SELECT word, exact_n, CAST(est_n AS BIGINT) AS est_n,
+       CAST(est_n - exact_n AS BIGINT) AS overcount
+FROM est
+ORDER BY exact_n DESC, word
+"""
+
+
+@register("t22_countmin_eval", oracle=_T22_ORACLE)
+def t22_countmin_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    words = docs.select(F.explode(F.split(F.trim(F.col("text")), " ")).alias("word"))
+    sketch = (
+        words.select(
+            F.explode(F.expr(f"sequence(0, {_T22_D - 1})")).alias("i"), "word"
+        )
+        .select("i", F.expr(_T22_SPARK_H.format(i="i", w="word")).alias("bucket"))
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "word")
+        .limit(_T22_TOPK)
+    )
+    est = (
+        exact.join(
+            F.broadcast(sketch),
+            F.col("bucket") == F.expr(_T22_SPARK_H.format(i="i", w="word")),
+        )
+        .groupBy("word", "exact_n")
+        .agg(F.min("cnt").alias("est_n"))
+    )
+    return (
+        est.select(
+            "word",
+            "exact_n",
+            F.col("est_n").cast("bigint").alias("est_n"),
+            (F.col("est_n") - F.col("exact_n")).cast("bigint").alias("overcount"),
+        )
+        .orderBy(F.desc("exact_n"), "word")
+    )

@@ -192,3 +192,11 @@ def test_t21_growth_is_monotone_and_beta_nonnegative(spark, sf_dir):
     rows = QUERIES["t21_heaps_law"](spark, sf_dir).collect()
     assert rows and all(r.heaps_beta >= 0.0 for r in rows)
     assert all(r.vocab_size >= 1 and r.n_docs >= 1 for r in rows)
+
+
+def test_t22_countmin_never_undercounts(spark, sf_dir):
+    """The CMS guarantee: every estimate >= the exact count, and the
+    report covers exactly the top-k exact words."""
+    rows = QUERIES["t22_countmin_eval"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert all(r.overcount >= 0 and r.est_n >= r.exact_n for r in rows)
