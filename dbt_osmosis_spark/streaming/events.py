@@ -542,3 +542,32 @@ def event_transition_stream(events: DataFrame) -> DataFrame:
         outputMode="Append",
         timeMode="None",
     )
+
+
+def session_entry_exit_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of q66's per-session relation: gap-based session
+    windows per user with the ENTRY and EXIT event types picked by the
+    struct-min/max trick over the unique (ts, event_id) order — a pure
+    watermarked session_window aggregation, no custom state. State is one
+    in-flight row per open session, evicted when the watermark closes the
+    window; min/max of a struct are mergeable, so Spark's incremental
+    session merge keeps them exact across triggers and the closed-session
+    output equals the batch sessionizer's first/last rows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.min(F.struct("ts", "event_id", "event_type"))["event_type"].alias("entry_type"),
+            F.max(F.struct("ts", "event_id", "event_type"))["event_type"].alias("exit_type"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "entry_type",
+            "exit_type",
+            "n_events",
+        )
+    )

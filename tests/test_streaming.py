@@ -752,3 +752,59 @@ def test_event_transition_stream_state_spans_batches(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_session_entry_exit_stream_matches_batch_q66(spark, sf_dir):
+    """Closed streaming sessions must carry the exact entry/exit types and
+    sizes of the batch sessionizer: rolling the streamed per-session rows
+    up to the (entry_type, exit_type) matrix reproduces q66 exactly."""
+    from dbt_osmosis_spark.operators import QUERIES, load_all
+    from dbt_osmosis_spark.streaming.events import (
+        run_to_memory,
+        session_entry_exit_stream,
+        stream_events,
+    )
+
+    load_all()
+    from pyspark.sql.window import Window as W
+
+    stream = stream_events(spark, sf_dir).select("user_id", "event_id", "ts", "event_type")
+    out = session_entry_exit_stream(stream)
+    run_to_memory(out, "sess_entry_exit", output_mode="append")
+    got = {
+        (r.user_id, r.session_start, r.entry_type, r.exit_type, r.n_events)
+        for r in spark.table("sess_entry_exit").collect()
+    }
+    # batch per-session relation (the inner step q66 aggregates away)
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    e = read_parquet(spark, f"{sf_dir}/events.parquet")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run = order.rowsBetween(W.unboundedPreceding, W.currentRow)
+    per_session = (
+        e.withColumn(
+            "new_s",
+            F.when(
+                F.lag("ts").over(order).isNull()
+                | (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(order) > 1800),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sid", F.sum("new_s").over(run))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.min(F.struct("ts", "event_id", "event_type"))["event_type"].alias("entry_type"),
+            F.max(F.struct("ts", "event_id", "event_type"))["event_type"].alias("exit_type"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    want = {
+        (r.user_id, r.session_start, r.entry_type, r.exit_type, r.n_events)
+        for r in per_session.collect()
+    }
+    # append mode: sessions past the final watermark stay open and
+    # unemitted — the streamed set must be a large, exactly-matching
+    # subset (the q14 twin's contract)
+    assert got <= want
+    assert len(got) >= 0.95 * len(want) > 0
