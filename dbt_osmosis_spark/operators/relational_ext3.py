@@ -983,3 +983,102 @@ def q66_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("entry_type", "exit_type")
     )
+
+
+# ---- q67: hourly-series autocorrelation --------------------------------------
+# Time-series shape diagnostics over the event stream: Pearson
+# autocorrelation of the DENSE hourly event-count series at daily-rhythm
+# lags (1, 2, 3, 6, 12, 24 h). A strong r at 24 = daily seasonality; fast
+# decay = bursty/noisy traffic — the numbers a capacity planner reads
+# before picking q55's binning. The series is densified on an hour spine
+# (missing hours are real zeros, not absent rows — skipping them biases r
+# upward), every moment is an exact BIGINT sum (n, Σx, Σy, Σxy, Σx², Σy²
+# of integer counts), and only the final Pearson formula is one double
+# expression — identical in both engines, so no rounding games beyond the
+# -0.0 canonicalization. Scale: one partial-aggregated hour rollup; the
+# spine, the lag self-join, and the per-lag sums all run on the HOUR
+# dimension (720 rows/month regardless of event volume).
+
+_Q67_LAGS = [1, 2, 3, 6, 12, 24]
+
+_Q67_ORACLE = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, COUNT(*) AS c FROM events GROUP BY 1
+),
+bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+spine AS (
+  SELECT unnest(generate_series((SELECT h0 FROM bounds), (SELECT h1 FROM bounds),
+                INTERVAL 1 HOUR)) AS h
+),
+dense AS (
+  SELECT s.h, COALESCE(hourly.c, 0) AS c
+  FROM spine s LEFT JOIN hourly ON hourly.h = s.h
+),
+lags AS (SELECT unnest({_Q67_LAGS}) AS lag),
+pairs AS (
+  SELECT l.lag, a.c AS x, b.c AS y
+  FROM lags l
+  JOIN dense a ON TRUE
+  JOIN dense b ON b.h = a.h + to_hours(l.lag)
+),
+sums AS (
+  SELECT lag, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY lag
+)
+SELECT lag, CAST(n AS BIGINT) AS n_pairs,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+         + 0.0 AS autocorr
+FROM sums
+ORDER BY lag
+"""
+
+
+@register("q67_count_autocorrelation", oracle=_Q67_ORACLE)
+def q67_count_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    dense = (
+        spine.join(hourly, "h", "left")
+        .select("h", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    lags = spark.createDataFrame([(k,) for k in _Q67_LAGS], "lag int")
+    a = dense.select(F.col("h").alias("ha"), F.col("c").alias("x"))
+    b = dense.select(F.col("h").alias("hb"), F.col("c").alias("y"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("hb") == F.expr("ha + make_interval(0, 0, 0, 0, lag, 0, 0)"))
+    )
+    sums = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("x * y")).cast("bigint").alias("sxy"),
+        F.sum(F.expr("x * x")).cast("bigint").alias("sxx"),
+        F.sum(F.expr("y * y")).cast("bigint").alias("syy"),
+    )
+    n, sx, sy = F.col("n").cast("double"), F.col("sx").cast("double"), F.col("sy").cast("double")
+    r = (n * F.col("sxy") - sx * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - sx * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - sy * F.col("sy"))
+    )
+    return (
+        sums.select(
+            "lag",
+            F.col("n").cast("bigint").alias("n_pairs"),
+            (F.round(r, 6) + F.lit(0.0)).alias("autocorr"),
+        )
+        .orderBy("lag")
+    )

@@ -211,3 +211,14 @@ def test_d23_triangle_census_bounds(spark, sf_dir):
     assert 3 * r.n_triangles <= r.n_wedges
     if r.n_wedges:
         assert 0.0 <= r.transitivity <= 1.0
+
+
+def test_q67_autocorr_bounds_and_dense_spine(spark, sf_dir):
+    """Pearson r in [-1, 1] at every lag; pair counts decrease with lag by
+    exactly the lag (dense spine: n_pairs(k) = n_hours - k)."""
+    rows = QUERIES["q67_count_autocorrelation"](spark, sf_dir).collect()
+    assert len(rows) == 6
+    assert all(-1.0 <= r.autocorr <= 1.0 for r in rows)
+    n0 = rows[0].n_pairs + rows[0].lag
+    for r in rows:
+        assert r.n_pairs == n0 - r.lag
