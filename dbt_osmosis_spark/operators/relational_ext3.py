@@ -1082,3 +1082,79 @@ def q67_count_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+# ---- q68: per-type traffic burstiness (Fano factor) -------------------------
+# q67's companion: dispersion of each event type's DENSE hourly series.
+# Fano = var/mean; 1 = Poisson arrivals, >> 1 = bursty (campaign spikes,
+# batch jobs), << 1 = rate-limited/regular. The spine cross-joins the
+# tiny type dimension so every type sees the same zero-filled hour grid
+# (a type absent for an hour is a real zero). Population-variance
+# identity keeps it all-integer: fano = (n*sxx - sx^2) / (n*sx), one
+# double division of exact BIGINTs. Work is |types| x |hours| rows.
+
+_Q68_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+spine AS (
+  SELECT unnest(generate_series((SELECT h0 FROM bounds), (SELECT h1 FROM bounds),
+                INTERVAL 1 HOUR)) AS h
+),
+types AS (SELECT DISTINCT event_type FROM events),
+dense AS (
+  SELECT t.event_type, s.h, COALESCE(hourly.c, 0) AS c
+  FROM spine s CROSS JOIN types t
+  LEFT JOIN hourly ON hourly.h = s.h AND hourly.event_type = t.event_type
+),
+sums AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(c) AS BIGINT) AS sx, CAST(SUM(c * c) AS BIGINT) AS sxx
+  FROM dense GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_hours, sx AS n_events,
+       CAST(sx AS DOUBLE) / n AS mean_per_hour,
+       CASE WHEN sx = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 / (CAST(n AS DOUBLE) * sx) END AS fano
+FROM sums
+ORDER BY event_type
+"""
+
+
+@register("q68_traffic_burstiness", oracle=_Q68_ORACLE)
+def q68_traffic_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    types = e.select("event_type").distinct()
+    dense = (
+        spine.crossJoin(F.broadcast(types))
+        .join(hourly, ["h", "event_type"], "left")
+        .select("event_type", "h", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    sums = dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").cast("bigint").alias("sx"),
+        F.sum(F.expr("c * c")).cast("bigint").alias("sxx"),
+    )
+    n, sx = F.col("n").cast("double"), F.col("sx").cast("double")
+    return (
+        sums.select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_hours"),
+            F.col("sx").alias("n_events"),
+            (sx / F.col("n")).alias("mean_per_hour"),
+            F.when(F.col("sx") == 0, F.lit(None).cast("double"))
+            .otherwise((n * F.col("sxx") - sx * F.col("sx")) / (n * F.col("sx")))
+            .alias("fano"),
+        )
+        .orderBy("event_type")
+    )

@@ -222,3 +222,16 @@ def test_q67_autocorr_bounds_and_dense_spine(spark, sf_dir):
     n0 = rows[0].n_pairs + rows[0].lag
     for r in rows:
         assert r.n_pairs == n0 - r.lag
+
+
+def test_q68_fano_consistency(spark, sf_dir):
+    """Dense-grid identities: every type sees the same hour count, the
+    per-type event totals sum to the corpus total, and fano > 0 whenever
+    the type has events."""
+    from dbt_osmosis_spark.operators.relational import t as _t
+
+    rows = QUERIES["q68_traffic_burstiness"](spark, sf_dir).collect()
+    assert len({r.n_hours for r in rows}) == 1
+    total = _t(spark, sf_dir, "events").count()
+    assert sum(r.n_events for r in rows) == total
+    assert all(r.fano > 0 for r in rows if r.n_events)
