@@ -1158,3 +1158,81 @@ def q68_traffic_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---- q69: KMV distinct-count sketch evaluation -------------------------------
+# t22's sibling for COUNT(DISTINCT): the K-Minimum-Values sketch
+# (Bar-Yossef et al. 2002) is deterministic given its hash — keep the k
+# smallest 60-bit md5 values of the key per group; estimate
+# D ~ (k-1) * 2^60 / h_(k), where h_(k) is the k-th smallest hash. Like
+# t22 (and unlike HLL q29, whose register layout is engine-internal), the
+# whole artifact value-hash-matches the DuckDB twin, so the sketch family
+# gets a second fully-checkable member. When a group has fewer than k
+# distinct keys the sketch IS the exact set (estimate = exact, flagged).
+# Scale: dedupe (group, key) with partial aggregation, one rank window
+# per group over hash order (k rows survive per group), estimates from a
+# |groups|-sized relation. The sketch is mergeable (union of k-min sets
+# -> k-min of union), which is what makes it a distributed summary.
+
+_Q69_K = 64
+_Q69_SPACE = float(1 << 60)
+
+_Q69_SPARK_H = (
+    "CAST(conv(substr(md5(cast(concat('kmv#', CAST(user_id AS STRING)) AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
+)
+_Q69_DUCK_H = "CAST('0x' || substr(md5('kmv#' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)"
+
+_Q69_ORACLE = f"""
+WITH keys AS (
+  SELECT DISTINCT event_type, user_id FROM events
+),
+hashed AS (
+  SELECT event_type, {_Q69_DUCK_H} AS h FROM keys
+),
+ranked AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+  FROM hashed
+),
+sketch AS (
+  SELECT event_type, COUNT(*) AS n_kept, MAX(h) AS hk
+  FROM ranked WHERE rk <= {_Q69_K} GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, COUNT(*) AS exact_distinct FROM keys GROUP BY event_type
+)
+SELECT e.event_type, e.exact_distinct,
+       CASE WHEN s.n_kept < {_Q69_K} THEN CAST(s.n_kept AS DOUBLE)
+            ELSE ({_Q69_K} - 1) * {_Q69_SPACE!r} / s.hk END AS kmv_estimate,
+       CAST(s.n_kept < {_Q69_K} AS INT) AS is_exact
+FROM exact e JOIN sketch s ON s.event_type = e.event_type
+ORDER BY e.event_type
+"""
+
+
+@register("q69_kmv_distinct_eval", oracle=_Q69_ORACLE)
+def q69_kmv_distinct_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    keys = e.select("event_type", "user_id").distinct()
+    hashed = keys.select("event_type", F.expr(_Q69_SPARK_H).alias("h"))
+    ranked = hashed.withColumn(
+        "rk", F.row_number().over(W.partitionBy("event_type").orderBy("h"))
+    )
+    sketch = (
+        ranked.filter(F.col("rk") <= _Q69_K)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("hk"))
+    )
+    exact = keys.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_distinct"))
+    return (
+        exact.join(sketch, "event_type")
+        .select(
+            "event_type",
+            "exact_distinct",
+            F.when(F.col("n_kept") < _Q69_K, F.col("n_kept").cast("double"))
+            .otherwise(F.lit(float(_Q69_K - 1)) * F.lit(_Q69_SPACE) / F.col("hk"))
+            .alias("kmv_estimate"),
+            (F.col("n_kept") < _Q69_K).cast("int").alias("is_exact"),
+        )
+        .orderBy("event_type")
+    )

@@ -235,3 +235,16 @@ def test_q68_fano_consistency(spark, sf_dir):
     total = _t(spark, sf_dir, "events").count()
     assert sum(r.n_events for r in rows) == total
     assert all(r.fano > 0 for r in rows if r.n_events)
+
+
+def test_q69_kmv_error_bound_and_exact_mode(spark, sf_dir):
+    """KMV theory: relative error concentrates around 1/sqrt(k-2) (~12.7%
+    at k=64) — allow 4 sigma; groups under k distinct keys must be flagged
+    exact and match exactly."""
+    rows = QUERIES["q69_kmv_distinct_eval"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.is_exact:
+            assert r.kmv_estimate == r.exact_distinct
+        else:
+            assert abs(r.kmv_estimate - r.exact_distinct) <= 0.51 * r.exact_distinct
