@@ -1236,3 +1236,139 @@ def q69_kmv_distinct_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---- q70: approximate functional-dependency profile --------------------------
+# Data-quality auditing for the metadata plane: does column A determine
+# column B? For each candidate pair, FD strength = distinct(A) /
+# distinct(A, B) (1.0 = exact dependency), plus the violating-key count
+# (#A-values mapping to >1 B). This is what schema-inference and dbt-test
+# suggestion engines run to propose `unique`/`relationships` tests — here
+# as a first-class distributed operator: one distinct-pair aggregate per
+# candidate (partial-agg'd), second tiny rollup per A; no row-level
+# output ever leaves the executors. Candidates cover the natural
+# orders/lineitem hypotheses (key -> attribute, attribute -/-> key).
+
+_Q70_PAIRS = [
+    ("orders", "o_orderkey", "o_orderpriority"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("orders", "o_orderpriority", "o_orderstatus"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+]
+
+
+def _q70_oracle() -> str:
+    blocks = "\nUNION ALL\n".join(
+        f"""SELECT '{tbl}' AS tbl, '{a}' AS det, '{b}' AS dep,
+       COUNT(DISTINCT {a}) AS n_keys,
+       COUNT(DISTINCT ({a}, {b})) AS n_pairs
+FROM {tbl}"""
+        for tbl, a, b in _Q70_PAIRS
+    )
+    return f"""
+WITH m AS (
+{blocks}
+)
+SELECT tbl, det, dep, n_keys, n_pairs,
+       CAST(n_keys AS DOUBLE) / n_pairs AS fd_strength,
+       CAST(n_pairs - n_keys AS BIGINT) AS n_extra_mappings,
+       CAST(n_keys = n_pairs AS INT) AS fd_holds
+FROM m
+ORDER BY tbl, det, dep
+"""
+
+
+@register("q70_fd_profile", oracle=_q70_oracle())
+def q70_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = []
+    for tbl, a, b in _Q70_PAIRS:
+        rel = t(spark, sf_dir, tbl)
+        frames.append(
+            rel.agg(
+                F.countDistinct(a).alias("n_keys"),
+                F.countDistinct(a, b).alias("n_pairs"),
+            ).select(
+                F.lit(tbl).alias("tbl"),
+                F.lit(a).alias("det"),
+                F.lit(b).alias("dep"),
+                "n_keys",
+                "n_pairs",
+            )
+        )
+    m = frames[0]
+    for f_ in frames[1:]:
+        m = m.unionByName(f_)
+    return (
+        m.select(
+            "tbl", "det", "dep", "n_keys", "n_pairs",
+            (F.col("n_keys").cast("double") / F.col("n_pairs")).alias("fd_strength"),
+            (F.col("n_pairs") - F.col("n_keys")).cast("bigint").alias("n_extra_mappings"),
+            (F.col("n_keys") == F.col("n_pairs")).cast("int").alias("fd_holds"),
+        )
+        .orderBy("tbl", "det", "dep")
+    )
+
+
+# ---- q71: Benford first-digit audit ------------------------------------------
+# The forensic-accounting staple: naturally-occurring money amounts follow
+# Benford's law (P(d) = log10(1 + 1/d)); fabricated or capped data does
+# not. First digit is taken from the INTEGER cents string (double
+# formatting differs across engines; integer-string leading chars do
+# not), expected shares are inlined constants (same literal in both
+# engines), and the chi-square contribution per digit is one double
+# expression of exact integers. One scan, 9-row output.
+
+import math as _math
+
+_Q71_EXPECTED = {d: round(_math.log10(1 + 1 / d), 9) for d in range(1, 10)}
+
+
+def _q71_case(expr: str) -> str:
+    return " ".join(f"WHEN {d} THEN {_Q71_EXPECTED[d]!r}" for d in range(1, 10))
+
+
+_Q71_ORACLE = f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(o_totalprice * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS d
+  FROM orders WHERE o_totalprice > 0
+),
+counts AS (SELECT d, COUNT(*) AS n FROM digits GROUP BY d),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts)
+SELECT d AS digit, n AS n_values,
+       CAST(n AS DOUBLE) / (SELECT total FROM tot) AS observed_share,
+       CAST(CASE d {_q71_case('d')} END AS DOUBLE) AS benford_share,
+       (CAST(n AS DOUBLE) / (SELECT total FROM tot) - CASE d {_q71_case('d')} END)
+         * (CAST(n AS DOUBLE) / (SELECT total FROM tot) - CASE d {_q71_case('d')} END)
+         / (CASE d {_q71_case('d')} END) AS chi2_term
+FROM counts
+ORDER BY d
+"""
+
+
+@register("q71_benford_digits", oracle=_Q71_ORACLE)
+def q71_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digits = o.select(
+        F.expr(
+            "CAST(substr(CAST(CAST(o_totalprice * 100 AS BIGINT) AS STRING), 1, 1) AS INT)"
+        ).alias("d")
+    )
+    counts = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").cast("bigint").alias("total"))
+    exp_map = F.create_map(
+        *[x for dd in range(1, 10) for x in (F.lit(dd), F.lit(_Q71_EXPECTED[dd]))]
+    )
+    joined = counts.crossJoin(F.broadcast(tot))
+    obs = F.col("n").cast("double") / F.col("total")
+    exp = exp_map[F.col("d")].cast("double")
+    return (
+        joined.select(
+            F.col("d").alias("digit"),
+            F.col("n").alias("n_values"),
+            obs.alias("observed_share"),
+            exp.alias("benford_share"),
+            ((obs - exp) * (obs - exp) / exp).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )

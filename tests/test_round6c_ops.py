@@ -248,3 +248,21 @@ def test_q69_kmv_error_bound_and_exact_mode(spark, sf_dir):
             assert r.kmv_estimate == r.exact_distinct
         else:
             assert abs(r.kmv_estimate - r.exact_distinct) <= 0.51 * r.exact_distinct
+
+
+def test_q70_fd_identities(spark, sf_dir):
+    """distinct(A) <= distinct(A,B) always; the primary-key hypothesis
+    (o_orderkey -> anything) must hold exactly."""
+    rows = QUERIES["q70_fd_profile"](spark, sf_dir).collect()
+    assert all(r.n_keys <= r.n_pairs for r in rows)
+    pk = [r for r in rows if r.det == "o_orderkey"]
+    assert pk and all(r.fd_holds == 1 and r.fd_strength == 1.0 for r in pk)
+
+
+def test_q71_benford_shares_partition(spark, sf_dir):
+    """Digits 1-9 partition the rows: observed shares sum to 1; the
+    Benford shares are the mathematical constants; chi2 terms >= 0."""
+    rows = QUERIES["q71_benford_digits"](spark, sf_dir).collect()
+    assert abs(sum(r.observed_share for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r.benford_share for r in rows) - 1.0) < 1e-6
+    assert all(r.chi2_term >= 0 for r in rows)
