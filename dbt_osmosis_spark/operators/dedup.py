@@ -268,14 +268,30 @@ def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
     )
 
 
-@register("d03_minhash_lsh_pairs", oracle=_D03_ORACLE)
-def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
-    # The signature relation feeds four branches (band sides a/b, verify
-    # sides x/y); without persist() Spark recomputes the md5-heavy subtree
-    # per branch — 4x the dominant cost. At cluster scale this is exactly
-    # where you'd checkpoint/materialize the signature table.
-    sig = minhash_signatures(docs).transform(keep_cached)
+# The verified CTE appended to the LSH chain: THE near-dup pair relation
+# (d03 publishes it; d20's source matrix and d23's triangle census
+# aggregate it). One definition so the verify formula cannot drift.
+DUCK_VERIFIED_CTES = (
+    DUCK_LSH_CTES
+    + f""",
+verified AS (
+  SELECT doc_a, doc_b, jaccard FROM (
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+             / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jaccard
+    FROM cand c
+    JOIN sig x ON x.doc_id = c.doc_a
+    JOIN sig y ON y.doc_id = c.doc_b
+  ) WHERE jaccard >= {_JACCARD_THRESHOLD}
+)"""
+)
+
+
+def verified_pairs(sig: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jaccard): LSH candidates exact-verified at the shared
+    threshold — the Spark twin of DUCK_VERIFIED_CTES' `verified`. The
+    caller should keep `sig` cached: it feeds four branches (band sides
+    a/b, verify sides x/y)."""
     cand = lsh_candidate_pairs(lsh_bands(sig))
     x = sig.select(F.col("doc_id").alias("xid"), F.col("s").alias("xs"))
     y = sig.select(F.col("doc_id").alias("yid"), F.col("s").alias("ys"))
@@ -286,8 +302,17 @@ def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(y, F.col("doc_b") == F.col("yid"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
-        .orderBy("doc_a", "doc_b")
     )
+
+
+@register("d03_minhash_lsh_pairs", oracle=_D03_ORACLE)
+def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    # persist: without it Spark recomputes the md5-heavy signature subtree
+    # once per branch — 4x the dominant cost. At cluster scale this is
+    # exactly where you'd checkpoint/materialize the signature table.
+    sig = minhash_signatures(docs).transform(keep_cached)
+    return verified_pairs(sig).orderBy("doc_a", "doc_b")
 
 
 # ---- d04: SimHash signatures + duplicate buckets ---------------------------

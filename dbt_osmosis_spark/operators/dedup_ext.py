@@ -27,10 +27,12 @@ from dbt_osmosis_spark.operators import register
 from dbt_osmosis_spark.operators.caching import keep_cached
 from dbt_osmosis_spark.operators.dedup import (
     DUCK_LSH_CTES,
+    DUCK_VERIFIED_CTES,
     _JACCARD_THRESHOLD,
     lsh_bands,
     lsh_candidate_pairs,
     minhash_signatures,
+    verified_pairs,
 )
 from dbt_osmosis_spark.operators.text import SPARK_MD5INT
 from dbt_osmosis_spark.sources.parquet import read_parquet, spread
@@ -378,16 +380,7 @@ def d18_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # window runs over matrix-sized grouped rows only.
 
 _D20_ORACLE = f"""
-WITH {DUCK_LSH_CTES},
-verified AS (
-  SELECT c.doc_a, c.doc_b
-  FROM cand c
-  JOIN sig x ON x.doc_id = c.doc_a
-  JOIN sig y ON y.doc_id = c.doc_b
-  WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
-          / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))
-        >= {_D20_TAU}
-),
+WITH {DUCK_VERIFIED_CTES},
 lab AS (
   SELECT least(da.source, db.source) AS source_a,
          greatest(da.source, db.source) AS source_b
@@ -410,19 +403,7 @@ ORDER BY source_a, source_b
 def d20_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     sig = minhash_signatures(docs).transform(keep_cached)
-    cand = lsh_candidate_pairs(lsh_bands(sig))
-    x = sig.select(F.col("doc_id").alias("xid"), F.col("s").alias("xs"))
-    y = sig.select(F.col("doc_id").alias("yid"), F.col("s").alias("ys"))
-    inter = F.expr("size(array_intersect(xs, ys))").cast("double")
-    verified = (
-        cand.join(x, F.col("doc_a") == F.col("xid"))
-        .join(y, F.col("doc_b") == F.col("yid"))
-        .filter(
-            inter / (F.expr("size(xs) + size(ys)") - F.expr("size(array_intersect(xs, ys))"))
-            >= _D20_TAU
-        )
-        .select("doc_a", "doc_b")
-    )
+    verified = verified_pairs(sig).select("doc_a", "doc_b")
     src = docs.select("doc_id", "source")
     sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
     sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
@@ -521,13 +502,16 @@ def _d21_oracle() -> str:
     r_case = " ".join(
         f"WHEN '{_d21_label(b, r)}' THEN {r}" for b, r in _D21_CONFIGS
     )
+    # the sample gate rides duck_lsh_side_ctes' predicate hook (no string
+    # surgery on generated SQL); sig is re-exposed MATERIALIZED because it
+    # is referenced 7x downstream and DuckDB inlines plain CTEs
+    gate = (
+        f"{_D21_DUCK_H20} * (SELECT n FROM dcnt) "
+        f"< CAST({_D21_CAP} AS BIGINT) * {_D21_MOD}"
+    )
     return f"""
 WITH dcnt AS (SELECT COUNT(*) AS n FROM documents),
-sampled AS (
-  SELECT * FROM documents
-  WHERE {_D21_DUCK_H20} * (SELECT n FROM dcnt) < CAST({_D21_CAP} AS BIGINT) * {_D21_MOD}
-),
-{_duck_side('sig0').replace('FROM documents', 'FROM sampled')},
+{_duck_side('sig0', predicate=gate)},
 sig AS MATERIALIZED (SELECT * FROM sig0),
 keys AS MATERIALIZED (
 {bands_unions}
@@ -557,8 +541,11 @@ SELECT cfg,
        CAST(CASE cfg {tau_case} END AS DOUBLE) AS expected_tau,
        n_candidates, n_true,
        CAST(n_true AS DOUBLE) / n_candidates AS precision_at_tau,
-       CAST(n_true AS DOUBLE)
-         / MAX(CASE WHEN cfg = '{_d21_label(24, 1)}' THEN n_true END) OVER () AS recall_vs_widest
+       CASE WHEN MAX(CASE WHEN cfg = '{_d21_label(24, 1)}' THEN n_true END) OVER () = 0
+            THEN CAST(NULL AS DOUBLE)
+            ELSE CAST(n_true AS DOUBLE)
+                 / MAX(CASE WHEN cfg = '{_d21_label(24, 1)}' THEN n_true END) OVER ()
+       END AS recall_vs_widest
 FROM summary
 ORDER BY rows_per_band
 """
@@ -643,7 +630,11 @@ def d21_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_true").cast("double") / F.col("n_candidates")).alias(
                 "precision_at_tau"
             ),
-            (F.col("n_true").cast("double") / widest).alias("recall_vs_widest"),
+            # a sample with zero true pairs (possible at extreme
+            # subsampling) must yield NULL recall, not a divide-by-zero
+            F.when(widest == 0, F.lit(None).cast("double"))
+            .otherwise(F.col("n_true").cast("double") / widest)
+            .alias("recall_vs_widest"),
         )
         .orderBy("rows_per_band")
     )
@@ -740,29 +731,21 @@ def d22_source_minhash_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # output + one exact ratio.
 
 _D23_ORACLE = f"""
-WITH {DUCK_LSH_CTES},
-verified AS (
-  SELECT c.doc_a AS a, c.doc_b AS b
-  FROM cand c
-  JOIN sig x ON x.doc_id = c.doc_a
-  JOIN sig y ON y.doc_id = c.doc_b
-  WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
-          / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))
-        >= {_JACCARD_THRESHOLD}
-),
+WITH {DUCK_VERIFIED_CTES},
+vp AS (SELECT doc_a AS a, doc_b AS b FROM verified),
 tri AS (
   SELECT COUNT(*) AS n_triangles
-  FROM verified e1
-  JOIN verified e2 ON e2.a = e1.b
-  JOIN verified e3 ON e3.a = e1.a AND e3.b = e2.b
+  FROM vp e1
+  JOIN vp e2 ON e2.a = e1.b
+  JOIN vp e3 ON e3.a = e1.a AND e3.b = e2.b
 ),
 deg AS (
   SELECT v, COUNT(*) AS d FROM (
-    SELECT a AS v FROM verified UNION ALL SELECT b AS v FROM verified
+    SELECT a AS v FROM vp UNION ALL SELECT b AS v FROM vp
   ) GROUP BY v
 ),
 w AS (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg),
-ne AS (SELECT COUNT(*) AS n_edges FROM verified)
+ne AS (SELECT COUNT(*) AS n_edges FROM vp)
 SELECT ne.n_edges, w.n_wedges, tri.n_triangles,
        CASE WHEN w.n_wedges = 0 THEN CAST(NULL AS DOUBLE)
             ELSE 3.0 * tri.n_triangles / w.n_wedges END AS transitivity
@@ -774,17 +757,8 @@ FROM ne, w, tri
 def d23_dupgraph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     sig = minhash_signatures(docs).transform(keep_cached)
-    cand = lsh_candidate_pairs(lsh_bands(sig))
-    x = sig.select(F.col("doc_id").alias("xid"), F.col("s").alias("xs"))
-    y = sig.select(F.col("doc_id").alias("yid"), F.col("s").alias("ys"))
-    inter = F.expr("size(array_intersect(xs, ys))").cast("double")
     edges = (
-        cand.join(x, F.col("doc_a") == F.col("xid"))
-        .join(y, F.col("doc_b") == F.col("yid"))
-        .filter(
-            inter / (F.expr("size(xs) + size(ys)") - F.expr("size(array_intersect(xs, ys))"))
-            >= _JACCARD_THRESHOLD
-        )
+        verified_pairs(sig)
         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .transform(keep_cached)
     )
@@ -815,15 +789,17 @@ def d23_dupgraph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     w1 = oriented.select(F.col("u").alias("p"), F.col("w").alias("q"))
     w2 = oriented.select(F.col("u").alias("q"), F.col("w").alias("r"))
     wedges = w1.join(w2, "q").filter(F.col("p") != F.col("r"))
-    closing = oriented.select(
-        F.col("u").alias("c1"), F.col("w").alias("c2")
+    # closure check as a CANONICAL equi-semi-join: edges are already
+    # doc_a < doc_b ordered, so {p, r} closes iff (least, greatest) hits
+    # the edge set. An OR-of-direction condition here has no extractable
+    # equi-keys and would plan as a BroadcastNestedLoopJoin — quadratic
+    # wedges x edges work, exactly the all-pairs shape this operator
+    # exists to avoid.
+    tri = (
+        wedges.select(F.least("p", "r").alias("a"), F.greatest("p", "r").alias("b"))
+        .join(edges, ["a", "b"], "left_semi")
+        .count()
     )
-    tri = wedges.join(
-        closing,
-        ((F.col("p") == F.col("c1")) & (F.col("r") == F.col("c2")))
-        | ((F.col("r") == F.col("c1")) & (F.col("p") == F.col("c2"))),
-        "left_semi",
-    ).count()
     ne = edges.count()
     nw = deg.agg(
         F.sum(F.expr("d * (d - 1) / 2")).cast("bigint").alias("nw")

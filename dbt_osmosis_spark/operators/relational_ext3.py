@@ -96,7 +96,13 @@ def q55_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_new_session",
         F.when(
             F.lag("ts").over(order).isNull()
-            | (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(order) > 1800),
+            # microsecond-exact gap: the oracle compares full-precision
+            # intervals, and events carry sub-second micros — a whole-
+            # second cast would mis-classify gaps inside (1800s, 1801s)
+            | (
+                F.expr("unix_micros(ts)") - F.lag(F.expr("unix_micros(ts)")).over(order)
+                > 1_800_000_000
+            ),
             1,
         ).otherwise(0),
     )
@@ -961,7 +967,13 @@ def q66_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_new_session",
         F.when(
             F.lag("ts").over(order).isNull()
-            | (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(order) > 1800),
+            # microsecond-exact gap: the oracle compares full-precision
+            # intervals, and events carry sub-second micros — a whole-
+            # second cast would mis-classify gaps inside (1800s, 1801s)
+            | (
+                F.expr("unix_micros(ts)") - F.lag(F.expr("unix_micros(ts)")).over(order)
+                > 1_800_000_000
+            ),
             1,
         ).otherwise(0),
     ).withColumn("session_id", F.sum("is_new_session").over(run))

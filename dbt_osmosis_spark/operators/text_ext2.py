@@ -284,10 +284,13 @@ pts AS (
   FROM grid g LEFT JOIN entering e ON e.source = g.source AND e.dec_idx = g.d
 ),
 q AS (
+  -- a source with < 10 docs has empty leading deciles (v_at = 0); the
+  -- fit runs over deciles with vocabulary only — log2(0) would ERROR in
+  -- DuckDB and silently NULL in Spark, so both engines filter identically
   SELECT source,
          CAST(floor(log2(n_at) * {_T21_Q} + 0.5) AS DECIMAL(28,0)) AS qx,
          CAST(floor(log2(v_at) * {_T21_Q} + 0.5) AS DECIMAL(28,0)) AS qy
-  FROM pts
+  FROM pts WHERE v_at >= 1
 ),
 sums AS (
   SELECT source, COUNT(*) AS m, SUM(qx) AS sx, SUM(qy) AS sy,
@@ -349,7 +352,8 @@ def t21_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("n_at", F.expr("CAST((d * n_docs + 9) DIV 10 AS BIGINT)"))
     )
-    q = pts.select(
+    # mirror the oracle's v_at >= 1 fit-point filter (log2(0) guard)
+    q = pts.filter(F.col("v_at") >= 1).select(
         "source",
         F.expr(f"CAST(floor(log2(n_at) * {_T21_Q} + 0.5) AS DECIMAL(28,0))").alias("qx"),
         F.expr(f"CAST(floor(log2(v_at) * {_T21_Q} + 0.5) AS DECIMAL(28,0))").alias("qy"),

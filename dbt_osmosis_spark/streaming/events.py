@@ -513,15 +513,20 @@ def event_transition_stream(events: DataFrame) -> DataFrame:
                 self._last.get() if self._last.exists() else (None, None)
             )
             prevs, nexts, uss = [], [], []
-            for pdf in rows:
-                pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-                for ts, et in zip(pdf["ts"], pdf["event_type"]):
-                    us = int(ts.value // 1_000)
-                    if last_type is not None:
-                        prevs.append(last_type)
-                        nexts.append(et)
-                        uss.append(us)
-                    last_us, last_type = us, et
+            # A user's batch rows arrive as MULTIPLE Arrow chunks in
+            # arbitrary order (maxRecordsPerBatch splits, shuffle order);
+            # sorting per-chunk would interleave event time across chunk
+            # boundaries. Concat-then-sort (the distinct_accrual_stream
+            # precedent) restores one total (ts, event_id) order per batch.
+            batch = pd.concat(list(rows), ignore_index=True)
+            batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+            for ts, et in zip(batch["ts"], batch["event_type"]):
+                us = int(ts.value // 1_000)
+                if last_type is not None:
+                    prevs.append(last_type)
+                    nexts.append(et)
+                    uss.append(us)
+                last_us, last_type = us, et
             self._last.update((last_us, last_type))
             if prevs:
                 yield pd.DataFrame(
@@ -545,7 +550,7 @@ def event_transition_stream(events: DataFrame) -> DataFrame:
 
 
 def session_entry_exit_stream(
-    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+    events: DataFrame, gap: str = "1800.000001 seconds", watermark: str = "2 hours"
 ) -> DataFrame:
     """Streaming twin of q66's per-session relation: gap-based session
     windows per user with the ENTRY and EXIT event types picked by the
@@ -554,7 +559,15 @@ def session_entry_exit_stream(
     in-flight row per open session, evicted when the watermark closes the
     window; min/max of a struct are mergeable, so Spark's incremental
     session merge keeps them exact across triggers and the closed-session
-    output equals the batch sessionizer's first/last rows."""
+    output equals the batch sessionizer's first/last rows.
+
+    Boundary semantics: session_window SPLITS when the gap is >= its
+    duration, while the batch rule splits only when the gap is STRICTLY
+    greater than 30 min. With microsecond event time the two rules
+    coincide exactly at gap = 1800.000001 s (delta >= 1800.000001 s
+    <=> delta > 1800 s), hence the default — a plain "30 minutes" here
+    would split a session whose gap is exactly 30:00.000000 that the
+    batch twin keeps merged."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")

@@ -25,19 +25,21 @@ def test_d20_matrix_totals_equal_d03_pair_count(spark, sf_dir):
 
 
 def test_d21_candidate_nesting_is_monotone(spark, sf_dir):
-    """Aligned-band algebra: every aligned r-row band fully contains an
-    aligned r'-row band for the swept chain (1|2, 2<3<4<6 with the 24-slot
-    layout), so candidate counts must be non-increasing in rows_per_band,
-    recall_vs_widest must be exactly 1.0 at the widest config and <= 1
-    elsewhere, and precision must rise or hold as bands narrow."""
-    rows = QUERIES["d21_lsh_tuning_curve"](spark, sf_dir).collect()
-    rows = sorted(rows, key=lambda r: r.rows_per_band)
-    for a, b in zip(rows, rows[1:]):
-        assert a.n_candidates >= b.n_candidates
-        assert a.precision_at_tau <= b.precision_at_tau + 1e-12
-    assert rows[0].recall_vs_widest == pytest.approx(1.0)
-    assert all(0.0 <= r.recall_vs_widest <= 1.0 for r in rows)
-    assert all(0.0 <= r.precision_at_tau <= 1.0 for r in rows)
+    """Aligned-band containment is a THEOREM only where every aligned
+    r-row band contains an aligned r'-row band with the 24-slot layout:
+    r'=1 under everything, 2 under 4, and {2,3,4} under 6 (verified by
+    enumeration of band boundaries). It is FALSE for 3-under-4 (the r=4
+    bands [5..8]/[17..20] contain no aligned 3-block), so only the proven
+    links are asserted; recall_vs_widest is exactly 1.0 at r=1 and <= 1
+    everywhere (r=1 is a superset of every banding)."""
+    rows = {r.rows_per_band: r for r in QUERIES["d21_lsh_tuning_curve"](spark, sf_dir).collect()}
+    # (wider, narrower) pairs with PROVEN candidate-set containment
+    for wide, narrow in [(1, 2), (1, 3), (1, 4), (1, 6), (2, 4), (2, 6), (3, 6), (4, 6)]:
+        assert rows[wide].n_candidates >= rows[narrow].n_candidates, (wide, narrow)
+    assert rows[1].recall_vs_widest == pytest.approx(1.0)
+    vals = list(rows.values())
+    assert all(0.0 <= r.recall_vs_widest <= 1.0 for r in vals)
+    assert all(0.0 <= r.precision_at_tau <= 1.0 for r in vals)
 
 
 def test_d22_source_signature_is_union_minhash(spark, sf_dir):

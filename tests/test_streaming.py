@@ -786,7 +786,13 @@ def test_session_entry_exit_stream_matches_batch_q66(spark, sf_dir):
             "new_s",
             F.when(
                 F.lag("ts").over(order).isNull()
-                | (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(order) > 1800),
+                # microsecond-exact gap: the oracle compares full-precision
+            # intervals, and events carry sub-second micros — a whole-
+            # second cast would mis-classify gaps inside (1800s, 1801s)
+            | (
+                F.expr("unix_micros(ts)") - F.lag(F.expr("unix_micros(ts)")).over(order)
+                > 1_800_000_000
+            ),
                 1,
             ).otherwise(0),
         )
@@ -808,3 +814,45 @@ def test_session_entry_exit_stream_matches_batch_q66(spark, sf_dir):
     # subset (the q14 twin's contract)
     assert got <= want
     assert len(got) >= 0.95 * len(want) > 0
+
+
+def test_event_transition_stream_correct_across_arrow_chunks(spark, sf_dir):
+    """Regression: a user's batch rows arrive as MULTIPLE Arrow chunks in
+    arbitrary order; per-chunk sorting would emit transitions out of event
+    time and corrupt the carried last-event state. Forcing 4-row chunks
+    must still reproduce the batch lag() matrix exactly."""
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+    from dbt_osmosis_spark.streaming.events import (
+        event_transition_stream,
+        run_to_memory,
+        stream_events,
+    )
+    from pyspark.sql.window import Window as W
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, "10000")
+    spark.conf.set(key, "4")
+    try:
+        stream = stream_events(spark, sf_dir).select(
+            "user_id", "event_id", "ts", "event_type"
+        )
+        run_to_memory(event_transition_stream(stream), "trans_chunked", output_mode="append")
+    finally:
+        spark.conf.set(key, prev)
+    got = {
+        (r.prev_type, r.next_type): r.n
+        for r in spark.sql(
+            "select prev_type, next_type, count(*) n from trans_chunked group by 1, 2"
+        ).collect()
+    }
+    e = read_parquet(spark, f"{sf_dir}/events.parquet")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    want = {
+        (r.prev_type, r.next_type): r.n
+        for r in e.withColumn("prev_type", F.lag("event_type").over(order))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
