@@ -214,7 +214,9 @@ ORDER BY doc_id
 """
 
 
-def fuzzy_contamination_pairs(corpus: DataFrame, eval_docs: DataFrame) -> DataFrame:
+def fuzzy_contamination_pairs(
+    corpus: DataFrame, eval_docs: DataFrame, tau: float = _D17_TAU
+) -> DataFrame:
     """(doc_id, eval_id, jaccard >= tau): verified near-dup hits of corpus
     docs against the benchmark set. The reusable core of d17 — p31's
     composed hygiene pipeline anti-joins its training set against the
@@ -245,7 +247,7 @@ def fuzzy_contamination_pairs(corpus: DataFrame, eval_docs: DataFrame) -> DataFr
         cand.join(x, "doc_id")
         .join(F.broadcast(y), F.col("eval_id") == F.col("yid"))
         .select("doc_id", "eval_id", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= _D17_TAU)
+        .filter(F.col("jaccard") >= tau)
     )
 
 
@@ -808,4 +810,74 @@ def d23_dupgraph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             (3.0 * tri / nw) if nw else None)]
     return spark.createDataFrame(
         out, "n_edges bigint, n_wedges bigint, n_triangles bigint, transitivity double"
+    )
+
+
+# ---- p36: decontamination threshold curve ------------------------------------
+# d21's genre applied to d17: how much training data does each
+# contamination threshold remove? For every candidate training doc the
+# chain computes ONE max-jaccard-vs-eval value (the same asymmetric
+# broadcast plan as d17, with no tau gate), then the curve is a 5-row
+# threshold sweep over that per-doc scalar — the report that turns "pick
+# tau = 0.35" from folklore into a measured trade-off. Counts are the
+# PIPELINE's removals at each tau (within LSH candidate recall) — the
+# deployable behavior, not an exhaustive-pair census. Scale: identical to
+# d17 (eval side broadcasts end-to-end, corpus never shuffles) plus one
+# |thresholds| x 1 aggregate.
+
+_P36_TAUS = [0.2, 0.35, 0.5, 0.65, 0.8]
+
+_P36_ORACLE = f"""
+WITH {duck_lsh_side_ctes("corp", f"doc_id % {_D17_EVAL_MOD} <> 0")},
+{duck_lsh_side_ctes("ev", f"doc_id % {_D17_EVAL_MOD} = 0")},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS eval_id
+  FROM corp_bands a JOIN ev_bands b
+    ON a.band = b.band AND a.band_key = b.band_key
+),
+scored AS (
+  SELECT c.doc_id,
+         MAX(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+             / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))) AS max_jaccard
+  FROM cand c
+  JOIN corp x ON x.doc_id = c.doc_id
+  JOIN ev y ON y.doc_id = c.eval_id
+  GROUP BY c.doc_id
+),
+n AS (SELECT COUNT(*) AS n_corpus FROM documents WHERE doc_id % {_D17_EVAL_MOD} <> 0),
+taus AS (SELECT CAST(unnest({_P36_TAUS}) AS DOUBLE) AS tau)
+SELECT t.tau,
+       CAST(SUM(CASE WHEN s.max_jaccard >= t.tau THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN s.max_jaccard >= t.tau THEN 1 ELSE 0 END) AS DOUBLE)
+         / (SELECT n_corpus FROM n) AS removal_rate
+FROM taus t, scored s
+GROUP BY t.tau
+ORDER BY t.tau
+"""
+
+
+@register("p36_decontamination_curve", oracle=_P36_ORACLE)
+def p36_decontamination_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % _D17_EVAL_MOD != 0)
+    pairs = fuzzy_contamination_pairs(
+        corpus, docs.filter(F.col("doc_id") % _D17_EVAL_MOD == 0), tau=0.0
+    )
+    scored = pairs.groupBy("doc_id").agg(F.max("jaccard").alias("max_jaccard"))
+    n = corpus.agg(F.count(F.lit(1)).alias("n_corpus"))
+    taus = spark.createDataFrame([(x,) for x in _P36_TAUS], "tau double")
+    return (
+        scored.crossJoin(F.broadcast(taus))
+        .groupBy("tau")
+        .agg(
+            F.sum(F.when(F.col("max_jaccard") >= F.col("tau"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_removed")
+        )
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "removal_rate", F.col("n_removed").cast("double") / F.col("n_corpus")
+        )
+        .drop("n_corpus")
+        .orderBy("tau")
     )

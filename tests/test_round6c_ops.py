@@ -268,3 +268,16 @@ def test_q71_benford_shares_partition(spark, sf_dir):
     assert abs(sum(r.observed_share for r in rows) - 1.0) < 1e-9
     assert abs(sum(r.benford_share for r in rows) - 1.0) < 1e-6
     assert all(r.chi2_term >= 0 for r in rows)
+
+
+def test_p36_curve_is_monotone_and_consistent_with_d17(spark, sf_dir):
+    """Removal counts are non-increasing in tau, and the tau = 0.35 row
+    must equal d17's published contaminated-doc count exactly (same chain,
+    same gate)."""
+    rows = {r.tau: r for r in QUERIES["p36_decontamination_curve"](spark, sf_dir).collect()}
+    taus = sorted(rows)
+    for a, b in zip(taus, taus[1:]):
+        assert rows[a].n_removed >= rows[b].n_removed
+    d17_n = QUERIES["d17_fuzzy_decontamination"](spark, sf_dir).count()
+    assert rows[0.35].n_removed == d17_n
+    assert all(0.0 <= r.removal_rate <= 1.0 for r in rows.values())
