@@ -195,19 +195,29 @@ cand AS (
 )"""
 )
 
-_D03_ORACLE = f"""
-WITH {DUCK_LSH_CTES},
+# The verified CTE appended to the LSH chain: THE near-dup pair relation
+# (d03 publishes it; d20's source matrix and d23's triangle census
+# aggregate it). One definition so the verify formula cannot drift.
+DUCK_VERIFIED_CTES = (
+    DUCK_LSH_CTES
+    + f""",
 verified AS (
-  SELECT c.doc_a, c.doc_b,
-         CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
-           / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jaccard
-  FROM cand c
-  JOIN sig x ON x.doc_id = c.doc_a
-  JOIN sig y ON y.doc_id = c.doc_b
+  SELECT doc_a, doc_b, jaccard FROM (
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+             / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jaccard
+    FROM cand c
+    JOIN sig x ON x.doc_id = c.doc_a
+    JOIN sig y ON y.doc_id = c.doc_b
+  ) WHERE jaccard >= {_JACCARD_THRESHOLD}
+)"""
 )
+
+
+_D03_ORACLE = f"""
+WITH {DUCK_VERIFIED_CTES}
 SELECT doc_a, doc_b, jaccard
 FROM verified
-WHERE jaccard >= {_JACCARD_THRESHOLD}
 ORDER BY doc_a, doc_b
 """
 
@@ -266,25 +276,6 @@ def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-
-
-# The verified CTE appended to the LSH chain: THE near-dup pair relation
-# (d03 publishes it; d20's source matrix and d23's triangle census
-# aggregate it). One definition so the verify formula cannot drift.
-DUCK_VERIFIED_CTES = (
-    DUCK_LSH_CTES
-    + f""",
-verified AS (
-  SELECT doc_a, doc_b, jaccard FROM (
-    SELECT c.doc_a, c.doc_b,
-           CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
-             / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jaccard
-    FROM cand c
-    JOIN sig x ON x.doc_id = c.doc_a
-    JOIN sig y ON y.doc_id = c.doc_b
-  ) WHERE jaccard >= {_JACCARD_THRESHOLD}
-)"""
-)
 
 
 def verified_pairs(sig: DataFrame) -> DataFrame:

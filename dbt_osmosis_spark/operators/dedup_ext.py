@@ -746,7 +746,7 @@ deg AS (
     SELECT a AS v FROM vp UNION ALL SELECT b AS v FROM vp
   ) GROUP BY v
 ),
-w AS (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg),
+w AS (SELECT CAST(COALESCE(SUM(d * (d - 1) / 2), 0) AS BIGINT) AS n_wedges FROM deg),
 ne AS (SELECT COUNT(*) AS n_edges FROM vp)
 SELECT ne.n_edges, w.n_wedges, tri.n_triangles,
        CASE WHEN w.n_wedges = 0 THEN CAST(NULL AS DOUBLE)
@@ -797,19 +797,30 @@ def d23_dupgraph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # equi-keys and would plan as a BroadcastNestedLoopJoin — quadratic
     # wedges x edges work, exactly the all-pairs shape this operator
     # exists to avoid.
-    tri = (
-        wedges.select(F.least("p", "r").alias("a"), F.greatest("p", "r").alias("b"))
-        .join(edges, ["a", "b"], "left_semi")
-        .count()
-    )
-    ne = edges.count()
+    closed = wedges.select(
+        F.least("p", "r").alias("a"), F.greatest("p", "r").alias("b")
+    ).join(edges, ["a", "b"], "left_semi")
+    # the three scalars stay IN-PLAN (1-row aggregates cross-joined via
+    # broadcast — the xbits pattern): no driver collect, and the returned
+    # frame carries the whole join tree for the plan-property tests.
+    # COALESCE(n_wedges, 0) matches the empty-graph oracle (SUM over an
+    # empty relation is NULL in both engines).
+    ne = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     nw = deg.agg(
-        F.sum(F.expr("d * (d - 1) / 2")).cast("bigint").alias("nw")
-    ).first()[0]
-    out = [(ne, int(nw or 0), tri,
-            (3.0 * tri / nw) if nw else None)]
-    return spark.createDataFrame(
-        out, "n_edges bigint, n_wedges bigint, n_triangles bigint, transitivity double"
+        F.coalesce(F.sum(F.expr("d * (d - 1) / 2")), F.lit(0)).cast("bigint").alias("n_wedges")
+    )
+    nt = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return (
+        ne.crossJoin(F.broadcast(nw))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(F.col("n_wedges") == 0, F.lit(None).cast("double"))
+            .otherwise(F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"))
+            .alias("transitivity"),
+        )
     )
 
 

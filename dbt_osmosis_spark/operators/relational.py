@@ -574,6 +574,22 @@ def q14_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (the batch form; the streaming form lives in streaming/events.py using
 # session_window). Deterministic: (ts, event_id) is a unique order.
 # --------------------------------------------------------------------------
+def session_break_flag(order) -> "F.Column":
+    """1 iff this event starts a new 30-min-gap session, 0 otherwise —
+    THE sessionization rule, defined once (q15/q55/q66 and the streaming
+    twin tests all consume it). Microsecond-exact: the oracles compare
+    full-precision intervals and events carry sub-second micros, so a
+    whole-second cast would mis-classify gaps inside (1800s, 1801s)."""
+    return F.when(
+        F.lag("ts").over(order).isNull()
+        | (
+            F.expr("unix_micros(ts)") - F.lag(F.expr("unix_micros(ts)")).over(order)
+            > 1_800_000_000
+        ),
+        1,
+    ).otherwise(0)
+
+
 @register(
     "q15_sessionization",
     oracle="""
@@ -602,24 +618,12 @@ SELECT COUNT(*) AS n_sessions,
 FROM per_session
 """,
 )
+
 def q15_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     order = W.partitionBy("user_id").orderBy("ts", "event_id")
     run = order.rowsBetween(W.unboundedPreceding, W.currentRow)
-    with_flag = e.withColumn(
-        "is_new_session",
-        F.when(
-            F.lag("ts").over(order).isNull()
-            # microsecond-exact gap: the oracle compares full-precision
-            # intervals, and events carry sub-second micros — a whole-
-            # second cast would mis-classify gaps inside (1800s, 1801s)
-            | (
-                F.expr("unix_micros(ts)") - F.lag(F.expr("unix_micros(ts)")).over(order)
-                > 1_800_000_000
-            ),
-            1,
-        ).otherwise(0),
-    )
+    with_flag = e.withColumn("is_new_session", session_break_flag(order))
     sessions = with_flag.withColumn("session_id", F.sum("is_new_session").over(run))
     per_session = sessions.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("n_events"))
     return per_session.agg(

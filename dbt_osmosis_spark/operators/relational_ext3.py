@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from dbt_osmosis_spark.operators import register
-from dbt_osmosis_spark.operators.relational import t
+from dbt_osmosis_spark.operators.relational import session_break_flag, t
 
 # --------------------------------------------------------------------------
 # q55: peak concurrent sessions per hour — distributed sweep line
@@ -92,20 +92,7 @@ def q55_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     order = W.partitionBy("user_id").orderBy("ts", "event_id")
     run = order.rowsBetween(W.unboundedPreceding, W.currentRow)
-    flagged = e.withColumn(
-        "is_new_session",
-        F.when(
-            F.lag("ts").over(order).isNull()
-            # microsecond-exact gap: the oracle compares full-precision
-            # intervals, and events carry sub-second micros — a whole-
-            # second cast would mis-classify gaps inside (1800s, 1801s)
-            | (
-                F.expr("unix_micros(ts)") - F.lag(F.expr("unix_micros(ts)")).over(order)
-                > 1_800_000_000
-            ),
-            1,
-        ).otherwise(0),
-    )
+    flagged = e.withColumn("is_new_session", session_break_flag(order))
     spans = (
         flagged.withColumn("session_id", F.sum("is_new_session").over(run))
         .groupBy("user_id", "session_id")
@@ -963,20 +950,7 @@ def q66_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     order = W.partitionBy("user_id").orderBy("ts", "event_id")
     run = order.rowsBetween(W.unboundedPreceding, W.currentRow)
-    flagged = e.withColumn(
-        "is_new_session",
-        F.when(
-            F.lag("ts").over(order).isNull()
-            # microsecond-exact gap: the oracle compares full-precision
-            # intervals, and events carry sub-second micros — a whole-
-            # second cast would mis-classify gaps inside (1800s, 1801s)
-            | (
-                F.expr("unix_micros(ts)") - F.lag(F.expr("unix_micros(ts)")).over(order)
-                > 1_800_000_000
-            ),
-            1,
-        ).otherwise(0),
-    ).withColumn("session_id", F.sum("is_new_session").over(run))
+    flagged = e.withColumn("is_new_session", session_break_flag(order)).withColumn("session_id", F.sum("is_new_session").over(run))
     per_session = flagged.groupBy("user_id", "session_id").agg(
         F.min(F.struct("ts", "event_id", "event_type"))["event_type"].alias("entry_type"),
         F.max(F.struct("ts", "event_id", "event_type"))["event_type"].alias("exit_type"),
@@ -994,6 +968,26 @@ def q66_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_bounces").cast("double") / F.col("n_sessions"),
         )
         .orderBy("entry_type", "exit_type")
+    )
+
+
+# Shared dense-hour machinery for the time-series family (q67/q68; q58's
+# grid predates it and carries its own per-type variant): missing hours
+# must be REAL zeros downstream, so series ops left-join this spine.
+DUCK_HOUR_SPINE_CTES = """bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+spine AS (
+  SELECT unnest(generate_series((SELECT h0 FROM bounds), (SELECT h1 FROM bounds),
+                INTERVAL 1 HOUR)) AS h
+)"""
+
+
+def hour_spine(hourly: DataFrame) -> DataFrame:
+    """Dense hour grid [min h, max h] of an hourly relation with column
+    `h` — one bounds aggregate + one explode(sequence); hour-dimension-
+    sized regardless of event volume."""
+    bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    return bounds.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))).alias("h")
     )
 
 
@@ -1017,11 +1011,7 @@ _Q67_ORACLE = f"""
 WITH hourly AS (
   SELECT date_trunc('hour', ts) AS h, COUNT(*) AS c FROM events GROUP BY 1
 ),
-bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
-spine AS (
-  SELECT unnest(generate_series((SELECT h0 FROM bounds), (SELECT h1 FROM bounds),
-                INTERVAL 1 HOUR)) AS h
-),
+{DUCK_HOUR_SPINE_CTES},
 dense AS (
   SELECT s.h, COALESCE(hourly.c, 0) AS c
   FROM spine s LEFT JOIN hourly ON hourly.h = s.h
@@ -1041,10 +1031,14 @@ sums AS (
   FROM pairs GROUP BY lag
 )
 SELECT lag, CAST(n AS BIGINT) AS n_pairs,
-       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-             / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
-         + 0.0 AS autocorr
+       CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx = 0
+              OR CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy = 0
+            THEN CAST(NULL AS DOUBLE)
+            ELSE round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+                 + 0.0
+       END AS autocorr
 FROM sums
 ORDER BY lag
 """
@@ -1056,14 +1050,8 @@ def q67_count_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
         F.count(F.lit(1)).alias("c")
     )
-    bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
-    spine = bounds.select(
-        F.explode(
-            F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
-        ).alias("h")
-    )
     dense = (
-        spine.join(hourly, "h", "left")
+        hour_spine(hourly).join(hourly, "h", "left")
         .select("h", F.coalesce("c", F.lit(0)).alias("c"))
     )
     lags = spark.createDataFrame([(k,) for k in _Q67_LAGS], "lag int")
@@ -1082,15 +1070,18 @@ def q67_count_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("y * y")).cast("bigint").alias("syy"),
     )
     n, sx, sy = F.col("n").cast("double"), F.col("sx").cast("double"), F.col("sy").cast("double")
-    r = (n * F.col("sxy") - sx * F.col("sy")) / (
-        F.sqrt(n * F.col("sxx") - sx * F.col("sx"))
-        * F.sqrt(n * F.col("syy") - sy * F.col("sy"))
-    )
+    var_x = n * F.col("sxx") - sx * F.col("sx")
+    var_y = n * F.col("syy") - sy * F.col("sy")
+    r = (n * F.col("sxy") - sx * F.col("sy")) / (F.sqrt(var_x) * F.sqrt(var_y))
     return (
         sums.select(
             "lag",
             F.col("n").cast("bigint").alias("n_pairs"),
-            (F.round(r, 6) + F.lit(0.0)).alias("autocorr"),
+            # r is undefined on a zero-variance side (single-pair lag or a
+            # constant series): NULL in both engines, never 0/0
+            F.when((var_x == 0) | (var_y == 0), F.lit(None).cast("double"))
+            .otherwise(F.round(r, 6) + F.lit(0.0))
+            .alias("autocorr"),
         )
         .orderBy("lag")
     )
@@ -1105,16 +1096,12 @@ def q67_count_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # identity keeps it all-integer: fano = (n*sxx - sx^2) / (n*sx), one
 # double division of exact BIGINTs. Work is |types| x |hours| rows.
 
-_Q68_ORACLE = """
+_Q68_ORACLE = f"""
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
   FROM events GROUP BY 1, 2
 ),
-bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
-spine AS (
-  SELECT unnest(generate_series((SELECT h0 FROM bounds), (SELECT h1 FROM bounds),
-                INTERVAL 1 HOUR)) AS h
-),
+{DUCK_HOUR_SPINE_CTES},
 types AS (SELECT DISTINCT event_type FROM events),
 dense AS (
   SELECT t.event_type, s.h, COALESCE(hourly.c, 0) AS c
@@ -1142,13 +1129,9 @@ def q68_traffic_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
     ).agg(F.count(F.lit(1)).alias("c"))
-    bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
-    spine = bounds.select(
-        F.explode(F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))).alias("h")
-    )
     types = e.select("event_type").distinct()
     dense = (
-        spine.crossJoin(F.broadcast(types))
+        hour_spine(hourly).crossJoin(F.broadcast(types))
         .join(hourly, ["h", "event_type"], "left")
         .select("event_type", "h", F.coalesce("c", F.lit(0)).alias("c"))
     )
@@ -1342,7 +1325,7 @@ def _q71_case(expr: str) -> str:
 
 _Q71_ORACLE = f"""
 WITH digits AS (
-  SELECT CAST(substr(CAST(CAST(o_totalprice * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS d
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS d
   FROM orders WHERE o_totalprice > 0
 ),
 counts AS (SELECT d, COUNT(*) AS n FROM digits GROUP BY d),
@@ -1363,7 +1346,9 @@ def q71_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
     digits = o.select(
         F.expr(
-            "CAST(substr(CAST(CAST(o_totalprice * 100 AS BIGINT) AS STRING), 1, 1) AS INT)"
+            # floor() in BOTH engines: bare CAST(double AS BIGINT) rounds
+            # in DuckDB but truncates in Spark — different cents integers
+            "CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS STRING), 1, 1) AS INT)"
         ).alias("d")
     )
     counts = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))

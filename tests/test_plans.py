@@ -824,11 +824,19 @@ def test_m12_components_contract_identical_hashes_first(q):
 
 
 def test_d23_triangles_degree_oriented_no_allpairs(q):
-    """Triangle counting must be the compact-forward join (vertex-keyed
-    wedge join + semi-join closure) — no cartesian anywhere, and the
-    cached verified-edge relation feeds all three uses."""
+    """Triangle counting must be the compact-forward join: the wedge join
+    keys on the pivot vertex, the closure is an equi-semi-join on the
+    canonical (a, b) pair — no CartesianProduct and no
+    BroadcastNestedLoopJoin anywhere except the 1-row scalar cross-joins
+    that assemble the output row."""
     df = q("d23_dupgraph_triangles")
-    # the operator returns a 1-row local frame; assert on the EDGE plan by
-    # rebuilding it the way the operator does is overkill — the cartesian
-    # check on the final frame plus the invariant test carry the contract.
+    plan = physical_plan(df)
+    assert not has_cartesian(df)
+    assert "LeftSemi" in plan  # the closure check is a semi-join
+    assert "hashpartitioning(q" in plan or "BroadcastHashJoin [q" in plan or "SortMergeJoin [q" in plan
+    # BNLJ may appear ONLY for the 1-row scalar assembly (IdentityBroadcast),
+    # never with a join condition (the OR-of-direction all-pairs shape)
+    import re
+    for m in re.finditer(r"BroadcastNestedLoopJoin BuildRight, (Cross|Inner)([^\n]*)", plan):
+        assert "least" not in m.group(2) and "greatest" not in m.group(2), m.group(0)
     assert df.count() == 1

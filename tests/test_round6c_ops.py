@@ -175,17 +175,10 @@ def test_q66_session_totals_match_independent_count(spark, sf_dir):
     assert all(0.0 <= r.bounce_rate <= 1.0 for r in rows)
     e = t(spark, sf_dir, "events")
     order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    from dbt_osmosis_spark.operators.relational import session_break_flag
+
     n_sessions = (
-        e.withColumn(
-            "new_s",
-            F.when(
-                F.lag("ts").over(order).isNull()
-                | (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(order) > 1800),
-                1,
-            ).otherwise(0),
-        )
-        .agg(F.sum("new_s"))
-        .first()[0]
+        e.withColumn("new_s", session_break_flag(order)).agg(F.sum("new_s")).first()[0]
     )
     assert sum(r.n_sessions for r in rows) == n_sessions > 0
 

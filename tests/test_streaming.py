@@ -781,21 +781,10 @@ def test_session_entry_exit_stream_matches_batch_q66(spark, sf_dir):
     e = read_parquet(spark, f"{sf_dir}/events.parquet")
     order = W.partitionBy("user_id").orderBy("ts", "event_id")
     run = order.rowsBetween(W.unboundedPreceding, W.currentRow)
+    from dbt_osmosis_spark.operators.relational import session_break_flag
+
     per_session = (
-        e.withColumn(
-            "new_s",
-            F.when(
-                F.lag("ts").over(order).isNull()
-                # microsecond-exact gap: the oracle compares full-precision
-            # intervals, and events carry sub-second micros — a whole-
-            # second cast would mis-classify gaps inside (1800s, 1801s)
-            | (
-                F.expr("unix_micros(ts)") - F.lag(F.expr("unix_micros(ts)")).over(order)
-                > 1_800_000_000
-            ),
-                1,
-            ).otherwise(0),
-        )
+        e.withColumn("new_s", session_break_flag(order))
         .withColumn("sid", F.sum("new_s").over(run))
         .groupBy("user_id", "sid")
         .agg(
