@@ -92,6 +92,11 @@ FAMILIES = [
     "q61_bucketed_join",
     "d21_lsh_tuning_curve",
     "s25_knn_graph",
+    # round-6e: the deterministic-sketch family (Count-Min heavy hitters,
+    # KMV distinct) and the decontamination threshold curve
+    "t22_countmin_eval",
+    "q69_kmv_distinct_eval",
+    "p36_decontamination_curve",
 ]
 
 # Scale-slope flagships: timed at sf0.1 AND at the generated 10x sf1
