@@ -392,3 +392,92 @@ def s25_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "nn_rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
         .orderBy("vec_id", "nn_rank")
     )
+
+
+# ---- s26: embedding centroid drift between corpus snapshots ------------------
+# The ML-ops drift check: has the embedding distribution MOVED between two
+# snapshots? Per label, the squared L2 distance between the snapshot
+# centroids (here the deterministic vec_id-parity split stands in for
+# time-ordered snapshots — the plan is identical for a real snapshot
+# column). Centroids use s16's exact-decimal recipe (quantize components
+# BEFORE summation — order-independent under any partitioning); the
+# per-label drift sum quantizes each squared component difference the
+# same way, so the emitted number is engine-exact. Scale: one posexplode
+# aggregate per (label, half, pos) — dimension-sized output; the
+# centroid join and the drift rollup never touch the corpus again.
+# Labels present in only one snapshot are reported with NULL drift (new
+# or vanished classes are exactly what the report must surface).
+
+from dbt_osmosis_spark.operators.similarity import _DIM as _S26_DIM  # noqa: E402
+
+_S26_ORACLE = f"""
+WITH comp AS (
+  SELECT label, vec_id % 2 AS half, d AS pos, (embedding::DOUBLE[])[d + 1] AS x
+  FROM embeddings, (SELECT unnest(range(0, {_S26_DIM})) AS d)
+),
+cent AS (
+  SELECT label, half, pos,
+         CAST(SUM(CAST(floor(x * 1e9 + 0.5) AS DECIMAL(28,0))) AS DOUBLE)
+           / COUNT(*) / 1e9 AS m
+  FROM comp GROUP BY label, half, pos
+),
+counts AS (
+  SELECT label,
+         CAST(COUNT(DISTINCT CASE WHEN vec_id % 2 = 0 THEN vec_id END) AS BIGINT) AS n_a,
+         CAST(COUNT(DISTINCT CASE WHEN vec_id % 2 = 1 THEN vec_id END) AS BIGINT) AS n_b
+  FROM embeddings GROUP BY label
+),
+drift AS (
+  SELECT a.label,
+         CAST(SUM(CAST(floor((a.m - b.m) * (a.m - b.m) * 1e12 + 0.5) AS DECIMAL(28,0))) AS DOUBLE)
+           / 1e12 AS drift2
+  FROM cent a JOIN cent b
+    ON b.label = a.label AND b.pos = a.pos AND a.half = 0 AND b.half = 1
+  GROUP BY a.label
+)
+SELECT c.label, c.n_a, c.n_b, d.drift2
+FROM counts c LEFT JOIN drift d ON d.label = c.label
+ORDER BY c.label
+"""
+
+
+@register("s26_centroid_drift", oracle=_S26_ORACLE)
+def s26_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(read_parquet(spark, f"{sf_dir}/embeddings.parquet"))
+    comp = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    )
+    cent = comp.groupBy("label", "half", "pos").agg(
+        (
+            F.sum(F.expr("CAST(floor(x * 1e9 + 0.5) AS DECIMAL(28,0))")).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1e9)
+        ).alias("m")
+    )
+    a = cent.filter(F.col("half") == 0).select("label", "pos", F.col("m").alias("ma"))
+    b = cent.filter(F.col("half") == 1).select("label", "pos", F.col("m").alias("mb"))
+    drift = (
+        a.join(b, ["label", "pos"])
+        .groupBy("label")
+        .agg(
+            (
+                F.sum(
+                    F.expr(
+                        "CAST(floor((ma - mb) * (ma - mb) * 1e12 + 0.5) AS DECIMAL(28,0))"
+                    )
+                ).cast("double")
+                / F.lit(1e12)
+            ).alias("drift2")
+        )
+    )
+    counts = emb.groupBy("label").agg(
+        F.countDistinct(F.when(F.col("vec_id") % 2 == 0, F.col("vec_id"))).alias("n_a"),
+        F.countDistinct(F.when(F.col("vec_id") % 2 == 1, F.col("vec_id"))).alias("n_b"),
+    )
+    return (
+        counts.join(drift, "label", "left")
+        .select("label", "n_a", "n_b", "drift2")
+        .orderBy("label")
+    )

@@ -274,3 +274,18 @@ def test_p36_curve_is_monotone_and_consistent_with_d17(spark, sf_dir):
     d17_n = QUERIES["d17_fuzzy_decontamination"](spark, sf_dir).count()
     assert rows[0.35].n_removed == d17_n
     assert all(0.0 <= r.removal_rate <= 1.0 for r in rows.values())
+
+
+def test_s26_drift_bounds_and_label_coverage(spark, sf_dir):
+    """drift2 >= 0 wherever defined; every label appears exactly once;
+    n_a + n_b equals the label's corpus count."""
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    rows = QUERIES["s26_centroid_drift"](spark, sf_dir).collect()
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    want = {r.label: r.n for r in emb.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert {r.label for r in rows} == set(want)
+    for r in rows:
+        assert r.n_a + r.n_b == want[r.label]
+        if r.drift2 is not None:
+            assert r.drift2 >= 0.0
