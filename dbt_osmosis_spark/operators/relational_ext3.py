@@ -1369,3 +1369,59 @@ def q71_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# ---- q72: order shipment-span analysis (fulfillment latency) -----------------
+# Supply-chain fulfillment health: per order priority, how long does an
+# order take to ship COMPLETELY (days between its first and last lineitem
+# ship date), and what share ships in one go? Exact integer day spans
+# (epoch-day arithmetic on the min/max timestamps), decimal-exact
+# averages (integer-sum / count), and a single-shipment share from exact
+# counts. Scale: one lineitem aggregate keyed by order (partial-agg'd),
+# a broadcast-joinable orders side, a priority-sized rollup.
+
+_Q72_ORACLE = """
+WITH spans AS (
+  SELECT l_orderkey,
+         CAST((epoch_us(MAX(l_shipdate)) - epoch_us(MIN(l_shipdate))) // 86400000000 AS BIGINT) AS span_days,
+         COUNT(*) AS n_lines
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o.o_orderpriority AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(s.span_days) AS BIGINT) AS total_span_days,
+       CAST(SUM(s.span_days) AS DOUBLE) / COUNT(*) AS avg_span_days,
+       CAST(SUM(CASE WHEN s.span_days = 0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS single_shipment_share,
+       CAST(MAX(s.span_days) AS BIGINT) AS max_span_days
+FROM spans s JOIN orders o ON o.o_orderkey = s.l_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY priority
+"""
+
+
+@register("q72_shipment_span", oracle=_Q72_ORACLE)
+def q72_shipment_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    spans = li.groupBy("l_orderkey").agg(
+        F.expr(
+            "CAST((unix_micros(MAX(l_shipdate)) - unix_micros(MIN(l_shipdate))) DIV 86400000000 AS BIGINT)"
+        ).alias("span_days"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return (
+        spans.join(o, spans.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("span_days").cast("bigint").alias("total_span_days"),
+            (F.sum("span_days").cast("double") / F.count(F.lit(1))).alias("avg_span_days"),
+            (
+                F.sum(F.when(F.col("span_days") == 0, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("single_shipment_share"),
+            F.max("span_days").cast("bigint").alias("max_span_days"),
+        )
+        .orderBy("priority")
+    )
