@@ -49,6 +49,43 @@ def test_d22_source_signature_is_union_minhash(spark, sf_dir):
     rows = QUERIES["d22_source_minhash_overlap"](spark, sf_dir).collect()
     assert rows and all(0.0 < r.est_jaccard <= 1.0 for r in rows)
     assert rows == sorted(rows, key=lambda r: (-r.est_jaccard, r.source_a, r.source_b))
+    # union identity, verified for one source: elementwise-min over the
+    # per-doc signatures == the signature of the pooled distinct shingles
+    from dbt_osmosis_spark.operators.dedup import minhash_signatures
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    src = docs.select("source").orderBy("source").first().source
+    sigs = (
+        minhash_signatures(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .filter(F.col("source") == src)
+        .select("sig")
+        .collect()
+    )
+    folded = [min(row.sig[i] for row in sigs) for i in range(len(sigs[0].sig))]
+    # the union of per-doc shingle SETS is the set the identity speaks of
+    # (pooling raw texts would add spurious boundary shingles)
+    shingle_sets = (
+        minhash_signatures(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .filter(F.col("source") == src)
+        .select("s")
+        .collect()
+    )
+    union = sorted({x for row in shingle_sets for x in row.s})
+    # recompute the signature of the UNION set directly with the same
+    # hash constants (python mirror of the inlined formula)
+    import hashlib
+
+    from dbt_osmosis_spark.operators.dedup import _A, _B_CONST, _K, _MERSENNE
+
+    def h28(x: str) -> int:
+        return int(hashlib.md5(x.encode()).hexdigest()[:7], 16)
+
+    hs = [h28(x) for x in union]
+    union_sig = [min((_A[i] * h + _B_CONST[i]) % _MERSENNE for h in hs) for i in range(_K)]
+    assert folded == union_sig
 
 
 def test_q63_skyline_is_exactly_the_nondominated_set(spark, sf_dir):
