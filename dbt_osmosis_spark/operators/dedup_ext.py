@@ -892,3 +892,54 @@ def p36_decontamination_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("n_corpus")
         .orderBy("tau")
     )
+
+
+# ---- d24: verified-pair similarity histogram ----------------------------------
+# WHERE does the near-dup mass sit above the threshold? The jaccard
+# distribution of d03's published pairs in 0.05 bins — reading it tells
+# you whether the 0.5 threshold cuts through a cluster (mass piled at the
+# cut: lower it or use d21's sweep) or sits in a valley (clean
+# separation). Composes the shared verified relation; one histogram-sized
+# rollup with exact integer bin assignment (floor of a quantized value —
+# no float-boundary ambiguity between engines).
+
+_D24_BIN = 0.05
+
+_D24_ORACLE = f"""
+WITH {DUCK_VERIFIED_CTES},
+binned AS (
+  SELECT CAST(floor(floor(jaccard * 1e9 + 0.5) / (1e9 * {_D24_BIN})) AS BIGINT) AS bin
+  FROM verified
+),
+hist AS (SELECT bin, COUNT(*) AS n_pairs FROM binned GROUP BY bin)
+SELECT bin, CAST(round(bin * {_D24_BIN}, 2) AS DOUBLE) AS bin_lo, n_pairs,
+       round(CAST(n_pairs AS DOUBLE) / SUM(n_pairs) OVER (), 6) AS share
+FROM hist
+ORDER BY bin
+"""
+
+
+@register("d24_similarity_histogram", oracle=_D24_ORACLE)
+def d24_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as _W
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    sig = minhash_signatures(docs).transform(keep_cached)
+    binned = verified_pairs(sig).select(
+        F.expr(
+            f"CAST(floor(floor(jaccard * 1e9 + 0.5) / (1e9 * {_D24_BIN})) AS BIGINT)"
+        ).alias("bin")
+    )
+    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n_pairs"))
+    return (
+        hist.select(
+            "bin",
+            F.round(F.col("bin") * _D24_BIN, 2).alias("bin_lo"),
+            "n_pairs",
+            F.round(
+                F.col("n_pairs").cast("double") / F.sum("n_pairs").over(_W.partitionBy()),
+                6,
+            ).alias("share"),
+        )
+        .orderBy("bin")
+    )

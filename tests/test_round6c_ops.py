@@ -326,3 +326,14 @@ def test_s26_drift_bounds_and_label_coverage(spark, sf_dir):
         assert r.n_a + r.n_b == want[r.label]
         if r.drift2 is not None:
             assert r.drift2 >= 0.0
+
+
+def test_d24_histogram_partitions_d03_pairs(spark, sf_dir):
+    """The histogram must partition d03's pair set: counts sum to the
+    published pair count, shares to 1, and every bin_lo >= the shared
+    threshold's bin."""
+    rows = QUERIES["d24_similarity_histogram"](spark, sf_dir).collect()
+    pairs = QUERIES["d03_minhash_lsh_pairs"](spark, sf_dir).count()
+    assert sum(r.n_pairs for r in rows) == pairs > 0
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    assert all(r.bin_lo >= 0.5 - 1e-9 for r in rows)
