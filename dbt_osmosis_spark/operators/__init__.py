@@ -51,18 +51,23 @@ def load_all() -> None:
     from dbt_osmosis_spark.operators import (  # noqa: F401
         dedup,
         dedup_ext,
+        dedup_ext2,
         multimodal,
         pipeline,
         pipeline_ext,
         pipeline_ext2,
+        pipeline_ext3,
         relational,
         relational_ext,
         relational_ext2,
         relational_ext3,
+        relational_ext4,
         similarity,
         similarity_ext,
         similarity_ext2,
+        similarity_ext3,
         text,
         text_ext,
         text_ext2,
+        text_ext3,
     )

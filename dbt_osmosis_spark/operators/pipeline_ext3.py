@@ -1,0 +1,195 @@
+"""Training-data pipeline operators, part 4: end-to-end observability.
+
+p37 is the pipeline funnel report: how many documents survive each stage
+of the canonical corpus build (raw → length gate → language filter →
+exact dedup → decontamination), with survival in exact basis points of
+raw. Every serious data pipeline publishes exactly this table per run —
+it is the first thing a data lead reads, and the diff between two runs'
+funnels is the fastest regression alarm the pipeline has (a filter whose
+survival share moves 10 points did not change "a little").
+
+Scale shape: stages 0-3 fold into ONE conditional-aggregate scan —
+COUNT(*), two filtered COUNTs and a filtered COUNT(DISTINCT md5) in a
+single pass over the corpus (the predicates are monotone along the
+chain, so later stages just AND earlier conditions). Only the
+decontamination stage needs real dataflow: the p04 broadcast
+eval-shingle join, run over the already-deduped survivor set (semi join
+on doc_id — ids, never a second text pass for membership). Stage
+definitions are shared with the operators they sample (p04's eval
+source + threshold, d01's md5 identity), so the funnel cannot disagree
+with the operators it summarizes.
+
+Reference parity: the reference's plane reports coverage/progress
+tables (src/dbt_osmosis/core/osmosis.py); this is the data-plane
+analog of that reporting discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_osmosis_spark.operators import register
+from dbt_osmosis_spark.operators.caching import keep_cached
+from dbt_osmosis_spark.operators.pipeline import _P04_EVAL_SOURCE, _P04_THRESHOLD
+from dbt_osmosis_spark.operators.text import (
+    _DUCK_TOK,
+    _duck_shingles,
+    spark_shingles_sql,
+    tokens,
+)
+from dbt_osmosis_spark.sources.parquet import read_parquet, spread
+
+_P37_MIN_CHARS = 100
+_P37_LANG = "en"
+
+_P37_ORACLE = f"""
+WITH flags AS (
+  SELECT doc_id, source, text,
+         (n_chars >= {_P37_MIN_CHARS}) AS len_ok,
+         (lang = '{_P37_LANG}') AS lang_ok
+  FROM documents
+),
+s0123 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS s0,
+         CAST(COUNT(CASE WHEN len_ok THEN 1 END) AS BIGINT) AS s1,
+         CAST(COUNT(CASE WHEN len_ok AND lang_ok THEN 1 END) AS BIGINT) AS s2,
+         CAST(COUNT(DISTINCT CASE WHEN len_ok AND lang_ok THEN md5(text) END) AS BIGINT) AS s3
+  FROM flags
+),
+kept AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM flags WHERE len_ok AND lang_ok
+  GROUP BY md5(text)
+),
+kdocs AS (
+  SELECT d.doc_id, d.source, d.text
+  FROM documents d JOIN kept k ON k.doc_id = d.doc_id
+),
+etok AS (
+  SELECT doc_id, {_DUCK_TOK} AS w FROM documents
+  WHERE source = '{_P04_EVAL_SOURCE}'
+),
+eval_sh AS (
+  SELECT DISTINCT unnest({_duck_shingles(3)}) AS shingle
+  FROM etok WHERE len(w) >= 3
+),
+ktok AS (
+  SELECT doc_id, source, {_DUCK_TOK} AS w FROM kdocs
+),
+train_sh AS (
+  SELECT doc_id, unnest({_duck_shingles(3)}) AS shingle
+  FROM ktok WHERE len(w) >= 3 AND source <> '{_P04_EVAL_SOURCE}'
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train_sh GROUP BY doc_id),
+hits AS (
+  SELECT t.doc_id, COUNT(*) AS n_hit
+  FROM train_sh t JOIN eval_sh e ON t.shingle = e.shingle
+  GROUP BY t.doc_id
+),
+contam AS (
+  SELECT h.doc_id FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
+  WHERE CAST(h.n_hit AS DOUBLE) / s.n_shingles >= {_P04_THRESHOLD}
+),
+s4 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM kdocs
+  WHERE source <> '{_P04_EVAL_SOURCE}'
+    AND doc_id NOT IN (SELECT doc_id FROM contam)
+),
+stages AS (
+  SELECT '0_raw' AS stage, s0 AS n_docs FROM s0123
+  UNION ALL SELECT '1_length', s1 FROM s0123
+  UNION ALL SELECT '2_lang', s2 FROM s0123
+  UNION ALL SELECT '3_exact_dedup', s3 FROM s0123
+  UNION ALL SELECT '4_decontam', n FROM s4
+)
+SELECT stage, n_docs,
+       n_docs * 10000 // (SELECT s0 FROM s0123) AS pct_bp
+FROM stages
+ORDER BY stage
+"""
+
+
+@register("p37_pipeline_funnel", oracle=_P37_ORACLE)
+def p37_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    len_ok = F.col("n_chars") >= _P37_MIN_CHARS
+    lang_ok = F.col("lang") == _P37_LANG
+    # Stages 0-3: one conditional-aggregate pass over the corpus.
+    s0123 = docs.agg(
+        F.count(F.lit(1)).alias("s0"),
+        F.count(F.when(len_ok, 1)).alias("s1"),
+        F.count(F.when(len_ok & lang_ok, 1)).alias("s2"),
+        F.countDistinct(
+            F.when(len_ok & lang_ok, F.md5(F.col("text").cast("binary")))
+        ).alias("s3"),
+    )
+    # Stage 4: decontaminate the deduped survivor set (p04's chain).
+    kept = (
+        docs.filter(len_ok & lang_ok)
+        .groupBy(F.md5(F.col("text").cast("binary")))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kdocs = docs.join(kept, "doc_id", "left_semi")
+    ksh = (
+        spread(kdocs)
+        .withColumn("w", tokens())
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.expr(spark_shingles_sql("w", 3))).alias("shingle"),
+        )
+        .transform(keep_cached)
+    )
+    eval_sh = (
+        spread(docs.filter(F.col("source") == _P04_EVAL_SOURCE))
+        .withColumn("w", tokens())
+        .filter(F.size("w") >= 3)
+        .select(F.explode(F.expr(spark_shingles_sql("w", 3))).alias("shingle"))
+        .distinct()
+    )
+    train_sh = ksh.filter(F.col("source") != _P04_EVAL_SOURCE).select(
+        "doc_id", "shingle"
+    )
+    sizes = train_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        train_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    contam = (
+        hits.join(sizes, "doc_id")
+        .filter(
+            F.col("n_hit").cast("double") / F.col("n_shingles") >= _P04_THRESHOLD
+        )
+        .select("doc_id")
+    )
+    s4 = (
+        kdocs.filter(F.col("source") != _P04_EVAL_SOURCE)
+        .join(contam, "doc_id", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stages = s0123.select(
+        F.explode(
+            F.expr(
+                "array(struct('0_raw' AS stage, s0 AS n_docs),"
+                " struct('1_length' AS stage, s1 AS n_docs),"
+                " struct('2_lang' AS stage, s2 AS n_docs),"
+                " struct('3_exact_dedup' AS stage, s3 AS n_docs))"
+            )
+        ).alias("x")
+    ).select("x.stage", "x.n_docs").unionByName(
+        s4.select(F.lit("4_decontam").alias("stage"), F.col("n").alias("n_docs"))
+    )
+    base = s0123.select(F.col("s0").alias("base_n"))
+    return (
+        stages.crossJoin(F.broadcast(base))
+        .select(
+            "stage",
+            "n_docs",
+            F.expr("n_docs * 10000 DIV base_n").alias("pct_bp"),
+        )
+        .orderBy("stage")
+    )

@@ -1,0 +1,189 @@
+"""Relational surface, part 5: product-analytics operators over events +
+market-basket analysis over lineitem.
+
+q73 is the ordered conversion funnel (view → click → purchase): the
+canonical product-analytics query. The naive formulation is a per-user
+ordered scan (sessionize, then sequence-match) — here each step is a
+conditional MIN aggregate chained through the previous step's timestamp,
+so the whole funnel is three aggregates and two joins ALL keyed on
+user_id: one shuffle key end-to-end, which AQE coalesces, and the join
+inputs after step 1 are user-dimension-sized (one row per user), not
+event-sized. No window over the event stream, no sessionization needed.
+
+q74 is market-basket affinity (support + lift) over order baskets: the
+self-join within l_orderkey is bounded by the basket size (TPC-H orders
+carry ≤7 lines; training-corpus analogs are similarly bounded per key),
+so the pair explosion is O(rows · basket), never all-pairs across
+orders. Lift is reported in exact basis points via BIGINT integer
+division — no float ratios to drift across engines.
+
+Reference parity: the reference ships arbitrary SQL to a warehouse
+(src/dbt_osmosis/core/sql_operations.py — execute_sql_code); these are
+engine-side members of that query surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_osmosis_spark.operators import register
+from dbt_osmosis_spark.operators.relational import t
+
+# --------------------------------------------------------------------------
+# q73: ordered conversion funnel — chained conditional-min aggregates
+# --------------------------------------------------------------------------
+# Step k's timestamp is the earliest event of its type AT OR AFTER step
+# k-1's timestamp for that user. Each stage is:
+#   filter(event_type) → join(prev stage, user_id) → filter(ts >= prev_t)
+#   → groupBy(user_id).min(ts)
+# The event table is scanned once per stage but each scan is
+# filter-pushed to one event type (~1/5 of rows), and every exchange is
+# on user_id. Counts are folded into a 3-row report with conversion in
+# basis points of step 1 (exact integer DIV; NULLIF guards an empty
+# funnel head).
+
+_Q73_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.t1
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.t2
+  GROUP BY e.user_id
+),
+steps AS (
+  SELECT '1_view' AS step, COUNT(*) AS n_users FROM v
+  UNION ALL SELECT '2_click', COUNT(*) FROM c
+  UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+),
+base AS (SELECT n_users AS base_n FROM steps WHERE step = '1_view')
+SELECT step, n_users,
+       n_users * 10000 // NULLIF(base_n, 0) AS pct_bp
+FROM steps CROSS JOIN base
+ORDER BY step
+"""
+
+
+@register("q73_funnel", oracle=_Q73_ORACLE)
+def q73_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+
+    def stage(event_type: str, prev: DataFrame | None, prev_t: str, out_t: str) -> DataFrame:
+        s = e.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            s = s.join(prev, "user_id").filter(F.col("ts") >= F.col(prev_t))
+        return s.groupBy("user_id").agg(F.min("ts").alias(out_t))
+
+    v = stage("view", None, "", "t1")
+    c = stage("click", v, "t1", "t2")
+    p = stage("purchase", c, "t2", "t3")
+
+    steps = (
+        v.agg(F.count(F.lit(1)).alias("n_users")).withColumn("step", F.lit("1_view"))
+        .unionByName(
+            c.agg(F.count(F.lit(1)).alias("n_users")).withColumn("step", F.lit("2_click"))
+        )
+        .unionByName(
+            p.agg(F.count(F.lit(1)).alias("n_users")).withColumn("step", F.lit("3_purchase"))
+        )
+    )
+    base = (
+        steps.filter(F.col("step") == "1_view")
+        .select(F.col("n_users").alias("base_n"))
+    )
+    return (
+        steps.crossJoin(F.broadcast(base))
+        .select(
+            "step",
+            "n_users",
+            F.expr("n_users * 10000 DIV nullif(base_n, 0)").alias("pct_bp"),
+        )
+        .orderBy("step")
+    )
+
+
+# --------------------------------------------------------------------------
+# q74: market-basket support + lift — basket-bounded self-join
+# --------------------------------------------------------------------------
+# items = DISTINCT (order, part); the pair join is on l_orderkey with
+# part_a < part_b, so each basket of size b contributes b·(b-1)/2 rows —
+# bounded per key, never a cross-corpus product. Per-part frequencies are
+# a part-dimension aggregate (broadcast: |part| ≪ |lineitem| at every
+# scale). lift_bp = P(ab) / (P(a)·P(b)) in exact basis points:
+# n_together · n_orders · 10000 DIV (cnt_a · cnt_b), all BIGINT. Pairs
+# must co-occur in ≥2 baskets (random co-occurrence is noise), and the
+# report is the deterministic top-100 by (n_together DESC, part_a,
+# part_b) — TakeOrderedAndProject, not a global sort.
+
+_Q74_ORACLE = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+no_ AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+pc AS (SELECT l_partkey, COUNT(*) AS cnt FROM items GROUP BY l_partkey),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         COUNT(*) AS n_together
+  FROM items a
+  JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+)
+SELECT part_a, part_b, n_together,
+       n_together * n_orders * 10000 // (ca.cnt * cb.cnt) AS lift_bp
+FROM pairs
+CROSS JOIN no_
+JOIN pc ca ON ca.l_partkey = part_a
+JOIN pc cb ON cb.l_partkey = part_b
+ORDER BY n_together DESC, part_a, part_b
+LIMIT 100
+"""
+
+
+@register("q74_basket_lift", oracle=_Q74_ORACLE)
+def q74_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = items.select(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    part_cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    a = items.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_together"))
+        .filter(F.col("n_together") >= 2)
+    )
+    ca = part_cnt.select(F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a"))
+    cb = part_cnt.select(F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b"))
+    return (
+        pairs.crossJoin(F.broadcast(n_orders))
+        .join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_together",
+            F.expr("n_together * n_orders * 10000 DIV (cnt_a * cnt_b)").alias("lift_bp"),
+        )
+        .orderBy(F.desc("n_together"), "part_a", "part_b")
+        .limit(100)
+    )

