@@ -97,6 +97,15 @@ FAMILIES = [
     "t22_countmin_eval",
     "q69_kmv_distinct_eval",
     "p36_decontamination_curve",
+    # round-7: product-analytics funnel (chained conditional-min aggs),
+    # basket-bounded market-basket lift, PMI collocation mining, LPA
+    # communities over the verified pair graph, and the end-to-end
+    # pipeline-stage funnel report
+    "q73_funnel",
+    "q74_basket_lift",
+    "t23_pmi_collocations",
+    "d25_label_propagation",
+    "p37_pipeline_funnel",
 ]
 
 # Scale-slope flagships: timed at sf0.1 AND at the generated 10x sf1

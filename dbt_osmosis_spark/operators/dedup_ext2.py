@@ -92,9 +92,16 @@ def d25_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pick = W.partitionBy("node").orderBy(F.desc("c"), "lab")
     for _ in range(_D25_ROUNDS):
+        # Both sides are corpus-shaped (edges ~ nodes here, and the label
+        # table is one row per graph node): force a shuffle hash join.
+        # Catalyst's size estimate for the md5-derived label relation is
+        # unreliably small — left alone, AQE auto-broadcasts it and the
+        # broadcast build OOMs at 10x (measured; the same class of failure
+        # the d13/d05 corpus-adaptive widths guard against).
         counts = (
             ud.join(
-                labels.select(F.col("node").alias("v"), F.col("label").alias("lab")),
+                labels.select(F.col("node").alias("v"), F.col("label").alias("lab"))
+                .hint("shuffle_hash"),
                 "v",
             )
             .groupBy(F.col("u").alias("node"), "lab")

@@ -1,0 +1,93 @@
+"""Continuous Count-Min sketch maintenance (streaming/sketch.py): the
+mergeable-summary twin of t22, with its exactly-once-by-idempotent-
+overwrite contract exercised."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_osmosis_spark.sources.parquet import read_parquet
+from dbt_osmosis_spark.streaming.sketch import (
+    batch_cell_counts,
+    estimate_counts,
+    read_sketch,
+    run_sketch_ingest,
+    write_batch_cells,
+)
+
+
+def _cells(df) -> dict:
+    return {(r.i, r.bucket): r.cnt for r in df.collect()}
+
+
+def _split_corpus(spark, sf_dir, incoming, tmp_path, n_files=3):
+    import glob
+    import os
+    import shutil
+
+    os.makedirs(incoming, exist_ok=True)
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    for k in range(n_files):
+        stage = str(tmp_path / f"stage{k}")
+        docs.filter(F.col("doc_id") % n_files == k).coalesce(1).write.parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{incoming}/batch{k}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (1_000_000 + k, 1_000_000 + k))
+    return docs
+
+
+def test_streamed_sketch_equals_batch_sketch(spark, sf_dir, tmp_path):
+    """Cell-wise sum of per-batch sketches == the one-shot batch sketch
+    (the CMS merge property, end-to-end through the streaming loop)."""
+    incoming = str(tmp_path / "incoming")
+    sketch_dir = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+    docs = _split_corpus(spark, sf_dir, incoming, tmp_path)
+
+    run_sketch_ingest(incoming, sketch_dir, ckpt, spark)
+
+    streamed = _cells(read_sketch(spark, sketch_dir))
+    batch = _cells(batch_cell_counts(docs))
+    assert streamed == batch
+
+    # the stream really ran as multiple micro-batches
+    batches = {
+        r.batch for r in spark.read.parquet(sketch_dir).select("batch").distinct().collect()
+    }
+    assert len(batches) >= 3
+
+
+def test_streamed_estimates_match_t22(spark, sf_dir, tmp_path):
+    """Heavy-hitter estimates served off the streamed sketch equal the
+    registered batch operator's estimates for the same top-k words."""
+    from dbt_osmosis_spark.operators import QUERIES, load_all
+
+    load_all()
+    incoming = str(tmp_path / "incoming")
+    sketch_dir = str(tmp_path / "sketch")
+    _split_corpus(spark, sf_dir, incoming, tmp_path)
+    run_sketch_ingest(incoming, sketch_dir, str(tmp_path / "ckpt"), spark)
+    t22 = {r.word: r.est_n for r in QUERIES["t22_countmin_eval"](spark, sf_dir).collect()}
+    words = spark.createDataFrame([(w,) for w in t22], "word string")
+    est = {
+        r.word: r.est_n
+        for r in estimate_counts(read_sketch(spark, sketch_dir), words).collect()
+    }
+    assert est == t22
+
+
+def test_replayed_batch_is_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once; a replayed batch must overwrite its
+    own partition with identical cells, leaving totals unchanged."""
+    sketch_dir = str(tmp_path / "sketch")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    write_batch_cells(b0, sketch_dir, 0)
+    write_batch_cells(b1, sketch_dir, 1)
+    before = _cells(read_sketch(spark, sketch_dir))
+    write_batch_cells(b1, sketch_dir, 1)  # replay
+    after = _cells(read_sketch(spark, sketch_dir))
+    assert after == before
+    assert before == _cells(batch_cell_counts(docs))
