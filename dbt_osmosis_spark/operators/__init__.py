@@ -53,6 +53,7 @@ def load_all() -> None:
         dedup_ext,
         dedup_ext2,
         multimodal,
+        multimodal_ext,
         pipeline,
         pipeline_ext,
         pipeline_ext2,

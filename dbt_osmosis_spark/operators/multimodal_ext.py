@@ -1,0 +1,94 @@
+"""Multimodal plumbing, part 2: payload shard layout.
+
+m13 packs binary media payloads into byte-budgeted shards — the layout
+step between "a corpus of blobs" and "tar/parquet shards a training
+loader streams". p20 shards by ROW COUNT (right for token-packed text);
+media payloads vary by orders of magnitude, so the shard key must be the
+exclusive cumulative BYTE offset: shard_id = floor(bytes_before / S).
+That is a global weighted prefix sum — the textbook 100 TB trap if
+computed as one ORDER BY over the corpus — so it is decomposed exactly
+like p19's global order: per-bucket byte totals (doc_id-range buckets,
+whose order matches the global order) become broadcast carry-in offsets
+via a window over |buckets| rows only; the within-bucket running sum
+runs in parallel per bucket. No corpus-global sort, no single giant
+partition, byte-exact shard boundaries.
+
+The report is the shard MANIFEST (id, payload count, bytes, doc-id
+span) — what a loader needs to seek, and what an ops dashboard monitors
+for shard-balance drift. Payloads are the deterministic fake-media
+binary column (multimodal.attach_fake_payloads) — the Spark-side
+plumbing (binary column, byte accounting, bucket decomposition) is the
+real artifact, per the multimodal stubbing contract.
+
+Reference parity: the reference has no data plane; this extends the
+multimodal family (SURVEY §2 S27 plumbing) with the layout operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from dbt_osmosis_spark.operators import register
+from dbt_osmosis_spark.operators.multimodal import attach_fake_payloads
+from dbt_osmosis_spark.sources.parquet import read_parquet
+
+_M13_SHARD_BYTES = 4096
+_M13_BUCKET = 100  # doc_ids per cumsum bucket; bucket order == doc order
+
+_M13_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id, octet_length(encode(text)) AS nb FROM documents
+),
+c AS (
+  SELECT doc_id, nb,
+         CAST(COALESCE(SUM(nb) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM p
+),
+s AS (SELECT doc_id, nb, off // {_M13_SHARD_BYTES} AS shard_id FROM c)
+SELECT shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_payloads,
+       CAST(SUM(nb) AS BIGINT) AS shard_bytes,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM s GROUP BY shard_id ORDER BY shard_id
+"""
+
+
+@register("m13_payload_shard_packing", oracle=_M13_ORACLE)
+def m13_payload_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = attach_fake_payloads(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    p = docs.select(
+        "doc_id",
+        F.octet_length("content").cast("bigint").alias("nb"),
+        F.expr(f"doc_id DIV {_M13_BUCKET}").alias("bkt"),
+    )
+    # carry-in: cumulative bytes of all earlier buckets (|buckets| rows)
+    nets = p.groupBy("bkt").agg(F.sum("nb").alias("bytes"))
+    carry = F.coalesce(
+        F.sum("bytes").over(W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)),
+        F.lit(0),
+    ).cast("bigint")
+    offsets = nets.select("bkt", carry.alias("carry_in"))
+    # within-bucket EXCLUSIVE running sum, in parallel per bucket
+    local = (
+        W.partitionBy("bkt")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    shard = F.expr(f"(carry_in + local_off) DIV {_M13_SHARD_BYTES}")
+    return (
+        p.withColumn("local_off", F.coalesce(F.sum("nb").over(local), F.lit(0)))
+        .join(F.broadcast(offsets), "bkt")
+        .withColumn("shard_id", shard)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_payloads"),
+            F.sum("nb").cast("bigint").alias("shard_bytes"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("shard_id")
+    )

@@ -232,3 +232,104 @@ def s28_centroid_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# s29: PQ codebook distortion report — the index-health dashboard
+# --------------------------------------------------------------------------
+# Product quantization (s08/s09) trades recall for bytes; this measures
+# the trade per subspace: mean squared quantization error (the distance
+# each subvector moves to its nearest codeword), how many of the K
+# codewords are actually used, and the hottest codeword's share. A
+# subspace with 3 live codes out of 16 or a 40% hot code is a codebook
+# that needs retraining — at billion-vector scale you read THIS table
+# before rebuilding an index, not recall@k after. Reuses s08's exact
+# codebook/tensor/argmin expressions (imported, so the diagnostic can
+# never measure a different codebook than the index uses). One map-side
+# tensor pass + a (subspace, code)-keyed aggregate — 8·16 cells
+# regardless of corpus size, the same mergeable-summary shape as t22.
+# Determinism: per-(vector, subspace) errors quantize at 1e9 half-up to
+# BIGINT before summation (both engines fold the sub-distance in the
+# same index order, so the doubles agree bit-for-bit; quantization makes
+# the SUM order-independent); means are floor-division exact.
+
+from dbt_osmosis_spark.operators.similarity import (  # noqa: E402
+    _DUCK_PQ_CODES,
+    _DUCK_PQ_TENSOR,
+    _PQ_K,
+    _PQ_M,
+    _SPARK_PQ_CODES,
+    _SPARK_PQ_TENSOR,
+)
+
+_S29_ORACLE = f"""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+seeds AS (
+  SELECT v, md5(CAST(vec_id AS VARCHAR)) AS mk, vec_id FROM vecs
+  ORDER BY mk, vec_id LIMIT {_PQ_K}
+),
+book AS (SELECT list(v ORDER BY mk, vec_id) AS cb FROM seeds),
+ten AS (
+  SELECT vec_id, {_DUCK_PQ_TENSOR.format(a="v")} AS t FROM vecs, book
+),
+pm AS (
+  SELECT vec_id, CAST(m AS INTEGER) AS m,
+         CAST(floor(list_min(t[m + 1]) * 1e9 + 0.5) AS BIGINT) AS qerr_q,
+         list_position(t[m + 1], list_min(t[m + 1])) - 1 AS code
+  FROM ten, (SELECT unnest(range(0, {_PQ_M})) AS m)
+),
+g1 AS (SELECT m, code, COUNT(*) AS n, SUM(qerr_q) AS sq FROM pm GROUP BY m, code)
+SELECT m,
+       CAST(SUM(n) AS BIGINT) AS n_vecs,
+       CAST(COUNT(*) AS BIGINT) AS n_codes_used,
+       CAST(MAX(n) AS BIGINT) * 10000 // CAST(SUM(n) AS BIGINT) AS top_code_share_bp,
+       CAST(SUM(sq) AS BIGINT) // CAST(SUM(n) AS BIGINT) AS mean_qerr_q
+FROM g1 GROUP BY m ORDER BY m
+"""
+
+
+@register("s29_pq_distortion", oracle=_S29_ORACLE)
+def s29_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(read_parquet(spark, f"{sf_dir}/embeddings.parquet")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    mk = F.md5(F.col("vec_id").cast("string"))
+    seeds = (
+        emb.select("v", mk.alias("mk"), "vec_id")
+        .orderBy("mk", "vec_id")
+        .limit(_PQ_K)
+    )
+    book = seeds.agg(
+        F.expr("transform(array_sort(collect_list(struct(mk, vec_id, v))), s -> s.v)").alias("cb")
+    )
+    ten = emb.crossJoin(F.broadcast(book)).select(
+        "vec_id", F.expr(_SPARK_PQ_TENSOR.format(a="v")).alias("t")
+    )
+    pm_struct = (
+        f"transform(sequence(0, {_PQ_M} - 1), m -> struct("
+        "CAST(m AS INT) AS m,"
+        " CAST(floor(array_min(element_at(t, m + 1)) * 1e9 + 0.5) AS BIGINT) AS qerr_q,"
+        " array_position(element_at(t, m + 1), array_min(element_at(t, m + 1))) - 1 AS code))"
+    )
+    pm = ten.select(F.explode(F.expr(pm_struct)).alias("x")).select(
+        "x.m", "x.qerr_q", "x.code"
+    )
+    g1 = pm.groupBy("m", "code").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("qerr_q").alias("sq")
+    )
+    return (
+        g1.groupBy("m")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_vecs"),
+            F.count(F.lit(1)).alias("n_codes_used"),
+            F.expr("CAST(MAX(n) AS BIGINT) * 10000 DIV CAST(SUM(n) AS BIGINT)").alias(
+                "top_code_share_bp"
+            ),
+            F.expr("CAST(SUM(sq) AS BIGINT) DIV CAST(SUM(n) AS BIGINT)").alias(
+                "mean_qerr_q"
+            ),
+        )
+        .orderBy("m")
+    )

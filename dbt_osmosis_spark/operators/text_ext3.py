@@ -89,3 +89,97 @@ def t23_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift_bp"), "a", "b")
         .limit(_T23_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# t24: vocabulary coverage curve — what share of token occurrences does a
+# top-V vocabulary cover, per source?
+# --------------------------------------------------------------------------
+# The tokenizer-sizing diagnostic: before committing to a vocab size you
+# measure the occurrence mass the top-V types capture (and which sources
+# fall off the curve — code vs prose corpora diverge hard here). Global
+# type ranks are computed WITHOUT a corpus-global sort: the vocabulary
+# count table is decomposed by count value — per-distinct-count offsets
+# from a tiny window over the count histogram, plus a local row_number
+# within each count partition (p19's bucket-offset pattern applied to
+# ranking, the same move as q55's sweep line and s27's two-phase top-k).
+# Everything after the one word-count shuffle is vocabulary-dimension.
+# Coverage is exact basis points (integer DIV); the V sweep folds into
+# one conditional aggregate per source and explodes to curve rows.
+
+_T24_VS = (5, 10, 20)
+
+_T24_ORACLE = f"""
+WITH words AS (
+  SELECT source, unnest(string_split(trim(text), ' ')) AS word FROM documents
+),
+wc AS (SELECT word, COUNT(*) AS n FROM words GROUP BY word),
+ranked AS (
+  SELECT word, ROW_NUMBER() OVER (ORDER BY n DESC, word) AS rnk FROM wc
+),
+sc AS (SELECT source, word, COUNT(*) AS cnt FROM words GROUP BY source, word),
+j AS (SELECT s.source, s.cnt, r.rnk FROM sc s JOIN ranked r ON r.word = s.word),
+agg AS (
+  SELECT source,
+         CAST(SUM(cnt) AS BIGINT) AS total,
+         {', '.join(f"CAST(SUM(CASE WHEN rnk <= {v} THEN cnt ELSE 0 END) AS BIGINT) AS cov{v}" for v in _T24_VS)}
+  FROM j GROUP BY source
+)
+{' UNION ALL '.join(
+    f"SELECT source, CAST({v} AS INT) AS v_size, cov{v} AS covered,"
+    f" cov{v} * 10000 // total AS covered_bp FROM agg"
+    for v in _T24_VS
+)}
+ORDER BY source, v_size
+"""
+
+
+@register("t24_vocab_coverage_curve", oracle=_T24_ORACLE)
+def t24_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    words = docs.select(
+        "source", F.explode(F.split(F.trim(F.col("text")), " ")).alias("word")
+    )
+    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    # Distributed global rank: offsets from the count-value histogram
+    # (|distinct counts| rows — tiny), local row_number within one count.
+    hist = wc.groupBy("n").agg(F.count(F.lit(1)).alias("k"))
+    off = F.coalesce(
+        F.sum("k").over(W.orderBy(F.desc("n")).rowsBetween(W.unboundedPreceding, -1)),
+        F.lit(0),
+    ).cast("bigint")
+    offsets = hist.select("n", off.alias("off"))
+    local = F.row_number().over(W.partitionBy("n").orderBy("word"))
+    ranked = (
+        wc.withColumn("lrn", local)
+        .join(F.broadcast(offsets), "n")
+        .select("word", (F.col("off") + F.col("lrn")).alias("rnk"))
+    )
+    sc = words.groupBy("source", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    j = sc.join(F.broadcast(ranked), "word")
+    covs = [
+        F.sum(F.when(F.col("rnk") <= v, F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias(f"cov{v}")
+        for v in _T24_VS
+    ]
+    agg = j.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("total"), *covs
+    )
+    curve = ", ".join(
+        f"struct(CAST({v} AS INT) AS v_size, cov{v} AS covered)" for v in _T24_VS
+    )
+    return (
+        agg.select(
+            "source", "total", F.explode(F.expr(f"array({curve})")).alias("x")
+        )
+        .select(
+            "source",
+            "x.v_size",
+            "x.covered",
+            F.expr("covered * 10000 DIV total").alias("covered_bp"),
+        )
+        .orderBy("source", "v_size")
+    )

@@ -10,6 +10,15 @@ Structured Streaming: ``readStream`` over a landing directory →
 ``foreachBatch`` → per-batch cell counts → one parquet partition per
 micro-batch.
 
+This is the third member of the table-state streaming family:
+ingest.py (content-keyed idempotency), stats.py (algebraic partials,
+batch_id-partitioned), and now the fixed-geometry sketch — same
+state-in-the-table discipline, but unlike stats.py's
+|sources|×|langs|-per-batch partials the CMS state is a CONSTANT 3·1024
+cells per batch no matter how many distinct words the batch carries,
+which is what makes it the right structure when the key domain itself
+is unbounded (open vocabulary, URLs, user agents).
+
 Delivery semantics — EXACTLY-once by idempotent overwrite: each batch's
 3·1024-cell summary lands at ``sketch_dir/batch=<id>`` with
 ``mode("overwrite")``. A replayed batch (foreachBatch is at-least-once)

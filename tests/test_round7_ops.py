@@ -223,3 +223,64 @@ def test_p37_funnel_monotone(q):
 def test_p37_broadcasts_eval_shingles_no_cartesian(q):
     df = q("p37_pipeline_funnel")
     assert has_broadcast_join(df)
+
+
+# ---- t24 vocab coverage curve ---------------------------------------------
+
+
+def test_t24_coverage_monotone_in_vocab_size(q):
+    rows = q("t24_vocab_coverage_curve").collect()
+    assert rows
+    by_src = {}
+    for r in rows:
+        assert 0 <= r.covered_bp <= 10000
+        assert r.covered <= 10**12
+        by_src.setdefault(r.source, []).append((r.v_size, r.covered_bp, r.covered))
+    for curve in by_src.values():
+        curve.sort()
+        covs = [c for _, c, _ in curve]
+        assert covs == sorted(covs), "coverage must grow with vocab size"
+
+
+# ---- s29 PQ distortion -----------------------------------------------------
+
+
+def test_s29_distortion_report_shape(q):
+    from dbt_osmosis_spark.operators.similarity import _PQ_K, _PQ_M
+
+    rows = q("s29_pq_distortion").collect()
+    assert len(rows) == _PQ_M
+    n_vecs = {r.n_vecs for r in rows}
+    assert len(n_vecs) == 1  # every subspace encodes every vector
+    for r in rows:
+        assert 1 <= r.n_codes_used <= _PQ_K
+        # hot-code share can't be below the uniform floor
+        assert r.top_code_share_bp >= 10000 // _PQ_K
+        assert r.mean_qerr_q >= 0
+
+
+# ---- m13 payload shard packing ---------------------------------------------
+
+
+def test_m13_shards_partition_corpus_in_order(q, spark, sf_dir):
+    from dbt_osmosis_spark.operators.multimodal_ext import _M13_SHARD_BYTES
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    rows = sorted(q("m13_payload_shard_packing").collect(), key=lambda r: r.shard_id)
+    assert rows
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    total_docs = docs.count()
+    total_bytes = docs.select(
+        F.sum(F.octet_length(F.encode(F.col("text"), "UTF-8"))).alias("b")
+    ).collect()[0].b
+    assert sum(r.n_payloads for r in rows) == total_docs
+    assert sum(r.shard_bytes for r in rows) == total_bytes
+    # shards hold contiguous, non-overlapping doc-id spans in order
+    for a, b in zip(rows, rows[1:]):
+        assert a.max_doc < b.min_doc
+    # byte budget: a shard exceeds S only via its last payload straddling
+    max_payload = docs.select(
+        F.max(F.octet_length(F.encode(F.col("text"), "UTF-8"))).alias("m")
+    ).collect()[0].m
+    for r in rows:
+        assert r.shard_bytes <= _M13_SHARD_BYTES + max_payload
