@@ -121,3 +121,91 @@ def d25_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("community")
     )
+
+
+# --------------------------------------------------------------------------
+# d26: exact Jaccard pair join via PREFIX FILTERING (AllPairs/PPJoin family)
+# --------------------------------------------------------------------------
+# The exact counterpart to d03's LSH: same question (all pairs with
+# shingle-set Jaccard >= t), ZERO false negatives by construction instead
+# of probabilistically-few. The classic inverted-index join (d02) indexes
+# EVERY shingle; prefix filtering (Chaudhuri et al., ICDE 2006; Bayardo
+# et al., WWW 2007) indexes only each document's p = n - ceil(t*n) + 1
+# rarest shingles (global df-ascending order): if J(a,b) >= t then
+# |a∩b| >= ceil(t*max(na,nb)), and two sets sorted by one global order
+# whose prefixes are disjoint can intersect in at most
+# (na - p_a) + ... < the required overlap — so every qualifying pair
+# shares an indexed prefix token, and the join only fans out on RARE
+# tokens (the df-hot head of the Zipf curve never enters the index).
+# At t = 0.5 the index is ~half of d02's; at the t = 0.8-0.9 used for
+# near-verbatim dedup it is a small fraction, and the hottest posting
+# lists are exactly the ones pruned. Candidates are exact-verified on the
+# full sets (same n_common/sizes arithmetic as d02), so the registered
+# result IS d02's result — asserted pair-for-pair in pytest, and the
+# oracle below is d02's oracle verbatim.
+#
+# Scale shape: df table is vocabulary-sized; the per-doc rank window is
+# doc-sized; the candidate join shuffles only prefix postings. The
+# verify stage joins candidate PAIRS (tiny at real thresholds) against
+# the per-doc sorted shingle arrays.
+
+from dbt_osmosis_spark.operators.dedup import _JACCARD_THRESHOLD  # noqa: E402
+from dbt_osmosis_spark.operators.dedup import _D02_ORACLE  # noqa: E402
+from dbt_osmosis_spark.operators.text import spark_shingles_sql, tokens  # noqa: E402
+from dbt_osmosis_spark.sources.parquet import spread  # noqa: E402
+
+
+@register("d26_prefix_filter_pairs", oracle=_D02_ORACLE)
+def d26_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    sh = (
+        spread(docs)
+        .withColumn("w", tokens())
+        .filter(F.size("w") >= 3)
+        .select("doc_id", F.explode(F.expr(spark_shingles_sql("w", 3))).alias("shingle"))
+    ).transform(keep_cached)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # p = n - ceil(t*n) + 1; at t = 1/2: p = n - (n+1) DIV 2 + 1
+    t_num, t_den = 1, 2  # _JACCARD_THRESHOLD as an exact rational
+    assert t_num / t_den == _JACCARD_THRESHOLD
+    # One groupBy builds each doc's df-ascending shingle list; the prefix
+    # is a map-side slice (no per-doc rank windows — a second doc_id
+    # shuffle and sort the aggregate already performs).
+    prefix = (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(df, shingle))),"
+                " s -> s.shingle)"
+            ).alias("arr")
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"slice(arr, 1, size(arr) - ((size(arr) * {t_num} + {t_den} - 1)"
+                    f" DIV {t_den}) + 1)"
+                )
+            ).alias("shingle"),
+        )
+    )
+    cand = (
+        prefix.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(prefix.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sets = sh.groupBy("doc_id").agg(F.sort_array(F.collect_list("shingle")).alias("ss"))
+    x = sets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("xs"))
+    y = sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ys"))
+    inter = F.size(F.array_intersect(F.col("xs"), F.col("ys")))
+    jac = inter.cast("double") / (F.size("xs") + F.size("ys") - inter)
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -284,3 +284,15 @@ def test_m13_shards_partition_corpus_in_order(q, spark, sf_dir):
     ).collect()[0].m
     for r in rows:
         assert r.shard_bytes <= _M13_SHARD_BYTES + max_payload
+
+
+# ---- d26 prefix-filter exact join ------------------------------------------
+
+
+def test_d26_equals_d02_pair_for_pair(q):
+    """Prefix filtering is an OPTIMIZATION, not an approximation: the
+    candidate prefix join must recover exactly d02's qualifying pairs
+    (completeness: any J >= t pair shares an indexed prefix token)."""
+    d02 = {(r.doc_a, r.doc_b): r.jaccard for r in q("d02_ngram_jaccard_pairs").collect()}
+    d26 = {(r.doc_a, r.doc_b): r.jaccard for r in q("d26_prefix_filter_pairs").collect()}
+    assert d26 == d02
