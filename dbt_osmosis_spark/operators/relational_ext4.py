@@ -187,3 +187,136 @@ def q74_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_together"), "part_a", "part_b")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# q75: mergeable-histogram quantile sketch, evaluated against exact
+# --------------------------------------------------------------------------
+# The fourth deterministic-sketch family (t22 Count-Min, q69 KMV, p12
+# Bloom): a fixed-geometry equi-width histogram is THE practical
+# distributed percentile structure — 256 counters per group merge by
+# cell-wise addition (partial aggregation does it for free), where the
+# exact percentile (q31x) must shuffle every value to its group. The
+# estimate is the upper edge of the first bin whose running count
+# reaches ceil(p·n) — a one-sided bound with error ≤ one bin width.
+# Reported against the exact interpolated percentile with relative
+# error; geometry is deterministic (per-group min/max bounds from one
+# aggregate), so the whole evaluation is engine-exact: the only floats
+# are identical IEEE expressions on both sides, absorbed by round(·, 6)
+# (the t19 discipline). The cumulative pass runs per group over ≤256
+# histogram rows — never over the data.
+
+_Q75_BINS = 256
+_Q75_PCTS = (50, 95, 99)
+
+_Q75_ORACLE = f"""
+WITH bounds AS (
+  SELECT l_returnflag AS flag, MIN(l_extendedprice) AS lo,
+         MAX(l_extendedprice) AS hi, COUNT(*) AS n
+  FROM lineitem GROUP BY l_returnflag
+),
+binned AS (
+  SELECT b.flag,
+         least({_Q75_BINS - 1}, CAST(floor((l_extendedprice - lo) * {_Q75_BINS} / (hi - lo)) AS BIGINT)) AS bin,
+         COUNT(*) AS c
+  FROM lineitem l JOIN bounds b ON b.flag = l.l_returnflag
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT flag, bin, SUM(c) OVER (PARTITION BY flag ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+  FROM binned
+),
+pcts AS ({' UNION ALL '.join(f"SELECT CAST({p} AS INT) AS pct" for p in _Q75_PCTS)}),
+est AS (
+  SELECT c.flag, p.pct, MIN(c.bin) AS est_bin
+  FROM cum c
+  JOIN bounds b ON b.flag = c.flag
+  CROSS JOIN pcts p
+  WHERE c.running >= (b.n * p.pct + 99) // 100
+  GROUP BY c.flag, p.pct
+),
+exact AS (
+  SELECT l_returnflag AS flag,
+         {', '.join(f"quantile_cont(l_extendedprice, {p / 100}) AS e{p}" for p in _Q75_PCTS)}
+  FROM lineitem GROUP BY l_returnflag
+),
+emelt AS (
+  {' UNION ALL '.join(f"SELECT flag, CAST({p} AS INT) AS pct, e{p} AS exact_v FROM exact" for p in _Q75_PCTS)}
+)
+SELECT e.flag AS l_returnflag, e.pct AS pct,
+       round(b.lo + (e.est_bin + 1) * (b.hi - b.lo) / {_Q75_BINS}, 6) AS est_v,
+       round(m.exact_v, 6) AS exact_v,
+       round(abs((b.lo + (e.est_bin + 1) * (b.hi - b.lo) / {_Q75_BINS}) - m.exact_v)
+             / m.exact_v, 6) AS rel_err
+FROM est e
+JOIN bounds b ON b.flag = e.flag
+JOIN emelt m ON m.flag = e.flag AND m.pct = e.pct
+ORDER BY l_returnflag, e.pct
+"""
+
+
+@register("q75_histogram_quantile_eval", oracle=_Q75_ORACLE)
+def q75_histogram_quantile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    bounds = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    binned = (
+        li.select(F.col("l_returnflag").alias("flag"), "l_extendedprice")
+        .join(F.broadcast(bounds), "flag")
+        .select(
+            "flag",
+            F.expr(
+                f"least({_Q75_BINS - 1},"
+                f" CAST(floor((l_extendedprice - lo) * {_Q75_BINS} / (hi - lo)) AS BIGINT))"
+            ).alias("bin"),
+        )
+        .groupBy("flag", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql.window import Window as W
+
+    run = (
+        W.partitionBy("flag")
+        .orderBy("bin")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = binned.withColumn("running", F.sum("c").over(run))
+    pcts = spark.createDataFrame([(p,) for p in _Q75_PCTS], "pct int")
+    est = (
+        cum.join(F.broadcast(bounds), "flag")
+        .crossJoin(F.broadcast(pcts))
+        .filter(F.col("running") >= F.expr("(n * pct + 99) DIV 100"))
+        .groupBy("flag", "pct")
+        .agg(F.min("bin").alias("est_bin"))
+    )
+    exact = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        *[
+            F.expr(f"percentile(l_extendedprice, {p / 100})").alias(f"e{p}")
+            for p in _Q75_PCTS
+        ]
+    )
+    melt = ", ".join(
+        f"struct(CAST({p} AS INT) AS pct, e{p} AS exact_v)" for p in _Q75_PCTS
+    )
+    emelt = exact.select(
+        "flag", F.explode(F.expr(f"array({melt})")).alias("x")
+    ).select("flag", "x.pct", "x.exact_v")
+    est_v = F.expr(f"lo + (est_bin + 1) * (hi - lo) / {_Q75_BINS}")
+    return (
+        est.join(F.broadcast(bounds), "flag")
+        .join(F.broadcast(emelt), ["flag", "pct"])
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            "pct",
+            F.round(est_v, 6).alias("est_v"),
+            F.round("exact_v", 6).alias("exact_v"),
+            F.round(F.abs(est_v - F.col("exact_v")) / F.col("exact_v"), 6).alias(
+                "rel_err"
+            ),
+        )
+        .orderBy("l_returnflag", "pct")
+    )

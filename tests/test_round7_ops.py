@@ -296,3 +296,17 @@ def test_d26_equals_d02_pair_for_pair(q):
     d02 = {(r.doc_a, r.doc_b): r.jaccard for r in q("d02_ngram_jaccard_pairs").collect()}
     d26 = {(r.doc_a, r.doc_b): r.jaccard for r in q("d26_prefix_filter_pairs").collect()}
     assert d26 == d02
+
+
+# ---- q75 histogram quantile sketch -----------------------------------------
+
+
+def test_q75_upper_edge_bound(q):
+    """The histogram estimate is the upper edge of the bin holding the
+    ceil(p*n)-th order statistic, so it can never undershoot the exact
+    interpolated percentile; error is bounded by one bin width."""
+    rows = q("q75_histogram_quantile_eval").collect()
+    assert len(rows) == 9  # 3 flags x 3 percentiles
+    for r in rows:
+        assert r.est_v >= r.exact_v
+        assert 0 <= r.rel_err < 0.10
