@@ -320,3 +320,100 @@ def q75_histogram_quantile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "pct")
     )
+
+
+# --------------------------------------------------------------------------
+# q76: Z-order (Morton curve) layout — multi-dimensional file skipping
+# --------------------------------------------------------------------------
+# q62 prunes on ONE dimension (directory partitions); zone maps (sort_by)
+# skip on ONE sort key. Queries that filter on TWO dimensions at once
+# (user AND time-of-day here; tenant AND date in production) defeat both:
+# a linear sort on user leaves every file spanning all hours. The Z-order
+# layout interleaves the bits of both keys into one Morton value and
+# range-partitions + sorts on it, so every FILE covers a small rectangle
+# in (user, hour) space and parquet min/max stats skip it for any query
+# touching neither range — the standard lakehouse clustering lever
+# (Delta/Iceberg `OPTIMIZE ZORDER BY`), built here from plain Spark
+# primitives: a JVM-side bit-interleave expression, repartitionByRange,
+# sortWithinPartitions. The registered result is the two-dimensional
+# filtered aggregate read BACK from the layout — layout invariance is the
+# oracle (plain SQL over the raw table), and the bounding-box shrinkage
+# vs a linear sort is asserted from real parquet footers in pytest.
+
+_Q76_FILES = 32
+_Q76_UMAX = 200  # user predicate: user_id < 200 (present at every SF)
+_Q76_H1, _Q76_H2 = 9, 17
+_Q76_BITS = 5  # both dims normalized to 5 bits -> 10-bit Morton values
+
+# Morton interleave of two normalized 5-bit keys: ub bit i -> position 2i,
+# hb bit i -> position 2i+1. Normalization is the part naive Z-order
+# implementations skip and then wonder why it degenerates: interleaving
+# RAW values puts all the entropy of the wider key in the high bits and
+# the curve collapses to a linear sort. Both keys are first scaled to the
+# same bit width from in-plan global bounds (broadcast 1-row aggregate).
+_Q76_ZEXPR = (
+    f"aggregate(sequence(0, {_Q76_BITS - 1}), CAST(0 AS BIGINT), (acc, i) -> acc"
+    " + (shiftleft(shiftright(ub, i) % 2, 2 * i))"
+    " + (shiftleft(shiftright(hb, i) % 2, 2 * i + 1)))"
+)
+
+_Q76_ORACLE = f"""
+SELECT CAST(hour(ts) AS INT) AS hr, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+FROM events
+WHERE user_id < {_Q76_UMAX} AND hour(ts) BETWEEN {_Q76_H1} AND {_Q76_H2}
+GROUP BY hour(ts)
+ORDER BY hr
+"""
+
+import os as _os  # noqa: E402
+
+
+def _q76_layout_path(sf_dir: str) -> str:
+    repo = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    tag = _os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return _os.path.join(repo, ".events_zorder", tag)
+
+
+def build_zorder_events(spark: SparkSession, sf_dir: str) -> str:
+    path = _q76_layout_path(sf_dir)
+    ev = t(spark, sf_dir, "events").withColumn("hr", F.hour("ts").cast("bigint"))
+    bounds = ev.agg(
+        F.min("user_id").alias("umin"),
+        (F.max("user_id") - F.min("user_id") + 1).alias("uspan"),
+    )
+    scale = 1 << _Q76_BITS
+    zed = (
+        ev.crossJoin(F.broadcast(bounds))
+        .withColumn("ub", F.expr(f"(user_id - umin) * {scale} DIV uspan"))
+        .withColumn("hb", F.expr(f"hr * {scale} DIV 24"))
+        .withColumn("zval", F.expr(_Q76_ZEXPR))
+    )
+    (
+        zed.repartitionByRange(_Q76_FILES, "zval")
+        .sortWithinPartitions("zval")
+        .drop("ub", "hb", "zval", "umin", "uspan")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+@register("q76_zorder_layout", oracle=_Q76_ORACLE)
+def q76_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    build_zorder_events(spark, sf_dir)
+    ev = spark.read.parquet(_q76_layout_path(sf_dir))
+    from dbt_osmosis_spark.functions.numeric import dec_sum as _ds
+
+    return (
+        ev.filter(
+            (F.col("user_id") < _Q76_UMAX)
+            & F.col("hr").between(_Q76_H1, _Q76_H2)
+        )
+        .groupBy(F.col("hr").cast("int").alias("hr"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _ds("value", scale=6).alias("total_value"),
+        )
+        .orderBy("hr")
+    )

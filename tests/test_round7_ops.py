@@ -310,3 +310,60 @@ def test_q75_upper_edge_bound(q):
     for r in rows:
         assert r.est_v >= r.exact_v
         assert 0 <= r.rel_err < 0.10
+
+
+# ---- q76 z-order layout ----------------------------------------------------
+
+
+def test_q76_zorder_skips_more_files_than_linear_sort(spark, tmp_path):
+    """The point of Z-ordering: for a predicate selective in BOTH
+    dimensions, fewer files' (user, hour) bounding boxes intersect the
+    query rectangle than under a linear user-sort (whose every file
+    spans all 24 hours). Verified from real parquet footers at sf0.01."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dbt_osmosis_spark.operators.relational import t as _t
+    from dbt_osmosis_spark.operators.relational_ext4 import (
+        _Q76_FILES,
+        _Q76_H1,
+        _Q76_H2,
+        _Q76_UMAX,
+        _q76_layout_path,
+        build_zorder_events,
+    )
+
+    sf = "/root/testdata/sf0.01"  # enough users for 2-D selectivity
+    build_zorder_events(spark, sf)
+    lin = str(tmp_path / "linear")
+    ev = _t(spark, sf, "events").withColumn("hr", F.hour("ts").cast("bigint"))
+    ev.repartitionByRange(_Q76_FILES, "user_id").sortWithinPartitions(
+        "user_id"
+    ).write.mode("overwrite").parquet(lin)
+
+    def files_touched(path):
+        touched = total = 0
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.read_metadata(f)
+            if md.num_rows == 0:
+                continue
+            umin = umax = hmin = hmax = None
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                cols = {g.column(i).path_in_schema: g.column(i) for i in range(g.num_columns)}
+                us, hs = cols["user_id"].statistics, cols["hr"].statistics
+                umin = us.min if umin is None else min(umin, us.min)
+                umax = us.max if umax is None else max(umax, us.max)
+                hmin = hs.min if hmin is None else min(hmin, hs.min)
+                hmax = hs.max if hmax is None else max(hmax, hs.max)
+            total += 1
+            if umin < _Q76_UMAX and not (hmax < _Q76_H1 or hmin > _Q76_H2):
+                touched += 1
+        return touched, total
+
+    z_touched, z_total = files_touched(_q76_layout_path(sf))
+    l_touched, l_total = files_touched(lin)
+    assert z_total >= _Q76_FILES // 2 and l_total >= _Q76_FILES // 2
+    # the layouts hold identical data; only the clustering differs
+    assert z_touched < l_touched, (z_touched, l_touched)
