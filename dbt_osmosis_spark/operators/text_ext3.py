@@ -10,10 +10,11 @@ could disagree in the last ulp across engines.
 
 Scale shape: one explode→groupBy(a,b) shuffle builds the bigram counts;
 both margins and the grand total derive from that (vocabulary-sized)
-count table with no second pass over text. Margin joins broadcast while
-|vocab| ≪ |corpus| (always, by Heaps' law — t21 measures it); the final
-report is a deterministic top-200 (TakeOrderedAndProject, no global
-sort). Overflow guard: c_ab·N·10⁴ stays under 2^63 through ~10⁹ bigrams
+count table with no second pass over text. Margin joins are left to AQE
+(runtime post-shuffle sizes): broadcast while |vocab| is small, shuffle
+when an open vocabulary outgrows it — never forced either way. The
+final report is a deterministic top-200 (TakeOrderedAndProject, no
+global sort). Overflow guard: c_ab·N·10⁴ stays under 2^63 through ~10⁹ bigrams
 per collocation; past that, widen to DECIMAL(38,0) before the DIV.
 
 Reference parity: the reference ships SQL to a warehouse
@@ -78,8 +79,12 @@ def t23_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c2.filter(F.col("n_ab") >= _T23_MIN_N)
         .crossJoin(F.broadcast(tot))
-        .join(F.broadcast(ca), "a")
-        .join(F.broadcast(cb), "b")
+        # margins are VOCABULARY-sized: small at every tested SF, but not
+        # provably tiny at open-vocabulary scale. No forced broadcast —
+        # AQE decides from accurate post-shuffle runtime sizes (the d25
+        # lesson inverted: forcing is as wrong as a bad estimate).
+        .join(ca, "a")
+        .join(cb, "b")
         .select(
             "a",
             "b",
@@ -158,7 +163,11 @@ def t24_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("word", (F.col("off") + F.col("lrn")).alias("rnk"))
     )
     sc = words.groupBy("source", "word").agg(F.count(F.lit(1)).alias("cnt"))
-    j = sc.join(F.broadcast(ranked), "word")
+    # ranked is vocabulary-sized — let AQE pick broadcast vs shuffle from
+    # its real post-shuffle size (open vocabularies outgrow any forced
+    # broadcast; the histogram `offsets` above stays forced, it is
+    # |distinct counts| rows by construction)
+    j = sc.join(ranked, "word")
     covs = [
         F.sum(F.when(F.col("rnk") <= v, F.col("cnt")).otherwise(0))
         .cast("bigint")
