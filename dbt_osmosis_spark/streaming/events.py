@@ -584,3 +584,70 @@ def session_entry_exit_stream(
             "n_events",
         )
     )
+
+
+def funnel_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of q73_funnel: a per-user view→click→purchase step
+    machine that emits each funnel step EXACTLY ONCE, the moment it is
+    reached — the live conversion dashboard feed.
+
+    State per user is three nullable epoch-micros (t1, t2, t3) — set-once,
+    so emission is naturally exactly-once per (user, step). Within a
+    micro-batch, rows replay in (ts, step-priority, event_id) order; the
+    step priority (view < click < purchase at an identical timestamp)
+    reproduces the batch operator's ``ts >= prev_t`` closed-boundary
+    semantics: a click sharing its timestamp with the user's first view
+    converts in both engines regardless of event_id order.
+
+    Cross-batch contract (documented, tested): with time-ordered delivery
+    (every batch's events at-or-after the previous batch's — the standard
+    log-ingest shape) the result equals batch q73 exactly: t1 is the
+    global min view time because later batches only carry later
+    timestamps, and likewise down the chain. Under out-of-order delivery
+    an earlier-arriving late view could not retroactively lower an
+    already-set t1 — the same monotone first-crossing trade every
+    streaming funnel makes (distinct_accrual_stream documents the same).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, step string, ts timestamp"
+    state_schema = "t1 long, t2 long, t3 long"
+    _PRIO = {"view": 0, "click": 1, "purchase": 2}
+
+    def update(key, pdfs, state: GroupState):
+        t1, t2, t3 = state.get if state.exists else (None, None, None)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows[rows["event_type"].isin(_PRIO)]
+        rows = rows.assign(_p=rows["event_type"].map(_PRIO)).sort_values(
+            ["ts", "_p", "event_id"], kind="mergesort"
+        )
+        new_steps = []
+        for ts, et in zip(rows["ts"], rows["event_type"]):
+            us = int(ts.value // 1_000)
+            if et == "view" and t1 is None:
+                t1 = us
+                new_steps.append(("1_view", us))
+            elif et == "click" and t2 is None and t1 is not None and us >= t1:
+                t2 = us
+                new_steps.append(("2_click", us))
+            elif et == "purchase" and t3 is None and t2 is not None and us >= t2:
+                t3 = us
+                new_steps.append(("3_purchase", us))
+        state.update((t1, t2, t3))
+        if new_steps:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(new_steps),
+                    "step": [s for s, _ in new_steps],
+                    "ts": [pd.Timestamp(us * 1_000) for _, us in new_steps],
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -91,3 +91,98 @@ def test_replayed_batch_is_idempotent(spark, sf_dir, tmp_path):
     after = _cells(read_sketch(spark, sketch_dir))
     assert after == before
     assert before == _cells(batch_cell_counts(docs))
+
+
+def _batch_funnel_stages(spark, events_path):
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    e = read_parquet(spark, events_path)
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    want = set()
+    for df, step, col in ((v, "1_view", "t1"), (c, "2_click", "t2"), (p, "3_purchase", "t3")):
+        want |= {(r.user_id, step, r[col]) for r in df.collect()}
+    return want
+
+
+def test_funnel_stream_single_batch_matches_q73_stages(spark, sf_dir):
+    """Full-backlog drain: the stream's exactly-once step emissions equal
+    the batch funnel's per-user stage timestamps."""
+    from dbt_osmosis_spark.streaming.events import (
+        funnel_stream,
+        run_to_memory,
+        stream_events,
+    )
+
+    out = funnel_stream(stream_events(spark, sf_dir))
+    run_to_memory(out, "funnel_stream_1", output_mode="update")
+    got = {
+        (r.user_id, r.step, r.ts)
+        for r in spark.sql("SELECT * FROM funnel_stream_1").collect()
+    }
+    assert got == _batch_funnel_stages(spark, f"{sf_dir}/events.parquet")
+
+
+def test_funnel_stream_time_ordered_batches_match_q73(spark, sf_dir, tmp_path):
+    """Cross-batch state: events split into three chronological files,
+    streamed one file per trigger — the per-user step machine carries
+    (t1, t2, t3) across batches and still lands exactly on the batch
+    answer (the documented time-ordered-delivery contract)."""
+    import glob
+    import os
+    import shutil
+
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+    from dbt_osmosis_spark.streaming.events import funnel_stream, run_to_memory
+
+    e = read_parquet(spark, f"{sf_dir}/events.parquet")
+    ts_cuts = e.selectExpr(
+        "timestamp_seconds(percentile(CAST(ts AS DOUBLE), 0.33)) AS a",
+        "timestamp_seconds(percentile(CAST(ts AS DOUBLE), 0.66)) AS b",
+    ).collect()[0]
+    parts = [
+        e.filter(F.col("ts") <= ts_cuts.a),
+        e.filter((F.col("ts") > ts_cuts.a) & (F.col("ts") <= ts_cuts.b)),
+        e.filter(F.col("ts") > ts_cuts.b),
+    ]
+    incoming = str(tmp_path / "incoming")
+    os.makedirs(incoming)
+    for i, part in enumerate(parts):
+        stage = str(tmp_path / f"stage{i}")
+        part.coalesce(1).write.parquet(stage)
+        src = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{incoming}/batch{i}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(incoming)
+    )
+    out = funnel_stream(stream)
+    run_to_memory(out, "funnel_stream_3", output_mode="update")
+    got = {
+        (r.user_id, r.step, r.ts)
+        for r in spark.sql("SELECT * FROM funnel_stream_3").collect()
+    }
+    assert got == _batch_funnel_stages(spark, f"{sf_dir}/events.parquet")
+    # exactly-once: no step emitted twice for a user
+    n = spark.sql("SELECT COUNT(*) AS n FROM funnel_stream_3").collect()[0].n
+    assert n == len(got)
