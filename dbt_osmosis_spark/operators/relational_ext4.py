@@ -417,3 +417,102 @@ def q76_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hr")
     )
+
+
+# --------------------------------------------------------------------------
+# q77: capped-at-zero running balance — a non-associative scan, distributed
+# --------------------------------------------------------------------------
+# B_i = max(0, B_{i-1} + d_i) is the inventory/wallet/credit-ledger
+# recurrence, and it is NOT a plain prefix sum — the clamp makes the scan
+# non-associative, which is why most engines punt it to a per-key UDF
+# loop. It is nonetheless window-expressible through the identity
+#   B_i = S_i − min(0, min_{j≤i} S_j)
+# (S = unclamped prefix sum): clamping only ever "forgives" the deepest
+# debt seen so far. Proof by induction is four lines (docstring of record:
+# if S_i sets a new sub-zero minimum the balance is 0 = S_i − S_i; else
+# the forgiven amount is unchanged). So the whole operator is two window
+# functions over (user, ts, event_id) — per-user-keyed, shuffle-once,
+# scalable anywhere windows are — with deltas in exact BIGINT micros so
+# the clamp-boundary comparisons are bit-identical in both engines (a
+# decimal formulation measurably drifted: DuckDB's windowed decimal SUM
+# goes through double). Floor hits (rows that set a new sub-zero
+# minimum = moments the ledger actually clamped) fall out of the same
+# windows for free.
+# Credits = purchase value, debits = error value (the synthetic stream's
+# stand-ins for deposit/chargeback); other events carry zero delta but
+# stay in the order book, exactly as a real ledger scan would see them.
+
+_Q77_ORACLE = """
+WITH deltas AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN CAST(round(value * 1e6) AS BIGINT)
+              WHEN event_type = 'error' THEN -CAST(round(value * 1e6) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS d
+  FROM events
+),
+sums AS (
+  SELECT user_id, ts, event_id,
+         CAST(SUM(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+  FROM deltas
+),
+scans AS (
+  SELECT user_id, ts, event_id, s,
+         CAST(COALESCE(MIN(s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev_min
+  FROM sums
+),
+marked AS (
+  SELECT user_id, s,
+         least(CAST(0 AS BIGINT), least(prev_min, s)) AS run_min,
+         CASE WHEN s < least(CAST(0 AS BIGINT), prev_min) THEN 1 ELSE 0 END AS floor_hit,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM scans
+)
+SELECT user_id,
+       CAST(SUM(CASE WHEN rn = 1 THEN s - run_min END) AS BIGINT) AS final_balance_u,
+       CAST(SUM(floor_hit) AS BIGINT) AS n_floor_hits
+FROM marked
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("q77_capped_running_balance", oracle=_Q77_ORACLE)
+def q77_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = t(spark, sf_dir, "events")
+    # exact integer micros: the scan's comparisons (clamp boundaries!)
+    # must be bit-exact in both engines — BIGINT sums/mins, no decimals
+    d = (
+        F.when(F.col("event_type") == "purchase", F.expr("CAST(round(value * 1e6) AS BIGINT)"))
+        .when(F.col("event_type") == "error", F.expr("-CAST(round(value * 1e6) AS BIGINT)"))
+        .otherwise(F.lit(0).cast("bigint"))
+    )
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run = order.rowsBetween(W.unboundedPreceding, W.currentRow)
+    prev = order.rowsBetween(W.unboundedPreceding, -1)
+    zero = F.lit(0).cast("bigint")
+    scans = (
+        e.select("user_id", "ts", "event_id", d.alias("d"))
+        .withColumn("s", F.sum("d").over(run).cast("bigint"))
+        .withColumn("prev_min", F.coalesce(F.min(F.col("s")).over(prev), zero).cast("bigint"))
+    )
+    marked = scans.select(
+        "user_id",
+        "s",
+        F.least(zero, F.least(F.col("prev_min"), F.col("s"))).alias("run_min"),
+        F.when(F.col("s") < F.least(zero, F.col("prev_min")), 1).otherwise(0).alias("floor_hit"),
+        F.row_number().over(W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))).alias("rn"),
+    )
+    return (
+        marked.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("rn") == 1, F.col("s") - F.col("run_min")))
+            .cast("bigint")
+            .alias("final_balance_u"),
+            F.sum("floor_hit").cast("bigint").alias("n_floor_hits"),
+        )
+        .orderBy("user_id")
+    )

@@ -367,3 +367,36 @@ def test_q76_zorder_skips_more_files_than_linear_sort(spark, tmp_path):
     assert z_total >= _Q76_FILES // 2 and l_total >= _Q76_FILES // 2
     # the layouts hold identical data; only the clustering differs
     assert z_touched < l_touched, (z_touched, l_touched)
+
+
+# ---- q77 capped running balance --------------------------------------------
+
+
+def test_q77_identity_matches_direct_recurrence(q, spark, sf_dir):
+    """B_i = max(0, B_{i-1} + d_i) computed directly in Python per user
+    must equal the windowed identity S_i - min(0, min_j S_j) the operator
+    uses — for every user, including floor-hit counts."""
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    rows = (
+        read_parquet(spark, f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "user_id",
+            "ts",
+            "event_id",
+            "CASE WHEN event_type = 'purchase' THEN CAST(round(value * 1e6) AS BIGINT)"
+            " WHEN event_type = 'error' THEN -CAST(round(value * 1e6) AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END AS d",
+        )
+        .collect()
+    )
+    per_user = {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        b, hits = per_user.get(r.user_id, (0, 0))
+        nb = b + r.d
+        if nb < 0:
+            nb, hits = 0, hits + 1
+        per_user[r.user_id] = (nb, hits)
+    got = {r.user_id: (r.final_balance_u, r.n_floor_hits) for r in q("q77_capped_running_balance").collect()}
+    assert got == per_user
+    assert all(b >= 0 for b, _ in got.values())
