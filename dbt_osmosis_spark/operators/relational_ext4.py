@@ -516,3 +516,109 @@ def q77_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q78: CUPED-adjusted A/B comparison — variance reduction, engine-exact
+# --------------------------------------------------------------------------
+# CUPED (Deng et al., WSDM 2013) is the experimentation-platform
+# workhorse: adjust each unit's experiment-period metric y by its
+# PRE-period metric x, y_adj = y − θ(x − x̄) with θ = cov(x,y)/var(x),
+# shrinking variance without biasing the treatment contrast. The
+# distributed shape is three aggregates: per-user (x, y) sums (one
+# shuffle on user_id), pooled second moments (5 numbers), per-variant
+# adjusted means. Determinism discipline: per-user metrics are exact
+# BIGINT cents; θ comes from exact integer moment sums via single IEEE
+# expressions (identical in both engines); per-user adjusted values are
+# half-up-quantized at 1e4 BEFORE the variant sum, so the final means
+# are integer-exact regardless of accumulation order. The pre/post
+# split is the corpus time midpoint in exact EPOCH MICROS from an
+# in-plan 1-row bounds aggregate (timestamp-interval halving drifts
+# across engines; integer midpoint cannot); variant assignment is the
+# user-id parity stand-in for a real bucketing column.
+
+_Q78_ORACLE = """
+WITH bounds AS (
+  SELECT MIN(epoch_us(ts)) AS lo_us, MAX(epoch_us(ts)) AS hi_us FROM events
+),
+mid AS (SELECT (lo_us + hi_us) // 2 AS m_us FROM bounds),
+per_user AS (
+  SELECT user_id, user_id % 2 AS variant,
+         CAST((SUM(CASE WHEN epoch_us(ts) < m_us THEN CAST(round(value * 1e6) AS BIGINT) ELSE 0 END) + 5000) // 10000 AS BIGINT) AS x_c,
+         CAST((SUM(CASE WHEN epoch_us(ts) >= m_us THEN CAST(round(value * 1e6) AS BIGINT) ELSE 0 END) + 5000) // 10000 AS BIGINT) AS y_c
+  FROM events CROSS JOIN mid
+  GROUP BY user_id
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x_c) AS BIGINT) AS sx, CAST(SUM(y_c) AS BIGINT) AS sy,
+         CAST(SUM(x_c * x_c) AS BIGINT) AS sxx, CAST(SUM(x_c * y_c) AS BIGINT) AS sxy
+  FROM per_user
+),
+theta AS (
+  SELECT n, sx, sy,
+         CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS th,
+         CAST(sx AS DOUBLE) / n AS xbar
+  FROM mom
+),
+adj AS (
+  SELECT variant,
+         CAST(floor((y_c - th * (x_c - xbar)) * 1e4 + 0.5) AS BIGINT) AS adj_q,
+         y_c
+  FROM per_user CROSS JOIN theta
+)
+SELECT variant,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(y_c) AS BIGINT) * 100 // COUNT(*) AS mean_y_centicents,
+       CAST(SUM(adj_q) AS BIGINT) // COUNT(*) AS mean_y_adj_q
+FROM adj
+GROUP BY variant
+ORDER BY variant
+"""
+
+
+@register("q78_cuped_adjusted_ab", oracle=_Q78_ORACLE)
+def q78_cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.expr("MIN(unix_micros(ts))").alias("lo_us"),
+        F.expr("MAX(unix_micros(ts))").alias("hi_us"),
+    ).selectExpr("(lo_us + hi_us) DIV 2 AS m_us")
+    cents = "CAST((SUM(CASE WHEN {cmp} THEN CAST(round(value * 1e6) AS BIGINT) ELSE 0 END) + 5000) DIV 10000 AS BIGINT)"
+    per_user = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.expr(cents.format(cmp="unix_micros(ts) < m_us")).alias("x_c"),
+            F.expr(cents.format(cmp="unix_micros(ts) >= m_us")).alias("y_c"),
+        )
+        .withColumn("variant", F.expr("user_id % 2"))
+    )
+    mom = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x_c").cast("bigint").alias("sx"),
+        F.sum("y_c").cast("bigint").alias("sy"),
+        F.sum(F.expr("x_c * x_c")).cast("bigint").alias("sxx"),
+        F.sum(F.expr("x_c * y_c")).cast("bigint").alias("sxy"),
+    ).selectExpr(
+        "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS th",
+        "CAST(sx AS DOUBLE) / n AS xbar",
+    )
+    adj = per_user.crossJoin(F.broadcast(mom)).select(
+        "variant",
+        "y_c",
+        F.expr("CAST(floor((y_c - th * (x_c - xbar)) * 1e4 + 0.5) AS BIGINT)").alias(
+            "adj_q"
+        ),
+    )
+    return (
+        adj.groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.expr("CAST(SUM(y_c) AS BIGINT) * 100 DIV COUNT(*)").alias(
+                "mean_y_centicents"
+            ),
+            F.expr("CAST(SUM(adj_q) AS BIGINT) DIV COUNT(*)").alias("mean_y_adj_q"),
+        )
+        .orderBy("variant")
+    )

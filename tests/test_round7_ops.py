@@ -400,3 +400,46 @@ def test_q77_identity_matches_direct_recurrence(q, spark, sf_dir):
     got = {r.user_id: (r.final_balance_u, r.n_floor_hits) for r in q("q77_capped_running_balance").collect()}
     assert got == per_user
     assert all(b >= 0 for b, _ in got.values())
+
+
+# ---- q78 CUPED A/B ---------------------------------------------------------
+
+
+def test_q78_cuped_reduces_variance(q, spark, sf_dir):
+    """The whole point of CUPED: across users, the adjusted metric's
+    variance must not exceed the raw metric's (theta is the OLS argmin).
+    Also: adjustment must not change the pooled mean (up to quantization)."""
+    import statistics
+
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+    from pyspark.sql import functions as FF
+
+    rows = q("q78_cuped_adjusted_ab").collect()
+    assert len(rows) == 2 and {r.variant for r in rows} == {0, 1}
+    # recompute per-user raw/adjusted values to check the variance claim
+    e = read_parquet(spark, f"{sf_dir}/events.parquet")
+    bounds = e.agg(
+        FF.expr("MIN(unix_micros(ts))").alias("lo_us"),
+        FF.expr("MAX(unix_micros(ts))").alias("hi_us"),
+    ).selectExpr("(lo_us + hi_us) DIV 2 AS m_us")
+    cents = "CAST((SUM(CASE WHEN {cmp} THEN CAST(round(value * 1e6) AS BIGINT) ELSE 0 END) + 5000) DIV 10000 AS BIGINT)"
+    pu = (
+        e.crossJoin(FF.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            FF.expr(cents.format(cmp="unix_micros(ts) < m_us")).alias("x"),
+            FF.expr(cents.format(cmp="unix_micros(ts) >= m_us")).alias("y"),
+        )
+        .collect()
+    )
+    xs = [r.x for r in pu]
+    ys = [r.y for r in pu]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(v * v for v in xs)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    xbar = sx / n
+    adj = [y - theta * (x - xbar) for x, y in zip(xs, ys)]
+    assert statistics.pvariance(adj) <= statistics.pvariance([float(v) for v in ys]) + 1e-9
+    assert abs(statistics.fmean(adj) - statistics.fmean([float(v) for v in ys])) < 1e-6
