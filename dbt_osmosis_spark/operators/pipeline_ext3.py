@@ -193,3 +193,63 @@ def p37_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+# --------------------------------------------------------------------------
+# p38: padding-waste curve — choosing max_len from measurement
+# --------------------------------------------------------------------------
+# Every training pipeline picks a sequence length; the cost of picking
+# wrong is padding (short max_len: more sequences + per-sequence
+# overhead; long max_len: the final chunk of every document pads out).
+# This measures it: for each candidate L, each document contributes
+# ceil(n/L) chunks of which the last pads (ceil(n/L)·L − n wasted
+# positions); the report is per (source, L): sequence count and waste in
+# exact basis points of the padded total. Pure map-side arithmetic on
+# per-document token counts folded in ONE conditional-aggregate scan
+# (the L sweep is four expressions, not four passes), exploded to curve
+# rows — the same one-scan-sweep shape as p36/t24.
+
+_P38_LENS = (64, 128, 256, 512)
+
+_P38_ORACLE = f"""
+WITH toks AS (
+  SELECT source, len(string_split(trim(text), ' ')) AS n FROM documents
+  WHERE len(trim(text)) > 0
+),
+agg AS (
+  SELECT source, CAST(SUM(n) AS BIGINT) AS total_tokens,
+         {', '.join(f"CAST(SUM((n + {L} - 1) // {L}) AS BIGINT) AS seqs{L}" for L in _P38_LENS)}
+  FROM toks GROUP BY source
+)
+{' UNION ALL '.join(
+    f"SELECT source, CAST({L} AS INT) AS seq_len, seqs{L} AS n_seqs,"
+    f" (seqs{L} * {L} - total_tokens) * 10000 // (seqs{L} * {L}) AS waste_bp FROM agg"
+    for L in _P38_LENS
+)}
+ORDER BY source, seq_len
+"""
+
+
+@register("p38_padding_waste_curve", oracle=_P38_ORACLE)
+def p38_padding_waste_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    toks = docs.filter(F.length(F.trim(F.col("text"))) > 0).select(
+        "source", F.size(F.split(F.trim(F.col("text")), " ")).cast("bigint").alias("n")
+    )
+    seqs = [
+        F.sum(F.expr(f"(n + {L} - 1) DIV {L}")).cast("bigint").alias(f"seqs{L}")
+        for L in _P38_LENS
+    ]
+    agg = toks.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("total_tokens"), *seqs
+    )
+    curve = ", ".join(
+        f"struct(CAST({L} AS INT) AS seq_len, seqs{L} AS n_seqs,"
+        f" (seqs{L} * {L} - total_tokens) * 10000 DIV (seqs{L} * {L}) AS waste_bp)"
+        for L in _P38_LENS
+    )
+    return (
+        agg.select("source", F.explode(F.expr(f"array({curve})")).alias("x"))
+        .select("source", "x.seq_len", "x.n_seqs", "x.waste_bp")
+        .orderBy("source", "seq_len")
+    )

@@ -333,3 +333,85 @@ def s29_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("m")
     )
+
+
+# --------------------------------------------------------------------------
+# s30: embedding health audit — the pre-indexing sanity gate
+# --------------------------------------------------------------------------
+# Run before building any index (s05/s08/s17): per label, the norm
+# distribution (quantized exact min/max/mean), degenerate-vector counts
+# (zero norm, non-finite components, wrong dimensionality) and the
+# duplicate-vector count (exact md5 over the quantized component string
+# — embedding pipelines emitting the same vector for distinct ids is
+# the classic silent upstream bug). One map-side pass + a label-dim
+# aggregate; norms quantize at 1e9 half-up before aggregation so every
+# reported number is integer-exact.
+
+_S30_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings
+),
+per AS (
+  SELECT vec_id, label,
+         len(ev) AS dim,
+         CASE WHEN len(list_filter(ev, x -> isnan(x) OR NOT isfinite(x))) > 0 THEN NULL
+              ELSE CAST(floor(sqrt(list_sum(list_transform(ev, x -> x * x))) * 1e9 + 0.5) AS BIGINT)
+         END AS norm_q,
+         CASE WHEN len(list_filter(ev, x -> isnan(x) OR NOT isfinite(x))) > 0 THEN 1 ELSE 0 END AS bad,
+         md5(list_aggregate(list_transform(ev, x -> CAST(CAST(floor(x * 1e9 + 0.5) AS BIGINT) AS VARCHAR)), 'string_agg', ',')) AS vh
+  FROM v
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(MIN(norm_q) AS BIGINT) AS min_norm_q,
+       CAST(MAX(norm_q) AS BIGINT) AS max_norm_q,
+       CAST(SUM(norm_q) AS BIGINT) // COUNT(norm_q) AS mean_norm_q,
+       CAST(SUM(CASE WHEN norm_q = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       CAST(SUM(bad) AS BIGINT) AS n_nonfinite,
+       CAST(SUM(CASE WHEN dim <> {_DIM} THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dim,
+       CAST(COUNT(*) - COUNT(DISTINCT vh) AS BIGINT) AS n_dup_vectors
+FROM per GROUP BY label ORDER BY label
+"""
+
+
+@register("s30_embedding_health", oracle=_S30_ORACLE)
+def s30_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(read_parquet(spark, f"{sf_dir}/embeddings.parquet")).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("ev")
+    )
+    per = emb.select(
+        "label",
+        F.size("ev").alias("dim"),
+        F.expr(
+            # non-finite vectors report NO norm (they are counted by
+            # n_nonfinite; a NaN norm would otherwise cast to 0 and
+            # double-count as zero-norm — caught by the degenerate test)
+            "CASE WHEN size(filter(ev, x -> isnan(x) OR abs(x) = double('inf'))) > 0 THEN NULL"
+            " ELSE CAST(floor(sqrt(aggregate(transform(ev, x -> x * x),"
+            " CAST(0 AS DOUBLE), (acc, v) -> acc + v)) * 1e9 + 0.5) AS BIGINT) END"
+        ).alias("norm_q"),
+        F.expr(
+            "CASE WHEN size(filter(ev, x -> isnan(x) OR abs(x) = double('inf'))) > 0"
+            " THEN 1 ELSE 0 END"
+        ).alias("bad"),
+        F.md5(
+            F.expr(
+                "CAST(array_join(transform(ev,"
+                " x -> CAST(CAST(floor(x * 1e9 + 0.5) AS BIGINT) AS STRING)), ',') AS BINARY)"
+            )
+        ).alias("vh"),
+    )
+    return (
+        per.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("norm_q").alias("min_norm_q"),
+            F.max("norm_q").alias("max_norm_q"),
+            F.expr("CAST(SUM(norm_q) AS BIGINT) DIV COUNT(norm_q)").alias("mean_norm_q"),
+            F.sum(F.when(F.col("norm_q") == 0, 1).otherwise(0)).cast("bigint").alias("n_zero"),
+            F.sum("bad").cast("bigint").alias("n_nonfinite"),
+            F.sum(F.when(F.col("dim") != _DIM, 1).otherwise(0)).cast("bigint").alias("n_wrong_dim"),
+            (F.count(F.lit(1)) - F.countDistinct("vh")).cast("bigint").alias("n_dup_vectors"),
+        )
+        .orderBy("label")
+    )

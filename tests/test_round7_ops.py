@@ -443,3 +443,63 @@ def test_q78_cuped_reduces_variance(q, spark, sf_dir):
     adj = [y - theta * (x - xbar) for x, y in zip(xs, ys)]
     assert statistics.pvariance(adj) <= statistics.pvariance([float(v) for v in ys]) + 1e-9
     assert abs(statistics.fmean(adj) - statistics.fmean([float(v) for v in ys])) < 1e-6
+
+
+# ---- p38 padding waste curve -----------------------------------------------
+
+
+def test_p38_waste_monotonicity_and_bounds(q):
+    rows = q("p38_padding_waste_curve").collect()
+    assert rows
+    by_src = {}
+    for r in rows:
+        assert 0 <= r.waste_bp < 10000
+        assert r.n_seqs >= 1
+        by_src.setdefault(r.source, []).append((r.seq_len, r.n_seqs))
+    for curve in by_src.values():
+        curve.sort()
+        seqs = [s for _, s in curve]
+        # longer sequences can only mean fewer-or-equal chunks
+        assert seqs == sorted(seqs, reverse=True)
+
+
+# ---- s30 embedding health --------------------------------------------------
+
+
+def test_s30_health_clean_corpus(q, spark, sf_dir):
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    rows = q("s30_embedding_health").collect()
+    assert rows
+    total = sum(r.n_vecs for r in rows)
+    n = read_parquet(spark, f"{sf_dir}/embeddings.parquet").count()
+    assert total == n
+    for r in rows:
+        # the synthetic corpus is clean: the audit must say so
+        assert r.n_zero == 0 and r.n_nonfinite == 0 and r.n_wrong_dim == 0
+        assert 0 < r.min_norm_q <= r.mean_norm_q <= r.max_norm_q
+        assert r.n_dup_vectors >= 0
+
+
+def test_s30_health_flags_constructed_degenerates(spark, tmp_path):
+    """A zero vector, a NaN component, a short vector and a duplicated
+    vector must each be counted by the audit."""
+    import math
+
+    good = [0.1] * 64
+    rows = [
+        (0, good, 1), (1, good, 1),            # duplicate pair
+        (2, [0.0] * 64, 1),                     # zero norm
+        (3, [math.nan] + [0.1] * 63, 1),        # non-finite
+        (4, [0.2] * 32, 1),                     # wrong dim
+        (5, [0.3] * 64, 2),                     # clean, other label
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    d = str(tmp_path)
+    df.write.parquet(f"{d}/embeddings.parquet")
+    out = {r.label: r for r in QUERIES["s30_embedding_health"](spark, d).collect()}
+    assert out[1].n_dup_vectors == 1
+    assert out[1].n_zero == 1
+    assert out[1].n_nonfinite == 1
+    assert out[1].n_wrong_dim == 1
+    assert out[2].n_dup_vectors == 0 and out[2].n_zero == 0
