@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from dbt_osmosis_spark.operators import register
 from dbt_osmosis_spark.operators.caching import keep_cached
+from dbt_osmosis_spark.operators.dedup import DUCK_VERIFIED_CTES
 from dbt_osmosis_spark.operators.pipeline import _P04_EVAL_SOURCE, _P04_THRESHOLD
 from dbt_osmosis_spark.operators.text import (
     _DUCK_TOK,
@@ -252,4 +253,120 @@ def p38_padding_waste_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.select("source", F.explode(F.expr(f"array({curve})")).alias("x"))
         .select("source", "x.seq_len", "x.n_seqs", "x.waste_bp")
         .orderBy("source", "seq_len")
+    )
+
+
+# --------------------------------------------------------------------------
+# p39: quality-decile vs duplication calibration
+# --------------------------------------------------------------------------
+# Cross-signal diagnostic: are low-quality documents also the duplicated
+# ones? If dup rate concentrates in the bottom quality deciles, the
+# quality gate already removes most duplicate mass and the dedup pass
+# can run on the survivors (cheaper); if duplication is flat across
+# quality, the passes are independent and order doesn't matter. The
+# report is per GLOBAL quality decile: doc count, near-dup member count
+# (verified-pair graph nodes — d03's shared relation), dup rate in exact
+# basis points. Quality is t02's score in exact integer basis points
+# (float scores would tie-break differently across engines); the global
+# decile rank uses the t24 decomposition — per-distinct-score offsets
+# from a bounded score histogram (score space ≤ 3·10⁴ values regardless
+# of corpus size) + a local row_number within each score — never a
+# corpus-global sort.
+
+_P39_ORACLE = f"""
+WITH {DUCK_VERIFIED_CTES},
+dup_docs AS (
+  SELECT DISTINCT doc_a AS doc_id FROM verified
+  UNION
+  SELECT DISTINCT doc_b FROM verified
+),
+feat AS (
+  SELECT doc_id,
+         len(list_filter(w, x -> x IN ('the', 'a'))) * 10000 // len(w)
+         + len(list_filter(w, x -> len(x) >= 6)) * 10000 // len(w)
+         + CASE WHEN len(w) BETWEEN 20 AND 80 THEN 10000 ELSE 0 END AS score_q
+  FROM (SELECT doc_id, {_DUCK_TOK} AS w FROM documents WHERE len(trim(text)) > 0)
+),
+ranked AS (
+  SELECT doc_id, score_q,
+         ROW_NUMBER() OVER (ORDER BY score_q, doc_id) AS rnk,
+         COUNT(*) OVER () AS n
+  FROM feat
+),
+dec AS (
+  SELECT doc_id, CAST(((rnk - 1) * 10) // n + 1 AS INT) AS decile FROM ranked
+)
+SELECT d.decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(dd.doc_id) AS BIGINT) AS n_dup_docs,
+       CAST(COUNT(dd.doc_id) AS BIGINT) * 10000 // COUNT(*) AS dup_bp
+FROM dec d LEFT JOIN dup_docs dd ON dd.doc_id = d.doc_id
+GROUP BY d.decile
+ORDER BY d.decile
+"""
+
+
+@register("p39_quality_dup_calibration", oracle=_P39_ORACLE)
+def p39_quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from dbt_osmosis_spark.operators.dedup import minhash_signatures, verified_pairs
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    sig = minhash_signatures(docs).transform(keep_cached)
+    vp = verified_pairs(sig)
+    dup_docs = (
+        vp.select(F.col("doc_a").alias("doc_id"))
+        .union(vp.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    feat = (
+        spread(docs)
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "doc_id",
+            F.expr(
+                "size(filter(split(trim(text), ' '), x -> x IN ('the', 'a'))) * 10000"
+                " DIV size(split(trim(text), ' '))"
+                " + size(filter(split(trim(text), ' '), x -> length(x) >= 6)) * 10000"
+                " DIV size(split(trim(text), ' '))"
+                " + CASE WHEN size(split(trim(text), ' ')) BETWEEN 20 AND 80"
+                " THEN 10000 ELSE 0 END"
+            ).alias("score_q"),
+        )
+    )
+    # global rank without a global sort: score-histogram offsets (score
+    # space is bounded) + local row_number within each score value
+    hist = feat.groupBy("score_q").agg(F.count(F.lit(1)).alias("k"))
+    off = F.coalesce(
+        F.sum("k").over(W.orderBy("score_q").rowsBetween(W.unboundedPreceding, -1)),
+        F.lit(0),
+    ).cast("bigint")
+    offsets = hist.select("score_q", off.alias("off"))
+    # corpus size stays IN-PLAN (1-row broadcast from the same histogram;
+    # a driver-side .count() here would add a blocking job per run)
+    total = hist.agg(F.sum("k").cast("bigint").alias("n_total"))
+    local = F.row_number().over(W.partitionBy("score_q").orderBy("doc_id"))
+    dec = (
+        feat.withColumn("lrn", local)
+        .join(F.broadcast(offsets), "score_q")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.expr("CAST(((off + lrn - 1) * 10) DIV n_total + 1 AS INT)").alias(
+                "decile"
+            ),
+        )
+    )
+    return (
+        dec.join(dup_docs.withColumn("is_dup", F.lit(1)), "doc_id", "left")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("is_dup").cast("bigint").alias("n_dup_docs"),
+            F.expr("CAST(COUNT(is_dup) AS BIGINT) * 10000 DIV COUNT(*)").alias(
+                "dup_bp"
+            ),
+        )
+        .orderBy("decile")
     )

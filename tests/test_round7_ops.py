@@ -503,3 +503,25 @@ def test_s30_health_flags_constructed_degenerates(spark, tmp_path):
     assert out[1].n_nonfinite == 1
     assert out[1].n_wrong_dim == 1
     assert out[2].n_dup_vectors == 0 and out[2].n_zero == 0
+
+
+# ---- p39 quality/dup calibration -------------------------------------------
+
+
+def test_p39_deciles_partition_corpus(q, spark, sf_dir):
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    rows = q("p39_quality_dup_calibration").collect()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    n = (
+        read_parquet(spark, f"{sf_dir}/documents.parquet")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .count()
+    )
+    assert sum(r.n_docs for r in rows) == n
+    # exact-ceil deciles: sizes differ by at most 1
+    sizes = [r.n_docs for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    for r in rows:
+        assert 0 <= r.n_dup_docs <= r.n_docs
+        assert 0 <= r.dup_bp <= 10000
