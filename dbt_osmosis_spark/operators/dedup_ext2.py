@@ -131,11 +131,13 @@ def d25_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of probabilistically-few. The classic inverted-index join (d02) indexes
 # EVERY shingle; prefix filtering (Chaudhuri et al., ICDE 2006; Bayardo
 # et al., WWW 2007) indexes only each document's p = n - ceil(t*n) + 1
-# rarest shingles (global df-ascending order): if J(a,b) >= t then
-# |a∩b| >= ceil(t*max(na,nb)), and two sets sorted by one global order
-# whose prefixes are disjoint can intersect in at most
-# (na - p_a) + ... < the required overlap — so every qualifying pair
-# shares an indexed prefix token, and the join only fans out on RARE
+# rarest shingles (global df-ascending order). Completeness: let x be
+# the globally-first common token of a qualifying pair. Every a-token
+# ordered before x is NOT common, so if x sat outside a's prefix then
+# |a∩b| <= na - p_a = ceil(t*na) - 1 < ceil(t*na) <= |a∩b| (J >= t
+# forces |a∩b| >= ceil(t*max(na,nb))) — contradiction; symmetrically
+# for b. The first common token is therefore in BOTH prefixes, the
+# posting-list join finds it, and the join only fans out on RARE
 # tokens (the df-hot head of the Zipf curve never enters the index).
 # At t = 0.5 the index is ~half of d02's; at the t = 0.8-0.9 used for
 # near-verbatim dedup it is a small fraction, and the hottest posting
