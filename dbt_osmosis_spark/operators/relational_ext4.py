@@ -556,8 +556,12 @@ mom AS (
   FROM per_user
 ),
 theta AS (
+  -- products computed in DOUBLE from the exact BIGINT sums: n*sxy
+  -- overflows BIGINT at ~10x scale (measured), and identical integer
+  -- inputs give identical IEEE products in both engines
   SELECT n, sx, sy,
-         CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS th,
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS th,
          CAST(sx AS DOUBLE) / n AS xbar
   FROM mom
 ),
@@ -601,7 +605,10 @@ def q78_cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("x_c * x_c")).cast("bigint").alias("sxx"),
         F.sum(F.expr("x_c * y_c")).cast("bigint").alias("sxy"),
     ).selectExpr(
-        "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS th",
+        # DOUBLE products of exact BIGINT sums — n*sxy overflows BIGINT
+        # at ~10x (caught by the scale probe); same ints -> same doubles
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS th",
         "CAST(sx AS DOUBLE) / n AS xbar",
     )
     adj = per_user.crossJoin(F.broadcast(mom)).select(
