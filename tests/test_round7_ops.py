@@ -525,3 +525,28 @@ def test_p39_deciles_partition_corpus(q, spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_dup_docs <= r.n_docs
         assert 0 <= r.dup_bp <= 10000
+
+
+# ---- plan-shape pins for the round-7 surface -------------------------------
+
+
+def test_round7_exchange_budgets(q):
+    """Exchange-count ceilings measured at 1x/10x/30x (SCALE.md) — a
+    refactor that adds a shuffle should fail here, not at the next scale
+    probe."""
+    from dbt_osmosis_spark.plans.audit import exchange_count
+
+    budgets = {
+        "q73_funnel": 11,
+        "q75_histogram_quantile_eval": 8,
+        "q77_capped_running_balance": 2,
+        "q78_cuped_adjusted_ab": 7,
+        "t24_vocab_coverage_curve": 8,
+        "s28_centroid_silhouette": 5,
+        "s29_pq_distortion": 3,
+        "s30_embedding_health": 3,
+        "m13_payload_shard_packing": 5,
+        "p38_padding_waste_curve": 2,
+    }
+    for name, budget in budgets.items():
+        assert exchange_count(q(name)) <= budget, name
