@@ -211,3 +211,97 @@ def d26_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# d27: residual-duplication audit — "did dedup work?", by an INDEPENDENT
+# detector
+# --------------------------------------------------------------------------
+# After d09 removes MinHash-LSH duplicate clusters, what duplication
+# REMAINS? Asking the same detector is circular (its own edges define
+# the kept set); this audit re-measures with the OTHER signature family
+# — exact-SimHash collision groups (d04) — on the full corpus vs the
+# kept corpus. The report is two summary rows: docs, dup groups, docs
+# inside dup groups. A healthy pipeline shows the kept row at or near
+# zero; a nonzero kept row quantifies exactly the near-dup mass the
+# LSH banding missed (threshold-boundary pairs, cross-component
+# simhash twins) — the number a data lead wants before shipping the
+# corpus, produced without a second dedup run. Both chains are the
+# SHARED definitions (lsh_components, simhash_signatures /
+# DUCK_LSH_CTES, DUCK_SIMHASH_CTES), so the audit can never measure a
+# different pipeline than the one that ran.
+
+from dbt_osmosis_spark.operators.dedup import DUCK_LSH_CTES  # noqa: E402
+from dbt_osmosis_spark.operators.dedup import DUCK_SIMHASH_CTES, simhash_signatures  # noqa: E402
+from dbt_osmosis_spark.operators.pipeline import lsh_components  # noqa: E402
+
+_D27_ORACLE = f"""
+WITH RECURSIVE {{LSH}},
+edges2 AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM cand
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges2 e ON e.src = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node),
+kept AS (SELECT doc_id FROM comp WHERE component = doc_id),
+{{SIMHASH}},
+full_g AS (SELECT simhash, COUNT(*) AS n FROM sigs GROUP BY simhash),
+kept_g AS (
+  SELECT s.simhash, COUNT(*) AS n
+  FROM sigs s JOIN kept k ON k.doc_id = s.doc_id
+  GROUP BY s.simhash
+),
+summary AS (
+  SELECT '0_full' AS corpus,
+         CAST(SUM(n) AS BIGINT) AS n_docs,
+         CAST(COUNT(CASE WHEN n > 1 THEN 1 END) AS BIGINT) AS n_dup_groups,
+         CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_docs_in_dups
+  FROM full_g
+  UNION ALL
+  SELECT '1_kept', CAST(SUM(n) AS BIGINT),
+         CAST(COUNT(CASE WHEN n > 1 THEN 1 END) AS BIGINT),
+         CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+  FROM kept_g
+)
+SELECT corpus, n_docs, n_dup_groups, n_docs_in_dups FROM summary ORDER BY corpus
+"""
+
+
+@register(
+    "d27_residual_dup_audit",
+    oracle=_D27_ORACLE.format(LSH=DUCK_LSH_CTES, SIMHASH=DUCK_SIMHASH_CTES),
+)
+def d27_residual_dup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    comp = lsh_components(docs)
+    kept = comp.filter(F.col("component") == F.col("id")).select(
+        F.col("id").alias("doc_id")
+    )
+    sigs = simhash_signatures(docs).transform(keep_cached)
+
+    def summarize(g: DataFrame, tag: str) -> DataFrame:
+        return g.agg(
+            F.sum("n").cast("bigint").alias("n_docs"),
+            F.count(F.when(F.col("n") > 1, 1)).cast("bigint").alias("n_dup_groups"),
+            F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs_in_dups"),
+        ).withColumn("corpus", F.lit(tag))
+
+    full_g = sigs.groupBy("simhash").agg(F.count(F.lit(1)).alias("n"))
+    kept_g = (
+        sigs.join(kept, "doc_id", "left_semi")
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        summarize(full_g, "0_full")
+        .unionByName(summarize(kept_g, "1_kept"))
+        .select("corpus", "n_docs", "n_dup_groups", "n_docs_in_dups")
+        .orderBy("corpus")
+    )

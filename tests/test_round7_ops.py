@@ -550,3 +550,16 @@ def test_round7_exchange_budgets(q):
     }
     for name, budget in budgets.items():
         assert exchange_count(q(name)) <= budget, name
+
+
+# ---- d27 residual-dup audit -------------------------------------------------
+
+
+def test_d27_kept_duplication_not_worse_than_full(q):
+    rows = {r.corpus: r for r in q("d27_residual_dup_audit").collect()}
+    assert set(rows) == {"0_full", "1_kept"}
+    full, kept = rows["0_full"], rows["1_kept"]
+    assert kept.n_docs <= full.n_docs
+    # dedup can only reduce independent-detector duplication
+    assert kept.n_dup_groups <= full.n_dup_groups
+    assert kept.n_docs_in_dups <= full.n_docs_in_dups
