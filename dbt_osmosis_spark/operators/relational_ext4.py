@@ -629,3 +629,157 @@ def q78_cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+# --------------------------------------------------------------------------
+# q79: KMV/theta set algebra — audience overlap without scanning
+# --------------------------------------------------------------------------
+# q69 proves the KMV sketch estimates ONE set's cardinality; the reason
+# warehouses keep theta sketches (Dasgupta et al., "Theta Sketch
+# Framework") is SET ALGEBRA: union and intersection sizes of audiences
+# from the tiny sketches alone — "how many users both clicked and
+# purchased" across arbitrary segment pairs with no re-scan. Mechanics:
+# cut both sketches to θ = min(θ_A, θ_B); hashes below θ form a uniform
+# sample of each set, so |union est| = |S_A ∪ S_B| · 2^60 / θ and
+# |inter est| = |S_A ∩ S_B| · 2^60 / θ. Everything after the one
+# (type, user) dedup shuffle operates on ≤ k·|types| rows; the pairwise
+# stage is a broadcast join of 5-row/64-row relations. Estimates are
+# deterministic doubles (same integer hashes, same single division);
+# exact counterparts come from the same deduped key relation. Shares
+# q69's hash derivation verbatim, so the two sketch operators can never
+# drift.
+
+from dbt_osmosis_spark.operators.relational_ext3 import (  # noqa: E402
+    _Q69_DUCK_H,
+    _Q69_SPARK_H,
+)
+from dbt_osmosis_spark.operators.caching import keep_cached  # noqa: E402
+
+_Q79_K = 64
+_Q79_SPACE = float(1 << 60)
+
+_Q79_ORACLE = f"""
+WITH keys AS (
+  SELECT DISTINCT event_type, user_id FROM events
+),
+hashed AS (
+  SELECT event_type, {_Q69_DUCK_H} AS h FROM keys
+),
+ranked AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+  FROM hashed
+),
+sk AS (SELECT event_type, h FROM ranked WHERE rk <= {_Q79_K}),
+hk AS (SELECT event_type, MAX(h) AS hk FROM sk GROUP BY event_type),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         least(a.hk, b.hk) AS theta
+  FROM hk a JOIN hk b ON a.event_type < b.event_type
+),
+union_s AS (
+  SELECT p.type_a, p.type_b, COUNT(DISTINCT s.h) AS nu
+  FROM pairs p JOIN sk s
+    ON s.event_type IN (p.type_a, p.type_b) AND s.h < p.theta
+  GROUP BY p.type_a, p.type_b
+),
+inter_s AS (
+  SELECT p.type_a, p.type_b, COUNT(*) AS ni
+  FROM pairs p
+  JOIN sk sa ON sa.event_type = p.type_a AND sa.h < p.theta
+  JOIN sk sb ON sb.event_type = p.type_b AND sb.h = sa.h
+  GROUP BY p.type_a, p.type_b
+),
+ex_inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS exact_inter
+  FROM keys a JOIN keys b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+ex_n AS (SELECT event_type, COUNT(*) AS n FROM keys GROUP BY event_type)
+SELECT p.type_a, p.type_b,
+       CAST(na.n + nb.n - COALESCE(x.exact_inter, 0) AS BIGINT) AS exact_union,
+       round(u.nu * {_Q79_SPACE!r} / p.theta, 4) AS est_union,
+       CAST(COALESCE(x.exact_inter, 0) AS BIGINT) AS exact_inter,
+       round(COALESCE(i.ni, 0) * {_Q79_SPACE!r} / p.theta, 4) AS est_inter
+FROM pairs p
+JOIN ex_n na ON na.event_type = p.type_a
+JOIN ex_n nb ON nb.event_type = p.type_b
+LEFT JOIN ex_inter x ON x.type_a = p.type_a AND x.type_b = p.type_b
+JOIN union_s u ON u.type_a = p.type_a AND u.type_b = p.type_b
+LEFT JOIN inter_s i ON i.type_a = p.type_a AND i.type_b = p.type_b
+ORDER BY p.type_a, p.type_b
+"""
+
+
+@register("q79_kmv_set_algebra", oracle=_Q79_ORACLE)
+def q79_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = t(spark, sf_dir, "events")
+    keys = e.select("event_type", "user_id").distinct()
+    hashed = keys.select("event_type", F.expr(_Q69_SPARK_H).alias("h"))
+    rk = F.row_number().over(W.partitionBy("event_type").orderBy("h"))
+    sk = (
+        hashed.withColumn("rk", rk).filter(F.col("rk") <= _Q79_K).select("event_type", "h")
+    ).transform(keep_cached)
+    hk = sk.groupBy("event_type").agg(F.max("h").alias("hk"))
+    a = hk.select(F.col("event_type").alias("type_a"), F.col("hk").alias("hka"))
+    b = hk.select(F.col("event_type").alias("type_b"), F.col("hk").alias("hkb"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("type_a") < F.col("type_b"))
+        .select("type_a", "type_b", F.least("hka", "hkb").alias("theta"))
+    )
+    union_s = (
+        pairs.join(
+            F.broadcast(sk),
+            (F.col("event_type").isin(F.col("type_a"), F.col("type_b")))
+            & (F.col("h") < F.col("theta")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.countDistinct("h").alias("nu"))
+    )
+    sa = sk.select(F.col("event_type").alias("type_a"), F.col("h").alias("ha"))
+    sb = sk.select(F.col("event_type").alias("type_b"), F.col("h").alias("hb"))
+    inter_s = (
+        pairs.join(F.broadcast(sa), "type_a")
+        .filter(F.col("ha") < F.col("theta"))
+        .join(F.broadcast(sb), ["type_b"])
+        .filter(F.col("hb") == F.col("ha"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    ka = keys.select(F.col("event_type").alias("type_a"), "user_id")
+    kb = keys.select(F.col("event_type").alias("type_b"), "user_id")
+    ex_inter = (
+        ka.join(kb, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    ex_n = keys.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    na = ex_n.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    nb = ex_n.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .join(F.broadcast(ex_inter), ["type_a", "type_b"], "left")
+        .join(F.broadcast(union_s), ["type_a", "type_b"])
+        .join(F.broadcast(inter_s), ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            F.expr("CAST(na + nb - COALESCE(exact_inter, 0) AS BIGINT)").alias(
+                "exact_union"
+            ),
+            F.round(F.col("nu") * F.lit(_Q79_SPACE) / F.col("theta"), 4).alias(
+                "est_union"
+            ),
+            F.expr("CAST(COALESCE(exact_inter, 0) AS BIGINT)").alias("exact_inter"),
+            F.round(
+                F.expr("COALESCE(ni, 0)") * F.lit(_Q79_SPACE) / F.col("theta"), 4
+            ).alias("est_inter"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -563,3 +563,18 @@ def test_d27_kept_duplication_not_worse_than_full(q):
     # dedup can only reduce independent-detector duplication
     assert kept.n_dup_groups <= full.n_dup_groups
     assert kept.n_docs_in_dups <= full.n_docs_in_dups
+
+
+# ---- q79 KMV set algebra ---------------------------------------------------
+
+
+def test_q79_set_algebra_sanity_and_error_bounds(q):
+    rows = q("q79_kmv_set_algebra").collect()
+    assert len(rows) == 10  # C(5 event types, 2)
+    for r in rows:
+        assert r.exact_inter <= r.exact_union
+        assert r.est_union > 0
+        # KMV k=64 -> RSE ~ 13%; allow a generous 3-sigma band
+        assert abs(r.est_union - r.exact_union) / r.exact_union < 0.5, r
+        if r.exact_inter > 0:
+            assert abs(r.est_inter - r.exact_inter) / r.exact_inter < 0.8, r
