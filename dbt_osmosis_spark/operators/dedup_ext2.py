@@ -305,3 +305,92 @@ def d27_residual_dup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("corpus", "n_docs", "n_dup_groups", "n_docs_in_dups")
         .orderBy("corpus")
     )
+
+
+# --------------------------------------------------------------------------
+# d28: k-core of the duplicate graph — boilerplate-hub detection by peeling
+# --------------------------------------------------------------------------
+# The 2-core (every node has >= 2 neighbors AFTER iteratively peeling
+# degree-1 leaves) separates CHAIN-shaped near-dup structure (A~B~C
+# paraphrase drift — peels away entirely) from DENSELY-shared content
+# (boilerplate/template hubs — survives peeling). d23's triangle census
+# counts closed structure; the k-core NAMES the documents inside it —
+# the actual review list before a cluster-collapse. Peeling is the
+# textbook iterative-refinement operator: each round filters edges to
+# surviving endpoints, recomputes degrees (one groupBy on node ids),
+# drops nodes under k. Rounds are UNROLLED to a fixed depth in both
+# engines (the d25/q49 bounded-unroll discipline) so the result is fully
+# hash-checkable; pytest separately asserts the bounded result IS the
+# fixpoint on the test corpus (a fifth peel changes nothing), and the
+# production entry point would loop to stability with the d06
+# convergence harness. Shuffle volume per round is O(|edges|) on
+# doc_id keys — the d25 scale shape.
+
+_D28_K = 2
+_D28_ROUNDS = 4
+
+
+def _peel_round_sql(prev_nodes: str, out_nodes: str) -> str:
+    return f"""
+e_{out_nodes} AS (
+  SELECT e.u, e.v FROM ud e
+  JOIN {prev_nodes} a ON a.node = e.u
+  JOIN {prev_nodes} b ON b.node = e.v
+),
+{out_nodes} AS (
+  SELECT u AS node FROM e_{out_nodes} GROUP BY u HAVING COUNT(*) >= {_D28_K}
+)"""
+
+
+_D28_ORACLE = f"""
+WITH {DUCK_VERIFIED_CTES},
+ud AS (
+  SELECT doc_a AS u, doc_b AS v FROM verified
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM verified
+),
+n0 AS (SELECT DISTINCT u AS node FROM ud),
+{','.join(_peel_round_sql(f'n{i}', f'n{i + 1}') for i in range(_D28_ROUNDS))}
+SELECT e.u AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM e_n{_D28_ROUNDS} e
+JOIN n{_D28_ROUNDS} a ON a.node = e.u
+JOIN n{_D28_ROUNDS} b ON b.node = e.v
+GROUP BY e.u
+ORDER BY doc_id
+"""
+
+
+@register("d28_kcore_hubs", oracle=_D28_ORACLE)
+def d28_kcore_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    sig = minhash_signatures(docs).transform(keep_cached)
+    vp = verified_pairs(sig).select("doc_a", "doc_b")
+    ud = (
+        vp.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(vp.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .transform(keep_cached)
+    )
+    nodes = ud.select(F.col("u").alias("node")).distinct()
+    edges = ud
+    for _ in range(_D28_ROUNDS):
+        # induced-subgraph edges, then the >= k degree survivors; the
+        # node table rides the d25 shuffle-hash discipline (its size
+        # estimate is as unreliable as the label table's)
+        na = nodes.select(F.col("node").alias("u")).hint("shuffle_hash")
+        nb = nodes.select(F.col("node").alias("v")).hint("shuffle_hash")
+        edges = ud.join(na, "u").join(nb, "v")
+        nodes = (
+            edges.groupBy(F.col("u").alias("node"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= _D28_K)
+            .select("node")
+        )
+    final_edges = (
+        edges.join(nodes.select(F.col("node").alias("u")), "u")
+        .join(nodes.select(F.col("node").alias("v")), "v")
+    )
+    return (
+        final_edges.groupBy(F.col("u").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .orderBy("doc_id")
+    )

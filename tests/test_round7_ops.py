@@ -578,3 +578,33 @@ def test_q79_set_algebra_sanity_and_error_bounds(q):
         assert abs(r.est_union - r.exact_union) / r.exact_union < 0.5, r
         if r.exact_inter > 0:
             assert abs(r.est_inter - r.exact_inter) / r.exact_inter < 0.8, r
+
+
+# ---- d28 k-core ------------------------------------------------------------
+
+
+def test_d28_bounded_peel_reached_fixpoint_and_core_property(q, spark, sf_dir):
+    """Every surviving node must retain degree >= k inside the core, and
+    on this corpus the bounded 4-round peel must already be the fixpoint
+    (a fifth peel removes nothing)."""
+    from dbt_osmosis_spark.operators.caching import keep_cached
+    from dbt_osmosis_spark.operators.dedup import minhash_signatures, verified_pairs
+    from dbt_osmosis_spark.operators.dedup_ext2 import _D28_K
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    rows = q("d28_kcore_hubs").collect()
+    core = {r.doc_id for r in rows}
+    for r in rows:
+        assert r.core_degree >= _D28_K
+    # fixpoint: recompute degrees inside the returned core directly
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    vp = verified_pairs(minhash_signatures(docs).transform(keep_cached)).collect()
+    deg = {}
+    for p in vp:
+        if p.doc_a in core and p.doc_b in core:
+            deg[p.doc_a] = deg.get(p.doc_a, 0) + 1
+            deg[p.doc_b] = deg.get(p.doc_b, 0) + 1
+    assert set(deg) == core
+    assert all(d >= _D28_K for d in deg.values())
+    # and the reported degrees are exactly the induced degrees
+    assert {r.doc_id: r.core_degree for r in rows} == deg
