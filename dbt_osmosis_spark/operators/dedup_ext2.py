@@ -365,19 +365,23 @@ def d28_kcore_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     sig = minhash_signatures(docs).transform(keep_cached)
     vp = verified_pairs(sig).select("doc_a", "doc_b")
+    # Lineage discipline (the connected_components lesson, pipeline.py:54):
+    # each peel round references the node table TWICE (both edge
+    # endpoints), so an un-truncated unroll grows the plan 2^rounds —
+    # measured 372 exchanges and 22 s at sf0.1 before the fix. The edge
+    # frame is localCheckpoint()ed once up front and the (tiny) node set
+    # once per round, capping every round's plan at its own two joins.
     ud = (
         vp.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .unionByName(vp.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
-        .transform(keep_cached)
+        .localCheckpoint(eager=True)
     )
     nodes = ud.select(F.col("u").alias("node")).distinct()
     edges = ud
     for _ in range(_D28_ROUNDS):
-        # induced-subgraph edges, then the >= k degree survivors; the
-        # node table rides the d25 shuffle-hash discipline (its size
-        # estimate is as unreliable as the label table's)
-        na = nodes.select(F.col("node").alias("u")).hint("shuffle_hash")
-        nb = nodes.select(F.col("node").alias("v")).hint("shuffle_hash")
+        nodes = nodes.localCheckpoint(eager=True)
+        na = nodes.select(F.col("node").alias("u"))
+        nb = nodes.select(F.col("node").alias("v"))
         edges = ud.join(na, "u").join(nb, "v")
         nodes = (
             edges.groupBy(F.col("u").alias("node"))
