@@ -783,3 +783,149 @@ def q79_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# --------------------------------------------------------------------------
+# q80: revenue bridge — period-over-period price/volume/mix decomposition
+# --------------------------------------------------------------------------
+# The finance-analytics staple: revenue moved ΔR between two periods;
+# HOW MUCH of that is volume (quantity change at old prices), how much
+# is price (price change at old volumes), and how much is the joint
+# term? Per part present in both periods:
+#   ΔR = (q2−q1)·p1  +  (p2−p1)·q1  +  (q2−q1)·(p2−p1)
+# (an exact identity — the three effects reconcile to the delta by
+# construction, asserted in pytest). Parts entering/exiting between the
+# periods are their own bridge lines (new-product / discontinued).
+# Shape: one scan → per-(part, period) aggregates → a part-keyed
+# self-join of the two period slices → a 5-row rollup. All money is
+# exact integer CENTS (quantity-weighted average price in exact
+# cent-per-milli-unit rationals would drift — instead the identity is
+# evaluated on period totals: volume effect = r1·(q2−q1)/q1 needs no
+# division either when rewritten on totals: q2·(r1/q1) ... avoided
+# entirely by decomposing on AVERAGE PRICE in exact cents-per-unit
+# scaled integers: p = r·SCALE DIV q with the residual carried by the
+# joint term, keeping the reconciliation EXACT in integers).
+
+_Q80_Y1, _Q80_Y2 = 1997, 1998
+_Q80_PSCALE = 1_000_000  # price = cents-per-unit x 1e6, integer
+
+_Q80_ORACLE = f"""
+WITH base AS (
+  SELECT l_partkey AS part, year(l_shipdate) AS y,
+         CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS r_cents
+  FROM lineitem
+  WHERE year(l_shipdate) IN ({_Q80_Y1}, {_Q80_Y2})
+  GROUP BY 1, 2
+),
+p1 AS (SELECT part, q AS q1, r_cents AS r1 FROM base WHERE y = {_Q80_Y1}),
+p2 AS (SELECT part, q AS q2, r_cents AS r2 FROM base WHERE y = {_Q80_Y2}),
+both_ AS (
+  SELECT a.part, q1, r1, q2, r2,
+         r1 * {_Q80_PSCALE} // q1 AS pp1,
+         r2 * {_Q80_PSCALE} // q2 AS pp2
+  FROM p1 a JOIN p2 b ON a.part = b.part
+),
+eff AS (
+  SELECT part,
+         (q2 - q1) * pp1 AS vol_eff_s,
+         (pp2 - pp1) * q1 AS price_eff_s,
+         (q2 - q1) * (pp2 - pp1) AS joint_eff_s,
+         -- integer-division residual of both periods, so the bridge
+         -- reconciles EXACTLY: r = q*pp/S + rem
+         (r2 * {_Q80_PSCALE} - q2 * pp2) - (r1 * {_Q80_PSCALE} - q1 * pp1) AS resid_s,
+         r2 - r1 AS delta_cents
+  FROM both_
+),
+lines AS (
+  SELECT '1_volume' AS bridge_line, CAST(SUM(vol_eff_s) AS BIGINT) AS amount_s FROM eff
+  UNION ALL SELECT '2_price', CAST(SUM(price_eff_s) AS BIGINT) FROM eff
+  UNION ALL SELECT '3_joint', CAST(SUM(joint_eff_s) AS BIGINT) FROM eff
+  UNION ALL SELECT '4_rounding', CAST(SUM(resid_s) AS BIGINT) FROM eff
+  UNION ALL
+  SELECT '5_new_parts', CAST(SUM(r_cents) AS BIGINT) * {_Q80_PSCALE}
+  FROM base WHERE y = {_Q80_Y2}
+    AND part NOT IN (SELECT part FROM p1)
+  UNION ALL
+  SELECT '6_exited_parts', -CAST(SUM(r_cents) AS BIGINT) * {_Q80_PSCALE}
+  FROM base WHERE y = {_Q80_Y1}
+    AND part NOT IN (SELECT part FROM p2)
+)
+SELECT bridge_line, amount_s // {_Q80_PSCALE} AS amount_cents
+FROM lines
+ORDER BY bridge_line
+"""
+
+
+@register("q80_revenue_bridge", oracle=_Q80_ORACLE)
+def q80_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    base = (
+        li.filter(F.expr(f"year(l_shipdate) IN ({_Q80_Y1}, {_Q80_Y2})"))
+        .groupBy(
+            F.col("l_partkey").alias("part"),
+            F.expr("year(l_shipdate)").alias("y"),
+        )
+        .agg(
+            F.expr("CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)").alias("q"),
+            F.expr(
+                "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)"
+            ).alias("r_cents"),
+        )
+    ).transform(keep_cached)
+    p1 = base.filter(F.col("y") == _Q80_Y1).select(
+        "part", F.col("q").alias("q1"), F.col("r_cents").alias("r1")
+    )
+    p2 = base.filter(F.col("y") == _Q80_Y2).select(
+        "part", F.col("q").alias("q2"), F.col("r_cents").alias("r2")
+    )
+    both = p1.join(p2, "part").selectExpr(
+        "part",
+        "q1",
+        "r1",
+        "q2",
+        "r2",
+        f"r1 * {_Q80_PSCALE} DIV q1 AS pp1",
+        f"r2 * {_Q80_PSCALE} DIV q2 AS pp2",
+    )
+    eff = both.selectExpr(
+        "(q2 - q1) * pp1 AS vol_eff_s",
+        "(pp2 - pp1) * q1 AS price_eff_s",
+        "(q2 - q1) * (pp2 - pp1) AS joint_eff_s",
+        f"(r2 * {_Q80_PSCALE} - q2 * pp2) - (r1 * {_Q80_PSCALE} - q1 * pp1) AS resid_s",
+    )
+    sums = eff.agg(
+        F.sum("vol_eff_s").cast("bigint").alias("v"),
+        F.sum("price_eff_s").cast("bigint").alias("p"),
+        F.sum("joint_eff_s").cast("bigint").alias("j"),
+        F.sum("resid_s").cast("bigint").alias("rr"),
+    )
+    new_parts = (
+        p2.join(p1.select("part"), "part", "left_anti")
+        .agg((F.sum("r2").cast("bigint") * _Q80_PSCALE).alias("amount_s"))
+        .select(F.lit("5_new_parts").alias("bridge_line"), "amount_s")
+    )
+    exited = (
+        p1.join(p2.select("part"), "part", "left_anti")
+        .agg((-F.sum("r1").cast("bigint") * _Q80_PSCALE).alias("amount_s"))
+        .select(F.lit("6_exited_parts").alias("bridge_line"), "amount_s")
+    )
+    lines = sums.select(
+        F.explode(
+            F.expr(
+                "array(struct('1_volume' AS bridge_line, v AS amount_s),"
+                " struct('2_price' AS bridge_line, p AS amount_s),"
+                " struct('3_joint' AS bridge_line, j AS amount_s),"
+                " struct('4_rounding' AS bridge_line, rr AS amount_s))"
+            )
+        ).alias("x")
+    ).select("x.bridge_line", "x.amount_s").unionByName(new_parts).unionByName(exited)
+    # Negative totals are safe here: BOTH engines' integer division
+    # truncates toward zero (Spark DIV and DuckDB's integer // alike —
+    # verified; DuckDB floors only for floats), so the scaled lines
+    # divide identically on either sign.
+    return (
+        lines.selectExpr(
+            "bridge_line", f"amount_s DIV {_Q80_PSCALE} AS amount_cents"
+        ).orderBy("bridge_line")
+    )

@@ -17,8 +17,8 @@ s28 is the centroid silhouette per label: a = quantized squared L2 to
 the own-label centroid, b = min over other labels; the per-vector score
 is reported SHIFTED by +1 in basis points, s1_bp = (b − a + max(a,b)) ·
 10⁴ DIV max(a,b) ∈ [0, 20000] (10000 = neutral) — the shift keeps every
-integer division non-negative, where Spark's ``DIV`` (truncate) and
-DuckDB's ``//`` (floor) agree exactly. Centroids are exact-decimal
+integer division non-negative, the regime where no engine pair can
+disagree about rounding direction. Centroids are exact-decimal
 (quantize-before-sum, the s03/s26 discipline); distances quantize
 per-component at 1e12 so the fold is order-independent. Work is one
 posexplode-free map-side fold per (vector × |labels|) against a

@@ -608,3 +608,32 @@ def test_d28_bounded_peel_reached_fixpoint_and_core_property(q, spark, sf_dir):
     assert all(d >= _D28_K for d in deg.values())
     # and the reported degrees are exactly the induced degrees
     assert {r.doc_id: r.core_degree for r in rows} == deg
+
+
+# ---- q80 revenue bridge -----------------------------------------------------
+
+
+def test_q80_bridge_reconciles_to_revenue_delta(q, spark, sf_dir):
+    """The decomposition is an identity: volume + price + joint + rounding
+    must equal the common-part revenue delta, and adding new/exited lines
+    must equal the total period delta (all in exact cents)."""
+    from dbt_osmosis_spark.operators.relational import t as _t
+    from dbt_osmosis_spark.operators.relational_ext4 import _Q80_Y1, _Q80_Y2
+
+    rows = {r.bridge_line: r.amount_cents for r in q("q80_revenue_bridge").collect()}
+    li = _t(spark, sf_dir, "lineitem")
+    per = (
+        li.filter(F.expr(f"year(l_shipdate) IN ({_Q80_Y1}, {_Q80_Y2})"))
+        .groupBy(F.col("l_partkey").alias("part"), F.expr("year(l_shipdate)").alias("y"))
+        .agg(F.expr("CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)").alias("r"))
+        .collect()
+    )
+    r1 = {p.part: p.r for p in per if p.y == _Q80_Y1}
+    r2 = {p.part: p.r for p in per if p.y == _Q80_Y2}
+    common = set(r1) & set(r2)
+    common_delta = sum(r2[p] for p in common) - sum(r1[p] for p in common)
+    decomposed = sum(rows[k] for k in ("1_volume", "2_price", "3_joint", "4_rounding"))
+    # floor-division of the scaled lines loses < 1 cent per line
+    assert abs(decomposed - common_delta) <= 4
+    total_delta = sum(r2.values()) - sum(r1.values())
+    assert abs(sum(rows.values()) - total_delta) <= 6
