@@ -57,12 +57,15 @@ FROM s GROUP BY shard_id ORDER BY shard_id
 """
 
 
-@register("m13_payload_shard_packing", oracle=_M13_ORACLE)
-def m13_payload_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = attach_fake_payloads(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+def shard_assignments(docs: DataFrame) -> DataFrame:
+    """(doc_id, nb, content_md5, shard_id): the byte-budgeted shard key
+    for every payload — the m13/m14 shared definition (one cumsum, so
+    the manifest and the integrity checksums can never disagree about
+    which shard holds a payload)."""
     p = docs.select(
         "doc_id",
         F.octet_length("content").cast("bigint").alias("nb"),
+        F.md5("content").alias("content_md5"),
         F.expr(f"doc_id DIV {_M13_BUCKET}").alias("bkt"),
     )
     # carry-in: cumulative bytes of all earlier buckets (|buckets| rows)
@@ -82,13 +85,73 @@ def m13_payload_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         p.withColumn("local_off", F.coalesce(F.sum("nb").over(local), F.lit(0)))
         .join(F.broadcast(offsets), "bkt")
-        .withColumn("shard_id", shard)
+        .select("doc_id", "nb", "content_md5", shard.alias("shard_id"))
+    )
+
+
+@register("m13_payload_shard_packing", oracle=_M13_ORACLE)
+def m13_payload_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = attach_fake_payloads(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    return (
+        shard_assignments(docs)
         .groupBy("shard_id")
         .agg(
             F.count(F.lit(1)).alias("n_payloads"),
             F.sum("nb").cast("bigint").alias("shard_bytes"),
             F.min("doc_id").alias("min_doc"),
             F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# m14: shard integrity manifest — content checksums for incremental verify
+# --------------------------------------------------------------------------
+# At 100 TB a training-data store is verified SHARD by shard, not byte by
+# byte: each shard carries a content checksum derived from its members'
+# payload digests in a canonical order, so a reader (or a nightly
+# auditor) re-hashes one shard's digest list — kilobytes — instead of
+# re-reading terabytes, and a corrupted/missing/reordered payload changes
+# exactly one manifest row. Checksum = md5 over the comma-joined member
+# md5s in doc_id order — order-canonicalized INSIDE the aggregation, so
+# the manifest is identical however the shard's rows were partitioned.
+# Shares shard_assignments with m13 (one cumsum definition).
+
+_M14_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id, octet_length(encode(text)) AS nb, md5(text) AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, nb, h,
+         CAST(COALESCE(SUM(nb) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM p
+),
+s AS (SELECT doc_id, nb, h, off // {_M13_SHARD_BYTES} AS shard_id FROM c)
+SELECT shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_payloads,
+       md5(string_agg(h, ',' ORDER BY doc_id)) AS shard_checksum
+FROM s GROUP BY shard_id ORDER BY shard_id
+"""
+
+
+@register("m14_shard_integrity_manifest", oracle=_M14_ORACLE)
+def m14_shard_integrity_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = attach_fake_payloads(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    return (
+        shard_assignments(docs)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_payloads"),
+            F.md5(
+                F.expr(
+                    "CAST(array_join(transform(array_sort("
+                    "collect_list(struct(doc_id, content_md5))),"
+                    " s -> s.content_md5), ',') AS BINARY)"
+                )
+            ).alias("shard_checksum"),
         )
         .orderBy("shard_id")
     )

