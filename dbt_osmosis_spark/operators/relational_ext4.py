@@ -929,3 +929,73 @@ def q80_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bridge_line", f"amount_s DIV {_Q80_PSCALE} AS amount_cents"
         ).orderBy("bridge_line")
     )
+
+
+# --------------------------------------------------------------------------
+# q81: small-file compaction — the OPTIMIZE maintenance operator
+# --------------------------------------------------------------------------
+# Streaming sinks and incremental appends fragment tables into thousands
+# of small files; every later scan then pays per-file open/footer/task
+# overhead, which at 100 TB dominates real IO (the classic "small files
+# problem"). This operator is the lakehouse OPTIMIZE loop from plain
+# Spark primitives: measure the fragmented layout's byte size from the
+# file index, size the output to ceil(bytes / target) files, rewrite
+# with repartition, and serve from the compacted copy. The registered
+# result is a data aggregate read back from the compacted layout, so the
+# oracle is LAYOUT INVARIANCE (plain SQL over the raw table — compaction
+# must never change query answers); the file-count/size contract is
+# asserted from the real directory in pytest. Deterministic row
+# placement is NOT part of the contract (any partitioning of the same
+# rows is a valid compaction) — exactly why the check is a value oracle.
+
+_Q81_TARGET_BYTES = 256 * 1024
+_Q81_FRAGMENTS = 64
+
+_Q81_ORACLE = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def _q81_paths(sf_dir: str) -> tuple[str, str]:
+    repo = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    tag = _os.path.basename(sf_dir.rstrip("/")) or "sf"
+    base = _os.path.join(repo, ".events_compact", tag)
+    return _os.path.join(base, "frag"), _os.path.join(base, "compacted")
+
+
+def compact_events(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Fragment (simulating a streaming sink's output), then compact to
+    ~target-byte files sized from the REAL fragmented footprint."""
+    import glob
+
+    frag, compacted = _q81_paths(sf_dir)
+    ev = t(spark, sf_dir, "events")
+    ev.repartition(_Q81_FRAGMENTS).write.mode("overwrite").parquet(frag)
+    frag_bytes = sum(
+        _os.path.getsize(f) for f in glob.glob(f"{frag}/part-*.parquet")
+    )
+    n_out = max(1, -(-frag_bytes // _Q81_TARGET_BYTES))
+    spark.read.parquet(frag).repartition(n_out).write.mode("overwrite").parquet(
+        compacted
+    )
+    return frag, compacted
+
+
+@register("q81_compaction", oracle=_Q81_ORACLE)
+def q81_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_osmosis_spark.functions.numeric import dec_sum as _ds
+
+    _, compacted = compact_events(spark, sf_dir)
+    return (
+        spark.read.parquet(compacted)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _ds("value", scale=6).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -670,3 +670,32 @@ def test_m14_checksum_detects_single_payload_change(spark, tmp_path):
     untouched = [s for s in m1 if s < min(changed)]
     for s in untouched:
         assert m1[s] == m2[s]
+
+
+# ---- q81 compaction ---------------------------------------------------------
+
+
+def test_q81_compaction_file_contract(q, spark, sf_dir):
+    """Compaction must actually consolidate: far fewer files than the
+    fragmented layout, sized near the target, and byte-complete (total
+    rows preserved — the oracle already pins values)."""
+    import glob
+
+    from dbt_osmosis_spark.operators.relational_ext4 import (
+        _Q81_FRAGMENTS,
+        _Q81_TARGET_BYTES,
+        _q81_paths,
+    )
+
+    q("q81_compaction").collect()  # runs the build
+    frag, compacted = _q81_paths(sf_dir)
+    frag_files = glob.glob(f"{frag}/part-*.parquet")
+    comp_files = glob.glob(f"{compacted}/part-*.parquet")
+    assert len(frag_files) == _Q81_FRAGMENTS
+    frag_bytes = sum(map(__import__("os").path.getsize, frag_files))
+    expect = max(1, -(-frag_bytes // _Q81_TARGET_BYTES))
+    assert len(comp_files) == expect
+    assert len(comp_files) < len(frag_files)
+    n_frag = spark.read.parquet(frag).count()
+    n_comp = spark.read.parquet(compacted).count()
+    assert n_frag == n_comp
