@@ -1,21 +1,20 @@
-"""Relational surface, part 5: product-analytics operators over events +
-market-basket analysis over lineitem.
+"""Relational surface, part 5: product/finance analytics + physical layout.
 
-q73 is the ordered conversion funnel (view → click → purchase): the
-canonical product-analytics query. The naive formulation is a per-user
-ordered scan (sessionize, then sequence-match) — here each step is a
-conditional MIN aggregate chained through the previous step's timestamp,
-so the whole funnel is three aggregates and two joins ALL keyed on
-user_id: one shuffle key end-to-end, which AQE coalesces, and the join
-inputs after step 1 are user-dimension-sized (one row per user), not
-event-sized. No window over the event stream, no sessionization needed.
+- q73 conversion funnel — chained conditional-min stages, one shuffle key
+- q74 market-basket lift — basket-bounded self-join, exact-bp lift
+- q75 mergeable-histogram quantile sketch vs exact percentiles
+- q76 Z-order (Morton) clustered layout — footer-verified 2-D skipping
+- q77 capped running balance — non-associative scan as two windows
+- q78 CUPED-adjusted A/B readout — exact integer moments
+- q79 KMV/theta set algebra — audience overlap from sketches alone
+- q80 revenue bridge — price/volume/joint decomposition, exact cents
+- q81 small-file compaction — the OPTIMIZE maintenance loop
 
-q74 is market-basket affinity (support + lift) over order baskets: the
-self-join within l_orderkey is bounded by the basket size (TPC-H orders
-carry ≤7 lines; training-corpus analogs are similarly bounded per key),
-so the pair explosion is O(rows · basket), never all-pairs across
-orders. Lift is reported in exact basis points via BIGINT integer
-division — no float ratios to drift across engines.
+Shared disciplines: every ratio is exact integer basis points (DIV; both
+engines' integer division truncates identically), every money value is
+integer cents/micros, per-row float quantities quantize half-up BEFORE
+aggregation, and report-sized relations broadcast while corpus-shaped
+relations never do.
 
 Reference parity: the reference ships arbitrary SQL to a warehouse
 (src/dbt_osmosis/core/sql_operations.py — execute_sql_code); these are
