@@ -1,4 +1,7 @@
-"""Dedup / duplicate-graph operators, part 3: community structure.
+"""Dedup / duplicate-graph operators, part 3: graph structure and audits
+(d25 label propagation, d26 prefix-filtered exact join, d27 residual-dup
+audit, d28 k-core hubs).
+
 
 d25 is synchronous label propagation (Raghavan et al. 2007) over the
 verified near-dup pair graph (d03's relation — one shared definition, so

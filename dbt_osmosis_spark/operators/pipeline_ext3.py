@@ -1,5 +1,10 @@
 """Training-data pipeline operators, part 4: end-to-end observability.
 
+- p37 pipeline funnel — per-stage survival of the canonical corpus build
+- p38 padding-waste curve — max_len selection from one measured scan
+- p39 quality-decile vs duplication calibration — filter-order evidence
+
+
 p37 is the pipeline funnel report: how many documents survive each stage
 of the canonical corpus build (raw → length gate → language filter →
 exact dedup → decontamination), with survival in exact basis points of

@@ -1,4 +1,7 @@
-"""Similarity / embedding operators, part 3: representation diagnostics.
+"""Similarity / embedding operators, part 3: representation diagnostics
+(s27 truncation recall curve, s28 centroid silhouette, s29 PQ codebook
+distortion, s30 embedding health audit).
+
 
 s27 is the Matryoshka-style dimension-truncation curve: recall@10 of
 cosine top-k computed on the first d dims (d ∈ 4, 8, 16, 64) against the

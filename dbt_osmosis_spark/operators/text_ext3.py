@@ -1,4 +1,6 @@
-"""Text analysis, part 3: collocation mining.
+"""Text analysis, part 3: collocation mining (t23) and the vocabulary
+coverage curve (t24).
+
 
 t23 surfaces statistically-associated word pairs (collocations) via the
 PMI lift ratio P(ab) / (P(a)·P(b)), computed on the bigram sample space:
