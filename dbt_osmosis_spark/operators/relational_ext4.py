@@ -9,6 +9,7 @@
 - q79 KMV/theta set algebra — audience overlap from sketches alone
 - q80 revenue bridge — price/volume/joint decomposition, exact cents
 - q81 small-file compaction — the OPTIMIZE maintenance loop
+- q82 top session paths — within-session event-type trigrams
 
 Shared disciplines: every ratio is exact integer basis points (DIV; both
 engines' integer division truncates identically), every money value is
@@ -997,4 +998,92 @@ def q81_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             _ds("value", scale=6).alias("total_value"),
         )
         .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q82: top session paths — within-session event-type trigrams
+# --------------------------------------------------------------------------
+# q60's transition matrix is first-order (pairs, memoryless); real UX
+# analysis reads PATHS — the ordered event-type trigrams inside one
+# session, ranked by frequency ("view→click→purchase" vs
+# "view→error→view" tells a product team more than any pair does).
+# Sessions are THE shared sessionization rule (session_break_flag);
+# within a session the type sequence is collected in (ts, event_id)
+# order via sorted-struct aggregation (order-independent across
+# partitionings), trigrams explode map-side, and the report is the
+# deterministic top-20 (TakeOrderedAndProject). Every exchange is on
+# user/session-scale keys; the trigram space is |types|^3-bounded, so
+# the final count table is tiny at any corpus size.
+
+_Q82_TOPK = 20
+
+_Q82_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM ordered
+),
+seqs AS (
+  SELECT user_id, session_id,
+         list(event_type ORDER BY ts, event_id) AS path
+  FROM sess GROUP BY user_id, session_id
+),
+tris AS (
+  SELECT path[i] || '>' || path[i + 1] || '>' || path[i + 2] AS tri
+  FROM seqs, UNNEST(range(1, len(path) - 1)) AS t(i)
+  WHERE len(path) >= 3
+)
+SELECT tri AS path3, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM tris GROUP BY tri
+ORDER BY n_occurrences DESC, path3
+LIMIT 20
+"""
+
+
+@register("q82_session_paths", oracle=_Q82_ORACLE)
+def q82_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from dbt_osmosis_spark.operators.relational import session_break_flag
+
+    e = t(spark, sf_dir, "events")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run = order.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = e.withColumn("is_new_session", session_break_flag(order)).withColumn(
+        "session_id", F.sum("is_new_session").over(run)
+    )
+    seqs = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(ts, event_id, event_type))),"
+                " s -> s.event_type)"
+            ).alias("path")
+        )
+        .filter(F.size("path") >= 3)
+    )
+    tris = seqs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(path) - 2), i ->"
+                " concat(element_at(path, i), '>', element_at(path, i + 1),"
+                " '>', element_at(path, i + 2)))"
+            )
+        ).alias("path3")
+    )
+    return (
+        tris.groupBy("path3")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "path3")
+        .limit(_Q82_TOPK)
     )

@@ -194,3 +194,68 @@ def t24_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "v_size")
     )
+
+
+# --------------------------------------------------------------------------
+# t26: cross-document n-gram repetition share — memorization risk, per source
+# --------------------------------------------------------------------------
+# What fraction of a source's 5-gram postings also appear in ANOTHER
+# document? High cross-doc n-gram mass is the memorization-risk signal
+# (boilerplate, templates, licensed text recurring verbatim) that
+# motivates d15/d18's span dedup — this is the one-row-per-source
+# DASHBOARD over the same phenomenon: cheap enough to run on every drop,
+# pointing at which source needs the expensive pass. Mechanics: distinct
+# 5-grams per doc (one explode), gram document-frequency (one shuffle on
+# the gram key), postings flagged df>1, per-source exact-bp share.
+# Cross-doc means ACROSS docs: a gram repeated only inside one document
+# does not count (that is t08's intra-doc signal).
+
+_T26_K = 5
+
+_T26_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source, string_split(trim(text), ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, source,
+         unnest(list_distinct([{' || '.join("w[i + %d]" % j + (" || ' '" if j < _T26_K - 1 else "") for j in range(_T26_K))} for i in range(1, len(w) - {_T26_K - 2})])) AS g
+  FROM tok WHERE len(w) >= {_T26_K}
+),
+dfreq AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_postings,
+       CAST(COUNT(CASE WHEN df > 1 THEN 1 END) AS BIGINT) AS n_repeated,
+       CAST(COUNT(CASE WHEN df > 1 THEN 1 END) AS BIGINT) * 10000 // COUNT(*) AS repeated_bp
+FROM grams JOIN dfreq USING (g)
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("t26_crossdoc_ngram_share", oracle=_T26_ORACLE)
+def t26_crossdoc_ngram_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_osmosis_spark.operators.text import spark_shingles_sql, tokens
+
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    grams = (
+        docs.withColumn("w", tokens())
+        .filter(F.size("w") >= _T26_K)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.expr(spark_shingles_sql("w", _T26_K))).alias("g"),
+        )
+    )
+    dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        grams.join(dfreq, "g")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_postings"),
+            F.count(F.when(F.col("df") > 1, 1)).cast("bigint").alias("n_repeated"),
+            F.expr(
+                "CAST(COUNT(CASE WHEN df > 1 THEN 1 END) AS BIGINT) * 10000 DIV COUNT(*)"
+            ).alias("repeated_bp"),
+        )
+        .orderBy("source")
+    )
