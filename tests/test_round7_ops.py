@@ -699,3 +699,41 @@ def test_q81_compaction_file_contract(q, spark, sf_dir):
     n_frag = spark.read.parquet(frag).count()
     n_comp = spark.read.parquet(compacted).count()
     assert n_frag == n_comp
+
+
+# ---- q82 session paths -------------------------------------------------------
+
+
+def test_q82_paths_are_valid_type_trigrams(q):
+    rows = q("q82_session_paths").collect()
+    assert rows
+    types = {"view", "click", "purchase", "signup", "error"}
+    for r in rows:
+        parts = r.path3.split(">")
+        assert len(parts) == 3 and all(p in types for p in parts)
+        assert r.n_occurrences >= 1
+    counts = [(-r.n_occurrences, r.path3) for r in rows]
+    assert counts == sorted(counts)
+
+
+# ---- t26 cross-doc n-gram share ----------------------------------------------
+
+
+def test_t26_share_bounds_and_corpus_coverage(q, spark, sf_dir):
+    rows = q("t26_crossdoc_ngram_share").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_repeated <= r.n_postings
+        assert 0 <= r.repeated_bp <= 10000
+    # total postings = total distinct 5-grams per doc across the corpus
+    from dbt_osmosis_spark.operators.text import spark_shingles_sql, tokens
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    n = (
+        docs.withColumn("w", tokens())
+        .filter(F.size("w") >= 5)
+        .select(F.explode(F.expr(spark_shingles_sql("w", 5))).alias("g"))
+        .count()
+    )
+    assert sum(r.n_postings for r in rows) == n
