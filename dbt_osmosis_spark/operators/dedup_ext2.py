@@ -401,3 +401,166 @@ def d28_kcore_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("core_degree"))
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# d29: modularity scoreboard — which clustering fits the dup graph better?
+# --------------------------------------------------------------------------
+# d06's connected components and d25's label propagation partition the
+# SAME verified-pair graph differently (CC merges everything reachable;
+# LPA splits chains at weak vertices). Newman modularity
+#   Q = Σ_c [ L_c/m − (D_c/2m)² ]
+# (L_c intra-community edges, D_c degree mass, m edges) is the standard
+# single number for "how much better than random does this partition
+# capture the edge structure" — the quantitative basis for choosing the
+# cluster-collapse policy instead of eyeballing d19/d23/d28 diagnostics.
+# Exact arithmetic: Q·4m² = Σ_c [4m·L_c − D_c²] is pure BIGINT; the
+# report is Q in exact basis points via one integer division. Both
+# partitions are computed by the SHARED definitions (lsh_components /
+# the d25 round chain), each costing O(|edges|)-keyed shuffles.
+
+_D29_ORACLE = f"""
+WITH RECURSIVE {{LSH}},
+ud AS (
+  SELECT doc_a AS u, doc_b AS v FROM verified
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM verified
+),
+-- partition 1: connected components over LSH candidate pairs (d06)
+edges2 AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM cand
+),
+reach(node, label) AS (
+  SELECT DISTINCT u, u FROM ud
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges2 e ON e.src = r.node
+),
+cc AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node),
+-- partition 2: 3-round LPA (d25's chain)
+l0 AS (SELECT DISTINCT u AS node, u AS label FROM ud),
+{{LPA}},
+-- modularity pieces per partition over the VERIFIED edge set
+deg AS (SELECT u AS node, COUNT(*) AS d FROM ud GROUP BY u),
+m_ AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM verified),
+intra_cc AS (
+  SELECT CAST(COUNT(*) AS BIGINT) // 2 AS li, la.label
+  FROM ud e JOIN cc la ON la.node = e.u JOIN cc lb ON lb.node = e.v
+  WHERE la.label = lb.label GROUP BY la.label
+),
+dm_cc AS (
+  SELECT l.label, CAST(SUM(d.d) AS BIGINT) AS dc
+  FROM cc l JOIN deg d ON d.node = l.node GROUP BY l.label
+),
+q_cc AS (
+  SELECT CAST(SUM(4 * m * COALESCE(i.li, 0) - d.dc * d.dc) AS BIGINT) AS num
+  FROM dm_cc d CROSS JOIN m_ LEFT JOIN intra_cc i ON i.label = d.label
+),
+intra_lpa AS (
+  SELECT CAST(COUNT(*) AS BIGINT) // 2 AS li, la.label
+  FROM ud e JOIN l3 la ON la.node = e.u JOIN l3 lb ON lb.node = e.v
+  WHERE la.label = lb.label GROUP BY la.label
+),
+dm_lpa AS (
+  SELECT l.label, CAST(SUM(d.d) AS BIGINT) AS dc
+  FROM l3 l JOIN deg d ON d.node = l.node GROUP BY l.label
+),
+q_lpa AS (
+  SELECT CAST(SUM(4 * m * COALESCE(i.li, 0) - d.dc * d.dc) AS BIGINT) AS num
+  FROM dm_lpa d CROSS JOIN m_ LEFT JOIN intra_lpa i ON i.label = d.label
+),
+counts AS (
+  SELECT 'cc' AS method, CAST(COUNT(DISTINCT label) AS BIGINT) AS n_communities FROM cc
+  UNION ALL
+  SELECT 'lpa', CAST(COUNT(DISTINCT label) AS BIGINT) FROM l3
+)
+SELECT c.method, c.n_communities,
+       CASE c.method WHEN 'cc' THEN (SELECT num FROM q_cc)
+                     ELSE (SELECT num FROM q_lpa) END * 10000
+         // (SELECT 4 * m * m FROM m_) AS q_bp
+FROM counts c
+ORDER BY c.method
+"""
+
+
+def _modularity(spark_edges: DataFrame, labels: DataFrame, m_df: DataFrame, deg: DataFrame, tag: str) -> DataFrame:
+    la = labels.select(F.col("node").alias("u"), F.col("label").alias("la"))
+    lb = labels.select(F.col("node").alias("v"), F.col("label").alias("lb"))
+    intra = (
+        spark_edges.join(la, "u")
+        .join(lb, "v")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg((F.count(F.lit(1)) / 2).cast("bigint").alias("li"))
+    )
+    dm = (
+        labels.join(deg, "node")
+        .groupBy("label")
+        .agg(F.sum("d").cast("bigint").alias("dc"))
+    )
+    num = (
+        dm.join(intra, "label", "left")
+        .crossJoin(F.broadcast(m_df))
+        .agg(
+            F.sum(
+                F.expr("4 * m * COALESCE(li, 0) - dc * dc")
+            ).cast("bigint").alias("num"),
+            F.countDistinct("label").alias("n_communities"),
+        )
+    )
+    return num.crossJoin(F.broadcast(m_df)).select(
+        F.lit(tag).alias("method"),
+        F.col("n_communities").cast("bigint").alias("n_communities"),
+        F.expr("num * 10000 DIV (4 * m * m)").alias("q_bp"),
+    )
+
+
+@register(
+    "d29_modularity_scoreboard",
+    oracle=_D29_ORACLE.format(
+        LSH=DUCK_VERIFIED_CTES,
+        LPA=",".join(_lpa_round_sql(f"l{i}", f"l{i + 1}") for i in range(_D25_ROUNDS)),
+    ),
+)
+def d29_modularity_scoreboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_osmosis_spark.operators.pipeline import lsh_components
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    sig = minhash_signatures(docs).transform(keep_cached)
+    vp = verified_pairs(sig).select("doc_a", "doc_b").transform(keep_cached)
+    ud = vp.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionByName(
+        vp.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    nodes = ud.select(F.col("u").alias("node")).distinct()
+    deg = ud.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    m_df = vp.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    # partition 1: CC restricted to the verified-graph nodes
+    cc = (
+        lsh_components(docs)
+        .select(F.col("id").alias("node"), F.col("component").alias("label"))
+        .join(nodes, "node", "left_semi")
+    )
+    # partition 2: d25's 3-round LPA (same chain, same tie-breaks)
+    labels = nodes.withColumn("label", F.col("node"))
+    pick = W.partitionBy("node").orderBy(F.desc("c"), "lab")
+    for _ in range(_D25_ROUNDS):
+        counts = (
+            ud.join(
+                labels.select(F.col("node").alias("v"), F.col("label").alias("lab"))
+                .hint("shuffle_hash"),
+                "v",
+            )
+            .groupBy(F.col("u").alias("node"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(pick))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("lab").alias("label"))
+        )
+    return (
+        _modularity(ud, cc, m_df, deg, "cc")
+        .unionByName(_modularity(ud, labels, m_df, deg, "lpa"))
+        .orderBy("method")
+    )

@@ -737,3 +737,17 @@ def test_t26_share_bounds_and_corpus_coverage(q, spark, sf_dir):
         .count()
     )
     assert sum(r.n_postings for r in rows) == n
+
+
+# ---- d29 modularity scoreboard -----------------------------------------------
+
+
+def test_d29_modularity_bounds_and_methods(q):
+    rows = {r.method: r for r in q("d29_modularity_scoreboard").collect()}
+    assert set(rows) == {"cc", "lpa"}
+    for r in rows.values():
+        # Q in [-1/2, 1] -> bp in [-5000, 10000]
+        assert -5000 <= r.q_bp <= 10000
+        assert r.n_communities >= 1
+    # LPA can only split CC components, never merge across them
+    assert rows["lpa"].n_communities >= rows["cc"].n_communities
