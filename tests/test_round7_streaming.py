@@ -186,3 +186,65 @@ def test_funnel_stream_time_ordered_batches_match_q73(spark, sf_dir, tmp_path):
     # exactly-once: no step emitted twice for a user
     n = spark.sql("SELECT COUNT(*) AS n FROM funnel_stream_3").collect()[0].n
     assert n == len(got)
+
+
+# ---- continuous histogram/quantile maintenance -------------------------------
+
+
+def _split_events(spark, sf_dir, incoming, tmp_path, n_files=3):
+    import glob
+    import os
+    import shutil
+
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    os.makedirs(incoming, exist_ok=True)
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    for k in range(n_files):
+        stage = str(tmp_path / f"estage{k}")
+        ev.filter(F.col("event_id") % n_files == k).coalesce(1).write.parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{incoming}/ebatch{k}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (1_000_000 + k, 1_000_000 + k))
+    return ev
+
+
+def test_streamed_histogram_equals_batch_and_serves_quantiles(spark, sf_dir, tmp_path):
+    """Cell-wise merge of per-batch histograms == the one-shot batch
+    histogram, and percentile estimates served from the streamed state
+    equal estimates computed directly on the full batch cells."""
+    from dbt_osmosis_spark.streaming.histogram import (
+        batch_histogram_cells,
+        estimate_percentiles,
+        read_histogram,
+        run_histogram_ingest,
+        write_batch_cells,
+    )
+
+    incoming = str(tmp_path / "eincoming")
+    hist_dir = str(tmp_path / "hist")
+    ev = _split_events(spark, sf_dir, incoming, tmp_path)
+    run_histogram_ingest(incoming, hist_dir, str(tmp_path / "eckpt"), spark)
+
+    streamed = {(r.event_type, r.bin): r.cnt for r in read_histogram(spark, hist_dir).collect()}
+    batch = {(r.event_type, r.bin): r.cnt for r in batch_histogram_cells(ev).collect()}
+    assert streamed == batch
+
+    est_stream = {
+        (r.event_type, r.pct): r.est_v
+        for r in estimate_percentiles(read_histogram(spark, hist_dir)).collect()
+    }
+    est_batch = {
+        (r.event_type, r.pct): r.est_v
+        for r in estimate_percentiles(batch_histogram_cells(ev)).collect()
+    }
+    assert est_stream == est_batch
+    assert len(est_stream) == 5 * 3  # 5 types x 3 percentiles
+
+    # replay idempotence (the exactly-once contract)
+    before = dict(streamed)
+    b0 = ev.filter(F.col("event_id") % 3 == 0)
+    write_batch_cells(b0, hist_dir, 0)
+    after = {(r.event_type, r.bin): r.cnt for r in read_histogram(spark, hist_dir).collect()}
+    assert after == before
