@@ -10,6 +10,7 @@
 - q80 revenue bridge — price/volume/joint decomposition, exact cents
 - q81 small-file compaction — the OPTIMIZE maintenance loop
 - q82 top session paths — within-session event-type trigrams
+- q83 KMV hierarchical merge — hourly sketches answering daily questions
 
 Shared disciplines: every ratio is exact integer basis points (DIV; both
 engines' integer division truncates identically), every money value is
@@ -1086,4 +1087,97 @@ def q82_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), "path3")
         .limit(_Q82_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# q83: KMV hierarchical merge — hourly sketches answering daily questions
+# --------------------------------------------------------------------------
+# The property that makes sketches a STORAGE format and not just a query
+# trick: k-min-values sketches merge losslessly upward — the k smallest
+# of a union equal the k smallest of the per-part k-min sets. So a
+# pipeline that lands one tiny sketch per (hour) partition can answer
+# distinct-user questions at ANY coarser grain (day, week, all-time)
+# from the sketches alone, with the estimate IDENTICAL to what a direct
+# sketch over the raw grain would produce — bit-for-bit, not
+# approximately (asserted in pytest; the oracle computes the merge path
+# and the registered result is hash-checked against it). Per day:
+# exact distinct users, the merged-estimate, and the sketch row count.
+# Shares q69's hash derivation; everything after the per-hour dedup
+# shuffle is sketch-sized (24·k rows per day).
+
+_Q83_K = 64
+_Q83_SPACE = float(1 << 60)
+
+_Q83_ORACLE = f"""
+WITH keys AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, date_trunc('hour', ts) AS hour, user_id
+  FROM events
+),
+hashed AS (SELECT day, hour, {_Q69_DUCK_H} AS h FROM keys),
+hourly AS (
+  SELECT day, hour, h,
+         ROW_NUMBER() OVER (PARTITION BY hour ORDER BY h) AS rk
+  FROM (SELECT DISTINCT day, hour, h FROM hashed)
+),
+hsk AS (SELECT day, hour, h FROM hourly WHERE rk <= {_Q83_K}),
+merged AS (
+  SELECT day, h,
+         ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS rk
+  FROM (SELECT DISTINCT day, h FROM hsk)
+),
+dsk AS (SELECT day, COUNT(*) AS n_kept, MAX(h) AS hk FROM merged WHERE rk <= {_Q83_K} GROUP BY day),
+exact AS (
+  SELECT day, COUNT(DISTINCT user_id) AS exact_distinct FROM keys GROUP BY day
+)
+SELECT e.day, CAST(e.exact_distinct AS BIGINT) AS exact_distinct,
+       CASE WHEN s.n_kept < {_Q83_K} THEN CAST(s.n_kept AS DOUBLE)
+            ELSE ({_Q83_K} - 1) * {_Q83_SPACE!r} / s.hk END AS merged_estimate,
+       CAST(s.n_kept AS BIGINT) AS n_sketch_rows
+FROM exact e JOIN dsk s ON s.day = e.day
+ORDER BY e.day
+"""
+
+
+@register("q83_kmv_hierarchical_merge", oracle=_Q83_ORACLE)
+def q83_kmv_hierarchical_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = t(spark, sf_dir, "events")
+    keys = e.select(
+        F.col("ts").cast("date").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        "user_id",
+    ).distinct()
+    hashed = keys.select(
+        "day", "hour", F.expr(_Q69_SPARK_H).alias("h")
+    ).distinct()
+    hrk = F.row_number().over(W.partitionBy("hour").orderBy("h"))
+    hsk = hashed.withColumn("rk", hrk).filter(F.col("rk") <= _Q83_K)
+    mrk = F.row_number().over(W.partitionBy("day").orderBy("h"))
+    merged = (
+        hsk.select("day", "h")
+        .distinct()
+        .withColumn("rk", mrk)
+        .filter(F.col("rk") <= _Q83_K)
+    )
+    dsk = merged.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("hk")
+    )
+    exact = keys.groupBy("day").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    est = (
+        F.when(F.col("n_kept") < _Q83_K, F.col("n_kept").cast("double"))
+        .otherwise(F.lit((_Q83_K - 1) * _Q83_SPACE) / F.col("hk"))
+    )
+    return (
+        exact.join(dsk, "day")
+        .select(
+            "day",
+            F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+            est.alias("merged_estimate"),
+            F.col("n_kept").cast("bigint").alias("n_sketch_rows"),
+        )
+        .orderBy("day")
     )

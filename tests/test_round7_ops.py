@@ -751,3 +751,37 @@ def test_d29_modularity_bounds_and_methods(q):
         assert r.n_communities >= 1
     # LPA can only split CC components, never merge across them
     assert rows["lpa"].n_communities >= rows["cc"].n_communities
+
+
+# ---- q83 KMV hierarchical merge ----------------------------------------------
+
+
+def test_q83_merge_equals_direct_daily_sketch(q, spark, sf_dir):
+    """The lossless-merge property itself: the estimate from merging
+    hourly sketches must equal a DIRECT daily sketch's estimate exactly
+    (k-min of union == k-min of unioned k-min sets)."""
+    from pyspark.sql.window import Window as W
+
+    from dbt_osmosis_spark.operators.relational import t as _t
+    from dbt_osmosis_spark.operators.relational_ext3 import _Q69_SPARK_H
+    from dbt_osmosis_spark.operators.relational_ext4 import _Q83_K, _Q83_SPACE
+
+    rows = {r.day: r for r in q("q83_kmv_hierarchical_merge").collect()}
+    e = _t(spark, sf_dir, "events")
+    keys = e.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    hashed = keys.select("day", F.expr(_Q69_SPARK_H).alias("h")).distinct()
+    rk = F.row_number().over(W.partitionBy("day").orderBy("h"))
+    direct = (
+        hashed.withColumn("rk", rk)
+        .filter(F.col("rk") <= _Q83_K)
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("hk"))
+        .collect()
+    )
+    for d in direct:
+        est = (
+            float(d.n_kept)
+            if d.n_kept < _Q83_K
+            else (_Q83_K - 1) * _Q83_SPACE / d.hk
+        )
+        assert rows[d.day].merged_estimate == est, d.day
