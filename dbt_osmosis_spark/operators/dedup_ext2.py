@@ -529,8 +529,13 @@ def d29_modularity_scoreboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     sig = minhash_signatures(docs).transform(keep_cached)
     vp = verified_pairs(sig).select("doc_a", "doc_b").transform(keep_cached)
-    ud = vp.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionByName(
-        vp.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    # lineage truncation (the d28 lesson): ud feeds both endpoint joins of
+    # BOTH partitions' modularity stages — checkpointed once so the
+    # megabyte signature lineage isn't re-embedded per branch
+    ud = (
+        vp.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(vp.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .localCheckpoint(eager=True)
     )
     nodes = ud.select(F.col("u").alias("node")).distinct()
     deg = ud.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
@@ -559,6 +564,8 @@ def d29_modularity_scoreboard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("node", F.col("lab").alias("label"))
         )
+    cc = cc.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=True)
     return (
         _modularity(ud, cc, m_df, deg, "cc")
         .unionByName(_modularity(ud, labels, m_df, deg, "lpa"))
