@@ -391,3 +391,19 @@ def test_inlined_lsh_ivf_constants_match_md5_formula():
     ).fetchall()
     for p, d, v in plane:
         assert _PLANE_VALS[p][d] == v, (p, d)
+
+
+@given(
+    st.lists(st.integers(min_value=-1_000_000, max_value=1_000_000), max_size=60)
+)
+def test_capped_balance_window_identity(deltas):
+    """q77's core: B_i = max(0, B_{i-1} + d_i) equals S_i - min(0, min_j S_j)
+    for EVERY prefix, on arbitrary integer delta sequences."""
+    b = 0
+    s = 0
+    run_min = 0
+    for d in deltas:
+        b = max(0, b + d)
+        s += d
+        run_min = min(run_min, s)
+        assert b == s - min(0, run_min)
