@@ -106,6 +106,13 @@ FAMILIES = [
     "t23_pmi_collocations",
     "d25_label_propagation",
     "p37_pipeline_funnel",
+    # round-7b: the window-form capped ledger scan, the Z-order layout
+    # (build is the operator), k-core peeling (post lineage fix), and the
+    # lossless hierarchical sketch merge
+    "q77_capped_running_balance",
+    "q76_zorder_layout",
+    "d28_kcore_hubs",
+    "q83_kmv_hierarchical_merge",
 ]
 
 # Scale-slope flagships: timed at sf0.1 AND at the generated 10x sf1
