@@ -28,3 +28,33 @@ def test_readme_registry_counts_match_live_registry():
 def test_every_oracle_has_a_query():
     load_all()
     assert set(ORACLES) <= set(QUERIES)
+
+
+def test_bench_compare_parses_history_and_flags_honestly(tmp_path):
+    """bench_compare must parse both record shapes (driver wrapper +
+    bare), exclude cache-flattered queries only from pre-break records,
+    and respect the noise band."""
+    import json
+    import subprocess
+    import sys
+
+    repo = Path(__file__).resolve().parent.parent
+    out = subprocess.run(
+        [sys.executable, str(repo / "bench_compare.py")],
+        capture_output=True,
+        text=True,
+        cwd=repo,
+    )
+    assert out.returncode in (0, 1)
+    assert "BENCH_r*.json records" in out.stdout
+
+    import bench_compare as bc
+
+    # wrapper + bare shapes
+    wrapped = tmp_path / "w.json"
+    wrapped.write_text(json.dumps({"n": 1, "parsed": {"queries": {"q": 1.0}}}))
+    bare = tmp_path / "b.json"
+    bare.write_text(json.dumps({"queries": {"q": 2.0}}))
+    assert bc._load(str(wrapped)) == {"queries": {"q": 1.0}}
+    assert bc._load(str(bare)) == {"queries": {"q": 2.0}}
+    assert bc._load(str(tmp_path / "missing.json")) is None
