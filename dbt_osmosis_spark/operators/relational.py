@@ -579,13 +579,14 @@ def session_break_flag(order) -> "F.Column":
     THE sessionization rule, defined once (q15/q55/q66 and the streaming
     twin tests all consume it). Microsecond-exact: the oracles compare
     full-precision intervals and events carry sub-second micros, so a
-    whole-second cast would mis-classify gaps inside (1800s, 1801s)."""
+    whole-second cast would mis-classify gaps inside (1800s, 1801s).
+    epoch_us (not unix_micros) so the rule resolves when the driver's
+    default-config session reads events.ts as TIMESTAMP_NTZ."""
+    from dbt_osmosis_spark.functions.timeutil import epoch_us
+
     return F.when(
         F.lag("ts").over(order).isNull()
-        | (
-            F.expr("unix_micros(ts)") - F.lag(F.expr("unix_micros(ts)")).over(order)
-            > 1_800_000_000
-        ),
+        | (epoch_us("ts") - F.lag(epoch_us("ts")).over(order) > 1_800_000_000),
         1,
     ).otherwise(0)
 

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from dbt_osmosis_spark.functions.timeutil import epoch_us_sql as _eus
 from dbt_osmosis_spark.operators import register
 from dbt_osmosis_spark.operators.relational import session_break_flag, t
 
@@ -856,7 +857,9 @@ def q65_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(anchor))
         .select(
             "user_id",
-            F.expr("CAST((unix_micros(maxts) - unix_micros(umax)) DIV 86400000000 AS BIGINT)").alias("r_days"),
+            F.expr(
+                f"CAST(({_eus('maxts')} - {_eus('umax')}) DIV 86400000000 AS BIGINT)"
+            ).alias("r_days"),
             "freq",
             "monetary",
         )
@@ -1406,7 +1409,8 @@ def q72_shipment_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     spans = li.groupBy("l_orderkey").agg(
         F.expr(
-            "CAST((unix_micros(MAX(l_shipdate)) - unix_micros(MIN(l_shipdate))) DIV 86400000000 AS BIGINT)"
+            f"CAST(({_eus('MAX(l_shipdate)')} - {_eus('MIN(l_shipdate)')})"
+            " DIV 86400000000 AS BIGINT)"
         ).alias("span_days"),
         F.count(F.lit(1)).alias("n_lines"),
     )

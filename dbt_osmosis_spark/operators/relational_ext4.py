@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dbt_osmosis_spark.functions.timeutil import epoch_us_sql as _eus
 from dbt_osmosis_spark.operators import register
 from dbt_osmosis_spark.operators.relational import t
 
@@ -586,16 +587,26 @@ ORDER BY variant
 def q78_cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     bounds = e.agg(
-        F.expr("MIN(unix_micros(ts))").alias("lo_us"),
-        F.expr("MAX(unix_micros(ts))").alias("hi_us"),
+        F.expr(f"MIN({_eus('ts')})").alias("lo_us"),
+        F.expr(f"MAX({_eus('ts')})").alias("hi_us"),
     ).selectExpr("(lo_us + hi_us) DIV 2 AS m_us")
-    cents = "CAST((SUM(CASE WHEN {cmp} THEN CAST(round(value * 1e6) AS BIGINT) ELSE 0 END) + 5000) DIV 10000 AS BIGINT)"
+    # Sign-aware half-up cents: floor((s + 5000) / 10000) as pure-BIGINT
+    # floor division (pmod is non-negative), matching DuckDB's `//` which
+    # floors. Spark's bare DIV truncates toward zero, which would round
+    # a -14999-micro sum to 0 cents instead of -1 if a debit-style event
+    # type ever carried a negative value.
+    cents = (
+        "CAST(((SUM(CASE WHEN {cmp} THEN CAST(round(value * 1e6) AS BIGINT)"
+        " ELSE 0 END) + 5000)"
+        " - pmod(SUM(CASE WHEN {cmp} THEN CAST(round(value * 1e6) AS BIGINT)"
+        " ELSE 0 END) + 5000, 10000)) DIV 10000 AS BIGINT)"
+    )
     per_user = (
         e.crossJoin(F.broadcast(bounds))
         .groupBy("user_id")
         .agg(
-            F.expr(cents.format(cmp="unix_micros(ts) < m_us")).alias("x_c"),
-            F.expr(cents.format(cmp="unix_micros(ts) >= m_us")).alias("y_c"),
+            F.expr(cents.format(cmp=f"{_eus('ts')} < m_us")).alias("x_c"),
+            F.expr(cents.format(cmp=f"{_eus('ts')} >= m_us")).alias("y_c"),
         )
         .withColumn("variant", F.expr("user_id % 2"))
     )

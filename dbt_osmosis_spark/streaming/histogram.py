@@ -42,9 +42,15 @@ HI = 1024.0  # fixed calibrated ceiling; outliers clamp to the top bin
 def batch_histogram_cells(events: DataFrame) -> DataFrame:
     """(event_type, bin, cnt): fixed-geometry equi-width cells of one
     batch — map-side arithmetic plus one partial-aggregated shuffle onto
-    at most |types|·BINS cells."""
+    at most |types|·BINS cells.
+
+    NULL/NaN ``value`` rows are dropped BEFORE binning: floor(NULL) is
+    NULL and least/greatest propagate it, so they would otherwise land in
+    a NULL bin that sorts first in the cumulative pass and inflates the
+    per-type total n — silently skewing every percentile estimate."""
     return (
-        events.select(
+        events.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .select(
             "event_type",
             F.expr(
                 f"least({BINS - 1}, greatest(0,"

@@ -124,14 +124,20 @@ def read_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
 def estimate_counts(sketch: DataFrame, words: DataFrame) -> DataFrame:
     """(word, est_n): CMS point estimates for a (small) word relation —
     min over the d row counters, served off the broadcast 3072-cell
-    summary exactly as t22's eval stage does."""
+    summary exactly as t22's eval stage does.
+
+    LEFT join from the exploded (word, i, bucket) relation, absent cells
+    coalesced to 0: a sketch partition only materializes touched cells,
+    so an inner join would drop never-seen words entirely and take the
+    min over the present subset for partially-seen ones — a CMS must
+    answer 0 whenever ANY of a word's d cells is zero."""
+    cells = words.select(
+        "word", F.explode(F.expr(f"sequence(0, {_T22_D - 1})")).alias("i")
+    ).select("word", "i", F.expr(_T22_SPARK_H.format(i="i", w="word")).alias("bucket"))
     return (
-        words.join(
-            F.broadcast(sketch),
-            F.col("bucket") == F.expr(_T22_SPARK_H.format(i="i", w="word")),
-        )
+        cells.join(F.broadcast(sketch), ["i", "bucket"], "left")
         .groupBy("word")
-        .agg(F.min("cnt").cast("bigint").alias("est_n"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("est_n"))
     )
 
 
