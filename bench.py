@@ -113,6 +113,10 @@ FAMILIES = [
     "q76_zorder_layout",
     "d28_kcore_hubs",
     "q83_kmv_hierarchical_merge",
+    # round-8: lexical retrieval — BM25 ranked search (pruned postings,
+    # two-phase bucketed rank) and its two-pass PRF expansion
+    "s31_bm25_topk",
+    "s32_prf_expansion",
 ]
 
 # Scale-slope flagships: timed at sf0.1 AND at the generated 10x sf1

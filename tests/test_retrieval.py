@@ -1,0 +1,127 @@
+"""Unit tests for the lexical retrieval family (s31 BM25, s32 PRF).
+
+Oracle parity for both runs in test_oracle_parity.py like every
+registered query; these tests pin the retrieval-specific invariants the
+hash cannot explain on its own.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_osmosis_spark.operators import QUERIES, load_all
+from dbt_osmosis_spark.operators.retrieval import _K, _QUERY_TERMS, _S32_EXP
+
+load_all()
+
+
+@pytest.fixture(scope="module")
+def s31(spark, sf_dir):
+    return QUERIES["s31_bm25_topk"](spark, sf_dir).collect()
+
+
+@pytest.fixture(scope="module")
+def s32(spark, sf_dir):
+    return QUERIES["s32_prf_expansion"](spark, sf_dir).collect()
+
+
+def _by_query(rows):
+    out: dict[str, list] = {}
+    for r in rows:
+        out.setdefault(r.query_id, []).append(r)
+    return out
+
+
+def test_s31_ranks_contiguous_scores_positive_descending(s31):
+    per = _by_query(s31)
+    assert set(per) == {q for q, _ in _QUERY_TERMS}
+    for rows in per.values():
+        rows = sorted(rows, key=lambda r: r.rnk)
+        assert [r.rnk for r in rows] == list(range(1, _K + 1))
+        scores = [r.score_micros for r in rows]
+        assert all(s > 0 for s in scores)
+        assert scores == sorted(scores, reverse=True)
+        assert len({r.doc_id for r in rows}) == _K
+
+
+def test_s31_top_doc_contains_a_query_term(spark, sf_dir, s31):
+    """Every retrieved doc must contain >= 1 query term (BM25 scores only
+    matching postings)."""
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    terms_by_q: dict[str, set] = {}
+    for q, t in _QUERY_TERMS:
+        terms_by_q.setdefault(q, set()).add(t)
+    for r in s31:
+        toks = set(docs[r.doc_id].lower().split())
+        assert toks & terms_by_q[r.query_id], (r.query_id, r.doc_id)
+
+
+def test_s32_same_shape_and_scores_not_below_matching_s31(s31, s32):
+    """Expansion adds terms, never removes: for a doc ranked by both
+    passes, the expanded score is >= the pass-1 score (every pass-1
+    contribution survives; idf of original terms is unchanged because df
+    comes from the same postings)."""
+    p1 = {(r.query_id, r.doc_id): r.score_micros for r in s31}
+    p2 = {(r.query_id, r.doc_id): r.score_micros for r in s32}
+    assert len(s32) == len(s31)
+    both = set(p1) & set(p2)
+    assert both, "expected overlap between pass-1 and expanded top-k"
+    for key in both:
+        assert p2[key] >= p1[key], key
+
+
+def test_s32_determinism(spark, sf_dir, s32):
+    again = QUERIES["s32_prf_expansion"](spark, sf_dir).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, s32))
+
+
+def test_expansion_terms_exclude_query_terms(spark, sf_dir):
+    """Rebuild the expansion selection inline and pin its contract:
+    exactly <= _S32_EXP terms per query, none of them original terms."""
+    from dbt_osmosis_spark.operators.retrieval import (
+        _S32_FB,
+        _bm25_scores,
+        _corpus_stats,
+        _tokens,
+    )
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+    from pyspark.sql.window import Window as W
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    toks = _tokens(docs)
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = _corpus_stats(docs, dl)
+    qterms = spark.createDataFrame(list(_QUERY_TERMS), "query_id string, term string")
+    fb_w = W.partitionBy("query_id").orderBy(F.col("score_micros").desc(), "doc_id")
+    fb = (
+        _bm25_scores(toks, dl, stats, qterms)
+        .withColumn("rnk", F.row_number().over(fb_w))
+        .filter(F.col("rnk") <= _S32_FB)
+        .select("query_id", "doc_id")
+    )
+    fb_docs = fb.select("doc_id").distinct().join(docs.select("doc_id", "text"), "doc_id")
+    cand = (
+        _tokens(fb_docs)
+        .join(fb, "doc_id")
+        .join(qterms.withColumnRenamed("term", "tok"), ["query_id", "tok"], "left_anti")
+        .groupBy("query_id", F.col("tok").alias("term"))
+        .agg(F.count(F.lit(1)).alias("fb_tf"))
+    )
+    exp_w = W.partitionBy("query_id").orderBy(F.col("fb_tf").desc(), "term")
+    got = (
+        cand.withColumn("rnk", F.row_number().over(exp_w))
+        .filter(F.col("rnk") <= _S32_EXP)
+        .collect()
+    )
+    orig = {(q, t) for q, t in _QUERY_TERMS}
+    per_q: dict[str, int] = {}
+    for r in got:
+        assert (r.query_id, r.term) not in orig
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert all(n <= _S32_EXP for n in per_q.values())
