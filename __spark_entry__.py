@@ -31,18 +31,43 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q03_customer_ltv"](spark, "/root/testdata/sf0.001")
 
 
+def _row_green(row: object) -> bool:
+    """True iff a committed driver CORRECTNESS row records a pass.
+
+    Full-oracle rows are green when no error was recorded and none of the
+    match flags is explicitly false.  Rows-only checks (``err ==
+    "no_oracle"``) are green when the Spark side produced a row count.
+    Anything else — a traceback in ``err``, a false flag, a malformed
+    row — is red.
+    """
+    if not isinstance(row, dict):
+        return False
+    err = row.get("err") or row.get("error")
+    if err == "no_oracle":
+        return row.get("spark_rows") is not None
+    if err:
+        return False
+    return all(row.get(f) is not False for f in ("rows_match", "schema_match", "hash_match"))
+
+
 def _driver_last_round() -> dict[str, int]:
-    """Per query name, the latest round with a committed driver row.
+    """Per query name, the effective staleness round for the rotation.
 
     Derived from the CORRECTNESS_r*.json artifacts the driver itself
     commits, so the rotation needs no hand-maintained list and can never
     go stale: a query absent from every file has never been sampled.
+
+    A query whose LATEST committed row is non-green sorts as round 0
+    (judge r8 item 2): a fixed failure must be the first thing the next
+    driver window re-checks, not the last — otherwise a red row earns the
+    same back-of-queue rotation as a green one and confirmation of the
+    fix is deferred by ceil(registry/50) rounds.
     """
     import glob
     import json
     import re
 
-    last: dict[str, int] = {}
+    latest: dict[str, tuple[int, bool]] = {}
     for path in glob.glob(str(Path(_REPO) / "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
@@ -54,9 +79,10 @@ def _driver_last_round() -> dict[str, int]:
             continue
         if not isinstance(rows, dict):
             continue
-        for name in rows:
-            last[name] = max(last.get(name, 0), rnd)
-    return last
+        for name, row in rows.items():
+            if name not in latest or rnd > latest[name][0]:
+                latest[name] = (rnd, _row_green(row))
+    return {name: (rnd if green else 0) for name, (rnd, green) in latest.items()}
 
 
 def _ordered_names() -> list[str]:

@@ -19,10 +19,27 @@ def test_readme_registry_counts_match_live_registry():
     assert m, "README.md no longer states the registry counts"
     assert int(m.group(1)) == len(QUERIES), (
         f"README says {m.group(1)} registered queries, registry has {len(QUERIES)}"
+        " — run `python tools/sync_readme_counts.py` to fix"
     )
     assert int(m.group(2)) == len(ORACLES), (
         f"README says {m.group(2)} oracle-matched, registry has {len(ORACLES)}"
+        " — run `python tools/sync_readme_counts.py` to fix"
     )
+
+
+def test_sync_tool_agrees_readme_is_current():
+    """tools/sync_readme_counts.py --check must report in-sync at HEAD."""
+    import subprocess
+    import sys as _sys
+
+    repo = Path(__file__).resolve().parent.parent
+    out = subprocess.run(
+        [_sys.executable, str(repo / "tools" / "sync_readme_counts.py"), "--check"],
+        capture_output=True,
+        text=True,
+        cwd=repo,
+    )
+    assert out.returncode == 0, out.stderr
 
 
 def test_every_oracle_has_a_query():

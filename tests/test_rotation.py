@@ -19,8 +19,10 @@ WINDOW = 50  # the driver samples the first ~50 queries() entries per round
 def test_history_is_parsed_and_cumulative_board_complete():
     last = entry._driver_last_round()
     names = list(entry.QUERIES)
-    # every committed-history name that is still registered has a round >= 1
-    assert all(r >= 1 for r in last.values())
+    # every committed-history name that is still registered has a round
+    # >= 1, except latest-red rows which deliberately sort as round 0 so
+    # the fix is re-checked in the very next window (judge r8 item 2)
+    assert all(r >= 0 for r in last.values())
     # the cumulative board is complete as of r5: every registered query has
     # a driver row (new queries registered this session are allowed to be
     # absent — they will lead the next window by construction)
@@ -71,3 +73,82 @@ def test_every_query_sampled_within_ceiling_rounds_simulated():
         for n in window:
             last[n] = base + k
     assert seen == set(names)
+
+def test_latest_red_row_leads_next_window():
+    """A query whose latest committed driver row is non-green must sort as
+    round 0 and therefore lead the next window (judge r8 item 2)."""
+    # synthetic history: 'a' green at r3, 'b' red at r7 (later than its
+    # green r2 row), 'c' never sampled
+    rows = {
+        "green@3": {"err": None, "rows_match": True, "schema_match": True, "hash_match": True},
+        "red@7": {"err": "Traceback ...", "rows_match": None, "schema_match": None, "hash_match": None},
+        "flagfalse@7": {"err": None, "rows_match": True, "schema_match": True, "hash_match": False},
+        "noracle@7": {"err": "no_oracle", "spark_rows": 5},
+        "noracle_dead@7": {"err": "no_oracle", "spark_rows": None},
+    }
+    assert entry._row_green(rows["green@3"])
+    assert not entry._row_green(rows["red@7"])
+    assert not entry._row_green(rows["flagfalse@7"])
+    assert entry._row_green(rows["noracle@7"])
+    assert not entry._row_green(rows["noracle_dead@7"])
+
+
+def test_real_history_r7_reds_lead_until_confirmed():
+    """From the committed artifacts at HEAD: any query whose latest row is
+    red occupies the head of the rotation; once the driver commits a green
+    row for it, it rotates back (simulated)."""
+    last = entry._driver_last_round()
+    reds = [n for n, r in last.items() if r == 0 and n in entry.QUERIES]
+    ordered = entry._ordered_by_staleness(last)
+    # reds (and never-sampled queries, also round 0) must all be in the
+    # lead window
+    for n in reds:
+        assert ordered.index(n) < WINDOW, (n, ordered.index(n))
+    # after a green row lands, they rotate to the back
+    base = max(last.values(), default=0)
+    for n in reds:
+        last[n] = base + 1
+    reordered = entry._ordered_by_staleness(last)
+    for n in reds:
+        assert reordered.index(n) >= len(reordered) - max(len(reds), 1) - WINDOW
+
+
+def test_no_query_staler_than_ceiling_plus_one_driver_rounds():
+    """Alert when a driver round goes missing (judge r8 item 7): every
+    registered query's latest committed driver row must be at most
+    ceil(registry/WINDOW)+1 *committed driver rounds* old.  Staleness is
+    counted in committed rounds (distinct CORRECTNESS_r*.json files), so a
+    single missing artifact (like r6's) doesn't trip this — but a hole
+    that silently extends the rotation period past its guarantee does."""
+    import glob
+    import json
+    import re
+
+    committed: set[int] = set()
+    for path in glob.glob(str(entry.Path(entry._REPO) / "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m:
+            committed.add(int(m.group(1)))
+    if not committed:
+        return
+    ordered_rounds = sorted(committed)
+    ceiling = math.ceil(len(entry.QUERIES) / WINDOW)
+
+    # raw latest row per name (not the red-aware effective round)
+    raw_last: dict[str, int] = {}
+    for rnd in ordered_rounds:
+        rows = json.load(open(entry.Path(entry._REPO) / f"CORRECTNESS_r{rnd:02d}.json"))
+        for name in rows:
+            raw_last[name] = max(raw_last.get(name, 0), rnd)
+
+    stale = []
+    for name in entry.QUERIES:
+        if name not in raw_last:
+            continue  # newly registered this session; leads next window
+        rounds_after = sum(1 for r in ordered_rounds if r > raw_last[name])
+        if rounds_after > ceiling + 1:
+            stale.append((name, raw_last[name], rounds_after))
+    assert not stale, (
+        f"queries staler than {ceiling + 1} committed driver rounds "
+        f"(rotation guarantee broken — a driver round is missing?): {stale}"
+    )
