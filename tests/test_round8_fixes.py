@@ -113,9 +113,9 @@ def test_no_ltz_only_epoch_functions_in_package():
             continue
         for i, line in enumerate(path.read_text().splitlines(), 1):
             if bad.search(line) and not line.lstrip().startswith("#"):
-                # docstring mentions are fine; only flag call sites
-                if "epoch_us (not unix_micros)" in line:
-                    continue
+                # NB: docstring mentions without a trailing "(" (e.g.
+                # "epoch_us (not unix_micros) so ...") never match the
+                # regex in the first place — only call sites get here.
                 offenders.append(f"{path.relative_to(pkg.parent)}:{i}: {line.strip()}")
     assert not offenders, "\n".join(offenders)
 
