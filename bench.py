@@ -117,6 +117,9 @@ FAMILIES = [
     # two-phase bucketed rank) and its two-pass PRF expansion
     "s31_bm25_topk",
     "s32_prf_expansion",
+    # round-9: reciprocal-rank-fusion hybrid of the dense cosine and BM25
+    # lists (integer-micros RRF, SIGIR 2009)
+    "s33_rrf_hybrid",
 ]
 
 # Scale-slope flagships: timed at sf0.1 AND at the generated 10x sf1

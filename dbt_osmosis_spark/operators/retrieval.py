@@ -359,3 +359,222 @@ def s32_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rnk", "doc_id", "score_micros")
         .orderBy("query_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# s33: hybrid dense + lexical retrieval via reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+# RRF (Cormack, Clarke & Buettcher, "Reciprocal Rank Fusion outperforms
+# Condorcet and individual Rank Learning Methods", SIGIR 2009):
+# score(d) = sum over systems of 1 / (K + rank_s(d)), K = 60. Both input
+# ranks are integers, so the fusion is quantized to exact integer micros
+# with INTEGER DIVISION — 1000000 DIV (60 + rank) — identical arithmetic
+# in Spark (DIV) and DuckDB (//): no doubles anywhere in the fusion, the
+# whole operator is full-hash checkable.
+#
+# The two input systems reuse existing plans unchanged: the dense list is
+# s01's brute-force cosine shape (query anchors broadcast, corpus scan
+# map-side) and the lexical list is s31's pruned-postings BM25. Each list
+# is ranked top-N with the same two-phase bucketed ranking as s31, then
+# the fusion is a full-outer join of two (queries x N)-row relations —
+# fusion cost is independent of corpus size.
+
+_S33_N = 10  # per-system list depth feeding the fusion
+_S33_RRF_K = 60  # the SIGIR-2009 constant
+# query anchors: each lexical query fuses with the dense neighborhood of
+# one embedding (the "query vector" a hybrid search would embed).
+_S33_ANCHORS: tuple[tuple[str, int], ...] = (("qA", 0), ("qB", 1), ("qC", 2))
+
+_S33_ANCHOR_VALUES = ", ".join(f"('{q}', {a})" for q, a in _S33_ANCHORS)
+
+# dense-side SQL fragments shared with the similarity module (same dot /
+# norm folds, bit-identical across engines — similarity.py module doc).
+from dbt_osmosis_spark.operators.similarity import (  # noqa: E402
+    _DIM,
+    _DUCK_DOT,
+    _DUCK_NORM2,
+    _SPARK_DOT,
+    _SPARK_NORM2,
+)
+
+_S33_ORACLE = f"""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+anchors(query_id, aid) AS (VALUES {_S33_ANCHOR_VALUES}),
+aq AS (
+  SELECT query_id, aid, v AS qv FROM anchors JOIN vecs ON vec_id = aid
+),
+dense_scored AS (
+  SELECT a.query_id, e.vec_id AS doc_id,
+         {_DUCK_DOT.format(a="e.v", b="a.qv", n=_DIM)}
+           / (sqrt({_DUCK_NORM2.format(a="e.v")})
+              * sqrt({_DUCK_NORM2.format(a="a.qv")})) AS cosine
+  FROM vecs e JOIN aq a ON e.vec_id <> a.aid
+),
+dense AS (
+  SELECT query_id, doc_id, rnk FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, doc_id) AS rnk
+    FROM dense_scored
+  ) WHERE rnk <= {_S33_N}
+),
+toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+),
+toks_ne AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks_ne GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT CAST(SUM(dl) AS DOUBLE) FROM dl)
+           / (SELECT COUNT(*) FROM documents) AS avgdl
+),
+qterms(query_id, term) AS (VALUES {_QUERY_VALUES}),
+tf AS (
+  SELECT doc_id, tok AS term, COUNT(*) AS tf
+  FROM toks_ne
+  WHERE tok IN (SELECT DISTINCT term FROM qterms)
+  GROUP BY doc_id, tok
+),
+dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT q.query_id, tf.doc_id, {_CONTRIB} AS c
+  FROM tf
+  JOIN dfr df USING (term)
+  JOIN qterms q USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+),
+lex_scores AS (
+  SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score_micros
+  FROM contrib GROUP BY query_id, doc_id
+),
+lex AS (
+  SELECT query_id, doc_id, rnk FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score_micros DESC, doc_id) AS rnk
+    FROM lex_scores
+  ) WHERE rnk <= {_S33_N}
+),
+fused AS (
+  SELECT COALESCE(d.query_id, l.query_id) AS query_id,
+         COALESCE(d.doc_id, l.doc_id) AS doc_id,
+         CAST(d.rnk AS BIGINT) AS dense_rnk,
+         CAST(l.rnk AS BIGINT) AS lex_rnk,
+         COALESCE(1000000 // (CAST({_S33_RRF_K} AS BIGINT) + d.rnk), 0)
+           + COALESCE(1000000 // (CAST({_S33_RRF_K} AS BIGINT) + l.rnk), 0)
+           AS rrf_micros
+  FROM dense d
+  FULL OUTER JOIN lex l
+    ON d.query_id = l.query_id AND d.doc_id = l.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, dense_rnk, lex_rnk, rrf_micros,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY rrf_micros DESC, doc_id) AS rn
+  FROM fused
+)
+SELECT query_id, CAST(rn AS BIGINT) AS rnk, doc_id,
+       CAST(rrf_micros AS BIGINT) AS rrf_micros, dense_rnk, lex_rnk
+FROM ranked WHERE rn <= {_K}
+ORDER BY query_id, rnk
+"""
+
+
+def _topn_two_phase(scored: DataFrame, order_col: str, n: int) -> DataFrame:
+    """(query_id, doc_id, rnk): top-n per query_id by (order_col desc,
+    doc_id), via bucket-local top-n then a final rank over <= _BUCKETS*n
+    survivors — no query's full candidate list is ever one partition."""
+    bucket_w = W.partitionBy("query_id", "bkt").orderBy(
+        F.col(order_col).desc(), F.col("doc_id")
+    )
+    final_w = W.partitionBy("query_id").orderBy(F.col(order_col).desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("bkt", F.expr(f"pmod(hash(doc_id), {_BUCKETS})"))
+        .withColumn("lr", F.row_number().over(bucket_w))
+        .filter(F.col("lr") <= n)
+        .withColumn("rnk", F.row_number().over(final_w).cast("bigint"))
+        .filter(F.col("rnk") <= n)
+        .select("query_id", "doc_id", "rnk")
+    )
+
+
+@register("s33_rrf_hybrid", oracle=_S33_ORACLE)
+def s33_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (K = 60) of a dense cosine
+    top-10 list (s01's plan shape) and a BM25 top-10 list (s31's plan
+    shape) over the same corpus; integer-division micros make the fusion
+    exactly hashable.
+
+    Scale shape: the dense pass is a map-side corpus scan against a
+    3-row broadcast anchor relation; the lexical pass prunes postings to
+    query terms before its only corpus-keyed shuffle; both lists are
+    two-phase bucket-ranked; the fusion full-outer join touches only
+    2 x |queries| x 10 rows regardless of corpus size.
+    """
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+
+    # dense list -----------------------------------------------------------
+    emb = spread(read_parquet(spark, f"{sf_dir}/embeddings.parquet")).withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    anchors = spark.createDataFrame(list(_S33_ANCHORS), "query_id string, aid bigint")
+    aq = F.broadcast(
+        anchors.join(emb.select(F.col("vec_id").alias("aid"), F.col("v").alias("qv")), "aid")
+    )
+    dot = F.expr(_SPARK_DOT.format(a="v", b="qv"))
+    n_v = F.expr(_SPARK_NORM2.format(a="v"))
+    n_q = F.expr(_SPARK_NORM2.format(a="qv"))
+    dense_scored = (
+        emb.crossJoin(aq)
+        .filter(F.col("vec_id") != F.col("aid"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            (dot / (F.sqrt(n_v) * F.sqrt(n_q))).alias("cosine"),
+        )
+    )
+    dense = _topn_two_phase(dense_scored, "cosine", _S33_N)
+
+    # lexical list ----------------------------------------------------------
+    toks = _tokens(docs)
+    dl = keep_cached(toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")))
+    stats = _corpus_stats(docs, dl)
+    qterms = spark.createDataFrame(list(_QUERY_TERMS), "query_id string, term string")
+    lex = _topn_two_phase(_bm25_scores(toks, dl, stats, qterms), "score_micros", _S33_N)
+
+    # fusion ----------------------------------------------------------------
+    d = dense.select("query_id", "doc_id", F.col("rnk").alias("dense_rnk"))
+    l = lex.select(
+        F.col("query_id").alias("l_query_id"),
+        F.col("doc_id").alias("l_doc_id"),
+        F.col("rnk").alias("lex_rnk"),
+    )
+    rrf = F.expr(
+        f"COALESCE(1000000 DIV (CAST({_S33_RRF_K} AS BIGINT) + dense_rnk), 0)"
+        f" + COALESCE(1000000 DIV (CAST({_S33_RRF_K} AS BIGINT) + lex_rnk), 0)"
+    )
+    fused = (
+        d.join(
+            l,
+            (d.query_id == l.l_query_id) & (d.doc_id == l.l_doc_id),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("query_id", "l_query_id").alias("query_id"),
+            F.coalesce("doc_id", "l_doc_id").alias("doc_id"),
+            "dense_rnk",
+            "lex_rnk",
+            rrf.cast("bigint").alias("rrf_micros"),
+        )
+    )
+    final_w = W.partitionBy("query_id").orderBy(F.col("rrf_micros").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rnk", F.row_number().over(final_w).cast("bigint"))
+        .filter(F.col("rnk") <= _K)
+        .select("query_id", "rnk", "doc_id", "rrf_micros", "dense_rnk", "lex_rnk")
+        .orderBy("query_id", "rnk")
+    )

@@ -125,3 +125,75 @@ def test_expansion_terms_exclude_query_terms(spark, sf_dir):
         assert (r.query_id, r.term) not in orig
         per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
     assert all(n <= _S32_EXP for n in per_q.values())
+
+
+# ---------------------------------------------------------------------------
+# s33: RRF hybrid fusion
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def s33(spark, sf_dir):
+    return QUERIES["s33_rrf_hybrid"](spark, sf_dir).collect()
+
+
+def test_s33_rrf_arithmetic_is_exact_integer(s33):
+    """rrf_micros must equal the integer-division recomputation from the
+    member ranks — the fusion involves no floating point at all."""
+    from dbt_osmosis_spark.operators.retrieval import _S33_RRF_K
+
+    for r in s33:
+        expect = 0
+        if r.dense_rnk is not None:
+            expect += 1_000_000 // (_S33_RRF_K + r.dense_rnk)
+        if r.lex_rnk is not None:
+            expect += 1_000_000 // (_S33_RRF_K + r.lex_rnk)
+        assert r.rrf_micros == expect, r
+
+
+def test_s33_ranks_contiguous_and_member_ranks_bounded(s33):
+    from dbt_osmosis_spark.operators.retrieval import _S33_N
+
+    per = _by_query(s33)
+    assert set(per) == {q for q, _ in _QUERY_TERMS}
+    for rows in per.values():
+        rows = sorted(rows, key=lambda r: r.rnk)
+        assert [r.rnk for r in rows] == list(range(1, _K + 1))
+        micros = [r.rrf_micros for r in rows]
+        assert micros == sorted(micros, reverse=True)
+        for r in rows:
+            assert r.dense_rnk is not None or r.lex_rnk is not None
+            assert r.dense_rnk is None or 1 <= r.dense_rnk <= _S33_N
+            assert r.lex_rnk is None or 1 <= r.lex_rnk <= _S33_N
+
+
+def test_s33_doc_in_both_lists_outranks_equal_single_membership(s33):
+    """A doc in both lists carries two contributions; its rrf_micros must
+    strictly exceed any single-list doc whose best rank is no better."""
+    for rows in _by_query(s33).values():
+        both = [r for r in rows if r.dense_rnk is not None and r.lex_rnk is not None]
+        single = [r for r in rows if (r.dense_rnk is None) != (r.lex_rnk is None)]
+        for b in both:
+            b_best = min(x for x in (b.dense_rnk, b.lex_rnk) if x is not None)
+            for s in single:
+                s_rank = s.dense_rnk if s.dense_rnk is not None else s.lex_rnk
+                if s_rank >= b_best:
+                    assert b.rrf_micros > s.rrf_micros, (b, s)
+
+
+def test_s33_plan_broadcasts_tiny_sides_and_fuses_small(spark, sf_dir):
+    """Plan properties: the dense anchor relation and the lexical
+    df/stats/query relations join by broadcast (no corpus-sized shuffle
+    join, no cartesian product), and the static exchange count stays
+    within the measured budget — a refactor that adds a shuffle fails
+    here, not at the next scale probe.  The static plan repeats cached
+    lineages (dl/tf are keep_cached), so the ceiling is the measured
+    static count, not the runtime one."""
+    from dbt_osmosis_spark.plans.audit import (
+        exchange_count,
+        has_broadcast_join,
+        has_cartesian,
+    )
+
+    df = QUERIES["s33_rrf_hybrid"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert not has_cartesian(df)
+    assert exchange_count(df) <= 18
