@@ -156,6 +156,14 @@ SCALE_FLAGSHIPS = [
     # all-pairs; exchange counts must stay flat
     "s25_knn_graph",
     "d21_lsh_tuning_curve",
+    # round-9: lexical retrieval + hybrid fusion — the corpus-sized stage
+    # is the token explode feeding doc-local aggregates; postings prune to
+    # query terms before any shuffle, so the 10x slope must track the scan
+    # (s32 pays a deliberate 3x re-tokenization; its slope is the watch
+    # item VERDICT r8 flagged) and exchange counts must stay flat
+    "s31_bm25_topk",
+    "s32_prf_expansion",
+    "s33_rrf_hybrid",
 ]
 
 

@@ -197,3 +197,18 @@ def test_s33_plan_broadcasts_tiny_sides_and_fuses_small(spark, sf_dir):
     assert has_broadcast_join(df)
     assert not has_cartesian(df)
     assert exchange_count(df) <= 18
+
+
+def test_retrieval_exchange_budgets(spark, sf_dir):
+    """Exchange ceilings measured at 1x/10x (SCALE.md round-9 rows): the
+    counts were identical at both scales; a refactor that adds a shuffle
+    fails here, not at the next scale probe."""
+    from dbt_osmosis_spark.plans.audit import exchange_count
+
+    budgets = {
+        "s31_bm25_topk": 13,
+        "s32_prf_expansion": 93,
+        "s33_rrf_hybrid": 18,
+    }
+    for name, budget in budgets.items():
+        assert exchange_count(QUERIES[name](spark, sf_dir)) <= budget, name
