@@ -118,8 +118,11 @@ FAMILIES = [
     "s31_bm25_topk",
     "s32_prf_expansion",
     # round-9: reciprocal-rank-fusion hybrid of the dense cosine and BM25
-    # lists (integer-micros RRF, SIGIR 2009)
+    # lists (integer-micros RRF, SIGIR 2009), and the persisted
+    # term-bucketed postings layout (build is the operator; serve scans
+    # only probed term buckets)
     "s33_rrf_hybrid",
+    "s34_postings_index_serve",
 ]
 
 # Scale-slope flagships: timed at sf0.1 AND at the generated 10x sf1
@@ -164,6 +167,7 @@ SCALE_FLAGSHIPS = [
     "s31_bm25_topk",
     "s32_prf_expansion",
     "s33_rrf_hybrid",
+    "s34_postings_index_serve",
 ]
 
 

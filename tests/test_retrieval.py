@@ -209,6 +209,77 @@ def test_retrieval_exchange_budgets(spark, sf_dir):
         "s31_bm25_topk": 13,
         "s32_prf_expansion": 93,
         "s33_rrf_hybrid": 18,
+        "s34_postings_index_serve": 4,  # serve plan (the returned df)
     }
     for name, budget in budgets.items():
         assert exchange_count(QUERIES[name](spark, sf_dir)) <= budget, name
+
+
+# ---------------------------------------------------------------------------
+# s34: persisted term-bucketed postings layout
+# ---------------------------------------------------------------------------
+def test_s34_serves_identical_results_to_s31(spark, sf_dir, s31):
+    """The index is a reorganized copy of the corpus: serving from it must
+    produce byte-identical BM25 rows to computing in-plan (s31)."""
+    got = QUERIES["s34_postings_index_serve"](spark, sf_dir).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, s31))
+
+
+def test_s34_serve_scan_prunes_to_probed_term_buckets(spark, sf_dir):
+    """The serve scan must list ONLY the buckets the query terms hash
+    into: the bucket IN-list is a PartitionFilter at the postings
+    FileScan (static pruning), the term IN-list is pushed to the parquet
+    reader, tiny sides broadcast, and the serve side adds at most the
+    tf-sum + two rank exchanges."""
+    from dbt_osmosis_spark.operators.retrieval import (
+        _QUERY_TERMS,
+        _S34_NB,
+        _s34_index_path,
+        _s34_tbkt_py,
+        query_postings_index,
+    )
+    from dbt_osmosis_spark.plans.audit import (
+        exchange_count,
+        has_broadcast_join,
+        has_cartesian,
+        physical_plan,
+    )
+
+    # index exists from the build/serve query; build it if this test runs
+    # first in isolation
+    QUERIES["s34_postings_index_serve"](spark, sf_dir).collect()
+    df = query_postings_index(spark, _s34_index_path(sf_dir), _QUERY_TERMS)
+    assert has_broadcast_join(df)
+    assert not has_cartesian(df)
+    assert exchange_count(df) <= 4
+    plan = physical_plan(df)
+    scan_lines = [ln for ln in plan.splitlines() if "FileScan" in ln and "postings" in ln]
+    assert scan_lines
+    probes = sorted({_s34_tbkt_py(t) for _, t in _QUERY_TERMS})
+    assert len(probes) < _S34_NB  # pruning must actually prune
+    pf = next(
+        ln.split("PartitionFilters", 1)[1][:200]
+        for ln in scan_lines
+        if "PartitionFilters" in ln
+    )
+    assert "tbkt" in pf and "IN" in pf, pf
+    assert any("In(term," in ln for ln in scan_lines), scan_lines
+
+
+def test_s34_bucket_rule_matches_between_python_and_spark(spark):
+    """Probe planning happens in Python; the stored partition key is
+    computed by Spark SQL — the two md5 bucket rules must agree or
+    pruning would silently drop postings."""
+    from dbt_osmosis_spark.operators.retrieval import (
+        _S34_SPARK_TBKT,
+        _s34_tbkt_py,
+    )
+
+    terms = ["spark", "window", "hash", "join", "stream", "batch", "vector", "zzz", ""]
+    rows = (
+        spark.createDataFrame([(t,) for t in terms], "term string")
+        .selectExpr("term", f"{_S34_SPARK_TBKT} AS tbkt")
+        .collect()
+    )
+    for r in rows:
+        assert r.tbkt == _s34_tbkt_py(r.term), r.term
