@@ -123,6 +123,10 @@ FAMILIES = [
     # only probed term buckets)
     "s33_rrf_hybrid",
     "s34_postings_index_serve",
+    # round-9b: in-engine nDCG/MRR eval of the rankers, and the
+    # incremental (delta-merged) postings maintenance serve
+    "s35_rank_eval",
+    "s36_postings_incremental_serve",
 ]
 
 # Scale-slope flagships: timed at sf0.1 AND at the generated 10x sf1
@@ -168,6 +172,7 @@ SCALE_FLAGSHIPS = [
     "s32_prf_expansion",
     "s33_rrf_hybrid",
     "s34_postings_index_serve",
+    "s36_postings_incremental_serve",
 ]
 
 

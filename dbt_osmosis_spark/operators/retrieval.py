@@ -705,3 +705,406 @@ def s34_postings_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _s34_index_path(sf_dir)
     write_postings_index(spark, docs, path)
     return query_postings_index(spark, path, _QUERY_TERMS)
+
+
+# ---------------------------------------------------------------------------
+# s35: in-engine ranking-quality evaluation (nDCG@5 / MRR) of the family
+# ---------------------------------------------------------------------------
+# The s12/s21 move applied to retrieval: the engine evaluates its own
+# rankers. Systems under test are s31 (BM25) and s33 (RRF hybrid); the
+# graded qrels are DATA-DERIVED and deterministic — rel(q, d) = number of
+# distinct q-terms appearing in d (0..|terms_q|) — so the whole eval is
+# oracle-checkable with no human labels.
+#
+# Exactness discipline: the only transcendental in nDCG is the rank
+# discount 1/log2(rank+1); ranks are <= 5, so the five discounts are
+# inlined as repr'd double LITERALS (identical parse in Spark, DuckDB and
+# Python). gain x discount x 1e6 quantizes half-up to BIGINT micros
+# per (rank) BEFORE summing; MRR is 1000000 DIV first-relevant-rank and
+# nDCG is dcg*1e6 DIV idcg — both pure integer division. No engine-side
+# float aggregation anywhere.
+
+_S35_REL_THRESHOLD = 2  # MRR counts the first doc with >= 2 distinct terms
+
+# (rnk, disc) literal table: disc = 1/log2(rnk+1), repr round-trip exact.
+_S35_DISCOUNTS: tuple[tuple[int, float], ...] = (
+    (1, 1.0),
+    (2, 0.6309297535714575),
+    (3, 0.5),
+    (4, 0.43067655807339306),
+    (5, 0.38685280723454163),
+)
+_S35_DISC_VALUES = ", ".join(f"({r}, {d!r})" for r, d in _S35_DISCOUNTS)
+
+# gain(rel) x discount quantized to micros — substituted verbatim in both
+# engines (pow/floor/CAST parse identically).
+_S35_GAIN = "CAST(floor((pow(2.0, rel) - 1.0) * disc * 1e6 + 0.5) AS BIGINT)"
+
+_S35_ORACLE = f"""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+anchors(query_id, aid) AS (VALUES {_S33_ANCHOR_VALUES}),
+aq AS (
+  SELECT query_id, aid, v AS qv FROM anchors JOIN vecs ON vec_id = aid
+),
+dense_scored AS (
+  SELECT a.query_id, e.vec_id AS doc_id,
+         {_DUCK_DOT.format(a="e.v", b="a.qv", n=_DIM)}
+           / (sqrt({_DUCK_NORM2.format(a="e.v")})
+              * sqrt({_DUCK_NORM2.format(a="a.qv")})) AS cosine
+  FROM vecs e JOIN aq a ON e.vec_id <> a.aid
+),
+dense AS (
+  SELECT query_id, doc_id, rnk FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, doc_id) AS rnk
+    FROM dense_scored
+  ) WHERE rnk <= {_S33_N}
+),
+toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+),
+toks_ne AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks_ne GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT CAST(SUM(dl) AS DOUBLE) FROM dl)
+           / (SELECT COUNT(*) FROM documents) AS avgdl
+),
+qterms(query_id, term) AS (VALUES {_QUERY_VALUES}),
+tf AS (
+  SELECT doc_id, tok AS term, COUNT(*) AS tf
+  FROM toks_ne
+  WHERE tok IN (SELECT DISTINCT term FROM qterms)
+  GROUP BY doc_id, tok
+),
+dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT q.query_id, tf.doc_id, {_CONTRIB} AS c
+  FROM tf
+  JOIN dfr df USING (term)
+  JOIN qterms q USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+),
+lex_scores AS (
+  SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score_micros
+  FROM contrib GROUP BY query_id, doc_id
+),
+lex_ranked AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score_micros DESC, doc_id) AS rnk
+  FROM lex_scores
+),
+bm25_run AS (
+  SELECT query_id, doc_id, rnk FROM lex_ranked WHERE rnk <= {_K}
+),
+lex AS (SELECT query_id, doc_id, rnk FROM lex_ranked WHERE rnk <= {_S33_N}),
+fused AS (
+  SELECT COALESCE(d.query_id, l.query_id) AS query_id,
+         COALESCE(d.doc_id, l.doc_id) AS doc_id,
+         COALESCE(1000000 // (CAST({_S33_RRF_K} AS BIGINT) + d.rnk), 0)
+           + COALESCE(1000000 // (CAST({_S33_RRF_K} AS BIGINT) + l.rnk), 0)
+           AS rrf_micros
+  FROM dense d
+  FULL OUTER JOIN lex l
+    ON d.query_id = l.query_id AND d.doc_id = l.doc_id
+),
+rrf_run AS (
+  SELECT query_id, doc_id, rnk FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY rrf_micros DESC, doc_id) AS rnk
+    FROM fused
+  ) WHERE rnk <= {_K}
+),
+runs AS (
+  SELECT 'bm25' AS system, * FROM bm25_run
+  UNION ALL
+  SELECT 'rrf' AS system, * FROM rrf_run
+),
+qrels AS (
+  SELECT q.query_id, tf.doc_id, COUNT(DISTINCT tf.term) AS rel
+  FROM tf JOIN qterms q USING (term)
+  GROUP BY q.query_id, tf.doc_id
+),
+discounts(rnk, disc) AS (VALUES {_S35_DISC_VALUES}),
+judged AS (
+  SELECT r.system, r.query_id, r.rnk, COALESCE(qr.rel, 0) AS rel
+  FROM runs r
+  LEFT JOIN qrels qr ON r.query_id = qr.query_id AND r.doc_id = qr.doc_id
+),
+gains AS (
+  SELECT j.system, j.query_id, j.rnk, j.rel, {_S35_GAIN} AS g
+  FROM judged j JOIN discounts d ON j.rnk = d.rnk
+),
+per_system AS (
+  SELECT system, query_id,
+         CAST(SUM(g) AS BIGINT) AS dcg_micros,
+         COALESCE(
+           1000000 // MIN(CASE WHEN rel >= {_S35_REL_THRESHOLD}
+                               THEN rnk END),
+           0) AS mrr_micros
+  FROM gains GROUP BY system, query_id
+),
+ideal AS (
+  SELECT query_id, rel,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY rel DESC, doc_id) AS rnk
+  FROM qrels
+),
+idcg AS (
+  SELECT i.query_id, CAST(SUM({_S35_GAIN}) AS BIGINT) AS idcg_micros
+  FROM (SELECT query_id, rel, rnk FROM ideal WHERE rnk <= {_K}) i
+  JOIN discounts d ON i.rnk = d.rnk
+  GROUP BY i.query_id
+)
+SELECT p.query_id, p.system,
+       CAST(p.mrr_micros AS BIGINT) AS mrr_micros,
+       p.dcg_micros,
+       CAST(p.dcg_micros * 1000000 // g.idcg_micros AS BIGINT) AS ndcg_micros
+FROM per_system p JOIN idcg g USING (query_id)
+ORDER BY query_id, system
+"""
+
+
+@register("s35_rank_eval", oracle=_S35_ORACLE)
+def s35_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@5 and MRR for the two registered rankers (s31 BM25, s33 RRF
+    hybrid) against data-derived graded qrels — rel(q, d) = distinct
+    q-terms in d. All metric arithmetic is integer-exact: rank discounts
+    are inlined double literals quantized to micros per row before
+    summing; MRR and nDCG are integer division.
+
+    Scale shape: both systems-under-test reuse their registered plans
+    unchanged (top-5 relations, queries x 5 rows each); qrels derive from
+    the pruned query-term postings, never the full corpus; the metric
+    joins touch only run-sized relations with broadcast discount/qrel
+    sides.
+    """
+    s31_run = (
+        s31_bm25_topk(spark, sf_dir)
+        .select("query_id", "doc_id", "rnk")
+        .withColumn("system", F.lit("bm25"))
+    )
+    s33_run = (
+        s33_rrf_hybrid(spark, sf_dir)
+        .select("query_id", "doc_id", "rnk")
+        .withColumn("system", F.lit("rrf"))
+    )
+    runs = s31_run.unionByName(s33_run)
+
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    toks = _tokens(docs)
+    qterms = spark.createDataFrame(list(_QUERY_TERMS), "query_id string, term string")
+    wanted = qterms.select("term").distinct()
+    qrels = (
+        toks.join(F.broadcast(wanted), toks.tok == wanted.term, "left_semi")
+        .select("doc_id", F.col("tok").alias("term"))
+        .distinct()
+        .join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("rel"))
+    )
+    discounts = spark.createDataFrame(list(_S35_DISCOUNTS), "rnk int, disc double")
+
+    judged = runs.join(qrels, ["query_id", "doc_id"], "left").select(
+        "system", "query_id", "rnk", F.coalesce("rel", F.lit(0)).alias("rel")
+    )
+    gains = judged.join(F.broadcast(discounts), "rnk").select(
+        "system", "query_id", "rnk", "rel", F.expr(_S35_GAIN).alias("g")
+    )
+    per_system = gains.groupBy("system", "query_id").agg(
+        F.sum("g").cast("bigint").alias("dcg_micros"),
+        F.coalesce(
+            F.expr(
+                f"1000000 DIV MIN(CASE WHEN rel >= {_S35_REL_THRESHOLD} THEN rnk END)"
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("mrr_micros"),
+    )
+
+    ideal_w = W.partitionBy("query_id").orderBy(F.col("rel").desc(), F.col("doc_id"))
+    # qrels is pruned-postings-sized; the ideal top-5 uses the same
+    # two-phase bucket discipline as every other family rank.
+    ideal = (
+        qrels.withColumn("bkt", F.expr(f"pmod(hash(doc_id), {_BUCKETS})"))
+        .withColumn(
+            "lr",
+            F.row_number().over(
+                W.partitionBy("query_id", "bkt").orderBy(
+                    F.col("rel").desc(), F.col("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("lr") <= _K)
+        .withColumn("rnk", F.row_number().over(ideal_w))
+        .filter(F.col("rnk") <= _K)
+        .select("query_id", "rel", "rnk")
+    )
+    idcg = (
+        ideal.join(F.broadcast(discounts), "rnk")
+        .select("query_id", F.expr(_S35_GAIN).alias("g"))
+        .groupBy("query_id")
+        .agg(F.sum("g").cast("bigint").alias("idcg_micros"))
+    )
+
+    return (
+        per_system.join(F.broadcast(idcg), "query_id")
+        .select(
+            "query_id",
+            "system",
+            "mrr_micros",
+            "dcg_micros",
+            F.expr("CAST(dcg_micros * 1000000 DIV idcg_micros AS BIGINT)").alias(
+                "ndcg_micros"
+            ),
+        )
+        .orderBy("query_id", "system")
+    )
+
+
+# ---------------------------------------------------------------------------
+# s36: incremental postings maintenance — append-only ingest + delta stats
+# ---------------------------------------------------------------------------
+# The s20 move (incremental IVF appends) applied to the lexical index.
+# s34 bakes df INTO the postings rows, which is the right call for a
+# rebuild-on-corpus-change layout but exactly wrong for incremental
+# ingest: appending one batch would invalidate the stored df of every
+# existing posting for shared terms. The incremental layout therefore
+# splits the state by mutability:
+#   - postings/ (term, doc_id, tf, dl) partitioned by tbkt — append-only;
+#     each doc lives wholly in one ingest, so tf/dl never change;
+#   - termstats/ingest=k — per-ingest df DELTAS (vocab-sized);
+#   - stats/ingest=k    — per-ingest (n_docs, sum_dl) 1-row deltas.
+# Serving merges the deltas (integer sums — order-free), derives
+# avgdl = sum_dl/n_docs exactly as _corpus_stats does, and scores the
+# bucket-pruned postings against the broadcast merged stats. Results are
+# byte-identical to computing over the full corpus in-plan (the s31
+# oracle), no matter how many ingests built the index — the LSM-style
+# delta discipline every streaming sink in this repo follows.
+
+def _s36_index_path(sf_dir: str) -> str:
+    import os as _os3
+
+    repo = _os3.path.dirname(_os3.path.dirname(_os3.path.dirname(_os3.path.abspath(__file__))))
+    tag = _os3.path.basename(sf_dir.rstrip("/")) or "sf"
+    return _os3.path.join(repo, ".postings_incr", tag)
+
+
+def ingest_postings_batch(
+    spark: SparkSession, docs_batch: DataFrame, path: str, ingest_id: int
+) -> None:
+    """Append one document batch to the incremental layout: postings rows
+    append into their term-bucket partitions; df and corpus-stats deltas
+    write under ingest=<id> so re-running an ingest overwrites its own
+    deltas idempotently (the exactly-once contract of the streaming
+    sinks)."""
+    toks = _tokens(docs_batch)
+    tf = toks.groupBy("doc_id", F.col("tok").alias("term")).agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    mode = "overwrite" if ingest_id == 0 else "append"
+    (
+        tf.join(dl, "doc_id")
+        .withColumn("tbkt", F.expr(_S34_SPARK_TBKT))
+        .select("term", "doc_id", "tf", "dl", "tbkt")
+        .repartition("tbkt")
+        .write.partitionBy("tbkt")
+        .mode(mode)
+        .parquet(f"{path}/postings")
+    )
+    tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/termstats/ingest={ingest_id}")
+    (
+        docs_batch.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(dl.agg(F.sum("dl").alias("sum_dl")))
+        .write.mode("overwrite")
+        .parquet(f"{path}/stats/ingest={ingest_id}")
+    )
+
+
+def query_incremental_postings(
+    spark: SparkSession, path: str, query_terms: tuple[tuple[str, str], ...], k: int = _K
+) -> DataFrame:
+    """Serve from the incremental layout: bucket-pruned postings scan +
+    delta-merged term/corpus stats (integer sums, then one exact
+    division for avgdl)."""
+    probes = sorted({_s34_tbkt_py(t) for _, t in query_terms})
+    terms = sorted({t for _, t in query_terms})
+    qterms = spark.createDataFrame(list(query_terms), "query_id string, term string")
+
+    df_rel = (
+        spark.read.parquet(f"{path}/termstats")
+        .filter(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.sum("df").cast("bigint").alias("df"))
+    )
+    stats = (
+        spark.read.parquet(f"{path}/stats")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("sum_dl").cast("bigint").alias("sum_dl"),
+        )
+        .selectExpr("n_docs", "CAST(sum_dl AS DOUBLE) / n_docs AS avgdl")
+    )
+    postings = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("tbkt").isin(probes))
+        .filter(F.col("term").isin(terms))
+    )
+    scores = (
+        postings.join(F.broadcast(df_rel), "term")
+        .join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", F.expr(_CONTRIB).alias("c"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").cast("bigint").alias("score_micros"))
+    )
+    final_w = W.partitionBy("query_id").orderBy(
+        F.col("score_micros").desc(), F.col("doc_id")
+    )
+    return (
+        scores.withColumn("bkt", F.expr(f"pmod(hash(doc_id), {_BUCKETS})"))
+        .withColumn(
+            "lr",
+            F.row_number().over(
+                W.partitionBy("query_id", "bkt").orderBy(
+                    F.col("score_micros").desc(), F.col("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("lr") <= k)
+        .withColumn("rnk", F.row_number().over(final_w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "rnk", "doc_id", "score_micros")
+        .orderBy("query_id", "rnk")
+    )
+
+
+@register("s36_postings_incremental_serve", oracle=_S31_ORACLE)
+def s36_postings_incremental_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-ingest incremental build (initial 80% of docs by doc_id mod 5,
+    then the remaining 20% appended) followed by one serve of the s31
+    query batch. The oracle is s31's full-corpus SQL: delta-merged stats
+    must make the incrementally-built index serve byte-identically to a
+    from-scratch computation."""
+    import shutil
+
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    path = _s36_index_path(sf_dir)
+    # postings append is only idempotent per-call if the layout starts
+    # fresh: ingest 0 overwrites, so clearing first keeps the registered
+    # query re-runnable (the s17/s34 overwrite discipline).
+    shutil.rmtree(path, ignore_errors=True)
+    ingest_postings_batch(spark, docs.filter(F.col("doc_id") % 5 != 0), path, 0)
+    ingest_postings_batch(spark, docs.filter(F.col("doc_id") % 5 == 0), path, 1)
+    return query_incremental_postings(spark, path, _QUERY_TERMS)

@@ -210,6 +210,8 @@ def test_retrieval_exchange_budgets(spark, sf_dir):
         "s32_prf_expansion": 93,
         "s33_rrf_hybrid": 18,
         "s34_postings_index_serve": 4,  # serve plan (the returned df)
+        "s35_rank_eval": 42,  # composes both systems-under-test
+        "s36_postings_incremental_serve": 6,  # serve plan; +2 delta merges
     }
     for name, budget in budgets.items():
         assert exchange_count(QUERIES[name](spark, sf_dir)) <= budget, name
@@ -283,3 +285,144 @@ def test_s34_bucket_rule_matches_between_python_and_spark(spark):
     )
     for r in rows:
         assert r.tbkt == _s34_tbkt_py(r.term), r.term
+
+
+# ---------------------------------------------------------------------------
+# s35: ranking-quality eval
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def s35(spark, sf_dir):
+    return QUERIES["s35_rank_eval"](spark, sf_dir).collect()
+
+
+def test_s35_shape_and_bounds(s35):
+    """One row per (query, system); every metric in [0, 1e6] except DCG
+    (unnormalized); nDCG == 1e6 iff DCG == IDCG by construction."""
+    assert len(s35) == len({q for q, _ in _QUERY_TERMS}) * 2
+    systems = {r.system for r in s35}
+    assert systems == {"bm25", "rrf"}
+    for r in s35:
+        assert 0 <= r.mrr_micros <= 1_000_000
+        assert r.dcg_micros >= 0
+        assert 0 <= r.ndcg_micros <= 1_000_000
+
+
+def test_s35_bm25_is_ndcg_perfect_against_lexical_qrels(s35):
+    """qrels are term-overlap-graded, and BM25 ranks by term match —
+    descending qrel grade order and BM25 order agree on this corpus, so
+    bm25's nDCG must be 1.0 while rrf (which trades lexical rank for
+    dense neighbors) may dip below. A corpus change that breaks this
+    signals the qrels derivation drifted, not a ranking bug."""
+    bm25 = [r for r in s35 if r.system == "bm25"]
+    assert all(r.ndcg_micros == 1_000_000 for r in bm25), bm25
+
+
+def test_s35_metrics_recompute_from_member_runs(spark, sf_dir, s31, s35):
+    """Cross-check DCG for the bm25 system against a driver-side
+    recomputation from s31's rows and inline qrels."""
+    from dbt_osmosis_spark.operators.retrieval import _S35_DISCOUNTS
+
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    terms_by_q: dict[str, set] = {}
+    for q, t in _QUERY_TERMS:
+        terms_by_q.setdefault(q, set()).add(t)
+    disc = dict(_S35_DISCOUNTS)
+    import math
+
+    expected: dict[str, int] = {}
+    for r in s31:
+        toks = set(docs[r.doc_id].lower().split())
+        rel = len(toks & terms_by_q[r.query_id])
+        g = math.floor((2.0**rel - 1.0) * disc[r.rnk] * 1e6 + 0.5)
+        expected[r.query_id] = expected.get(r.query_id, 0) + int(g)
+    got = {r.query_id: r.dcg_micros for r in s35 if r.system == "bm25"}
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# s36: incremental postings maintenance
+# ---------------------------------------------------------------------------
+def test_s36_serves_identical_results_to_s31(spark, sf_dir, s31):
+    got = QUERIES["s36_postings_incremental_serve"](spark, sf_dir).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, s31))
+
+
+def test_s36_delta_merge_equals_full_rebuild(spark, sf_dir):
+    """The merged termstats/stats deltas must equal a from-scratch
+    aggregation over the full corpus — the mergeability claim, checked
+    directly on the persisted state."""
+    from dbt_osmosis_spark.operators.retrieval import (
+        _corpus_stats,
+        _s36_index_path,
+        _tokens,
+    )
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    QUERIES["s36_postings_incremental_serve"](spark, sf_dir).collect()
+    path = _s36_index_path(sf_dir)
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    toks = _tokens(docs)
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    want_stats = _corpus_stats(docs, dl).collect()[0]
+    got_stats = (
+        spark.read.parquet(f"{path}/stats")
+        .agg(F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl"))
+        .selectExpr("n_docs", "CAST(sum_dl AS DOUBLE) / n_docs AS avgdl")
+        .collect()[0]
+    )
+    assert got_stats.n_docs == want_stats.n_docs
+    assert got_stats.avgdl == want_stats.avgdl  # exact same division
+
+    want_df = {
+        (r.term): r.df
+        for r in toks.select("doc_id", F.col("tok").alias("term"))
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    }
+    got_df = {
+        r.term: r.df
+        for r in spark.read.parquet(f"{path}/termstats")
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .collect()
+    }
+    assert got_df == want_df
+
+
+def test_s36_serve_plan_prunes_and_stays_small(spark, sf_dir):
+    from dbt_osmosis_spark.operators.retrieval import (
+        _QUERY_TERMS,
+        _s36_index_path,
+        query_incremental_postings,
+    )
+    from dbt_osmosis_spark.plans.audit import (
+        exchange_count,
+        has_broadcast_join,
+        has_cartesian,
+        physical_plan,
+    )
+
+    QUERIES["s36_postings_incremental_serve"](spark, sf_dir).collect()
+    df = query_incremental_postings(spark, _s36_index_path(sf_dir), _QUERY_TERMS)
+    assert has_broadcast_join(df)
+    assert not has_cartesian(df)
+    # s34's serve is 4; the two extra exchanges here are the delta merges
+    # (termstats groupBy term on a query-term-filtered scan, stats 1-row
+    # sum) — both stats-sized, never corpus-sized
+    assert exchange_count(df) <= 6
+    plan = physical_plan(df)
+    scan_lines = [ln for ln in plan.splitlines() if "FileScan" in ln and "postings" in ln]
+    pf = next(
+        ln.split("PartitionFilters", 1)[1][:200]
+        for ln in scan_lines
+        if "PartitionFilters" in ln and "/postings]" in ln.split("PartitionFilters")[0]
+    )
+    assert "tbkt" in pf and "IN" in pf, pf
