@@ -1,0 +1,120 @@
+"""Continuous postings-index maintenance: the streaming twin of s36.
+
+s36 (operators/retrieval.py) maintains the lexical index incrementally
+with batch ingests; this module is the same state layout fed by
+Structured Streaming — ``readStream`` over a document landing directory
+→ ``foreachBatch`` → per-batch postings + df/corpus-stats deltas. A
+BM25 serve over the index is byte-identical to s31's full-corpus
+computation at any drain point (twin equivalence tested batch-by-batch).
+
+State layout (the s36 split-by-mutability discipline, one directory per
+micro-batch so replays own their partition):
+
+- ``postings/batch=<id>/tbkt=<b>/`` — the batch's (term, doc_id, tf, dl)
+  rows, term-bucket partitioned INSIDE the batch partition: serving
+  still prunes on tbkt (nested partition discovery), while each batch
+  owns a disjoint directory;
+- ``termstats/batch=<id>/`` — the batch's per-term df delta;
+- ``stats/batch=<id>/`` — the batch's 1-row (n_docs, sum_dl) delta.
+
+Delivery semantics — EXACTLY-once by idempotent overwrite (the
+sketch.py contract, not ingest.py's weaker content-keyed one): every
+partition written is a PURE FUNCTION of the batch's documents, so a
+replayed foreachBatch overwrites its own directories with byte-
+equivalent content and the delta merges cannot double-count. This is
+stronger than s36's batch ``append`` mode, which is why the streaming
+variant keys postings by batch instead of appending into shared bucket
+directories.
+
+At 100 TB: per-batch work is one tokenization of the BATCH (never the
+corpus) + three doc/term-local aggregates; the serve-side delta merge
+reads |terms|-filtered termstats rows and 1-row stats per batch —
+sketch-sized, not corpus-sized — and a compaction into s34's rebuilt
+layout is a plain batch job over the same schema.
+
+Reference parity: the reference has no streaming plane; this extends
+SURVEY §2 S26 with the maintained-index pattern s34/s36 document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_osmosis_spark.operators.retrieval import (
+    _S34_SPARK_TBKT,
+    _tokens,
+    query_incremental_postings,
+)
+
+_DOCS_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+
+def write_batch_postings(docs: DataFrame, index_dir: str, batch_id: int) -> None:
+    """Idempotently land one batch's postings + stat deltas under their
+    ``batch=<id>`` partitions (overwrite of deterministic content)."""
+    toks = _tokens(docs)
+    tf = toks.groupBy("doc_id", F.col("tok").alias("term")).agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    (
+        tf.join(dl, "doc_id")
+        .withColumn("tbkt", F.expr(_S34_SPARK_TBKT))
+        .select("term", "doc_id", "tf", "dl", "tbkt")
+        .repartition("tbkt")
+        .write.partitionBy("tbkt")
+        .mode("overwrite")
+        .parquet(f"{index_dir}/postings/batch={batch_id}")
+    )
+    tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/termstats/batch={batch_id}")
+    (
+        docs.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(dl.agg(F.sum("dl").alias("sum_dl")))
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/stats/batch={batch_id}")
+    )
+
+
+def run_postings_ingest(
+    incoming_dir: str,
+    index_dir: str,
+    checkpoint: str,
+    spark: SparkSession,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drain the landing directory into the maintained index (availableNow)."""
+    stream = (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(incoming_dir)
+    )
+
+    def _sink(batch_df: DataFrame, bid: int) -> None:
+        write_batch_postings(batch_df, index_dir, bid)
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def serve_postings(
+    spark: SparkSession, index_dir: str, query_terms: tuple[tuple[str, str], ...]
+) -> DataFrame:
+    """BM25 top-k over the maintained index — exactly s36's serve: the
+    reader only aggregates term/doc-keyed columns, so the extra ``batch``
+    partition column is invisible to it and tbkt pruning still applies."""
+    return query_incremental_postings(spark, index_dir, query_terms)
+
+
+__all__ = [
+    "run_postings_ingest",
+    "serve_postings",
+    "write_batch_postings",
+]
