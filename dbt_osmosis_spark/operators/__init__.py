@@ -63,6 +63,7 @@ def load_all() -> None:
         relational_ext2,
         relational_ext3,
         relational_ext4,
+        relational_ext5,
         retrieval,
         similarity,
         similarity_ext,

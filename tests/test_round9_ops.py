@@ -1,0 +1,92 @@
+"""Round-9 operator invariants: q84 rolling z-score anomalies."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from dbt_osmosis_spark.operators import QUERIES, load_all
+
+load_all()
+
+
+def _mk_events(spark, tmp_path, rows):
+    """rows: (event_id, t_sec, event_type, value)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import datetime as dt
+
+    tab = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [dt.datetime(2024, 1, 1) + dt.timedelta(seconds=r[1]) for r in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    pq.write_table(tab, str(d / "events.parquet"))
+    return str(d)
+
+
+def test_q84_flags_constructed_spike_and_dev_cents_exact(spark, tmp_path):
+    """12 quiet events at ~$10 then one $400 spike inside the window: the
+    spike (and only rows that really cross 3 sigma) is flagged, and
+    dev_cents equals the Python integer recomputation."""
+    rows = [(i, i * 60, "click", 10.0 + (i % 3) * 0.5) for i in range(12)]
+    rows.append((12, 12 * 60, "click", 400.0))
+    sf = _mk_events(spark, tmp_path, rows)
+    got = QUERIES["q84_rolling_zscore_anomalies"](spark, sf).collect()
+    assert [r.event_id for r in got] == [12]
+    r = got[0]
+    cents = [int(round(v * 100)) for _, _, _, v in rows]
+    n = 13
+    s = sum(cents)
+    assert r.win_n == n
+    assert r.dev_cents == abs(cents[12] * n - s) // n
+    # and the test really is 3-sigma: recompute in exact ints
+    q = sum(c * c for c in cents)
+    assert (cents[12] * n - s) ** 2 > 9 * (n * q - s * s)
+
+
+def test_q84_quiet_series_flags_nothing(spark, tmp_path):
+    rows = [(i, i * 60, "view", 20.0 + (i % 5) * 0.25) for i in range(40)]
+    sf = _mk_events(spark, tmp_path, rows)
+    assert QUERIES["q84_rolling_zscore_anomalies"](spark, sf).count() == 0
+
+
+def test_q84_window_is_per_type_and_time_bounded(spark, tmp_path):
+    """A spike whose 72 h window holds only same-type events: other-type
+    noise must not dilute the baseline, and events older than 72 h must
+    not count toward win_n."""
+    rows = []
+    # 15 old 'click' events, > 72 h before the spike — outside its frame
+    for i in range(15):
+        rows.append((i, i * 60, "click", 10.0))
+    base_t = 15 * 60 + 300_000  # ~3.5 days later
+    # 14 fresh quiet clicks + loud 'view' noise interleaved
+    for i in range(14):
+        rows.append((100 + i, base_t + i * 60, "click", 10.0))
+        rows.append((200 + i, base_t + i * 60 + 1, "view", 300.0 + i))
+    rows.append((999, base_t + 14 * 60, "click", 400.0))
+    sf = _mk_events(spark, tmp_path, rows)
+    got = {r.event_id: r for r in QUERIES["q84_rolling_zscore_anomalies"](spark, sf).collect()}
+    assert 999 in got
+    assert got[999].win_n == 15  # 14 fresh quiet + itself; old 15 excluded
+
+
+def test_q84_plan_single_window_exchange(spark, sf_dir):
+    from dbt_osmosis_spark.plans.audit import exchange_count, physical_plan
+
+    df = QUERIES["q84_rolling_zscore_anomalies"](spark, sf_dir)
+    # one hash exchange for the per-type window + the final presentation
+    # range sort — no joins, no collects
+    assert exchange_count(df) <= 2
+    assert "hashpartitioning(event_type" in physical_plan(df)
