@@ -571,3 +571,124 @@ def d29_modularity_scoreboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_modularity(ud, labels, m_df, deg, "lpa"))
         .orderBy("method")
     )
+
+
+# ---------------------------------------------------------------------------
+# d30: incremental connected-components maintenance — contracted relabel
+# ---------------------------------------------------------------------------
+# d11/p16 detect which NEW documents duplicate the existing corpus; this
+# operator maintains the COMPONENT ASSIGNMENT itself when a batch
+# arrives, without re-running CC over the whole corpus. The classic
+# union-find-in-bulk move:
+#
+#   1. base corpus already holds labels L (component = min reachable id);
+#   2. the batch contributes new edges: within-batch LSH pairs plus
+#      cross batch<->base pairs (signatures are per-doc, so the split
+#      pair set is EXACTLY the full-corpus pair set restricted by side —
+#      nothing is missed by computing them separately);
+#   3. project every new edge onto labels — base endpoint -> its
+#      component, batch endpoint -> its own id — and drop self-loops:
+#      the CONTRACTED graph, bounded by the new-edge count, never by
+#      corpus size;
+#   4. run star CC on the contracted graph (touched labels only) and
+#      relabel: component'(x) = star(label(x)) where defined, else
+#      label(x). Untouched base components and isolated batch docs keep
+#      their labels for free.
+#
+# Exactness: a base component's label is its true min id, and star's
+# output is the min over every label merged — which is the min over the
+# union of the merged components' member sets, i.e. exactly what a full
+# CC over base+batch edges assigns. The oracle IS d06's full-corpus CC,
+# so the maintenance theorem is hash-checked, not argued.
+#
+# Scale shape: per batch the work is signatures/bands over the BATCH,
+# one bands join against the base band index (persist it at 100 TB — the
+# s34 layout move), star CC over a contracted graph bounded by new
+# edges, and one label-keyed relabel join. The full-corpus CC never
+# re-runs.
+
+from dbt_osmosis_spark.operators.dedup import lsh_bands, lsh_candidate_pairs  # noqa: E402
+from dbt_osmosis_spark.operators.pipeline import (  # noqa: E402
+    connected_components_hybrid,
+    connected_components_star,
+)
+
+
+from dbt_osmosis_spark.operators.pipeline import _D06_ORACLE  # noqa: E402
+
+
+@register("d30_incremental_components", oracle=_D06_ORACLE)
+def d30_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d06's duplicate-cluster report, produced INCREMENTALLY: base CC
+    over 80% of the corpus (doc_id % 5 != 0), then the remaining 20%
+    merged in via contracted-graph relabel — byte-identical to the
+    full-corpus recompute (the oracle is d06's SQL verbatim)."""
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    base_docs = docs.filter(F.col("doc_id") % 5 != 0)
+    batch_docs = docs.filter(F.col("doc_id") % 5 == 0)
+
+    bands_base = keep_cached(lsh_bands(minhash_signatures(base_docs)))
+    bands_batch = keep_cached(lsh_bands(minhash_signatures(batch_docs)))
+
+    base_pairs = lsh_candidate_pairs(bands_base).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    base_labels = keep_cached(
+        connected_components_hybrid(
+            base_docs.select(F.col("doc_id").alias("id")), base_pairs
+        )
+    )
+
+    batch_pairs = lsh_candidate_pairs(bands_batch).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    cross_pairs = (
+        bands_batch.alias("b")
+        .join(
+            bands_base.alias("c"),
+            (F.col("b.band") == F.col("c.band"))
+            & (F.col("b.band_key") == F.col("c.band_key")),
+        )
+        .select(F.col("b.doc_id").alias("src"), F.col("c.doc_id").alias("dst"))
+        .distinct()
+    )
+    new_edges = batch_pairs.unionByName(cross_pairs)
+
+    # project endpoints onto current labels (batch endpoint = own id)
+    lab = base_labels.select(F.col("id").alias("nid"), F.col("component").alias("lab"))
+    contracted = (
+        new_edges.join(lab.withColumnRenamed("nid", "src_nid"), new_edges.src == F.col("src_nid"), "left")
+        .select(
+            F.coalesce("lab", "src").alias("lsrc"),
+            "dst",
+        )
+        .join(lab.withColumnRenamed("nid", "dst_nid"), F.col("dst") == F.col("dst_nid"), "left")
+        .select(F.col("lsrc").alias("src"), F.coalesce("lab", "dst").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    touched = keep_cached(
+        contracted.select(F.col("src").alias("id"))
+        .unionByName(contracted.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    star = connected_components_star(touched, contracted).select(
+        F.col("id").alias("old_label"), F.col("component").alias("new_label")
+    )
+
+    base_final = (
+        base_labels.join(star, base_labels.component == star.old_label, "left")
+        .select("id", F.coalesce("new_label", "component").alias("component"))
+    )
+    batch_final = (
+        batch_docs.select(F.col("doc_id").alias("id"))
+        .join(star, F.col("id") == star.old_label, "left")
+        .select("id", F.coalesce("new_label", "id").alias("component"))
+    )
+    full = base_final.unionByName(batch_final)
+    return (
+        full.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("component")
+    )

@@ -90,3 +90,58 @@ def test_q84_plan_single_window_exchange(spark, sf_dir):
     # range sort — no joins, no collects
     assert exchange_count(df) <= 2
     assert "hashpartitioning(event_type" in physical_plan(df)
+
+
+# ---------------------------------------------------------------------------
+# d30: incremental connected-components maintenance
+# ---------------------------------------------------------------------------
+def test_d30_equals_d06_full_recompute(spark, sf_dir):
+    """The maintenance theorem, checked directly: incremental contracted
+    relabel == full-corpus CC, row for row."""
+    inc = QUERIES["d30_incremental_components"](spark, sf_dir).collect()
+    full = QUERIES["d06_dedup_components"](spark, sf_dir).collect()
+    assert sorted(map(tuple, inc)) == sorted(map(tuple, full))
+
+
+def test_d30_contracted_graph_is_new_edge_bounded(spark, sf_dir):
+    """The star CC must run on a graph bounded by the new-edge endpoints,
+    never the corpus: rebuild the contraction inline and compare node
+    count against the corpus size."""
+    from dbt_osmosis_spark.operators.dedup import (
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    bb = lsh_bands(minhash_signatures(batch))
+    cb = lsh_bands(minhash_signatures(base))
+    within = lsh_candidate_pairs(bb)
+    cross = (
+        bb.alias("b")
+        .join(
+            cb.alias("c"),
+            (F.col("b.band") == F.col("c.band"))
+            & (F.col("b.band_key") == F.col("c.band_key")),
+        )
+        .select(F.col("b.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    n_new_edges = within.count() + cross.count()
+    n_corpus = docs.count()
+    # every contracted node is an endpoint of a new edge
+    assert 2 * n_new_edges < n_corpus, (
+        "fixture drift: new-edge endpoints should be far smaller than the "
+        f"corpus for the incremental claim to mean anything ({n_new_edges} "
+        f"edges vs {n_corpus} docs)"
+    )
+
+
+def test_d30_no_cartesian_and_no_full_cc_over_union(spark, sf_dir):
+    from dbt_osmosis_spark.plans.audit import has_cartesian
+
+    df = QUERIES["d30_incremental_components"](spark, sf_dir)
+    assert not has_cartesian(df)
