@@ -473,3 +473,123 @@ def t22_countmin_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_n"), "word")
     )
+
+
+# ---------------------------------------------------------------------------
+# t25: interpolated Kneser-Ney bigram scoring
+# ---------------------------------------------------------------------------
+# t13 (MLE bigram) and t19 (stupid backoff) cover the cheap ends of the
+# n-gram-LM quality-signal spectrum; t25 adds the principled one —
+# interpolated Kneser-Ney (Kneser & Ney 1995; Chen & Goodman 1998), the
+# smoothing KenLM defaults to. With absolute discount D = 3/4:
+#
+#   P(w|v) = max(c(vw) - D, 0)/c(v) + D * N1+(v,.)/c(v) * Pcont(w)
+#   Pcont(w) = N1+(.,w) / |bigram types|
+#
+# Multiplying through by 4*c(v)*B (B = bigram types) makes every term an
+# exact integer:
+#
+#   P = (max(4*c(vw) - 3, 0) * B + 3 * N1+(v,.) * N1+(.,w)) / (4*c(v)*B)
+#
+# so both engines see one double division of two exact integers and one
+# log2 — quantized to 1e-9 before the per-doc sum (the t13/t19 move).
+# Integer bounds: num <= 4*c(vw)*B; exact while tokens*types < 2^51
+# (~5e10-token corpus at this vocab) — past that the counts columns move
+# to DECIMAL, the division to a higher-precision ratio; the same bound
+# t13/t19 carry.
+#
+# Scale shape: model build = one bigram shuffle + two tiny rollups
+# (prefix stats from c2, continuation stats from c2 — no extra corpus
+# scan); scoring joins the doc bigrams against the model tables
+# (broadcast here; shuffle-join on the same keys at web scale).
+
+_T25_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+  WHERE len(string_split(trim(text), ' ')) >= 2
+),
+big AS (
+  SELECT doc_id, w[i] AS a, w[i + 1] AS b
+  FROM toks, UNNEST(range(1, len(w))) AS t(i)
+),
+c2 AS (SELECT a, b, COUNT(*) AS n2 FROM big GROUP BY a, b),
+pre AS (SELECT a, SUM(n2) AS cv, COUNT(*) AS n1p FROM c2 GROUP BY a),
+cont AS (SELECT b, COUNT(*) AS n1c FROM c2 GROUP BY b),
+btypes AS (SELECT COUNT(*) AS bt FROM c2),
+scored AS (
+  SELECT g.doc_id,
+         floor(log2(
+           CAST(GREATEST(4 * m.n2 - 3, 0) * s.bt + 3 * p.n1p * k.n1c AS DOUBLE)
+             / (4 * p.cv * s.bt)
+         ) * 1e9 + 0.5) AS qlp,
+         CASE WHEN 4 * m.n2 - 3 > 0 THEN 0 ELSE 1 END AS cont_only
+  FROM big g
+  JOIN c2 m ON g.a = m.a AND g.b = m.b
+  JOIN pre p ON g.a = p.a
+  JOIN cont k ON g.b = k.b
+  CROSS JOIN btypes s
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(cont_only) AS BIGINT) AS n_cont_only,
+       round(-CAST(SUM(CAST(qlp AS DECIMAL(28,0))) AS DOUBLE) / COUNT(*) / 1e9, 6)
+         AS score_bits
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("t25_kneser_ney", oracle=_T25_ORACLE)
+def t25_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document interpolated Kneser-Ney bigram cross-entropy (bits),
+    D = 3/4, integer-exact interior arithmetic (module comment)."""
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), " ").alias("w")
+    ).filter(F.size("w") >= 2)
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1), i -> struct("
+                "element_at(w, i) AS a, element_at(w, i + 1) AS b))"
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.a", "g.b")
+    c2 = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n2"))
+    pre = c2.groupBy("a").agg(
+        F.sum("n2").alias("cv"), F.count(F.lit(1)).alias("n1p")
+    )
+    cont = c2.groupBy(F.col("b")).agg(F.count(F.lit(1)).alias("n1c"))
+    btypes = c2.agg(F.count(F.lit(1)).alias("bt"))
+    scored = (
+        big.join(F.broadcast(c2), ["a", "b"])
+        .join(F.broadcast(pre), "a")
+        .join(F.broadcast(cont), "b")
+        .crossJoin(F.broadcast(btypes))
+        .select(
+            "doc_id",
+            F.expr(
+                "floor(log2("
+                "CAST(GREATEST(4 * n2 - 3, 0) * bt + 3 * n1p * n1c AS DOUBLE)"
+                " / (4 * cv * bt)"
+                ") * 1e9 + 0.5)"
+            ).alias("qlp"),
+            F.expr("CASE WHEN 4 * n2 - 3 > 0 THEN 0 ELSE 1 END").alias("cont_only"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("cont_only").cast("bigint").alias("n_cont_only"),
+            F.round(
+                -F.sum(F.col("qlp").cast("decimal(28,0)")).cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1e9),
+                6,
+            ).alias("score_bits"),
+        )
+        .orderBy("doc_id")
+    )

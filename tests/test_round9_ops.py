@@ -145,3 +145,78 @@ def test_d30_no_cartesian_and_no_full_cc_over_union(spark, sf_dir):
 
     df = QUERIES["d30_incremental_components"](spark, sf_dir)
     assert not has_cartesian(df)
+
+
+# ---------------------------------------------------------------------------
+# t25: interpolated Kneser-Ney scoring
+# ---------------------------------------------------------------------------
+def test_t25_kn_distribution_normalizes_exactly(spark, sf_dir):
+    """The KN guarantee: for any prefix v, sum over the model's vocab of
+    P(w|v) is EXACTLY 1 — checked in exact rationals with the same
+    integer terms the operator uses. (Interpolated KN normalizes over
+    the continuation distribution; with the integerized form the sum is
+    a Fraction identity, so any drift means the arithmetic is wrong.)"""
+    from fractions import Fraction
+
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    rows = docs.select("text").limit(200).collect()
+    big: dict[tuple[str, str], int] = {}
+    for r in rows:
+        w = r.text.strip().split(" ")
+        for i in range(len(w) - 1):
+            big[(w[i], w[i + 1])] = big.get((w[i], w[i + 1]), 0) + 1
+    bt = len(big)
+    cv: dict[str, int] = {}
+    n1p: dict[str, int] = {}
+    n1c: dict[str, int] = {}
+    vocab_followers: set[str] = set()
+    for (a, b), n in big.items():
+        cv[a] = cv.get(a, 0) + n
+        n1p[a] = n1p.get(a, 0) + 1
+        n1c[b] = n1c.get(b, 0) + 1
+        vocab_followers.add(b)
+    # P(w|v) defined over the continuation vocab (every word with >= 1
+    # predecessor); the discount mass redistributes over exactly that set
+    prefixes = sorted(cv, key=lambda a: -cv[a])[:5]
+    for v in prefixes:
+        total = Fraction(0)
+        for w in vocab_followers:
+            n2 = big.get((v, w), 0)
+            num = max(4 * n2 - 3, 0) * bt + 3 * n1p[v] * n1c[w]
+            total += Fraction(num, 4 * cv[v] * bt)
+        assert total == 1, (v, total)
+
+
+def test_t25_corpus_entropy_not_below_true_mle(spark, sf_dir):
+    """Smoothing gives mass away: the CORPUS-LEVEL (token-weighted) KN
+    cross-entropy can never be below the UNsmoothed bigram MLE on the
+    same counts — per prefix, c(vw)/c(v) is the entropy minimizer.
+    (Per-document the inequality does NOT hold — a doc of
+    high-continuation bigrams can gain more interpolation mass than the
+    discount removes, observed at up to 0.065 bits — and t13 is add-0.5
+    smoothed, not MLE, so KN may legitimately beat IT; the bound is
+    against MLE recomputed here from raw counts.)"""
+    import math
+
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    kn_rows = QUERIES["t25_kneser_ney"](spark, sf_dir).collect()
+    kn_total = sum(r.n_bigrams * r.score_bits for r in kn_rows)
+    kn_n = sum(r.n_bigrams for r in kn_rows)
+
+    big: dict[tuple[str, str], int] = {}
+    cv: dict[str, int] = {}
+    for r in read_parquet(spark, f"{sf_dir}/documents.parquet").select("text").collect():
+        w = r.text.strip().split(" ")
+        if len(w) < 2:
+            continue
+        for i in range(len(w) - 1):
+            big[(w[i], w[i + 1])] = big.get((w[i], w[i + 1]), 0) + 1
+            cv[w[i]] = cv.get(w[i], 0) + 1
+    mle_total = sum(n * math.log2(cv[a] / n) for (a, _), n in big.items())
+    mle_n = sum(big.values())
+    assert kn_n == mle_n
+    # tolerance covers the 1e-9 qlp quantization + per-doc round(.,6)
+    assert kn_total / kn_n >= mle_total / mle_n - 1e-4
