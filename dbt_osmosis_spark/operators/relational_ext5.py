@@ -2,6 +2,8 @@
 
 - q84 rolling z-score anomalies — trailing-window outlier detection over
   the event stream with pure-integer deviation arithmetic
+- q85 CUSUM drift detection — q77's clamp-scan identity over the
+  gap-filled hourly series, fully integerized by 2H scaling
 
 Shared disciplines (the relational_ext4 contract): money/values are
 integer cents quantized half-up BEFORE any aggregation, deviations
@@ -147,4 +149,126 @@ def q84_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(abs(cents * n - s) DIV n AS BIGINT) AS dev_cents",
         )
         .orderBy("event_type", "t_us", "event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q85: CUSUM drift detection over the gap-filled hourly event series
+# --------------------------------------------------------------------------
+# q84 flags POINT anomalies; CUSUM (Page 1954) flags SUSTAINED drift —
+# the one-sided cumulative sum C_i = max(0, C_{i-1} + (x_i - mu - kappa))
+# alarms when a rate stays above baseline long enough, however modest
+# each hour looks. Two established moves compose:
+#   - the recurrence is q77's non-associative clamp scan, so it is
+#     window-expressible via C_i = P_i - min(0, min_{j<=i} P_j);
+#   - with kappa = mu/2 and mu = T/H (T events over H grid hours),
+#     scaling by 2H integerizes everything: d_i = 2H*x_i - 3T, and the
+#     alarm threshold is pure integer too: the committed threshold
+#     2*mu is C_scaled > 4T (chosen against the observed corpus so both
+#     test scales emit alarms; a production deployment tunes it like any
+#     CUSUM h).
+# The hourly series is GAP-FILLED per type (missing hours count 0 — a
+# drift detector that skips quiet hours never decays); the grid comes
+# from a per-type sequence explode, |grid| = hours in range, independent
+# of event volume.
+#
+# Magnitude bound: |P| <= 2H*T + 3T*H ~ 5*H*T; at T = 10^12 events/type
+# and a 10-year hourly grid (H ~ 9*10^4) that is ~5*10^17 < 2^63 —
+# BIGINT-safe at any realistic scale because H is a GRID size, not a
+# data size.
+
+_Q85_THRESH_NUM = 4  # alarm when C_scaled > 4*T  (i.e. CUSUM > 2*mu)
+
+_Q85_ORACLE = f"""
+WITH base AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h
+  FROM events
+),
+cnt AS (SELECT event_type, h, COUNT(*) AS x FROM base GROUP BY event_type, h),
+bounds AS (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM base GROUP BY event_type),
+grid AS (
+  SELECT b.event_type, g.h
+  FROM bounds b, UNNEST(range(b.h0, b.h1 + 1)) AS g(h)
+),
+series AS (
+  SELECT g.event_type, g.h, COALESCE(c.x, 0) AS x
+  FROM grid g LEFT JOIN cnt c ON g.event_type = c.event_type AND g.h = c.h
+),
+stats AS (
+  SELECT event_type, CAST(SUM(x) AS BIGINT) AS t_all, COUNT(*) AS n_hours
+  FROM series GROUP BY event_type
+),
+d AS (
+  SELECT s.event_type, s.h, s.x,
+         2 * st.n_hours * s.x - 3 * st.t_all AS dd, st.t_all
+  FROM series s JOIN stats st USING (event_type)
+),
+p AS (
+  SELECT event_type, h, x, t_all,
+         SUM(dd) OVER (PARTITION BY event_type ORDER BY h) AS pp
+  FROM d
+),
+c AS (
+  SELECT event_type, h, x, t_all,
+         pp - LEAST(0, MIN(pp) OVER (PARTITION BY event_type ORDER BY h)) AS cus
+  FROM p
+)
+SELECT event_type, CAST(h AS BIGINT) AS hour_idx, CAST(x AS BIGINT) AS x,
+       CAST(cus AS BIGINT) AS cusum_scaled
+FROM c
+WHERE cus > {_Q85_THRESH_NUM} * t_all
+ORDER BY event_type, hour_idx
+"""
+
+
+@register("q85_cusum_drift", oracle=_Q85_ORACLE)
+def q85_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hours where the one-sided CUSUM of the per-type event rate exceeds
+    its alarm threshold — sustained-drift detection, all arithmetic in
+    scaled BIGINTs (module comment).
+
+    Scale shape: one scan -> per-(type, hour) partial-aggregated counts;
+    the grid explode is |hours|-sized; two window passes keyed on
+    event_type. The per-type window holds grid hours, not events."""
+    base = t(spark, sf_dir, "events").selectExpr(
+        "event_type", f"{_eus('ts')} DIV 3600000000 AS h"
+    )
+    cnt = base.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("x"))
+    grid = (
+        base.groupBy("event_type")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select("event_type", F.explode(F.expr("sequence(h0, h1)")).alias("h"))
+    )
+    series = grid.join(cnt, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    stats = series.groupBy("event_type").agg(
+        F.sum("x").cast("bigint").alias("t_all"), F.count(F.lit(1)).alias("n_hours")
+    )
+    d = series.join(F.broadcast(stats), "event_type").selectExpr(
+        "event_type", "h", "x", "t_all", "2 * n_hours * x - 3 * t_all AS dd"
+    )
+    wp = W.partitionBy("event_type").orderBy("h").rowsBetween(W.unboundedPreceding, 0)
+    p = d.select(
+        "event_type", "h", "x", "t_all", F.sum("dd").over(wp).alias("pp")
+    )
+    c = p.select(
+        "event_type",
+        "h",
+        "x",
+        "t_all",
+        (
+            F.col("pp")
+            - F.least(F.lit(0).cast("bigint"), F.min("pp").over(wp))
+        ).alias("cus"),
+    )
+    return (
+        c.filter(F.col("cus") > _Q85_THRESH_NUM * F.col("t_all"))
+        .selectExpr(
+            "event_type",
+            "CAST(h AS BIGINT) AS hour_idx",
+            "CAST(x AS BIGINT) AS x",
+            "CAST(cus AS BIGINT) AS cusum_scaled",
+        )
+        .orderBy("event_type", "hour_idx")
     )

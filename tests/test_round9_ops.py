@@ -220,3 +220,62 @@ def test_t25_corpus_entropy_not_below_true_mle(spark, sf_dir):
     assert kn_n == mle_n
     # tolerance covers the 1e-9 qlp quantization + per-doc round(.,6)
     assert kn_total / kn_n >= mle_total / mle_n - 1e-4
+
+
+# ---------------------------------------------------------------------------
+# q85: CUSUM drift detection
+# ---------------------------------------------------------------------------
+def test_q85_cusum_matches_direct_recurrence(spark, sf_dir):
+    """Recompute C_i = max(0, C_{i-1} + d_i) directly in Python over the
+    gap-filled series and compare every alarm row — the q77 identity,
+    re-proven on this operator's scaled units."""
+    from dbt_osmosis_spark.functions.timeutil import epoch_us_sql
+    from dbt_osmosis_spark.operators.relational import t as load_t
+
+    ev = load_t(spark, sf_dir, "events").selectExpr(
+        "event_type", f"{epoch_us_sql('ts')} DIV 3600000000 AS h"
+    )
+    rows = ev.collect()
+    by_type: dict[str, list[int]] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r.h)
+    expected = []
+    for et, hs in by_type.items():
+        h0, h1 = min(hs), max(hs)
+        cnt: dict[int, int] = {}
+        for h in hs:
+            cnt[h] = cnt.get(h, 0) + 1
+        H = h1 - h0 + 1
+        T = len(hs)
+        c = 0
+        for h in range(h0, h1 + 1):
+            x = cnt.get(h, 0)
+            c = max(0, c + 2 * H * x - 3 * T)
+            if c > 4 * T:
+                expected.append((et, h, x, c))
+    got = [
+        (r.event_type, r.hour_idx, r.x, r.cusum_scaled)
+        for r in QUERIES["q85_cusum_drift"](spark, sf_dir).collect()
+    ]
+    assert sorted(got) == sorted(expected)
+
+
+def test_q85_burst_alarms_and_silence_resets(spark, tmp_path):
+    rows = []
+    eid = 0
+    for h in range(48):
+        rows.append((eid, h * 3600, "click", 1.0)); eid += 1
+    for h in range(120, 132):
+        for k in range(10):
+            rows.append((eid, h * 3600 + k * 60, "click", 1.0)); eid += 1
+    sf = _mk_events(spark, tmp_path, rows)
+    got = QUERIES["q85_cusum_drift"](spark, sf).collect()
+    assert got, "sustained 10x burst must alarm"
+    # hour indexes are absolute epoch-hours; the constructed series
+    # starts at 2024-01-01 00:00, so the burst occupies offsets 120-131
+    h0 = int((__import__("datetime").datetime(2024, 1, 1)
+              - __import__("datetime").datetime(1970, 1, 1)).total_seconds()) // 3600
+    offsets = sorted(r.hour_idx - h0 for r in got)
+    assert all(120 <= o <= 131 for o in offsets), offsets
+    # the steady prefix and the silence must NOT alarm
+    assert len(offsets) <= 12
