@@ -282,3 +282,145 @@ def t26_crossdoc_ngram_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# t27: RAKE keyphrase extraction
+# ---------------------------------------------------------------------------
+# RAKE (Rapid Automatic Keyword Extraction; Rose, Engel, Cramer & Cowley
+# 2010) is the classic unsupervised keyphrase miner: split each document
+# into candidate phrases at stopwords, score each word by degree/frequency
+# over the candidate set, score a phrase as the sum of its member-word
+# scores. The corpus here is synthetic with no natural-language stoplist,
+# so the stoplist is data-driven: the top-12 most frequent tokens
+# (ties broken lexically) — the same frequency-rank heuristic RAKE's
+# authors suggest for stoplist construction (Rose et al. 2010 §1.2.1).
+#
+# Exactness: freq(w) and deg(w) are BIGINTs; the only float op is one
+# IEEE double division deg/freq (exactly specified for exact-integer
+# inputs), scaled and half-up-quantized to 1e-9 BIGINT micros per word
+# BEFORE summation — so the phrase score is an order-free BIGINT sum and
+# hashes identically across engines (the t13/t25 move).
+#
+# Scale shape: one tokenize pass; the stoplist is a vocabulary-sized
+# rollup taken top-12 (TakeOrderedAndProject, broadcast back as a
+# left-anti join); candidate segmentation is a per-document window
+# (partitioned by doc_id — balanced, no skew since docs are bounded);
+# word stats are a vocabulary-sized rollup broadcast back; the final
+# report is a deterministic top-25 (no global sort). The corpus text is
+# scanned exactly once.
+#
+# Reference parity: corpus-analysis surface on top of the reference's
+# SQL-to-warehouse plane (src/dbt_osmosis/core/sql_operations.py).
+
+_T27_NSTOP = 12
+_T27_TOPK = 25
+
+_T27_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+),
+pos AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i] AS word
+  FROM toks, UNNEST(range(1, len(w) + 1)) AS t(i)
+),
+stop AS (
+  SELECT word FROM pos GROUP BY word
+  ORDER BY COUNT(*) DESC, word LIMIT {_T27_NSTOP}
+),
+cand AS (
+  SELECT doc_id, pos, word,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM pos WHERE word NOT IN (SELECT word FROM stop)
+),
+runs AS (
+  SELECT doc_id, pos, word, grp,
+         COUNT(*) OVER (PARTITION BY doc_id, grp) AS plen
+  FROM cand
+),
+wstats AS (
+  SELECT word, COUNT(*) AS freq, CAST(SUM(plen) AS BIGINT) AS deg
+  FROM runs GROUP BY word
+),
+wscore AS (
+  SELECT word,
+         CAST(floor(CAST(deg AS DOUBLE) / freq * 1e9 + 0.5) AS BIGINT) AS q
+  FROM wstats
+),
+inst AS (
+  SELECT r.doc_id, r.grp,
+         string_agg(r.word, ' ' ORDER BY r.pos) AS phrase,
+         CAST(SUM(s.q) AS BIGINT) AS score_nano
+  FROM runs r JOIN wscore s ON r.word = s.word
+  GROUP BY r.doc_id, r.grp
+)
+SELECT phrase,
+       COUNT(*) AS n_occurrences,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       MAX(score_nano) AS score_nano
+FROM inst
+GROUP BY phrase
+ORDER BY score_nano DESC, phrase
+LIMIT {_T27_TOPK}
+"""
+
+
+@register("t27_rake_keyphrases", oracle=_T27_ORACLE)
+def t27_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-25 RAKE keyphrases (Rose et al. 2010) with a
+    frequency-rank stoplist; integer-exact scoring (module comment)."""
+    from pyspark.sql.window import Window
+
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), " ")).alias("pos0", "word"),
+    ).select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "word")
+    stop = (
+        pos.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(_T27_NSTOP)
+        .select("word")
+    )
+    cand = pos.join(F.broadcast(stop), "word", "left_anti").withColumn(
+        "grp",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    runs = cand.withColumn(
+        "plen", F.count(F.lit(1)).over(Window.partitionBy("doc_id", "grp"))
+    )
+    wscore = (
+        runs.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg"))
+        .select(
+            "word",
+            F.floor(
+                F.col("deg").cast("double") / F.col("freq") * F.lit(1e9) + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("q"),
+        )
+    )
+    inst = (
+        runs.join(F.broadcast(wscore), "word")
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(struct(pos, word))), x -> x.word)"),
+                " ",
+            ).alias("phrase"),
+            F.sum("q").cast("bigint").alias("score_nano"),
+        )
+    )
+    return (
+        inst.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.max("score_nano").alias("score_nano"),
+        )
+        .orderBy(F.desc("score_nano"), "phrase")
+        .limit(_T27_TOPK)
+    )

@@ -279,3 +279,70 @@ def test_q85_burst_alarms_and_silence_resets(spark, tmp_path):
     assert all(120 <= o <= 131 for o in offsets), offsets
     # the steady prefix and the silence must NOT alarm
     assert len(offsets) <= 12
+
+
+def test_t27_matches_direct_rake_recomputation(spark, sf_dir):
+    """Recompute RAKE end-to-end in plain Python (exact Fractions for
+    word scores, then the same 1e-9 half-up quantization) from the raw
+    text and require the top-25 to agree exactly."""
+    from collections import Counter, defaultdict
+    import math
+
+    docs = [
+        (r.doc_id, r.text.strip().split(" "))
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    ]
+    wordfreq = Counter(w for _, ws in docs for w in ws)
+    stop = set(
+        w for w, _ in sorted(wordfreq.items(), key=lambda kv: (-kv[1], kv[0]))[:12]
+    )
+    freq: Counter = Counter()
+    deg: Counter = Counter()
+    phrases = []  # (doc_id, tuple(words))
+    for doc_id, ws in docs:
+        run: list[str] = []
+        for w in ws + ["\x00stop"]:
+            if w in stop or w == "\x00stop":
+                if run:
+                    phrases.append((doc_id, tuple(run)))
+                    for x in run:
+                        freq[x] += 1
+                        deg[x] += len(run)
+                    run = []
+            else:
+                run.append(w)
+    q = {w: math.floor(deg[w] / freq[w] * 1e9 + 0.5) for w in freq}
+    agg: dict = defaultdict(lambda: [0, set(), 0])
+    for doc_id, ph in phrases:
+        a = agg[" ".join(ph)]
+        a[0] += 1
+        a[1].add(doc_id)
+        a[2] = sum(q[w] for w in ph)
+    want = sorted(
+        ((p, n, len(ds), s) for p, (n, ds, s) in agg.items()),
+        key=lambda t: (-t[3], t[0]),
+    )[:25]
+    got = [
+        (r.phrase, r.n_occurrences, r.n_docs, r.score_nano)
+        for r in QUERIES["t27_rake_keyphrases"](spark, sf_dir).collect()
+    ]
+    assert got == want
+
+
+def test_t27_no_stopword_inside_any_phrase(spark, sf_dir):
+    """Candidate phrases are maximal stopword-free runs: no member word
+    of any reported phrase may be one of the top-12 corpus tokens."""
+    from collections import Counter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    wordfreq = Counter(w for r in docs for w in r.text.strip().split(" "))
+    stop = set(
+        w for w, _ in sorted(wordfreq.items(), key=lambda kv: (-kv[1], kv[0]))[:12]
+    )
+    rows = QUERIES["t27_rake_keyphrases"](spark, sf_dir).collect()
+    assert rows, "expected at least one keyphrase"
+    for r in rows:
+        assert not (set(r.phrase.split(" ")) & stop), r.phrase
+        # deg >= freq always, so each word scores >= 1e9 and a phrase of
+        # L words scores >= L * 1e9
+        assert r.score_nano >= len(r.phrase.split(" ")) * 10**9
