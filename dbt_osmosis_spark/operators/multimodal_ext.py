@@ -155,3 +155,126 @@ def m14_shard_integrity_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# m15: voice-activity segmentation (energy-threshold islands)
+# ---------------------------------------------------------------------------
+# The audio-pipeline segmentation staple: frame the signal, threshold
+# per-frame energy, and merge consecutive voiced frames into segments —
+# the classic energy-gate VAD (Rabiner & Sambur 1975). With ffmpeg
+# absent, frames are 64-byte windows of the raw payload (the m07
+# contract: same loop, same schema once a real decoder lands); "energy"
+# is the frame's sample variance.
+#
+# Exactness: variance never materializes as a float — a frame is voiced
+# iff  N*ss - s*s >= C*N*N  (all BIGINT; N=64, C=890, the corpus
+# mid-point), the m07/q84 cross-multiplication move. Segments are
+# gaps-and-islands over the voiced frames (frame_no - row_number), the
+# q42 identity. Everything is JVM-side higher-order expressions +
+# windows: zero Python, zero UDFs.
+#
+# Scale shape: one pass over payloads (frame fold is whole-stage
+# codegen); the islands window partitions by doc_id (balanced — docs are
+# bounded); the rollup is doc-sized. No shuffle beyond the per-doc
+# window and final rollup on the same key.
+
+_M15_FRAME = 64
+_M15_VAR = 890  # voiced iff frame variance >= 890 (corpus mid-point)
+
+_M15_ORACLE = f"""
+WITH framed AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
+         list_sum(list_transform(range(0, {_M15_FRAME}),
+             j -> ascii(substr(text, CAST(i * {_M15_FRAME} + j + 1 AS INT), 1)))) AS s,
+         list_sum(list_transform(range(0, {_M15_FRAME}),
+             j -> ascii(substr(text, CAST(i * {_M15_FRAME} + j + 1 AS INT), 1)) ** 2)) AS ss
+  FROM documents, UNNEST(range(0, length(text) // {_M15_FRAME})) AS t(i)
+),
+voiced AS (
+  SELECT doc_id, frame_no,
+         frame_no - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY frame_no) AS grp
+  FROM framed
+  WHERE {_M15_FRAME} * ss - s * s >= {_M15_VAR * _M15_FRAME * _M15_FRAME}
+),
+seg AS (
+  SELECT doc_id, grp, COUNT(*) AS seg_len,
+         MIN(frame_no) AS seg_start
+  FROM voiced GROUP BY doc_id, grp
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_frames FROM framed GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(t.n_frames AS BIGINT) AS n_frames,
+       CAST(COUNT(g.grp) AS BIGINT) AS n_segments,
+       CAST(COALESCE(SUM(g.seg_len), 0) AS BIGINT) AS voiced_frames,
+       CAST(COALESCE(MAX(g.seg_len), 0) AS BIGINT) AS longest_segment,
+       CAST(COALESCE(MIN(g.seg_start), -1) AS BIGINT) AS first_voiced_frame,
+       CAST(COALESCE(SUM(g.seg_len), 0) * 10000 // t.n_frames AS BIGINT) AS voiced_bp
+FROM tot t LEFT JOIN seg g ON g.doc_id = t.doc_id
+GROUP BY t.doc_id, t.n_frames
+ORDER BY t.doc_id
+"""
+
+
+@register("m15_vad_segments", oracle=_M15_ORACLE)
+def m15_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-gate VAD segmentation: integer variance threshold per
+    64-byte frame, gaps-and-islands merge, per-doc segment stats."""
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    framed = (
+        docs.filter(F.length("text") >= _M15_FRAME)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"sequence(0, length(text) DIV {_M15_FRAME} - 1)")
+            ).alias("frame_no"),
+            F.col("text"),
+        )
+        .select(
+            "doc_id",
+            F.col("frame_no").cast("bigint").alias("frame_no"),
+            F.expr(
+                f"aggregate(sequence(0, {_M15_FRAME} - 1), 0L, (acc, j) -> acc + "
+                f"ascii(substring(text, CAST(frame_no * {_M15_FRAME} + j + 1 AS INT), 1)))"
+            ).alias("s"),
+            F.expr(
+                f"aggregate(sequence(0, {_M15_FRAME} - 1), 0L, (acc, j) -> acc + "
+                f"CAST(ascii(substring(text, CAST(frame_no * {_M15_FRAME} + j + 1 AS INT), 1)) AS BIGINT) *"
+                f" ascii(substring(text, CAST(frame_no * {_M15_FRAME} + j + 1 AS INT), 1)))"
+            ).alias("ss"),
+        )
+    )
+    voiced = framed.filter(
+        F.lit(_M15_FRAME) * F.col("ss") - F.col("s") * F.col("s")
+        >= F.lit(_M15_VAR * _M15_FRAME * _M15_FRAME)
+    ).withColumn(
+        "grp",
+        F.col("frame_no")
+        - F.row_number().over(W.partitionBy("doc_id").orderBy("frame_no")),
+    )
+    seg = voiced.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).alias("seg_len"), F.min("frame_no").alias("seg_start")
+    )
+    tot = framed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
+    return (
+        tot.join(seg, "doc_id", "left")
+        .groupBy("doc_id", "n_frames")
+        .agg(
+            F.count("grp").alias("n_segments"),
+            F.coalesce(F.sum("seg_len"), F.lit(0)).alias("voiced_frames"),
+            F.coalesce(F.max("seg_len"), F.lit(0)).alias("longest_segment"),
+            F.coalesce(F.min("seg_start"), F.lit(-1)).alias("first_voiced_frame"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_frames").cast("bigint").alias("n_frames"),
+            F.col("n_segments").cast("bigint").alias("n_segments"),
+            F.col("voiced_frames").cast("bigint").alias("voiced_frames"),
+            F.col("longest_segment").cast("bigint").alias("longest_segment"),
+            F.col("first_voiced_frame").cast("bigint").alias("first_voiced_frame"),
+            F.expr("CAST(voiced_frames * 10000 DIV n_frames AS BIGINT)").alias(
+                "voiced_bp"
+            ),
+        )
+        .orderBy("doc_id")
+    )

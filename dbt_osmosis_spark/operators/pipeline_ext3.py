@@ -375,3 +375,129 @@ def p39_quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# p40: length-distribution-matched sampling
+# ---------------------------------------------------------------------------
+# Training mixtures routinely need a corpus resampled so a marginal
+# (here: token length) matches a target distribution — e.g. flattening
+# the natural length skew before packing so short docs don't dominate
+# batches (the inverse-propensity view of Doremi/DSIR-style reweighting,
+# applied to an observable instead of a learned domain score). This is
+# the quota-sampling form: fixed length buckets, a total budget, a
+# uniform target share per bucket; each bucket contributes
+# min(quota_b, available_b) docs chosen by md5 rank (the p02 move —
+# deterministic, order-free, engine-exact). Budget remainders go to the
+# lowest bucket ids (largest-remainder would also work; with a uniform
+# target all remainders tie, so fixed order IS the tie-break). Unfilled
+# quota is reported, not silently redistributed — a redistribution pass
+# is a second identical quota round and hides coverage gaps.
+#
+# Every quantity is an integer; selection is md5-rank <= take_b. The
+# checksum column (sum of selected doc_ids) pins the exact selected SET,
+# not just its size, under the hash gate.
+#
+# Scale shape: one tokenize-count pass; bucket histogram is 8 rows
+# (broadcast); the rank is a per-bucket window — 8 partitions is a skew
+# hazard at 100 TB, so the docstring-of-record: at cluster scale the
+# md5-rank selection becomes a per-bucket threshold on the hash value
+# found by distributed selection (exact same output set); the window
+# form is the sf-scale expression of that contract.
+
+_P40_BUCKETS = 8
+_P40_BUDGET_DIV = 2  # budget = n_docs // 2
+
+_P40_ORACLE = f"""
+WITH feat AS (
+  SELECT doc_id,
+         LEAST(len(string_split(trim(text), ' ')) // 12, {_P40_BUCKETS - 1}) AS bucket,
+         md5(CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+),
+hist AS (SELECT bucket, COUNT(*) AS n_b FROM feat GROUP BY bucket),
+tot AS (SELECT CAST(SUM(n_b) AS BIGINT) AS n FROM hist),
+quota AS (
+  SELECT bucket, n_b,
+         (n // {_P40_BUDGET_DIV}) // {_P40_BUCKETS}
+           + CASE WHEN bucket < (n // {_P40_BUDGET_DIV}) % {_P40_BUCKETS}
+                  THEN 1 ELSE 0 END AS q_b
+  FROM hist CROSS JOIN tot
+),
+ranked AS (
+  SELECT doc_id, bucket,
+         ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY k, doc_id) AS rk
+  FROM feat
+),
+sel AS (
+  SELECT r.bucket, r.doc_id
+  FROM ranked r JOIN quota q ON q.bucket = r.bucket
+  WHERE r.rk <= q.q_b
+)
+SELECT q.bucket,
+       CAST(q.n_b AS BIGINT) AS n_docs,
+       CAST(q.q_b AS BIGINT) AS quota,
+       CAST(COUNT(s.doc_id) AS BIGINT) AS taken,
+       CAST(q.q_b - COUNT(s.doc_id) AS BIGINT) AS unfilled,
+       CAST(COALESCE(SUM(s.doc_id), 0) AS BIGINT) AS id_checksum
+FROM quota q LEFT JOIN sel s ON s.bucket = q.bucket
+GROUP BY q.bucket, q.n_b, q.q_b
+ORDER BY q.bucket
+"""
+
+
+@register("p40_length_matched_sample", oracle=_P40_ORACLE)
+def p40_length_matched_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota-sample the corpus so token-length buckets approach a uniform
+    target share; md5-rank selection, integer quotas (module comment)."""
+    from pyspark.sql.window import Window as W
+
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    feat = docs.select(
+        "doc_id",
+        F.least(
+            F.floor(F.size(F.split(F.trim(F.col("text")), " ")) / 12),
+            F.lit(_P40_BUCKETS - 1),
+        )
+        .cast("int")
+        .alias("bucket"),
+        F.md5(F.col("doc_id").cast("string")).alias("k"),
+    )
+    hist = feat.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_b"))
+    tot = hist.agg(F.sum("n_b").cast("bigint").alias("n"))
+    quota = hist.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_b",
+        F.expr(
+            f"(n DIV {_P40_BUDGET_DIV}) DIV {_P40_BUCKETS}"
+            f" + CASE WHEN bucket < (n DIV {_P40_BUDGET_DIV}) % {_P40_BUCKETS}"
+            f" THEN 1 ELSE 0 END"
+        ).alias("q_b"),
+    )
+    ranked = feat.withColumn(
+        "rk", F.row_number().over(W.partitionBy("bucket").orderBy("k", "doc_id"))
+    )
+    sel = ranked.join(F.broadcast(quota.select("bucket", "q_b")), "bucket").filter(
+        F.col("rk") <= F.col("q_b")
+    )
+    return (
+        quota.join(
+            sel.groupBy("bucket").agg(
+                F.count(F.lit(1)).alias("taken0"),
+                F.sum("doc_id").alias("chk0"),
+            ),
+            "bucket",
+            "left",
+        )
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.col("n_b").cast("bigint").alias("n_docs"),
+            F.col("q_b").cast("bigint").alias("quota"),
+            F.coalesce(F.col("taken0"), F.lit(0)).cast("bigint").alias("taken"),
+            (F.col("q_b") - F.coalesce(F.col("taken0"), F.lit(0)))
+            .cast("bigint")
+            .alias("unfilled"),
+            F.coalesce(F.col("chk0"), F.lit(0)).cast("bigint").alias("id_checksum"),
+        )
+        .orderBy("bucket")
+    )

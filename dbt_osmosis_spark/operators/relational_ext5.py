@@ -272,3 +272,223 @@ def q85_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_idx")
     )
+
+
+# --------------------------------------------------------------------------
+# q86: greedy interval scheduling — max non-overlapping fulfillment windows
+# --------------------------------------------------------------------------
+# Activity selection (Kleinberg & Tardos ch. 4): per customer, each order
+# spans [o_orderdate, greatest(max(l_shipdate), o_orderdate)] — clamped,
+# because the synthetic data ships 291 orders (sf0.001) BEFORE the order
+# date, and an inverted interval (s > e) satisfies its own "starts after
+# my end" test, so the greedy chain (and the oracle's recursion) would
+# revisit it forever. Pick the maximum number of
+# pairwise non-overlapping windows. The earliest-deadline greedy —
+# repeatedly take the interval with the smallest end among those starting
+# strictly after the last selected end — is provably optimal for the
+# count objective. Ties break deterministically on (end, start, orderkey).
+#
+# The selection chain is inherently sequential per key (each pick depends
+# on the previous pick's end), so this is the documented custom-operator
+# path (b): `applyInPandas` over customer groups — per-key state stays
+# tiny (a customer's orders), parallelism comes from key partitioning,
+# and the only shuffle is the groupBy(custkey) that any per-key
+# formulation needs. The interval build itself is one lineitem rollup.
+# The oracle expresses the same greedy as a recursive CTE whose step
+# picks, per key, the argmin-(end,start,id) interval starting after the
+# previous pick (argmin via NOT EXISTS, since aggregates are not allowed
+# in a recursive term).
+#
+# Scale: at 100 TB the groupBy(custkey) shuffle is the cost; per-key
+# payloads are order-count-bounded (no skew beyond the busiest customer),
+# and the arrow batches stream group-at-a-time, so memory per task is
+# O(max orders per customer).
+#
+# Reference parity: engine-side member of the reference's SQL query
+# surface (src/dbt_osmosis/core/sql_operations.py).
+
+_Q86_ORACLE = """
+WITH RECURSIVE iv AS (
+  SELECT o.o_custkey AS k, o.o_orderkey AS id,
+         CAST(o.o_orderdate AS DATE) AS s,
+         GREATEST(CAST(MAX(l.l_shipdate) AS DATE),
+                  CAST(o.o_orderdate AS DATE)) AS e
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2, 3
+),
+pick AS (
+  SELECT k, id, s, e FROM iv x
+  WHERE NOT EXISTS (
+    SELECT 1 FROM iv y WHERE y.k = x.k
+      AND (y.e < x.e OR (y.e = x.e AND (y.s < x.s
+           OR (y.s = x.s AND y.id < x.id))))
+  )
+  UNION ALL
+  SELECT c.k, c.id, c.s, c.e
+  FROM pick p JOIN iv c ON c.k = p.k AND c.s > p.e
+  WHERE NOT EXISTS (
+    SELECT 1 FROM iv y WHERE y.k = p.k AND y.s > p.e
+      AND (y.e < c.e OR (y.e = c.e AND (y.s < c.s
+           OR (y.s = c.s AND y.id < c.id))))
+  )
+),
+base AS (SELECT k, COUNT(*) AS n_windows FROM iv GROUP BY k)
+SELECT b.k AS c_custkey,
+       b.n_windows,
+       COUNT(*) AS n_selected,
+       MIN(p.s) AS first_start,
+       MAX(p.e) AS last_end,
+       CAST(SUM(p.e - p.s) AS BIGINT) AS utilized_days
+FROM pick p JOIN base b ON b.k = p.k
+GROUP BY b.k, b.n_windows
+ORDER BY c_custkey
+"""
+
+
+@register("q86_interval_scheduling", oracle=_Q86_ORACLE)
+def q86_interval_scheduling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer maximum non-overlapping fulfillment windows via the
+    earliest-deadline greedy (module comment); applyInPandas per key."""
+    import pandas as pd
+
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderdate").cast("date").alias("s"),
+    )
+    li = t(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.max(F.col("l_shipdate").cast("date")).alias("e")
+    )
+    iv = orders.join(li, orders.id == li.l_orderkey).select(
+        "k", "id", "s", F.greatest("e", "s").alias("e")
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["e", "s", "id"], kind="mergesort")
+        sel_s, sel_e = [], []
+        last_e = None
+        for s, e in zip(pdf["s"], pdf["e"]):
+            if last_e is None or s > last_e:
+                sel_s.append(s)
+                sel_e.append(e)
+                last_e = e
+        util = sum((e - s).days for s, e in zip(sel_s, sel_e))
+        return pd.DataFrame(
+            {
+                "c_custkey": [int(pdf["k"].iloc[0])],
+                "n_windows": [len(pdf)],
+                "n_selected": [len(sel_s)],
+                "first_start": [sel_s[0]],
+                "last_end": [sel_e[-1]],
+                "utilized_days": [util],
+            }
+        )
+
+    out_schema = (
+        "c_custkey bigint, n_windows bigint, n_selected bigint, "
+        "first_start date, last_end date, utilized_days bigint"
+    )
+    return iv.groupBy("k").applyInPandas(greedy, schema=out_schema).orderBy("c_custkey")
+
+
+# --------------------------------------------------------------------------
+# q87: largest-remainder apportionment of a fixed budget by revenue share
+# --------------------------------------------------------------------------
+# The proration primitive every finance/allocation pipeline needs:
+# distribute an integer budget (10 000 units) across nations proportional
+# to revenue such that the parts sum EXACTLY to the budget. Hamilton's
+# largest-remainder method: floor the exact proportional share, then hand
+# the leftover units to the largest fractional remainders (ties broken by
+# nation name — deterministic). All arithmetic is integer: revenue is
+# exact cents (the q01 decimal discipline), the floor share is
+# (budget * rev_c) DIV total_c, and the remainder comparison is the
+# integer modulus (budget * rev_c) % total_c — no float ever exists, so
+# the invariant SUM(alloc) == budget is provable, not approximate.
+#
+# Scale shape: one lineitem->orders->customer->nation rollup (the q04
+# join chain, dimension sides broadcast); the apportionment itself runs
+# on a nation-sized frame (25 rows) — rank-by-remainder is a single tiny
+# window. The heavy work is the revenue rollup, which shuffles once on
+# the group key.
+#
+# Overflow bound: budget * rev_c stays in BIGINT while total revenue is
+# under 2^63/10^4 cents (~$9.2e12); past that the share and remainder
+# columns widen to DECIMAL(38,0) — same expressions, wider type.
+
+_Q87_BUDGET = 10000
+
+_Q87_ORACLE = f"""
+WITH rev AS (
+  SELECT n.n_name,
+         CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS rev_c
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY n.n_name
+),
+tot AS (SELECT CAST(SUM(rev_c) AS BIGINT) AS t FROM rev),
+base AS (
+  SELECT n_name, rev_c,
+         ({_Q87_BUDGET} * rev_c) // t AS fl,
+         ({_Q87_BUDGET} * rev_c) % t AS rem,
+         t
+  FROM rev CROSS JOIN tot
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, n_name) AS rk,
+         {_Q87_BUDGET} - SUM(fl) OVER () AS leftover
+  FROM base
+)
+SELECT n_name, rev_c,
+       CAST(fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc,
+       CAST(fl AS BIGINT) AS floor_share,
+       CAST(rem * 10000 // t AS BIGINT) AS remainder_bp
+FROM ranked
+ORDER BY n_name
+"""
+
+
+@register("q87_largest_remainder_alloc", oracle=_Q87_ORACLE)
+def q87_largest_remainder_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton largest-remainder apportionment of a 10 000-unit budget
+    across nations by exact-cents revenue share (module comment)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr(
+            "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)"
+        ).alias("rev_c"),
+    )
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum("rev_c").cast("bigint").alias("rev_c"))
+    )
+    tot = rev.agg(F.sum("rev_c").cast("bigint").alias("t"))
+    base = rev.crossJoin(F.broadcast(tot)).select(
+        "n_name",
+        "rev_c",
+        F.expr(f"({_Q87_BUDGET} * rev_c) DIV t").alias("fl"),
+        F.expr(f"({_Q87_BUDGET} * rev_c) % t").alias("rem"),
+        "t",
+    )
+    ranked = base.select(
+        "*",
+        F.row_number().over(W.orderBy(F.desc("rem"), "n_name")).alias("rk"),
+        (F.lit(_Q87_BUDGET) - F.sum("fl").over(W.partitionBy())).alias("leftover"),
+    )
+    return ranked.select(
+        "n_name",
+        "rev_c",
+        F.expr("CAST(fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)").alias(
+            "alloc"
+        ),
+        F.col("fl").cast("bigint").alias("floor_share"),
+        F.expr("CAST(rem * 10000 DIV t AS BIGINT)").alias("remainder_bp"),
+    ).orderBy("n_name")

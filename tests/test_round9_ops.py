@@ -346,3 +346,187 @@ def test_t27_no_stopword_inside_any_phrase(spark, sf_dir):
         # deg >= freq always, so each word scores >= 1e9 and a phrase of
         # L words scores >= L * 1e9
         assert r.score_nano >= len(r.phrase.split(" ")) * 10**9
+
+
+def _greedy_count(intervals):
+    """Reference earliest-deadline greedy over (start, end, id) tuples."""
+    sel = []
+    last_e = None
+    for s, e, i in sorted(intervals, key=lambda t: (t[1], t[0], t[2])):
+        if last_e is None or s > last_e:
+            sel.append((s, e, i))
+            last_e = e
+    return sel
+
+
+def test_q86_matches_direct_greedy_per_customer(spark, sf_dir):
+    """Recompute the activity-selection greedy in plain Python from the
+    joined intervals and require every output column to agree."""
+    from collections import defaultdict
+
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    orders = {
+        r.o_orderkey: (r.o_custkey, r.o_orderdate.date())
+        for r in read_parquet(spark, f"{sf_dir}/orders.parquet").collect()
+    }
+    ends = defaultdict(lambda: None)
+    for r in read_parquet(spark, f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate"
+    ).collect():
+        d = r.l_shipdate.date()
+        if ends[r.l_orderkey] is None or d > ends[r.l_orderkey]:
+            ends[r.l_orderkey] = d
+    per_cust = defaultdict(list)
+    for okey, (ckey, s) in orders.items():
+        if okey in ends:
+            per_cust[ckey].append((s, max(ends[okey], s), okey))
+    got = {
+        r.c_custkey: r
+        for r in QUERIES["q86_interval_scheduling"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(per_cust)
+    for ckey, ivs in per_cust.items():
+        sel = _greedy_count(ivs)
+        r = got[ckey]
+        assert r.n_windows == len(ivs)
+        assert r.n_selected == len(sel)
+        assert r.first_start == sel[0][0]
+        assert r.last_end == sel[-1][1]
+        assert r.utilized_days == sum((e - s).days for s, e, _ in sel)
+
+
+def test_q86_selected_sets_are_maximum(spark, sf_dir):
+    """The greedy count must equal the true optimum (checked by exact DP
+    over end-sorted intervals) for every customer — the optimality
+    theorem, verified on real data."""
+    import bisect
+    from collections import defaultdict
+
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    orders = {
+        r.o_orderkey: (r.o_custkey, r.o_orderdate.date())
+        for r in read_parquet(spark, f"{sf_dir}/orders.parquet").collect()
+    }
+    ends = {}
+    for r in read_parquet(spark, f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate"
+    ).collect():
+        d = r.l_shipdate.date()
+        if r.l_orderkey not in ends or d > ends[r.l_orderkey]:
+            ends[r.l_orderkey] = d
+    per_cust = defaultdict(list)
+    for okey, (ckey, s) in orders.items():
+        if okey in ends:
+            per_cust[ckey].append((s, max(ends[okey], s)))
+    got = {
+        r.c_custkey: r.n_selected
+        for r in QUERIES["q86_interval_scheduling"](spark, sf_dir).collect()
+    }
+    for ckey, ivs in per_cust.items():
+        ivs.sort(key=lambda t: t[1])
+        endv = [e for _, e in ivs]
+        dp = [0] * (len(ivs) + 1)
+        for i, (s, e) in enumerate(ivs, 1):
+            # last interval ending before s (strict: next.s > prev.e)
+            j = bisect.bisect_left(endv, s, 0, i - 1)
+            dp[i] = max(dp[i - 1], dp[j] + 1)
+        assert got[ckey] == dp[len(ivs)], ckey
+
+
+def test_q87_allocations_sum_exactly_to_budget(spark, sf_dir):
+    """The Hamilton invariant: SUM(alloc) == budget exactly, every alloc
+    within 1 unit of the exact proportional share, and the floor share
+    never exceeds alloc."""
+    rows = QUERIES["q87_largest_remainder_alloc"](spark, sf_dir).collect()
+    assert sum(r.alloc for r in rows) == 10000
+    total = sum(r.rev_c for r in rows)
+    for r in rows:
+        exact = 10000 * r.rev_c / total
+        assert r.floor_share <= r.alloc <= r.floor_share + 1
+        assert r.floor_share == (10000 * r.rev_c) // total
+        assert abs(r.alloc - exact) < 1.0, (r.n_name, r.alloc, exact)
+
+
+def test_q87_leftover_goes_to_largest_remainders(spark, sf_dir):
+    """Units beyond the floor shares go to the nations with the largest
+    integer remainders (ties by name) — recomputed directly."""
+    rows = QUERIES["q87_largest_remainder_alloc"](spark, sf_dir).collect()
+    total = sum(r.rev_c for r in rows)
+    rem = {r.n_name: (10000 * r.rev_c) % total for r in rows}
+    leftover = 10000 - sum((10000 * r.rev_c) // total for r in rows)
+    winners = set(
+        n for n, _ in sorted(rem.items(), key=lambda kv: (-kv[1], kv[0]))[:leftover]
+    )
+    for r in rows:
+        assert (r.alloc - r.floor_share == 1) == (r.n_name in winners), r.n_name
+
+
+def test_p40_quota_and_selection_invariants(spark, sf_dir):
+    """Quotas sum to the budget; taken = min(quota, available); the
+    selected set is exactly the md5-lowest `taken` docs of each bucket."""
+    import hashlib
+    from collections import defaultdict
+
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").collect()
+    buckets = defaultdict(list)
+    for r in docs:
+        b = min(len(r.text.strip().split(" ")) // 12, 7)
+        buckets[b].append(r.doc_id)
+    n = len(docs)
+    budget = n // 2
+    rows = {r.bucket: r for r in QUERIES["p40_length_matched_sample"](spark, sf_dir).collect()}
+    assert sum(r.quota for r in rows.values()) == budget
+    for b, r in rows.items():
+        avail = buckets.get(b, [])
+        assert r.n_docs == len(avail)
+        assert r.taken == min(r.quota, len(avail))
+        assert r.unfilled == r.quota - r.taken
+        want = sorted(
+            avail, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d)
+        )[: r.taken]
+        assert r.id_checksum == sum(want)
+
+
+def test_m15_segments_match_direct_recomputation(spark, sf_dir):
+    """Frame energies, the voiced threshold, and the island merge are
+    recomputed in plain Python from the raw text bytes."""
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").collect()
+    got = {r.doc_id: r for r in QUERIES["m15_vad_segments"](spark, sf_dir).collect()}
+    for r in docs:
+        data = r.text.encode()
+        n_frames = len(data) // 64
+        if n_frames == 0:
+            assert r.doc_id not in got
+            continue
+        voiced = []
+        for i in range(n_frames):
+            fr = data[i * 64 : (i + 1) * 64]
+            s = sum(fr)
+            ss = sum(b * b for b in fr)
+            voiced.append(64 * ss - s * s >= 890 * 64 * 64)
+        segs = []
+        run = 0
+        first = -1
+        for i, v in enumerate(voiced):
+            if v:
+                if run == 0 and first < 0:
+                    pass
+                run += 1
+                if run == 1:
+                    segs.append([i, 0])
+                segs[-1][1] += 1
+            else:
+                run = 0
+        g = got[r.doc_id]
+        assert g.n_frames == n_frames
+        assert g.n_segments == len(segs)
+        assert g.voiced_frames == sum(L for _, L in segs)
+        assert g.longest_segment == (max((L for _, L in segs), default=0))
+        assert g.first_voiced_frame == (segs[0][0] if segs else -1)
+        assert g.voiced_bp == sum(L for _, L in segs) * 10000 // n_frames
