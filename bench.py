@@ -127,6 +127,13 @@ FAMILIES = [
     # incremental (delta-merged) postings maintenance serve
     "s35_rank_eval",
     "s36_postings_incremental_serve",
+    # round-9c: the sequential-per-key greedy (applyInPandas shape — the
+    # one Arrow stage in the q-family), RAKE keyphrase mining, quota
+    # sampling to a length target, and zero-Python VAD segmentation
+    "q86_interval_scheduling",
+    "t27_rake_keyphrases",
+    "p40_length_matched_sample",
+    "m15_vad_segments",
 ]
 
 # Scale-slope flagships: timed at sf0.1 AND at the generated 10x sf1

@@ -360,35 +360,80 @@ def q86_interval_scheduling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("l_shipdate").cast("date")).alias("e")
     )
     iv = orders.join(li, orders.id == li.l_orderkey).select(
-        "k", "id", "s", F.greatest("e", "s").alias("e")
+        "k",
+        "id",
+        F.datediff("s", F.lit("1970-01-01").cast("date")).alias("s_d"),
+        F.datediff(F.greatest("e", "s"), F.lit("1970-01-01").cast("date")).alias(
+            "e_d"
+        ),
     )
+    # One shuffle co-locating each customer's intervals, an in-partition
+    # sort, then a single streaming Arrow pass. groupBy().applyInPandas
+    # would build one pandas frame PER CUSTOMER (measured 38 s at sf0.1
+    # from per-group overhead alone); mapInPandas sees ~10k-row batches,
+    # carrying the per-key greedy state across batch boundaries. Dates
+    # travel as epoch-day ints (cheap numpy columns), back to DATE at the
+    # end.
+    part = iv.repartition(F.col("k")).sortWithinPartitions("k", "e_d", "s_d", "id")
 
-    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["e", "s", "id"], kind="mergesort")
-        sel_s, sel_e = [], []
-        last_e = None
-        for s, e in zip(pdf["s"], pdf["e"]):
-            if last_e is None or s > last_e:
-                sel_s.append(s)
-                sel_e.append(e)
-                last_e = e
-        util = sum((e - s).days for s, e in zip(sel_s, sel_e))
-        return pd.DataFrame(
-            {
-                "c_custkey": [int(pdf["k"].iloc[0])],
-                "n_windows": [len(pdf)],
-                "n_selected": [len(sel_s)],
-                "first_start": [sel_s[0]],
-                "last_end": [sel_e[-1]],
-                "utilized_days": [util],
-            }
-        )
+    def greedy_stream(batches):
+        cols = ("c_custkey", "n_windows", "n_selected", "first_d", "last_d", "util")
+        out = {c: [] for c in cols}
+        cur_k = None
+        n_win = n_sel = first_d = last_e = util = 0
 
-    out_schema = (
-        "c_custkey bigint, n_windows bigint, n_selected bigint, "
-        "first_start date, last_end date, utilized_days bigint"
+        def flush():
+            out["c_custkey"].append(cur_k)
+            out["n_windows"].append(n_win)
+            out["n_selected"].append(n_sel)
+            out["first_d"].append(first_d)
+            out["last_d"].append(last_e)
+            out["util"].append(util)
+
+        for pdf in batches:
+            # .tolist() gives native ints — iterating numpy scalars is
+            # 2-3x slower in a tight loop
+            for k, s, e in zip(
+                pdf["k"].tolist(), pdf["s_d"].tolist(), pdf["e_d"].tolist()
+            ):
+                if k != cur_k:
+                    if cur_k is not None:
+                        flush()
+                    cur_k = k
+                    n_win = n_sel = util = 0
+                    last_e = None
+                n_win += 1
+                if last_e is None or s > last_e:
+                    if n_sel == 0:
+                        first_d = s
+                    n_sel += 1
+                    util += e - s
+                    last_e = e
+            if len(out["c_custkey"]) >= 65536:
+                yield pd.DataFrame(out)
+                out = {c: [] for c in cols}
+        if cur_k is not None:
+            flush()
+        if out["c_custkey"]:
+            yield pd.DataFrame(out)
+
+    raw = part.mapInPandas(
+        greedy_stream,
+        schema=(
+            "c_custkey bigint, n_windows bigint, n_selected bigint, "
+            "first_d bigint, last_d bigint, util bigint"
+        ),
     )
-    return iv.groupBy("k").applyInPandas(greedy, schema=out_schema).orderBy("c_custkey")
+    return raw.select(
+        "c_custkey",
+        "n_windows",
+        "n_selected",
+        F.expr("date_add(DATE'1970-01-01', CAST(first_d AS INT))").alias(
+            "first_start"
+        ),
+        F.expr("date_add(DATE'1970-01-01', CAST(last_d AS INT))").alias("last_end"),
+        F.col("util").alias("utilized_days"),
+    ).orderBy("c_custkey")
 
 
 # --------------------------------------------------------------------------
