@@ -134,6 +134,9 @@ FAMILIES = [
     "t27_rake_keyphrases",
     "p40_length_matched_sample",
     "m15_vad_segments",
+    # round-9d: the language-modeling ranker (Dirichlet QLD, sparse
+    # absent-mass decomposition — same pruned-postings shape as s31)
+    "s37_qld_topk",
 ]
 
 # Scale-slope flagships: timed at sf0.1 AND at the generated 10x sf1

@@ -1,5 +1,8 @@
 """Lexical retrieval operators: BM25 ranked search over the documents
-corpus (s31), pseudo-relevance-feedback query expansion (s32).
+corpus (s31), pseudo-relevance-feedback query expansion (s32), RRF
+hybrid fusion (s33), the persisted postings layout (s34), ranking
+evaluation (s35), incremental postings maintenance (s36), and
+Dirichlet query-likelihood ranking (s37).
 
 The reference delegates all query execution to a warehouse adapter
 (reference: src/dbt_osmosis/core/sql_operations.py:69) and has no IR
@@ -1108,3 +1111,168 @@ def s36_postings_incremental_serve(spark: SparkSession, sf_dir: str) -> DataFram
     ingest_postings_batch(spark, docs.filter(F.col("doc_id") % 5 != 0), path, 0)
     ingest_postings_batch(spark, docs.filter(F.col("doc_id") % 5 == 0), path, 1)
     return query_incremental_postings(spark, path, _QUERY_TERMS)
+
+
+# ---------------------------------------------------------------------------
+# s37: query-likelihood retrieval with Dirichlet smoothing
+# ---------------------------------------------------------------------------
+# The language-modeling side of the classic lexical-ranking triad (BM25
+# s31, PRF s32, QLD here): rank docs by sum over query terms of
+# log P(w|d) with Dirichlet-smoothed P(w|d) = (tf + mu*cf/C)/(dl + mu)
+# (Ponte & Croft 1998; Zhai & Lafferty 2001; mu = 2000, the standard
+# default). The sparse decomposition keeps it inverted-index-shaped:
+#
+#   score(q,d) = K_q  +  SUM_{w in q AND d} log2((tf*C + mu*cf)/(mu*cf))
+#                      -  |q| * log2(dl + mu)
+#   K_q        = SUM_{w in q} log2(mu*cf_w / C)          (per-query constant)
+#
+# so only postings of QUERY TERMS are ever touched — the absent-term
+# mass folds into K_q and the per-doc length penalty. Candidate set =
+# docs containing >= 1 query term (the inverted-index serving contract;
+# a no-match doc's score exists but is never materialized — both
+# engines score the identical candidate set).
+#
+# Determinism: every log2 is taken on one double division of exact
+# BIGINTs and quantized to 1e-9 half-up BEFORE any sum (the s31/t25
+# move); the three components combine in integer arithmetic. Overflow:
+# tf*C + mu*cf needs C*max_tf < 2^63 — safe through ~1e15 corpus tokens.
+# Query terms are corpus vocabulary by construction (cf > 0); an
+# out-of-vocabulary term would be dropped by the cf join in BOTH engines
+# (inner join on the pruned cf relation), shrinking |q| consistently.
+#
+# Scale shape = s31's: the token explode feeds doc-local aggregates;
+# cf/tf are pruned to query terms before any shuffle; df-sized relations
+# broadcast; two-phase bucketed ranking.
+
+_S37_MU = 2000
+
+# expression templates shared verbatim by both engines
+_S37_DELTA = (
+    "CAST(floor(log2(CAST(tf * c_tot + {mu} * cf AS DOUBLE) / ({mu} * cf))"
+    " * 1e9 + 0.5) AS BIGINT)"
+).format(mu=_S37_MU)
+_S37_KQ_TERM = (
+    "CAST(floor(log2(CAST({mu} * cf AS DOUBLE) / c_tot) * 1e9 + 0.5) AS BIGINT)"
+).format(mu=_S37_MU)
+_S37_LEN = (
+    "CAST(floor(log2(CAST(dl + {mu} AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)"
+).format(mu=_S37_MU)
+
+_S37_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+),
+toks_ne AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks_ne GROUP BY doc_id),
+ctot AS (SELECT CAST(SUM(dl) AS BIGINT) AS c_tot FROM dl),
+qterms(query_id, term) AS (VALUES {_QUERY_VALUES}),
+cf AS (
+  SELECT tok AS term, CAST(COUNT(*) AS BIGINT) AS cf
+  FROM toks_ne
+  WHERE tok IN (SELECT DISTINCT term FROM qterms)
+  GROUP BY tok
+),
+kq AS (
+  SELECT q.query_id,
+         CAST(SUM({_S37_KQ_TERM}) AS BIGINT) AS kq_nano,
+         COUNT(*) AS nq
+  FROM qterms q JOIN cf USING (term) CROSS JOIN ctot
+  GROUP BY q.query_id
+),
+tf AS (
+  SELECT doc_id, tok AS term, COUNT(*) AS tf
+  FROM toks_ne
+  WHERE tok IN (SELECT DISTINCT term FROM qterms)
+  GROUP BY doc_id, tok
+),
+hits AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(SUM({_S37_DELTA}) AS BIGINT) AS delta_nano
+  FROM tf
+  JOIN cf USING (term)
+  JOIN qterms q USING (term)
+  CROSS JOIN ctot
+  GROUP BY q.query_id, tf.doc_id
+),
+scores AS (
+  SELECT h.query_id, h.doc_id,
+         k.kq_nano + h.delta_nano - k.nq * {_S37_LEN} AS score_nano
+  FROM hits h
+  JOIN kq k USING (query_id)
+  JOIN dl USING (doc_id)
+),
+ranked AS (
+  SELECT query_id, doc_id, CAST(score_nano AS BIGINT) AS score_nano,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score_nano DESC, doc_id) AS rnk
+  FROM scores
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, score_nano
+FROM ranked WHERE rnk <= {_K}
+ORDER BY query_id, rnk
+"""
+
+
+@register("s37_qld_topk", oracle=_S37_ORACLE)
+def s37_qld_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood top-k (mu = 2000, k = 5) via
+    the sparse absent-mass decomposition (module comment)."""
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    toks = _tokens(docs)
+    dl = keep_cached(toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")))
+    ctot = dl.agg(F.sum("dl").cast("bigint").alias("c_tot"))
+    qterms = spark.createDataFrame(list(_QUERY_TERMS), "query_id string, term string")
+    uniq = qterms.select("term").distinct()
+    cf = (
+        toks.join(F.broadcast(uniq), toks.tok == uniq.term)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cf"))
+    )
+    kq = (
+        qterms.join(F.broadcast(cf), "term")
+        .crossJoin(F.broadcast(ctot))
+        .groupBy("query_id")
+        .agg(
+            F.expr(f"CAST(SUM({_S37_KQ_TERM}) AS BIGINT)").alias("kq_nano"),
+            F.count(F.lit(1)).alias("nq"),
+        )
+    )
+    tf = (
+        toks.join(F.broadcast(uniq), toks.tok == uniq.term)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    hits = (
+        tf.join(F.broadcast(cf), "term")
+        .join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(ctot))
+        .groupBy("query_id", "doc_id")
+        .agg(F.expr(f"CAST(SUM({_S37_DELTA}) AS BIGINT)").alias("delta_nano"))
+    )
+    scores = (
+        hits.join(F.broadcast(kq), "query_id")
+        .join(dl, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(f"CAST(kq_nano + delta_nano - nq * {_S37_LEN} AS BIGINT)").alias(
+                "score_nano"
+            ),
+        )
+    )
+    bucket_w = W.partitionBy("query_id", "bkt").orderBy(
+        F.col("score_nano").desc(), F.col("doc_id")
+    )
+    final_w = W.partitionBy("query_id").orderBy(
+        F.col("score_nano").desc(), F.col("doc_id")
+    )
+    return (
+        scores.withColumn("bkt", F.expr(f"pmod(hash(doc_id), {_BUCKETS})"))
+        .withColumn("lr", F.row_number().over(bucket_w))
+        .filter(F.col("lr") <= _K)
+        .withColumn("rnk", F.row_number().over(final_w).cast("bigint"))
+        .filter(F.col("rnk") <= _K)
+        .select("query_id", "rnk", "doc_id", "score_nano")
+        .orderBy("query_id", "rnk")
+    )
