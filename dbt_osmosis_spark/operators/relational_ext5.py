@@ -537,3 +537,89 @@ def q87_largest_remainder_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fl").cast("bigint").alias("floor_share"),
         F.expr("CAST(rem * 10000 DIV t AS BIGINT)").alias("remainder_bp"),
     ).orderBy("n_name")
+
+
+# --------------------------------------------------------------------------
+# q88: Gini concentration of customer revenue within each nation
+# --------------------------------------------------------------------------
+# The inequality/concentration metric every marketplace-analytics stack
+# reports: per nation, the Gini coefficient of its customers' revenue.
+# With x_1 <= ... <= x_n the sorted customer totals (exact cents) the
+# closed form  G = (2*SUM(i*x_i) - (n+1)*SUM(x)) / (n*SUM(x))  is pure
+# BIGINT except the final division, emitted in basis points by integer
+# DIV — no float anywhere. Tie order among equal x cannot change
+# SUM(i*x_i) (swapping equal values permutes identical products), so
+# row_number is safe despite being non-deterministic among ties.
+#
+# Scale shape: one revenue rollup (lineitem -> orders -> customer joins,
+# dimension side broadcast), then a per-nation window — partition count
+# = nations, so at extreme scale the rank becomes the two-phase
+# distributed selection (the p40 note); the rollup output (one row per
+# customer) is what the window actually sorts, already 4 orders of
+# magnitude smaller than the fact table.
+#
+# Overflow: SUM(i*x_i) <= n^2 * max_x — safe through ~10^7 customers per
+# nation at $10^5 revenue; past that widen to DECIMAL(38,0).
+
+_Q88_ORACLE = """
+WITH rev AS (
+  SELECT c.c_nationkey, o.o_custkey AS cust,
+         CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS x
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT c_nationkey, x,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY x, cust) AS i
+  FROM rev
+)
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(r.x) AS BIGINT) AS total_rev_c,
+       CAST((2 * SUM(r.i * r.x) - (COUNT(*) + 1) * SUM(r.x)) * 10000
+            // (COUNT(*) * SUM(r.x)) AS BIGINT) AS gini_bp
+FROM ranked r JOIN nation n ON n.n_nationkey = r.c_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
+@register("q88_revenue_gini", oracle=_Q88_ORACLE)
+def q88_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini coefficient of customer revenue in exact integer
+    arithmetic, basis points (module comment)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr(
+            "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)"
+        ).alias("rev_c"),
+    )
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .groupBy("c_nationkey", F.col("o_custkey").alias("cust"))
+        .agg(F.sum("rev_c").cast("bigint").alias("x"))
+    )
+    ranked = rev.withColumn(
+        "i", F.row_number().over(W.partitionBy("c_nationkey").orderBy("x", "cust"))
+    )
+    return (
+        ranked.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("x").cast("bigint").alias("total_rev_c"),
+            F.expr(
+                "CAST((2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x)) * 10000"
+                " DIV (COUNT(*) * SUM(x)) AS BIGINT)"
+            ).alias("gini_bp"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .select("n_name", "n_customers", "total_rev_c", "gini_bp")
+        .orderBy("n_name")
+    )

@@ -530,3 +530,53 @@ def test_m15_segments_match_direct_recomputation(spark, sf_dir):
         assert g.longest_segment == (max((L for _, L in segs), default=0))
         assert g.first_voiced_frame == (segs[0][0] if segs else -1)
         assert g.voiced_bp == sum(L for _, L in segs) * 10000 // n_frames
+
+
+def test_q88_gini_matches_fraction_exact_recompute(spark, sf_dir):
+    """Recompute each nation's Gini with exact Fractions from the raw
+    tables; the engine's basis points must equal floor(G * 10000)."""
+    from collections import defaultdict
+    from fractions import Fraction
+
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    ).collect()
+    import math
+
+    rev_by_order = defaultdict(int)
+    for r in li:
+        rev_by_order[r.l_orderkey] += int(
+            math.floor(r.l_extendedprice * (1 - r.l_discount) * 100 + 0.5)
+        )
+    orders = {
+        r.o_orderkey: r.o_custkey
+        for r in read_parquet(spark, f"{sf_dir}/orders.parquet").collect()
+    }
+    cust_nation = {
+        r.c_custkey: r.c_nationkey
+        for r in read_parquet(spark, f"{sf_dir}/customer.parquet").collect()
+    }
+    nation_name = {
+        r.n_nationkey: r.n_name
+        for r in read_parquet(spark, f"{sf_dir}/nation.parquet").collect()
+    }
+    cust_rev = defaultdict(int)
+    for okey, cents in rev_by_order.items():
+        cust_rev[orders[okey]] += cents
+    per_nation = defaultdict(list)
+    for ckey, x in cust_rev.items():
+        per_nation[nation_name[cust_nation[ckey]]].append(x)
+    got = {r.n_name: r for r in QUERIES["q88_revenue_gini"](spark, sf_dir).collect()}
+    assert set(got) == set(per_nation)
+    for name, xs in per_nation.items():
+        xs.sort()
+        n = len(xs)
+        s = sum(xs)
+        g = Fraction(2 * sum(i * x for i, x in enumerate(xs, 1)) - (n + 1) * s, n * s)
+        assert 0 <= g < 1
+        r = got[name]
+        assert r.n_customers == n
+        assert r.total_rev_c == s
+        assert r.gini_bp == (g.numerator * 10000) // g.denominator
