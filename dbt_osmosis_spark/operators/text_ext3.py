@@ -424,3 +424,171 @@ def t27_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_nano"), "phrase")
         .limit(_T27_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# t28: Burrows' Delta — stylometric distance between sources
+# ---------------------------------------------------------------------------
+# The standard authorship-attribution / style-drift measure (Burrows,
+# "'Delta': a Measure of Stylistic Difference", LLC 2002): profile each
+# source by the relative frequencies of the corpus's most frequent words,
+# standardize each word across sources, and compare profiles by mean
+# |z_a - z_b|. Training-data pipelines use exactly this to detect when
+# one ingestion source drifts stylistically from the fleet.
+#
+# This implementation standardizes by MAD (mean absolute deviation), a
+# documented Delta variant, because MAD integerizes where stddev's sqrt
+# cannot: with fq = Q9(cnt/T_s) the 1e-9-quantized relative frequency,
+#   c_{s,w}      = S*fq_{s,w} - SUM_s fq        (integer, = S^2*(f - mean))
+#   MADs_w       = SUM_s |c_{s,w}|              (integer, = S^2 * S*MAD)
+#   |z_a - z_b|  = S^2 * |fq_a - fq_b| / MADs_w (one double div, Q6)
+# Each pair term quantizes to integer micros BEFORE the sum over words,
+# so Delta is an order-free BIGINT sum; words with MADs = 0 (identical
+# frequency in every source) carry no signal and are excluded by both
+# engines. Absent (source, word) pairs count fq = 0 via the grid join.
+#
+# Magnitude bounds: fq <= 1e9, c <= S*1e9, MADs <= S^2*1e9, the z term
+# numerator S^2*|dfq| <= S^2*1e9 — BIGINT-safe to S ~ 2000 sources.
+#
+# Scale shape: one tokenize; top-W word list is a vocabulary rollup
+# top-40 (broadcast); per-(source, word) counts are semi-joined to the
+# word list BEFORE their shuffle; per-source totals are one rollup; all
+# downstream frames are (S x W)-sized. The pair expansion is
+# (S^2/2) x W rows of integers — driver-tiny here, still executor-local
+# arithmetic at thousands of sources.
+
+_T28_TOPW = 40
+
+_T28_ORACLE = f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+),
+toks_ne AS (SELECT source, tok FROM toks WHERE tok <> ''),
+topw AS (
+  SELECT tok AS word FROM toks_ne GROUP BY tok
+  ORDER BY COUNT(*) DESC, tok LIMIT {_T28_TOPW}
+),
+tsrc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS t_s FROM toks_ne GROUP BY source),
+cnts AS (
+  SELECT source, tok AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks_ne WHERE tok IN (SELECT word FROM topw)
+  GROUP BY source, tok
+),
+grid AS (
+  SELECT t.source, w.word, t.t_s, COALESCE(c.cnt, 0) AS cnt
+  FROM tsrc t CROSS JOIN topw w
+  LEFT JOIN cnts c ON c.source = t.source AND c.word = w.word
+),
+fq AS (
+  SELECT source, word,
+         CAST(floor(CAST(cnt AS DOUBLE) / t_s * 1e9 + 0.5) AS BIGINT) AS fq
+  FROM grid
+),
+nsrc AS (SELECT CAST(COUNT(*) AS BIGINT) AS s_n FROM tsrc),
+cen AS (
+  SELECT f.source, f.word,
+         n.s_n * f.fq - SUM(f.fq) OVER (PARTITION BY f.word) AS c,
+         f.fq, n.s_n
+  FROM fq f CROSS JOIN nsrc n
+),
+mad AS (
+  SELECT word, CAST(SUM(abs(c)) AS BIGINT) AS mads FROM cen GROUP BY word
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, a.word,
+         CAST(floor(CAST(a.s_n * a.s_n * abs(a.fq - b.fq) AS DOUBLE) / m.mads
+                    * 1e6 + 0.5) AS BIGINT) AS z_micro
+  FROM cen a
+  JOIN cen b ON a.word = b.word AND a.source < b.source
+  JOIN mad m ON m.word = a.word
+  WHERE m.mads > 0
+)
+SELECT source_a, source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(z_micro) // COUNT(*) AS BIGINT) AS delta_micro
+FROM pairs
+GROUP BY source_a, source_b
+ORDER BY source_a, source_b
+"""
+
+
+@register("t28_burrows_delta", oracle=_T28_ORACLE)
+def t28_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Burrows' Delta (MAD-standardized, integer-exact interior)
+    between ingestion sources over the top-40 corpus words."""
+    from pyspark.sql.window import Window as W
+
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    topw = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(_T28_TOPW)
+        .select(F.col("tok").alias("word"))
+    )
+    tsrc = toks.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("t_s"))
+    cnts = (
+        toks.join(F.broadcast(topw), toks.tok == topw.word)
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    grid = (
+        tsrc.crossJoin(F.broadcast(topw))
+        .join(cnts, ["source", "word"], "left")
+        .select(
+            "source",
+            "word",
+            "t_s",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        )
+    )
+    fq = grid.select(
+        "source",
+        "word",
+        F.expr("CAST(floor(CAST(cnt AS DOUBLE) / t_s * 1e9 + 0.5) AS BIGINT)").alias(
+            "fq"
+        ),
+    )
+    nsrc = tsrc.agg(F.count(F.lit(1)).cast("bigint").alias("s_n"))
+    cen = fq.crossJoin(F.broadcast(nsrc)).select(
+        "source",
+        "word",
+        "fq",
+        "s_n",
+        (F.col("s_n") * F.col("fq") - F.sum("fq").over(W.partitionBy("word"))).alias(
+            "c"
+        ),
+    )
+    mad = cen.groupBy("word").agg(F.sum(F.abs("c")).cast("bigint").alias("mads"))
+    a = cen.select(
+        F.col("source").alias("source_a"),
+        "word",
+        F.col("fq").alias("fq_a"),
+        "s_n",
+    )
+    b = cen.select(F.col("source").alias("source_b"), "word", F.col("fq").alias("fq_b"))
+    pairs = (
+        a.join(b, "word")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .join(F.broadcast(mad.filter(F.col("mads") > 0)), "word")
+        .select(
+            "source_a",
+            "source_b",
+            F.expr(
+                "CAST(floor(CAST(s_n * s_n * abs(fq_a - fq_b) AS DOUBLE) / mads"
+                " * 1e6 + 0.5) AS BIGINT)"
+            ).alias("z_micro"),
+        )
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.expr("CAST(SUM(z_micro) DIV COUNT(*) AS BIGINT)").alias("delta_micro"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -580,3 +580,52 @@ def test_q88_gini_matches_fraction_exact_recompute(spark, sf_dir):
         assert r.n_customers == n
         assert r.total_rev_c == s
         assert r.gini_bp == (g.numerator * 10000) // g.denominator
+
+
+def test_t28_delta_matches_direct_recompute_and_metric_axioms(spark, sf_dir):
+    """Recompute Burrows' Delta in plain Python (same quantization) for
+    every source pair; also pin symmetry-free output shape (a < b, all
+    C(S,2) pairs present) and non-negativity."""
+    import math
+    from collections import Counter, defaultdict
+
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").collect()
+    toks_by_src = defaultdict(list)
+    allc = Counter()
+    for r in docs:
+        ws = [w for w in r.text.lower().split(" ") if w]
+        toks_by_src[r.source].extend(ws)
+        allc.update(ws)
+    topw = [w for w, _ in sorted(allc.items(), key=lambda kv: (-kv[1], kv[0]))[:40]]
+    sources = sorted(toks_by_src)
+    S = len(sources)
+    fq = {}
+    for s in sources:
+        t_s = len(toks_by_src[s])
+        c = Counter(toks_by_src[s])
+        for w in topw:
+            fq[(s, w)] = math.floor(c.get(w, 0) / t_s * 1e9 + 0.5)
+    want = {}
+    for i, a in enumerate(sources):
+        for b in sources[i + 1 :]:
+            terms = []
+            for w in topw:
+                mads = 0
+                tot = sum(fq[(s, w)] for s in sources)
+                mads = sum(abs(S * fq[(s, w)] - tot) for s in sources)
+                if mads == 0:
+                    continue
+                terms.append(
+                    math.floor(S * S * abs(fq[(a, w)] - fq[(b, w)]) / mads * 1e6 + 0.5)
+                )
+            want[(a, b)] = (len(terms), sum(terms) // len(terms))
+    got = {
+        (r.source_a, r.source_b): (r.n_words, r.delta_micro)
+        for r in QUERIES["t28_burrows_delta"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    assert got == want
+    for (a, b), (nw, dm) in got.items():
+        assert a < b and dm >= 0 and 1 <= nw <= 40
