@@ -183,6 +183,14 @@ SCALE_FLAGSHIPS = [
     "s33_rrf_hybrid",
     "s34_postings_index_serve",
     "s36_postings_incremental_serve",
+    # round-9c/d: RAKE (one tokenize + vocabulary rollups + top-25 —
+    # slope must track the scan), Burrows' Delta (tokenize + (S x W)
+    # rollups), Dirichlet QLD (s31's pruned-postings shape), and VAD
+    # segmentation (pure codegen scan + per-doc window)
+    "t27_rake_keyphrases",
+    "t28_burrows_delta",
+    "s37_qld_topk",
+    "m15_vad_segments",
 ]
 
 

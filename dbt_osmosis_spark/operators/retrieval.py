@@ -138,7 +138,14 @@ def _corpus_stats(docs: DataFrame, dl: DataFrame) -> DataFrame:
     return (
         docs.agg(F.count(F.lit(1)).alias("n_docs"))
         .crossJoin(dl.agg(F.sum("dl").alias("sum_dl")))
-        .selectExpr("n_docs", "CAST(sum_dl AS DOUBLE) / n_docs AS avgdl")
+        .selectExpr(
+            "n_docs",
+            "CAST(sum_dl AS DOUBLE) / n_docs AS avgdl",
+            # exact token total, persisted with the layout so rankers that
+            # need the integer (QLD's c_tot) never re-derive it from the
+            # double avgdl
+            "CAST(sum_dl AS BIGINT) AS c_tot",
+        )
     )
 
 
@@ -1270,6 +1277,95 @@ def s37_qld_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scores.withColumn("bkt", F.expr(f"pmod(hash(doc_id), {_BUCKETS})"))
         .withColumn("lr", F.row_number().over(bucket_w))
+        .filter(F.col("lr") <= _K)
+        .withColumn("rnk", F.row_number().over(final_w).cast("bigint"))
+        .filter(F.col("rnk") <= _K)
+        .select("query_id", "rnk", "doc_id", "score_nano")
+        .orderBy("query_id", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# s38: Dirichlet QLD served from the persisted postings layout
+# ---------------------------------------------------------------------------
+# The layout dividend: s34's term-bucketed postings index was built for
+# BM25, but a postings layout is RANKER-AGNOSTIC — the same pruned scan
+# serves the language-modeling ranker (s37) with zero new corpus passes.
+# Everything QLD needs is already in (or derivable from) the index:
+#   - tf, dl: denormalized on each posting row;
+#   - cf(term): the pruned scan holds the COMPLETE posting list of every
+#     query term (that is what term-bucketing means), so the corpus
+#     frequency is a term-local SUM(tf) over already-pruned rows;
+#   - c_tot: the exact integer token total, persisted in the 1-row stats
+#     relation beside the index (not re-derived from the double avgdl).
+# Scoring reuses s37's expression templates verbatim, so s38's oracle IS
+# s37's full-corpus SQL — serving from the layout must be byte-identical
+# to computing in-plan, the s34/s31 contract.
+#
+# Scale: the serve scan lists only |probed term buckets|/NB of the
+# postings (static partition pruning, the s34 plan test); the build is
+# s34's one corpus-sized job, shared when both run against the same
+# corpus (idempotent overwrite to the same path).
+
+
+@register("s38_qld_postings_serve", oracle=_S37_ORACLE)
+def s38_qld_postings_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve the s37 query batch from the s34 postings index: pruned
+    bucket scan, serve-side cf/kq derivation, identical QLD scores."""
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    path = _s34_index_path(sf_dir)
+    write_postings_index(spark, docs, path)
+    probes = sorted({_s34_tbkt_py(t) for _, t in _QUERY_TERMS})
+    terms = sorted({t for _, t in _QUERY_TERMS})
+    qterms = spark.createDataFrame(
+        list(_QUERY_TERMS), "query_id string, term string"
+    )
+    stats = spark.read.parquet(f"{path}/stats").select("c_tot")
+    postings = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("tbkt").isin(probes))
+        .filter(F.col("term").isin(terms))
+    )
+    cf = postings.groupBy("term").agg(F.sum("tf").cast("bigint").alias("cf"))
+    kq = (
+        qterms.join(F.broadcast(cf), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id")
+        .agg(
+            F.expr(f"CAST(SUM({_S37_KQ_TERM}) AS BIGINT)").alias("kq_nano"),
+            F.count(F.lit(1)).alias("nq"),
+        )
+    )
+    hits = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(cf), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.expr(f"CAST(SUM({_S37_DELTA}) AS BIGINT)").alias("delta_nano"),
+            F.max("dl").alias("dl"),
+        )
+    )
+    scores = hits.join(F.broadcast(kq), "query_id").select(
+        "query_id",
+        "doc_id",
+        F.expr(f"CAST(kq_nano + delta_nano - nq * {_S37_LEN} AS BIGINT)").alias(
+            "score_nano"
+        ),
+    )
+    final_w = W.partitionBy("query_id").orderBy(
+        F.col("score_nano").desc(), F.col("doc_id")
+    )
+    return (
+        scores.withColumn("bkt", F.expr(f"pmod(hash(doc_id), {_BUCKETS})"))
+        .withColumn(
+            "lr",
+            F.row_number().over(
+                W.partitionBy("query_id", "bkt").orderBy(
+                    F.col("score_nano").desc(), F.col("doc_id")
+                )
+            ),
+        )
         .filter(F.col("lr") <= _K)
         .withColumn("rnk", F.row_number().over(final_w).cast("bigint"))
         .filter(F.col("rnk") <= _K)

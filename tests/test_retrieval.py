@@ -492,3 +492,36 @@ def test_s37_length_penalty_orders_equal_evidence(spark, sf_dir):
         assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
         scores = [r.score_nano for r in rs]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_s38_serves_identical_results_to_s37(spark, sf_dir):
+    """The ranker-agnostic layout contract: QLD served from the postings
+    index must be byte-identical to s37's in-plan computation."""
+    got = QUERIES["s38_qld_postings_serve"](spark, sf_dir).collect()
+    want = QUERIES["s37_qld_topk"](spark, sf_dir).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_s38_serve_scan_prunes_to_probed_term_buckets(spark, sf_dir):
+    """The QLD serve plan must keep s34's pruning properties: the bucket
+    IN-list as a partition filter on the postings scan and no scan of the
+    base documents table in the serve subtree."""
+    from dbt_osmosis_spark.operators.retrieval import (
+        _s34_index_path,
+        _s34_tbkt_py,
+        _QUERY_TERMS,
+    )
+    from dbt_osmosis_spark.plans.audit import physical_plan
+
+    df = QUERIES["s38_qld_postings_serve"](spark, sf_dir)
+    plan = physical_plan(df)
+    probes = sorted({_s34_tbkt_py(t) for _, t in _QUERY_TERMS})
+    assert "PartitionFilters" in plan
+    assert any(str(p) in plan for p in probes)
+    # the serve side reads the index, not documents.parquet
+    serve_scans = [
+        ln for ln in plan.splitlines() if "documents.parquet" in ln and "Scan" in ln
+    ]
+    # one scan of documents is the BUILD job; the returned (serve) plan
+    # must not contain any
+    assert not serve_scans, serve_scans
