@@ -278,3 +278,102 @@ def m15_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# m16: loudness normalization — per-payload gain staging
+# ---------------------------------------------------------------------------
+# The ingest-normalization step before any audio model: compute the gain
+# that brings each clip's mean power to the pipeline target (the
+# ReplayGain idea, applied per payload). Mean power here is the mean
+# frame variance over m15's 64-byte frames:
+#     V = SUM_f (N*ss_f - s_f^2) / (N^2 * n_frames)
+# and the reported gain is the power ratio to the target in millibels:
+#     gain_mb = floor(1000 * log10(T * N^2 * n_frames / SUM_f d_f) + 0.5)
+# — the numerator and denominator are exact BIGINTs (one corpus constant
+# T = 900, the m15 threshold's neighborhood), so both engines evaluate
+# one double division of exact integers and one log10, quantized
+# half-up (the t25/s37 move; a clip at target gains 0 mb). Zero-variance
+# payloads (silence) have no finite gain and are excluded by both
+# engines.
+#
+# Scale shape: single scan, whole-stage-codegen frame fold (the m07/m15
+# idiom — no Python), one per-doc rollup. No joins, no windows.
+
+_M16_FRAME = 64
+_M16_TARGET = 900  # target mean frame variance (corpus mid-point band)
+
+_M16_ORACLE = f"""
+WITH framed AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(0, {_M16_FRAME}),
+             j -> ascii(substr(text, CAST(i * {_M16_FRAME} + j + 1 AS INT), 1)))) AS s,
+         list_sum(list_transform(range(0, {_M16_FRAME}),
+             j -> ascii(substr(text, CAST(i * {_M16_FRAME} + j + 1 AS INT), 1)) ** 2)) AS ss
+  FROM documents, UNNEST(range(0, length(text) // {_M16_FRAME})) AS t(i)
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_frames,
+         CAST(SUM({_M16_FRAME} * ss - s * s) AS BIGINT) AS sum_dev
+  FROM framed GROUP BY doc_id
+)
+SELECT doc_id, n_frames, sum_dev,
+       CAST(floor(1000 * log10(
+         CAST({_M16_TARGET} * {_M16_FRAME} * {_M16_FRAME} AS DOUBLE) * n_frames
+           / sum_dev) + 0.5) AS BIGINT) AS gain_mb
+FROM per_doc
+WHERE sum_dev > 0
+ORDER BY doc_id
+"""
+
+
+@register("m16_gain_staging", oracle=_M16_ORACLE)
+def m16_gain_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-payload loudness-normalization gain in millibels against the
+    pipeline target power (module comment); zero Python, one scan."""
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    framed = (
+        docs.filter(F.length("text") >= _M16_FRAME)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"sequence(0, length(text) DIV {_M16_FRAME} - 1)")
+            ).alias("i"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"aggregate(sequence(0, {_M16_FRAME} - 1), 0L, (acc, j) -> acc + "
+                f"ascii(substring(text, CAST(i * {_M16_FRAME} + j + 1 AS INT), 1)))"
+            ).alias("s"),
+            F.expr(
+                f"aggregate(sequence(0, {_M16_FRAME} - 1), 0L, (acc, j) -> acc + "
+                f"CAST(ascii(substring(text, CAST(i * {_M16_FRAME} + j + 1 AS INT), 1)) AS BIGINT) *"
+                f" ascii(substring(text, CAST(i * {_M16_FRAME} + j + 1 AS INT), 1)))"
+            ).alias("ss"),
+        )
+    )
+    per_doc = framed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.sum(
+            F.lit(_M16_FRAME) * F.col("ss") - F.col("s") * F.col("s")
+        )
+        .cast("bigint")
+        .alias("sum_dev"),
+    )
+    return (
+        per_doc.filter(F.col("sum_dev") > 0)
+        .select(
+            "doc_id",
+            "n_frames",
+            "sum_dev",
+            F.expr(
+                f"CAST(floor(1000 * log10("
+                f"CAST({_M16_TARGET} * {_M16_FRAME} * {_M16_FRAME} AS DOUBLE) * n_frames"
+                f" / sum_dev) + 0.5) AS BIGINT)"
+            ).alias("gain_mb"),
+        )
+        .orderBy("doc_id")
+    )

@@ -629,3 +629,42 @@ def test_t28_delta_matches_direct_recompute_and_metric_axioms(spark, sf_dir):
     assert got == want
     for (a, b), (nw, dm) in got.items():
         assert a < b and dm >= 0 and 1 <= nw <= 40
+
+
+def test_m16_gain_matches_direct_recompute_and_inverts_power(spark, sf_dir):
+    """Recompute the millibel gain from raw bytes; a clip exactly at the
+    target power must gain 0 mb, louder clips negative, quieter positive
+    (sign law checked on the real corpus)."""
+    import math
+
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").collect()
+    got = {r.doc_id: r for r in QUERIES["m16_gain_staging"](spark, sf_dir).collect()}
+    seen = 0
+    for r in docs:
+        data = r.text.encode()
+        n = len(data) // 64
+        if n == 0:
+            continue
+        sum_dev = 0
+        for i in range(n):
+            fr = data[i * 64 : (i + 1) * 64]
+            s = sum(fr)
+            ss = sum(b * b for b in fr)
+            sum_dev += 64 * ss - s * s
+        if sum_dev == 0:
+            assert r.doc_id not in got
+            continue
+        seen += 1
+        g = got[r.doc_id]
+        assert g.n_frames == n and g.sum_dev == sum_dev
+        want = math.floor(1000 * math.log10(900 * 64 * 64 * n / sum_dev) + 0.5)
+        assert g.gain_mb == want
+        # sign law: mean variance above target => attenuate (negative)
+        mean_var = sum_dev / (64 * 64 * n)
+        if mean_var > 900 * 10 ** (0.5 / 1000):
+            assert g.gain_mb <= 0
+        elif mean_var < 900 * 10 ** (-0.5 / 1000):
+            assert g.gain_mb >= 0
+    assert seen > 0
