@@ -623,3 +623,83 @@ def q88_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_name", "n_customers", "total_rev_c", "gini_bp")
         .orderBy("n_name")
     )
+
+
+# --------------------------------------------------------------------------
+# q89: weekday-aligned year-over-year revenue (lag-364 comparison)
+# --------------------------------------------------------------------------
+# Naive YoY compares a Tuesday to a Monday and reports weekday mix as
+# growth; retail/fin analytics therefore aligns on 364 days (52 weeks
+# exactly), the standard "same weekday last year" comparison. Per month:
+# sum the daily revenue of days WHOSE ALIGNED DAY EXISTS, the aligned
+# sum, and the growth in basis points — integer cents throughout, one
+# integer DIV at the end.
+#
+# Scale shape: one fact rollup to DAILY grain (the only corpus-sized
+# shuffle); the 364-day self-join runs on the date-cardinality rollup
+# (thousands of rows at any corpus size — calendar-bounded, not
+# data-bounded) and is an exact 1:1 equi-join on the shifted date.
+
+_Q89_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o.o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS rev_c
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1
+),
+aligned AS (
+  SELECT cur.d, cur.rev_c, prev.rev_c AS prev_rev_c
+  FROM daily cur JOIN daily prev ON prev.d = cur.d - INTERVAL 364 DAY
+)
+SELECT CAST(EXTRACT(year FROM d) AS BIGINT) AS yr,
+       CAST(EXTRACT(month FROM d) AS BIGINT) AS mo,
+       CAST(COUNT(*) AS BIGINT) AS n_days_aligned,
+       CAST(SUM(rev_c) AS BIGINT) AS rev_c,
+       CAST(SUM(prev_rev_c) AS BIGINT) AS aligned_rev_c,
+       CAST((SUM(rev_c) - SUM(prev_rev_c)) * 10000 // SUM(prev_rev_c) AS BIGINT)
+         AS yoy_bp
+FROM aligned
+GROUP BY 1, 2
+ORDER BY yr, mo
+"""
+
+
+@register("q89_weekday_aligned_yoy", oracle=_Q89_ORACLE)
+def q89_weekday_aligned_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue vs the same-weekday (lag-364) prior-year days,
+    growth in basis points, exact cents (module comment)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr(
+            "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)"
+        ).alias("rev_c"),
+    )
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("d")
+    )
+    daily = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("d")
+        .agg(F.sum("rev_c").cast("bigint").alias("rev_c"))
+    )
+    prev = daily.select(
+        F.date_add("d", 364).alias("d"), F.col("rev_c").alias("prev_rev_c")
+    )
+    aligned = daily.join(prev, "d")
+    return (
+        aligned.groupBy(
+            F.year("d").cast("bigint").alias("yr"),
+            F.month("d").cast("bigint").alias("mo"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days_aligned"),
+            F.sum("rev_c").cast("bigint").alias("rev_c"),
+            F.sum("prev_rev_c").cast("bigint").alias("aligned_rev_c"),
+            F.expr(
+                "CAST((SUM(rev_c) - SUM(prev_rev_c)) * 10000"
+                " DIV SUM(prev_rev_c) AS BIGINT)"
+            ).alias("yoy_bp"),
+        )
+        .orderBy("yr", "mo")
+    )

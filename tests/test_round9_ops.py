@@ -668,3 +668,50 @@ def test_m16_gain_matches_direct_recompute_and_inverts_power(spark, sf_dir):
         elif mean_var < 900 * 10 ** (-0.5 / 1000):
             assert g.gain_mb >= 0
     assert seen > 0
+
+
+def test_q89_alignment_preserves_weekday_and_sums(spark, sf_dir):
+    """Every compared day pair is exactly 364 days apart (same ISO
+    weekday by construction); month sums recomputed directly."""
+    import datetime as dt
+    import math
+    from collections import defaultdict
+
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    ).collect()
+    rev_by_order = defaultdict(int)
+    for r in li:
+        rev_by_order[r.l_orderkey] += int(
+            math.floor(r.l_extendedprice * (1 - r.l_discount) * 100 + 0.5)
+        )
+    daily = defaultdict(int)
+    for r in read_parquet(spark, f"{sf_dir}/orders.parquet").collect():
+        if r.o_orderkey in rev_by_order:
+            daily[r.o_orderdate.date()] += rev_by_order[r.o_orderkey]
+    months = defaultdict(lambda: [0, 0, 0])
+    for d, rc in daily.items():
+        p = d - dt.timedelta(days=364)
+        if p in daily:
+            assert p.weekday() == d.weekday()
+            m = months[(d.year, d.month)]
+            m[0] += 1
+            m[1] += rc
+            m[2] += daily[p]
+    got = {
+        (r.yr, r.mo): r
+        for r in QUERIES["q89_weekday_aligned_yoy"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(months)
+    for key, (n, rc, pc) in months.items():
+        r = got[key]
+        assert (r.n_days_aligned, r.rev_c, r.aligned_rev_c) == (n, rc, pc)
+        # floor-division semantics of the bp growth, sign-correct for
+        # negative growth too (DIV truncates toward zero in both engines
+        # only for positive operands; growth can be negative, so pin
+        # against the engine's own integer DIV semantics)
+        want_bp = (rc - pc) * 10000
+        q = want_bp // pc if want_bp >= 0 else -((-want_bp) // pc)
+        assert r.yoy_bp == q
