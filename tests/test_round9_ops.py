@@ -715,3 +715,26 @@ def test_q89_alignment_preserves_weekday_and_sums(spark, sf_dir):
         want_bp = (rc - pc) * 10000
         q = want_bp // pc if want_bp >= 0 else -((-want_bp) // pc)
         assert r.yoy_bp == q
+
+
+def test_round9c_exchange_budgets(spark, sf_dir):
+    """Exchange ceilings for the round-9c/d operators, measured at
+    sf0.001 (and flat at sf0.1 for the bench families) — a refactor that
+    adds a shuffle fails here, not at the next scale probe."""
+    from dbt_osmosis_spark.plans.audit import exchange_count
+
+    budgets = {
+        "t27_rake_keyphrases": 6,
+        "t28_burrows_delta": 22,
+        "s37_qld_topk": 16,
+        "s38_qld_postings_serve": 7,  # serve plan (the returned df)
+        "m15_vad_segments": 3,
+        "m16_gain_staging": 2,
+        "p40_length_matched_sample": 8,
+        "q86_interval_scheduling": 3,
+        "q87_largest_remainder_alloc": 4,
+        "q88_revenue_gini": 3,
+        "q89_weekday_aligned_yoy": 5,
+    }
+    for name, budget in budgets.items():
+        assert exchange_count(QUERIES[name](spark, sf_dir)) <= budget, name
