@@ -221,27 +221,34 @@ def m15_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Energy-gate VAD segmentation: integer variance threshold per
     64-byte frame, gaps-and-islands merge, per-doc segment stats."""
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    # UTF8String.substring has no random access (it scans from the string
+    # start), so per-byte substring() folds are O(len^2) per document —
+    # that WAS the sf1 scale probe's entire cost (41.8 s). Splitting the
+    # document into a char ARRAY once gives O(1) random access; each
+    # frame is then an O(frame) slice+fold. Same integers, same oracle.
     framed = (
         docs.filter(F.length("text") >= _M15_FRAME)
+        .select("doc_id", F.split("text", "").alias("ch"))
         .select(
             "doc_id",
             F.explode(
-                F.expr(f"sequence(0, length(text) DIV {_M15_FRAME} - 1)")
+                F.expr(f"sequence(0, size(ch) DIV {_M15_FRAME} - 1)")
             ).alias("frame_no"),
-            F.col("text"),
+            "ch",
         )
         .select(
             "doc_id",
             F.col("frame_no").cast("bigint").alias("frame_no"),
             F.expr(
-                f"aggregate(sequence(0, {_M15_FRAME} - 1), 0L, (acc, j) -> acc + "
-                f"ascii(substring(text, CAST(frame_no * {_M15_FRAME} + j + 1 AS INT), 1)))"
-            ).alias("s"),
-            F.expr(
-                f"aggregate(sequence(0, {_M15_FRAME} - 1), 0L, (acc, j) -> acc + "
-                f"CAST(ascii(substring(text, CAST(frame_no * {_M15_FRAME} + j + 1 AS INT), 1)) AS BIGINT) *"
-                f" ascii(substring(text, CAST(frame_no * {_M15_FRAME} + j + 1 AS INT), 1)))"
-            ).alias("ss"),
+                f"transform(slice(ch, CAST(frame_no * {_M15_FRAME} + 1 AS INT),"
+                f" {_M15_FRAME}), c -> CAST(ascii(c) AS BIGINT))"
+            ).alias("bv"),
+        )
+        .select(
+            "doc_id",
+            "frame_no",
+            F.expr("aggregate(bv, 0L, (acc, x) -> acc + x)").alias("s"),
+            F.expr("aggregate(bv, 0L, (acc, x) -> acc + x * x)").alias("ss"),
         )
     )
     voiced = framed.filter(
@@ -333,26 +340,29 @@ def m16_gain_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-payload loudness-normalization gain in millibels against the
     pipeline target power (module comment); zero Python, one scan."""
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    # char-array split once per doc + O(1)-access slice per frame — the
+    # m15 rationale (substring() has no random access on UTF8String)
     framed = (
         docs.filter(F.length("text") >= _M16_FRAME)
+        .select("doc_id", F.split("text", "").alias("ch"))
         .select(
             "doc_id",
             F.explode(
-                F.expr(f"sequence(0, length(text) DIV {_M16_FRAME} - 1)")
+                F.expr(f"sequence(0, size(ch) DIV {_M16_FRAME} - 1)")
             ).alias("i"),
-            "text",
+            "ch",
         )
         .select(
             "doc_id",
             F.expr(
-                f"aggregate(sequence(0, {_M16_FRAME} - 1), 0L, (acc, j) -> acc + "
-                f"ascii(substring(text, CAST(i * {_M16_FRAME} + j + 1 AS INT), 1)))"
-            ).alias("s"),
-            F.expr(
-                f"aggregate(sequence(0, {_M16_FRAME} - 1), 0L, (acc, j) -> acc + "
-                f"CAST(ascii(substring(text, CAST(i * {_M16_FRAME} + j + 1 AS INT), 1)) AS BIGINT) *"
-                f" ascii(substring(text, CAST(i * {_M16_FRAME} + j + 1 AS INT), 1)))"
-            ).alias("ss"),
+                f"transform(slice(ch, CAST(i * {_M16_FRAME} + 1 AS INT),"
+                f" {_M16_FRAME}), c -> CAST(ascii(c) AS BIGINT))"
+            ).alias("bv"),
+        )
+        .select(
+            "doc_id",
+            F.expr("aggregate(bv, 0L, (acc, x) -> acc + x)").alias("s"),
+            F.expr("aggregate(bv, 0L, (acc, x) -> acc + x * x)").alias("ss"),
         )
     )
     per_doc = framed.groupBy("doc_id").agg(
