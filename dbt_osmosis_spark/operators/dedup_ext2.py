@@ -692,3 +692,86 @@ def d30_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") > 1)
         .orderBy("component")
     )
+
+
+# ---------------------------------------------------------------------------
+# d31: degree-mixing curve of the duplicate graph (knn(k))
+# ---------------------------------------------------------------------------
+# The average-neighbor-degree curve knn(k) (Pastor-Satorras, Vazquez &
+# Vespignani, PRL 2001) is the standard degree-mixing diagnostic: on a
+# near-dup graph a RISING curve means high-degree nodes attach to other
+# high-degree nodes — the signature of template/boilerplate hubs fusing
+# into mega-clusters (the d28 k-core finding, seen through mixing instead
+# of coreness); a falling curve means hubs absorb leaves (star-shaped
+# clone families). Per degree k:
+#     knn(k) = SUM over nodes of degree k of (neighbor degrees) / (k * n_k)
+# reported in integer micros by pure-integer half-up rounding
+#     (2 * 10^6 * S + d) DIV (2 * d),  d = k * n_k
+# — no float exists anywhere in this operator.
+#
+# Edges are THE verified near-dup pair relation (DUCK_VERIFIED_CTES /
+# verified_pairs — d03's published contract, the same edges d12/d20/d23/
+# d25/d28 consume). Scale shape: degrees are one rollup of the pair
+# relation; the neighbor-degree sum is two edge-to-degree hash joins
+# (degree relation is node-sized, AQE-broadcast when small); the curve
+# rollup is degree-cardinality-sized.
+
+_D31_ORACLE = f"""
+WITH {DUCK_VERIFIED_CTES},
+ends AS (
+  SELECT doc_a AS id, doc_b AS nb FROM verified
+  UNION ALL
+  SELECT doc_b AS id, doc_a AS nb FROM verified
+),
+deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS d FROM ends GROUP BY id),
+nsum AS (
+  SELECT e.id, CAST(SUM(dn.d) AS BIGINT) AS s_nb
+  FROM ends e JOIN deg dn ON dn.id = e.nb
+  GROUP BY e.id
+)
+SELECT g.d AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(n.s_nb) AS BIGINT) AS sum_neighbor_deg,
+       CAST((2 * 1000000 * SUM(n.s_nb) + g.d * COUNT(*))
+            // (2 * g.d * COUNT(*)) AS BIGINT) AS knn_micro
+FROM deg g JOIN nsum n ON n.id = g.id
+GROUP BY g.d
+ORDER BY k
+"""
+
+
+@register("d31_degree_mixing_curve", oracle=_D31_ORACLE)
+def d31_degree_mixing_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knn(k) over the verified near-dup graph, integer micros, zero
+    floats (module comment)."""
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    from dbt_osmosis_spark.operators.dedup import (
+        minhash_signatures,
+        verified_pairs,
+    )
+
+    sig = minhash_signatures(docs).transform(keep_cached)
+    edges = keep_cached(verified_pairs(sig).select("doc_a", "doc_b"))
+    ends = edges.selectExpr("doc_a AS id", "doc_b AS nb").unionByName(
+        edges.selectExpr("doc_b AS id", "doc_a AS nb")
+    )
+    deg = ends.groupBy("id").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    nsum = (
+        ends.join(deg.selectExpr("id AS nb", "d AS dn"), "nb")
+        .groupBy("id")
+        .agg(F.sum("dn").cast("bigint").alias("s_nb"))
+    )
+    return (
+        deg.join(nsum, "id")
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("s_nb").cast("bigint").alias("sum_neighbor_deg"),
+            F.expr(
+                "CAST((2 * 1000000 * SUM(s_nb) + d * COUNT(*))"
+                " DIV (2 * d * COUNT(*)) AS BIGINT)"
+            ).alias("knn_micro"),
+        )
+        .select(F.col("d").alias("k"), "n_nodes", "sum_neighbor_deg", "knn_micro")
+        .orderBy("k")
+    )

@@ -703,3 +703,106 @@ def q89_weekday_aligned_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr", "mo")
     )
+
+
+# --------------------------------------------------------------------------
+# q90: cohort LTV curve — cumulative revenue per signup cohort by month age
+# --------------------------------------------------------------------------
+# The subscription-analytics companion to q57's retention matrix: group
+# customers by FIRST-ORDER month (the cohort), then for each cohort age
+# (months since first order) report active customers, period revenue,
+# cumulative revenue, and cumulative LTV per cohort member — the curve a
+# growth team reads to see whether newer cohorts monetize faster. All
+# integer: cents, month arithmetic as y*12+m, and the per-member LTV by
+# integer DIV over the FULL cohort size (not just active members — LTV
+# divides by everyone acquired, the standard definition).
+#
+# Scale shape: one fact rollup to (customer, month); the cohort
+# assignment is a per-customer min (same rollup grain); the curve is a
+# cohort-month-sized frame with one cumulative window partitioned by
+# cohort — calendar-bounded, not data-bounded.
+
+_Q90_ORACLE = """
+WITH rev AS (
+  SELECT o.o_custkey AS cust,
+         EXTRACT(year FROM o.o_orderdate) * 12
+           + EXTRACT(month FROM o.o_orderdate) AS ym,
+         CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS rev_c
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2
+),
+cohort AS (SELECT cust, MIN(ym) AS c_ym FROM rev GROUP BY cust),
+csize AS (SELECT c_ym, CAST(COUNT(*) AS BIGINT) AS cohort_n FROM cohort GROUP BY c_ym),
+aged AS (
+  SELECT c.c_ym, r.ym - c.c_ym AS age, r.cust, r.rev_c
+  FROM rev r JOIN cohort c ON c.cust = r.cust
+),
+curve AS (
+  SELECT c_ym, age,
+         CAST(COUNT(DISTINCT cust) AS BIGINT) AS n_active,
+         CAST(SUM(rev_c) AS BIGINT) AS rev_c
+  FROM aged GROUP BY c_ym, age
+)
+SELECT CAST(v.c_ym // 12 AS BIGINT) AS cohort_year,
+       CAST(v.c_ym % 12 AS BIGINT) AS cohort_month0,
+       CAST(v.age AS BIGINT) AS age_months,
+       s.cohort_n,
+       v.n_active,
+       v.rev_c,
+       CAST(SUM(v.rev_c) OVER (PARTITION BY v.c_ym ORDER BY v.age) AS BIGINT)
+         AS cum_rev_c,
+       CAST(SUM(v.rev_c) OVER (PARTITION BY v.c_ym ORDER BY v.age)
+            // s.cohort_n AS BIGINT) AS cum_ltv_per_member_c
+FROM curve v JOIN csize s ON s.c_ym = v.c_ym
+ORDER BY cohort_year, cohort_month0, age_months
+"""
+
+
+@register("q90_cohort_ltv_curve", oracle=_Q90_ORACLE)
+def q90_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-revenue LTV curve per first-order-month cohort, exact
+    cents and integer month ages (module comment)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr(
+            "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)"
+        ).alias("rev_c"),
+    )
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("cust"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym"),
+    )
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("cust", "ym")
+        .agg(F.sum("rev_c").cast("bigint").alias("rev_c"))
+    )
+    cohort = rev.groupBy("cust").agg(F.min("ym").alias("c_ym"))
+    csize = cohort.groupBy("c_ym").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_n")
+    )
+    aged = rev.join(cohort, "cust").select(
+        "c_ym", (F.col("ym") - F.col("c_ym")).alias("age"), "cust", "rev_c"
+    )
+    curve = aged.groupBy("c_ym", "age").agg(
+        F.countDistinct("cust").cast("bigint").alias("n_active"),
+        F.sum("rev_c").cast("bigint").alias("rev_c"),
+    )
+    cum_w = W.partitionBy("c_ym").orderBy("age")
+    return (
+        curve.join(F.broadcast(csize), "c_ym")
+        .select(
+            F.expr("CAST(c_ym DIV 12 AS BIGINT)").alias("cohort_year"),
+            F.expr("CAST(c_ym % 12 AS BIGINT)").alias("cohort_month0"),
+            F.col("age").cast("bigint").alias("age_months"),
+            "cohort_n",
+            "n_active",
+            "rev_c",
+            F.sum("rev_c").over(cum_w).cast("bigint").alias("cum_rev_c"),
+            F.expr("CAST(SUM(rev_c) OVER (PARTITION BY c_ym ORDER BY age)"
+                   " DIV cohort_n AS BIGINT)").alias("cum_ltv_per_member_c"),
+        )
+        .orderBy("cohort_year", "cohort_month0", "age_months")
+    )

@@ -738,3 +738,77 @@ def test_round9c_exchange_budgets(spark, sf_dir):
     }
     for name, budget in budgets.items():
         assert exchange_count(QUERIES[name](spark, sf_dir)) <= budget, name
+
+
+def test_d31_knn_matches_direct_graph_recompute(spark, sf_dir):
+    """Rebuild the verified-pair graph via the registered d03 relation,
+    recompute knn(k) in plain Python with the same pure-integer rounding,
+    and require exact equality."""
+    from collections import defaultdict
+
+    edges = [
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["d03_minhash_lsh_pairs"](spark, sf_dir).collect()
+    ]
+    adj = defaultdict(list)
+    for a, b in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    per_k = defaultdict(lambda: [0, 0])
+    for v, ns in adj.items():
+        per_k[deg[v]][0] += 1
+        per_k[deg[v]][1] += sum(deg[n] for n in ns)
+    want = []
+    for k in sorted(per_k):
+        n_k, s = per_k[k]
+        d = k * n_k
+        want.append((k, n_k, s, (2 * 1000000 * s + d) // (2 * d)))
+    got = [
+        (r.k, r.n_nodes, r.sum_neighbor_deg, r.knn_micro)
+        for r in QUERIES["d31_degree_mixing_curve"](spark, sf_dir).collect()
+    ]
+    assert got == want
+    # handshake identity: sum over k of k*n_k = 2|E|
+    assert sum(k * nk for k, nk, _, _ in got) == 2 * len(edges)
+
+
+def test_q90_ltv_curve_is_cumulative_and_cohort_conserving(spark, sf_dir):
+    """Cumulative revenue is non-decreasing in age within each cohort;
+    active members never exceed cohort size; age-0 activity equals the
+    full cohort (every member orders in their first month by definition);
+    total curve revenue equals the corpus revenue."""
+    import math
+    from collections import defaultdict
+
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    rows = QUERIES["q90_cohort_ltv_curve"](spark, sf_dir).collect()
+    by_cohort = defaultdict(list)
+    for r in rows:
+        by_cohort[(r.cohort_year, r.cohort_month0)].append(r)
+    total = 0
+    for key, rs in by_cohort.items():
+        rs.sort(key=lambda r: r.age_months)
+        assert rs[0].age_months == 0
+        assert rs[0].n_active == rs[0].cohort_n, key
+        cum = 0
+        for r in rs:
+            cum += r.rev_c
+            assert r.cum_rev_c == cum
+            assert r.n_active <= r.cohort_n
+            assert r.cum_ltv_per_member_c == cum // r.cohort_n
+        total += cum
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet").select(
+        "l_extendedprice", "l_discount", "l_orderkey"
+    ).collect()
+    okeys = set(
+        r.o_orderkey
+        for r in read_parquet(spark, f"{sf_dir}/orders.parquet").collect()
+    )
+    want_total = sum(
+        int(math.floor(r.l_extendedprice * (1 - r.l_discount) * 100 + 0.5))
+        for r in li
+        if r.l_orderkey in okeys
+    )
+    assert total == want_total
