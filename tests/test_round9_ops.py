@@ -735,6 +735,8 @@ def test_round9c_exchange_budgets(spark, sf_dir):
         "q87_largest_remainder_alloc": 4,
         "q88_revenue_gini": 3,
         "q89_weekday_aligned_yoy": 5,
+        "d31_degree_mixing_curve": 12,
+        "q90_cohort_ltv_curve": 8,
     }
     for name, budget in budgets.items():
         assert exchange_count(QUERIES[name](spark, sf_dir)) <= budget, name
