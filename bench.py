@@ -378,6 +378,15 @@ def main() -> None:
     with open(os.path.join(here, "bench_out.json"), "w") as fh:
         json.dump(full, fh)
         fh.write("\n")
+    # Append-only full-record history (VERDICT r9 item 2): the driver's
+    # BENCH_r*.json tail captures keep only the compact summary line, so
+    # extended/families timings and the per-rep spread triples had no
+    # committed cross-round record — bench_compare.py could not give the
+    # non-headline blocks a regression baseline. Every full run appends
+    # here; bench_compare reads it alongside BENCH_r*.json.
+    with open(os.path.join(here, "bench_history.jsonl"), "a") as fh:
+        json.dump(full, fh)
+        fh.write("\n")
     print(json.dumps(full), flush=True)
     summary = {
         "metric": "headline_suite_runtime",

@@ -65,6 +65,52 @@ def _load(path: str) -> dict | None:
     return None
 
 
+def _history(repo: str) -> list[dict]:
+    """Every committed historical record: the driver's BENCH_r*.json
+    (compact summaries from r7 on — headline queries only) plus
+    bench_history.jsonl, the append-only full-record log bench.py keeps
+    so extended/families timings and spread triples survive the driver's
+    bounded tail capture."""
+    recs: list[dict] = []
+    for path in sorted(glob.glob(os.path.join(repo, "BENCH_r*.json"))):
+        rec = _load(path)
+        if rec is not None:  # e.g. the truncated r5 artifact
+            recs.append(rec)
+    hist = os.path.join(repo, "bench_history.jsonl")
+    if os.path.exists(hist):
+        with open(hist) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if isinstance(rec, dict) and "queries" in rec:
+                    recs.append(rec)
+    return recs
+
+
+def _spread_bounds(rec: dict) -> dict[str, tuple[float, float]]:
+    """Per-query (min, max) rep times from the record's in-band spread.
+
+    bench.py has emitted two shapes over the rounds: [min, median, max]
+    triples (current) and {"min": ..., "max": ...} dicts (early r5-era
+    experiments) — accept both.
+    """
+    out: dict[str, tuple[float, float]] = {}
+    for name, s in (rec.get("spread") or {}).items():
+        if isinstance(s, (list, tuple)) and len(s) >= 2:
+            try:
+                out[name] = (float(s[0]), float(s[-1]))
+            except (TypeError, ValueError):
+                continue
+        elif isinstance(s, dict) and s.get("min") and s.get("max"):
+            out[name] = (float(s["min"]), float(s["max"]))
+    return out
+
+
 def _queries(rec: dict) -> dict[str, float]:
     out: dict[str, float] = {}
     for block in ("queries", "extended", "families"):
@@ -85,12 +131,10 @@ def main() -> int:
         return 2
 
     best: dict[str, float] = {}
+    hist_spread_max: dict[str, float] = {}
     n_hist = n_skipped = 0
     cur_meth = cur.get("methodology")
-    for path in sorted(glob.glob(os.path.join(repo, "BENCH_r*.json"))):
-        rec = _load(path)
-        if rec is None:  # e.g. the truncated r5 artifact
-            continue
+    for rec in _history(repo):
         same_meth = rec.get("methodology") == cur_meth
         if not same_meth:
             n_skipped += 1  # counted as partially comparable below
@@ -101,8 +145,16 @@ def main() -> int:
             if not same_meth and name in CACHE_FLATTERED:
                 continue  # old best rode the cache; not honestly reachable
             best[name] = min(best.get(name, v), v)
+        # historical rep spread (bench.py emits [min, median, max] triples
+        # per query): the max-of-spread is a time this exact code has
+        # honestly taken on this host, so a current best-of-rep at or
+        # under it is host noise by demonstration, not by threshold
+        # (VERDICT r9 item 2 — makes benign drift like t22 0.40->0.91 s
+        # machine-distinguishable from a real plan regression).
+        for name, lo_hi in _spread_bounds(rec).items():
+            if name not in CACHE_FLATTERED or same_meth:
+                hist_spread_max[name] = max(hist_spread_max.get(name, 0.0), lo_hi[1])
 
-    spread = cur.get("spread") or {}
     rows = []
     regressions = 0
     for name, v in sorted(_queries(cur).items()):
@@ -112,20 +164,22 @@ def main() -> int:
             continue
         ratio = v / b
         band = NOISE_BAND
-        s = spread.get(name)
-        if isinstance(s, dict) and s.get("min"):
+        lo_hi = _spread_bounds(cur).get(name)
+        if lo_hi and lo_hi[0] > 0:
             # the run's own rep spread widens the band when the host was noisy
-            band = max(band, float(s["max"]) / float(s["min"]))
-        verdict = "ok" if ratio <= band else "REGRESSION?"
-        if verdict != "ok":
+            band = max(band, lo_hi[1] / lo_hi[0])
+        if ratio <= band or v <= hist_spread_max.get(name, 0.0):
+            verdict = "ok"
+        else:
+            verdict = "REGRESSION?"
             regressions += 1
         rows.append((name, b, v, ratio, verdict))
 
     width = max(len(r[0]) for r in rows) if rows else 10
     print(
-        f"history: {n_hist} BENCH_r*.json records"
-        f" ({n_skipped} pre-methodology-break: cache-flattered queries excluded);"
-        f" noise band {NOISE_BAND}x"
+        f"history: {n_hist} records (BENCH_r*.json + bench_history.jsonl;"
+        f" {n_skipped} pre-methodology-break: cache-flattered queries excluded);"
+        f" noise band {NOISE_BAND}x, or inside any historical rep spread"
     )
     for name, b, v, ratio, verdict in rows:
         bs = f"{b:7.3f}" if b is not None else "      -"

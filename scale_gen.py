@@ -152,6 +152,65 @@ def ensure_scale(mult: int, repo_root: str | None = None) -> str:
     return out
 
 
+# --- TPC-H fact tiling (round-10 100x probes: q86-q90 read orders/
+# lineitem/customer, which the corpus generator above never scaled) -------
+#
+# Scaling strategy: CLONE TILING — replica i shifts every surrogate key
+# (orderkey, custkey) by i * (max_key + 1) and keeps all other columns
+# byte-identical. This preserves exactly the properties the probed
+# operators depend on: referential integrity (every shifted l_orderkey
+# exists in the shifted orders replica), per-customer order timelines
+# (q90 cohorts), and the date marginals (q89's weekday alignment) — while
+# rows, customers, and per-date arrival rates all scale by `mult`, which
+# is how a real 100x fact-table grows against a fixed dimension plane
+# (part/supplier/nation keys are NOT shifted: dimensions stay shared).
+# Deterministic by construction — no RNG, so re-runs are byte-identical.
+
+_TPCH_KEYS = {
+    "orders": ("o_orderkey", "o_custkey"),
+    "lineitem": ("l_orderkey",),
+    "customer": ("c_custkey",),
+}
+
+
+def _tile_table(src: str, dst: str, mult: int, shift_cols: tuple[str, ...]) -> int:
+    import pyarrow.compute as pc
+
+    base = pq.read_table(src)
+    strides = {c: int(pc.max(base.column(c)).as_py()) + 1 for c in shift_cols}
+    writer = pq.ParquetWriter(dst, base.schema)
+    try:
+        for i in range(mult):
+            rep = base
+            for c, stride in strides.items():
+                shifted = pc.add(rep.column(c), pa.scalar(i * stride, pa.int64()))
+                rep = rep.set_column(
+                    rep.schema.get_field_index(c), rep.schema.field(c), shifted
+                )
+            writer.write_table(rep)
+    finally:
+        writer.close()
+    return base.num_rows * mult
+
+
+def ensure_tpch_scale(mult: int, repo_root: str | None = None) -> str:
+    """Backfill mult-x orders/lineitem/customer into the ensure_scale dir."""
+    out = ensure_scale(mult, repo_root)
+    for tbl, keys in _TPCH_KEYS.items():
+        dst = os.path.join(out, f"{tbl}.parquet")
+        if not os.path.exists(dst):
+            _tile_table(f"{_BASIS}/{tbl}.parquet", dst, mult, keys)
+    # dimensions stay fixed at scale (the realistic growth mode): copy
+    # them through unscaled so any probed operator that joins a dim runs.
+    import shutil
+
+    for tbl in ("region", "nation", "part", "supplier"):
+        dst = os.path.join(out, f"{tbl}.parquet")
+        if not os.path.exists(dst):
+            shutil.copyfile(f"{_BASIS}/{tbl}.parquet", dst)
+    return out
+
+
 def ensure_sf1(repo_root: str | None = None) -> str:
     """Generate (once) and return the sf1 (10x) directory path."""
     return ensure_scale(10, repo_root)

@@ -61,3 +61,20 @@ def test_driver_window_green_under_ntz_session(ntz_spark, sf_dir, duck, name):
         return
     r = check_parity(ntz_spark, name, sf_dir, duck)
     assert r.ok, (name, r.issues)
+
+
+# Full-registry cadence lane (VERDICT r9 item 6): the window above is the
+# right per-commit cost, but a query outside the next driver window is
+# only NTZ-checked when its rotation turn comes — up to 5 rounds later.
+# `pytest -m ntz_full` sweeps the REST of the registry under the NTZ
+# session (the first 50 are already covered by the per-commit lane), so a
+# timestamp-semantics regression anywhere cannot hide.
+@pytest.mark.ntz_full
+@pytest.mark.parametrize("name", list(entry.queries())[WINDOW:])
+def test_full_registry_green_under_ntz_session(ntz_spark, sf_dir, duck, name):
+    if name not in entry.ORACLES:
+        df = entry.QUERIES[name](ntz_spark, sf_dir)
+        assert df.count() >= 0
+        return
+    r = check_parity(ntz_spark, name, sf_dir, duck)
+    assert r.ok, (name, r.issues)
