@@ -65,6 +65,7 @@ def load_all() -> None:
         relational_ext4,
         relational_ext5,
         retrieval,
+        retrieval_ext,
         similarity,
         similarity_ext,
         similarity_ext2,
@@ -73,4 +74,5 @@ def load_all() -> None:
         text_ext,
         text_ext2,
         text_ext3,
+        text_ext4,
     )

@@ -1,0 +1,241 @@
+"""Lexical retrieval, part 2: document deletes for the postings index
+(s39) — the retraction path the s34/s36 layout lacked.
+
+s24 gave the IVF vector index tombstone deletes; s39 is the same
+contract for the lexical side: a production near-line corpus must
+absorb document REMOVALS (takedowns, dedup verdicts, license expiry)
+without rebuilding the index. The incremental layout (s36) already
+splits state by mutability — append-only postings + per-ingest stat
+deltas — so deletes slot in as two more delta kinds:
+
+- ``deletes/delete=<k>``: the tombstone doc_id set (idempotent
+  per-batch overwrite, the exactly-once discipline of every sink here);
+- ``stats/ingest=<100+k>``: a NEGATIVE (n_docs, sum_dl) delta, derived
+  from ONE scan of the postings themselves (each posting row carries
+  its doc's dl, so the index is self-describing — no re-tokenization,
+  no access to the original documents). Stats merging at serve is the
+  same integer sum as before; negatives just fold in.
+
+Serve = the s36 bucket-pruned scan, anti-joined against the broadcast
+tombstone set, with per-term df derived from the SURVIVING pruned
+postings (for query terms the pruned scan holds every live posting, so
+counting it is exactly the live df — the s31 oracle's own df rule).
+Results are byte-identical to a from-scratch build over the corpus
+minus the deleted docs, which is what the oracle computes.
+
+Scale shape (100 TB): the serve scan still lists only the probed term
+buckets; the tombstone set is deletes-sized (broadcast); the one
+index-wide cost is the delete-APPLY scan, amortized by batching —
+and it reads the index (integer columns), never the corpus. Empty
+documents are the one honest gap: a zero-token doc has no posting
+rows, so a delete cannot find its dl — n_docs would stay high by one.
+The corpus generator never emits empty docs; an engine ingesting them
+would persist a doc-keyed doclen sidecar instead (noted, not built).
+
+Reference parity: the reference ships SQL to a warehouse
+(src/dbt_osmosis/core/sql_operations.py:69); the index-maintenance
+surface is engine-side functionality this repo adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from dbt_osmosis_spark.operators import register
+from dbt_osmosis_spark.operators.retrieval import (
+    _BUCKETS,
+    _CONTRIB,
+    _K,
+    _QUERY_TERMS,
+    _QUERY_VALUES,
+    _s34_tbkt_py,
+    ingest_postings_batch,
+)
+from dbt_osmosis_spark.sources.parquet import read_parquet, spread
+
+_S39_MOD = 7  # registered delete set: doc_id % 7 == 3
+_S39_REM = 3
+
+_S39_ORACLE = f"""
+WITH live AS (
+  SELECT * FROM documents WHERE doc_id % {_S39_MOD} <> {_S39_REM}
+),
+toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+  FROM live
+),
+toks_ne AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks_ne GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM live) AS n_docs,
+         (SELECT CAST(SUM(dl) AS DOUBLE) FROM dl)
+           / (SELECT COUNT(*) FROM live) AS avgdl
+),
+qterms(query_id, term) AS (VALUES {_QUERY_VALUES}),
+tf AS (
+  SELECT doc_id, tok AS term, COUNT(*) AS tf
+  FROM toks_ne
+  WHERE tok IN (SELECT DISTINCT term FROM qterms)
+  GROUP BY doc_id, tok
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         {_CONTRIB} AS c
+  FROM tf
+  JOIN df USING (term)
+  JOIN qterms q USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+),
+scores AS (
+  SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score_micros
+  FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score_micros,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score_micros DESC, doc_id) AS rnk
+  FROM scores
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, score_micros
+FROM ranked WHERE rnk <= {_K}
+ORDER BY query_id, rnk
+"""
+
+
+def _s39_index_path(sf_dir: str) -> str:
+    import os as _os
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    tag = _os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return _os.path.join(repo, ".postings_tomb", tag)
+
+
+def apply_postings_deletes(
+    spark: SparkSession, path: str, doc_ids: DataFrame, delete_id: int
+) -> None:
+    """Record one tombstone batch against an incremental postings layout.
+
+    Writes the doc_id tombstones under ``deletes/delete=<id>`` and a
+    negative corpus-stats delta under ``stats/ingest=<100+id>`` derived
+    from one postings scan (per-doc dl is replicated onto every posting
+    row, so ``max(dl)`` per deleted doc recovers it exactly). Docs
+    already tombstoned by an EARLIER batch are excluded from the delta,
+    so deleting a document twice subtracts its stats once. Idempotent
+    per batch: re-running a delete overwrites its own partitions.
+    """
+    import os as _os
+
+    ids = doc_ids.select("doc_id").distinct()
+    # the layout root is a local/DFS directory; probing it directly avoids
+    # Spark's noisy FileNotFound analysis path on the first delete batch
+    if _os.path.isdir(f"{path}/deletes"):
+        prior = spark.read.parquet(f"{path}/deletes").select("doc_id").distinct()
+        fresh = ids.join(prior, "doc_id", "left_anti")
+    else:  # first delete batch: no deletes/ directory yet
+        fresh = ids
+    fresh.write.mode("overwrite").parquet(f"{path}/deletes/delete={delete_id}")
+    gone = spark.read.parquet(f"{path}/deletes/delete={delete_id}")
+    doc_dl = (
+        spark.read.parquet(f"{path}/postings")
+        .join(F.broadcast(gone), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.max("dl").alias("dl"))
+    )
+    (
+        doc_dl.agg(
+            (-F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+            # an all-duplicate batch deletes nothing: sum() of zero rows is
+            # NULL, but the delta must be the integer 0
+            (-F.coalesce(F.sum("dl"), F.lit(0))).cast("bigint").alias("sum_dl"),
+        ).write.mode("overwrite")
+        .parquet(f"{path}/stats/ingest={100 + delete_id}")
+    )
+
+
+def query_tombstone_postings(
+    spark: SparkSession, path: str, query_terms: tuple[tuple[str, str], ...], k: int = _K
+) -> DataFrame:
+    """Serve a query batch from a layout with tombstones: bucket-pruned
+    postings scan, anti-join the broadcast tombstone set, df counted
+    from the surviving pruned postings, stats delta-merged (negatives
+    included)."""
+    probes = sorted({_s34_tbkt_py(t) for _, t in query_terms})
+    terms = sorted({t for _, t in query_terms})
+    qterms = spark.createDataFrame(list(query_terms), "query_id string, term string")
+
+    # tombstones are distinct by construction (each batch writes a
+    # distinct set anti-joined against prior batches), and anti-join
+    # semantics are duplicate-insensitive anyway — no dedup shuffle here.
+    tombs = spark.read.parquet(f"{path}/deletes").select("doc_id")
+    stats = (
+        spark.read.parquet(f"{path}/stats")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("sum_dl").cast("bigint").alias("sum_dl"),
+        )
+        .selectExpr("n_docs", "CAST(sum_dl AS DOUBLE) / n_docs AS avgdl")
+    )
+    postings = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("tbkt").isin(probes))
+        .filter(F.col("term").isin(terms))
+        .join(F.broadcast(tombs), "doc_id", "left_anti")
+    )
+    # live df for query terms = count of surviving pruned postings per
+    # term (the pruned scan holds every posting of each query term).
+    df_rel = postings.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    scores = (
+        postings.join(F.broadcast(df_rel), "term")
+        .join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", F.expr(_CONTRIB).alias("c"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").cast("bigint").alias("score_micros"))
+    )
+    final_w = W.partitionBy("query_id").orderBy(
+        F.col("score_micros").desc(), F.col("doc_id")
+    )
+    return (
+        scores.withColumn("bkt", F.expr(f"pmod(hash(doc_id), {_BUCKETS})"))
+        .withColumn(
+            "lr",
+            F.row_number().over(
+                W.partitionBy("query_id", "bkt").orderBy(
+                    F.col("score_micros").desc(), F.col("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("lr") <= k)
+        .withColumn("rnk", F.row_number().over(final_w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "rnk", "doc_id", "score_micros")
+        .orderBy("query_id", "rnk")
+    )
+
+
+@register("s39_postings_tombstone_serve", oracle=_S39_ORACLE)
+def s39_postings_tombstone_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full LSM lifecycle on the lexical index: two ingests (the s36
+    split), then one tombstone batch (doc_id % 7 == 3), then one serve.
+    The oracle is s31's SQL over the corpus MINUS the deleted docs:
+    delta-merged stats and anti-joined postings must make the mutated
+    index serve byte-identically to a from-scratch build on the live
+    corpus."""
+    import shutil
+
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    path = _s39_index_path(sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    ingest_postings_batch(spark, docs.filter(F.col("doc_id") % 5 != 0), path, 0)
+    ingest_postings_batch(spark, docs.filter(F.col("doc_id") % 5 == 0), path, 1)
+    apply_postings_deletes(
+        spark,
+        path,
+        docs.filter(F.col("doc_id") % _S39_MOD == _S39_REM).select("doc_id"),
+        0,
+    )
+    return query_tombstone_postings(spark, path, _QUERY_TERMS)

@@ -1,0 +1,204 @@
+"""Text analysis, part 4: distributed BPE merge-table training (t29).
+
+t29 trains a byte-pair-encoding merge table on the corpus (Sennrich,
+Haddow & Birch, "Neural Machine Translation of Rare Words with Subword
+Units", ACL 2016 — the standard subword-tokenizer training loop): start
+from characters (plus the '</w>' end-of-word marker), count every
+adjacent symbol pair weighted by word frequency, merge the globally most
+frequent pair everywhere (greedy leftmost, non-overlapping), repeat.
+The output is the learned merge table — (rank, left, right, frequency) —
+which IS the tokenizer: applying the merges in rank order tokenizes any
+text. This is the one genuinely iterative text-pipeline primitive the
+family lacked next to t05's fixed BPE-ish regex counter.
+
+Distributed shape (the 100 TB lens):
+- ONE corpus-sized stage: the token explode feeding the word-frequency
+  aggregation (map-side partial, |vocab| keys). Every BPE round after
+  that runs on the VOCAB-sized (symbols, count) relation — millions of
+  rows for a real web corpus, so it stays a DataFrame (never driver
+  state), but it is corpus-INDEPENDENT: training cost does not grow
+  with document count once the word counts exist.
+- Per round: explode adjacent pairs weighted by word count → map-side
+  partial sum into a |pairs|-keyed shuffle → 1-row argmax via
+  TakeOrderedAndProject (no global sort) → broadcast that single row
+  back and fold each symbol array once. The fold
+  (``aggregate(syms, …)``) applies the merge greedy-leftmost exactly
+  like the reference algorithm, including runs of a repeated symbol
+  ('aaaa' + merge (a,a) → [aa, aa]).
+- Rounds are a bounded unroll (the d25/d28 graph discipline) with each
+  round's vocab state persisted (`keep_cached`) so round r+1 reads a
+  materialized vocab instead of recomputing r folds of lineage.
+
+Determinism: pair counts are integer sums of BIGINT word counts
+(order-free); the argmax tie-breaks by (freq DESC, left, right) — a
+total order — in both engines, so the learned table is fully
+hash-checkable. The oracle unrolls the identical rounds in DuckDB; its
+merge application uses window functions (cand-run parity = greedy
+leftmost non-overlap; DuckDB's list_reduce has no initial-accumulator
+form) and is pinned against a direct Python BPE in
+tests/test_round10_ops.py.
+
+Reference parity: the reference ships SQL to a warehouse
+(src/dbt_osmosis/core/sql_operations.py:69) and has no tokenizer
+surface; t29 extends the engine's training-data text family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_osmosis_spark.operators import register
+from dbt_osmosis_spark.operators.caching import keep_cached
+from dbt_osmosis_spark.sources.parquet import read_parquet, spread
+
+_T29_ROUNDS = 8
+_T29_EOW = "</w>"
+
+# Greedy-leftmost merge of pair (pa, pb) over a symbol array, as a single
+# fold: append each symbol unless it completes the pair with the
+# accumulator's last element. A just-merged tail equals pa||pb, never pa
+# (pb is non-empty), so a merged element can never be merged again within
+# the same round — exactly the reference algorithm's non-overlap rule.
+_T29_FOLD = """
+aggregate(syms, CAST(array() AS array<string>),
+  (acc, x) -> CASE
+    WHEN size(acc) > 0 AND element_at(acc, -1) = pa AND x = pb
+    THEN concat(slice(acc, 1, size(acc) - 1), array(concat(pa, pb)))
+    ELSE concat(acc, array(x)) END)
+"""
+
+# Adjacent symbol pairs of one array, as (a, b) structs: transform's
+# lambda index i is 0-based and `syms[i + 1]` is 0-based element access,
+# so element i pairs with its right neighbor.
+_T29_PAIRS = (
+    "transform(slice(syms, 1, size(syms) - 1),"
+    " (s, i) -> struct(s AS a, syms[i + 1] AS b))"
+)
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle: identical rounds, window-function merge application.
+# cand marks pair occurrences; consecutive cand positions (only possible
+# when left = right) form runs whose EVEN offsets are the greedy leftmost
+# non-overlapping merge starts; the following position is consumed.
+# ---------------------------------------------------------------------------
+_T29_DUCK_ROUND = """
+pairs_{r} AS (
+  SELECT sym AS a, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS b, cnt
+  FROM s{r}
+),
+best_{r} AS (
+  SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS freq
+  FROM pairs_{r} WHERE b IS NOT NULL
+  GROUP BY a, b ORDER BY freq DESC, a, b LIMIT 1
+),
+m_{r} AS (
+  SELECT s.word, s.cnt, s.pos, s.sym, b.a AS pa, b.b AS pb,
+         (s.sym = b.a
+          AND lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = b.b)
+           AS cand
+  FROM s{r} s CROSS JOIN best_{r} b
+),
+g_{r} AS (
+  SELECT *, CASE WHEN cand THEN pos - ROW_NUMBER() OVER
+                  (PARTITION BY word, cand ORDER BY pos) END AS grp
+  FROM m_{r}
+),
+st_{r} AS (
+  SELECT *, CASE WHEN cand THEN (ROW_NUMBER() OVER
+                  (PARTITION BY word, grp ORDER BY pos) - 1) % 2 = 0
+            ELSE FALSE END AS mstart
+  FROM g_{r}
+),
+s{r1} AS (
+  SELECT word, cnt,
+         CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS BIGINT)
+           AS pos,
+         CASE WHEN mstart THEN pa || pb ELSE sym END AS sym
+  FROM (SELECT *, lag(mstart, 1, FALSE) OVER
+          (PARTITION BY word ORDER BY pos) AS consumed FROM st_{r}) z
+  WHERE NOT consumed
+)
+"""
+
+
+def _t29_oracle(rounds: int) -> str:
+    head = f"""
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+wc AS (
+  SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks WHERE tok <> '' GROUP BY tok
+),
+s0 AS (
+  SELECT word, cnt,
+         CAST(generate_subscripts(string_split(word, '') || ['{_T29_EOW}'], 1)
+              AS BIGINT) AS pos,
+         unnest(string_split(word, '') || ['{_T29_EOW}']) AS sym
+  FROM wc
+)"""
+    body = "".join(
+        "," + _T29_DUCK_ROUND.format(r=r, r1=r + 1) for r in range(rounds)
+    )
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({r + 1} AS BIGINT) AS merge_rank, a AS left_sym,"
+        f" b AS right_sym, freq AS pair_freq FROM best_{r}"
+        for r in range(rounds)
+    )
+    return head + body + f" SELECT * FROM ({sel}) q ORDER BY merge_rank"
+
+
+def bpe_train(docs: DataFrame, rounds: int = _T29_ROUNDS) -> DataFrame:
+    """Learn a `rounds`-entry BPE merge table from a documents relation.
+
+    Returns (merge_rank, left_sym, right_sym, pair_freq), rank-ordered.
+    """
+    spark = docs.sparkSession
+    wc = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy(F.col("tok").alias("word"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    vocab = keep_cached(
+        wc.select(
+            F.concat(F.split("word", ""), F.array(F.lit(_T29_EOW))).alias("syms"),
+            "cnt",
+        )
+    )
+    bests: list[DataFrame] = []
+    for r in range(rounds):
+        best = (
+            vocab.select(F.explode(F.expr(_T29_PAIRS)).alias("p"), "cnt")
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").cast("bigint").alias("freq"))
+            .orderBy(F.col("freq").desc(), "a", "b")
+            .limit(1)
+        )
+        bests.append(
+            best.select(
+                F.lit(r + 1).cast("bigint").alias("merge_rank"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                F.col("freq").alias("pair_freq"),
+            )
+        )
+        if r + 1 < rounds:
+            vocab = keep_cached(
+                vocab.crossJoin(
+                    F.broadcast(best.select(F.col("a").alias("pa"), F.col("b").alias("pb")))
+                ).select(F.expr(_T29_FOLD).alias("syms"), "cnt")
+            )
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out.orderBy("merge_rank")
+
+
+@register("t29_bpe_train", oracle=_t29_oracle(_T29_ROUNDS))
+def t29_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the 8-merge BPE table on the documents corpus (module
+    comment); one corpus-sized word-count stage, then vocab-sized rounds."""
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    return bpe_train(docs)

