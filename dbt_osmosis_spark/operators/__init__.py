@@ -70,6 +70,7 @@ def load_all() -> None:
         similarity_ext,
         similarity_ext2,
         similarity_ext3,
+        similarity_ext4,
         text,
         text_ext,
         text_ext2,

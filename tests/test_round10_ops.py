@@ -169,3 +169,72 @@ def test_s39_double_delete_subtracts_once(spark, sf_dir, s39):
     # and the second batch's stats delta is exactly zero
     delta = spark.read.parquet(f"{path}/stats/ingest=101").collect()
     assert [(r.n_docs, r.sum_dl) for r in delta] == [(0, 0)]
+
+
+# ---------------------------------------------------------------------------
+# s40: trained-quantizer IVF
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def s40(spark, sf_dir):
+    return QUERIES["s40_ivf_trained_topk"](spark, sf_dir).collect()
+
+
+def test_s40_recall_matches_md5_ivf_in_s12_harness(spark, sf_dir, s40):
+    """The s12 measurement extended to the trained quantizer: recall@10
+    of s40 and of s05 (md5 cells) against s01's exact top-k. On this
+    corpus both are exactly 1.0 — training must not regress it."""
+    exact = {r.vec_id for r in QUERIES["s01_cosine_topk"](spark, sf_dir).collect()}
+    s05 = {r.vec_id for r in QUERIES["s05_ivf_topk"](spark, sf_dir).collect()}
+    got = {r.vec_id for r in s40}
+    assert len(s05 & exact) / len(exact) == 1.0
+    assert len(got & exact) / len(exact) == 1.0
+
+
+def test_s40_results_are_sorted_topk_with_valid_cosines(s40):
+    cosines = [r.cosine for r in s40]
+    assert len(s40) == 10
+    assert cosines == sorted(cosines, reverse=True)
+    assert all(-1.0 - 1e-9 <= c <= 1.0 + 1e-9 for c in cosines)
+    assert all(r.vec_id != 0 for r in s40)  # query excluded
+
+
+def test_s40_training_plan_shape(spark, sf_dir):
+    """Scale invariants: assignment is broadcast (no corpus-sized join
+    shuffle), serving is TakeOrderedAndProject, no cartesian on a
+    data-sized relation, and the trained relation stays <= 16 cells."""
+    from dbt_osmosis_spark.operators.similarity_ext4 import (
+        _S40_ROUNDS,
+        lloyd_train,
+    )
+    from dbt_osmosis_spark.plans.audit import (
+        exchange_count,
+        has_broadcast_join,
+        has_cartesian,
+        uses_top_k,
+    )
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    from dbt_osmosis_spark.operators.caching import release_caches
+
+    df = QUERIES["s40_ivf_trained_topk"].__wrapped__(spark, sf_dir)
+    assert uses_top_k(df)
+    assert not has_cartesian(df)
+    assert has_broadcast_join(df)
+    # hermetic lineage: cached frames from the fixture runs would be
+    # plan-substituted into a fresh lloyd_train and skew the count
+    release_caches()
+    spark.catalog.clearCache()
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    cents = lloyd_train(emb)
+    # per-round exchange budget: each Lloyd round adds ONE 16-key
+    # aggregate shuffle plus one single-partition pack of the tiny
+    # centroid relation; nothing corpus-sized beyond the scan. Asserted
+    # BEFORE materialization: once count() runs, the cached relations
+    # print their AQE-final child plans and the count is no longer the
+    # logical plan's.
+    assert exchange_count(cents) <= 2 * _S40_ROUNDS + 2
+    n = cents.count()
+    assert 4 <= n <= 16
