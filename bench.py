@@ -137,6 +137,14 @@ FAMILIES = [
     # round-9d: the language-modeling ranker (Dirichlet QLD, sparse
     # absent-mass decomposition — same pruned-postings shape as s31)
     "s37_qld_topk",
+    # round-10: distributed BPE merge training (one corpus shuffle, then
+    # vocab-sized bounded-unroll rounds), tombstone deletes on the
+    # postings index (LSM delete path; build+delete+serve is the
+    # operator), and the trained-centroid IVF (2 exact Lloyd rounds
+    # composed with the s05 probe/re-rank plan)
+    "t29_bpe_train",
+    "s39_postings_tombstone_serve",
+    "s40_ivf_trained_topk",
 ]
 
 # Scale-slope flagships: timed at sf0.1 AND at the generated 10x sf1
@@ -191,6 +199,12 @@ SCALE_FLAGSHIPS = [
     "t28_burrows_delta",
     "s37_qld_topk",
     "m15_vad_segments",
+    # round-10: BPE training (slope must track the ONE corpus shuffle —
+    # the merge rounds are vocab-sized, corpus-independent) and the
+    # tombstone delete lifecycle (slope is build-dominated like s34/s36;
+    # the serve exchange budget and bucket pruning are plan-gated)
+    "t29_bpe_train",
+    "s39_postings_tombstone_serve",
 ]
 
 
