@@ -239,3 +239,95 @@ def s39_postings_tombstone_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         0,
     )
     return query_tombstone_postings(spark, path, _QUERY_TERMS)
+
+
+# ---------------------------------------------------------------------------
+# s41: postings compaction — fold ingest deltas + tombstones into a clean
+# s34-format layout
+# ---------------------------------------------------------------------------
+# Completes the index's LSM lifecycle: s34 build -> s36 incremental
+# ingests -> s39 tombstone deletes -> s41 compaction. Serving from the
+# delta'd layout pays a per-query tax (delta merging, the tombstone
+# anti-join, serve-side df derivation) that grows with maintenance
+# history; compaction pays ONE index-sized job to retire the history:
+# read the postings, drop tombstoned rows, recount per-term df (the one
+# vocabulary-keyed shuffle — compaction's honest cost), rebake df into
+# the rows, collapse the stat deltas to a single row, and rewrite
+# term-bucket-partitioned. The result is byte-identical to an s34 build
+# over the live corpus, so the EXISTING s34 serve path reads it
+# unchanged — 4 serve exchanges, bucket-pruned scan, no anti-join — and
+# the oracle stays s39's (corpus minus deletes).
+#
+# Scale: compaction reads/writes the INDEX (integer columns), never the
+# corpus — no re-tokenization. At 100 TB it is a scheduled background
+# job whose cadence trades write amplification against serve latency,
+# exactly the LSM/Lucene segment-merge discipline.
+
+def _s41_out_path(sf_dir: str) -> str:
+    import os as _os
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    tag = _os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return _os.path.join(repo, ".postings_compact", tag)
+
+
+def compact_postings(spark: SparkSession, incr_path: str, out_path: str) -> None:
+    """Rewrite an incremental layout (ingest deltas + optional tombstones)
+    as a clean s34-format layout: live postings with df baked in,
+    one-row stats, term-bucket partitioning preserved."""
+    import os as _os
+
+    postings = spark.read.parquet(f"{incr_path}/postings")
+    if _os.path.isdir(f"{incr_path}/deletes"):
+        tombs = spark.read.parquet(f"{incr_path}/deletes").select("doc_id")
+        postings = postings.join(F.broadcast(tombs), "doc_id", "left_anti")
+    df_rel = postings.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    (
+        postings.join(df_rel, "term")
+        .select("term", "doc_id", "tf", "dl", "df", "tbkt")
+        .repartition("tbkt")
+        .write.partitionBy("tbkt")
+        .mode("overwrite")
+        .parquet(f"{out_path}/postings")
+    )
+    (
+        spark.read.parquet(f"{incr_path}/stats")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("sum_dl").cast("bigint").alias("sum_dl"),
+        )
+        .selectExpr(
+            "n_docs",
+            "CAST(sum_dl AS DOUBLE) / n_docs AS avgdl",
+            "CAST(sum_dl AS BIGINT) AS c_tot",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out_path}/stats")
+    )
+
+
+@register("s41_postings_compaction", oracle=_S39_ORACLE)
+def s41_postings_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s39's full lifecycle (two ingests + one tombstone batch) followed
+    by compaction into an s34-format layout and a serve THROUGH THE
+    UNMODIFIED s34 path — proving the compacted index is byte-identical
+    to a fresh build over the live corpus."""
+    import shutil
+
+    from dbt_osmosis_spark.operators.retrieval import query_postings_index
+
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    incr = _s39_index_path(sf_dir)
+    out = _s41_out_path(sf_dir)
+    shutil.rmtree(incr, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    ingest_postings_batch(spark, docs.filter(F.col("doc_id") % 5 != 0), incr, 0)
+    ingest_postings_batch(spark, docs.filter(F.col("doc_id") % 5 == 0), incr, 1)
+    apply_postings_deletes(
+        spark,
+        incr,
+        docs.filter(F.col("doc_id") % _S39_MOD == _S39_REM).select("doc_id"),
+        0,
+    )
+    compact_postings(spark, incr, out)
+    return query_postings_index(spark, out, _QUERY_TERMS)

@@ -149,12 +149,15 @@ s0 AS (
     return head + body + f" SELECT * FROM ({sel}) q ORDER BY merge_rank"
 
 
-def bpe_train(docs: DataFrame, rounds: int = _T29_ROUNDS) -> DataFrame:
-    """Learn a `rounds`-entry BPE merge table from a documents relation.
+def bpe_train_state(
+    docs: DataFrame, rounds: int = _T29_ROUNDS
+) -> tuple[list[DataFrame], DataFrame]:
+    """Run the BPE loop; return (per-round 1-row best relations, final
+    vocab state (word, syms, cnt) with ALL `rounds` merges applied).
 
-    Returns (merge_rank, left_sym, right_sym, pair_freq), rank-ordered.
+    The final state IS the tokenized vocabulary — t30's encode reads it
+    directly instead of re-applying the merge table to the corpus.
     """
-    spark = docs.sparkSession
     wc = (
         docs.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
         .filter(F.col("tok") != "")
@@ -163,6 +166,7 @@ def bpe_train(docs: DataFrame, rounds: int = _T29_ROUNDS) -> DataFrame:
     )
     vocab = keep_cached(
         wc.select(
+            "word",
             F.concat(F.split("word", ""), F.array(F.lit(_T29_EOW))).alias("syms"),
             "cnt",
         )
@@ -184,12 +188,20 @@ def bpe_train(docs: DataFrame, rounds: int = _T29_ROUNDS) -> DataFrame:
                 F.col("freq").alias("pair_freq"),
             )
         )
-        if r + 1 < rounds:
-            vocab = keep_cached(
-                vocab.crossJoin(
-                    F.broadcast(best.select(F.col("a").alias("pa"), F.col("b").alias("pb")))
-                ).select(F.expr(_T29_FOLD).alias("syms"), "cnt")
-            )
+        vocab = keep_cached(
+            vocab.crossJoin(
+                F.broadcast(best.select(F.col("a").alias("pa"), F.col("b").alias("pb")))
+            ).select("word", F.expr(_T29_FOLD).alias("syms"), "cnt")
+        )
+    return bests, vocab
+
+
+def bpe_train(docs: DataFrame, rounds: int = _T29_ROUNDS) -> DataFrame:
+    """Learn a `rounds`-entry BPE merge table from a documents relation.
+
+    Returns (merge_rank, left_sym, right_sym, pair_freq), rank-ordered.
+    """
+    bests, _ = bpe_train_state(docs, rounds)
     out = bests[0]
     for b in bests[1:]:
         out = out.unionByName(b)
@@ -202,3 +214,95 @@ def t29_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     comment); one corpus-sized word-count stage, then vocab-sized rounds."""
     docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
     return bpe_train(docs)
+
+
+# ---------------------------------------------------------------------------
+# t30: BPE encode — per-source subword statistics from the trained state
+# ---------------------------------------------------------------------------
+# The apply side of t29, and the train->encode dividend made concrete:
+# after training, the loop's FINAL vocab state (word -> merged symbol
+# sequence) IS the tokenizer's output for every corpus word, so encoding
+# the training corpus costs ZERO extra merge passes — one vocab-sized
+# join of per-(source, word) counts against per-word subword lengths.
+# This is the number a training-data pipeline actually budgets with:
+# subword tokens per source (and tokens-per-word, the BPE compression
+# ratio) BEFORE paying for a full tokenizer run. Out-of-corpus text
+# would re-apply the merge table (the t29 fold, once per rank) — by
+# construction that yields exactly these sequences on corpus words.
+#
+# Scale shape: t29's (one corpus shuffle + vocab-sized rounds) plus one
+# corpus-sized (source, word) count and one vocab-sized join, left to
+# AQE (broadcast while the vocabulary is small, shuffle when an open
+# vocabulary outgrows it — the t23 margin-join discipline). All stats
+# are exact BIGINTs; tokens-per-word quantizes by integer DIV to micros.
+
+_T30_DUCK_ROUNDS = "".join(
+    "," + _T29_DUCK_ROUND.format(r=r, r1=r + 1) for r in range(_T29_ROUNDS)
+)
+
+_T30_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+wc AS (
+  SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks WHERE tok <> '' GROUP BY tok
+),
+s0 AS (
+  SELECT word, cnt,
+         CAST(generate_subscripts(string_split(word, '') || ['{_T29_EOW}'], 1)
+              AS BIGINT) AS pos,
+         unnest(string_split(word, '') || ['{_T29_EOW}']) AS sym
+  FROM wc
+){_T30_DUCK_ROUNDS},
+tlen AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_tok
+  FROM s{_T29_ROUNDS} GROUP BY word
+),
+stoks AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+swc AS (
+  SELECT source, tok AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM stoks WHERE tok <> '' GROUP BY source, tok
+)
+SELECT source,
+       CAST(SUM(cnt) AS BIGINT) AS n_words,
+       CAST(SUM(cnt * n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(cnt * n_tok) * 1000000 // SUM(cnt) AS BIGINT)
+         AS tokens_per_word_micros
+FROM swc JOIN tlen USING (word)
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("t30_bpe_encode", oracle=_T30_ORACLE)
+def t30_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source subword token statistics under the t29 tokenizer
+    (module comment): train once, read token counts off the final vocab
+    state, join per-(source, word) counts."""
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    _, vocab = bpe_train_state(docs)
+    tlen = vocab.select("word", F.size("syms").cast("bigint").alias("n_tok"))
+    swc = (
+        docs.select(
+            "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("source", F.col("tok").alias("word"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    return (
+        swc.join(tlen, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_tok")).cast("bigint").alias("n_tokens"),
+        )
+        .withColumn(
+            "tokens_per_word_micros",
+            F.expr("CAST(n_tokens * 1000000 DIV n_words AS BIGINT)"),
+        )
+        .orderBy("source")
+    )

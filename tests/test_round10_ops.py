@@ -238,3 +238,106 @@ def test_s40_training_plan_shape(spark, sf_dir):
     assert exchange_count(cents) <= 2 * _S40_ROUNDS + 2
     n = cents.count()
     assert 4 <= n <= 16
+
+
+# ---------------------------------------------------------------------------
+# t30: BPE encode (per-source subword stats off the trained state)
+# ---------------------------------------------------------------------------
+
+def test_t30_matches_python_bpe_application(spark, sf_dir):
+    """Recompute the per-source stats by training a Python BPE and
+    applying its merges to every word: the engine's zero-extra-pass
+    encode (final vocab state) must agree exactly."""
+    rows = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("source", "text")
+        .collect()
+    )
+    wc: dict[str, int] = {}
+    for r in rows:
+        for w in r.text.lower().split():
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    merges = [(a, b) for a, b, _ in _py_bpe(wc, 8)]
+
+    def encode(word: str) -> int:
+        syms = list(word) + ["</w>"]
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    tlen = {w: encode(w) for w in wc}
+    agg: dict[str, list[int]] = {}
+    for r in rows:
+        for w in r.text.lower().split():
+            if w:
+                s = agg.setdefault(r.source, [0, 0])
+                s[0] += 1
+                s[1] += tlen[w]
+    want = sorted(
+        (src, nw, nt, nt * 1_000_000 // nw) for src, (nw, nt) in agg.items()
+    )
+    got = sorted(
+        (r.source, r.n_words, r.n_tokens, r.tokens_per_word_micros)
+        for r in QUERIES["t30_bpe_encode"](spark, sf_dir).collect()
+    )
+    assert got == want
+
+
+def test_t30_compression_bounds(spark, sf_dir):
+    """1 <= tokens/word <= chars+1 for every source (merging only ever
+    shortens the char+marker sequence, and never below one token)."""
+    for r in QUERIES["t30_bpe_encode"](spark, sf_dir).collect():
+        assert 1_000_000 <= r.tokens_per_word_micros
+        assert r.n_tokens >= r.n_words
+
+
+# ---------------------------------------------------------------------------
+# s41: postings compaction
+# ---------------------------------------------------------------------------
+
+def test_s41_serve_equals_s39_and_uses_s34_plan_budget(spark, sf_dir, s39):
+    """Compaction is a pure layout rewrite: the served results equal the
+    delta-layout serve (s39), while the serve plan drops back to the
+    CLEAN s34 budget — bucket-pruned scan, no anti-join, 4 exchanges."""
+    from dbt_osmosis_spark.operators.retrieval import (
+        _QUERY_TERMS,
+        query_postings_index,
+    )
+    from dbt_osmosis_spark.operators.retrieval_ext import _s41_out_path
+    from dbt_osmosis_spark.plans.audit import exchange_count, partition_filters
+
+    got = QUERIES["s41_postings_compaction"](spark, sf_dir).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, s39))
+    serve = query_postings_index(spark, _s41_out_path(sf_dir), _QUERY_TERMS)
+    assert exchange_count(serve) <= 4
+    assert any("tbkt" in f and " IN " in f for f in partition_filters(serve))
+    plan = serve._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" not in plan  # tombstones are gone, not masked
+
+
+def test_s41_compacted_rows_exclude_tombstones_and_bake_df(spark, sf_dir, s39):
+    from dbt_osmosis_spark.operators.retrieval_ext import (
+        _S39_MOD,
+        _S39_REM,
+        _s41_out_path,
+    )
+
+    rows = spark.read.parquet(f"{_s41_out_path(sf_dir)}/postings")
+    assert rows.filter(F.col("doc_id") % _S39_MOD == _S39_REM).count() == 0
+    # baked df equals the live per-term posting count
+    bad = (
+        rows.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("df").alias("df_max"), F.min("df").alias("df_min"))
+        .filter((F.col("n") != F.col("df_max")) | (F.col("n") != F.col("df_min")))
+        .count()
+    )
+    assert bad == 0
