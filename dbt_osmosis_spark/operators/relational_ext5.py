@@ -100,9 +100,11 @@ def q84_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     the window mean — all arithmetic integer, squares in 128-bit space
     (module header).
 
-    Scale shape: one scan, one window exchange on (event_type); the
-    trailing frame is value-bounded so per-row state is O(window rate),
-    never corpus-sized; no join, no collect.
+    Scale shape: one scan, one LINEAR cumulative-window exchange on
+    (event_type) over the event+probe union, one event_id re-pairing
+    aggregate; no collect. The naive sliding RANGE frame is quadratic in
+    Spark (inline comment) — found hanging at the 100x probe and
+    replaced by the prefix-sum decomposition, output byte-identical.
     """
     base = t(spark, sf_dir, "events").selectExpr(
         "event_id",
@@ -110,20 +112,59 @@ def q84_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_eus('ts')} AS t_us",
         "(CAST(round(value * 1e6) AS BIGINT) + 5000) DIV 10000 AS cents",
     )
-    w = (
+    # Trailing-window sums by PREFIX-SUM DECOMPOSITION, not a sliding
+    # RANGE frame. Spark's SlidingWindowFunctionFrame re-aggregates the
+    # whole buffer every time the frame slides (no inverse-update), so a
+    # value-bounded trailing frame costs O(rows x frame_rows) per
+    # partition — measured as a >35 min hang at the 100x probe, where
+    # both row count AND window occupancy grow 100x (10,000x work; the
+    # same plan finished in ~1 s at sf0.1). The identity
+    #     sum over (t-W, t]  =  cum(t) - cum(t - W - 1)
+    # needs only UNBOUNDED PRECEDING frames, which Spark evaluates
+    # incrementally in O(rows): union each event with a zero-weight
+    # PROBE row at t - W - 1, take RANGE-cumulative sums (RANGE, not
+    # ROWS, so ties at the same micro are peers exactly as the original
+    # frame counted them; probes weigh nothing, so their peer order is
+    # irrelevant), and re-pair the two readings per event with one
+    # event_id aggregate. Cost: one window exchange + one group-by
+    # shuffle, both linear — the plan a 100 TB event stream needs.
+    data = base.selectExpr(
+        "event_type", "t_us", "event_id", "cents",
+        "CAST(1 AS BIGINT) AS w_n", "cents AS w_s", "cents * cents AS w_q",
+        "true AS is_data",
+    )
+    probe = base.selectExpr(
+        "event_type",
+        f"t_us - {_Q84_WIN_US} - 1 AS t_us",
+        "event_id", "cents",
+        "CAST(0 AS BIGINT) AS w_n", "CAST(0 AS BIGINT) AS w_s",
+        "CAST(0 AS BIGINT) AS w_q",
+        "false AS is_data",
+    )
+    cw = (
         W.partitionBy("event_type")
         .orderBy("t_us")
-        .rangeBetween(-_Q84_WIN_US, 0)
+        .rangeBetween(W.unboundedPreceding, 0)
     )
-    win = base.select(
-        "event_id",
-        "event_type",
-        "t_us",
-        "cents",
-        F.count(F.lit(1)).over(w).alias("n"),
-        F.sum("cents").over(w).alias("s"),
-        F.sum(F.expr("cents * cents")).over(w).alias("q"),
-    ).filter(F.col("n") >= _Q84_MIN_N)
+    cum = data.unionByName(probe).select(
+        "event_type", "t_us", "event_id", "cents", "is_data",
+        F.sum("w_n").over(cw).alias("cn"),
+        F.sum("w_s").over(cw).alias("cs"),
+        F.sum("w_q").over(cw).alias("cq"),
+    )
+    sign = F.when(F.col("is_data"), F.lit(1)).otherwise(F.lit(-1))
+    win = (
+        cum.groupBy("event_id")
+        .agg(
+            F.max(F.when(F.col("is_data"), F.col("event_type"))).alias("event_type"),
+            F.max(F.when(F.col("is_data"), F.col("t_us"))).alias("t_us"),
+            F.max(F.when(F.col("is_data"), F.col("cents"))).alias("cents"),
+            F.sum(sign * F.col("cn")).cast("bigint").alias("n"),
+            F.sum(sign * F.col("cs")).cast("bigint").alias("s"),
+            F.sum(sign * F.coalesce(F.col("cq"), F.lit(0))).cast("bigint").alias("q"),
+        )
+        .filter(F.col("n") >= _Q84_MIN_N)
+    )
     tested = win.selectExpr(
         "event_id",
         "event_type",

@@ -86,10 +86,17 @@ def test_q84_plan_single_window_exchange(spark, sf_dir):
     from dbt_osmosis_spark.plans.audit import exchange_count, physical_plan
 
     df = QUERIES["q84_rolling_zscore_anomalies"](spark, sf_dir)
-    # one hash exchange for the per-type window + the final presentation
-    # range sort — no joins, no collects
-    assert exchange_count(df) <= 2
+    # one hash exchange for the per-type LINEAR cumulative window over
+    # the event+probe union, one for the event_id re-pairing aggregate,
+    # plus the final presentation range sort. (The former single-window
+    # sliding RANGE frame was O(rows x frame) in Spark — it hung the
+    # 100x probe — so one extra linear shuffle buys away the quadratic.)
+    assert exchange_count(df) <= 3
     assert "hashpartitioning(event_type" in physical_plan(df)
+    # and the quadratic frame is really gone: cumulative frames print as
+    # unboundedpreceding$(); a bounded "-259200000000" lower bound would
+    # mean the sliding frame came back
+    assert "-259200000000" not in physical_plan(df)
 
 
 # ---------------------------------------------------------------------------
