@@ -620,8 +620,9 @@ ranked AS (
 SELECT n.n_name,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
        CAST(SUM(r.x) AS BIGINT) AS total_rev_c,
-       CAST((2 * SUM(r.i * r.x) - (COUNT(*) + 1) * SUM(r.x)) * 10000
-            // (COUNT(*) * SUM(r.x)) AS BIGINT) AS gini_bp
+       CAST((2 * SUM(CAST(r.i AS HUGEINT) * r.x)
+             - (COUNT(*) + 1) * CAST(SUM(r.x) AS HUGEINT)) * 10000
+            // (COUNT(*) * CAST(SUM(r.x) AS HUGEINT)) AS BIGINT) AS gini_bp
 FROM ranked r JOIN nation n ON n.n_nationkey = r.c_nationkey
 GROUP BY n.n_name
 ORDER BY n.n_name
@@ -655,9 +656,14 @@ def q88_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_customers"),
             F.sum("x").cast("bigint").alias("total_rev_c"),
+            # 128-bit integer space (DECIMAL38 here, HUGEINT in the
+            # oracle): SUM(i*x) ~ n^2/2 * avg_x overflowed BIGINT at the
+            # 100x probe (~60k customers/nation -> 2e19 > 2^63). The DIV
+            # result (gini_bp <= 10000) stays a safe BIGINT.
             F.expr(
-                "CAST((2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x)) * 10000"
-                " DIV (COUNT(*) * SUM(x)) AS BIGINT)"
+                "CAST((2 * SUM(CAST(i AS DECIMAL(38,0)) * x)"
+                " - (COUNT(*) + 1) * CAST(SUM(x) AS DECIMAL(38,0))) * 10000"
+                " DIV (COUNT(*) * CAST(SUM(x) AS DECIMAL(38,0))) AS BIGINT)"
             ).alias("gini_bp"),
         )
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
