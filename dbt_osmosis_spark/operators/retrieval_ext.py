@@ -107,11 +107,16 @@ ORDER BY query_id, rnk
 
 
 def _s39_index_path(sf_dir: str) -> str:
+    # per-process scratch: these registered ops rebuild the layout on
+    # every call (rmtree + ingest), so two PROCESSES running them against
+    # the same sf_dir concurrently (e.g. a scale probe next to the test
+    # suite) would race on rmtree vs read. The pid suffix isolates them;
+    # within one process every reader sees the same path.
     import os as _os
 
     repo = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
     tag = _os.path.basename(sf_dir.rstrip("/")) or "sf"
-    return _os.path.join(repo, ".postings_tomb", tag)
+    return _os.path.join(repo, ".postings_tomb", f"{tag}-{_os.getpid()}")
 
 
 def apply_postings_deletes(
@@ -264,11 +269,12 @@ def s39_postings_tombstone_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exactly the LSM/Lucene segment-merge discipline.
 
 def _s41_out_path(sf_dir: str) -> str:
+    # per-process scratch — same rationale as _s39_index_path
     import os as _os
 
     repo = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
     tag = _os.path.basename(sf_dir.rstrip("/")) or "sf"
-    return _os.path.join(repo, ".postings_compact", tag)
+    return _os.path.join(repo, ".postings_compact", f"{tag}-{_os.getpid()}")
 
 
 def compact_postings(spark: SparkSession, incr_path: str, out_path: str) -> None:
