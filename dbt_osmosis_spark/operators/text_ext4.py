@@ -155,8 +155,9 @@ def bpe_train_state(
     """Run the BPE loop; return (per-round 1-row best relations, final
     vocab state (word, syms, cnt) with ALL `rounds` merges applied).
 
-    The final state IS the tokenized vocabulary — t30's encode reads it
-    directly instead of re-applying the merge table to the corpus.
+    The final state IS the tokenized vocabulary (lazy — evaluating it
+    pulls the whole cached fold cascade; t30 re-derives it more cheaply
+    with one broadcast merge-table fold, see ``_T30_APPLY``).
     """
     wc = (
         docs.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
@@ -277,14 +278,53 @@ ORDER BY source
 """
 
 
+# apply the whole rank-ordered merge table to one symbol array in a
+# single nested fold (outer fold over merges, inner fold = _T29_FOLD
+# with the outer lambda's pair). By the BPE invariant this reproduces
+# the training loop's final state exactly — round r applied merge r and
+# nothing else — so encode needs ONE broadcast of the 8-row table plus
+# one map-side pass, instead of pulling the 8-layer cached fold cascade
+# through a 9th evaluation (measured 42 s vs 14 s cold at sf0.1).
+_T30_APPLY = """
+aggregate(merges, syms, (acc, m) ->
+  aggregate(acc, CAST(array() AS array<string>),
+    (a2, x) -> CASE
+      WHEN size(a2) > 0 AND element_at(a2, -1) = m.pa AND x = m.pb
+      THEN concat(slice(a2, 1, size(a2) - 1), array(concat(m.pa, m.pb)))
+      ELSE concat(a2, array(x)) END))
+"""
+
+
 @register("t30_bpe_encode", oracle=_T30_ORACLE)
 def t30_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source subword token statistics under the t29 tokenizer
-    (module comment): train once, read token counts off the final vocab
-    state, join per-(source, word) counts."""
+    (module comment): train once, re-tokenize the vocabulary with one
+    broadcast merge-table fold, join per-(source, word) counts."""
     docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
-    _, vocab = bpe_train_state(docs)
-    tlen = vocab.select("word", F.size("syms").cast("bigint").alias("n_tok"))
+    packed = bpe_train(docs).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "merge_rank",
+                    F.col("left_sym").alias("pa"),
+                    F.col("right_sym").alias("pb"),
+                )
+            )
+        ).alias("merges")
+    )
+    vocab0 = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy(F.col("tok").alias("word"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .select(
+            "word",
+            F.concat(F.split("word", ""), F.array(F.lit(_T29_EOW))).alias("syms"),
+        )
+    )
+    tlen = vocab0.crossJoin(F.broadcast(packed)).select(
+        "word", F.size(F.expr(_T30_APPLY)).cast("bigint").alias("n_tok")
+    )
     swc = (
         docs.select(
             "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
