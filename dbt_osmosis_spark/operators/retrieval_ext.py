@@ -120,17 +120,29 @@ def _s39_index_path(sf_dir: str) -> str:
 
 
 def apply_postings_deletes(
-    spark: SparkSession, path: str, doc_ids: DataFrame, delete_id: int
+    spark: SparkSession,
+    path: str,
+    doc_ids: DataFrame,
+    delete_id: int,
+    stats_partition: str | None = None,
 ) -> None:
     """Record one tombstone batch against an incremental postings layout.
 
     Writes the doc_id tombstones under ``deletes/delete=<id>`` and a
-    negative corpus-stats delta under ``stats/ingest=<100+id>`` derived
-    from one postings scan (per-doc dl is replicated onto every posting
-    row, so ``max(dl)`` per deleted doc recovers it exactly). Docs
-    already tombstoned by an EARLIER batch are excluded from the delta,
-    so deleting a document twice subtracts its stats once. Idempotent
-    per batch: re-running a delete overwrites its own partitions.
+    negative corpus-stats delta (default ``stats/ingest=<100+id>``;
+    ``stats_partition`` overrides for layouts whose stat deltas are
+    keyed differently, e.g. the streaming twin's ``batch=<ns+id>``)
+    derived from one postings scan (per-doc dl is replicated onto every
+    posting row, so ``max(dl)`` per deleted doc recovers it exactly).
+    Docs already tombstoned by an EARLIER batch are excluded, so
+    deleting a document twice subtracts its stats once.
+
+    Replay contract (exactly-once by idempotent overwrite): every
+    output is a pure function of (batch ids, OTHER batches' tombstones,
+    postings) — the prior set explicitly excludes this batch's own
+    directory, so a crashed-and-replayed batch rewrites byte-equivalent
+    content instead of seeing its own half-written tombstones as
+    "already deleted" and erasing itself.
     """
     import os as _os
 
@@ -138,7 +150,11 @@ def apply_postings_deletes(
     # the layout root is a local/DFS directory; probing it directly avoids
     # Spark's noisy FileNotFound analysis path on the first delete batch
     if _os.path.isdir(f"{path}/deletes"):
-        prior = spark.read.parquet(f"{path}/deletes").select("doc_id").distinct()
+        prior = (
+            spark.read.parquet(f"{path}/deletes")
+            .filter(F.col("delete") != delete_id)
+            .select("doc_id")
+        )
         fresh = ids.join(prior, "doc_id", "left_anti")
     else:  # first delete batch: no deletes/ directory yet
         fresh = ids
@@ -150,6 +166,7 @@ def apply_postings_deletes(
         .groupBy("doc_id")
         .agg(F.max("dl").alias("dl"))
     )
+    part = stats_partition or f"ingest={100 + delete_id}"
     (
         doc_dl.agg(
             (-F.count(F.lit(1))).cast("bigint").alias("n_docs"),
@@ -157,7 +174,7 @@ def apply_postings_deletes(
             # NULL, but the delta must be the integer 0
             (-F.coalesce(F.sum("dl"), F.lit(0))).cast("bigint").alias("sum_dl"),
         ).write.mode("overwrite")
-        .parquet(f"{path}/stats/ingest={100 + delete_id}")
+        .parquet(f"{path}/stats/{part}")
     )
 
 

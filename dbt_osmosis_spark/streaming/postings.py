@@ -118,3 +118,88 @@ __all__ = [
     "serve_postings",
     "write_batch_postings",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Continuous tombstone deletes: the streaming twin of s39
+# ---------------------------------------------------------------------------
+# A second stream — doc_id tombstones landing beside the document stream
+# — retracts documents from the maintained index without rebuild. Each
+# delete micro-batch writes its tombstone partition plus a NEGATIVE
+# (n_docs, sum_dl) stats delta derived from one scan of the index's own
+# postings (operators/retrieval_ext.py apply_postings_deletes, which
+# owns the replay contract: outputs are pure functions of the batch,
+# the OTHER batches' tombstones, and the postings, so a crashed-and-
+# replayed foreachBatch overwrites byte-equivalent content). Delete
+# stats land under ``stats/batch=<NS+id>`` — the same partition key the
+# ingest stream uses, offset into a disjoint id namespace, so the serve
+# side keeps summing one uniform stats relation.
+#
+# Serving reuses s39's query path unchanged: bucket-pruned scan,
+# anti-join of the broadcast tombstone set, df from surviving pruned
+# postings, delta-merged stats (negatives fold in).
+
+_DELETE_BATCH_NS = 1_000_000  # ingest batches own [0, NS); deletes own [NS, ...)
+
+_DELETES_SCHEMA = "doc_id bigint"
+
+
+def write_batch_deletes(doc_ids: DataFrame, index_dir: str, batch_id: int) -> None:
+    """Idempotently apply one tombstone micro-batch to the maintained
+    index (delegates to the batch delete path with the streaming stats
+    namespace)."""
+    from dbt_osmosis_spark.operators.retrieval_ext import apply_postings_deletes
+
+    apply_postings_deletes(
+        doc_ids.sparkSession,
+        index_dir,
+        doc_ids,
+        batch_id,
+        stats_partition=f"batch={_DELETE_BATCH_NS + batch_id}",
+    )
+
+
+def run_postings_deletes(
+    incoming_dir: str,
+    index_dir: str,
+    checkpoint: str,
+    spark: SparkSession,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drain a tombstone landing directory into the maintained index
+    (availableNow; its own checkpoint, so delete batch ids are disjoint
+    from ingest batch ids by the namespace offset)."""
+    stream = (
+        spark.readStream.schema(_DELETES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(incoming_dir)
+    )
+
+    def _sink(batch_df: DataFrame, bid: int) -> None:
+        write_batch_deletes(batch_df, index_dir, bid)
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def serve_postings_live(
+    spark: SparkSession, index_dir: str, query_terms: tuple[tuple[str, str], ...]
+) -> DataFrame:
+    """BM25 top-k over the maintained index MINUS its tombstones —
+    exactly s39's serve plan (6 exchanges, tbkt pruning, broadcast
+    tombstone anti-join)."""
+    from dbt_osmosis_spark.operators.retrieval_ext import query_tombstone_postings
+
+    return query_tombstone_postings(spark, index_dir, query_terms)
+
+
+__all__ += [
+    "run_postings_deletes",
+    "serve_postings_live",
+    "write_batch_deletes",
+]

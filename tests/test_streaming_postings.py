@@ -112,3 +112,75 @@ def test_incremental_growth_between_drains(spark, sf_dir, tmp_path):
     got = serve_postings(spark, index_dir, _QUERY_TERMS).collect()
     want = QUERIES["s31_bm25_topk"](spark, sf_dir).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def _stage_delete_files(spark, sf_dir, incoming, tmp_path, n_files=2):
+    import glob
+    import os
+    import shutil
+
+    os.makedirs(incoming, exist_ok=True)
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    victims = docs.filter(F.col("doc_id") % 7 == 3).select("doc_id")
+    for k in range(n_files):
+        stage = str(tmp_path / f"dstage{k}")
+        victims.filter(F.col("doc_id") % n_files == k).coalesce(1).write.parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{incoming}/del{k}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (2_000_000 + k, 2_000_000 + k))
+
+
+def test_streamed_deletes_serve_identically_to_s39(spark, sf_dir, tmp_path):
+    """Full LSM lifecycle through streams: drain the corpus in 3
+    ingest micro-batches, then drain the s39 tombstone set (doc_id % 7
+    == 3) in 2 delete micro-batches; the live serve must equal the
+    registered batch lifecycle s39 row-for-row."""
+    from dbt_osmosis_spark.streaming.postings import (
+        run_postings_deletes,
+        serve_postings_live,
+    )
+
+    incoming = str(tmp_path / "incoming")
+    deletes_in = str(tmp_path / "deletes_in")
+    index_dir = str(tmp_path / "index")
+    _split_corpus(spark, sf_dir, incoming, tmp_path)
+    run_postings_ingest(incoming, index_dir, str(tmp_path / "ckpt_i"), spark)
+    _stage_delete_files(spark, sf_dir, deletes_in, tmp_path)
+    run_postings_deletes(deletes_in, index_dir, str(tmp_path / "ckpt_d"), spark)
+
+    got = serve_postings_live(spark, index_dir, _QUERY_TERMS).collect()
+    want = QUERIES["s39_postings_tombstone_serve"](spark, sf_dir).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_delete_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Crash-replay contract: re-running a delete micro-batch (same
+    batch id) and even re-running it AFTER a later batch landed leaves
+    the served results and the stats deltas byte-identical."""
+    from dbt_osmosis_spark.streaming.postings import (
+        serve_postings_live,
+        write_batch_deletes,
+        _DELETE_BATCH_NS,
+    )
+
+    incoming = str(tmp_path / "incoming")
+    index_dir = str(tmp_path / "index")
+    docs = _split_corpus(spark, sf_dir, incoming, tmp_path)
+    run_postings_ingest(incoming, index_dir, str(tmp_path / "ckpt_i"), spark)
+    victims = docs.filter(F.col("doc_id") % 7 == 3).select("doc_id")
+    b0 = victims.filter(F.col("doc_id") % 2 == 0)
+    b1 = victims.filter(F.col("doc_id") % 2 == 1)
+    write_batch_deletes(b0, index_dir, 0)
+    write_batch_deletes(b1, index_dir, 1)
+    first = serve_postings_live(spark, index_dir, _QUERY_TERMS).collect()
+    stats0 = sorted(
+        map(tuple, spark.read.parquet(f"{index_dir}/stats/batch={_DELETE_BATCH_NS}").collect())
+    )
+    write_batch_deletes(b0, index_dir, 0)  # replay batch 0 after batch 1
+    again = serve_postings_live(spark, index_dir, _QUERY_TERMS).collect()
+    stats0_replay = sorted(
+        map(tuple, spark.read.parquet(f"{index_dir}/stats/batch={_DELETE_BATCH_NS}").collect())
+    )
+    assert sorted(map(tuple, again)) == sorted(map(tuple, first))
+    assert stats0_replay == stats0
