@@ -354,3 +354,136 @@ def s41_postings_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     compact_postings(spark, incr, out)
     return query_postings_index(spark, out, _QUERY_TERMS)
+
+
+# ---------------------------------------------------------------------------
+# s42: phrase search — positional adjacency over pruned token positions
+# ---------------------------------------------------------------------------
+# The query class BM25's bag-of-words postings cannot answer: "these
+# words, in this order, adjacent" (Manning, Raghavan & Schütze, IIR
+# ch. 2 — positional postings). Token positions are assigned AFTER
+# dropping empty tokens (row_number per doc over the raw split order,
+# identical in both engines), a phrase match at position p means word_i
+# sits at p + i for every i, and a doc scores the exact COUNT of its
+# match positions.
+#
+# Scale shape: ONE corpus tokenization, pruned to the union of phrase
+# terms IMMEDIATELY (the s31 discipline — only the phrase words'
+# positions ever shuffle) and cached; each phrase resolves as a chain of
+# |phrase|-1 equi-joins on (doc_id, pos) between term-filtered branches
+# of that cached relation — position-list-sized joins, never
+# corpus-sized. Top-k per phrase via the two-phase bucketed rank. At
+# 100 TB the cached prune is the persisted positional-postings layout
+# (term-bucketed like s34, positions as an extra integer column).
+
+_S42_PHRASES: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("pA", ("spark", "window")),
+    ("pB", ("hash", "join")),
+    ("pC", ("stream", "batch", "vector")),
+)
+_S42_K = 5
+
+_S42_TERMS = sorted({w for _, ws in _S42_PHRASES for w in ws})
+
+
+def _s42_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _S42_TERMS)
+    phrase_sqls = []
+    for pid, words in _S42_PHRASES:
+        joins = "\n    ".join(
+            f"JOIN pos w{i} ON w{i}.doc_id = w0.doc_id"
+            f" AND w{i}.pos = w0.pos + {i} AND w{i}.tok = '{w}'"
+            for i, w in enumerate(words)
+            if i > 0
+        )
+        phrase_sqls.append(
+            f"""SELECT '{pid}' AS phrase_id, w0.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM pos w0
+    {joins}
+    WHERE w0.tok = '{words[0]}'
+    GROUP BY w0.doc_id"""
+        )
+    union = "\n  UNION ALL\n  ".join(phrase_sqls)
+    return f"""
+WITH raw AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok,
+         generate_subscripts(string_split(lower(text), ' '), 1) AS rawpos
+  FROM documents
+),
+pos_all AS (
+  SELECT doc_id, tok,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY rawpos)
+              AS BIGINT) AS pos
+  FROM raw WHERE tok <> ''
+),
+pos AS (SELECT * FROM pos_all WHERE tok IN ({terms})),
+matches AS (
+  {union}
+),
+ranked AS (
+  SELECT phrase_id, doc_id, n_matches,
+         ROW_NUMBER() OVER (PARTITION BY phrase_id
+                            ORDER BY n_matches DESC, doc_id) AS rnk
+  FROM matches
+)
+SELECT phrase_id, CAST(rnk AS BIGINT) AS rnk, doc_id, n_matches
+FROM ranked WHERE rnk <= {_S42_K}
+ORDER BY phrase_id, rnk
+"""
+
+
+@register("s42_phrase_search", oracle=_s42_oracle())
+def s42_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k docs per phrase by exact adjacent-match count (module
+    comment): one pruned cached position relation, |phrase|-1 chained
+    (doc_id, pos) equi-joins per phrase."""
+    from dbt_osmosis_spark.operators.caching import keep_cached
+
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    raw = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("rawpos", "tok"),
+    )
+    pos = keep_cached(
+        raw.filter(F.col("tok") != "")
+        .withColumn(
+            "pos",
+            F.row_number()
+            .over(W.partitionBy("doc_id").orderBy("rawpos"))
+            .cast("bigint"),
+        )
+        .filter(F.col("tok").isin(_S42_TERMS))
+        .select("doc_id", "tok", "pos")
+    )
+    per_phrase = []
+    for pid, words in _S42_PHRASES:
+        cur = (
+            pos.filter(F.col("tok") == words[0])
+            .select("doc_id", F.col("pos").alias("p0"))
+        )
+        for i, w in enumerate(words[1:], start=1):
+            nxt = pos.filter(F.col("tok") == w).select(
+                F.col("doc_id").alias("d_"), F.col("pos").alias("p_")
+            )
+            cur = cur.join(
+                nxt,
+                (F.col("doc_id") == F.col("d_")) & (F.col("p_") == F.col("p0") + i),
+            ).select("doc_id", "p0")
+        per_phrase.append(
+            cur.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_matches"))
+            .select(F.lit(pid).alias("phrase_id"), "doc_id", "n_matches")
+        )
+    matches = per_phrase[0]
+    for m in per_phrase[1:]:
+        matches = matches.unionByName(m)
+    final_w = W.partitionBy("phrase_id").orderBy(
+        F.col("n_matches").desc(), F.col("doc_id")
+    )
+    return (
+        matches.withColumn("rnk", F.row_number().over(final_w).cast("bigint"))
+        .filter(F.col("rnk") <= _S42_K)
+        .select("phrase_id", "rnk", "doc_id", "n_matches")
+        .orderBy("phrase_id", "rnk")
+    )

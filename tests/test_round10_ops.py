@@ -341,3 +341,51 @@ def test_s41_compacted_rows_exclude_tombstones_and_bake_df(spark, sf_dir, s39):
         .count()
     )
     assert bad == 0
+
+
+# ---------------------------------------------------------------------------
+# s42: phrase search
+# ---------------------------------------------------------------------------
+
+def test_s42_matches_python_adjacency_recount(spark, sf_dir):
+    """Recompute every phrase's per-doc adjacent-match counts in plain
+    Python and pin the engine's top-k per phrase."""
+    from dbt_osmosis_spark.operators.retrieval_ext import _S42_K, _S42_PHRASES
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    counts: dict[str, dict[int, int]] = {pid: {} for pid, _ in _S42_PHRASES}
+    for r in rows:
+        toks = [t for t in r.text.lower().split(" ") if t]
+        for pid, words in _S42_PHRASES:
+            n = sum(
+                1
+                for i in range(len(toks) - len(words) + 1)
+                if tuple(toks[i : i + len(words)]) == tuple(words)
+            )
+            if n:
+                counts[pid][r.doc_id] = n
+    want = []
+    for pid, _ in _S42_PHRASES:
+        ranked = sorted(counts[pid].items(), key=lambda kv: (-kv[1], kv[0]))
+        want += [
+            (pid, i + 1, d, n) for i, (d, n) in enumerate(ranked[:_S42_K])
+        ]
+    got = [
+        (r.phrase_id, r.rnk, r.doc_id, r.n_matches)
+        for r in QUERIES["s42_phrase_search"](spark, sf_dir).collect()
+    ]
+    assert sorted(got) == sorted(want)
+
+
+def test_s42_plan_no_cartesian_and_bounded_exchanges(spark, sf_dir):
+    from dbt_osmosis_spark.plans.audit import exchange_count, has_cartesian
+
+    df = QUERIES["s42_phrase_search"].__wrapped__(spark, sf_dir)
+    assert not has_cartesian(df)
+    # one tokenize+window into the cached prune + per-phrase join/agg
+    # lineages + final rank/sort — all position-list-sized
+    assert exchange_count(df) <= 16
