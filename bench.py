@@ -145,6 +145,12 @@ FAMILIES = [
     "t29_bpe_train",
     "s39_postings_tombstone_serve",
     "s40_ivf_trained_topk",
+    # round-10b: LSM compaction (build+delete+compact+s34-serve is the
+    # operator) and positional phrase search. t30 (BPE encode) is probed
+    # in SCALE.md instead: its ~26 s wall is t29's training cascade plus
+    # one encode pass, flat at 100x — benching it would re-time t29.
+    "s41_postings_compaction",
+    "s42_phrase_search",
 ]
 
 # Scale-slope flagships: timed at sf0.1 AND at the generated 10x sf1
