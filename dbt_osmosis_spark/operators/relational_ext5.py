@@ -105,6 +105,11 @@ def q84_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; no collect. The naive sliding RANGE frame is quadratic in
     Spark (inline comment) — found hanging at the 100x probe and
     replaced by the prefix-sum decomposition, output byte-identical.
+
+    PRECONDITION: event_id is unique (the events table's key). The
+    re-pairing groupBy(event_id) would silently merge duplicated ids
+    into garbage sums; tests/test_round11_ops.py pins distinctness
+    against the generator at both test SFs.
     """
     base = t(spark, sf_dir, "events").selectExpr(
         "event_id",
@@ -128,17 +133,28 @@ def q84_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     # irrelevant), and re-pair the two readings per event with one
     # event_id aggregate. Cost: one window exchange + one group-by
     # shuffle, both linear — the plan a 100 TB event stream needs.
+    # w_s / w_q accumulate as DECIMAL(38,0): unlike the old bounded frame,
+    # the cumulative sums grow with FULL partition history, so at 100 TB
+    # the running sum of squares would blow past 2^63 (ANSI
+    # ARITHMETIC_OVERFLOW under Spark 4 defaults). Per-row values are
+    # BIGINT-safe (cents^2 <= ~1e16); only the accumulators need 128-bit
+    # space. n and s cast back to BIGINT after the cum(t)-cum(t-W-1)
+    # subtraction (window-local, bounded); q stays DECIMAL(38,0) into the
+    # variance arithmetic, which already runs in that space.
     data = base.selectExpr(
         "event_type", "t_us", "event_id", "cents",
-        "CAST(1 AS BIGINT) AS w_n", "cents AS w_s", "cents * cents AS w_q",
+        "CAST(1 AS BIGINT) AS w_n",
+        "CAST(cents AS DECIMAL(38,0)) AS w_s",
+        "CAST(cents * cents AS DECIMAL(38,0)) AS w_q",
         "true AS is_data",
     )
     probe = base.selectExpr(
         "event_type",
         f"t_us - {_Q84_WIN_US} - 1 AS t_us",
         "event_id", "cents",
-        "CAST(0 AS BIGINT) AS w_n", "CAST(0 AS BIGINT) AS w_s",
-        "CAST(0 AS BIGINT) AS w_q",
+        "CAST(0 AS BIGINT) AS w_n",
+        "CAST(0 AS DECIMAL(38,0)) AS w_s",
+        "CAST(0 AS DECIMAL(38,0)) AS w_q",
         "false AS is_data",
     )
     cw = (
@@ -161,7 +177,9 @@ def q84_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("is_data"), F.col("cents"))).alias("cents"),
             F.sum(sign * F.col("cn")).cast("bigint").alias("n"),
             F.sum(sign * F.col("cs")).cast("bigint").alias("s"),
-            F.sum(sign * F.coalesce(F.col("cq"), F.lit(0))).cast("bigint").alias("q"),
+            F.sum(sign * F.coalesce(F.col("cq"), F.lit(0)))
+            .cast("decimal(38,0)")
+            .alias("q"),
         )
         .filter(F.col("n") >= _Q84_MIN_N)
     )

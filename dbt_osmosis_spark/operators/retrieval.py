@@ -1015,13 +1015,28 @@ def ingest_postings_batch(
     append into their term-bucket partitions; df and corpus-stats deltas
     write under ingest=<id> so re-running an ingest overwrites its own
     deltas idempotently (the exactly-once contract of the streaming
-    sinks)."""
+    sinks).
+
+    Also writes the doc-keyed ``doclen/ingest=<id>`` sidecar: (doc_id,
+    dl) for EVERY ingested doc, including zero-token ones (which have no
+    posting rows at all, so their dl is unrecoverable from the postings
+    — the honest gap s39's delete path had before this sidecar). The
+    sidecar is doc-sized, far smaller than the postings, so the delete
+    apply that reads it is cheaper too.
+    """
     toks = _tokens(docs_batch)
     tf = toks.groupBy("doc_id", F.col("tok").alias("term")).agg(
         F.count(F.lit(1)).alias("tf")
     )
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     mode = "overwrite" if ingest_id == 0 else "append"
+    (
+        docs_batch.select("doc_id")
+        .join(dl, "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("dl"), F.lit(0)).cast("bigint").alias("dl"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/doclen/ingest={ingest_id}")
+    )
     (
         tf.join(dl, "doc_id")
         .withColumn("tbkt", F.expr(_S34_SPARK_TBKT))
@@ -1036,7 +1051,8 @@ def ingest_postings_batch(
     ).parquet(f"{path}/termstats/ingest={ingest_id}")
     (
         docs_batch.agg(F.count(F.lit(1)).alias("n_docs"))
-        .crossJoin(dl.agg(F.sum("dl").alias("sum_dl")))
+        # an all-empty batch has no dl rows: its token mass is the integer 0
+        .crossJoin(dl.agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl")))
         .write.mode("overwrite")
         .parquet(f"{path}/stats/ingest={ingest_id}")
     )

@@ -10,7 +10,8 @@ deltas — so deletes slot in as two more delta kinds:
 
 - ``deletes/delete=<k>``: the tombstone doc_id set (idempotent
   per-batch overwrite, the exactly-once discipline of every sink here);
-- ``stats/ingest=<100+k>``: a NEGATIVE (n_docs, sum_dl) delta, derived
+- ``stats/ingest=<NS+k>`` (NS = 1,000,000, a namespace disjoint from
+  any real ingest id): a NEGATIVE (n_docs, sum_dl) delta, derived
   from ONE scan of the postings themselves (each posting row carries
   its doc's dl, so the index is self-describing — no re-tokenization,
   no access to the original documents). Stats merging at serve is the
@@ -26,11 +27,13 @@ minus the deleted docs, which is what the oracle computes.
 Scale shape (100 TB): the serve scan still lists only the probed term
 buckets; the tombstone set is deletes-sized (broadcast); the one
 index-wide cost is the delete-APPLY scan, amortized by batching —
-and it reads the index (integer columns), never the corpus. Empty
-documents are the one honest gap: a zero-token doc has no posting
-rows, so a delete cannot find its dl — n_docs would stay high by one.
-The corpus generator never emits empty docs; an engine ingesting them
-would persist a doc-keyed doclen sidecar instead (noted, not built).
+and it reads the doc-keyed ``doclen/`` sidecar (written at ingest),
+never the corpus and not even the postings. The sidecar also closes
+the zero-token-document gap: an empty doc has no posting rows, so a
+postings-derived dl could never see it (n_docs would stay high by
+one); the sidecar records (doc_id, dl=0) for it at ingest, and the
+delete subtracts exactly the live count (tests/test_round11_ops.py).
+Pre-sidecar layouts fall back to the postings-scan dl recovery.
 
 Reference parity: the reference ships SQL to a warehouse
 (src/dbt_osmosis/core/sql_operations.py:69); the index-maintenance
@@ -50,6 +53,7 @@ from dbt_osmosis_spark.operators.retrieval import (
     _K,
     _QUERY_TERMS,
     _QUERY_VALUES,
+    _S34_SPARK_TBKT,
     _s34_tbkt_py,
     ingest_postings_batch,
 )
@@ -57,6 +61,13 @@ from dbt_osmosis_spark.sources.parquet import read_parquet, spread
 
 _S39_MOD = 7  # registered delete set: doc_id % 7 == 3
 _S39_REM = 3
+
+# Batch-mode delete stat deltas land under ingest=<NS + delete_id> so they
+# can NEVER collide with a real ingest's stats/ingest=<id> no matter how
+# many ingest batches accumulate (ingest_postings_batch puts no bound on
+# ingest_id) — the same disjoint-namespace rule the streaming twin uses
+# (streaming/postings.py _DELETE_BATCH_NS).
+_DELETE_STATS_NS = 1_000_000
 
 _S39_ORACLE = f"""
 WITH live AS (
@@ -129,7 +140,8 @@ def apply_postings_deletes(
     """Record one tombstone batch against an incremental postings layout.
 
     Writes the doc_id tombstones under ``deletes/delete=<id>`` and a
-    negative corpus-stats delta (default ``stats/ingest=<100+id>``;
+    negative corpus-stats delta (default ``stats/ingest=<NS+id>``,
+    NS = ``_DELETE_STATS_NS``;
     ``stats_partition`` overrides for layouts whose stat deltas are
     keyed differently, e.g. the streaming twin's ``batch=<ns+id>``)
     derived from one postings scan (per-doc dl is replicated onto every
@@ -160,13 +172,24 @@ def apply_postings_deletes(
         fresh = ids
     fresh.write.mode("overwrite").parquet(f"{path}/deletes/delete={delete_id}")
     gone = spark.read.parquet(f"{path}/deletes/delete={delete_id}")
-    doc_dl = (
-        spark.read.parquet(f"{path}/postings")
-        .join(F.broadcast(gone), "doc_id", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.max("dl").alias("dl"))
-    )
-    part = stats_partition or f"ingest={100 + delete_id}"
+    if _os.path.isdir(f"{path}/doclen"):
+        # doc-keyed sidecar written at ingest: covers zero-token docs
+        # (which have no posting rows, so the fallback below cannot see
+        # them — n_docs would stay high by one) AND is doc-sized, so the
+        # delete apply reads far fewer bytes than a postings scan.
+        doc_dl = (
+            spark.read.parquet(f"{path}/doclen")
+            .join(F.broadcast(gone), "doc_id", "left_semi")
+            .select("doc_id", "dl")
+        )
+    else:  # pre-sidecar layouts: per-doc dl replicated on every posting row
+        doc_dl = (
+            spark.read.parquet(f"{path}/postings")
+            .join(F.broadcast(gone), "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.max("dl").alias("dl"))
+        )
+    part = stats_partition or f"ingest={_DELETE_STATS_NS + delete_id}"
     (
         doc_dl.agg(
             (-F.count(F.lit(1))).cast("bigint").alias("n_docs"),
@@ -185,6 +208,8 @@ def query_tombstone_postings(
     postings scan, anti-join the broadcast tombstone set, df counted
     from the surviving pruned postings, stats delta-merged (negatives
     included)."""
+    import os as _os
+
     probes = sorted({_s34_tbkt_py(t) for _, t in query_terms})
     terms = sorted({t for _, t in query_terms})
     qterms = spark.createDataFrame(list(query_terms), "query_id string, term string")
@@ -192,7 +217,13 @@ def query_tombstone_postings(
     # tombstones are distinct by construction (each batch writes a
     # distinct set anti-joined against prior batches), and anti-join
     # semantics are duplicate-insensitive anyway — no dedup shuffle here.
-    tombs = spark.read.parquet(f"{path}/deletes").select("doc_id")
+    # A freshly-ingested index may have NO delete batch yet (the natural
+    # state of a live streaming index): same isdir probe as the apply
+    # and compact paths, falling back to an empty tombstone relation.
+    if _os.path.isdir(f"{path}/deletes"):
+        tombs = spark.read.parquet(f"{path}/deletes").select("doc_id")
+    else:
+        tombs = spark.createDataFrame([], "doc_id bigint")
     stats = (
         spark.read.parquet(f"{path}/stats")
         .agg(
@@ -301,9 +332,17 @@ def compact_postings(spark: SparkSession, incr_path: str, out_path: str) -> None
     import os as _os
 
     postings = spark.read.parquet(f"{incr_path}/postings")
+    tombs = None
     if _os.path.isdir(f"{incr_path}/deletes"):
         tombs = spark.read.parquet(f"{incr_path}/deletes").select("doc_id")
         postings = postings.join(F.broadcast(tombs), "doc_id", "left_anti")
+    if _os.path.isdir(f"{incr_path}/doclen"):
+        # carry the doc-keyed dl sidecar forward (tombstoned docs dropped)
+        # so the compacted layout supports future deletes of zero-token docs
+        doclen = spark.read.parquet(f"{incr_path}/doclen").select("doc_id", "dl")
+        if tombs is not None:
+            doclen = doclen.join(F.broadcast(tombs), "doc_id", "left_anti")
+        doclen.write.mode("overwrite").parquet(f"{out_path}/doclen/ingest=0")
     df_rel = postings.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     (
         postings.join(df_rel, "term")
@@ -372,9 +411,11 @@ def s41_postings_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # positions ever shuffle) and cached; each phrase resolves as a chain of
 # |phrase|-1 equi-joins on (doc_id, pos) between term-filtered branches
 # of that cached relation — position-list-sized joins, never
-# corpus-sized. Top-k per phrase via the two-phase bucketed rank. At
-# 100 TB the cached prune is the persisted positional-postings layout
-# (term-bucketed like s34, positions as an extra integer column).
+# corpus-sized. Top-k per phrase via the two-phase bucketed rank
+# (_rank_phrase_matches). At 100 TB the cached prune is the persisted
+# positional-postings layout — BUILT as s43 below: s42 keeps the
+# index-free one-shot plan, s43 serves the same phrases from the
+# term-bucketed layout without re-tokenizing the corpus per query.
 
 _S42_PHRASES: tuple[tuple[str, tuple[str, ...]], ...] = (
     ("pA", ("spark", "window")),
@@ -454,16 +495,25 @@ def s42_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint"),
         )
         .filter(F.col("tok").isin(_S42_TERMS))
-        .select("doc_id", "tok", "pos")
+        .select("doc_id", F.col("tok").alias("term"), "pos")
     )
+    return _rank_phrase_matches(_phrase_match_counts(pos, _S42_PHRASES), _S42_K)
+
+
+def _phrase_match_counts(
+    pos: DataFrame, phrases: tuple[tuple[str, tuple[str, ...]], ...]
+) -> DataFrame:
+    """Per-(phrase, doc) exact adjacent-match counts from a positional
+    relation (doc_id, term, pos): each phrase is a chain of |phrase|-1
+    (doc_id, pos) equi-joins between term-filtered branches — always
+    position-list-sized, never corpus-sized."""
     per_phrase = []
-    for pid, words in _S42_PHRASES:
-        cur = (
-            pos.filter(F.col("tok") == words[0])
-            .select("doc_id", F.col("pos").alias("p0"))
+    for pid, words in phrases:
+        cur = pos.filter(F.col("term") == words[0]).select(
+            "doc_id", F.col("pos").alias("p0")
         )
         for i, w in enumerate(words[1:], start=1):
-            nxt = pos.filter(F.col("tok") == w).select(
+            nxt = pos.filter(F.col("term") == w).select(
                 F.col("doc_id").alias("d_"), F.col("pos").alias("p_")
             )
             cur = cur.join(
@@ -478,12 +528,125 @@ def s42_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches = per_phrase[0]
     for m in per_phrase[1:]:
         matches = matches.unionByName(m)
+    return matches
+
+
+def _rank_phrase_matches(matches: DataFrame, k: int) -> DataFrame:
+    """Two-phase bucketed top-k per phrase (the s31/s39 rank pattern):
+    a common phrase over a 100 TB corpus has an unbounded match relation,
+    so ranking it in one row_number per phrase_id is a single-reducer
+    skew point. Phase 1 ranks within (phrase_id, doc-hash bucket) in
+    parallel and keeps only each bucket's top-k survivors (<= buckets*k
+    rows per phrase); phase 2's global rank runs on that bounded set —
+    provably the same top-k."""
     final_w = W.partitionBy("phrase_id").orderBy(
         F.col("n_matches").desc(), F.col("doc_id")
     )
     return (
-        matches.withColumn("rnk", F.row_number().over(final_w).cast("bigint"))
-        .filter(F.col("rnk") <= _S42_K)
+        matches.withColumn("bkt", F.expr(f"pmod(hash(doc_id), {_BUCKETS})"))
+        .withColumn(
+            "lr",
+            F.row_number().over(
+                W.partitionBy("phrase_id", "bkt").orderBy(
+                    F.col("n_matches").desc(), F.col("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("lr") <= k)
+        .withColumn("rnk", F.row_number().over(final_w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
         .select("phrase_id", "rnk", "doc_id", "n_matches")
         .orderBy("phrase_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# s43: persisted positional-postings layout — phrase serve without
+# re-tokenizing the corpus
+# ---------------------------------------------------------------------------
+# s42 proves the position-join plan but pays one corpus tokenization per
+# query batch; its module comment named the fix and s43 builds it: the
+# s34 build/serve split applied to POSITIONAL postings (Manning,
+# Raghavan & Schütze, IIR ch. 2). The build is the one corpus-sized job
+# (tokenize + per-doc position window + term-bucket-partitioned write of
+# (term, doc_id, pos)); phrase serve then reads back ONLY the buckets
+# the phrase terms hash into — static partition pruning, and each
+# term-filtered join branch pushes its term equality to the parquet
+# reader, so a branch reads exactly one term's position list. At 100 TB
+# a phrase query costs |phrase terms' postings|, independent of corpus
+# size — the gap between a demo and an index.
+#
+# The layout is a strict superset of s34's information (positions
+# instead of pre-aggregated tf: tf = COUNT(*) per (term, doc)), which is
+# why real engines (Lucene proximity, ES match_phrase) store positions
+# once and derive frequencies — noted here for parity, not built twice.
+
+def _s43_index_path(sf_dir: str) -> str:
+    import os as _os
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    tag = _os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return _os.path.join(repo, ".postings_positional", tag)
+
+
+def write_positional_index(spark: SparkSession, docs: DataFrame, path: str) -> None:
+    """Build + persist the positional layout: one tokenization, one
+    per-doc position window (row_number over the raw split order AFTER
+    dropping empty tokens — the s42/oracle position rule), written
+    partitioned by the md5 term bucket (the s34 rule, so serve-side
+    probe planning hashes terms identically in Python)."""
+    raw = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("rawpos", "tok"),
+    )
+    pos = (
+        raw.filter(F.col("tok") != "")
+        .withColumn(
+            "pos",
+            F.row_number()
+            .over(W.partitionBy("doc_id").orderBy("rawpos"))
+            .cast("bigint"),
+        )
+        .select(F.col("tok").alias("term"), "doc_id", "pos")
+        .withColumn("tbkt", F.expr(_S34_SPARK_TBKT))
+    )
+    (
+        pos.repartition("tbkt")
+        .write.partitionBy("tbkt")
+        .mode("overwrite")
+        .parquet(f"{path}/postings")
+    )
+
+
+def query_phrase_index(
+    spark: SparkSession,
+    path: str,
+    phrases: tuple[tuple[str, tuple[str, ...]], ...],
+    k: int,
+) -> DataFrame:
+    """Serve a phrase batch from the persisted positional layout: the
+    scan lists only the buckets the phrase terms hash into and pushes
+    the term IN-list to the reader; match counting and the two-phase
+    rank are s42's exact plan over the scanned positions."""
+    terms = sorted({w for _, ws in phrases for w in ws})
+    probes = sorted({_s34_tbkt_py(t) for t in terms})
+    pos = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("tbkt").isin(probes))
+        .filter(F.col("term").isin(terms))
+        .select("doc_id", "term", "pos")
+    )
+    return _rank_phrase_matches(_phrase_match_counts(pos, phrases), k)
+
+
+@register("s43_phrase_index_serve", oracle=_s42_oracle())
+def s43_phrase_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One positional-index BUILD (term-bucketed parquet, idempotent
+    overwrite) + one phrase-batch SERVE reading back only the probed
+    term buckets (module comment). The oracle is s42's: the index is a
+    reorganized copy of the corpus positions, so serving from it must
+    produce byte-identical phrase top-ks."""
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    path = _s43_index_path(sf_dir)
+    write_positional_index(spark, docs, path)
+    return query_phrase_index(spark, path, _S42_PHRASES, _S42_K)

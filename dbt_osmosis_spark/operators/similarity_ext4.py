@@ -27,7 +27,7 @@ only the centroids are better placed. Empty cells simply drop out of
 the centroid relation (both engines derive cells from the same GROUP
 BY), shrinking k — the standard Lloyd degeneracy, deterministic here.
 
-Recall: tests/test_round10_ops2.py extends the s12 harness — recall@10
+Recall: tests/test_round10_ops.py extends the s12 harness — recall@10
 of s40 vs s01's exact top-k, side by side with s05's md5 cells — pinning
 that training does not regress the corpus's measured recall.
 

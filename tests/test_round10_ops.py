@@ -167,7 +167,7 @@ def test_s39_double_delete_subtracts_once(spark, sf_dir, s39):
     again = query_tombstone_postings(spark, path, _QUERY_TERMS).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, s39))
     # and the second batch's stats delta is exactly zero
-    delta = spark.read.parquet(f"{path}/stats/ingest=101").collect()
+    delta = spark.read.parquet(f"{path}/stats/ingest=1000001").collect()
     assert [(r.n_docs, r.sum_dl) for r in delta] == [(0, 0)]
 
 
@@ -387,5 +387,9 @@ def test_s42_plan_no_cartesian_and_bounded_exchanges(spark, sf_dir):
     df = QUERIES["s42_phrase_search"].__wrapped__(spark, sf_dir)
     assert not has_cartesian(df)
     # one tokenize+window into the cached prune + per-phrase join/agg
-    # lineages + final rank/sort — all position-list-sized
-    assert exchange_count(df) <= 16
+    # lineages + the TWO-PHASE rank (bucketed pre-rank + global rank on
+    # the bounded survivors, r10 verdict item 1) + final sort — all
+    # position-list-sized. 18 = the 16-budget plus the pre-rank's two
+    # extra window exchanges (static plan-text count, warm-cache worst
+    # case).
+    assert exchange_count(df) <= 18
