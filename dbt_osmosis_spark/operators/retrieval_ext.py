@@ -650,3 +650,303 @@ def s43_phrase_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _s43_index_path(sf_dir)
     write_positional_index(spark, docs, path)
     return query_phrase_index(spark, path, _S42_PHRASES, _S42_K)
+
+
+# ---------------------------------------------------------------------------
+# s44: tiered segment compaction — write amplification bounded by DELTA
+# size, not index size
+# ---------------------------------------------------------------------------
+# s41 rewrites the ENTIRE layout per compaction; at 100 TB that full
+# rewrite is the dominant maintenance cost. Real LSM/Lucene discipline
+# merges only the small tail of segments and leaves the big base
+# untouched. s44 is that discipline as a layout:
+#
+#   seg-<id>/postings/tbkt=*   per-segment postings (term, doc_id, tf, dl)
+#   seg-<id>/doclen            per-segment doc-keyed (doc_id, dl) sidecar
+#   (seg dirs deliberately avoid key=value naming so Spark's partition
+#   discovery never tries to unify them across multi-path reads)
+#   stats/part=*               additive 1-row (n_docs, sum_dl) deltas
+#                              (ingests positive, deletes negative)
+#   deletes/delete=<k>         tombstone doc_id sets
+#
+# Compaction policy (size-tiered): merge every segment EXCEPT the
+# largest into one new segment, dropping tombstoned rows as they pass
+# through; tombstones referencing merged docs are retired (each doc
+# lives wholly in ONE segment — the s36 invariant — so membership in
+# the merged doc set is exact), tombstones referencing the untouched
+# base survive as live-docs filters, exactly Lucene's per-segment
+# deleted-docs bitmap. Stats are NOT touched: they are already net
+# (ingest positives + delete negatives), and physically dropping rows
+# whose stats were already subtracted changes nothing. Rewritten bytes
+# therefore scale with the merged DELTA segments + tombstones — the
+# test asserts base-file mtimes are untouched and new bytes << base.
+#
+# Serve = the s39 plan over the segment union: bucket-pruned multi-path
+# scan, broadcast tombstone anti-join, df from surviving pruned
+# postings, delta-merged stats, two-phase rank. df-derivation (not
+# baked df) is the right call for a multi-segment layout — a baked df
+# is global state that every merge would invalidate; Lucene likewise
+# recomputes corpus stats across live segments at search time.
+#
+# A production deployment swaps segments atomically via a manifest;
+# here the registered op is sequential so directory renames suffice.
+
+def _s44_layout_path(sf_dir: str) -> str:
+    # per-process scratch — same rationale as _s39_index_path
+    import os as _os
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    tag = _os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return _os.path.join(repo, ".postings_tiered", f"{tag}-{_os.getpid()}")
+
+
+def _list_segments(path: str) -> list[str]:
+    import os as _os
+
+    if not _os.path.isdir(path):
+        return []
+    return sorted(
+        d for d in _os.listdir(path) if d.startswith("seg-") and
+        _os.path.isdir(_os.path.join(path, d, "postings"))
+    )
+
+
+def _dir_bytes(path: str) -> int:
+    import os as _os
+
+    total = 0
+    for root, _dirs, files in _os.walk(path):
+        for f in files:
+            total += _os.path.getsize(_os.path.join(root, f))
+    return total
+
+
+def _read_segment_union(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Union per-segment partitioned reads: Spark refuses multi-root
+    reads of tbkt-partitioned directories (CONFLICTING_DIRECTORY_
+    STRUCTURES); a per-root read + unionByName keeps per-branch
+    partition pruning and filter pushdown intact."""
+    dfs = [spark.read.parquet(pth) for pth in paths]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def ingest_segment(
+    spark: SparkSession, docs_batch: DataFrame, path: str, seg_id: int
+) -> None:
+    """Write one document batch as its own immutable segment (postings +
+    doclen sidecar) plus an additive stats delta. Idempotent overwrite
+    per segment id — the exactly-once contract of every sink here."""
+    toks = _s44_tokens(docs_batch)
+    tf = toks.groupBy("doc_id", F.col("tok").alias("term")).agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    (
+        tf.join(dl, "doc_id")
+        .withColumn("tbkt", F.expr(_S34_SPARK_TBKT))
+        .select("term", "doc_id", "tf", "dl", "tbkt")
+        .repartition("tbkt")
+        .write.partitionBy("tbkt")
+        .mode("overwrite")
+        .parquet(f"{path}/seg-{seg_id}/postings")
+    )
+    (
+        docs_batch.select("doc_id")
+        .join(dl, "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("dl"), F.lit(0)).cast("bigint").alias("dl"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/seg-{seg_id}/doclen")
+    )
+    (
+        docs_batch.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .crossJoin(
+            dl.agg(F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("sum_dl"))
+        )
+        .write.mode("overwrite")
+        .parquet(f"{path}/stats/part=ingest-{seg_id}")
+    )
+
+
+def _s44_tokens(docs: DataFrame) -> DataFrame:
+    return (
+        docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+
+
+def delete_segmented(
+    spark: SparkSession, path: str, doc_ids: DataFrame, delete_id: int
+) -> None:
+    """Tombstone batch against the segmented layout: same contract as
+    apply_postings_deletes (idempotent, double-delete subtracts once),
+    dl recovered from the doc-keyed per-segment doclen sidecars."""
+    import os as _os
+
+    ids = doc_ids.select("doc_id").distinct()
+    if _os.path.isdir(f"{path}/deletes"):
+        prior = (
+            spark.read.parquet(f"{path}/deletes")
+            .filter(F.col("delete") != delete_id)
+            .select("doc_id")
+        )
+        fresh = ids.join(prior, "doc_id", "left_anti")
+    else:
+        fresh = ids
+    fresh.write.mode("overwrite").parquet(f"{path}/deletes/delete={delete_id}")
+    gone = spark.read.parquet(f"{path}/deletes/delete={delete_id}")
+    doclens = [f"{path}/{s}/doclen" for s in _list_segments(path)]
+    doc_dl = (
+        spark.read.parquet(*doclens)
+        .join(F.broadcast(gone), "doc_id", "left_semi")
+        .select("doc_id", "dl")
+    )
+    (
+        doc_dl.agg(
+            (-F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+            (-F.coalesce(F.sum("dl"), F.lit(0))).cast("bigint").alias("sum_dl"),
+        ).write.mode("overwrite")
+        .parquet(f"{path}/stats/part=delete-{delete_id}")
+    )
+
+
+def compact_segments(spark: SparkSession, path: str) -> dict[str, int]:
+    """Size-tiered merge (module comment): fold every segment except the
+    largest into one new segment, dropping tombstoned rows; retire
+    tombstones whose docs lived in the merged segments; leave the base
+    segment's files byte-untouched. Returns {merged: n, new_seg: id} for
+    observability."""
+    import os as _os
+    import shutil as _sh
+
+    segs = _list_segments(path)
+    if len(segs) < 2:
+        return {"merged": 0, "new_seg": -1}
+    sizes = {s: _dir_bytes(_os.path.join(path, s)) for s in segs}
+    base = max(sizes, key=lambda s: (sizes[s], s))
+    merge = [s for s in segs if s != base]
+    new_id = max(int(s.split("-")[1]) for s in segs) + 1
+
+    has_tombs = _os.path.isdir(f"{path}/deletes")
+    tombs = (
+        spark.read.parquet(f"{path}/deletes").select("doc_id")
+        if has_tombs
+        else None
+    )
+    postings = _read_segment_union(spark, [f"{path}/{s}/postings" for s in merge])
+    doclen = spark.read.parquet(*[f"{path}/{s}/doclen" for s in merge])
+    if tombs is not None:
+        postings = postings.join(F.broadcast(tombs), "doc_id", "left_anti")
+        live_doclen = doclen.join(F.broadcast(tombs), "doc_id", "left_anti")
+    else:
+        live_doclen = doclen
+    (
+        postings.select("term", "doc_id", "tf", "dl", "tbkt")
+        .repartition("tbkt")
+        .write.partitionBy("tbkt")
+        .mode("overwrite")
+        .parquet(f"{path}/seg-{new_id}/postings")
+    )
+    live_doclen.write.mode("overwrite").parquet(f"{path}/seg-{new_id}/doclen")
+    if tombs is not None:
+        # retire tombstones for docs that lived in the merged segments
+        # (their rows are physically gone now); keep the rest as the
+        # base's live-docs filter. Doc membership comes from the merged
+        # DOCLEN sidecars — doc-sized, never an index scan.
+        survivors = tombs.join(
+            F.broadcast(doclen.select("doc_id")), "doc_id", "left_anti"
+        )
+        survivors.write.mode("overwrite").parquet(f"{path}/deletes_new/delete=0")
+        _sh.rmtree(f"{path}/deletes")
+        _os.rename(f"{path}/deletes_new", f"{path}/deletes")
+    for s in merge:
+        _sh.rmtree(_os.path.join(path, s))
+    return {"merged": len(merge), "new_seg": new_id}
+
+
+def query_segmented_postings(
+    spark: SparkSession, path: str, query_terms: tuple[tuple[str, str], ...], k: int = _K
+) -> DataFrame:
+    """Serve from the segmented layout: bucket-pruned multi-path scan
+    over all live segments, tombstone anti-join, df from the surviving
+    pruned postings, delta-merged stats, two-phase rank — s39's serve
+    plan over a segment union."""
+    import os as _os
+
+    probes = sorted({_s34_tbkt_py(t) for _, t in query_terms})
+    terms = sorted({t for _, t in query_terms})
+    qterms = spark.createDataFrame(list(query_terms), "query_id string, term string")
+    stats = (
+        spark.read.parquet(f"{path}/stats")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("sum_dl").cast("bigint").alias("sum_dl"),
+        )
+        .selectExpr("n_docs", "CAST(sum_dl AS DOUBLE) / n_docs AS avgdl")
+    )
+    postings = (
+        _read_segment_union(
+            spark, [f"{path}/{s}/postings" for s in _list_segments(path)]
+        )
+        .filter(F.col("tbkt").isin(probes))
+        .filter(F.col("term").isin(terms))
+    )
+    if _os.path.isdir(f"{path}/deletes"):
+        tombs = spark.read.parquet(f"{path}/deletes").select("doc_id")
+        postings = postings.join(F.broadcast(tombs), "doc_id", "left_anti")
+    df_rel = postings.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    scores = (
+        postings.join(F.broadcast(df_rel), "term")
+        .join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", F.expr(_CONTRIB).alias("c"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").cast("bigint").alias("score_micros"))
+    )
+    final_w = W.partitionBy("query_id").orderBy(
+        F.col("score_micros").desc(), F.col("doc_id")
+    )
+    return (
+        scores.withColumn("bkt", F.expr(f"pmod(hash(doc_id), {_BUCKETS})"))
+        .withColumn(
+            "lr",
+            F.row_number().over(
+                W.partitionBy("query_id", "bkt").orderBy(
+                    F.col("score_micros").desc(), F.col("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("lr") <= k)
+        .withColumn("rnk", F.row_number().over(final_w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "rnk", "doc_id", "score_micros")
+        .orderBy("query_id", "rnk")
+    )
+
+
+@register("s44_tiered_compaction", oracle=_S39_ORACLE)
+def s44_tiered_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full tiered lifecycle: one big base segment (80% of docs) + two
+    small delta segments, one tombstone batch (doc_id % 7 == 3), one
+    size-tiered compaction (merges ONLY the two deltas — the base's
+    files stay byte-untouched, asserted in tests), then a serve over
+    (base + compacted segment). Oracle is s39's: the corpus minus the
+    deleted docs."""
+    import shutil
+
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    path = _s44_layout_path(sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    ingest_segment(spark, docs.filter(F.col("doc_id") % 10 < 8), path, 0)
+    ingest_segment(spark, docs.filter(F.col("doc_id") % 10 == 8), path, 1)
+    ingest_segment(spark, docs.filter(F.col("doc_id") % 10 == 9), path, 2)
+    delete_segmented(
+        spark,
+        path,
+        docs.filter(F.col("doc_id") % _S39_MOD == _S39_REM).select("doc_id"),
+        0,
+    )
+    compact_segments(spark, path)
+    return query_segmented_postings(spark, path, _QUERY_TERMS)

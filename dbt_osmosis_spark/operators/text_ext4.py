@@ -228,8 +228,9 @@ def t29_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 # This is the number a training-data pipeline actually budgets with:
 # subword tokens per source (and tokens-per-word, the BPE compression
 # ratio) BEFORE paying for a full tokenizer run. Out-of-corpus text
-# would re-apply the merge table (the t29 fold, once per rank) — by
-# construction that yields exactly these sequences on corpus words.
+# re-applies the merge table (the t29 fold, once per rank) — by
+# construction that yields exactly these sequences on corpus words;
+# t31 below IS that held-out/OOV encode path.
 #
 # Scale shape: t29's (one corpus shuffle + vocab-sized rounds) plus one
 # corpus-sized (source, word) count and one vocab-sized join, left to
@@ -343,6 +344,200 @@ def t30_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "tokens_per_word_micros",
             F.expr("CAST(n_tokens * 1000000 DIV n_words AS BIGINT)"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t31: BPE out-of-vocabulary encode — tokenize HELD-OUT text with a
+# trained merge table
+# ---------------------------------------------------------------------------
+# t30 encodes the training corpus (whose words the final vocab state
+# already covers); a tokenizer you can't run on held-out text is half a
+# tokenizer. t31 completes it: train the merge table on the TRAIN split
+# (doc_id % 4 != 0), then encode the HELD-OUT split (doc_id % 4 == 0) —
+# including words the training corpus never saw — by broadcasting the
+# rank-ordered merge table and re-applying it per held-out word with the
+# same one-pass nested fold t30 uses (_T30_APPLY). OOV words simply fall
+# through merges that don't fire, decomposing toward characters — the
+# defining BPE property (Sennrich et al. 2016 §3: "open-vocabulary"),
+# surfaced here as the per-source n_oov_words occurrence count.
+#
+# Scale shape: t29's training cost (one corpus shuffle + vocab-sized
+# rounds) + one held-out (source, word) count + one held-out-vocab-sized
+# broadcast fold + one vocab-vs-vocab join for the OOV flag (left to
+# AQE, the t23 margin-join discipline). Nothing corpus-sized beyond the
+# two token scans.
+#
+# Oracle: the train chain is t29's unrolled rounds verbatim; a PARALLEL
+# held-out chain h0..hN applies each round's best_{r} with the same
+# window-function merge machinery, so both engines tokenize held-out
+# words through identical greedy-leftmost rounds.
+
+_T31_TRAIN_PRED = "doc_id % 4 <> 0"
+_T31_HELD_PRED = "doc_id % 4 = 0"
+
+# apply best_{r} to the held-out state h{r} -> h{r1} (the m_/g_/st_
+# machinery of _T29_DUCK_ROUND, renamed and re-sourced)
+_T31_DUCK_HAPPLY = """
+hm_{r} AS (
+  SELECT s.word, s.cnt, s.pos, s.sym, b.a AS pa, b.b AS pb,
+         (s.sym = b.a
+          AND lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = b.b)
+           AS cand
+  FROM h{r} s CROSS JOIN best_{r} b
+),
+hg_{r} AS (
+  SELECT *, CASE WHEN cand THEN pos - ROW_NUMBER() OVER
+                  (PARTITION BY word, cand ORDER BY pos) END AS grp
+  FROM hm_{r}
+),
+hst_{r} AS (
+  SELECT *, CASE WHEN cand THEN (ROW_NUMBER() OVER
+                  (PARTITION BY word, grp ORDER BY pos) - 1) % 2 = 0
+            ELSE FALSE END AS mstart
+  FROM hg_{r}
+),
+h{r1} AS (
+  SELECT word, cnt,
+         CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS BIGINT)
+           AS pos,
+         CASE WHEN mstart THEN pa || pb ELSE sym END AS sym
+  FROM (SELECT *, lag(mstart, 1, FALSE) OVER
+          (PARTITION BY word ORDER BY pos) AS consumed FROM hst_{r}) z
+  WHERE NOT consumed
+)
+"""
+
+_T31_DUCK_ROUNDS = "".join(
+    "," + _T29_DUCK_ROUND.format(r=r, r1=r + 1)
+    + "," + _T31_DUCK_HAPPLY.format(r=r, r1=r + 1)
+    for r in range(_T29_ROUNDS)
+)
+
+_T31_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+  WHERE {_T31_TRAIN_PRED}
+),
+wc AS (
+  SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks WHERE tok <> '' GROUP BY tok
+),
+s0 AS (
+  SELECT word, cnt,
+         CAST(generate_subscripts(string_split(word, '') || ['{_T29_EOW}'], 1)
+              AS BIGINT) AS pos,
+         unnest(string_split(word, '') || ['{_T29_EOW}']) AS sym
+  FROM wc
+),
+hstoks AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+  WHERE {_T31_HELD_PRED}
+),
+hswc AS (
+  SELECT source, tok AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM hstoks WHERE tok <> '' GROUP BY source, tok
+),
+h0 AS (
+  SELECT word, CAST(1 AS BIGINT) AS cnt,
+         CAST(generate_subscripts(string_split(word, '') || ['{_T29_EOW}'], 1)
+              AS BIGINT) AS pos,
+         unnest(string_split(word, '') || ['{_T29_EOW}']) AS sym
+  FROM (SELECT DISTINCT word FROM hswc) hw
+){_T31_DUCK_ROUNDS},
+tlen AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_tok
+  FROM h{_T29_ROUNDS} GROUP BY word
+)
+SELECT source,
+       CAST(SUM(cnt) AS BIGINT) AS n_words,
+       CAST(SUM(cnt * n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(cnt * n_tok) * 1000000 // SUM(cnt) AS BIGINT)
+         AS tokens_per_word_micros,
+       CAST(SUM(CASE WHEN tw.word IS NULL THEN cnt ELSE 0 END) AS BIGINT)
+         AS n_oov_words
+FROM hswc
+JOIN tlen USING (word)
+LEFT JOIN (SELECT word FROM wc) tw USING (word)
+GROUP BY source
+ORDER BY source
+"""
+
+
+def bpe_encode_words(
+    spark: SparkSession, merge_table: DataFrame, words: DataFrame
+) -> DataFrame:
+    """Tokenize a (word) relation under a trained (merge_rank, left_sym,
+    right_sym) table: broadcast the packed rank-ordered table and apply
+    every merge with one nested fold per word (_T30_APPLY). Works for
+    ANY words — in-vocabulary ones reproduce the training loop's final
+    state exactly (the BPE invariant), OOV ones decompose toward
+    characters. Returns (word, subwords array<string>, n_tok)."""
+    packed = merge_table.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "merge_rank",
+                    F.col("left_sym").alias("pa"),
+                    F.col("right_sym").alias("pb"),
+                )
+            )
+        ).alias("merges")
+    )
+    return (
+        words.select(
+            "word",
+            F.concat(F.split("word", ""), F.array(F.lit(_T29_EOW))).alias("syms"),
+        )
+        .crossJoin(F.broadcast(packed))
+        .select("word", F.expr(_T30_APPLY).alias("subwords"))
+        .withColumn("n_tok", F.size("subwords").cast("bigint"))
+    )
+
+
+@register("t31_bpe_oov_encode", oracle=_T31_ORACLE)
+def t31_bpe_oov_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source subword stats for the HELD-OUT split under a merge
+    table trained on the TRAIN split only (module comment), plus the
+    OOV occurrence count — the open-vocabulary property, measured."""
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    train = docs.filter(F.expr(_T31_TRAIN_PRED))
+    held = docs.filter(F.expr(_T31_HELD_PRED))
+    table = bpe_train(train)
+    hswc = (
+        held.select("source", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("source", F.col("tok").alias("word"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    tlen = bpe_encode_words(
+        spark, table, hswc.select("word").distinct()
+    ).select("word", "n_tok")
+    train_words = (
+        train.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+        .withColumn("in_train", F.lit(1))
+    )
+    return (
+        hswc.join(tlen, "word")
+        .join(train_words, "word", "left")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_tok")).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("in_train").isNull(), F.col("cnt")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_oov_words"),
+        )
+        .withColumn(
+            "tokens_per_word_micros",
+            F.expr("CAST(n_tokens * 1000000 DIV n_words AS BIGINT)"),
+        )
+        .select(
+            "source", "n_words", "n_tokens", "tokens_per_word_micros", "n_oov_words"
         )
         .orderBy("source")
     )

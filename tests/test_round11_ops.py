@@ -187,3 +187,177 @@ def test_s43_serve_reads_no_corpus(spark, sf_dir):
     )
     assert "documents.parquet" not in plan
     assert ".postings_positional" in plan
+
+
+# --------------------------------------------------------------------------
+# s44 tiered compaction: rewritten bytes scale with DELTA size, not index
+# size — the base segment's files must be byte-untouched, and the new
+# segment must be delta-sized. Serve correctness is the oracle's job
+# (test_oracle_parity); these pin the write-amplification contract.
+# --------------------------------------------------------------------------
+def _s44_lifecycle(spark, sf_dir):
+    import shutil
+
+    from dbt_osmosis_spark.operators.retrieval_ext import (
+        _S39_MOD,
+        _S39_REM,
+        _s44_layout_path,
+        delete_segmented,
+        ingest_segment,
+    )
+    from dbt_osmosis_spark.sources.parquet import read_parquet, spread
+
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    path = _s44_layout_path(sf_dir) + "-t"
+    shutil.rmtree(path, ignore_errors=True)
+    ingest_segment(spark, docs.filter(F.col("doc_id") % 10 < 8), path, 0)
+    ingest_segment(spark, docs.filter(F.col("doc_id") % 10 == 8), path, 1)
+    ingest_segment(spark, docs.filter(F.col("doc_id") % 10 == 9), path, 2)
+    delete_segmented(
+        spark, path, docs.filter(F.col("doc_id") % _S39_MOD == _S39_REM).select("doc_id"), 0
+    )
+    return path
+
+
+def test_s44_compaction_rewrites_delta_not_index(spark, sf_dir):
+    from dbt_osmosis_spark.operators.retrieval_ext import (
+        _dir_bytes,
+        _list_segments,
+        compact_segments,
+    )
+
+    path = _s44_lifecycle(spark, sf_dir)
+    base_files = {}
+    for root, _dirs, files in os.walk(f"{path}/seg-0"):
+        for f in files:
+            fp = os.path.join(root, f)
+            base_files[fp] = (os.path.getmtime(fp), os.path.getsize(fp))
+    base_bytes = _dir_bytes(f"{path}/seg-0")
+    out = compact_segments(spark, path)
+    assert out == {"merged": 2, "new_seg": 3}
+    assert _list_segments(path) == ["seg-0", "seg-3"]
+    # base untouched: same file set, same mtimes, same sizes
+    after = {}
+    for root, _dirs, files in os.walk(f"{path}/seg-0"):
+        for f in files:
+            fp = os.path.join(root, f)
+            after[fp] = (os.path.getmtime(fp), os.path.getsize(fp))
+    assert after == base_files
+    # rewritten volume is delta-sized: the two merged segments held ~20%
+    # of the corpus, so the new segment's ROWS must be a small fraction
+    # of the base's (bytes are overhead-dominated at sf0.001 — 16 tbkt
+    # partition files of fixed parquet footer each — so rows are the
+    # honest scale metric here; base_bytes kept for the report)
+    new_rows = spark.read.parquet(f"{path}/seg-3/postings").count()
+    base_rows = spark.read.parquet(f"{path}/seg-0/postings").count()
+    assert new_rows < base_rows / 2, (new_rows, base_rows, base_bytes)
+
+
+def test_s44_serve_unchanged_by_compaction_and_later_delete_works(spark, sf_dir):
+    from dbt_osmosis_spark.operators.retrieval import _QUERY_TERMS
+    from dbt_osmosis_spark.operators.retrieval_ext import (
+        compact_segments,
+        delete_segmented,
+        query_segmented_postings,
+    )
+
+    path = _s44_lifecycle(spark, sf_dir)
+    before = [tuple(r) for r in query_segmented_postings(spark, path, _QUERY_TERMS).collect()]
+    compact_segments(spark, path)
+    after = [tuple(r) for r in query_segmented_postings(spark, path, _QUERY_TERMS).collect()]
+    assert before == after
+    # the compacted layout must still absorb deletes (doclen sidecars
+    # were carried into the new segment): tombstone one served doc and
+    # it disappears
+    victim = before[0][2]
+    delete_segmented(spark, path, spark.createDataFrame([(victim,)], "doc_id bigint"), 1)
+    served = {r.doc_id for r in query_segmented_postings(spark, path, _QUERY_TERMS).collect()}
+    assert victim not in served
+
+
+def test_s44_serve_plan_pruned_and_bounded(spark, sf_dir):
+    from dbt_osmosis_spark.operators.retrieval import _QUERY_TERMS
+    from dbt_osmosis_spark.operators.retrieval_ext import (
+        compact_segments,
+        query_segmented_postings,
+    )
+    from dbt_osmosis_spark.plans.audit import (
+        exchange_count,
+        has_cartesian,
+        partition_filters,
+    )
+
+    path = _s44_lifecycle(spark, sf_dir)
+    compact_segments(spark, path)
+    serve = query_segmented_postings(spark, path, _QUERY_TERMS)
+    assert not has_cartesian(serve)
+    # every live segment's scan is bucket-pruned
+    pf = partition_filters(serve)
+    assert sum(1 for f in pf if "tbkt" in f and " IN " in f) >= 2
+    # s39's serve budget (6) + the second segment branch's scan-side work:
+    # the union adds no shuffle, so the budget stays single-digit
+    assert exchange_count(serve) <= 8
+
+
+# --------------------------------------------------------------------------
+# t31 OOV encode: the broadcast merge-table fold applied to HELD-OUT
+# words must equal a direct Python BPE (train on the train split, apply
+# rank-ordered merges greedy-leftmost) — including genuinely OOV words.
+# --------------------------------------------------------------------------
+def _py_apply(merges, word):
+    syms = list(word) + ["</w>"]
+    for a, b, _f in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_t31_oov_encode_matches_direct_python(spark, sf_dir):
+    from tests.test_round10_ops import _py_bpe
+
+    from dbt_osmosis_spark.operators.text_ext4 import (
+        _T31_HELD_PRED,
+        _T31_TRAIN_PRED,
+        bpe_encode_words,
+        bpe_train,
+    )
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    train = docs.filter(F.expr(_T31_TRAIN_PRED))
+    held = docs.filter(F.expr(_T31_HELD_PRED))
+
+    wc: dict[str, int] = {}
+    for r in train.select("text").collect():
+        for w in r.text.lower().split():
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    merges = _py_bpe(wc, 8)
+
+    # the generator's vocabulary is a fixed ~31-word set, so the corpus
+    # has no NATURAL OOV words (t31's n_oov_words is exactly 0 there,
+    # which the oracle confirms); genuine OOV coverage needs constructed
+    # words — unseen spellings, unseen characters, transpositions
+    constructed = ["zzyzx", "windowpane", "spakr", "qqq", "sparkly", "x"]
+    held_words = sorted(
+        {w for r in held.select("text").collect() for w in r.text.lower().split() if w}
+        | set(constructed)
+    )
+    oov = [w for w in held_words if w not in wc]
+    assert set(constructed) <= set(oov), "constructed words unexpectedly in-vocab"
+
+    got = {
+        r.word: list(r.subwords)
+        for r in bpe_encode_words(
+            spark, bpe_train(train), spark.createDataFrame([(w,) for w in held_words], "word string")
+        ).collect()
+    }
+    for w in held_words:
+        assert got[w] == _py_apply(merges, w), (w, got[w], _py_apply(merges, w))
