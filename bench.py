@@ -146,11 +146,18 @@ FAMILIES = [
     "s39_postings_tombstone_serve",
     "s40_ivf_trained_topk",
     # round-10b: LSM compaction (build+delete+compact+s34-serve is the
-    # operator) and positional phrase search. t30 (BPE encode) is probed
-    # in SCALE.md instead: its ~26 s wall is t29's training cascade plus
-    # one encode pass, flat at 100x — benching it would re-time t29.
+    # operator) and positional phrase search.
     "s41_postings_compaction",
     "s42_phrase_search",
+    # round-11: t30 joins the tracked board (VERDICT r10 item 5 — it is
+    # the slowest entry anywhere, so the spread comparator must watch
+    # it even though ~all its wall is t29's training cascade), plus the
+    # OOV encode twin, the persisted positional-postings serve, and the
+    # tiered-compaction lifecycle.
+    "t30_bpe_encode",
+    "t31_bpe_oov_encode",
+    "s43_phrase_index_serve",
+    "s44_tiered_compaction",
 ]
 
 # Scale-slope flagships: timed at sf0.1 AND at the generated 10x sf1
@@ -211,6 +218,9 @@ SCALE_FLAGSHIPS = [
     # the serve exchange budget and bucket pruning are plan-gated)
     "t29_bpe_train",
     "s39_postings_tombstone_serve",
+    # round-11: the positional-postings serve (build cost tracks the
+    # corpus; serve must stay bucket-pruned with flat exchanges)
+    "s43_phrase_index_serve",
 ]
 
 

@@ -29,7 +29,11 @@ BY), shrinking k — the standard Lloyd degeneracy, deterministic here.
 
 Recall: tests/test_round10_ops.py extends the s12 harness — recall@10
 of s40 vs s01's exact top-k, side by side with s05's md5 cells — pinning
-that training does not regress the corpus's measured recall.
+that training does not regress the corpus's measured recall (1.0 for
+that single query). The round-11 `ivf_recall_sweep` below measures the
+fuller picture over an 8-query batch across Lloyd rounds x nprobe:
+small gains at sf0.01, non-monotone at sf0.001, md5 seed competitive
+(SCALE.md round-11 — the honest result).
 
 Reference parity: the reference ships SQL to a warehouse
 (src/dbt_osmosis/core/sql_operations.py:69); the ANN family is
@@ -200,3 +204,110 @@ def s40_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Recall-vs-training sweep (VERDICT r10 item 8): does Lloyd training
+# actually buy recall at a fixed probe budget on this corpus?
+# ---------------------------------------------------------------------------
+
+_SWEEP_QUERY_IDS = tuple(range(8))  # the fixed 8-query eval batch
+
+
+def _scored_cells_expr(vec_col: str) -> str:
+    """(d2, cell) structs of `vec_col` against the packed `cents` array,
+    ascending — the s40 assignment expression for an arbitrary column."""
+    d2 = (
+        f"aggregate(zip_with({vec_col}, c.cv, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS DOUBLE), (acc, w) -> acc + w)"
+    )
+    return f"array_sort(transform(cents, c -> struct({d2} AS d, c.cell AS c)))"
+
+
+def ivf_recall_sweep(
+    spark: SparkSession,
+    sf_dir: str,
+    rounds_list: tuple[int, ...] = (0, 1, 2, 4),
+    nprobes: tuple[int, ...] = (1, 2),
+    k: int = 10,
+) -> list[dict]:
+    """Measure recall@k of the IVF serve path over an 8-query batch for
+    each (Lloyd rounds, nprobe) config, against the exact brute-force
+    top-k. rounds=0 is the untrained md5 seed assignment (probe cells
+    chosen by distance to the seed cells' means — the same probe rule
+    every trained config uses, so the sweep isolates TRAINING, not the
+    probe heuristic). Driver-side set comparison is eval-only (the
+    8xk id lists are the s12 harness's fixed-size eval batch).
+    """
+    from dbt_osmosis_spark.operators.caching import keep_cached
+    from dbt_osmosis_spark.sources.parquet import read_parquet, spread
+
+    emb = spread(read_parquet(spark, f"{sf_dir}/embeddings.parquet")).withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    qrel = emb.filter(F.col("vec_id").isin(list(_SWEEP_QUERY_IDS))).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    dot = F.expr(_SPARK_DOT.format(a="v", b="qv"))
+    n_v = F.expr(_SPARK_NORM2.format(a="v"))
+    n_q = F.expr(_SPARK_NORM2.format(a="qv"))
+
+    def topk_ids(cand: DataFrame) -> set[tuple[int, int]]:
+        from pyspark.sql.window import Window as W
+
+        ranked = (
+            cand.select(
+                "query_id",
+                "vec_id",
+                (dot / (F.sqrt(n_v) * F.sqrt(n_q))).alias("cosine"),
+            )
+            .withColumn(
+                "rnk",
+                F.row_number().over(
+                    W.partitionBy("query_id").orderBy(
+                        F.col("cosine").desc(), F.col("vec_id")
+                    )
+                ),
+            )
+            .filter(F.col("rnk") <= k)
+        )
+        return {(r.query_id, r.vec_id) for r in ranked.collect()}
+
+    exact = topk_ids(
+        emb.crossJoin(F.broadcast(qrel)).filter(F.col("vec_id") != F.col("query_id"))
+    )
+    out: list[dict] = []
+    for rounds in rounds_list:
+        if rounds == 0:
+            indexed = keep_cached(ivf_assign(emb))
+            cents = _update(indexed)
+        else:
+            cents = lloyd_train(emb, rounds)
+            indexed = keep_cached(_assign(emb, cents))
+        packed = _pack_centroids(cents)
+        scored = _scored_cells_expr("qv")
+        qcells = qrel.crossJoin(F.broadcast(packed)).select(
+            "query_id", "qv", F.expr(f"transform({scored}, s -> s.c)").alias("cells")
+        )
+        for nprobe in nprobes:
+            probe = qcells.select(
+                "query_id", "qv", F.slice("cells", 1, nprobe).alias("probe")
+            )
+            cand = (
+                indexed.crossJoin(F.broadcast(probe))
+                .filter(
+                    F.array_contains(F.col("probe"), F.col("cell"))
+                    & (F.col("vec_id") != F.col("query_id"))
+                )
+            )
+            got = topk_ids(cand)
+            out.append(
+                {
+                    "rounds": rounds,
+                    "nprobe": nprobe,
+                    "recall_micros": int(
+                        round(len(got & exact) * 1_000_000 / len(exact))
+                    ),
+                }
+            )
+    return out

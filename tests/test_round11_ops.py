@@ -361,3 +361,29 @@ def test_t31_oov_encode_matches_direct_python(spark, sf_dir):
     }
     for w in held_words:
         assert got[w] == _py_apply(merges, w), (w, got[w], _py_apply(merges, w))
+
+
+# --------------------------------------------------------------------------
+# s40 recall-vs-training sweep (VERDICT r10 item 8): the sweep is fully
+# deterministic (exact Lloyd arithmetic, total-order tie-breaks), so its
+# sf0.001 table is pinned literally. The measured answer to "does
+# training buy recall at fixed probe budget?" on this corpus: a little,
+# and only at the larger corpus / wider probe (see SCALE.md) — the md5
+# seed is already competitive because the synthetic embeddings have no
+# strong cluster structure for Lloyd to find (the d26-style honest
+# negative-ish result).
+# --------------------------------------------------------------------------
+def test_s40_recall_sweep_is_deterministic_and_pinned(spark, sf_dir):
+    from dbt_osmosis_spark.operators.similarity_ext4 import ivf_recall_sweep
+
+    got = ivf_recall_sweep(spark, sf_dir)
+    assert got == [
+        {"rounds": 0, "nprobe": 1, "recall_micros": 350000},
+        {"rounds": 0, "nprobe": 2, "recall_micros": 600000},
+        {"rounds": 1, "nprobe": 1, "recall_micros": 325000},
+        {"rounds": 1, "nprobe": 2, "recall_micros": 600000},
+        {"rounds": 2, "nprobe": 1, "recall_micros": 400000},
+        {"rounds": 2, "nprobe": 2, "recall_micros": 637500},
+        {"rounds": 4, "nprobe": 1, "recall_micros": 375000},
+        {"rounds": 4, "nprobe": 2, "recall_micros": 562500},
+    ]
