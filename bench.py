@@ -158,6 +158,7 @@ FAMILIES = [
     "t31_bpe_oov_encode",
     "s43_phrase_index_serve",
     "s44_tiered_compaction",
+    "s45_unified_index_serve",
 ]
 
 # Scale-slope flagships: timed at sf0.1 AND at the generated 10x sf1

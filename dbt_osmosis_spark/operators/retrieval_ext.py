@@ -53,8 +53,11 @@ from dbt_osmosis_spark.operators.retrieval import (
     _K,
     _QUERY_TERMS,
     _QUERY_VALUES,
+    _S31_ORACLE,
     _S34_SPARK_TBKT,
+    _corpus_stats,
     _s34_tbkt_py,
+    _tokens,
     ingest_postings_batch,
 )
 from dbt_osmosis_spark.sources.parquet import read_parquet, spread
@@ -594,7 +597,13 @@ def write_positional_index(spark: SparkSession, docs: DataFrame, path: str) -> N
     per-doc position window (row_number over the raw split order AFTER
     dropping empty tokens — the s42/oracle position rule), written
     partitioned by the md5 term bucket (the s34 rule, so serve-side
-    probe planning hashes terms identically in Python)."""
+    probe planning hashes terms identically in Python).
+
+    Also persists the doc-keyed doclen sidecar (dl = 0 for zero-token
+    docs) and the one-row corpus stats, making the layout a COMPLETE
+    index: BM25 serves from it too (s45 below), since tf/df are
+    derivable from positions — store positions once, derive frequencies
+    (the Lucene discipline)."""
     raw = docs.select(
         "doc_id",
         F.posexplode(F.split(F.lower("text"), " ")).alias("rawpos", "tok"),
@@ -616,6 +625,17 @@ def write_positional_index(spark: SparkSession, docs: DataFrame, path: str) -> N
         .mode("overwrite")
         .parquet(f"{path}/postings")
     )
+    dl = (
+        docs.select("doc_id")
+        .join(
+            _tokens(docs).groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")),
+            "doc_id",
+            "left",
+        )
+        .select("doc_id", F.coalesce(F.col("dl"), F.lit(0)).cast("bigint").alias("dl"))
+    )
+    dl.write.mode("overwrite").parquet(f"{path}/doclen")
+    _corpus_stats(docs, dl).write.mode("overwrite").parquet(f"{path}/stats")
 
 
 def query_phrase_index(
@@ -950,3 +970,84 @@ def s44_tiered_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     compact_segments(spark, path)
     return query_segmented_postings(spark, path, _QUERY_TERMS)
+
+
+# ---------------------------------------------------------------------------
+# s45: unified index serve — BM25 from the POSITIONAL layout
+# ---------------------------------------------------------------------------
+# The layout-unification move the s43 module comment names: real engines
+# (Lucene proximity, ES match_phrase) store positions ONCE and derive
+# frequencies, instead of maintaining a bag-of-words index (s34) and a
+# positional index (s43) side by side. s45 proves this repo's positional
+# layout is that single index: BM25 ranked search served from it with
+# results byte-identical to s31/s34 — tf = COUNT(*) of a (term, doc)'s
+# positions in the pruned buckets, df = COUNT of (term, doc) groups,
+# dl from the layout's doc-keyed doclen sidecar, stats from its one-row
+# corpus stats. One persisted artifact answers both query classes.
+#
+# Scale shape: the scan is the same bucket-pruned, term-pushed read as
+# s43 (|query terms' position lists|, corpus-independent); tf/df are
+# local aggregates of that pruned relation; the one doc-keyed cost is
+# the dl join — doclen is doc-sized (far smaller than postings) and the
+# join keys on candidate docs only, left to AQE to broadcast-or-shuffle
+# by the actual candidate volume (the t23 margin-join discipline).
+
+@register("s45_unified_index_serve", oracle=_S31_ORACLE)
+def s45_unified_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One positional-index build + one BM25 serve FROM THE POSITIONS
+    (module comment): the s31 query batch, scored from position counts,
+    must hash-match the s31/s34 bag-of-words answer exactly."""
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    path = _s43_index_path(sf_dir)
+    write_positional_index(spark, docs, path)
+    return query_bm25_from_positional(spark, path, _QUERY_TERMS)
+
+
+def query_bm25_from_positional(
+    spark: SparkSession, path: str, query_terms: tuple[tuple[str, str], ...], k: int = _K
+) -> DataFrame:
+    """BM25 serve from the positional layout: bucket-pruned position
+    scan -> per-(term, doc) tf = COUNT(positions), df = COUNT(groups),
+    dl joined from the doc-keyed sidecar, stats from the persisted
+    one-row relation; scoring and the two-phase rank are s34's."""
+    probes = sorted({_s34_tbkt_py(t) for _, t in query_terms})
+    terms = sorted({t for _, t in query_terms})
+    qterms = spark.createDataFrame(list(query_terms), "query_id string, term string")
+    stats = spark.read.parquet(f"{path}/stats")
+    tf_rel = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("tbkt").isin(probes))
+        .filter(F.col("term").isin(terms))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df_rel = tf_rel.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    dl_rel = spark.read.parquet(f"{path}/doclen")
+    scores = (
+        tf_rel.join(F.broadcast(df_rel), "term")
+        .join(dl_rel, "doc_id")
+        .join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", F.expr(_CONTRIB).alias("c"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").cast("bigint").alias("score_micros"))
+    )
+    final_w = W.partitionBy("query_id").orderBy(
+        F.col("score_micros").desc(), F.col("doc_id")
+    )
+    return (
+        scores.withColumn("bkt", F.expr(f"pmod(hash(doc_id), {_BUCKETS})"))
+        .withColumn(
+            "lr",
+            F.row_number().over(
+                W.partitionBy("query_id", "bkt").orderBy(
+                    F.col("score_micros").desc(), F.col("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("lr") <= k)
+        .withColumn("rnk", F.row_number().over(final_w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "rnk", "doc_id", "score_micros")
+        .orderBy("query_id", "rnk")
+    )

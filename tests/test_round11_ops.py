@@ -387,3 +387,38 @@ def test_s40_recall_sweep_is_deterministic_and_pinned(spark, sf_dir):
         {"rounds": 4, "nprobe": 1, "recall_micros": 375000},
         {"rounds": 4, "nprobe": 2, "recall_micros": 562500},
     ]
+
+
+# --------------------------------------------------------------------------
+# s45 unified serve: BM25 from the POSITIONAL layout must equal the
+# bag-of-words s34 serve byte-for-byte (one persisted artifact, two
+# query classes), read only the index, and keep the pruned/bounded plan.
+# --------------------------------------------------------------------------
+def test_s45_equals_s34_serve(spark, sf_dir):
+    a = [tuple(r) for r in QUERIES["s34_postings_index_serve"](spark, sf_dir).collect()]
+    b = [tuple(r) for r in QUERIES["s45_unified_index_serve"](spark, sf_dir).collect()]
+    assert a == b
+
+
+def test_s45_serve_plan_pruned_bounded_no_corpus(spark, sf_dir):
+    from dbt_osmosis_spark.operators.retrieval import _QUERY_TERMS
+    from dbt_osmosis_spark.operators.retrieval_ext import (
+        _s43_index_path,
+        query_bm25_from_positional,
+        s45_unified_index_serve,
+    )
+    from dbt_osmosis_spark.plans.audit import (
+        exchange_count,
+        has_cartesian,
+        partition_filters,
+        physical_plan,
+    )
+
+    s45_unified_index_serve(spark, sf_dir).collect()  # build
+    serve = query_bm25_from_positional(spark, _s43_index_path(sf_dir), _QUERY_TERMS)
+    assert not has_cartesian(serve)
+    assert any("tbkt" in f and " IN " in f for f in partition_filters(serve))
+    plan = physical_plan(serve)
+    assert "documents.parquet" not in plan
+    # pruned scan + tf agg + df agg + dl join + score agg + two-phase rank
+    assert exchange_count(serve) <= 8
