@@ -159,6 +159,7 @@ FAMILIES = [
     "s43_phrase_index_serve",
     "s44_tiered_compaction",
     "s45_unified_index_serve",
+    "s46_proximity_search",
 ]
 
 # Scale-slope flagships: timed at sf0.1 AND at the generated 10x sf1

@@ -1051,3 +1051,115 @@ def query_bm25_from_positional(
         .select("query_id", "rnk", "doc_id", "score_micros")
         .orderBy("query_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# s46: proximity search (sloppy phrase) — ordered within-k pairs over
+# the positional layout
+# ---------------------------------------------------------------------------
+# The third positional query class (IIR ch. 2 / Lucene's sloppy
+# PhraseQuery): "w1 then w2, at most `slop` positions apart" — exact
+# adjacency (s42/s43) is slop = 1. A doc scores the exact COUNT of
+# ordered position pairs (p1, p2) with w1 at p1, w2 at p2, and
+# 0 < p2 - p1 <= slop. Served from the SAME persisted positional layout
+# as s43/s45: the scan reads only the probed term buckets, each branch
+# pushes its term equality to the reader, and the pair join is an
+# equi-join on doc_id with the slop window as a post-filter — always
+# position-list-sized, never corpus-sized. Two-phase rank as everywhere.
+
+_S46_QUERIES: tuple[tuple[str, str, str, int], ...] = (
+    ("nA", "spark", "window", 3),
+    ("nB", "hash", "join", 2),
+    ("nC", "stream", "vector", 4),
+)
+_S46_K = 5
+
+
+def _s46_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for q in _S46_QUERIES for t in (q[1], q[2]))
+    branches = "\n  UNION ALL\n  ".join(
+        f"""SELECT '{qid}' AS prox_id, a.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM pos a JOIN pos b ON b.doc_id = a.doc_id
+     AND b.pos > a.pos AND b.pos <= a.pos + {slop}
+    WHERE a.tok = '{w1}' AND b.tok = '{w2}'
+    GROUP BY a.doc_id"""
+        for qid, w1, w2, slop in _S46_QUERIES
+    )
+    return f"""
+WITH raw AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok,
+         generate_subscripts(string_split(lower(text), ' '), 1) AS rawpos
+  FROM documents
+),
+pos_all AS (
+  SELECT doc_id, tok,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY rawpos)
+              AS BIGINT) AS pos
+  FROM raw WHERE tok <> ''
+),
+pos AS (SELECT * FROM pos_all WHERE tok IN ({terms})),
+matches AS (
+  {branches}
+),
+ranked AS (
+  SELECT prox_id, doc_id, n_matches,
+         ROW_NUMBER() OVER (PARTITION BY prox_id
+                            ORDER BY n_matches DESC, doc_id) AS rnk
+  FROM matches
+)
+SELECT prox_id, CAST(rnk AS BIGINT) AS rnk, doc_id, n_matches
+FROM ranked WHERE rnk <= {_S46_K}
+ORDER BY prox_id, rnk
+"""
+
+
+def query_proximity_index(
+    spark: SparkSession,
+    path: str,
+    queries: tuple[tuple[str, str, str, int], ...],
+    k: int,
+) -> DataFrame:
+    """Serve ordered within-slop pair queries from the positional
+    layout: bucket-pruned scan, per-query (doc_id) equi-join between the
+    two term branches with the slop window as a post-filter, exact match
+    counts, two-phase rank."""
+    terms = sorted({t for q in queries for t in (q[1], q[2])})
+    probes = sorted({_s34_tbkt_py(t) for t in terms})
+    pos = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("tbkt").isin(probes))
+        .filter(F.col("term").isin(terms))
+        .select("doc_id", "term", "pos")
+    )
+    per_query = []
+    for qid, w1, w2, slop in queries:
+        a = pos.filter(F.col("term") == w1).select("doc_id", F.col("pos").alias("p1"))
+        b = pos.filter(F.col("term") == w2).select(
+            F.col("doc_id").alias("d_"), F.col("pos").alias("p2")
+        )
+        pairs = a.join(
+            b,
+            (F.col("doc_id") == F.col("d_"))
+            & (F.col("p2") > F.col("p1"))
+            & (F.col("p2") <= F.col("p1") + slop),
+        )
+        per_query.append(
+            pairs.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_matches"))
+            .select(F.lit(qid).alias("phrase_id"), "doc_id", "n_matches")
+        )
+    matches = per_query[0]
+    for m in per_query[1:]:
+        matches = matches.unionByName(m)
+    return _rank_phrase_matches(matches, k).withColumnRenamed("phrase_id", "prox_id")
+
+
+@register("s46_proximity_search", oracle=_s46_oracle())
+def s46_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index build (idempotent, shared with s43/s45) + one
+    proximity-query serve (module comment)."""
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    path = _s43_index_path(sf_dir)
+    write_positional_index(spark, docs, path)
+    return query_proximity_index(spark, path, _S46_QUERIES, _S46_K)

@@ -422,3 +422,61 @@ def test_s45_serve_plan_pruned_bounded_no_corpus(spark, sf_dir):
     assert "documents.parquet" not in plan
     # pruned scan + tf agg + df agg + dl join + score agg + two-phase rank
     assert exchange_count(serve) <= 8
+
+
+# --------------------------------------------------------------------------
+# s46 proximity search: served from the same layout, same plan gates as
+# s43 — bucket pruning, no cartesian (the slop window must ride the
+# doc_id equi-join as a post-filter, never a nested-loop join), bounded
+# exchanges, no corpus scan.
+# --------------------------------------------------------------------------
+def test_s46_serve_plan_pruned_bounded_no_corpus(spark, sf_dir):
+    from dbt_osmosis_spark.operators.retrieval_ext import (
+        _S46_K,
+        _S46_QUERIES,
+        _s43_index_path,
+        query_proximity_index,
+        s46_proximity_search,
+    )
+    from dbt_osmosis_spark.plans.audit import (
+        exchange_count,
+        has_cartesian,
+        partition_filters,
+        physical_plan,
+    )
+
+    s46_proximity_search(spark, sf_dir).collect()  # build
+    serve = query_proximity_index(spark, _s43_index_path(sf_dir), _S46_QUERIES, _S46_K)
+    assert not has_cartesian(serve)
+    assert any("tbkt" in f and " IN " in f for f in partition_filters(serve))
+    plan = physical_plan(serve)
+    assert "documents.parquet" not in plan
+    # 3 pair joins + 3 count aggs + two-phase rank + final sort
+    assert exchange_count(serve) <= 14
+
+
+def test_s46_slop_one_equals_adjacency(spark, sf_dir):
+    """slop = 1 must reduce to exact adjacency: the proximity serve with
+    slop 1 equals the phrase serve for the same 2-term phrase."""
+    from dbt_osmosis_spark.operators.retrieval_ext import (
+        _s43_index_path,
+        query_phrase_index,
+        query_proximity_index,
+        s43_phrase_index_serve,
+    )
+
+    s43_phrase_index_serve(spark, sf_dir).collect()  # build
+    path = _s43_index_path(sf_dir)
+    prox = [
+        (r.doc_id, r.n_matches)
+        for r in query_proximity_index(
+            spark, path, (("x", "hash", "join", 1),), 5
+        ).collect()
+    ]
+    phr = [
+        (r.doc_id, r.n_matches)
+        for r in query_phrase_index(
+            spark, path, (("x", ("hash", "join")),), 5
+        ).collect()
+    ]
+    assert prox == phr
