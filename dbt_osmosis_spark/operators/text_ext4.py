@@ -541,3 +541,160 @@ def t31_bpe_oov_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# p41: BPE context-window packing — the tokenizer threaded into the
+# pipeline family
+# ---------------------------------------------------------------------------
+# The question a pretraining run actually budgets with: under THIS
+# tokenizer, how many fixed-size context windows does each source fill,
+# and what does the layout cost? GPT-style pretraining concatenates the
+# token stream and chunks it at the context length, so the exact
+# answers are integer arithmetic over per-doc BPE token counts:
+#   n_windows     = ceil(n_tokens / C)  (concatenate-then-chunk)
+#   tail_waste    = n_windows * C - n_tokens (only the last window pads)
+#   docs_crossing = docs whose token span straddles a window boundary
+#                   (the attention-masking / doc-boundary cost)
+# docs_crossing needs the per-source RUNNING token offset in doc_id
+# order — one linear cumulative window per source, the q84 discipline.
+#
+# Scale shape: t29's training (one corpus shuffle + vocab-sized rounds)
+# + one corpus-sized (doc, word) count joined to the vocab-sized subword
+# lengths (AQE margin-join) + ONE linear cumulative window on (source)
+# + a per-source rollup. Everything integer-exact.
+
+_P41_CAPACITY = 256  # context-window tokens (docs here are ~20-40 tokens)
+
+_P41_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+wc AS (
+  SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks WHERE tok <> '' GROUP BY tok
+),
+s0 AS (
+  SELECT word, cnt,
+         CAST(generate_subscripts(string_split(word, '') || ['{_T29_EOW}'], 1)
+              AS BIGINT) AS pos,
+         unnest(string_split(word, '') || ['{_T29_EOW}']) AS sym
+  FROM wc
+){_T30_DUCK_ROUNDS},
+tlen AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_tok
+  FROM s{_T29_ROUNDS} GROUP BY word
+),
+dwc AS (
+  SELECT doc_id, source, tok AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS tok
+    FROM documents
+  ) z WHERE tok <> '' GROUP BY doc_id, source, tok
+),
+dtok AS (
+  SELECT doc_id, source, CAST(SUM(cnt * n_tok) AS BIGINT) AS dl_tok
+  FROM dwc JOIN tlen USING (word) GROUP BY doc_id, source
+),
+run AS (
+  SELECT source, doc_id, dl_tok,
+         SUM(dl_tok) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM dtok
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(dl_tok) AS BIGINT) AS n_tokens,
+       CAST((SUM(dl_tok) + {_P41_CAPACITY} - 1) // {_P41_CAPACITY} AS BIGINT)
+         AS n_windows,
+       CAST((SUM(dl_tok) + {_P41_CAPACITY} - 1) // {_P41_CAPACITY}
+            * {_P41_CAPACITY} - SUM(dl_tok) AS BIGINT) AS tail_waste,
+       CAST(SUM(CASE WHEN (cum - dl_tok) // {_P41_CAPACITY}
+                       <> (cum - 1) // {_P41_CAPACITY}
+                THEN 1 ELSE 0 END) AS BIGINT) AS docs_crossing
+FROM run
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("p41_bpe_window_packing", oracle=_P41_ORACLE)
+def p41_bpe_window_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source context-window packing report under the t29 tokenizer
+    (module comment): exact window counts, tail padding waste, and
+    boundary-crossing docs for concatenate-then-chunk packing at
+    C = 256."""
+    from pyspark.sql.window import Window as W
+
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    packed = bpe_train(docs).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "merge_rank",
+                    F.col("left_sym").alias("pa"),
+                    F.col("right_sym").alias("pb"),
+                )
+            )
+        ).alias("merges")
+    )
+    vocab0 = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy(F.col("tok").alias("word"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .select(
+            "word",
+            F.concat(F.split("word", ""), F.array(F.lit(_T29_EOW))).alias("syms"),
+        )
+    )
+    tlen = vocab0.crossJoin(F.broadcast(packed)).select(
+        "word", F.size(F.expr(_T30_APPLY)).cast("bigint").alias("n_tok")
+    )
+    dwc = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "source", F.col("tok").alias("word"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    dtok = (
+        dwc.join(tlen, "word")
+        .groupBy("doc_id", "source")
+        .agg(F.sum(F.col("cnt") * F.col("n_tok")).cast("bigint").alias("dl_tok"))
+    )
+    run = dtok.withColumn(
+        "cum",
+        F.sum("dl_tok").over(
+            W.partitionBy("source")
+            .orderBy("doc_id")
+            .rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    c = _P41_CAPACITY
+    return (
+        run.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("dl_tok").cast("bigint").alias("n_tokens"),
+            F.sum(
+                F.expr(f"CASE WHEN (cum - dl_tok) DIV {c} <> (cum - 1) DIV {c}"
+                       " THEN 1 ELSE 0 END")
+            )
+            .cast("bigint")
+            .alias("docs_crossing"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "n_tokens",
+            f"CAST((n_tokens + {c} - 1) DIV {c} AS BIGINT) AS n_windows",
+            f"CAST((n_tokens + {c} - 1) DIV {c} * {c} - n_tokens AS BIGINT)"
+            " AS tail_waste",
+            "docs_crossing",
+        )
+        .orderBy("source")
+    )

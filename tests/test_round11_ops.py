@@ -480,3 +480,21 @@ def test_s46_slop_one_equals_adjacency(spark, sf_dir):
         ).collect()
     ]
     assert prox == phr
+
+
+# --------------------------------------------------------------------------
+# p41 packing: cross-operator conservation — its per-source n_tokens must
+# equal t30's (same tokenizer, same corpus), and the packing identities
+# must hold (tail_waste < C, windows cover tokens, crossing <= docs).
+# --------------------------------------------------------------------------
+def test_p41_consistent_with_t30_and_packing_identities(spark, sf_dir):
+    from dbt_osmosis_spark.operators.text_ext4 import _P41_CAPACITY
+
+    p41 = {r.source: r for r in QUERIES["p41_bpe_window_packing"](spark, sf_dir).collect()}
+    t30 = {r.source: r for r in QUERIES["t30_bpe_encode"](spark, sf_dir).collect()}
+    assert set(p41) == set(t30)
+    for src, r in p41.items():
+        assert r.n_tokens == t30[src].n_tokens
+        assert 0 <= r.tail_waste < _P41_CAPACITY
+        assert r.n_windows * _P41_CAPACITY == r.n_tokens + r.tail_waste
+        assert 0 <= r.docs_crossing <= r.n_docs
