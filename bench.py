@@ -162,6 +162,7 @@ FAMILIES = [
     "s44_tiered_compaction",
     "s45_unified_index_serve",
     "s46_proximity_search",
+    "s47_positional_lifecycle",
 ]
 
 # Scale-slope flagships: timed at sf0.1 AND at the generated 10x sf1

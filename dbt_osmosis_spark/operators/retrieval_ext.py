@@ -862,9 +862,11 @@ def compact_segments(spark: SparkSession, path: str) -> dict[str, int]:
         live_doclen = doclen.join(F.broadcast(tombs), "doc_id", "left_anti")
     else:
         live_doclen = doclen
+    # layout-agnostic: whatever posting columns the segments carry
+    # (bag-of-words tf/dl or positional pos) pass through unchanged —
+    # compaction only drops tombstoned rows and re-buckets.
     (
-        postings.select("term", "doc_id", "tf", "dl", "tbkt")
-        .repartition("tbkt")
+        postings.repartition("tbkt")
         .write.partitionBy("tbkt")
         .mode("overwrite")
         .parquet(f"{path}/seg-{new_id}/postings")
@@ -1163,3 +1165,181 @@ def s46_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _s43_index_path(sf_dir)
     write_positional_index(spark, docs, path)
     return query_proximity_index(spark, path, _S46_QUERIES, _S46_K)
+
+
+# ---------------------------------------------------------------------------
+# s47: maintainable positional index — segment ingest + tombstone delete
+# + phrase serve on the UNIFIED layout
+# ---------------------------------------------------------------------------
+# s43/s45/s46 prove the positional layout answers every query class; s47
+# proves it is MAINTAINABLE: the s44 segment discipline applied to
+# positions. Immutable per-segment positional postings (term, doc_id,
+# pos) + per-segment doclen + additive stats deltas + global tombstones;
+# phrase serve = the s43 plan over the segment union with a broadcast
+# tombstone anti-join bolted on. Results must equal a from-scratch
+# positional build over the live corpus (the oracle computes exactly
+# that), no matter how the index was assembled — the same contract every
+# maintained layout in this repo carries. Positions are per-document, so
+# segment boundaries never affect them (each doc lives wholly in one
+# segment, the s36 invariant).
+
+_S47_MOD = 7  # delete set: doc_id % 7 == 2 (disjoint from phrase anchors)
+_S47_REM = 2
+
+
+def _s47_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _S42_TERMS)
+    phrase_sqls = []
+    for pid, words in _S42_PHRASES:
+        joins = "\n    ".join(
+            f"JOIN pos w{i} ON w{i}.doc_id = w0.doc_id"
+            f" AND w{i}.pos = w0.pos + {i} AND w{i}.tok = '{w}'"
+            for i, w in enumerate(words)
+            if i > 0
+        )
+        phrase_sqls.append(
+            f"""SELECT '{pid}' AS phrase_id, w0.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM pos w0
+    {joins}
+    WHERE w0.tok = '{words[0]}'
+    GROUP BY w0.doc_id"""
+        )
+    union = "\n  UNION ALL\n  ".join(phrase_sqls)
+    return f"""
+WITH live AS (
+  SELECT * FROM documents WHERE doc_id % {_S47_MOD} <> {_S47_REM}
+),
+raw AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok,
+         generate_subscripts(string_split(lower(text), ' '), 1) AS rawpos
+  FROM live
+),
+pos_all AS (
+  SELECT doc_id, tok,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY rawpos)
+              AS BIGINT) AS pos
+  FROM raw WHERE tok <> ''
+),
+pos AS (SELECT * FROM pos_all WHERE tok IN ({terms})),
+matches AS (
+  {union}
+),
+ranked AS (
+  SELECT phrase_id, doc_id, n_matches,
+         ROW_NUMBER() OVER (PARTITION BY phrase_id
+                            ORDER BY n_matches DESC, doc_id) AS rnk
+  FROM matches
+)
+SELECT phrase_id, CAST(rnk AS BIGINT) AS rnk, doc_id, n_matches
+FROM ranked WHERE rnk <= {_S42_K}
+ORDER BY phrase_id, rnk
+"""
+
+
+def _s47_layout_path(sf_dir: str) -> str:
+    # per-process scratch — same rationale as _s39_index_path
+    import os as _os
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    tag = _os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return _os.path.join(repo, ".positional_tiered", f"{tag}-{_os.getpid()}")
+
+
+def ingest_positional_segment(
+    spark: SparkSession, docs_batch: DataFrame, path: str, seg_id: int
+) -> None:
+    """One document batch as an immutable positional segment: postings
+    (term, doc_id, pos) bucket-partitioned, doc-keyed doclen sidecar,
+    additive stats delta. Positions are per-doc (row_number within the
+    doc), so they are segment-independent by construction."""
+    raw = docs_batch.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("rawpos", "tok"),
+    )
+    pos = (
+        raw.filter(F.col("tok") != "")
+        .withColumn(
+            "pos",
+            F.row_number()
+            .over(W.partitionBy("doc_id").orderBy("rawpos"))
+            .cast("bigint"),
+        )
+        .select(F.col("tok").alias("term"), "doc_id", "pos")
+        .withColumn("tbkt", F.expr(_S34_SPARK_TBKT))
+    )
+    (
+        pos.repartition("tbkt")
+        .write.partitionBy("tbkt")
+        .mode("overwrite")
+        .parquet(f"{path}/seg-{seg_id}/postings")
+    )
+    dl = (
+        pos.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    )
+    (
+        docs_batch.select("doc_id")
+        .join(dl, "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("dl"), F.lit(0)).cast("bigint").alias("dl"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/seg-{seg_id}/doclen")
+    )
+    (
+        docs_batch.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .crossJoin(
+            dl.agg(F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("sum_dl"))
+        )
+        .write.mode("overwrite")
+        .parquet(f"{path}/stats/part=ingest-{seg_id}")
+    )
+
+
+def query_phrase_segmented(
+    spark: SparkSession,
+    path: str,
+    phrases: tuple[tuple[str, tuple[str, ...]], ...],
+    k: int,
+) -> DataFrame:
+    """Phrase serve over the segmented positional layout: bucket-pruned
+    segment-union scan, broadcast tombstone anti-join, then the s43
+    position-join chain and two-phase rank."""
+    import os as _os
+
+    terms = sorted({w for _, ws in phrases for w in ws})
+    probes = sorted({_s34_tbkt_py(t) for t in terms})
+    pos = (
+        _read_segment_union(
+            spark, [f"{path}/{s}/postings" for s in _list_segments(path)]
+        )
+        .filter(F.col("tbkt").isin(probes))
+        .filter(F.col("term").isin(terms))
+        .select("doc_id", "term", "pos")
+    )
+    if _os.path.isdir(f"{path}/deletes"):
+        tombs = spark.read.parquet(f"{path}/deletes").select("doc_id")
+        pos = pos.join(F.broadcast(tombs), "doc_id", "left_anti")
+    return _rank_phrase_matches(_phrase_match_counts(pos, phrases), k)
+
+
+@register("s47_positional_lifecycle", oracle=_s47_oracle())
+def s47_positional_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full lifecycle on the unified positional layout: base segment
+    (80% of docs) + two delta segments, one tombstone batch
+    (doc_id % 7 == 2, via the layout-generic delete_segmented — the
+    doclen sidecars make it layout-agnostic), then a phrase serve that
+    must equal a from-scratch positional build over the live corpus."""
+    import shutil
+
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    path = _s47_layout_path(sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    ingest_positional_segment(spark, docs.filter(F.col("doc_id") % 10 < 8), path, 0)
+    ingest_positional_segment(spark, docs.filter(F.col("doc_id") % 10 == 8), path, 1)
+    ingest_positional_segment(spark, docs.filter(F.col("doc_id") % 10 == 9), path, 2)
+    delete_segmented(
+        spark,
+        path,
+        docs.filter(F.col("doc_id") % _S47_MOD == _S47_REM).select("doc_id"),
+        0,
+    )
+    return query_phrase_segmented(spark, path, _S42_PHRASES, _S42_K)

@@ -498,3 +498,37 @@ def test_p41_consistent_with_t30_and_packing_identities(spark, sf_dir):
         assert 0 <= r.tail_waste < _P41_CAPACITY
         assert r.n_windows * _P41_CAPACITY == r.n_tokens + r.tail_waste
         assert 0 <= r.docs_crossing <= r.n_docs
+
+
+# --------------------------------------------------------------------------
+# s47 maintainable positional index: phrase serve unchanged by tiered
+# compaction (the layout-agnostic compact_segments), and deleted docs
+# never served.
+# --------------------------------------------------------------------------
+def test_s47_compaction_preserves_phrase_serve(spark, sf_dir):
+    from dbt_osmosis_spark.operators.retrieval_ext import (
+        _S42_K,
+        _S42_PHRASES,
+        _S47_MOD,
+        _S47_REM,
+        _list_segments,
+        _s47_layout_path,
+        compact_segments,
+        query_phrase_segmented,
+    )
+
+    QUERIES["s47_positional_lifecycle"](spark, sf_dir).collect()  # build lifecycle
+    path = _s47_layout_path(sf_dir)
+    before = [
+        tuple(r)
+        for r in query_phrase_segmented(spark, path, _S42_PHRASES, _S42_K).collect()
+    ]
+    out = compact_segments(spark, path)
+    assert out["merged"] == 2
+    assert _list_segments(path) == ["seg-0", "seg-3"]
+    after = [
+        tuple(r)
+        for r in query_phrase_segmented(spark, path, _S42_PHRASES, _S42_K).collect()
+    ]
+    assert before == after
+    assert all(r[2] % _S47_MOD != _S47_REM for r in after)  # tombstoned never served
