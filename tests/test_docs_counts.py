@@ -131,3 +131,17 @@ def test_bench_compare_spread_bounds_and_history_shapes(tmp_path):
     recs = bc._history(str(tmp_path))
     assert len(recs) == 2
     assert {"x": 3.0} in [r.get("extended") for r in recs]
+
+
+def test_scale_md_latest_registry_count_matches_live():
+    """VERDICT r10 item 7 durable fix: SCALE.md round summaries carry
+    'registry N -> M' counts that have drifted before; the LATEST one
+    must match the live registry."""
+    load_all()
+    scale = (README.parent / "SCALE.md").read_text()
+    counts = re.findall(r"registry\s+\d+\s*->\s*(\d+)", scale)
+    assert counts, "SCALE.md no longer states registry counts"
+    assert int(counts[-1]) == len(QUERIES), (
+        f"SCALE.md's latest summary says registry {counts[-1]}, live registry"
+        f" has {len(QUERIES)} — update the round summary"
+    )
