@@ -70,6 +70,17 @@ def write_batch_postings(docs: DataFrame, index_dir: str, batch_id: int) -> None
     tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).write.mode(
         "overwrite"
     ).parquet(f"{index_dir}/termstats/batch={batch_id}")
+    # doc-keyed doclen sidecar (incl. dl=0 for zero-token docs), the same
+    # contract the batch ingest writes: the delete stream recovers dl from
+    # the doc-sized sidecar instead of scanning postings, and deleting an
+    # empty document corrects n_docs exactly.
+    (
+        docs.select("doc_id")
+        .join(dl, "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("dl"), F.lit(0)).cast("bigint").alias("dl"))
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/doclen/batch={batch_id}")
+    )
     (
         docs.agg(F.count(F.lit(1)).alias("n_docs"))
         .crossJoin(dl.agg(F.sum("dl").alias("sum_dl")))
