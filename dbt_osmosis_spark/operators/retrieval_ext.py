@@ -1,5 +1,19 @@
-"""Lexical retrieval, part 2: document deletes for the postings index
-(s39) — the retraction path the s34/s36 layout lacked.
+"""Lexical retrieval, part 2: index maintenance + the positional layout.
+
+Module map (each section carries its own design comment):
+- s39  tombstone deletes for the incremental postings layout
+- s41  full compaction into the s34 format
+- s42  phrase search (one-shot, no index)
+- s43  persisted positional-postings layout + phrase serve
+- s44  tiered (Lucene-style) segment compaction — delta-sized rewrites
+- s45  unified serve: BM25 FROM the positional layout
+- s46  proximity (sloppy-phrase) search over the positional layout
+- s47  maintainable positional index (segments + deletes + serve)
+
+The rest of this docstring is s39's original design note.
+
+s39 — document deletes for the postings index: the retraction path the
+s34/s36 layout lacked.
 
 s24 gave the IVF vector index tombstone deletes; s39 is the same
 contract for the lexical side: a production near-line corpus must
