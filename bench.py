@@ -163,6 +163,7 @@ FAMILIES = [
     "s45_unified_index_serve",
     "s46_proximity_search",
     "s47_positional_lifecycle",
+    "s48_bm25_maintained_positional",
 ]
 
 # Scale-slope flagships: timed at sf0.1 AND at the generated 10x sf1

@@ -1357,3 +1357,111 @@ def s47_positional_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         0,
     )
     return query_phrase_segmented(spark, path, _S42_PHRASES, _S42_K)
+
+
+# ---------------------------------------------------------------------------
+# s48: BM25 on the MAINTAINED positional index — the last cell of the
+# layout x query-class matrix
+# ---------------------------------------------------------------------------
+# s45 serves BM25 from the monolithic positional layout; s47 serves
+# phrases from the maintained (segmented + tombstoned) one. s48 closes
+# the matrix: BM25 ranked search over the segmented positional layout
+# with live deletes — what a serving deployment actually runs once the
+# index is in production. Plan: bucket-pruned segment-union position
+# scan, broadcast tombstone anti-join BEFORE tf aggregation (a deleted
+# doc's positions must not count), tf = COUNT(positions) per (term,
+# doc), df = COUNT of surviving (term, doc) groups (the s39 live-df
+# rule), dl joined from the live doclen sidecars, stats delta-merged
+# (ingest positives + delete negatives). Results are byte-identical to
+# s31 over the live corpus — the oracle computes exactly that.
+
+_S48_ORACLE = _S39_ORACLE.replace(
+    f"doc_id % {_S39_MOD} <> {_S39_REM}", f"doc_id % {_S47_MOD} <> {_S47_REM}"
+)
+
+
+def query_bm25_segmented(
+    spark: SparkSession, path: str, query_terms: tuple[tuple[str, str], ...], k: int = _K
+) -> DataFrame:
+    """BM25 serve from the maintained positional layout (module
+    comment)."""
+    import os as _os
+
+    probes = sorted({_s34_tbkt_py(t) for _, t in query_terms})
+    terms = sorted({t for _, t in query_terms})
+    qterms = spark.createDataFrame(list(query_terms), "query_id string, term string")
+    segs = _list_segments(path)
+    stats = (
+        spark.read.parquet(f"{path}/stats")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("sum_dl").cast("bigint").alias("sum_dl"),
+        )
+        .selectExpr("n_docs", "CAST(sum_dl AS DOUBLE) / n_docs AS avgdl")
+    )
+    pos = (
+        _read_segment_union(spark, [f"{path}/{s}/postings" for s in segs])
+        .filter(F.col("tbkt").isin(probes))
+        .filter(F.col("term").isin(terms))
+        .select("doc_id", "term")
+    )
+    dl_rel = spark.read.parquet(*[f"{path}/{s}/doclen" for s in segs]).select(
+        "doc_id", "dl"
+    )
+    if _os.path.isdir(f"{path}/deletes"):
+        tombs = spark.read.parquet(f"{path}/deletes").select("doc_id")
+        pos = pos.join(F.broadcast(tombs), "doc_id", "left_anti")
+        dl_rel = dl_rel.join(F.broadcast(tombs), "doc_id", "left_anti")
+    tf_rel = pos.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df_rel = tf_rel.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    scores = (
+        tf_rel.join(F.broadcast(df_rel), "term")
+        .join(dl_rel, "doc_id")
+        .join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", F.expr(_CONTRIB).alias("c"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").cast("bigint").alias("score_micros"))
+    )
+    final_w = W.partitionBy("query_id").orderBy(
+        F.col("score_micros").desc(), F.col("doc_id")
+    )
+    return (
+        scores.withColumn("bkt", F.expr(f"pmod(hash(doc_id), {_BUCKETS})"))
+        .withColumn(
+            "lr",
+            F.row_number().over(
+                W.partitionBy("query_id", "bkt").orderBy(
+                    F.col("score_micros").desc(), F.col("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("lr") <= k)
+        .withColumn("rnk", F.row_number().over(final_w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "rnk", "doc_id", "score_micros")
+        .orderBy("query_id", "rnk")
+    )
+
+
+@register("s48_bm25_maintained_positional", oracle=_S48_ORACLE)
+def s48_bm25_maintained_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s47's lifecycle (3 positional segments + one tombstone batch)
+    followed by a BM25 serve — must hash-match s31 over the live corpus."""
+    import shutil
+
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    path = _s47_layout_path(sf_dir) + "-bm"
+    shutil.rmtree(path, ignore_errors=True)
+    ingest_positional_segment(spark, docs.filter(F.col("doc_id") % 10 < 8), path, 0)
+    ingest_positional_segment(spark, docs.filter(F.col("doc_id") % 10 == 8), path, 1)
+    ingest_positional_segment(spark, docs.filter(F.col("doc_id") % 10 == 9), path, 2)
+    delete_segmented(
+        spark,
+        path,
+        docs.filter(F.col("doc_id") % _S47_MOD == _S47_REM).select("doc_id"),
+        0,
+    )
+    return query_bm25_segmented(spark, path, _QUERY_TERMS)

@@ -532,3 +532,52 @@ def test_s47_compaction_preserves_phrase_serve(spark, sf_dir):
     ]
     assert before == after
     assert all(r[2] % _S47_MOD != _S47_REM for r in after)  # tombstoned never served
+
+
+# --------------------------------------------------------------------------
+# s48 BM25 on the maintained positional index: same plan gates, and the
+# matrix-closing identity — with NO deletes it equals the monolithic
+# s45 serve (same corpus, same layout content, different assembly).
+# --------------------------------------------------------------------------
+def test_s48_serve_plan_pruned_bounded_no_corpus(spark, sf_dir):
+    from dbt_osmosis_spark.operators.retrieval import _QUERY_TERMS
+    from dbt_osmosis_spark.operators.retrieval_ext import (
+        _s47_layout_path,
+        query_bm25_segmented,
+    )
+    from dbt_osmosis_spark.plans.audit import (
+        exchange_count,
+        has_cartesian,
+        partition_filters,
+        physical_plan,
+    )
+
+    QUERIES["s48_bm25_maintained_positional"](spark, sf_dir).collect()
+    path = _s47_layout_path(sf_dir) + "-bm"
+    serve = query_bm25_segmented(spark, path, _QUERY_TERMS)
+    assert not has_cartesian(serve)
+    pf = partition_filters(serve)
+    assert sum(1 for f in pf if "tbkt" in f and " IN " in f) >= 2
+    plan = physical_plan(serve)
+    assert "documents.parquet" not in plan
+    assert exchange_count(serve) <= 10
+
+
+def test_s48_without_deletes_equals_s45(spark, sf_dir):
+    import shutil
+
+    from dbt_osmosis_spark.operators.retrieval import _QUERY_TERMS
+    from dbt_osmosis_spark.operators.retrieval_ext import (
+        ingest_positional_segment,
+        query_bm25_segmented,
+    )
+    from dbt_osmosis_spark.sources.parquet import read_parquet, spread
+
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    path = _scratch("s48-nodel")
+    shutil.rmtree(path, ignore_errors=True)
+    ingest_positional_segment(spark, docs.filter(F.col("doc_id") % 2 == 0), path, 0)
+    ingest_positional_segment(spark, docs.filter(F.col("doc_id") % 2 == 1), path, 1)
+    a = [tuple(r) for r in query_bm25_segmented(spark, path, _QUERY_TERMS).collect()]
+    b = [tuple(r) for r in QUERIES["s45_unified_index_serve"](spark, sf_dir).collect()]
+    assert a == b
