@@ -1465,3 +1465,52 @@ def s48_bm25_maintained_positional(spark: SparkSession, sf_dir: str) -> DataFram
         0,
     )
     return query_bm25_segmented(spark, path, _QUERY_TERMS)
+
+
+def query_proximity_segmented(
+    spark: SparkSession,
+    path: str,
+    queries: tuple[tuple[str, str, str, int], ...],
+    k: int,
+) -> DataFrame:
+    """Proximity (sloppy-phrase) serve over the maintained positional
+    layout — the s46 pair-join plan on the s47 segment union with the
+    broadcast tombstone anti-join. Unregistered (its machinery is
+    exactly s46 + s47, both oracle-pinned); tested for equivalence with
+    the monolithic serve in tests/test_round11_ops.py."""
+    import os as _os
+
+    terms = sorted({t for q in queries for t in (q[1], q[2])})
+    probes = sorted({_s34_tbkt_py(t) for t in terms})
+    pos = (
+        _read_segment_union(
+            spark, [f"{path}/{s}/postings" for s in _list_segments(path)]
+        )
+        .filter(F.col("tbkt").isin(probes))
+        .filter(F.col("term").isin(terms))
+        .select("doc_id", "term", "pos")
+    )
+    if _os.path.isdir(f"{path}/deletes"):
+        tombs = spark.read.parquet(f"{path}/deletes").select("doc_id")
+        pos = pos.join(F.broadcast(tombs), "doc_id", "left_anti")
+    per_query = []
+    for qid, w1, w2, slop in queries:
+        a = pos.filter(F.col("term") == w1).select("doc_id", F.col("pos").alias("p1"))
+        b = pos.filter(F.col("term") == w2).select(
+            F.col("doc_id").alias("d_"), F.col("pos").alias("p2")
+        )
+        pairs = a.join(
+            b,
+            (F.col("doc_id") == F.col("d_"))
+            & (F.col("p2") > F.col("p1"))
+            & (F.col("p2") <= F.col("p1") + slop),
+        )
+        per_query.append(
+            pairs.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_matches"))
+            .select(F.lit(qid).alias("phrase_id"), "doc_id", "n_matches")
+        )
+    matches = per_query[0]
+    for m in per_query[1:]:
+        matches = matches.unionByName(m)
+    return _rank_phrase_matches(matches, k).withColumnRenamed("phrase_id", "prox_id")

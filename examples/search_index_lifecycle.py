@@ -43,9 +43,11 @@ from dbt_osmosis_spark.operators.retrieval_ext import (
     delete_segmented,
     ingest_positional_segment,
     query_bm25_from_positional,
+    query_bm25_segmented,
     query_phrase_index,
     query_phrase_segmented,
     query_proximity_index,
+    query_proximity_segmented,
     write_positional_index,
 )
 from dbt_osmosis_spark.session import get_spark
@@ -80,6 +82,8 @@ def main() -> None:
     delete_segmented(spark, seg, docs.filter(F.col("doc_id") % 7 == 2).select("doc_id"), 0)
     live = query_phrase_segmented(spark, seg, _S42_PHRASES, 3).collect()
     show("phrases after ingests + deletes", live)
+    show("BM25 after ingests + deletes", query_bm25_segmented(spark, seg, _QUERY_TERMS).collect()[:5])
+    show("proximity after ingests + deletes", query_proximity_segmented(spark, seg, _S46_QUERIES, 3).collect()[:5])
 
     stats = compact_segments(spark, seg)
     print(f"\n== compaction: merged {stats['merged']} delta segments -> seg-{stats['new_seg']} (base untouched)")

@@ -581,3 +581,37 @@ def test_s48_without_deletes_equals_s45(spark, sf_dir):
     a = [tuple(r) for r in query_bm25_segmented(spark, path, _QUERY_TERMS).collect()]
     b = [tuple(r) for r in QUERIES["s45_unified_index_serve"](spark, sf_dir).collect()]
     assert a == b
+
+
+def test_proximity_segmented_matches_monolithic_on_live_corpus(spark, sf_dir):
+    """The final matrix cell: proximity over the maintained layout ==
+    proximity over a fresh monolithic build of the live corpus."""
+    from dbt_osmosis_spark.operators.retrieval_ext import (
+        _S46_K,
+        _S46_QUERIES,
+        _S47_MOD,
+        _S47_REM,
+        _s47_layout_path,
+        query_proximity_index,
+        query_proximity_segmented,
+        write_positional_index,
+    )
+    from dbt_osmosis_spark.sources.parquet import read_parquet, spread
+
+    QUERIES["s47_positional_lifecycle"](spark, sf_dir).collect()  # build lifecycle
+    seg_path = _s47_layout_path(sf_dir)
+    got = [
+        tuple(r)
+        for r in query_proximity_segmented(
+            spark, seg_path, _S46_QUERIES, _S46_K
+        ).collect()
+    ]
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    live = docs.filter(F.col("doc_id") % _S47_MOD != _S47_REM)
+    ref = _scratch("prox-ref")
+    write_positional_index(spark, live, ref)
+    want = [
+        tuple(r)
+        for r in query_proximity_index(spark, ref, _S46_QUERIES, _S46_K).collect()
+    ]
+    assert got == want
