@@ -154,8 +154,9 @@ FAMILIES = [
     # it even though ~all its wall is t29's training cascade), plus the
     # OOV encode twin, the persisted positional-postings serve, and the
     # tiered-compaction lifecycle.
-    # (p41's wall is t30's cascade + one window; tracking t30 covers its
-    # regression surface, so p41 stays off the board deliberately.)
+    # (p41's and t32's walls are t30's cascade + one window / four
+    # checkpoint rollups; tracking t30 covers their regression surface,
+    # so both stay off the board deliberately.)
     "t30_bpe_encode",
     "t31_bpe_oov_encode",
     "s43_phrase_index_serve",

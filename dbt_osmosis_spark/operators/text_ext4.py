@@ -698,3 +698,119 @@ def p41_bpe_window_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# t32: BPE compression curve — corpus tokens-per-word vs merge rounds
+# ---------------------------------------------------------------------------
+# The training-curve diagnostic behind "how many merges do we buy?":
+# corpus subword-token totals under the FIRST r merges, for r in
+# {0, 2, 4, 8}. Round 0 is characters+EOW (the BPE floor); each
+# checkpoint reuses the SAME training loop's cached vocab states — no
+# re-training, just a vocab-sized length rollup per checkpoint — and
+# the oracle reads the same checkpoints off prefixes of its one
+# unrolled round chain. Diminishing compression per round is the
+# expected (and measured) shape; a pipeline uses this curve to pick
+# vocab size before paying for a full tokenizer run.
+
+_T32_CHECKPOINTS = (0, 2, 4, 8)
+
+
+def _t32_oracle() -> str:
+    sels = []
+    for r in _T32_CHECKPOINTS:
+        sels.append(
+            f"""SELECT CAST({r} AS BIGINT) AS merge_rounds,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens
+    FROM s{r}"""
+        )
+    union = " UNION ALL ".join(sels)
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+wc AS (
+  SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks WHERE tok <> '' GROUP BY tok
+),
+words AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_words FROM wc),
+s0 AS (
+  SELECT word, cnt,
+         CAST(generate_subscripts(string_split(word, '') || ['{_T29_EOW}'], 1)
+              AS BIGINT) AS pos,
+         unnest(string_split(word, '') || ['{_T29_EOW}']) AS sym
+  FROM wc
+){_T30_DUCK_ROUNDS},
+curve AS ({union})
+SELECT merge_rounds, n_tokens,
+       CAST(n_tokens * 1000000 // (SELECT n_words FROM words) AS BIGINT)
+         AS tokens_per_word_micros
+FROM curve
+ORDER BY merge_rounds
+"""
+
+
+@register("t32_bpe_compression_curve", oracle=_t32_oracle())
+def t32_bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token totals at merge-round checkpoints {0, 2, 4, 8}
+    (module comment): one training loop, per-checkpoint vocab-sized
+    length rollups weighted by word count; tokens-per-word quantized by
+    integer DIV to micros.
+
+    Each checkpoint's symbol count is SUM over vocab of cnt * |syms| —
+    per-checkpoint states come from the loop's cached fold cascade (the
+    r-th state is exact, pinned by t29's Python-BPE equivalence test).
+    """
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    wc = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy(F.col("tok").alias("word"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    vocab = keep_cached(
+        wc.select(
+            "word",
+            F.concat(F.split("word", ""), F.array(F.lit(_T29_EOW))).alias("syms"),
+            "cnt",
+        )
+    )
+    n_words = wc.agg(F.sum("cnt").cast("bigint").alias("n_words"))
+    checkpoints: list[DataFrame] = []
+
+    def checkpoint(state: DataFrame, r: int) -> DataFrame:
+        return state.agg(
+            F.lit(r).cast("bigint").alias("merge_rounds"),
+            F.sum(F.size("syms") * F.col("cnt")).cast("bigint").alias("n_tokens"),
+        )
+
+    if 0 in _T32_CHECKPOINTS:
+        checkpoints.append(checkpoint(vocab, 0))
+    for r in range(1, max(_T32_CHECKPOINTS) + 1):
+        best = (
+            vocab.select(F.explode(F.expr(_T29_PAIRS)).alias("p"), "cnt")
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").cast("bigint").alias("freq"))
+            .orderBy(F.col("freq").desc(), "a", "b")
+            .limit(1)
+        )
+        vocab = keep_cached(
+            vocab.crossJoin(
+                F.broadcast(best.select(F.col("a").alias("pa"), F.col("b").alias("pb")))
+            ).select("word", F.expr(_T29_FOLD).alias("syms"), "cnt")
+        )
+        if r in _T32_CHECKPOINTS:
+            checkpoints.append(checkpoint(vocab, r))
+    curve = checkpoints[0]
+    for c in checkpoints[1:]:
+        curve = curve.unionByName(c)
+    return (
+        curve.crossJoin(F.broadcast(n_words))
+        .selectExpr(
+            "merge_rounds",
+            "n_tokens",
+            "CAST(n_tokens * 1000000 DIV n_words AS BIGINT)"
+            " AS tokens_per_word_micros",
+        )
+        .orderBy("merge_rounds")
+    )

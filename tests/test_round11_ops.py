@@ -615,3 +615,25 @@ def test_proximity_segmented_matches_monolithic_on_live_corpus(spark, sf_dir):
         for r in query_proximity_index(spark, ref, _S46_QUERIES, _S46_K).collect()
     ]
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# t32 compression curve: monotone non-increasing in rounds (each merge
+# can only shrink sequences), round-0 equals chars+EOW exactly, and the
+# 8-round point agrees with t30's corpus totals.
+# --------------------------------------------------------------------------
+def test_t32_curve_monotone_and_consistent(spark, sf_dir):
+    rows = {
+        r.merge_rounds: r
+        for r in QUERIES["t32_bpe_compression_curve"](spark, sf_dir).collect()
+    }
+    assert sorted(rows) == [0, 2, 4, 8]
+    toks = [t for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("text").collect() for t in r.text.lower().split() if t]
+    assert rows[0].n_tokens == sum(len(t) + 1 for t in toks)  # chars + EOW
+    seq = [rows[r].n_tokens for r in (0, 2, 4, 8)]
+    assert seq == sorted(seq, reverse=True)
+    t30_total = sum(
+        r.n_tokens for r in QUERIES["t30_bpe_encode"](spark, sf_dir).collect()
+    )
+    assert rows[8].n_tokens == t30_total
