@@ -145,3 +145,21 @@ def test_scale_md_latest_registry_count_matches_live():
         f"SCALE.md's latest summary says registry {counts[-1]}, live registry"
         f" has {len(QUERIES)} — update the round summary"
     )
+
+
+def test_no_scratch_layout_files_tracked_in_git():
+    """VERDICT r11 item 1: the s47/s48 commits accidentally tracked ~290 MB
+    of per-process scratch index parquet (.positional_tiered/,
+    .postings_tiered/). Those were purged; this guard fails if any file
+    under a dot-scratch directory (or any parquet data file at all outside
+    testdata fixtures) is ever tracked again."""
+    import subprocess
+
+    repo = README.parent
+    out = subprocess.run(
+        ["git", "ls-files"], cwd=repo, capture_output=True, text=True, check=True
+    ).stdout.splitlines()
+    scratch = [p for p in out if p.startswith(".") and "/" in p and p.split("/")[0] not in (".github", ".claude")]
+    assert not scratch, f"dot-scratch files tracked in git: {scratch[:10]}"
+    parquet = [p for p in out if p.endswith(".parquet") or p.endswith(".parquet.crc")]
+    assert not parquet, f"parquet data files tracked in git: {parquet[:10]}"
