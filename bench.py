@@ -154,9 +154,8 @@ FAMILIES = [
     # it even though ~all its wall is t29's training cascade), plus the
     # OOV encode twin, the persisted positional-postings serve, and the
     # tiered-compaction lifecycle.
-    # (p41's and t32's walls are t30's cascade + one window / four
-    # checkpoint rollups; tracking t30 covers their regression surface,
-    # so both stay off the board deliberately.)
+    # (p41's wall is t30's cascade + one linear window; tracking t30
+    # covers its regression surface, so it stays off the board.)
     "t30_bpe_encode",
     "t31_bpe_oov_encode",
     "s43_phrase_index_serve",
@@ -165,6 +164,14 @@ FAMILIES = [
     "s46_proximity_search",
     "s47_positional_lifecycle",
     "s48_bm25_maintained_positional",
+    # round-12 (VERDICT r11 item 6): t32 joins — it is the slowest entry
+    # anywhere (~43 s) and its four checkpoint rollups are their own
+    # regression surface, not t30's. Plus the three new operators:
+    # the re-ingest upsert lifecycle and the two phrase rankers.
+    "t32_bpe_compression_curve",
+    "s49_reingest_upsert_serve",
+    "s50_sloppy_nterm_phrase",
+    "s51_bm25_phrase_rank",
 ]
 
 # Scale-slope flagships: timed at sf0.1 AND at the generated 10x sf1
@@ -250,7 +257,28 @@ def _cross_round_best() -> dict[str, float]:
     return best
 
 
+def _host_probe() -> dict:
+    """Host-load context (VERDICT r11 item 7): /proc/loadavg plus a
+    0.5-s pure-Python spin calibration (iterations/ms of a tight loop —
+    a direct measure of effective CPU availability on this SHARED host).
+    Captured before and after the run so a neighbor-load-inflated bench
+    self-identifies instead of costing a judge session to arbitrate."""
+    probe: dict = {}
+    try:
+        with open("/proc/loadavg") as fh:
+            probe["loadavg"] = [float(x) for x in fh.read().split()[:3]]
+    except OSError:
+        probe["loadavg"] = None
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < 0.5:
+        n += 1
+    probe["spin_iters_per_ms"] = round(n / ((time.perf_counter() - t0) * 1000))
+    return probe
+
+
 def main() -> None:
+    host_before = _host_probe()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
@@ -403,6 +431,9 @@ def main() -> None:
         "methodology": "r5: per-rep cache release — cross-rep cache reuse eliminated",
         "sf1": scale,
         "sf": sf,
+        # host-load context (VERDICT r11 item 7): loadavg + spin
+        # calibration before/after — a noisy run self-identifies.
+        "host": {"before": host_before, "after": _host_probe()},
     }
     # Truncation-proof artifact protocol (judge r5 item 1): BENCH_r05.json
     # landed with parsed:null because the single giant JSON line was cut

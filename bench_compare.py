@@ -185,6 +185,17 @@ def main() -> int:
         bs = f"{b:7.3f}" if b is not None else "      -"
         rs = f"{ratio:5.2f}x" if ratio is not None else "     -"
         print(f"  {name:<{width}}  best {bs}  now {v:7.3f}  {rs}  {verdict}")
+    # host-load context next to the verdict (VERDICT r11 item 7): a run
+    # under neighbor load shows a high loadavg and a depressed spin rate,
+    # so an inflated headline self-identifies as environmental.
+    host = cur.get("host") or {}
+    for tag in ("before", "after"):
+        probe = host.get(tag) or {}
+        if probe:
+            print(
+                f"host {tag}: loadavg {probe.get('loadavg')}"
+                f"  spin {probe.get('spin_iters_per_ms')} iters/ms"
+            )
     print(f"{regressions} out-of-band quer{'y' if regressions == 1 else 'ies'}")
     return 1 if regressions else 0
 

@@ -66,6 +66,7 @@ def load_all() -> None:
         relational_ext5,
         retrieval,
         retrieval_ext,
+        retrieval_ext2,
         similarity,
         similarity_ext,
         similarity_ext2,

@@ -21,6 +21,15 @@ delete stats partitions are disjoint by their string prefixes, so no id
 namespace offset is even needed (unlike the bag-of-words twin's
 ``batch=<NS+id>``).
 
+Out-of-order arrivals are DEFINED, not hazards (round 12, generation
+scoping): a tombstone draining before its document's segment is stamped
+with the then-current max segment generation, so it kills nothing,
+subtracts zero from stats, and the later-arriving segment serves — a
+delete stream restarted with a fresh checkpoint (batch ids restarting
+at 0) is likewise safe because delete ids live in their own namespace
+below the upsert/compaction ranges. A document REVISION streamed as a
+new batch supersedes its prior version (ingest upserts by default).
+
 At 100 TB: per-batch work is one tokenization + one position window of
 the BATCH (never the corpus); phrase serve reads only the probed term
 buckets of each live segment plus the broadcast tombstone set.

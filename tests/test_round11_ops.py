@@ -226,6 +226,11 @@ def test_s44_compaction_rewrites_delta_not_index(spark, sf_dir):
         compact_segments,
     )
 
+    from dbt_osmosis_spark.operators.retrieval_ext import (
+        _live_segments,
+        vacuum_segments,
+    )
+
     path = _s44_lifecycle(spark, sf_dir)
     base_files = {}
     for root, _dirs, files in os.walk(f"{path}/seg-0"):
@@ -234,8 +239,14 @@ def test_s44_compaction_rewrites_delta_not_index(spark, sf_dir):
             base_files[fp] = (os.path.getmtime(fp), os.path.getsize(fp))
     base_bytes = _dir_bytes(f"{path}/seg-0")
     out = compact_segments(spark, path)
-    assert out == {"merged": 2, "new_seg": 3}
-    assert _list_segments(path) == ["seg-0", "seg-3"]
+    assert out == {"merged": 2, "new_seg": "cseg-1-2", "manifest": 1}
+    # non-destructive publish: merged segments retained on disk for
+    # concurrent readers until vacuum; the LIVE view is the manifest's
+    assert _list_segments(path) == ["seg-0", "seg-1", "seg-2"]
+    assert _live_segments(path) == ["seg-0", "cseg-1-2"]
+    vacuum_segments(path)
+    assert _list_segments(path) == ["seg-0"]
+    assert _live_segments(path) == ["seg-0", "cseg-1-2"]
     # base untouched: same file set, same mtimes, same sizes
     after = {}
     for root, _dirs, files in os.walk(f"{path}/seg-0"):
@@ -248,7 +259,7 @@ def test_s44_compaction_rewrites_delta_not_index(spark, sf_dir):
     # of the base's (bytes are overhead-dominated at sf0.001 — 16 tbkt
     # partition files of fixed parquet footer each — so rows are the
     # honest scale metric here; base_bytes kept for the report)
-    new_rows = spark.read.parquet(f"{path}/seg-3/postings").count()
+    new_rows = spark.read.parquet(f"{path}/cseg-1-2/postings").count()
     base_rows = spark.read.parquet(f"{path}/seg-0/postings").count()
     assert new_rows < base_rows / 2, (new_rows, base_rows, base_bytes)
 
@@ -511,7 +522,7 @@ def test_s47_compaction_preserves_phrase_serve(spark, sf_dir):
         _S42_PHRASES,
         _S47_MOD,
         _S47_REM,
-        _list_segments,
+        _live_segments,
         _s47_layout_path,
         compact_segments,
         query_phrase_segmented,
@@ -525,7 +536,7 @@ def test_s47_compaction_preserves_phrase_serve(spark, sf_dir):
     ]
     out = compact_segments(spark, path)
     assert out["merged"] == 2
-    assert _list_segments(path) == ["seg-0", "seg-3"]
+    assert _live_segments(path) == ["seg-0", "cseg-1-2"]
     after = [
         tuple(r)
         for r in query_phrase_segmented(spark, path, _S42_PHRASES, _S42_K).collect()
