@@ -67,11 +67,13 @@ def load_all() -> None:
         retrieval,
         retrieval_ext,
         retrieval_ext2,
+        retrieval_ext3,
         similarity,
         similarity_ext,
         similarity_ext2,
         similarity_ext3,
         similarity_ext4,
+        similarity_ext5,
         text,
         text_ext,
         text_ext2,

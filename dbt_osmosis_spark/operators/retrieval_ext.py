@@ -877,18 +877,56 @@ def _scoped_tombstones(
     """The live (doc_id, gen) tombstone relation: every delete partition
     except the ones a compaction retired (their content was consolidated
     into that compaction's survivor partition) and, for replay-safe
-    writers, the caller's own partition."""
+    writers, the caller's own partition. A PINNED read (mgen=G) of a
+    snapshot-complete manifest (round 12: records ``live_deletes``)
+    reads exactly the partitions live at cut time, so tombstones written
+    AFTER the snapshot never leak into a time-travel serve."""
     import os as _os
 
     if not _os.path.isdir(f"{path}/deletes"):
         return spark.createDataFrame([], "doc_id bigint, gen bigint")
     t = spark.read.parquet(f"{path}/deletes")
-    retired = _retired_delete_parts(path, mgen)
-    if retired:
-        t = t.filter(~F.col("delete").isin(retired))
+    m = _read_manifest(path, mgen) if mgen is not None else None
+    if m is not None and "live_deletes" in m:
+        live = list(m["live_deletes"])
+        t = t.filter(F.col("delete").isin(live) if live else F.lit(False))
+    else:
+        retired = _retired_delete_parts(path, mgen)
+        if retired:
+            t = t.filter(~F.col("delete").isin(retired))
     if exclude_delete_id is not None:
         t = t.filter(F.col("delete") != exclude_delete_id)
     return t.select("doc_id", "gen")
+
+
+def _stats_parts(path: str) -> list[str]:
+    """Partition values under stats/ (e.g. ``ingest-0``, ``delete-3``)."""
+    import os as _os
+
+    if not _os.path.isdir(f"{path}/stats"):
+        return []
+    return sorted(
+        d.split("=", 1)[1]
+        for d in _os.listdir(f"{path}/stats")
+        if d.startswith("part=")
+    )
+
+
+def _stats_agg(spark: SparkSession, path: str, mgen: int | None = None) -> DataFrame:
+    """One-row (n_docs, avgdl) merged from the stats deltas. Stats are
+    net-additive history, so the pointer view sums everything; a pinned
+    view of a snapshot-complete manifest sums only the partitions that
+    existed at cut time (partition-pruned by the ``part`` column), so
+    later ingests/deletes don't skew a time-travel serve's n_docs/avgdl."""
+    rel = spark.read.parquet(f"{path}/stats")
+    m = _read_manifest(path, mgen) if mgen is not None else None
+    if m is not None and "stats_parts" in m:
+        parts = list(m["stats_parts"])
+        rel = rel.filter(F.col("part").isin(parts) if parts else F.lit(False))
+    return rel.agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("sum_dl").cast("bigint").alias("sum_dl"),
+    ).selectExpr("n_docs", "CAST(sum_dl AS DOUBLE) / n_docs AS avgdl")
 
 
 def _read_segments_tagged(
@@ -911,6 +949,44 @@ def _read_segments_tagged(
     return out
 
 
+def _segments_with_terms(
+    spark: SparkSession, path: str, segs: list[str], terms: list[str]
+) -> list[str]:
+    """Termset-sidecar segment pruning (round 12, s52 — the Lucene
+    term-dictionary skip at segment granularity): drop every segment
+    whose tiny ``termset`` sidecar proves it contains NONE of the query
+    terms, so the serve never even lists that segment's posting files.
+    At 100 TB with thousands of segments and a real vocabulary this
+    skips most of the per-segment read setup for selective terms; the
+    check itself reads only the vocabulary-sized sidecars and collects
+    one boolean per segment (metadata-sized, like the manifest read).
+    Segments without a sidecar (pre-round-12 layouts) are always kept —
+    pruning is a pure optimization, never a correctness dependency.
+    Exactness: a pruned segment contributes no tf rows for any query
+    term, so its docs are never candidates; dropping its doclen rows is
+    harmless because dl joins candidates on doc_id (inner)."""
+    import os as _os
+
+    if not terms:
+        return segs
+    keep = [s for s in segs if not _os.path.isdir(_os.path.join(path, s, "termset"))]
+    check = [s for s in segs if s not in keep]
+    if not check:
+        return segs
+    hits = {
+        r[0]
+        for r in (
+            _read_segments_tagged(spark, path, check, "termset")
+            .filter(F.col("term").isin(sorted(terms)))
+            .select("seg_gen")
+            .distinct()
+            .collect()
+        )
+    }
+    keep += [s for s in check if _seg_id(s) in hits]
+    return sorted(keep, key=_seg_id)
+
+
 def _apply_scoped_tombstones(rel: DataFrame, tombs: DataFrame) -> DataFrame:
     """Drop rows whose (doc_id, seg_gen) is covered by a tombstone
     (doc_id, gen >= seg_gen). Broadcast hash anti-join on doc_id with the
@@ -921,6 +997,20 @@ def _apply_scoped_tombstones(rel: DataFrame, tombs: DataFrame) -> DataFrame:
         F.broadcast(t),
         (F.col("doc_id") == F.col("_t_doc")) & (F.col("seg_gen") <= F.col("_t_gen")),
         "left_anti",
+    )
+
+
+def _write_termset(spark: SparkSession, seg_path: str) -> None:
+    """Write the segment's term-dictionary sidecar (distinct terms) —
+    vocabulary-sized, read by _segments_with_terms to skip segments at
+    serve time. Derived from the just-written postings (column-pruned
+    to ``term``), so it is exact for the segment's physical content."""
+    (
+        spark.read.parquet(f"{seg_path}/postings")
+        .select("term")
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(f"{seg_path}/termset")
     )
 
 
@@ -1000,6 +1090,7 @@ def ingest_segment(
         .mode("overwrite")
         .parquet(f"{path}/seg-{seg_id}/postings")
     )
+    _write_termset(spark, f"{path}/seg-{seg_id}")
     (
         docs_batch.select("doc_id")
         .join(dl, "doc_id", "left")
@@ -1137,6 +1228,7 @@ def compact_segments(spark: SparkSession, path: str) -> dict[str, int]:
         .mode("overwrite")
         .parquet(f"{path}/{new_seg}/postings")
     )
+    _write_termset(spark, f"{path}/{new_seg}")
     (
         _apply_scoped_tombstones(doclen, tombs)
         .drop("seg_gen")
@@ -1170,14 +1262,55 @@ def compact_segments(spark: SparkSession, path: str) -> dict[str, int]:
         # was live when this manifest was cut
         "seg_watermark": max(_seg_id(s) for s in segs),
         "retired_deletes": retired_now,
+        # snapshot-complete (round 12): a pinned read of THIS generation
+        # uses exactly the tombstone partitions + stats deltas live at
+        # cut time — post-compaction the only live tombstone set is the
+        # survivor partition just written
+        "live_deletes": (
+            [_COMPACT_TOMB_NS + new_mgen] if _os.path.isdir(f"{path}/deletes") else []
+        ),
+        "stats_parts": _stats_parts(path),
     }
-    with open(f"{path}/manifest-{new_mgen}.json", "w") as fh:
+    _publish_manifest(path, manifest)
+    return {"merged": len(merge), "new_seg": new_seg, "manifest": new_mgen}
+
+
+def _publish_manifest(path: str, manifest: dict) -> None:
+    """Write manifest-<gen>.json, then flip the _MANIFEST pointer — the
+    one atomic publish step (os.replace on the same filesystem)."""
+    import json as _json
+    import os as _os
+
+    g = manifest["gen"]
+    with open(f"{path}/manifest-{g}.json", "w") as fh:
         _json.dump(manifest, fh)
     tmp = f"{path}/_MANIFEST.tmp"
     with open(tmp, "w") as fh:
-        fh.write(str(new_mgen))
-    _os.replace(tmp, f"{path}/_MANIFEST")  # the one atomic publish step
-    return {"merged": len(merge), "new_seg": new_seg, "manifest": new_mgen}
+        fh.write(str(g))
+    _os.replace(tmp, f"{path}/_MANIFEST")
+
+
+def checkpoint_manifest(path: str) -> int:
+    """Cut a named consistent snapshot of the layout WITHOUT compacting
+    — the Iceberg-commit / Lucene-commit-point analog (round 12, s53).
+    The manifest records the live segment list, the live tombstone
+    partitions, and the stats partitions at cut time, so a serve pinned
+    to this generation (``mgen=``) reproduces the index state at the
+    checkpoint even after later ingests, deletes, upserts, or a
+    compaction — until ``vacuum_segments`` reclaims what a NEWER
+    manifest no longer references (the documented pin-vs-vacuum
+    contract). Returns the new manifest generation."""
+    segs = _live_segments(path)
+    manifest = {
+        "gen": (_manifest_gen(path) or 0) + 1,
+        "segments": segs,
+        "seg_watermark": max((_seg_id(s) for s in segs), default=-1),
+        "retired_deletes": _retired_delete_parts(path),
+        "live_deletes": _live_delete_parts(path),
+        "stats_parts": _stats_parts(path),
+    }
+    _publish_manifest(path, manifest)
+    return manifest["gen"]
 
 
 def _live_delete_parts(path: str, mgen: int | None = None) -> list[int]:
@@ -1250,15 +1383,13 @@ def query_segmented_postings(
         )
     probes = sorted({_s34_tbkt_py(t) for _, t in query_terms})
     terms = sorted({t for _, t in query_terms})
-    qterms = spark.createDataFrame(list(query_terms), "query_id string, term string")
-    stats = (
-        spark.read.parquet(f"{path}/stats")
-        .agg(
-            F.sum("n_docs").cast("bigint").alias("n_docs"),
-            F.sum("sum_dl").cast("bigint").alias("sum_dl"),
+    segs = _segments_with_terms(spark, path, segs, terms)
+    if not segs:
+        return spark.createDataFrame(
+            [], "query_id string, rnk bigint, doc_id bigint, score_micros bigint"
         )
-        .selectExpr("n_docs", "CAST(sum_dl AS DOUBLE) / n_docs AS avgdl")
-    )
+    qterms = spark.createDataFrame(list(query_terms), "query_id string, term string")
+    stats = _stats_agg(spark, path, mgen)
     postings = (
         _read_segments_tagged(spark, path, segs, "postings")
         .filter(F.col("tbkt").isin(probes))
@@ -1627,6 +1758,7 @@ def ingest_positional_segment(
         .mode("overwrite")
         .parquet(f"{path}/seg-{seg_id}/postings")
     )
+    _write_termset(spark, f"{path}/seg-{seg_id}")
     dl = (
         pos.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     )
@@ -1666,6 +1798,11 @@ def query_phrase_segmented(
         )
     terms = sorted({w for _, ws in phrases for w in ws})
     probes = sorted({_s34_tbkt_py(t) for t in terms})
+    segs = _segments_with_terms(spark, path, segs, terms)
+    if not segs:
+        return spark.createDataFrame(
+            [], "phrase_id string, rnk bigint, doc_id bigint, n_matches bigint"
+        )
     pos = (
         _read_segments_tagged(spark, path, segs, "postings")
         .filter(F.col("tbkt").isin(probes))
@@ -1723,29 +1860,32 @@ _S48_ORACLE = _S39_ORACLE.replace(
 
 
 def query_bm25_segmented(
-    spark: SparkSession, path: str, query_terms: tuple[tuple[str, str], ...], k: int = _K
+    spark: SparkSession, path: str, query_terms: tuple[tuple[str, str], ...], k: int = _K,
+    mgen: int | None = None,
 ) -> DataFrame:
     """BM25 serve from the maintained positional layout (module
     comment), generation-scoped: a re-ingested doc's dead versions are
     excluded from tf AND dl (the upsert supersede-tombstones guarantee
-    exactly one live doclen row per doc). Empty layout serves empty."""
-    segs = _live_segments(path)
+    exactly one live doclen row per doc). Empty layout serves empty.
+    ``mgen`` pins the serve to a manifest generation — with a
+    snapshot-complete manifest (checkpoint_manifest / round-12
+    compaction) the segment set, tombstones, AND stats are all read as
+    of the snapshot, so this is a true time-travel serve (s53)."""
+    segs = _live_segments(path, mgen)
     if not segs:
         return spark.createDataFrame(
             [], "query_id string, rnk bigint, doc_id bigint, score_micros bigint"
         )
     probes = sorted({_s34_tbkt_py(t) for _, t in query_terms})
     terms = sorted({t for _, t in query_terms})
-    qterms = spark.createDataFrame(list(query_terms), "query_id string, term string")
-    stats = (
-        spark.read.parquet(f"{path}/stats")
-        .agg(
-            F.sum("n_docs").cast("bigint").alias("n_docs"),
-            F.sum("sum_dl").cast("bigint").alias("sum_dl"),
+    segs = _segments_with_terms(spark, path, segs, terms)
+    if not segs:
+        return spark.createDataFrame(
+            [], "query_id string, rnk bigint, doc_id bigint, score_micros bigint"
         )
-        .selectExpr("n_docs", "CAST(sum_dl AS DOUBLE) / n_docs AS avgdl")
-    )
-    tombs = _scoped_tombstones(spark, path)
+    qterms = spark.createDataFrame(list(query_terms), "query_id string, term string")
+    stats = _stats_agg(spark, path, mgen)
+    tombs = _scoped_tombstones(spark, path, mgen=mgen)
     pos = (
         _read_segments_tagged(spark, path, segs, "postings")
         .filter(F.col("tbkt").isin(probes))
@@ -1828,6 +1968,11 @@ def query_proximity_segmented(
         )
     terms = sorted({t for q in queries for t in (q[1], q[2])})
     probes = sorted({_s34_tbkt_py(t) for t in terms})
+    segs = _segments_with_terms(spark, path, segs, terms)
+    if not segs:
+        return spark.createDataFrame(
+            [], "prox_id string, rnk bigint, doc_id bigint, n_matches bigint"
+        )
     pos = (
         _read_segments_tagged(spark, path, segs, "postings")
         .filter(F.col("tbkt").isin(probes))

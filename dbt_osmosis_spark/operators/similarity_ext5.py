@@ -1,0 +1,264 @@
+"""Maintained vector index (round 12): the ANN analog of the document
+index lifecycle — immutable vector segments partitioned by TRAINED IVF
+cell, generation-scoped tombstones, upsert-at-ingest, and a cell-pruned
+cosine serve. Embedding corpora churn constantly at 100 TB (re-embeds,
+takedowns, model upgrades), so the vector index needs the same
+update/re-add contract the text index got in s49 — and it gets it by
+REUSING that machinery verbatim: ``delete_segmented`` and
+``_upsert_supersede`` only touch the doc-keyed ``doclen`` sidecar,
+the tombstone partitions, and the stats deltas, so they are
+layout-agnostic across postings and vectors (each vector's sidecar row
+is dl = 1).
+
+Layout: ``seg-<id>/postings`` holds (doc_id, v, label) partitioned by
+``tbkt`` = the vector's nearest trained centroid (Lloyd over the base
+batch, persisted under ``centroids/``), so serve probes prune to the
+queries' nearest cells via partition pruning — the s40 IVF discipline
+on a maintained layout. The registered serve probes ALL cells (exact,
+hash-matched against a DuckDB brute-force oracle over the final corpus
+state); the nprobe < cells path and its file-level pruning are pinned
+in tests/test_round12b_ops.py.
+
+Scale shape: ingest is one map-side assignment against the broadcast
+<= 16-row packed centroid array + one partitioned write of the BATCH;
+serve reads only probed cells of live segments, anti-joins the
+broadcast tombstones, folds the dot products JVM-side (zip_with /
+aggregate — no Python in the hot path), and ranks with the two-phase
+bucketed top-k. The only collects are the <= 16-row centroid relation
+and the fixed query batch — both metadata-sized.
+
+Reference parity: the reference ships SQL to a warehouse
+(src/dbt_osmosis/core/sql_operations.py:69); vector serving is
+engine-side functionality this repo adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from dbt_osmosis_spark.operators import register
+from dbt_osmosis_spark.operators.retrieval import _BUCKETS
+from dbt_osmosis_spark.operators.retrieval_ext import (
+    _apply_scoped_tombstones,
+    _live_segments,
+    _read_segments_tagged,
+    _scoped_tombstones,
+    _upsert_supersede,
+    delete_segmented,
+)
+from dbt_osmosis_spark.operators.similarity import (
+    _DIM,
+    _DUCK_DOT,
+    _DUCK_NORM2,
+    _SPARK_DOT,
+    _SPARK_NORM2,
+)
+from dbt_osmosis_spark.operators.similarity_ext4 import _assign, lloyd_train
+from dbt_osmosis_spark.sources.parquet import read_parquet, spread
+
+_S54_K = 10
+_S54_QUERY_IDS = (1, 2, 3)
+_S54_DEL_MOD, _S54_DEL_REM = 9, 5
+_S54_REV_MOD, _S54_REV_REM = 12, 1
+
+_S54_EMPTY = (
+    "query_id bigint, rnk bigint, doc_id bigint, label int, cosine double"
+)
+
+
+def _s54_layout_path(sf_dir: str) -> str:
+    # per-process scratch — same rationale as _s39_index_path
+    import os as _os
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    tag = _os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return _os.path.join(repo, ".vector_segments", f"{tag}-{_os.getpid()}")
+
+
+def ingest_vector_segment(
+    spark: SparkSession,
+    vecs_batch: DataFrame,
+    path: str,
+    seg_id: int,
+    cents: DataFrame,
+    upsert: bool = True,
+) -> None:
+    """One vector batch as an immutable segment: (doc_id, v, label)
+    partitioned by trained-centroid cell (``tbkt``), a doc-keyed doclen
+    sidecar (dl = 1 per vector — the contract the layout-agnostic
+    delete/upsert machinery keys on), and an additive stats delta.
+    Idempotent overwrite per segment id. With ``upsert`` (default),
+    prior versions of the batch's vectors are superseded — re-embedding
+    a document serves the new vector, including after a delete."""
+    assigned = _assign(vecs_batch, cents).withColumn(
+        "tbkt", F.col("cell").cast("int")
+    )
+    (
+        assigned.select("doc_id", "v", "label", "tbkt")
+        .repartition("tbkt")
+        .write.partitionBy("tbkt")
+        .mode("overwrite")
+        .parquet(f"{path}/seg-{seg_id}/postings")
+    )
+    (
+        vecs_batch.select("doc_id")
+        .withColumn("dl", F.lit(1).cast("bigint"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/seg-{seg_id}/doclen")
+    )
+    (
+        vecs_batch.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .withColumn("sum_dl", F.col("n_docs"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/stats/part=ingest-{seg_id}")
+    )
+    if upsert:
+        _upsert_supersede(spark, vecs_batch, path, seg_id)
+
+
+def query_vectors_segmented(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    cents: DataFrame,
+    k: int = _S54_K,
+    nprobe: int | None = None,
+    mgen: int | None = None,
+) -> DataFrame:
+    """Cosine top-k per query over the live vectors: probe each query's
+    ``nprobe`` nearest cells (None = all cells, exact), read only those
+    partitions of the live segments, drop tombstoned/superseded
+    versions, score JVM-side, two-phase rank. Empty layout serves
+    empty. ``mgen`` pins to a manifest snapshot like the text serves."""
+    segs = _live_segments(path, mgen)
+    if not segs:
+        return spark.createDataFrame([], _S54_EMPTY)
+    cent_rows = cents.collect()  # <= 16 rows — the s40 broadcast side
+    q_rows = queries.collect()  # fixed query batch (s04 discipline)
+    probes = []
+    for qr in q_rows:
+        d2s = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(qr.qv, cr.cv)), cr.cell)
+            for cr in cent_rows
+        )
+        for _, c in d2s[: (nprobe if nprobe is not None else len(d2s))]:
+            probes.append((int(qr.query_id), int(c)))
+    probes_df = spark.createDataFrame(probes, "query_id bigint, tbkt int")
+    pos = _read_segments_tagged(spark, path, segs, "postings").filter(
+        F.col("tbkt").isin(sorted({c for _, c in probes}))
+    )
+    live = _apply_scoped_tombstones(
+        pos, _scoped_tombstones(spark, path, mgen=mgen)
+    ).select("doc_id", "v", "label", "tbkt")
+    dot = F.expr(_SPARK_DOT.format(a="v", b="qv"))
+    n_v = F.expr(_SPARK_NORM2.format(a="v"))
+    n_q = F.expr(_SPARK_NORM2.format(a="qv"))
+    scored = (
+        live.join(F.broadcast(probes_df), "tbkt")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            "label",
+            (dot / (F.sqrt(n_v) * F.sqrt(n_q))).alias("cosine"),
+        )
+    )
+    final_w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("bkt", F.expr(f"pmod(hash(doc_id), {_BUCKETS})"))
+        .withColumn(
+            "lr",
+            F.row_number().over(
+                W.partitionBy("query_id", "bkt").orderBy(
+                    F.col("cosine").desc(), F.col("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("lr") <= k)
+        .withColumn("rnk", F.row_number().over(final_w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "rnk", "doc_id", "label", "cosine")
+        .orderBy("query_id", "rnk")
+    )
+
+
+_S54_QUERY_IN = ", ".join(str(q) for q in _S54_QUERY_IDS)
+
+_S54_ORACLE = f"""
+WITH state AS (
+  SELECT vec_id AS doc_id, label,
+         CASE WHEN vec_id % {_S54_REV_MOD} = {_S54_REV_REM}
+              THEN list_transform(embedding::DOUBLE[], x -> x + 1.0)
+              ELSE embedding::DOUBLE[] END AS v
+  FROM embeddings
+  WHERE vec_id % {_S54_REV_MOD} = {_S54_REV_REM}
+     OR vec_id % {_S54_DEL_MOD} <> {_S54_DEL_REM}
+),
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id IN ({_S54_QUERY_IN})
+),
+scored AS (
+  SELECT q.query_id, s.doc_id, s.label,
+         {_DUCK_DOT.format(a="s.v", b="q.qv", n=_DIM)}
+           / (sqrt({_DUCK_NORM2.format(a="s.v")})
+              * sqrt({_DUCK_NORM2.format(a="q.qv")})) AS cosine
+  FROM state s CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, doc_id, label, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, label, cosine
+FROM ranked WHERE rnk <= {_S54_K}
+ORDER BY query_id, rnk
+"""
+
+
+def _s54_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spread(read_parquet(spark, f"{sf_dir}/embeddings.parquet")).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+        "label",
+    )
+
+
+@register("s54_maintained_vector_index", oracle=_S54_ORACLE)
+def s54_maintained_vector_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full vector-index lifecycle: train centroids on the base batch
+    (persisted under centroids/ — later ingests and serves read the
+    artifact, the deployment shape), two segment ingests, one tombstone
+    batch (vec_id % 9 == 5), one RE-EMBED upsert (vec_id % 12 == 1:
+    every component shifted +1.0 — re-adds deleted vectors and revises
+    live ones), then an exact all-cells serve for three fixed queries.
+    Must hash-match the DuckDB brute-force oracle over the final state:
+    revised vectors score as revised, re-added ones resurface,
+    still-deleted ones stay gone."""
+    import shutil
+
+    emb = _s54_emb(spark, sf_dir)
+    path = _s54_layout_path(sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    base = emb.filter(F.col("doc_id") % 10 < 8)
+    lloyd_train(base).write.mode("overwrite").parquet(f"{path}/centroids")
+    cents = spark.read.parquet(f"{path}/centroids")
+    ingest_vector_segment(spark, base, path, 0, cents)
+    ingest_vector_segment(spark, emb.filter(F.col("doc_id") % 10 >= 8), path, 1, cents)
+    delete_segmented(
+        spark,
+        path,
+        emb.filter(F.col("doc_id") % _S54_DEL_MOD == _S54_DEL_REM).select("doc_id"),
+        0,
+    )
+    revised = emb.filter(F.col("doc_id") % _S54_REV_MOD == _S54_REV_REM).withColumn(
+        "v", F.expr("transform(v, x -> x + CAST(1.0 AS DOUBLE))")
+    )
+    ingest_vector_segment(spark, revised, path, 2, cents)  # upserts prior versions
+    queries = emb.filter(F.col("doc_id").isin(*_S54_QUERY_IDS)).select(
+        F.col("doc_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return query_vectors_segmented(spark, path, queries, cents)
