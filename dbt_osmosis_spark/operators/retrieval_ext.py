@@ -1004,10 +1004,15 @@ def _write_termset(spark: SparkSession, seg_path: str) -> None:
     """Write the segment's term-dictionary sidecar (distinct terms) —
     vocabulary-sized, read by _segments_with_terms to skip segments at
     serve time. Derived from the just-written postings (column-pruned
-    to ``term``), so it is exact for the segment's physical content."""
+    to ``term``), so it is exact for the segment's physical content.
+    Non-lexical layouts (e.g. the s54 vector segments, whose postings
+    carry no term column) get no sidecar — _segments_with_terms treats
+    sidecar-less segments as always-kept, so this is a no-op for them."""
+    rel = spark.read.parquet(f"{seg_path}/postings")
+    if "term" not in rel.columns:
+        return
     (
-        spark.read.parquet(f"{seg_path}/postings")
-        .select("term")
+        rel.select("term")
         .distinct()
         .write.mode("overwrite")
         .parquet(f"{seg_path}/termset")
@@ -1786,12 +1791,14 @@ def query_phrase_segmented(
     path: str,
     phrases: tuple[tuple[str, tuple[str, ...]], ...],
     k: int,
+    mgen: int | None = None,
 ) -> DataFrame:
     """Phrase serve over the segmented positional layout: bucket-pruned
     segment-union scan, generation-scoped broadcast tombstone anti-join,
     then the s43 position-join chain and two-phase rank. Empty layout
-    serves empty (ADVICE r11)."""
-    segs = _live_segments(path)
+    serves empty (ADVICE r11). ``mgen`` pins to a manifest snapshot
+    (s53's time-travel contract — every query class supports it)."""
+    segs = _live_segments(path, mgen)
     if not segs:
         return spark.createDataFrame(
             [], "phrase_id string, rnk bigint, doc_id bigint, n_matches bigint"
@@ -1808,9 +1815,9 @@ def query_phrase_segmented(
         .filter(F.col("tbkt").isin(probes))
         .filter(F.col("term").isin(terms))
     )
-    pos = _apply_scoped_tombstones(pos, _scoped_tombstones(spark, path)).select(
-        "doc_id", "term", "pos"
-    )
+    pos = _apply_scoped_tombstones(
+        pos, _scoped_tombstones(spark, path, mgen=mgen)
+    ).select("doc_id", "term", "pos")
     return _rank_phrase_matches(_phrase_match_counts(pos, phrases), k)
 
 
@@ -1955,13 +1962,15 @@ def query_proximity_segmented(
     path: str,
     queries: tuple[tuple[str, str, str, int], ...],
     k: int,
+    mgen: int | None = None,
 ) -> DataFrame:
     """Proximity (sloppy-phrase) serve over the maintained positional
     layout — the s46 pair-join plan on the s47 segment union with the
     broadcast tombstone anti-join. Unregistered (its machinery is
     exactly s46 + s47, both oracle-pinned); tested for equivalence with
-    the monolithic serve in tests/test_round11_ops.py."""
-    segs = _live_segments(path)
+    the monolithic serve in tests/test_round11_ops.py. ``mgen`` pins to
+    a manifest snapshot (s53's time-travel contract)."""
+    segs = _live_segments(path, mgen)
     if not segs:
         return spark.createDataFrame(
             [], "prox_id string, rnk bigint, doc_id bigint, n_matches bigint"
@@ -1978,9 +1987,9 @@ def query_proximity_segmented(
         .filter(F.col("tbkt").isin(probes))
         .filter(F.col("term").isin(terms))
     )
-    pos = _apply_scoped_tombstones(pos, _scoped_tombstones(spark, path)).select(
-        "doc_id", "term", "pos"
-    )
+    pos = _apply_scoped_tombstones(
+        pos, _scoped_tombstones(spark, path, mgen=mgen)
+    ).select("doc_id", "term", "pos")
     per_query = []
     for qid, w1, w2, slop in queries:
         a = pos.filter(F.col("term") == w1).select("doc_id", F.col("pos").alias("p1"))

@@ -166,6 +166,50 @@ def query_sloppy_phrase_index(
     )
 
 
+def query_sloppy_phrase_segmented(
+    spark: SparkSession,
+    path: str,
+    queries: tuple[tuple[str, tuple[str, ...], int], ...],
+    k: int,
+    mgen: int | None = None,
+) -> DataFrame:
+    """n-term sloppy-phrase serve over the MAINTAINED positional layout
+    (round 12b): the s50 join chain on the s47 segment union — termset-
+    pruned, generation-scoped tombstone anti-join, optional manifest
+    pin. Unregistered (machinery = s50 + s47, both oracle-pinned);
+    equivalence with the monolithic serve over the live corpus is
+    tested in tests/test_round12b_ops.py. Completes the layout x
+    query-class matrix for sloppy phrases (s46's segmented twin was
+    pairs-only)."""
+    from dbt_osmosis_spark.operators.retrieval_ext import (
+        _apply_scoped_tombstones,
+        _live_segments,
+        _read_segments_tagged,
+        _scoped_tombstones,
+        _segments_with_terms,
+    )
+
+    segs = _live_segments(path, mgen)
+    terms = sorted({w for _, ws, _ in queries for w in ws})
+    segs = _segments_with_terms(spark, path, segs, terms)
+    if not segs:
+        return spark.createDataFrame(
+            [], "sp_id string, rnk bigint, doc_id bigint, n_matches bigint"
+        )
+    probes = sorted({_s34_tbkt_py(t) for t in terms})
+    pos = (
+        _read_segments_tagged(spark, path, segs, "postings")
+        .filter(F.col("tbkt").isin(probes))
+        .filter(F.col("term").isin(terms))
+    )
+    pos = _apply_scoped_tombstones(
+        pos, _scoped_tombstones(spark, path, mgen=mgen)
+    ).select("doc_id", "term", "pos")
+    return _rank_phrase_matches(_sloppy_match_counts(pos, queries), k).withColumnRenamed(
+        "phrase_id", "sp_id"
+    )
+
+
 @register("s50_sloppy_nterm_phrase", oracle=_s50_oracle())
 def s50_sloppy_nterm_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional-index build (idempotent, shared with s43/s45/s46) +

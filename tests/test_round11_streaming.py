@@ -118,3 +118,37 @@ def test_replayed_segment_and_compaction_leave_serve_unchanged(
         for r in serve_phrases_live(spark, index_dir, _S42_PHRASES, _S42_K).collect()
     ]
     assert after == before
+
+
+def test_streamed_revision_upserts_and_readds(spark, sf_dir, tmp_path):
+    """Round 12: a document REVISION streamed as a later batch supersedes
+    the prior version (and re-adds docs the delete stream had removed) —
+    the streaming path drives the s49 upsert contract; serve equals a
+    from-scratch build over the FINAL corpus state."""
+    docs, index_dir = _drive_lifecycle(spark, sf_dir, tmp_path)
+    doc_in = str(tmp_path / "docs_in")
+    revised = docs.filter(F.col("doc_id") % 10 == 5).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" streamed revision"))
+    )
+    _land_parquet(revised, doc_in, "b3", 1_000_200)
+    # same checkpoint: availableNow drains ONLY the new file (batch 3)
+    run_positional_ingest(doc_in, index_dir, str(tmp_path / "ckpt_i"), spark)
+    got = [
+        tuple(r)
+        for r in serve_phrases_live(spark, index_dir, _S42_PHRASES, _S42_K).collect()
+    ]
+    final = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 5,
+            F.concat(F.col("text"), F.lit(" streamed revision")),
+        ).otherwise(F.col("text")),
+    ).filter(
+        (F.col("doc_id") % 10 == 5) | (F.col("doc_id") % _DEL_MOD != _DEL_REM)
+    )
+    ref_path = str(tmp_path / "refindex_rev")
+    write_positional_index(spark, final, ref_path)
+    assert got == [
+        tuple(r)
+        for r in query_phrase_index(spark, ref_path, _S42_PHRASES, _S42_K).collect()
+    ]

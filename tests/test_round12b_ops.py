@@ -259,3 +259,82 @@ def test_s54_lifecycle_liveness(spark, sf_dir):
     assert live.select("doc_id", "seg_gen").distinct().groupBy("doc_id").count().filter(
         "count > 1"
     ).count() == 0
+
+
+# --------------------------------------------------------------------------
+# round-12b closures: sloppy phrases on the maintained layout, manifest
+# pins for the phrase query class, vector-layout compaction invariance.
+# --------------------------------------------------------------------------
+def test_sloppy_segmented_equals_monolithic_live(spark, sf_dir):
+    """n-term sloppy phrases over the maintained layout == the s50
+    monolithic serve over the live corpus."""
+    from dbt_osmosis_spark.operators.retrieval_ext2 import (
+        _S50_K,
+        _S50_QUERIES,
+        query_sloppy_phrase_segmented,
+    )
+    from dbt_osmosis_spark.operators.retrieval_ext import write_positional_index
+    from dbt_osmosis_spark.operators.retrieval_ext2 import query_sloppy_phrase_index
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    path = _scratch("sloppy-seg")
+    shutil.rmtree(path, ignore_errors=True)
+    ingest_positional_segment(spark, docs.filter(F.col("doc_id") % 10 < 8), path, 0)
+    ingest_positional_segment(spark, docs.filter(F.col("doc_id") % 10 >= 8), path, 1)
+    delete_segmented(spark, path, docs.filter(F.col("doc_id") % 7 == 2).select("doc_id"), 0)
+    got = query_sloppy_phrase_segmented(spark, path, _S50_QUERIES, _S50_K).collect()
+
+    mono = _scratch("sloppy-mono")
+    shutil.rmtree(mono, ignore_errors=True)
+    write_positional_index(spark, docs.filter(F.col("doc_id") % 7 != 2), mono)
+    assert got == query_sloppy_phrase_index(spark, mono, _S50_QUERIES, _S50_K).collect()
+
+
+def test_phrase_serve_pins_to_checkpoint(spark):
+    """The mgen pin works for the phrase query class too, not just BM25."""
+    from dbt_osmosis_spark.operators.retrieval_ext import query_phrase_segmented
+
+    path = _scratch("tt-phrase")
+    shutil.rmtree(path, ignore_errors=True)
+    ingest_positional_segment(
+        spark,
+        _docs(spark, [(1, "alpha beta alpha beta"), (2, "alpha beta"), (3, "beta")]),
+        path,
+        0,
+    )
+    g = checkpoint_manifest(path)
+    phr = (("p", ("alpha", "beta")),)
+    snapshot = query_phrase_segmented(spark, path, phr, 5, mgen=g).collect()
+    delete_segmented(spark, path, _docs(spark, [(1, "x")]).select("doc_id"), 0)
+    ingest_positional_segment(spark, _docs(spark, [(2, "gamma only")]), path, 1)
+    assert query_phrase_segmented(spark, path, phr, 5, mgen=g).collect() == snapshot
+    now = {r.doc_id for r in query_phrase_segmented(spark, path, phr, 5).collect()}
+    assert now == set()  # doc1 deleted, doc2 revised away, doc3 never matched
+    assert {r.doc_id for r in snapshot} == {1, 2}
+
+
+def test_vector_layout_compaction_and_vacuum_invariant(spark, sf_dir):
+    """compact_segments / vacuum_segments are layout-agnostic: on the
+    VECTOR layout (tbkt = IVF cell) they leave the exact serve
+    byte-identical."""
+    from dbt_osmosis_spark.operators.similarity_ext5 import (
+        _S54_QUERY_IDS,
+        _s54_emb,
+        _s54_layout_path,
+        query_vectors_segmented,
+    )
+
+    QUERIES["s54_maintained_vector_index"](spark, sf_dir).collect()
+    path = _s54_layout_path(sf_dir)
+    cents = spark.read.parquet(f"{path}/centroids")
+    emb = _s54_emb(spark, sf_dir)
+    queries = emb.filter(F.col("doc_id").isin(*_S54_QUERY_IDS)).select(
+        F.col("doc_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    before = query_vectors_segmented(spark, path, queries, cents).collect()
+    out = compact_segments(spark, path)
+    assert out["merged"] >= 1
+    assert query_vectors_segmented(spark, path, queries, cents).collect() == before
+    vacuum_segments(path)
+    assert query_vectors_segmented(spark, path, queries, cents).collect() == before
