@@ -373,6 +373,81 @@ def query_bm25_phrases(
     )
 
 
+def query_bm25_phrases_segmented(
+    spark: SparkSession,
+    path: str,
+    phrases: tuple[tuple[str, tuple[str, ...]], ...],
+    k: int,
+    mgen: int | None = None,
+) -> DataFrame:
+    """BM25-weighted phrase serve over the MAINTAINED positional layout
+    (round 12b): the s51 scoring on the s47 segment union — termset-
+    pruned scan, generation-scoped tombstone anti-join on positions AND
+    doclen (phrase tf and dl both come from live versions only),
+    delta-merged stats, optional manifest pin. Unregistered (machinery
+    = s51 + s48, both oracle-pinned); equivalence with the monolithic
+    serve over the live corpus is tested in tests/test_round12b_ops.py."""
+    from pyspark.sql.window import Window as W
+
+    from dbt_osmosis_spark.operators.retrieval_ext import (
+        _apply_scoped_tombstones,
+        _live_segments,
+        _read_segments_tagged,
+        _scoped_tombstones,
+        _segments_with_terms,
+        _stats_agg,
+    )
+
+    segs = _live_segments(path, mgen)
+    terms = sorted({w for _, ws in phrases for w in ws})
+    segs = _segments_with_terms(spark, path, segs, terms)
+    if not segs:
+        return spark.createDataFrame(
+            [], "phrase_id string, rnk bigint, doc_id bigint, score_micros bigint"
+        )
+    probes = sorted({_s34_tbkt_py(t) for t in terms})
+    tombs = _scoped_tombstones(spark, path, mgen=mgen)
+    pos = (
+        _read_segments_tagged(spark, path, segs, "postings")
+        .filter(F.col("tbkt").isin(probes))
+        .filter(F.col("term").isin(terms))
+    )
+    pos = _apply_scoped_tombstones(pos, tombs).select("doc_id", "term", "pos")
+    matches = _phrase_match_counts(pos, phrases)
+    df_rel = matches.groupBy("phrase_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    dl_rel = _apply_scoped_tombstones(
+        _read_segments_tagged(spark, path, segs, "doclen"), tombs
+    ).select("doc_id", "dl")
+    stats = _stats_agg(spark, path, mgen)
+    scored = (
+        matches.join(F.broadcast(df_rel), "phrase_id")
+        .join(dl_rel, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("phrase_id", "doc_id", F.expr(_S51_CONTRIB).alias("score_micros"))
+    )
+    final_w = W.partitionBy("phrase_id").orderBy(
+        F.col("score_micros").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("bkt", F.expr(f"pmod(hash(doc_id), {_BUCKETS})"))
+        .withColumn(
+            "lr",
+            F.row_number().over(
+                W.partitionBy("phrase_id", "bkt").orderBy(
+                    F.col("score_micros").desc(), F.col("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("lr") <= k)
+        .withColumn("rnk", F.row_number().over(final_w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select("phrase_id", "rnk", "doc_id", "score_micros")
+        .orderBy("phrase_id", "rnk")
+    )
+
+
 @register("s51_bm25_phrase_rank", oracle=_s51_oracle())
 def s51_bm25_phrase_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional-index build (idempotent, shared with s43/s45/s46/s50)

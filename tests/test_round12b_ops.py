@@ -338,3 +338,33 @@ def test_vector_layout_compaction_and_vacuum_invariant(spark, sf_dir):
     assert query_vectors_segmented(spark, path, queries, cents).collect() == before
     vacuum_segments(path)
     assert query_vectors_segmented(spark, path, queries, cents).collect() == before
+
+
+def test_bm25_phrases_segmented_equals_monolithic_live(spark, sf_dir):
+    """BM25-weighted phrases over the maintained layout == the s51
+    monolithic serve over the live corpus (the last cell of the
+    layout x query-class matrix)."""
+    from dbt_osmosis_spark.operators.retrieval_ext import write_positional_index
+    from dbt_osmosis_spark.operators.retrieval_ext2 import (
+        _S51_K,
+        _S51_PHRASES,
+        query_bm25_phrases,
+        query_bm25_phrases_segmented,
+    )
+    from dbt_osmosis_spark.sources.parquet import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    path = _scratch("bm25p-seg")
+    shutil.rmtree(path, ignore_errors=True)
+    ingest_positional_segment(spark, docs.filter(F.col("doc_id") % 10 < 8), path, 0)
+    ingest_positional_segment(spark, docs.filter(F.col("doc_id") % 10 >= 8), path, 1)
+    delete_segmented(
+        spark, path, docs.filter(F.col("doc_id") % 7 == 2).select("doc_id"), 0
+    )
+    got = query_bm25_phrases_segmented(spark, path, _S51_PHRASES, _S51_K).collect()
+
+    mono = _scratch("bm25p-mono")
+    shutil.rmtree(mono, ignore_errors=True)
+    write_positional_index(spark, docs.filter(F.col("doc_id") % 7 != 2), mono)
+    assert got == query_bm25_phrases(spark, mono, _S51_PHRASES, _S51_K).collect()
+    assert len(got) > 0
