@@ -173,10 +173,11 @@ FAMILIES = [
     "s50_sloppy_nterm_phrase",
     "s51_bm25_phrase_rank",
     # round-12b: termset segment pruning, the time-travel checkpoint
-    # lifecycle, and the maintained vector index.
+    # lifecycle, and the maintained vector index + its retrain.
     "s52_termset_segment_pruning",
     "s53_time_travel_serve",
     "s54_maintained_vector_index",
+    "s55_vector_index_retrain",
 ]
 
 # Scale-slope flagships: timed at sf0.1 AND at the generated 10x sf1

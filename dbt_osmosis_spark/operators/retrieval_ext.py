@@ -1276,8 +1276,19 @@ def compact_segments(spark: SparkSession, path: str) -> dict[str, int]:
         ),
         "stats_parts": _stats_parts(path),
     }
+    _carry_centroids(path, manifest)
     _publish_manifest(path, manifest)
     return {"merged": len(merge), "new_seg": new_seg, "manifest": new_mgen}
+
+
+def _carry_centroids(path: str, manifest: dict) -> None:
+    """Carry the current manifest's centroid-artifact pointer (set by a
+    vector-index retrain, similarity_ext5.retrain_vector_index) into a
+    new manifest — compactions and checkpoints must not silently revert
+    a retrained index to its original centroids."""
+    cur = _read_manifest(path)
+    if cur and cur.get("centroids"):
+        manifest["centroids"] = cur["centroids"]
 
 
 def _publish_manifest(path: str, manifest: dict) -> None:
@@ -1314,6 +1325,7 @@ def checkpoint_manifest(path: str) -> int:
         "live_deletes": _live_delete_parts(path),
         "stats_parts": _stats_parts(path),
     }
+    _carry_centroids(path, manifest)
     _publish_manifest(path, manifest)
     return manifest["gen"]
 
@@ -1367,6 +1379,12 @@ def vacuum_segments(path: str) -> dict[str, int]:
         if f.startswith("manifest-") and f.endswith(".json"):
             if int(f[len("manifest-") : -len(".json")]) < m["gen"]:
                 _os.remove(_os.path.join(path, f))
+    # retrained centroid artifacts the current manifest no longer points
+    # at (the bare centroids/ fallback is never reclaimed — manifests
+    # without a pointer resolve to it)
+    for d in _os.listdir(path):
+        if d.startswith("centroids-g") and d != m.get("centroids"):
+            _sh.rmtree(_os.path.join(path, d))
     return {"removed_segments": removed_s, "removed_delete_parts": removed_d}
 
 

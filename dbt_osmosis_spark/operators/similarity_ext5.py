@@ -43,10 +43,17 @@ from dbt_osmosis_spark.operators.retrieval import _BUCKETS
 from dbt_osmosis_spark.operators.retrieval_ext import (
     _apply_scoped_tombstones,
     _live_segments,
+    _manifest_gen,
+    _publish_manifest,
+    _read_manifest,
     _read_segments_tagged,
+    _retired_delete_parts,
     _scoped_tombstones,
+    _seg_id,
+    _stats_parts,
     _upsert_supersede,
     delete_segmented,
+    _live_delete_parts,
 )
 from dbt_osmosis_spark.operators.similarity import (
     _DIM,
@@ -184,6 +191,80 @@ def query_vectors_segmented(
     )
 
 
+def index_centroids(
+    spark: SparkSession, path: str, mgen: int | None = None
+) -> DataFrame:
+    """The centroid relation the layout is CURRENTLY partitioned by:
+    the manifest's centroid pointer when a retrain has published one,
+    else the original ``centroids/`` artifact. A pinned read (mgen=G)
+    resolves the pointer recorded in THAT manifest, so a time-travel
+    serve probes with the centroids its segments were assigned under."""
+    m = _read_manifest(path, mgen)
+    sub = (m or {}).get("centroids") or "centroids"
+    return spark.read.parquet(f"{path}/{sub}")
+
+
+def retrain_vector_index(
+    spark: SparkSession, path: str, rounds: int = 2
+) -> dict[str, object]:
+    """Retrain centroids on the LIVE vectors and atomically re-partition
+    the index onto the new cells — the answer to centroid drift after
+    heavy upsert churn (and the migration path for an embedding-model
+    upgrade's re-embedded corpus). Mechanics mirror compact_segments:
+    the re-partitioned segment lands under a listing-invisible ``cseg-``
+    name reusing the highest live generation, the new centroid artifact
+    lands under ``centroids-g<G>``, live tombstones retire (every
+    surviving row is live by construction), and ONE atomic manifest
+    pointer rename publishes segment set + centroid pointer together —
+    a serve never sees new cells with old segments or vice versa.
+    Pre-retrain artifacts stay on disk for pinned readers until
+    ``vacuum_segments``. Serve results are IDENTICAL before and after
+    (exact serve scans all cells; probed serves change candidate sets
+    only) — the registered s55 pins that with the s54 oracle."""
+    segs = _live_segments(path)
+    if not segs:
+        return {"retrained": False}
+    tombs = _scoped_tombstones(spark, path)
+    live = _apply_scoped_tombstones(
+        _read_segments_tagged(spark, path, segs, "postings"), tombs
+    ).select("doc_id", "v", "label")
+    new_mgen = (_manifest_gen(path) or 0) + 1
+    new_seg = f"cseg-{new_mgen}-{max(_seg_id(s) for s in segs)}"
+    cents_dir = f"centroids-g{new_mgen}"
+    lloyd_train(live, rounds).write.mode("overwrite").parquet(f"{path}/{cents_dir}")
+    cents = spark.read.parquet(f"{path}/{cents_dir}")
+    assigned = _assign(live, cents).withColumn("tbkt", F.col("cell").cast("int"))
+    (
+        assigned.select("doc_id", "v", "label", "tbkt")
+        .repartition("tbkt")
+        .write.partitionBy("tbkt")
+        .mode("overwrite")
+        .parquet(f"{path}/{new_seg}/postings")
+    )
+    (
+        _apply_scoped_tombstones(
+            _read_segments_tagged(spark, path, segs, "doclen"), tombs
+        )
+        .select("doc_id", "dl")
+        .write.mode("overwrite")
+        .parquet(f"{path}/{new_seg}/doclen")
+    )
+    manifest = {
+        "gen": new_mgen,
+        "segments": [new_seg],
+        "seg_watermark": max(_seg_id(s) for s in segs),
+        # every tombstone retires: the new segment holds only live rows
+        "retired_deletes": sorted(
+            set(_live_delete_parts(path)) | set(_retired_delete_parts(path))
+        ),
+        "live_deletes": [],
+        "stats_parts": _stats_parts(path),
+        "centroids": cents_dir,
+    }
+    _publish_manifest(path, manifest)
+    return {"retrained": True, "new_seg": new_seg, "manifest": new_mgen}
+
+
 _S54_QUERY_IN = ", ".join(str(q) for q in _S54_QUERY_IDS)
 
 _S54_ORACLE = f"""
@@ -262,3 +343,40 @@ def s54_maintained_vector_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("query_id"), F.col("v").alias("qv")
     )
     return query_vectors_segmented(spark, path, queries, cents)
+
+
+@register("s55_vector_index_retrain", oracle=_S54_ORACLE)
+def s55_vector_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The s54 lifecycle followed by a centroid RETRAIN on the live
+    vectors (retrain_vector_index: new Lloyd fit, atomic re-partition
+    onto the new cells, manifest-published centroid pointer), then the
+    exact serve with the manifest-resolved centroids — which must
+    hash-match the SAME brute-force oracle as s54: retraining changes
+    the physical cell layout, never a result."""
+    import shutil
+
+    emb = _s54_emb(spark, sf_dir)
+    path = _s54_layout_path(sf_dir) + "-rt"
+    shutil.rmtree(path, ignore_errors=True)
+    base = emb.filter(F.col("doc_id") % 10 < 8)
+    lloyd_train(base).write.mode("overwrite").parquet(f"{path}/centroids")
+    cents = spark.read.parquet(f"{path}/centroids")
+    ingest_vector_segment(spark, base, path, 0, cents)
+    ingest_vector_segment(spark, emb.filter(F.col("doc_id") % 10 >= 8), path, 1, cents)
+    delete_segmented(
+        spark,
+        path,
+        emb.filter(F.col("doc_id") % _S54_DEL_MOD == _S54_DEL_REM).select("doc_id"),
+        0,
+    )
+    revised = emb.filter(F.col("doc_id") % _S54_REV_MOD == _S54_REV_REM).withColumn(
+        "v", F.expr("transform(v, x -> x + CAST(1.0 AS DOUBLE))")
+    )
+    ingest_vector_segment(spark, revised, path, 2, cents)
+    retrain_vector_index(spark, path)  # new cells, atomic flip
+    queries = emb.filter(F.col("doc_id").isin(*_S54_QUERY_IDS)).select(
+        F.col("doc_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return query_vectors_segmented(
+        spark, path, queries, index_centroids(spark, path)
+    )

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from dbt_osmosis_spark.operators.retrieval_ext import delete_segmented
 from dbt_osmosis_spark.operators.similarity_ext5 import (
+    index_centroids,
     ingest_vector_segment,
     query_vectors_segmented,
 )
@@ -53,8 +54,10 @@ def run_vector_ingest(
 ) -> None:
     """Drain the embedding landing directory into the maintained vector
     index (availableNow): one immutable cell-partitioned segment per
-    micro-batch, assigned against the index's persisted centroids."""
-    cents = spark.read.parquet(f"{index_dir}/centroids")
+    micro-batch, assigned against the index's persisted centroids
+    (manifest-resolved — a retrain's new centroid generation is picked
+    up by the next drain)."""
+    cents = index_centroids(spark, index_dir)
     stream = (
         spark.readStream.schema(_VECS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -111,8 +114,10 @@ def serve_vectors_live(
 ) -> DataFrame:
     """Cosine top-k over the maintained index MINUS its tombstones —
     exactly s54's serve plan (cell-pruned segment-union scan, broadcast
-    tombstone anti-join, JVM-side folds, two-phase rank)."""
-    cents = spark.read.parquet(f"{index_dir}/centroids")
+    tombstone anti-join, JVM-side folds, two-phase rank). Centroids are
+    manifest-resolved, so the serve always probes with the cells the
+    live segments were assigned under."""
+    cents = index_centroids(spark, index_dir)
     return query_vectors_segmented(spark, index_dir, queries, cents, k, nprobe)
 
 

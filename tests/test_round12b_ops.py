@@ -368,3 +368,62 @@ def test_bm25_phrases_segmented_equals_monolithic_live(spark, sf_dir):
     write_positional_index(spark, docs.filter(F.col("doc_id") % 7 != 2), mono)
     assert got == query_bm25_phrases(spark, mono, _S51_PHRASES, _S51_K).collect()
     assert len(got) > 0
+
+
+def test_retrain_is_result_invariant_and_atomic(spark, sf_dir):
+    """Retraining re-partitions the index onto new cells without changing
+    any serve result; the manifest carries the centroid pointer through
+    checkpoints and compactions; vacuum reclaims the old generation."""
+    from dbt_osmosis_spark.operators.similarity_ext5 import (
+        _S54_QUERY_IDS,
+        _s54_emb,
+        _s54_layout_path,
+        index_centroids,
+        ingest_vector_segment,
+        query_vectors_segmented,
+        retrain_vector_index,
+    )
+    from dbt_osmosis_spark.operators.retrieval_ext import _read_manifest
+
+    QUERIES["s54_maintained_vector_index"](spark, sf_dir).collect()
+    path = _s54_layout_path(sf_dir)
+    emb = _s54_emb(spark, sf_dir)
+    queries = emb.filter(F.col("doc_id").isin(*_S54_QUERY_IDS)).select(
+        F.col("doc_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    before = query_vectors_segmented(
+        spark, path, queries, index_centroids(spark, path)
+    ).collect()
+    g_pre = checkpoint_manifest(path)
+    out = retrain_vector_index(spark, path)
+    assert out["retrained"] is True
+    new_cents = index_centroids(spark, path)
+    after = query_vectors_segmented(spark, path, queries, new_cents).collect()
+    assert after == before
+    # the pinned pre-retrain view resolves the OLD centroids and still
+    # serves the identical exact answer over the old segment set
+    old_cents = index_centroids(spark, path, mgen=g_pre)
+    pinned = query_vectors_segmented(
+        spark, path, queries, old_cents, mgen=g_pre
+    ).collect()
+    assert pinned == before
+    # a later ingest + compaction must NOT revert the centroid pointer
+    extra = emb.filter(F.col("doc_id") % 50 == 7).withColumn(
+        "v", F.expr("transform(v, x -> x + CAST(2.0 AS DOUBLE))")
+    )
+    ingest_vector_segment(spark, extra, path, 9, new_cents)
+    compact_segments(spark, path)
+    m = _read_manifest(path)
+    assert m.get("centroids", "").startswith("centroids-g")
+    # vacuum reclaims the pre-retrain segments; pointer serve unchanged
+    final = query_vectors_segmented(
+        spark, path, queries, index_centroids(spark, path)
+    ).collect()
+    vacuum_segments(path)
+    assert (
+        query_vectors_segmented(
+            spark, path, queries, index_centroids(spark, path)
+        ).collect()
+        == final
+    )
+    assert not os.path.isdir(f"{path}/seg-0")  # merged + vacuumed away
