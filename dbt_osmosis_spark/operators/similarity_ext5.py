@@ -162,14 +162,19 @@ def query_vectors_segmented(
     dot = F.expr(_SPARK_DOT.format(a="v", b="qv"))
     n_v = F.expr(_SPARK_NORM2.format(a="v"))
     n_q = F.expr(_SPARK_NORM2.format(a="qv"))
+    # zero-norm vectors (failed embeds, padding rows — real at 100 TB)
+    # have no defined cosine: excluded on BOTH sides, engine and oracle,
+    # instead of tripping ANSI DIVIDE_BY_ZERO mid-serve
     scored = (
         live.join(F.broadcast(probes_df), "tbkt")
-        .join(F.broadcast(queries), "query_id")
+        .join(F.broadcast(queries.filter(n_q > 0)), "query_id")
+        .withColumn("_nv", n_v)
+        .filter(F.col("_nv") > 0)
         .select(
             "query_id",
             "doc_id",
             "label",
-            (dot / (F.sqrt(n_v) * F.sqrt(n_q))).alias("cosine"),
+            (dot / (F.sqrt(F.col("_nv")) * F.sqrt(n_q))).alias("cosine"),
         )
     )
     final_w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("doc_id"))
@@ -268,7 +273,7 @@ def retrain_vector_index(
 _S54_QUERY_IN = ", ".join(str(q) for q in _S54_QUERY_IDS)
 
 _S54_ORACLE = f"""
-WITH state AS (
+WITH state0 AS (
   SELECT vec_id AS doc_id, label,
          CASE WHEN vec_id % {_S54_REV_MOD} = {_S54_REV_REM}
               THEN list_transform(embedding::DOUBLE[], x -> x + 1.0)
@@ -277,9 +282,16 @@ WITH state AS (
   WHERE vec_id % {_S54_REV_MOD} = {_S54_REV_REM}
      OR vec_id % {_S54_DEL_MOD} <> {_S54_DEL_REM}
 ),
+-- zero-norm vectors have no defined cosine (engine parity: the serve
+-- excludes them too instead of dividing by zero)
+state AS (
+  SELECT * FROM state0 WHERE {_DUCK_NORM2.format(a="v")} > 0
+),
 q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-  FROM embeddings WHERE vec_id IN ({_S54_QUERY_IN})
+  FROM embeddings
+  WHERE vec_id IN ({_S54_QUERY_IN})
+    AND {_DUCK_NORM2.format(a="embedding::DOUBLE[]")} > 0
 ),
 scored AS (
   SELECT q.query_id, s.doc_id, s.label,

@@ -427,3 +427,46 @@ def test_retrain_is_result_invariant_and_atomic(spark, sf_dir):
         == final
     )
     assert not os.path.isdir(f"{path}/seg-0")  # merged + vacuumed away
+
+
+def test_vector_serve_zero_norm_and_post_retrain_lifecycle(spark, tmp_path):
+    """Zero-norm vectors (failed embeds — real at 100 TB) are excluded
+    from cosine serving instead of tripping ANSI DIVIDE_BY_ZERO, and the
+    delete/upsert machinery keeps working on a RETRAINED layout (cseg
+    generation reuse): deletes kill cseg rows, revisions supersede them."""
+    from dbt_osmosis_spark.operators.similarity_ext4 import lloyd_train
+    from dbt_osmosis_spark.operators.similarity_ext5 import (
+        index_centroids,
+        ingest_vector_segment,
+        query_vectors_segmented,
+        retrain_vector_index,
+    )
+
+    def vec(i):
+        return [float((i * (d + 3)) % 11) for d in range(64)]
+
+    emb = spark.createDataFrame(
+        [(i, vec(i), 0) for i in range(40)],  # doc 0 is the all-zero vector
+        "doc_id bigint, v array<double>, label int",
+    )
+    path = str(tmp_path / "idx")
+    lloyd_train(emb, 1).write.mode("overwrite").parquet(f"{path}/centroids")
+    cents = spark.read.parquet(f"{path}/centroids")
+    ingest_vector_segment(spark, emb, path, 0, cents)
+    retrain_vector_index(spark, path, rounds=1)
+    cents2 = index_centroids(spark, path)
+    delete_segmented(spark, path, spark.createDataFrame([(3,), (4,)], "doc_id bigint"), 0)
+    rev = emb.filter("doc_id = 5").withColumn(
+        "v", F.expr("transform(v, x -> x + CAST(9.0 AS DOUBLE))")
+    )
+    ingest_vector_segment(spark, rev, path, 1, cents2)
+    q = spark.createDataFrame(
+        [(0, [x + 9.0 for x in vec(5)])], "query_id bigint, qv array<double>"
+    )
+    got = {
+        r.doc_id: r.cosine
+        for r in query_vectors_segmented(spark, path, q, cents2, k=40).collect()
+    }
+    assert 3 not in got and 4 not in got  # post-retrain deletes apply
+    assert 0 not in got  # zero-norm excluded, not a crash
+    assert max(got, key=got.get) == 5 and abs(got[5] - 1.0) < 1e-9  # revision serves
