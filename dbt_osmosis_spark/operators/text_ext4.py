@@ -149,51 +149,104 @@ s0 AS (
     return head + body + f" SELECT * FROM ({sel}) q ORDER BY merge_rank"
 
 
+_T29_TABLE_SCHEMA = (
+    "merge_rank bigint, left_sym string, right_sym string, pair_freq bigint"
+)
+
+
+def _bpe_vocab0(docs: DataFrame) -> DataFrame:
+    """Corpus word counts exploded to the round-0 BPE state — the ONE
+    corpus-sized stage of training. Cached (keep_cached): every argmax
+    round and every downstream vocab-sized consumer (t30's re-tokenize,
+    t31's OOV flag, t32's checkpoints) re-reads this relation instead of
+    re-scanning the corpus."""
+    return keep_cached(
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy(F.col("tok").alias("word"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(
+            "word",
+            F.concat(F.split("word", ""), F.array(F.lit(_T29_EOW))).alias("syms"),
+            "cnt",
+        )
+    )
+
+
+def _bpe_fold(vocab: DataFrame, pa: str, pb: str) -> DataFrame:
+    """Apply one learned merge to the vocab state as LITERAL columns —
+    the identical _T29_FOLD expression the broadcast form evaluated, so
+    the folded state is byte-identical; only the plan shape changes."""
+    return (
+        vocab.withColumn("pa", F.lit(pa))
+        .withColumn("pb", F.lit(pb))
+        .select("word", F.expr(_T29_FOLD).alias("syms"), "cnt")
+    )
+
+
+def _bpe_argmax(vocab: DataFrame) -> list:
+    """The round's most frequent adjacent pair: distributed map-side
+    partial sum over the (cached) vocab state, 1-row TakeOrdered — the
+    single row crosses to the driver (metadata-sized, the s40/s54
+    centroid-collect discipline)."""
+    return (
+        vocab.select(F.explode(F.expr(_T29_PAIRS)).alias("p"), "cnt")
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("cnt").cast("bigint").alias("freq"))
+        .orderBy(F.col("freq").desc(), "a", "b")
+        .limit(1)
+        .collect()
+    )
+
+
+def _bpe_train_core(
+    docs: DataFrame, rounds: int = _T29_ROUNDS
+) -> tuple[list[tuple], DataFrame, DataFrame]:
+    """Run the BPE loop; return (collected merge rows, cached round-0
+    vocab state, final vocab state with all merges applied).
+
+    Round 13 plan-shape fix (optimization round; guide §7.3): the r11
+    form fed each round's 1-row argmax back as a broadcast crossJoin, so
+    round r's logical plan embedded round r-1's plan TWICE (main input +
+    argmax subtree) — 2^r plan nodes, and with a 31-word bench vocab the
+    whole family's wall was driver-side Catalyst analysis (t29 at sf0.1:
+    12 s, 510 Exchange nodes in the final plan). Collecting the single
+    argmax row per round (metadata-sized — the pattern the ≤16-row
+    centroid collects already use) and re-applying it as literals makes
+    round r's plan = round r-1's plus one projection: linear growth, one
+    tiny job per round. The vocab itself NEVER leaves the cluster —
+    at a real corpus' million-word vocabulary the per-round work is the
+    same distributed partial-agg; only the 1-row argmax crosses.
+    """
+    vocab0 = _bpe_vocab0(docs)
+    cur = vocab0
+    merges: list[tuple] = []
+    for r in range(rounds):
+        rows = _bpe_argmax(cur)
+        if not rows:
+            break  # vocabulary exhausted (all words single-symbol)
+        row = rows[0]
+        merges.append((r + 1, row.a, row.b, row.freq))
+        cur = _bpe_fold(cur, row.a, row.b)
+    return merges, vocab0, cur
+
+
 def bpe_train_state(
     docs: DataFrame, rounds: int = _T29_ROUNDS
 ) -> tuple[list[DataFrame], DataFrame]:
     """Run the BPE loop; return (per-round 1-row best relations, final
     vocab state (word, syms, cnt) with ALL `rounds` merges applied).
 
-    The final state IS the tokenized vocabulary (lazy — evaluating it
-    pulls the whole cached fold cascade; t30 re-derives it more cheaply
-    with one broadcast merge-table fold, see ``_T30_APPLY``).
+    The final state IS the tokenized vocabulary (lazy — a linear chain
+    of `rounds` fold projections over the cached round-0 state; t30
+    re-derives it equivalently with one broadcast merge-table fold, see
+    ``_T30_APPLY``).
     """
-    wc = (
-        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
-        .filter(F.col("tok") != "")
-        .groupBy(F.col("tok").alias("word"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    )
-    vocab = keep_cached(
-        wc.select(
-            "word",
-            F.concat(F.split("word", ""), F.array(F.lit(_T29_EOW))).alias("syms"),
-            "cnt",
-        )
-    )
-    bests: list[DataFrame] = []
-    for r in range(rounds):
-        best = (
-            vocab.select(F.explode(F.expr(_T29_PAIRS)).alias("p"), "cnt")
-            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.sum("cnt").cast("bigint").alias("freq"))
-            .orderBy(F.col("freq").desc(), "a", "b")
-            .limit(1)
-        )
-        bests.append(
-            best.select(
-                F.lit(r + 1).cast("bigint").alias("merge_rank"),
-                F.col("a").alias("left_sym"),
-                F.col("b").alias("right_sym"),
-                F.col("freq").alias("pair_freq"),
-            )
-        )
-        vocab = keep_cached(
-            vocab.crossJoin(
-                F.broadcast(best.select(F.col("a").alias("pa"), F.col("b").alias("pb")))
-            ).select("word", F.expr(_T29_FOLD).alias("syms"), "cnt")
-        )
+    spark = docs.sparkSession
+    merges, _, vocab = _bpe_train_core(docs, rounds)
+    bests = [
+        spark.createDataFrame([m], _T29_TABLE_SCHEMA) for m in merges
+    ]
     return bests, vocab
 
 
@@ -202,11 +255,10 @@ def bpe_train(docs: DataFrame, rounds: int = _T29_ROUNDS) -> DataFrame:
 
     Returns (merge_rank, left_sym, right_sym, pair_freq), rank-ordered.
     """
-    bests, _ = bpe_train_state(docs, rounds)
-    out = bests[0]
-    for b in bests[1:]:
-        out = out.unionByName(b)
-    return out.orderBy("merge_rank")
+    merges, _, _ = _bpe_train_core(docs, rounds)
+    return docs.sparkSession.createDataFrame(merges, _T29_TABLE_SCHEMA).orderBy(
+        "merge_rank"
+    )
 
 
 @register("t29_bpe_train", oracle=_t29_oracle(_T29_ROUNDS))
@@ -296,13 +348,13 @@ aggregate(merges, syms, (acc, m) ->
 """
 
 
-@register("t30_bpe_encode", oracle=_T30_ORACLE)
-def t30_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source subword token statistics under the t29 tokenizer
-    (module comment): train once, re-tokenize the vocabulary with one
-    broadcast merge-table fold, join per-(source, word) counts."""
-    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
-    packed = bpe_train(docs).agg(
+def _bpe_packed_merges(spark: SparkSession, merges: list[tuple]) -> DataFrame:
+    """The collected merge table packed as ONE row holding the
+    rank-ordered (merge_rank, pa, pb) struct array — the broadcast
+    operand of the _T30_APPLY nested fold. A local relation: the rows
+    were already collected by the training loop, so no job runs here."""
+    table = spark.createDataFrame(merges, _T29_TABLE_SCHEMA)
+    return table.agg(
         F.sort_array(
             F.collect_list(
                 F.struct(
@@ -313,17 +365,20 @@ def t30_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("merges")
     )
-    vocab0 = (
-        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
-        .filter(F.col("tok") != "")
-        .groupBy(F.col("tok").alias("word"))
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .select(
-            "word",
-            F.concat(F.split("word", ""), F.array(F.lit(_T29_EOW))).alias("syms"),
-        )
-    )
-    tlen = vocab0.crossJoin(F.broadcast(packed)).select(
+
+
+@register("t30_bpe_encode", oracle=_T30_ORACLE)
+def t30_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source subword token statistics under the t29 tokenizer
+    (module comment): train once, re-tokenize the vocabulary with one
+    broadcast merge-table fold, join per-(source, word) counts."""
+    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    # Train once; reuse the loop's CACHED round-0 vocab for the
+    # re-tokenize instead of re-scanning the corpus for a second word
+    # count (round-13: one corpus-sized word-count stage, not two).
+    merges, vocab0, _ = _bpe_train_core(docs)
+    packed = _bpe_packed_merges(spark, merges)
+    tlen = vocab0.select("word", "syms").crossJoin(F.broadcast(packed)).select(
         "word", F.size(F.expr(_T30_APPLY)).cast("bigint").alias("n_tok")
     )
     swc = (
@@ -505,7 +560,11 @@ def t31_bpe_oov_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
     train = docs.filter(F.expr(_T31_TRAIN_PRED))
     held = docs.filter(F.expr(_T31_HELD_PRED))
-    table = bpe_train(train)
+    # Train once; the loop's cached round-0 vocab IS the train split's
+    # distinct-word set, so the OOV flag join reuses it instead of
+    # re-tokenizing the train corpus a second time (round-13).
+    merges, train_vocab0, _ = _bpe_train_core(train)
+    table = spark.createDataFrame(merges, _T29_TABLE_SCHEMA)
     hswc = (
         held.select("source", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
         .filter(F.col("tok") != "")
@@ -515,12 +574,7 @@ def t31_bpe_oov_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     tlen = bpe_encode_words(
         spark, table, hswc.select("word").distinct()
     ).select("word", "n_tok")
-    train_words = (
-        train.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
-        .filter(F.col("word") != "")
-        .distinct()
-        .withColumn("in_train", F.lit(1))
-    )
+    train_words = train_vocab0.select("word").withColumn("in_train", F.lit(1))
     return (
         hswc.join(tlen, "word")
         .join(train_words, "word", "left")
@@ -627,28 +681,11 @@ def p41_bpe_window_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
-    packed = bpe_train(docs).agg(
-        F.sort_array(
-            F.collect_list(
-                F.struct(
-                    "merge_rank",
-                    F.col("left_sym").alias("pa"),
-                    F.col("right_sym").alias("pb"),
-                )
-            )
-        ).alias("merges")
-    )
-    vocab0 = (
-        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
-        .filter(F.col("tok") != "")
-        .groupBy(F.col("tok").alias("word"))
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .select(
-            "word",
-            F.concat(F.split("word", ""), F.array(F.lit(_T29_EOW))).alias("syms"),
-        )
-    )
-    tlen = vocab0.crossJoin(F.broadcast(packed)).select(
+    # Train once; reuse the loop's cached round-0 vocab for the subword
+    # lengths instead of a second corpus word count (round-13).
+    merges, vocab0, _ = _bpe_train_core(docs)
+    packed = _bpe_packed_merges(spark, merges)
+    tlen = vocab0.select("word", "syms").crossJoin(F.broadcast(packed)).select(
         "word", F.size(F.expr(_T30_APPLY)).cast("bigint").alias("n_tok")
     )
     dwc = (
@@ -762,20 +799,11 @@ def t32_bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     r-th state is exact, pinned by t29's Python-BPE equivalence test).
     """
     docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
-    wc = (
-        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
-        .filter(F.col("tok") != "")
-        .groupBy(F.col("tok").alias("word"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    )
-    vocab = keep_cached(
-        wc.select(
-            "word",
-            F.concat(F.split("word", ""), F.array(F.lit(_T29_EOW))).alias("syms"),
-            "cnt",
-        )
-    )
-    n_words = wc.agg(F.sum("cnt").cast("bigint").alias("n_words"))
+    # Round-13 plan-shape fix (see _bpe_train_core): literal-fold rounds
+    # over ONE cached round-0 vocab; n_words also rolls up from that
+    # cache instead of re-scanning the corpus.
+    vocab = _bpe_vocab0(docs)
+    n_words = vocab.agg(F.sum("cnt").cast("bigint").alias("n_words"))
     checkpoints: list[DataFrame] = []
 
     def checkpoint(state: DataFrame, r: int) -> DataFrame:
@@ -787,18 +815,10 @@ def t32_bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     if 0 in _T32_CHECKPOINTS:
         checkpoints.append(checkpoint(vocab, 0))
     for r in range(1, max(_T32_CHECKPOINTS) + 1):
-        best = (
-            vocab.select(F.explode(F.expr(_T29_PAIRS)).alias("p"), "cnt")
-            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.sum("cnt").cast("bigint").alias("freq"))
-            .orderBy(F.col("freq").desc(), "a", "b")
-            .limit(1)
-        )
-        vocab = keep_cached(
-            vocab.crossJoin(
-                F.broadcast(best.select(F.col("a").alias("pa"), F.col("b").alias("pb")))
-            ).select("word", F.expr(_T29_FOLD).alias("syms"), "cnt")
-        )
+        rows = _bpe_argmax(vocab)
+        if not rows:
+            break
+        vocab = _bpe_fold(vocab, rows[0].a, rows[0].b)
         if r in _T32_CHECKPOINTS:
             checkpoints.append(checkpoint(vocab, r))
     curve = checkpoints[0]

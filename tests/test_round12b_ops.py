@@ -213,9 +213,26 @@ def test_s54_nprobe_prunes_cells_and_overlaps_exact(spark, sf_dir):
     exact = query_vectors_segmented(spark, path, queries, cents)
     probed = query_vectors_segmented(spark, path, queries, cents, nprobe=2)
     # the probed plan pushes a strictly smaller tbkt IN-set to the scans
+    # (ADVICE r12: parse the sets, don't just grep for the column name —
+    # a regression probing ALL cells must fail here)
+    import re
+
+    def tbkt_in_set(plan: str) -> set[int]:
+        # membership renders as `IN (a,b)` for short lists and
+        # `INSET a, b, ...` past inSetConversionThreshold — parse both
+        vals: set[int] = set()
+        for m in re.finditer(
+            r"tbkt#?\d*\w* (?:IN \(([^)]+)\)|INSET ([\d,\s]+))", plan
+        ):
+            vals.update(int(x) for x in re.findall(r"\d+", m.group(1) or m.group(2)))
+        return vals
+
     n_cells = cents.count()
-    plan = physical_plan(probed)
-    assert "tbkt" in plan
+    probed_cells = tbkt_in_set(physical_plan(probed))
+    exact_cells = tbkt_in_set(physical_plan(exact))
+    assert probed_cells, "probed plan pushes no tbkt IN-set"
+    assert len(probed_cells) <= 2 * len(_S54_QUERY_IDS)
+    assert len(probed_cells) < len(exact_cells) <= n_cells
     ex = {(r.query_id, r.doc_id) for r in exact.collect()}
     pr = {(r.query_id, r.doc_id) for r in probed.collect()}
     assert len(pr) > 0 and n_cells > 2
