@@ -39,6 +39,7 @@ from pyspark.sql.window import Window as W
 
 from dbt_osmosis_spark.operators import register
 from dbt_osmosis_spark.operators.caching import keep_cached
+from dbt_osmosis_spark.operators.sinks import run_sinks
 from dbt_osmosis_spark.sources.parquet import read_parquet, spread
 
 _K = 5  # top-k per query
@@ -314,11 +315,23 @@ def s32_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     (RM1-lite — Lavrenko
     & Croft, "Relevance-Based Language Models", SIGIR 2001).
 
-    Both passes reuse the same pruned-postings plan as s31; the expansion
-    relation is computed data (a few rows), broadcast into pass 2's
-    semi-join — no literal IN, no driver round-trip. The token explode
-    recomputes per pass by design: at corpus scale, re-scanning beats
-    caching a corpus-sized exploded relation.
+    Both passes reuse the same pruned-postings plan as s31; the token
+    explode recomputes per pass by design: at corpus scale, re-scanning
+    beats caching a corpus-sized exploded relation.
+
+    Round 13 (guide §7.2 "duplicated subtrees" / §3.3 "planning time
+    itself can become the bottleneck"): the expanded term set is now
+    COLLECTED (≤ queries × _S32_EXP = 6 rows — metadata-sized, the
+    argmax-collect discipline of t29/s40/s54) and re-issued as a literal
+    relation, instead of staying lazy inside pass 2's plan. The lazy
+    form embedded pass 1's whole ~20-exchange subtree FOUR times inside
+    pass 2 (allterms → exp_terms → fb → pass-1 scores, referenced from
+    both the semi-join prune and the qterms scoring join, each under
+    both the tf and df branches): 93 textual Exchanges, most of the
+    wall driver-side planning + re-execution of pass 1. Collecting the
+    6-row boundary truncates the plan exactly like the BPE argmax fix;
+    the rows are deterministic (rank-ordered window), so results are
+    unchanged (oracle re-verified).
     """
     docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
     toks = _tokens(docs)
@@ -352,12 +365,16 @@ def s32_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("fb_tf"))
     )
     exp_w = W.partitionBy("query_id").orderBy(F.col("fb_tf").desc(), F.col("term"))
-    exp_terms = (
-        cand.withColumn("rnk", F.row_number().over(exp_w))
+    exp_rows = [
+        (r.query_id, r.term)
+        for r in cand.withColumn("rnk", F.row_number().over(exp_w))
         .filter(F.col("rnk") <= _S32_EXP)
         .select("query_id", "term")
+        .collect()
+    ]
+    allterms = spark.createDataFrame(
+        list(_QUERY_TERMS) + exp_rows, "query_id string, term string"
     )
-    allterms = qterms.unionByName(exp_terms)
 
     final_w = W.partitionBy("query_id").orderBy(
         F.col("score_micros").desc(), F.col("doc_id")
@@ -636,26 +653,42 @@ def write_postings_index(spark: SparkSession, docs: DataFrame, path: str) -> Non
     (doc, term) tf, per-doc dl and per-term df aggregates; postings are
     denormalized to (term, doc_id, tf, dl, df) and written partitioned by
     the md5 term bucket; the 1-row corpus stats relation is persisted
-    beside them so serving never touches the base table."""
-    toks = _tokens(docs)
-    tf = toks.groupBy("doc_id", F.col("tok").alias("term")).agg(
-        F.count(F.lit(1)).alias("tf")
+    beside them so serving never touches the base table.
+
+    Round 13 (guide §1.2): tf is persisted for the span of the build and
+    dl/df roll up FROM it (dl = Σ_term tf — exact), so the one corpus
+    tokenize runs once instead of three times inside the postings write
+    (tf + df + dl branches) plus once more for the stats write. tf is
+    (doc, term)-aggregated — far smaller than the exploded tokens — and
+    persist() spills to disk at scale."""
+    tf = (
+        _tokens(docs)
+        .groupBy("doc_id", F.col("tok").alias("term"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    postings = (
-        tf.join(df_rel, "term")
-        .join(dl, "doc_id")
-        .withColumn("tbkt", F.expr(_S34_SPARK_TBKT))
-    )
-    (
-        postings.select("term", "doc_id", "tf", "dl", "df", "tbkt")
-        .repartition("tbkt")
-        .write.partitionBy("tbkt")
-        .mode("overwrite")
-        .parquet(f"{path}/postings")
-    )
-    _corpus_stats(docs, dl).write.mode("overwrite").parquet(f"{path}/stats")
+    try:
+        dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        postings = (
+            tf.join(df_rel, "term")
+            .join(dl, "doc_id")
+            .withColumn("tbkt", F.expr(_S34_SPARK_TBKT))
+        )
+        run_sinks(
+            lambda: (
+                postings.select("term", "doc_id", "tf", "dl", "df", "tbkt")
+                .repartition("tbkt")
+                .write.partitionBy("tbkt")
+                .mode("overwrite")
+                .parquet(f"{path}/postings")
+            ),
+            lambda: _corpus_stats(docs, dl)
+            .write.mode("overwrite")
+            .parquet(f"{path}/stats"),
+        )
+    finally:
+        tf.unpersist()
 
 
 def query_postings_index(
@@ -895,6 +928,17 @@ def s35_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pruned query-term postings, never the full corpus; the metric
     joins touch only run-sized relations with broadcast discount/qrel
     sides.
+
+    Round 13 note (measured, deliberately left lazy): collecting the two
+    15-row run lists and re-issuing them as literal relations (the s32
+    plan-truncation move) was tried and REVERTED — it regressed 5.7 s →
+    7.4 s at sf0.1. The lazy union's apparent 93-Exchange plan is cheap
+    to execute because s31's and s33's lexical subtrees share the same
+    keep_cached tf/dl relations (identical logical plans → one cache
+    entry), so the duplicated subtrees above the caches are tiny ranked
+    relations; eager decomposition paid each system's full serial wall
+    instead. Guide §1.1: the empirical loop overrides the plan
+    aesthetics.
     """
     s31_run = (
         s31_bm25_topk(spark, sf_dir)
@@ -1023,39 +1067,64 @@ def ingest_postings_batch(
     — the honest gap s39's delete path had before this sidecar). The
     sidecar is doc-sized, far smaller than the postings, so the delete
     apply that reads it is cheaper too.
+
+    Round 13 (guide §1.2 "don't compute things you throw away" — the
+    ingest_segment move): ONE tokenize feeds all four sinks. tf is
+    persisted for the span of the call (batch-vocab-sized, far smaller
+    than the exploded tokens) and dl derives from it by summing per-doc
+    term frequencies (Σ_term tf(doc, term) ≡ count of non-empty tokens
+    — exact, not an approximation), so the r12 form's four independent
+    corpus-of-the-batch explodes (doclen, postings×2 branches,
+    termstats, stats) collapse into one explode + cached-tf rollups.
+    The four sinks write to disjoint directories and are submitted
+    concurrently (guide §2.6) so each job's straggler tail back-fills
+    with the next job's tasks instead of idling the cluster.
     """
-    toks = _tokens(docs_batch)
-    tf = toks.groupBy("doc_id", F.col("tok").alias("term")).agg(
-        F.count(F.lit(1)).alias("tf")
+    tf = (
+        _tokens(docs_batch)
+        .groupBy("doc_id", F.col("tok").alias("term"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    mode = "overwrite" if ingest_id == 0 else "append"
-    (
-        docs_batch.select("doc_id")
-        .join(dl, "doc_id", "left")
-        .select("doc_id", F.coalesce(F.col("dl"), F.lit(0)).cast("bigint").alias("dl"))
-        .write.mode("overwrite")
-        .parquet(f"{path}/doclen/ingest={ingest_id}")
-    )
-    (
-        tf.join(dl, "doc_id")
-        .withColumn("tbkt", F.expr(_S34_SPARK_TBKT))
-        .select("term", "doc_id", "tf", "dl", "tbkt")
-        .repartition("tbkt")
-        .write.partitionBy("tbkt")
-        .mode(mode)
-        .parquet(f"{path}/postings")
-    )
-    tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/termstats/ingest={ingest_id}")
-    (
-        docs_batch.agg(F.count(F.lit(1)).alias("n_docs"))
-        # an all-empty batch has no dl rows: its token mass is the integer 0
-        .crossJoin(dl.agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl")))
-        .write.mode("overwrite")
-        .parquet(f"{path}/stats/ingest={ingest_id}")
-    )
+    try:
+        dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        mode = "overwrite" if ingest_id == 0 else "append"
+        run_sinks(
+            lambda: (
+                docs_batch.select("doc_id")
+                .join(dl, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce(F.col("dl"), F.lit(0)).cast("bigint").alias("dl"),
+                )
+                .write.mode("overwrite")
+                .parquet(f"{path}/doclen/ingest={ingest_id}")
+            ),
+            lambda: (
+                tf.join(dl, "doc_id")
+                .withColumn("tbkt", F.expr(_S34_SPARK_TBKT))
+                .select("term", "doc_id", "tf", "dl", "tbkt")
+                .repartition("tbkt")
+                .write.partitionBy("tbkt")
+                .mode(mode)
+                .parquet(f"{path}/postings")
+            ),
+            lambda: (
+                tf.groupBy("term")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .write.mode("overwrite")
+                .parquet(f"{path}/termstats/ingest={ingest_id}")
+            ),
+            lambda: (
+                docs_batch.agg(F.count(F.lit(1)).alias("n_docs"))
+                # an all-empty batch has no dl rows: its token mass is 0
+                .crossJoin(dl.agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl")))
+                .write.mode("overwrite")
+                .parquet(f"{path}/stats/ingest={ingest_id}")
+            ),
+        )
+    finally:
+        tf.unpersist()
 
 
 def query_incremental_postings(

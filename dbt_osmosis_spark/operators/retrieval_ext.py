@@ -63,6 +63,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from dbt_osmosis_spark.operators import register
+from dbt_osmosis_spark.operators.sinks import run_sinks
 from dbt_osmosis_spark.operators.retrieval import (
     _BUCKETS,
     _CONTRIB,
@@ -622,7 +623,14 @@ def write_positional_index(spark: SparkSession, docs: DataFrame, path: str) -> N
     docs) and the one-row corpus stats, making the layout a COMPLETE
     index: BM25 serves from it too (s45 below), since tf/df are
     derivable from positions — store positions once, derive frequencies
-    (the Lucene discipline)."""
+    (the Lucene discipline).
+
+    Round 13 (guide §1.2, the ingest_positional_segment move): the
+    positional relation is persisted for the span of the build and the
+    doclen/stats sinks roll up from it (dl = count of a doc's position
+    rows — exact: pos holds one row per non-empty token), so the
+    tokenize+window runs once instead of three times (the r12 form
+    re-tokenized for dl and again inside the stats write)."""
     raw = docs.select(
         "doc_id",
         F.posexplode(F.split(F.lower("text"), " ")).alias("rawpos", "tok"),
@@ -637,24 +645,34 @@ def write_positional_index(spark: SparkSession, docs: DataFrame, path: str) -> N
         )
         .select(F.col("tok").alias("term"), "doc_id", "pos")
         .withColumn("tbkt", F.expr(_S34_SPARK_TBKT))
-    )
-    (
-        pos.repartition("tbkt")
-        .write.partitionBy("tbkt")
-        .mode("overwrite")
-        .parquet(f"{path}/postings")
-    )
-    dl = (
-        docs.select("doc_id")
-        .join(
-            _tokens(docs).groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")),
-            "doc_id",
-            "left",
+    ).persist()
+    try:
+        dl = (
+            docs.select("doc_id")
+            .join(
+                pos.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")),
+                "doc_id",
+                "left",
+            )
+            .select(
+                "doc_id", F.coalesce(F.col("dl"), F.lit(0)).cast("bigint").alias("dl")
+            )
         )
-        .select("doc_id", F.coalesce(F.col("dl"), F.lit(0)).cast("bigint").alias("dl"))
-    )
-    dl.write.mode("overwrite").parquet(f"{path}/doclen")
-    _corpus_stats(docs, dl).write.mode("overwrite").parquet(f"{path}/stats")
+        # three disjoint-directory sinks, submitted concurrently (§2.6)
+        run_sinks(
+            lambda: (
+                pos.repartition("tbkt")
+                .write.partitionBy("tbkt")
+                .mode("overwrite")
+                .parquet(f"{path}/postings")
+            ),
+            lambda: dl.write.mode("overwrite").parquet(f"{path}/doclen"),
+            lambda: _corpus_stats(docs, dl)
+            .write.mode("overwrite")
+            .parquet(f"{path}/stats"),
+        )
+    finally:
+        pos.unpersist()
 
 
 def query_phrase_index(
@@ -1166,36 +1184,49 @@ def _upsert_supersede(
     if not prior_segs:
         return
     batch_ids = docs_batch.select("doc_id").distinct()
-    prior_dl = _read_segments_tagged(spark, path, prior_segs, "doclen").join(
-        batch_ids, "doc_id", "left_semi"
+    # prior_dl feeds BOTH sinks (tombstone ids + latest-live stats);
+    # persisted for the call so the doclen semi-join runs once, and the
+    # two disjoint-directory sinks run concurrently (guide §2.6 — the
+    # stats side's tombstone read excludes this partition by value, so
+    # it never races the concurrent tombstone write).
+    prior_dl = (
+        _read_segments_tagged(spark, path, prior_segs, "doclen")
+        .join(batch_ids, "doc_id", "left_semi")
+        .persist()
     )
-    own_part = _delete_partition_value(path, _UPSERT_TOMB_NS + seg_id)
-    (
-        prior_dl.select("doc_id")
-        .distinct()
-        .withColumn("gen", F.lit(seg_id - 1).cast("bigint"))
-        .write.mode("overwrite")
-        .parquet(f"{path}/deletes/delete={own_part}")
-    )
-    existing = _scoped_tombstones(spark, path, exclude_delete_id=own_part)
-    live_prior = _apply_scoped_tombstones(prior_dl, existing)
-    latest = (
-        live_prior.withColumn(
-            "_rn",
-            F.row_number().over(
-                W.partitionBy("doc_id").orderBy(F.col("seg_gen").desc())
+    try:
+        own_part = _delete_partition_value(path, _UPSERT_TOMB_NS + seg_id)
+        existing = _scoped_tombstones(spark, path, exclude_delete_id=own_part)
+        live_prior = _apply_scoped_tombstones(prior_dl, existing)
+        latest = (
+            live_prior.withColumn(
+                "_rn",
+                F.row_number().over(
+                    W.partitionBy("doc_id").orderBy(F.col("seg_gen").desc())
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .select("doc_id", "dl")
+        )
+        run_sinks(
+            lambda: (
+                prior_dl.select("doc_id")
+                .distinct()
+                .withColumn("gen", F.lit(seg_id - 1).cast("bigint"))
+                .write.mode("overwrite")
+                .parquet(f"{path}/deletes/delete={own_part}")
+            ),
+            lambda: (
+                latest.agg(
+                    (-F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+                    (-F.coalesce(F.sum("dl"), F.lit(0))).cast("bigint").alias("sum_dl"),
+                )
+                .write.mode("overwrite")
+                .parquet(f"{path}/stats/part=upsert-{own_part}")
             ),
         )
-        .filter(F.col("_rn") == 1)
-        .select("doc_id", "dl")
-    )
-    (
-        latest.agg(
-            (-F.count(F.lit(1))).cast("bigint").alias("n_docs"),
-            (-F.coalesce(F.sum("dl"), F.lit(0))).cast("bigint").alias("sum_dl"),
-        ).write.mode("overwrite")
-        .parquet(f"{path}/stats/part=upsert-{own_part}")
-    )
+    finally:
+        prior_dl.unpersist()
 
 
 def ingest_segment(
@@ -1209,47 +1240,56 @@ def ingest_segment(
     superseded (_upsert_supersede), so re-ingesting a revised document
     serves the revision.
 
-    Round 13: the exploded token relation is persisted for the span of
-    the ingest — the postings, termset, doclen and stats jobs each
-    derive from it, and the r12 form re-ran the tokenize for every one
-    of them (4 corpus-of-the-batch passes + a read-back of the written
-    segment). One tokenize now feeds all four sinks; batch-sized (a
-    micro-batch, never the corpus), released before returning."""
-    toks = _s44_tokens(docs_batch).persist()
+    Round 13: ONE tokenize feeds all four sinks — the term-aggregated tf
+    relation is persisted for the span of the ingest (batch-sized, far
+    smaller than the raw explode the first r13 tranche persisted) and
+    the r12 form's per-sink re-tokenizations (+ a read-back of the
+    written segment) are gone; the four independent sinks are submitted
+    concurrently (guide §2.6). Released before returning."""
+    tf = (
+        _s44_tokens(docs_batch)
+        .groupBy("doc_id", F.col("tok").alias("term"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
     try:
-        tf = toks.groupBy("doc_id", F.col("tok").alias("term")).agg(
-            F.count(F.lit(1)).alias("tf")
-        )
-        dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-        _write_bucketed(
-            spark,
-            tf.join(dl, "doc_id")
-            .withColumn("tbkt", F.expr(_S34_SPARK_TBKT))
-            .select("term", "doc_id", "tf", "dl", "tbkt"),
-            f"{path}/seg-{seg_id}/postings",
-        )
-        _write_termset(spark, f"{path}/seg-{seg_id}", tf)
-        (
-            docs_batch.select("doc_id")
-            .join(dl, "doc_id", "left")
-            .select(
-                "doc_id", F.coalesce(F.col("dl"), F.lit(0)).cast("bigint").alias("dl")
-            )
-            .write.mode("overwrite")
-            .parquet(f"{path}/seg-{seg_id}/doclen")
-        )
-        (
-            docs_batch.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-            .crossJoin(
-                dl.agg(
-                    F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("sum_dl")
+        # dl = Σ_term tf — exact (tf counts every non-empty token), so the
+        # persisted relation is the (smaller) term-aggregated tf, not the
+        # raw explode, and all four sinks roll up from it. The sinks write
+        # disjoint directories and run concurrently (guide §2.6).
+        dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        run_sinks(
+            lambda: _write_bucketed(
+                spark,
+                tf.join(dl, "doc_id")
+                .withColumn("tbkt", F.expr(_S34_SPARK_TBKT))
+                .select("term", "doc_id", "tf", "dl", "tbkt"),
+                f"{path}/seg-{seg_id}/postings",
+            ),
+            lambda: _write_termset(spark, f"{path}/seg-{seg_id}", tf),
+            lambda: (
+                docs_batch.select("doc_id")
+                .join(dl, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce(F.col("dl"), F.lit(0)).cast("bigint").alias("dl"),
                 )
-            )
-            .write.mode("overwrite")
-            .parquet(f"{path}/stats/part=ingest-{seg_id}")
+                .write.mode("overwrite")
+                .parquet(f"{path}/seg-{seg_id}/doclen")
+            ),
+            lambda: (
+                docs_batch.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+                .crossJoin(
+                    dl.agg(
+                        F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("sum_dl")
+                    )
+                )
+                .write.mode("overwrite")
+                .parquet(f"{path}/stats/part=ingest-{seg_id}")
+            ),
         )
     finally:
-        toks.unpersist()
+        tf.unpersist()
     if upsert:
         _upsert_supersede(spark, docs_batch, path, seg_id)
 
@@ -1286,19 +1326,16 @@ def delete_segmented(
     part = _delete_partition_value(path, delete_id)
     segs = _live_segments(path)
     cur_gen = max((_seg_id(s) for s in segs), default=-1)
-    (
-        doc_ids.select("doc_id")
-        .distinct()
-        .withColumn("gen", F.lit(cur_gen).cast("bigint"))
-        .write.mode("overwrite")
-        .parquet(f"{path}/deletes/delete={part}")
-    )
+    ids = doc_ids.select("doc_id").distinct()
     if segs:
-        gone = spark.read.parquet(f"{path}/deletes/delete={part}").select(
-            "doc_id"
-        )
+        # round 13: the stats delta derives from the IN-FLIGHT distinct
+        # id relation (identical content to the tombstone partition the
+        # r12 form read back after writing it), so the two sinks are
+        # independent and run concurrently (guide §2.6). The scoped-
+        # tombstone read excludes this batch's partition by value, so
+        # it never races the concurrent tombstone write.
         mine = _read_segments_tagged(spark, path, segs, "doclen").join(
-            F.broadcast(gone), "doc_id", "left_semi"
+            F.broadcast(ids), "doc_id", "left_semi"
         )
         prior = _scoped_tombstones(spark, path, exclude_delete_id=part)
         doc_dl = (
@@ -1314,12 +1351,20 @@ def delete_segmented(
         )
     else:
         doc_dl = spark.createDataFrame([], "doc_id bigint, dl bigint")
-    (
-        doc_dl.agg(
-            (-F.count(F.lit(1))).cast("bigint").alias("n_docs"),
-            (-F.coalesce(F.sum("dl"), F.lit(0))).cast("bigint").alias("sum_dl"),
-        ).write.mode("overwrite")
-        .parquet(f"{path}/stats/part=delete-{part}")
+    run_sinks(
+        lambda: (
+            ids.withColumn("gen", F.lit(cur_gen).cast("bigint"))
+            .write.mode("overwrite")
+            .parquet(f"{path}/deletes/delete={part}")
+        ),
+        lambda: (
+            doc_dl.agg(
+                (-F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+                (-F.coalesce(F.sum("dl"), F.lit(0))).cast("bigint").alias("sum_dl"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{path}/stats/part=delete-{part}")
+        ),
     )
 
 
@@ -1365,35 +1410,43 @@ def compact_segments(spark: SparkSession, path: str) -> dict[str, int]:
     # live by construction, so collapsing them into the (highest-gen)
     # new segment cannot resurrect or shadow anything.
     merged_postings = _apply_scoped_tombstones(postings, tombs).drop("seg_gen")
-    _write_bucketed(spark, merged_postings, f"{path}/{new_seg}/postings")
-    # termset from the in-flight merge relation (round 13): a
-    # column-pruned second pass over the merged inputs' term column
-    # instead of a full read-back of the segment just written — and no
-    # schema-inference crash when every merged row was tombstoned.
-    _write_termset(spark, f"{path}/{new_seg}", merged_postings)
     merged_doclen = _apply_scoped_tombstones(doclen, tombs).drop("seg_gen")
-    merged_doclen.write.mode("overwrite").parquet(f"{path}/{new_seg}/doclen")
     retired_now = sorted(
         set(_live_delete_parts(path)) | set(_retired_delete_parts(path))
     )
+    # Round 13 (guide §2.6): the merged-segment sinks (postings, termset
+    # — derived from the in-flight merge relation, no read-back of the
+    # file just written — doclen, and the tombstone-survivor partition)
+    # all write disjoint directories and are submitted concurrently; the
+    # atomic manifest publish still happens strictly after every sink
+    # has landed, so the consistency discipline is unchanged.
+    sinks = [
+        lambda: _write_bucketed(spark, merged_postings, f"{path}/{new_seg}/postings"),
+        lambda: _write_termset(spark, f"{path}/{new_seg}", merged_postings),
+        lambda: merged_doclen.write.mode("overwrite").parquet(
+            f"{path}/{new_seg}/doclen"
+        ),
+    ]
     if _os.path.isdir(f"{path}/deletes"):
         # survivors = tombstones still referencing a kept segment's docs
         # (the base's dead rows are still physically present; the merged
         # segments' dead rows are gone, so their tombstones retire).
         # Membership comes from the kept DOCLEN sidecars — doc-sized,
         # never an index scan. gen scoping is preserved on the rows
-        # (round 13: the new segment's side uses the in-flight merged
-        # doclen relation, saving the read-back of the file just
-        # written; equal content by construction).
+        # (the new segment's side uses the in-flight merged doclen
+        # relation; equal content by construction).
         kept_docs = (
             _read_segments_tagged(spark, path, [base], "doclen")
             .select("doc_id")
             .unionByName(merged_doclen.select("doc_id"))
         )
         survivors = tombs.join(kept_docs, "doc_id", "left_semi")
-        survivors.write.mode("overwrite").parquet(
-            f"{path}/deletes/delete={_COMPACT_TOMB_NS + new_mgen}"
+        sinks.append(
+            lambda: survivors.write.mode("overwrite").parquet(
+                f"{path}/deletes/delete={_COMPACT_TOMB_NS + new_mgen}"
+            )
         )
+    run_sinks(*sinks)
     manifest = {
         "gen": new_mgen,
         "segments": [base, new_seg],
@@ -1925,27 +1978,32 @@ def ingest_positional_segment(
         .withColumn("tbkt", F.expr(_S34_SPARK_TBKT))
     ).persist()
     try:
-        _write_bucketed(spark, pos, f"{path}/seg-{seg_id}/postings")
-        _write_termset(spark, f"{path}/seg-{seg_id}", pos)
         dl = pos.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-        (
-            docs_batch.select("doc_id")
-            .join(dl, "doc_id", "left")
-            .select(
-                "doc_id", F.coalesce(F.col("dl"), F.lit(0)).cast("bigint").alias("dl")
-            )
-            .write.mode("overwrite")
-            .parquet(f"{path}/seg-{seg_id}/doclen")
-        )
-        (
-            docs_batch.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-            .crossJoin(
-                dl.agg(
-                    F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("sum_dl")
+        # four disjoint-directory sinks off the one persisted positional
+        # relation, submitted concurrently (guide §2.6)
+        run_sinks(
+            lambda: _write_bucketed(spark, pos, f"{path}/seg-{seg_id}/postings"),
+            lambda: _write_termset(spark, f"{path}/seg-{seg_id}", pos),
+            lambda: (
+                docs_batch.select("doc_id")
+                .join(dl, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce(F.col("dl"), F.lit(0)).cast("bigint").alias("dl"),
                 )
-            )
-            .write.mode("overwrite")
-            .parquet(f"{path}/stats/part=ingest-{seg_id}")
+                .write.mode("overwrite")
+                .parquet(f"{path}/seg-{seg_id}/doclen")
+            ),
+            lambda: (
+                docs_batch.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+                .crossJoin(
+                    dl.agg(
+                        F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("sum_dl")
+                    )
+                )
+                .write.mode("overwrite")
+                .parquet(f"{path}/stats/part=ingest-{seg_id}")
+            ),
         )
     finally:
         pos.unpersist()

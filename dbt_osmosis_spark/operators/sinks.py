@@ -1,0 +1,50 @@
+"""Concurrent independent sink jobs (optimization guide §2.6).
+
+The index build/ingest operators end in several INDEPENDENT write jobs
+(postings, termset, doclen, stats) that all derive from one persisted
+in-flight relation. Driver code calling them sequentially serializes the
+cluster: each job's straggler tail leaves every other core idle while
+the next job waits on the driver. Spark's scheduler happily runs several
+jobs at once inside one application — actions are only sequential
+because driver code calls them sequentially — so these sinks are
+submitted from a small thread pool and the next job's tasks back-fill
+executors freed by the previous job's tail.
+
+Correctness notes:
+- Every sink writes to its OWN directory (idempotent overwrite), so
+  ordering between them is irrelevant; the exactly-once replay contract
+  is unchanged.
+- Concurrent materialization of a shared persisted relation is safe:
+  the block manager computes each cached partition once and other
+  threads wait for it.
+- Job descriptions/groups are thread-local in Spark, so concurrently
+  submitted sinks stay individually labelled in the UI.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from concurrent.futures import ThreadPoolExecutor
+
+# 2-3 jobs in flight is plenty (guide §2.6): enough to fill the tail,
+# not so many that they fight for executors.
+_MAX_INFLIGHT = 3
+
+
+def run_sinks(*thunks: Callable[[], None]) -> None:
+    """Run independent write jobs concurrently; re-raise the first
+    failure after every job has finished (no partially-awaited pool)."""
+    if len(thunks) <= 1:
+        for t in thunks:
+            t()
+        return
+    with ThreadPoolExecutor(max_workers=min(_MAX_INFLIGHT, len(thunks))) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        errs = []
+        for f in futures:
+            try:
+                f.result()
+            except BaseException as exc:  # noqa: BLE001 - collected and re-raised
+                errs.append(exc)
+        if errs:
+            raise errs[0]

@@ -77,8 +77,17 @@ def test_termset_sidecar_equals_written_postings_terms(spark):
 def test_compacted_termset_equals_written_postings_terms(spark):
     path = _scratch("r13-ts-compact")
     shutil.rmtree(path, ignore_errors=True)
+    # seg-0 must be the size-tiered BASE (largest on disk): at toy scale
+    # per-file parquet overhead rivals data bytes, so make its data
+    # unambiguously dominate rather than assume 3 tiny docs outweigh 1.
     ingest_positional_segment(
-        spark, _docs(spark, [(1, "alpha beta"), (2, "beta gamma"), (3, "alpha")]), path, 0
+        spark,
+        _docs(
+            spark,
+            [(1, "alpha beta " * 40), (2, "beta gamma " * 40), (3, "alpha " * 80)],
+        ),
+        path,
+        0,
     )
     ingest_positional_segment(spark, _docs(spark, [(4, "delta")]), path, 1)
     ingest_positional_segment(spark, _docs(spark, [(5, "epsilon")]), path, 2)
