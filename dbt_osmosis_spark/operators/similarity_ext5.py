@@ -40,6 +40,7 @@ from pyspark.sql.window import Window as W
 
 from dbt_osmosis_spark.operators import register
 from dbt_osmosis_spark.operators.retrieval import _BUCKETS
+from dbt_osmosis_spark.operators.sinks import run_sinks
 from dbt_osmosis_spark.operators.retrieval_ext import (
     _apply_scoped_tombstones,
     _live_segments,
@@ -106,22 +107,29 @@ def ingest_vector_segment(
     # _write_bucketed (round 13): same partitioned write, plus the
     # empty-batch hardening — an empty streamed micro-batch must not
     # leave a schema-less postings dir behind (ADVICE r12 shape).
-    _write_bucketed(
-        spark,
-        assigned.select("doc_id", "v", "label", "tbkt"),
-        f"{path}/seg-{seg_id}/postings",
-    )
-    (
-        vecs_batch.select("doc_id")
-        .withColumn("dl", F.lit(1).cast("bigint"))
-        .write.mode("overwrite")
-        .parquet(f"{path}/seg-{seg_id}/doclen")
-    )
-    (
-        vecs_batch.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-        .withColumn("sum_dl", F.col("n_docs"))
-        .write.mode("overwrite")
-        .parquet(f"{path}/stats/part=ingest-{seg_id}")
+    # The three sinks write disjoint directories and are independent
+    # (doclen/stats are column-pruned scans of the batch, never of the
+    # assigned relation), so they are submitted concurrently (guide
+    # §2.6) and the partitioned postings write's straggler tail
+    # back-fills with the doclen/stats tasks.
+    run_sinks(
+        lambda: _write_bucketed(
+            spark,
+            assigned.select("doc_id", "v", "label", "tbkt"),
+            f"{path}/seg-{seg_id}/postings",
+        ),
+        lambda: (
+            vecs_batch.select("doc_id")
+            .withColumn("dl", F.lit(1).cast("bigint"))
+            .write.mode("overwrite")
+            .parquet(f"{path}/seg-{seg_id}/doclen")
+        ),
+        lambda: (
+            vecs_batch.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+            .withColumn("sum_dl", F.col("n_docs"))
+            .write.mode("overwrite")
+            .parquet(f"{path}/stats/part=ingest-{seg_id}")
+        ),
     )
     if upsert:
         _upsert_supersede(spark, vecs_batch, path, seg_id)
@@ -232,28 +240,49 @@ def retrain_vector_index(
     if not segs:
         return {"retrained": False}
     tombs = _scoped_tombstones(spark, path)
-    live = _apply_scoped_tombstones(
-        _read_segments_tagged(spark, path, segs, "postings"), tombs
-    ).select("doc_id", "v", "label")
+    # Round 13 (guide §5 / §1.2): the LIVE relation — every segment's
+    # postings with the tombstone anti-join applied — feeds the Lloyd
+    # seed pass, every Lloyd round's reassignment, and the re-partition
+    # write: rounds+2 corpus-sized passes that each re-read the segments
+    # and re-run the anti-join in the r12 form. Persist it once for the
+    # span of the retrain (spills to disk at scale) and release it
+    # before returning.
+    live = (
+        _apply_scoped_tombstones(
+            _read_segments_tagged(spark, path, segs, "postings"), tombs
+        )
+        .select("doc_id", "v", "label")
+        .persist()
+    )
     new_mgen = (_manifest_gen(path) or 0) + 1
     new_seg = f"cseg-{new_mgen}-{max(_seg_id(s) for s in segs)}"
     cents_dir = f"centroids-g{new_mgen}"
-    lloyd_train(live, rounds).write.mode("overwrite").parquet(f"{path}/{cents_dir}")
-    cents = spark.read.parquet(f"{path}/{cents_dir}")
-    assigned = _assign(live, cents).withColumn("tbkt", F.col("cell").cast("int"))
-    _write_bucketed(
-        spark,
-        assigned.select("doc_id", "v", "label", "tbkt"),
-        f"{path}/{new_seg}/postings",
-    )
-    (
-        _apply_scoped_tombstones(
-            _read_segments_tagged(spark, path, segs, "doclen"), tombs
+    try:
+        lloyd_train(live, rounds).write.mode("overwrite").parquet(
+            f"{path}/{cents_dir}"
         )
-        .select("doc_id", "dl")
-        .write.mode("overwrite")
-        .parquet(f"{path}/{new_seg}/doclen")
-    )
+        cents = spark.read.parquet(f"{path}/{cents_dir}")
+        assigned = _assign(live, cents).withColumn("tbkt", F.col("cell").cast("int"))
+        # two disjoint-directory sinks, submitted concurrently (§2.6);
+        # the doclen merge is doc-sized and back-fills the partitioned
+        # postings write's straggler tail
+        run_sinks(
+            lambda: _write_bucketed(
+                spark,
+                assigned.select("doc_id", "v", "label", "tbkt"),
+                f"{path}/{new_seg}/postings",
+            ),
+            lambda: (
+                _apply_scoped_tombstones(
+                    _read_segments_tagged(spark, path, segs, "doclen"), tombs
+                )
+                .select("doc_id", "dl")
+                .write.mode("overwrite")
+                .parquet(f"{path}/{new_seg}/doclen")
+            ),
+        )
+    finally:
+        live.unpersist()
     manifest = {
         "gen": new_mgen,
         "segments": [new_seg],
