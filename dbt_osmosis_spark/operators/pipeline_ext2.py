@@ -530,7 +530,15 @@ def p31_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     contaminated = (
         fuzzy_contamination_pairs(train, eval_docs).select("doc_id").distinct()
     )
-    clean = gated.join(contaminated, "doc_id", "left_anti")
+    # Round 13 (guide §5, §1.2): `clean` feeds BOTH the LSH component
+    # chain and the quality-feature branch; left lazy, the whole
+    # upstream — gopher featurization of the corpus plus the
+    # LSH-decontamination anti-join (itself two MinHash passes over the
+    # corpus) — executed twice. Persist it once for the operator's span
+    # (keep_cached releases it when the next operator starts).
+    from dbt_osmosis_spark.operators.caching import keep_cached
+
+    clean = gated.join(contaminated, "doc_id", "left_anti").transform(keep_cached)
 
     comp = lsh_components(clean).select(F.col("id").alias("doc_id"), "component")
     tok = F.split(F.trim(F.col("text")), " ")

@@ -1659,9 +1659,22 @@ def s44_tiered_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
     path = _s44_layout_path(sf_dir)
     shutil.rmtree(path, ignore_errors=True)
-    ingest_segment(spark, docs.filter(F.col("doc_id") % 10 < 8), path, 0)
-    ingest_segment(spark, docs.filter(F.col("doc_id") % 10 == 8), path, 1)
-    ingest_segment(spark, docs.filter(F.col("doc_id") % 10 == 9), path, 2)
+    # Round 13 (guide §2.6): the three ingests write disjoint segment
+    # dirs + stats partitions and their doc slices are disjoint by
+    # construction (%10 <8 / ==8 / ==9), so the upsert supersede pass is
+    # a provable no-op — skipped (upsert=False) and the three ingest
+    # jobs submitted concurrently instead of serially.
+    run_sinks(
+        lambda: ingest_segment(
+            spark, docs.filter(F.col("doc_id") % 10 < 8), path, 0, upsert=False
+        ),
+        lambda: ingest_segment(
+            spark, docs.filter(F.col("doc_id") % 10 == 8), path, 1, upsert=False
+        ),
+        lambda: ingest_segment(
+            spark, docs.filter(F.col("doc_id") % 10 == 9), path, 2, upsert=False
+        ),
+    )
     delete_segmented(
         spark,
         path,
@@ -2058,9 +2071,19 @@ def s47_positional_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
     path = _s47_layout_path(sf_dir)
     shutil.rmtree(path, ignore_errors=True)
-    ingest_positional_segment(spark, docs.filter(F.col("doc_id") % 10 < 8), path, 0)
-    ingest_positional_segment(spark, docs.filter(F.col("doc_id") % 10 == 8), path, 1)
-    ingest_positional_segment(spark, docs.filter(F.col("doc_id") % 10 == 9), path, 2)
+    # guide §2.6: disjoint slices (%10 <8/==8/==9) into disjoint segment
+    # dirs — upsert is a provable no-op, ingests submitted concurrently
+    run_sinks(
+        lambda: ingest_positional_segment(
+            spark, docs.filter(F.col("doc_id") % 10 < 8), path, 0, upsert=False
+        ),
+        lambda: ingest_positional_segment(
+            spark, docs.filter(F.col("doc_id") % 10 == 8), path, 1, upsert=False
+        ),
+        lambda: ingest_positional_segment(
+            spark, docs.filter(F.col("doc_id") % 10 == 9), path, 2, upsert=False
+        ),
+    )
     delete_segmented(
         spark,
         path,
@@ -2170,9 +2193,19 @@ def s48_bm25_maintained_positional(spark: SparkSession, sf_dir: str) -> DataFram
     docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
     path = _s47_layout_path(sf_dir) + "-bm"
     shutil.rmtree(path, ignore_errors=True)
-    ingest_positional_segment(spark, docs.filter(F.col("doc_id") % 10 < 8), path, 0)
-    ingest_positional_segment(spark, docs.filter(F.col("doc_id") % 10 == 8), path, 1)
-    ingest_positional_segment(spark, docs.filter(F.col("doc_id") % 10 == 9), path, 2)
+    # guide §2.6: disjoint slices into disjoint segment dirs — upsert is
+    # a provable no-op, ingests submitted concurrently (s47's rationale)
+    run_sinks(
+        lambda: ingest_positional_segment(
+            spark, docs.filter(F.col("doc_id") % 10 < 8), path, 0, upsert=False
+        ),
+        lambda: ingest_positional_segment(
+            spark, docs.filter(F.col("doc_id") % 10 == 8), path, 1, upsert=False
+        ),
+        lambda: ingest_positional_segment(
+            spark, docs.filter(F.col("doc_id") % 10 == 9), path, 2, upsert=False
+        ),
+    )
     delete_segmented(
         spark,
         path,
@@ -2296,8 +2329,18 @@ def s49_reingest_upsert_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
     path = _s47_layout_path(sf_dir) + "-up"
     shutil.rmtree(path, ignore_errors=True)
-    ingest_positional_segment(spark, docs.filter(F.col("doc_id") % 10 < 8), path, 0)
-    ingest_positional_segment(spark, docs.filter(F.col("doc_id") % 10 >= 8), path, 1)
+    # guide §2.6: the two BASE loads are disjoint slices (%10 <8 / >=8)
+    # into disjoint segment dirs — upsert is a provable no-op for them,
+    # so they skip the supersede pass and run concurrently. The REVISION
+    # ingest below is the one that exercises upsert, unchanged.
+    run_sinks(
+        lambda: ingest_positional_segment(
+            spark, docs.filter(F.col("doc_id") % 10 < 8), path, 0, upsert=False
+        ),
+        lambda: ingest_positional_segment(
+            spark, docs.filter(F.col("doc_id") % 10 >= 8), path, 1, upsert=False
+        ),
+    )
     delete_segmented(
         spark, path, docs.filter(F.col("doc_id") % 7 == 2).select("doc_id"), 0
     )

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from dbt_osmosis_spark.operators import register
 from dbt_osmosis_spark.operators.retrieval import _QUERY_TERMS, _QUERY_VALUES
+from dbt_osmosis_spark.operators.sinks import run_sinks
 from dbt_osmosis_spark.operators.retrieval_ext import (
     _S39_MOD,
     _S39_ORACLE,
@@ -81,12 +82,23 @@ def s52_termset_segment_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     hi = docs.agg(F.max("doc_id")).first()[0]
     span = hi // _S52_SEGMENTS + 1
-    for i in range(_S52_SEGMENTS):
-        batch = docs.filter(
-            (F.col("doc_id") >= i * span) & (F.col("doc_id") < (i + 1) * span)
+    # spans are disjoint by construction — no prior version to supersede
+    # (upsert=False), and each ingest writes its own segment dir + stats
+    # partition, so all four are submitted concurrently (guide §2.6)
+    run_sinks(
+        *(
+            lambda i=i: ingest_positional_segment(
+                spark,
+                docs.filter(
+                    (F.col("doc_id") >= i * span) & (F.col("doc_id") < (i + 1) * span)
+                ),
+                path,
+                i,
+                upsert=False,
+            )
+            for i in range(_S52_SEGMENTS)
         )
-        # spans are disjoint by construction — no prior version to supersede
-        ingest_positional_segment(spark, batch, path, i, upsert=False)
+    )
     delete_segmented(
         spark,
         path,
@@ -124,8 +136,16 @@ def s53_time_travel_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
     path = _s47_layout_path(sf_dir) + "-tt"
     shutil.rmtree(path, ignore_errors=True)
-    ingest_positional_segment(spark, docs.filter(F.col("doc_id") % 10 < 8), path, 0)
-    ingest_positional_segment(spark, docs.filter(F.col("doc_id") % 10 >= 8), path, 1)
+    # guide §2.6: disjoint base slices, disjoint segment dirs — upsert
+    # is a provable no-op for the base loads, ingests run concurrently
+    run_sinks(
+        lambda: ingest_positional_segment(
+            spark, docs.filter(F.col("doc_id") % 10 < 8), path, 0, upsert=False
+        ),
+        lambda: ingest_positional_segment(
+            spark, docs.filter(F.col("doc_id") % 10 >= 8), path, 1, upsert=False
+        ),
+    )
     delete_segmented(
         spark, path, docs.filter(F.col("doc_id") % 7 == 2).select("doc_id"), 0
     )

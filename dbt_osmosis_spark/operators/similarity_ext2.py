@@ -352,6 +352,13 @@ def s25_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v", F.col("embedding").cast("array<double>")
     )
     xbits = emb.agg(F.expr(_s25_ax(_S25_REF_N)).alias("xbits"))
+    # Round 13 (guide §5): `bucketed` is BOTH sides of the self-join;
+    # left lazy, the embedding scan + 16-dim signword/bucket fold ran
+    # twice (once per side). Persist it once for the operator's span —
+    # the join's two exchanges then read the cached relation instead of
+    # recomputing the hash fold per side.
+    from dbt_osmosis_spark.operators.caching import keep_cached
+
     bucketed = (
         emb.select(
             "vec_id",
@@ -364,6 +371,7 @@ def s25_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "v", "bucket",
             F.expr(_S25_ASUB.format(w="w0", xbits="xbits")).alias("sub"),
         )
+        .transform(keep_cached)
     )
     a = bucketed.select(
         F.col("vec_id").alias("vec_id"), F.col("v").alias("va"),

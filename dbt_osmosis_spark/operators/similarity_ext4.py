@@ -164,7 +164,14 @@ def _update(assigned: DataFrame) -> DataFrame:
 
 def lloyd_train(emb: DataFrame, rounds: int = _S40_ROUNDS) -> DataFrame:
     """N deterministic Lloyd rounds from the md5 seed assignment;
-    returns the trained (cell, cv) centroid relation."""
+    returns the trained (cell, cv) centroid relation.
+
+    Round 13 (guide §5): the training relation is scanned once per round
+    (seed assignment + every reassignment), so it is persisted for the
+    operator's span — rounds+1 source recomputations become one compute
+    plus cached reads. Persisting an already-persisted input (e.g. the
+    retrain path's live relation) is a no-op."""
+    emb = keep_cached(emb)
     assigned = ivf_assign(emb)  # md5 seed cells, distance vector CSE'd
     cents: DataFrame | None = None
     for _ in range(rounds):

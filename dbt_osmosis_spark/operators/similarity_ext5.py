@@ -368,8 +368,16 @@ def s54_maintained_vector_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.filter(F.col("doc_id") % 10 < 8)
     lloyd_train(base).write.mode("overwrite").parquet(f"{path}/centroids")
     cents = spark.read.parquet(f"{path}/centroids")
-    ingest_vector_segment(spark, base, path, 0, cents)
-    ingest_vector_segment(spark, emb.filter(F.col("doc_id") % 10 >= 8), path, 1, cents)
+    # guide §2.6: the two base loads are disjoint slices (%10 <8 / >=8)
+    # into disjoint segment dirs — upsert is a provable no-op for them,
+    # so they skip the supersede pass and run concurrently. The RE-EMBED
+    # ingest below is the one that exercises upsert, unchanged.
+    run_sinks(
+        lambda: ingest_vector_segment(spark, base, path, 0, cents, upsert=False),
+        lambda: ingest_vector_segment(
+            spark, emb.filter(F.col("doc_id") % 10 >= 8), path, 1, cents, upsert=False
+        ),
+    )
     delete_segmented(
         spark,
         path,
@@ -402,8 +410,14 @@ def s55_vector_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.filter(F.col("doc_id") % 10 < 8)
     lloyd_train(base).write.mode("overwrite").parquet(f"{path}/centroids")
     cents = spark.read.parquet(f"{path}/centroids")
-    ingest_vector_segment(spark, base, path, 0, cents)
-    ingest_vector_segment(spark, emb.filter(F.col("doc_id") % 10 >= 8), path, 1, cents)
+    # guide §2.6: disjoint base slices, disjoint segment dirs — upsert
+    # is a provable no-op for the base loads, ingests run concurrently
+    run_sinks(
+        lambda: ingest_vector_segment(spark, base, path, 0, cents, upsert=False),
+        lambda: ingest_vector_segment(
+            spark, emb.filter(F.col("doc_id") % 10 >= 8), path, 1, cents, upsert=False
+        ),
+    )
     delete_segmented(
         spark,
         path,
