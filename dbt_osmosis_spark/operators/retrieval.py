@@ -1055,11 +1055,18 @@ def _s36_index_path(sf_dir: str) -> str:
 def ingest_postings_batch(
     spark: SparkSession, docs_batch: DataFrame, path: str, ingest_id: int
 ) -> None:
-    """Append one document batch to the incremental layout: postings rows
-    append into their term-bucket partitions; df and corpus-stats deltas
-    write under ingest=<id> so re-running an ingest overwrites its own
-    deltas idempotently (the exactly-once contract of the streaming
-    sinks).
+    """Land one document batch in the incremental layout. Round 13: the
+    batch's postings now write under ``postings/ingest=<id>/tbkt=<b>``
+    (one more partition level, the layout the streaming twin has always
+    used via ``postings/batch=<id>``) instead of APPENDING into shared
+    bucket partitions. Readers are unchanged — partition discovery
+    exposes ``ingest`` alongside ``tbkt`` and bucket pruning still
+    prunes directories — and two properties improve: re-running an
+    ingest is now idempotent for the postings too (overwrite of its own
+    partition, the exactly-once contract the df/stats deltas already
+    had; the r12 append was only replay-safe on a fresh layout), and
+    ingests of disjoint batches become INDEPENDENT jobs that the
+    lifecycle operators submit concurrently (guide §2.6).
 
     Also writes the doc-keyed ``doclen/ingest=<id>`` sidecar: (doc_id,
     dl) for EVERY ingested doc, including zero-token ones (which have no
@@ -1088,7 +1095,6 @@ def ingest_postings_batch(
     )
     try:
         dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-        mode = "overwrite" if ingest_id == 0 else "append"
         run_sinks(
             lambda: (
                 docs_batch.select("doc_id")
@@ -1106,8 +1112,8 @@ def ingest_postings_batch(
                 .select("term", "doc_id", "tf", "dl", "tbkt")
                 .repartition("tbkt")
                 .write.partitionBy("tbkt")
-                .mode(mode)
-                .parquet(f"{path}/postings")
+                .mode("overwrite")
+                .parquet(f"{path}/postings/ingest={ingest_id}")
             ),
             lambda: (
                 tf.groupBy("term")
@@ -1200,8 +1206,16 @@ def s36_postings_incremental_serve(spark: SparkSession, sf_dir: str) -> DataFram
     # fresh: ingest 0 overwrites, so clearing first keeps the registered
     # query re-runnable (the s17/s34 overwrite discipline).
     shutil.rmtree(path, ignore_errors=True)
-    ingest_postings_batch(spark, docs.filter(F.col("doc_id") % 5 != 0), path, 0)
-    ingest_postings_batch(spark, docs.filter(F.col("doc_id") % 5 == 0), path, 1)
+    # guide §2.6: disjoint batches land in disjoint ingest=<id>
+    # partitions (postings included, round 13) — submitted concurrently
+    run_sinks(
+        lambda: ingest_postings_batch(
+            spark, docs.filter(F.col("doc_id") % 5 != 0), path, 0
+        ),
+        lambda: ingest_postings_batch(
+            spark, docs.filter(F.col("doc_id") % 5 == 0), path, 1
+        ),
+    )
     return query_incremental_postings(spark, path, _QUERY_TERMS)
 
 

@@ -303,8 +303,16 @@ def s39_postings_tombstone_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
     path = _s39_index_path(sf_dir)
     shutil.rmtree(path, ignore_errors=True)
-    ingest_postings_batch(spark, docs.filter(F.col("doc_id") % 5 != 0), path, 0)
-    ingest_postings_batch(spark, docs.filter(F.col("doc_id") % 5 == 0), path, 1)
+    # guide §2.6: disjoint batches, disjoint ingest=<id> partitions —
+    # the two ingest jobs are independent and submitted concurrently
+    run_sinks(
+        lambda: ingest_postings_batch(
+            spark, docs.filter(F.col("doc_id") % 5 != 0), path, 0
+        ),
+        lambda: ingest_postings_batch(
+            spark, docs.filter(F.col("doc_id") % 5 == 0), path, 1
+        ),
+    )
     apply_postings_deletes(
         spark,
         path,
@@ -351,41 +359,63 @@ def compact_postings(spark: SparkSession, incr_path: str, out_path: str) -> None
     one-row stats, term-bucket partitioning preserved."""
     import os as _os
 
+    # Round 13 (guide §5 / §2.6): the tombstone-filtered postings feed
+    # BOTH the df aggregate and the join's probe side — persisted for
+    # the span of the compaction so the index is scanned (and the
+    # anti-join run) once, not twice; the three disjoint-directory
+    # sinks (doclen / postings / stats) are submitted concurrently.
     postings = spark.read.parquet(f"{incr_path}/postings")
     tombs = None
     if _os.path.isdir(f"{incr_path}/deletes"):
         tombs = spark.read.parquet(f"{incr_path}/deletes").select("doc_id")
         postings = postings.join(F.broadcast(tombs), "doc_id", "left_anti")
-    if _os.path.isdir(f"{incr_path}/doclen"):
-        # carry the doc-keyed dl sidecar forward (tombstoned docs dropped)
-        # so the compacted layout supports future deletes of zero-token docs
-        doclen = spark.read.parquet(f"{incr_path}/doclen").select("doc_id", "dl")
-        if tombs is not None:
-            doclen = doclen.join(F.broadcast(tombs), "doc_id", "left_anti")
-        doclen.write.mode("overwrite").parquet(f"{out_path}/doclen/ingest=0")
-    df_rel = postings.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
-    (
-        postings.join(df_rel, "term")
-        .select("term", "doc_id", "tf", "dl", "df", "tbkt")
-        .repartition("tbkt")
-        .write.partitionBy("tbkt")
-        .mode("overwrite")
-        .parquet(f"{out_path}/postings")
-    )
-    (
-        spark.read.parquet(f"{incr_path}/stats")
-        .agg(
-            F.sum("n_docs").cast("bigint").alias("n_docs"),
-            F.sum("sum_dl").cast("bigint").alias("sum_dl"),
+    postings = postings.persist()
+    try:
+        sinks = []
+        if _os.path.isdir(f"{incr_path}/doclen"):
+            # carry the doc-keyed dl sidecar forward (tombstoned docs
+            # dropped) so the compacted layout supports future deletes
+            # of zero-token docs
+            doclen = spark.read.parquet(f"{incr_path}/doclen").select("doc_id", "dl")
+            if tombs is not None:
+                doclen = doclen.join(F.broadcast(tombs), "doc_id", "left_anti")
+            sinks.append(
+                lambda: doclen.write.mode("overwrite").parquet(
+                    f"{out_path}/doclen/ingest=0"
+                )
+            )
+        df_rel = postings.groupBy("term").agg(
+            F.count(F.lit(1)).cast("bigint").alias("df")
         )
-        .selectExpr(
-            "n_docs",
-            "CAST(sum_dl AS DOUBLE) / n_docs AS avgdl",
-            "CAST(sum_dl AS BIGINT) AS c_tot",
+        sinks.append(
+            lambda: (
+                postings.join(df_rel, "term")
+                .select("term", "doc_id", "tf", "dl", "df", "tbkt")
+                .repartition("tbkt")
+                .write.partitionBy("tbkt")
+                .mode("overwrite")
+                .parquet(f"{out_path}/postings")
+            )
         )
-        .write.mode("overwrite")
-        .parquet(f"{out_path}/stats")
-    )
+        sinks.append(
+            lambda: (
+                spark.read.parquet(f"{incr_path}/stats")
+                .agg(
+                    F.sum("n_docs").cast("bigint").alias("n_docs"),
+                    F.sum("sum_dl").cast("bigint").alias("sum_dl"),
+                )
+                .selectExpr(
+                    "n_docs",
+                    "CAST(sum_dl AS DOUBLE) / n_docs AS avgdl",
+                    "CAST(sum_dl AS BIGINT) AS c_tot",
+                )
+                .write.mode("overwrite")
+                .parquet(f"{out_path}/stats")
+            )
+        )
+        run_sinks(*sinks)
+    finally:
+        postings.unpersist()
 
 
 @register("s41_postings_compaction", oracle=_S39_ORACLE)
@@ -403,8 +433,16 @@ def s41_postings_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _s41_out_path(sf_dir)
     shutil.rmtree(incr, ignore_errors=True)
     shutil.rmtree(out, ignore_errors=True)
-    ingest_postings_batch(spark, docs.filter(F.col("doc_id") % 5 != 0), incr, 0)
-    ingest_postings_batch(spark, docs.filter(F.col("doc_id") % 5 == 0), incr, 1)
+    # guide §2.6: disjoint batches, disjoint ingest=<id> partitions —
+    # the two ingest jobs are independent and submitted concurrently
+    run_sinks(
+        lambda: ingest_postings_batch(
+            spark, docs.filter(F.col("doc_id") % 5 != 0), incr, 0
+        ),
+        lambda: ingest_postings_batch(
+            spark, docs.filter(F.col("doc_id") % 5 == 0), incr, 1
+        ),
+    )
     apply_postings_deletes(
         spark,
         incr,

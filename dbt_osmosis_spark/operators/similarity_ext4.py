@@ -166,12 +166,15 @@ def lloyd_train(emb: DataFrame, rounds: int = _S40_ROUNDS) -> DataFrame:
     """N deterministic Lloyd rounds from the md5 seed assignment;
     returns the trained (cell, cv) centroid relation.
 
-    Round 13 (guide §5): the training relation is scanned once per round
-    (seed assignment + every reassignment), so it is persisted for the
-    operator's span — rounds+1 source recomputations become one compute
-    plus cached reads. Persisting an already-persisted input (e.g. the
-    retrain path's live relation) is a no-op."""
-    emb = keep_cached(emb)
+    Round 13 note (measured, deliberately NOT cached): persisting the
+    training relation here was tried and REVERTED — same-host A/B on
+    s40 at sf0.1 was a wash (2.96 s uncached vs 3.11 s cached best-of-4).
+    Each round's reassignment fold must rerun either way (new
+    centroids), so caching only saves a cheap columnar scan + cast while
+    paying materialization; guide §5 (cache only when recompute beats
+    the pressure) and §1.1 (the empirical loop decides). Callers whose
+    input IS expensive to recompute persist it themselves before calling
+    (retrain_vector_index's tombstone-anti-joined live relation)."""
     assigned = ivf_assign(emb)  # md5 seed cells, distance vector CSE'd
     cents: DataFrame | None = None
     for _ in range(rounds):
