@@ -41,6 +41,19 @@ HEADLINE = [
     "s04_knn_batch",
 ]
 
+# Round 14 (VERDICT r13 item 2): the headline set is all sub-second at
+# sf0.1, so per-job fixed overhead hides core-count scaling and the
+# driver's low-vs-high-core probe reads ~1.0 for every entry. These
+# scale-sensitive entries are ADDED to the reported "queries" map (the
+# driver's scaling probe set) so the core-count ratio has signal; they
+# are timed in their own warmed group and NOT counted in "value", which
+# stays the sum of the original 12-entry headline so the headline total
+# remains directly comparable round-over-round.
+SCALING_PROBES = [
+    "t29_bpe_train",
+    "s44_tiered_compaction",
+]
+
 # Round-3 flagship paths, measured the same way but reported under
 # "extended" and NOT counted in "value": the headline total stays
 # directly comparable round-over-round while the new surface is still on
@@ -344,6 +357,14 @@ def main() -> None:
     # cache state.
     warm(HEADLINE)
     times = best_of(HEADLINE)
+    total = round(sum(times.values()), 3)  # original 12-entry headline only
+    spark.catalog.clearCache()
+    # scale-sensitive probe entries (VERDICT r13 item 2): timed in their
+    # own warmed group (r3: warming extra queries with HEADLINE regressed
+    # headline timings), merged into the reported "queries" map but NOT
+    # into "value" — see SCALING_PROBES.
+    warm(SCALING_PROBES)
+    times = {**times, **best_of(SCALING_PROBES)}
     spark.catalog.clearCache()
     warm(EXTENDED)
     extended = best_of(EXTENDED)
@@ -418,17 +439,26 @@ def main() -> None:
         if n in best and best[n] > 0
     }
 
-    total = round(sum(times.values()), 3)
     # In-band error bars: min/median/max across all timed reps per query
     # (2 blocks x 3 reps). A cross-round delta inside this spread is noise.
     spread = {
         n: [round(min(v), 3), round(sorted(v)[len(v) // 2], 3), round(max(v), 3)]
         for n, v in rep_times.items()
     }
+    # Effective parallelism observability (VERDICT r13 item 2): the
+    # one-line JSON never said which core count actually ran, so the
+    # driver could not distinguish "env ignored" from "overhead-bound at
+    # this SF" — print the master string and defaultParallelism verbatim.
+    cores = {
+        "master": spark.sparkContext.master,
+        "defaultParallelism": spark.sparkContext.defaultParallelism,
+        "env_cpus": os.environ.get("SPARK_GRAFT_CPUS"),
+    }
     full = {
         "metric": "headline_suite_runtime",
         "value": total,
         "unit": "sec",
+        "cores": cores,
         "queries": times,
         "extended": extended,
         "families": families,
@@ -466,6 +496,7 @@ def main() -> None:
         "metric": "headline_suite_runtime",
         "value": total,
         "unit": "sec",
+        "cores": cores,
         "queries": times,
         "sf": sf,
         "methodology": full["methodology"],

@@ -226,29 +226,38 @@ def m15_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # that WAS the sf1 scale probe's entire cost (41.8 s). Splitting the
     # document into a char ARRAY once gives O(1) random access; each
     # frame is then an O(frame) slice+fold. Same integers, same oracle.
+    #
+    # Round 14 (guide §2.3 "project before the exchange", §1.2): the r13
+    # form exploded frame_no FIRST and carried the whole char array into
+    # every frame row — O(frames x doclen) bytes materialized per doc by
+    # the Generate node — and paid a SECOND corpus-sized fold for the
+    # per-doc frame count. Now both (s, ss) fold inside the array domain
+    # (one pass, one named-struct accumulator per frame) and the explode
+    # emits 3 bigints per frame; n_frames = length(text) DIV frame is a
+    # pure length expression (split("") is per-character, so size(ch) ==
+    # length(text)) — no second pass over the payload.
     framed = (
         docs.filter(F.length("text") >= _M15_FRAME)
         .select("doc_id", F.split("text", "").alias("ch"))
         .select(
             "doc_id",
-            F.explode(
-                F.expr(f"sequence(0, size(ch) DIV {_M15_FRAME} - 1)")
-            ).alias("frame_no"),
-            "ch",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(ch) DIV {_M15_FRAME} - 1), i -> "
+                    f"aggregate("
+                    f"  transform(slice(ch, CAST(i * {_M15_FRAME} + 1 AS INT),"
+                    f"            {_M15_FRAME}), c -> CAST(ascii(c) AS BIGINT)),"
+                    f"  named_struct('s', 0L, 'ss', 0L),"
+                    f"  (acc, x) -> named_struct('s', acc.s + x,"
+                    f"              'ss', acc.ss + x * x)))"
+                )
+            ).alias("fno", "sss"),
         )
         .select(
             "doc_id",
-            F.col("frame_no").cast("bigint").alias("frame_no"),
-            F.expr(
-                f"transform(slice(ch, CAST(frame_no * {_M15_FRAME} + 1 AS INT),"
-                f" {_M15_FRAME}), c -> CAST(ascii(c) AS BIGINT))"
-            ).alias("bv"),
-        )
-        .select(
-            "doc_id",
-            "frame_no",
-            F.expr("aggregate(bv, 0L, (acc, x) -> acc + x)").alias("s"),
-            F.expr("aggregate(bv, 0L, (acc, x) -> acc + x * x)").alias("ss"),
+            F.col("fno").cast("bigint").alias("frame_no"),
+            F.col("sss.s").alias("s"),
+            F.col("sss.ss").alias("ss"),
         )
     )
     voiced = framed.filter(
@@ -262,7 +271,12 @@ def m15_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg = voiced.groupBy("doc_id", "grp").agg(
         F.count(F.lit(1)).alias("seg_len"), F.min("frame_no").alias("seg_start")
     )
-    tot = framed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
+    # n_frames is a pure length expression (see comment above) — no
+    # second corpus-sized fold just to count frames (round 14, §1.2)
+    tot = docs.filter(F.length("text") >= _M15_FRAME).select(
+        "doc_id",
+        F.expr(f"length(text) DIV {_M15_FRAME}").alias("n_frames"),
+    )
     return (
         tot.join(seg, "doc_id", "left")
         .groupBy("doc_id", "n_frames")
@@ -341,37 +355,33 @@ def m16_gain_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline target power (module comment); zero Python, one scan."""
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     # char-array split once per doc + O(1)-access slice per frame — the
-    # m15 rationale (substring() has no random access on UTF8String)
-    framed = (
+    # m15 rationale (substring() has no random access on UTF8String).
+    #
+    # Round 14 (guide §2.4, §2.3): m16 only needs PER-DOC rollups, so
+    # the whole frame fold stays inside the array domain — no explode
+    # (the r13 form copied the full char array into every frame row) and
+    # no groupBy exchange (the per-doc sums are one nested aggregate
+    # over the frame sequence). Map-side scan + the final orderBy only.
+    sum_dev_expr = (
+        f"CAST(aggregate("
+        f"transform(sequence(0, size(ch) DIV {_M16_FRAME} - 1), i -> "
+        f"aggregate("
+        f"transform(slice(ch, CAST(i * {_M16_FRAME} + 1 AS INT), {_M16_FRAME}),"
+        f" c -> CAST(ascii(c) AS BIGINT)),"
+        f" named_struct('s', 0L, 'ss', 0L),"
+        f" (acc, x) -> named_struct('s', acc.s + x, 'ss', acc.ss + x * x))),"
+        f" 0L,"
+        f" (acc, f) -> acc + CAST({_M16_FRAME} AS BIGINT) * f.ss - f.s * f.s"
+        f") AS BIGINT)"
+    )
+    per_doc = (
         docs.filter(F.length("text") >= _M16_FRAME)
         .select("doc_id", F.split("text", "").alias("ch"))
         .select(
             "doc_id",
-            F.explode(
-                F.expr(f"sequence(0, size(ch) DIV {_M16_FRAME} - 1)")
-            ).alias("i"),
-            "ch",
+            F.expr(f"CAST(size(ch) DIV {_M16_FRAME} AS BIGINT)").alias("n_frames"),
+            F.expr(sum_dev_expr).alias("sum_dev"),
         )
-        .select(
-            "doc_id",
-            F.expr(
-                f"transform(slice(ch, CAST(i * {_M16_FRAME} + 1 AS INT),"
-                f" {_M16_FRAME}), c -> CAST(ascii(c) AS BIGINT))"
-            ).alias("bv"),
-        )
-        .select(
-            "doc_id",
-            F.expr("aggregate(bv, 0L, (acc, x) -> acc + x)").alias("s"),
-            F.expr("aggregate(bv, 0L, (acc, x) -> acc + x * x)").alias("ss"),
-        )
-    )
-    per_doc = framed.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
-        F.sum(
-            F.lit(_M16_FRAME) * F.col("ss") - F.col("s") * F.col("s")
-        )
-        .cast("bigint")
-        .alias("sum_dev"),
     )
     return (
         per_doc.filter(F.col("sum_dev") > 0)

@@ -556,6 +556,47 @@ def q29x_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q29b: the driver-gradable TOLERANCE BAND for q29 (round 14, VERDICT r13
+# item 8). q29's raw sketch value is engine-specific, so it can never be
+# hash-checked against DuckDB; what IS exactly checkable is whether the
+# sketch lands inside its documented error band around the exact count.
+# This entry computes both sides in one aggregation and emits the banded
+# verdict (the same bound tests/test_pipeline_ops.py asserts:
+# |approx - exact| <= max(3, 0.1 * exact)); the oracle asserts the band
+# holds for every group — closing the last rows-only correctness gap
+# without touching q29's registered output.
+
+
+@register(
+    "q29b_banded_distinct",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       TRUE AS within_band
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def q29b_banded_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.greatest(F.lit(3.0), 0.1 * F.col("exact_users"))
+            ).alias("within_band"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # --------------------------------------------------------------------------
 # q30: interval-join click attribution — the batch twin of the stream-stream
 # join in streaming/events.py (click_purchase_join). Purchases match same-
@@ -664,6 +705,47 @@ def q31x_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
             F.count(F.lit(1)).alias("n_rows"),
         )
+        .orderBy("l_returnflag")
+    )
+
+
+# q31b: the driver-gradable TOLERANCE BAND for q31 (round 14, VERDICT r13
+# item 8) — q29b's pattern on the percentile sketch: both sides computed
+# in one aggregation, the banded verdict emitted (the
+# tests/test_pipeline_ops.py bound: relative error < 2% per percentile),
+# the oracle asserting the band holds for every group.
+
+
+@register(
+    "q31b_banded_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       TRUE AS within_band
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def q31b_banded_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    band = None
+    for i in range(3):
+        ok = (
+            F.abs(F.col("approx_p")[i] - F.col("exact_p")[i]) / F.col("exact_p")[i]
+            < 0.02
+        )
+        band = ok if band is None else (band & ok)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", [0.5, 0.95, 0.99], 10000
+            ).alias("approx_p"),
+            F.expr(
+                "percentile(l_extendedprice, array(0.5, 0.95, 0.99))"
+            ).alias("exact_p"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select("l_returnflag", "n_rows", band.alias("within_band"))
         .orderBy("l_returnflag")
     )
 

@@ -133,6 +133,34 @@ def _tokens(docs: DataFrame) -> DataFrame:
     ).filter(F.col("tok") != "")
 
 
+def _tok_array(docs: DataFrame):
+    """The per-doc non-empty token array (column expression)."""
+    return F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+
+
+def _doc_dl(docs: DataFrame) -> DataFrame:
+    """(doc_id, dl): per-doc length = count of non-empty tokens, as a
+    pure map expression over the token array (round 14, guide §2.4) —
+    no explode, no aggregation exchange; zero-token docs get dl = 0
+    from the empty array directly."""
+    return docs.select(
+        "doc_id", F.size(_tok_array(docs)).cast("bigint").alias("dl")
+    )
+
+
+def _doc_tokens_with_dl(docs: DataFrame) -> DataFrame:
+    """(doc_id, dl, tok): the token relation with the per-doc dl carried
+    on every row (computed map-side BEFORE the explode — round 14,
+    guide §2.4), so downstream (doc, term) aggregations recover dl as
+    max() of a per-doc constant instead of joining a separately
+    aggregated dl relation."""
+    return docs.select(
+        "doc_id",
+        F.size(_tok_array(docs)).cast("bigint").alias("dl"),
+        F.explode(_tok_array(docs)).alias("tok"),
+    )
+
+
 def _corpus_stats(docs: DataFrame, dl: DataFrame) -> DataFrame:
     """One-row (n_docs, avgdl) relation; avgdl divides two exact integers
     so both engines produce the identical double."""
@@ -162,7 +190,11 @@ def s31_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One corpus pass builds dl; cached because stats, the tf-side join,
     # and nothing else re-derives it — the explode itself is never cached
     # (corpus-sized; re-scan beats caching it at 100 TB).
-    dl = keep_cached(toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")))
+    # round 14 (guide §2.4): dl is a map-side token-array size — no
+    # explode/groupBy exchange to materialize the cache; zero-token
+    # docs carry dl = 0 rows, inert to every consumer (sums add 0,
+    # candidate joins are inner on docs that have tf rows)
+    dl = keep_cached(_doc_dl(docs))
     stats = _corpus_stats(docs, dl)
     qterms = spark.createDataFrame(list(_QUERY_TERMS), "query_id string, term string")
     scores = _bm25_scores(toks, dl, stats, qterms)
@@ -335,7 +367,11 @@ def s32_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
     toks = _tokens(docs)
-    dl = keep_cached(toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")))
+    # round 14 (guide §2.4): dl is a map-side token-array size — no
+    # explode/groupBy exchange to materialize the cache; zero-token
+    # docs carry dl = 0 rows, inert to every consumer (sums add 0,
+    # candidate joins are inner on docs that have tf rows)
+    dl = keep_cached(_doc_dl(docs))
     stats = _corpus_stats(docs, dl)
     qterms = spark.createDataFrame(list(_QUERY_TERMS), "query_id string, term string")
 
@@ -568,7 +604,11 @@ def s33_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # lexical list ----------------------------------------------------------
     toks = _tokens(docs)
-    dl = keep_cached(toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")))
+    # round 14 (guide §2.4): dl is a map-side token-array size — no
+    # explode/groupBy exchange to materialize the cache; zero-token
+    # docs carry dl = 0 rows, inert to every consumer (sums add 0,
+    # candidate joins are inner on docs that have tf rows)
+    dl = keep_cached(_doc_dl(docs))
     stats = _corpus_stats(docs, dl)
     qterms = spark.createDataFrame(list(_QUERY_TERMS), "query_id string, term string")
     lex = _topn_two_phase(_bm25_scores(toks, dl, stats, qterms), "score_micros", _S33_N)
@@ -655,25 +695,26 @@ def write_postings_index(spark: SparkSession, docs: DataFrame, path: str) -> Non
     the md5 term bucket; the 1-row corpus stats relation is persisted
     beside them so serving never touches the base table.
 
-    Round 13 (guide §1.2): tf is persisted for the span of the build and
-    dl/df roll up FROM it (dl = Σ_term tf — exact), so the one corpus
-    tokenize runs once instead of three times inside the postings write
-    (tf + df + dl branches) plus once more for the stats write. tf is
-    (doc, term)-aggregated — far smaller than the exploded tokens — and
-    persist() spills to disk at scale."""
+    Round 13 (guide §1.2): tf is persisted for the span of the build, so
+    the one corpus tokenize runs once instead of three times inside the
+    postings write (tf + df + dl branches) plus once more for the stats
+    write. tf is (doc, term)-aggregated — far smaller than the exploded
+    tokens — and persist() spills to disk at scale.
+
+    Round 14 (guide §2.4): dl is carried through the tf aggregation from
+    the map-side token-array size (_doc_tokens_with_dl) — the dl groupBy
+    and the tf⋈dl doc_id join are gone; sum_dl for the stats row is
+    Σ tf over the cached relation."""
     tf = (
-        _tokens(docs)
+        _doc_tokens_with_dl(docs)
         .groupBy("doc_id", F.col("tok").alias("term"))
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
         .persist()
     )
     try:
-        dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
         df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-        postings = (
-            tf.join(df_rel, "term")
-            .join(dl, "doc_id")
-            .withColumn("tbkt", F.expr(_S34_SPARK_TBKT))
+        postings = tf.join(df_rel, "term").withColumn(
+            "tbkt", F.expr(_S34_SPARK_TBKT)
         )
         run_sinks(
             lambda: (
@@ -683,9 +724,17 @@ def write_postings_index(spark: SparkSession, docs: DataFrame, path: str) -> Non
                 .mode("overwrite")
                 .parquet(f"{path}/postings")
             ),
-            lambda: _corpus_stats(docs, dl)
-            .write.mode("overwrite")
-            .parquet(f"{path}/stats"),
+            lambda: (
+                docs.agg(F.count(F.lit(1)).alias("n_docs"))
+                .crossJoin(tf.agg(F.sum("tf").alias("sum_dl")))
+                .selectExpr(
+                    "n_docs",
+                    "CAST(sum_dl AS DOUBLE) / n_docs AS avgdl",
+                    "CAST(sum_dl AS BIGINT) AS c_tot",
+                )
+                .write.mode("overwrite")
+                .parquet(f"{path}/stats")
+            ),
         )
     finally:
         tf.unpersist()
@@ -956,10 +1005,20 @@ def s35_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _tokens(docs)
     qterms = spark.createDataFrame(list(_QUERY_TERMS), "query_id string, term string")
     wanted = qterms.select("term").distinct()
-    qrels = (
+    # Round 14 (guide §5, VERDICT r13 item 5): qrels derive from the SAME
+    # logical plan as _bm25_scores' keep_cached tf relation (semi-join +
+    # (doc, term) aggregation — its key set IS the distinct (doc, term)
+    # pairs the r13 form re-tokenized the corpus for), so Spark's cache
+    # manager serves the qrels scan from the tf cache the two systems
+    # under test already materialized instead of running a third corpus
+    # tokenize.
+    tf_like = (
         toks.join(F.broadcast(wanted), toks.tok == wanted.term, "left_semi")
-        .select("doc_id", F.col("tok").alias("term"))
-        .distinct()
+        .groupBy("doc_id", F.col("tok").alias("term"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    qrels = (
+        tf_like.select("doc_id", "term")
         .join(F.broadcast(qterms), "term")
         .groupBy("query_id", "doc_id")
         .agg(F.count(F.lit(1)).alias("rel"))
@@ -1078,37 +1137,34 @@ def ingest_postings_batch(
     Round 13 (guide §1.2 "don't compute things you throw away" — the
     ingest_segment move): ONE tokenize feeds all four sinks. tf is
     persisted for the span of the call (batch-vocab-sized, far smaller
-    than the exploded tokens) and dl derives from it by summing per-doc
-    term frequencies (Σ_term tf(doc, term) ≡ count of non-empty tokens
-    — exact, not an approximation), so the r12 form's four independent
-    corpus-of-the-batch explodes (doclen, postings×2 branches,
-    termstats, stats) collapse into one explode + cached-tf rollups.
-    The four sinks write to disjoint directories and are submitted
-    concurrently (guide §2.6) so each job's straggler tail back-fills
-    with the next job's tasks instead of idling the cluster.
+    than the exploded tokens) and the four sinks write to disjoint
+    directories, submitted concurrently (guide §2.6) so each job's
+    straggler tail back-fills with the next job's tasks.
+
+    Round 14 (guide §2.4): dl = count of a doc's non-empty tokens is a
+    PURE MAP expression (size of the filtered token array), so it is
+    computed per doc before the explode and carried through the tf
+    aggregation (max of a per-doc constant) — the r13 dl groupBy
+    exchange, the tf⋈dl doc_id join (two more exchanges) and the
+    doclen sink's left join are all gone; the doclen sink is now a
+    map-only scan of the batch (zero-token docs get dl = 0 from the
+    empty array directly).
     """
     tf = (
-        _tokens(docs_batch)
+        _doc_tokens_with_dl(docs_batch)
         .groupBy("doc_id", F.col("tok").alias("term"))
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
         .persist()
     )
     try:
-        dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
         run_sinks(
             lambda: (
-                docs_batch.select("doc_id")
-                .join(dl, "doc_id", "left")
-                .select(
-                    "doc_id",
-                    F.coalesce(F.col("dl"), F.lit(0)).cast("bigint").alias("dl"),
-                )
+                _doc_dl(docs_batch)
                 .write.mode("overwrite")
                 .parquet(f"{path}/doclen/ingest={ingest_id}")
             ),
             lambda: (
-                tf.join(dl, "doc_id")
-                .withColumn("tbkt", F.expr(_S34_SPARK_TBKT))
+                tf.withColumn("tbkt", F.expr(_S34_SPARK_TBKT))
                 .select("term", "doc_id", "tf", "dl", "tbkt")
                 .repartition("tbkt")
                 .write.partitionBy("tbkt")
@@ -1123,8 +1179,10 @@ def ingest_postings_batch(
             ),
             lambda: (
                 docs_batch.agg(F.count(F.lit(1)).alias("n_docs"))
-                # an all-empty batch has no dl rows: its token mass is 0
-                .crossJoin(dl.agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl")))
+                # an all-empty batch has no tf rows: its token mass is 0
+                .crossJoin(
+                    tf.agg(F.coalesce(F.sum("tf"), F.lit(0)).alias("sum_dl"))
+                )
                 .write.mode("overwrite")
                 .parquet(f"{path}/stats/ingest={ingest_id}")
             ),
@@ -1202,9 +1260,12 @@ def s36_postings_incremental_serve(spark: SparkSession, sf_dir: str) -> DataFram
 
     docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
     path = _s36_index_path(sf_dir)
-    # postings append is only idempotent per-call if the layout starts
-    # fresh: ingest 0 overwrites, so clearing first keeps the registered
-    # query re-runnable (the s17/s34 overwrite discipline).
+    # Each ingest idempotently overwrites its own postings/ingest=<id>
+    # partition (round 13 layout; no append mode exists), so re-running
+    # the SAME ingests needs no cleanup. rmtree is kept only so a layout
+    # left by an older invocation with MORE ingest partitions cannot
+    # leak stale higher-numbered partitions into this serve (the
+    # s17/s34 re-runnability discipline).
     shutil.rmtree(path, ignore_errors=True)
     # guide §2.6: disjoint batches land in disjoint ingest=<id>
     # partitions (postings included, round 13) — submitted concurrently
@@ -1326,7 +1387,11 @@ def s37_qld_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sparse absent-mass decomposition (module comment)."""
     docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
     toks = _tokens(docs)
-    dl = keep_cached(toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")))
+    # round 14 (guide §2.4): dl is a map-side token-array size — no
+    # explode/groupBy exchange to materialize the cache; zero-token
+    # docs carry dl = 0 rows, inert to every consumer (sums add 0,
+    # candidate joins are inner on docs that have tf rows)
+    dl = keep_cached(_doc_dl(docs))
     ctot = dl.agg(F.sum("dl").cast("bigint").alias("c_tot"))
     qterms = spark.createDataFrame(list(_QUERY_TERMS), "query_id string, term string")
     uniq = qterms.select("term").distinct()

@@ -72,9 +72,9 @@ from dbt_osmosis_spark.operators.retrieval import (
     _QUERY_VALUES,
     _S31_ORACLE,
     _S34_SPARK_TBKT,
-    _corpus_stats,
+    _doc_dl,
+    _doc_tokens_with_dl,
     _s34_tbkt_py,
-    _tokens,
     ingest_postings_batch,
 )
 from dbt_osmosis_spark.sources.parquet import read_parquet, spread
@@ -150,6 +150,18 @@ def _s39_index_path(sf_dir: str) -> str:
     return _os.path.join(repo, ".postings_tomb", f"{tag}-{_os.getpid()}")
 
 
+def _gated_tomb_bcast(df: DataFrame, *dirs: str) -> DataFrame:
+    """Round 14 (VERDICT r13 item 3): broadcast-hint a file-backed
+    tombstone relation only while its backing directories are small ON
+    DISK (pure os.walk bound, no job) — the same size gate
+    `_scoped_tombstones` applies. Above the bound the hint is dropped
+    and the join degrades gracefully to a shuffled anti/semi-join
+    instead of a forced executor-OOM broadcast after a mass delete."""
+    if sum(_dir_bytes(d) for d in dirs) <= _tomb_bcast_bytes():
+        return F.broadcast(df)
+    return df
+
+
 def apply_postings_deletes(
     spark: SparkSession,
     path: str,
@@ -199,13 +211,21 @@ def apply_postings_deletes(
         # delete apply reads far fewer bytes than a postings scan.
         doc_dl = (
             spark.read.parquet(f"{path}/doclen")
-            .join(F.broadcast(gone), "doc_id", "left_semi")
+            .join(
+                _gated_tomb_bcast(gone, f"{path}/deletes/delete={delete_id}"),
+                "doc_id",
+                "left_semi",
+            )
             .select("doc_id", "dl")
         )
     else:  # pre-sidecar layouts: per-doc dl replicated on every posting row
         doc_dl = (
             spark.read.parquet(f"{path}/postings")
-            .join(F.broadcast(gone), "doc_id", "left_semi")
+            .join(
+                _gated_tomb_bcast(gone, f"{path}/deletes/delete={delete_id}"),
+                "doc_id",
+                "left_semi",
+            )
             .groupBy("doc_id")
             .agg(F.max("dl").alias("dl"))
         )
@@ -256,7 +276,7 @@ def query_tombstone_postings(
         spark.read.parquet(f"{path}/postings")
         .filter(F.col("tbkt").isin(probes))
         .filter(F.col("term").isin(terms))
-        .join(F.broadcast(tombs), "doc_id", "left_anti")
+        .join(_gated_tomb_bcast(tombs, f"{path}/deletes"), "doc_id", "left_anti")
     )
     # live df for query terms = count of surviving pruned postings per
     # term (the pruned scan holds every posting of each query term).
@@ -368,7 +388,8 @@ def compact_postings(spark: SparkSession, incr_path: str, out_path: str) -> None
     tombs = None
     if _os.path.isdir(f"{incr_path}/deletes"):
         tombs = spark.read.parquet(f"{incr_path}/deletes").select("doc_id")
-        postings = postings.join(F.broadcast(tombs), "doc_id", "left_anti")
+        tombs = _gated_tomb_bcast(tombs, f"{incr_path}/deletes")
+        postings = postings.join(tombs, "doc_id", "left_anti")
     postings = postings.persist()
     try:
         sinks = []
@@ -378,7 +399,7 @@ def compact_postings(spark: SparkSession, incr_path: str, out_path: str) -> None
             # of zero-token docs
             doclen = spark.read.parquet(f"{incr_path}/doclen").select("doc_id", "dl")
             if tombs is not None:
-                doclen = doclen.join(F.broadcast(tombs), "doc_id", "left_anti")
+                doclen = doclen.join(tombs, "doc_id", "left_anti")
             sinks.append(
                 lambda: doclen.write.mode("overwrite").parquet(
                     f"{out_path}/doclen/ingest=0"
@@ -532,6 +553,25 @@ ORDER BY phrase_id, rnk
 """
 
 
+def _positional_tokens(docs: DataFrame) -> DataFrame:
+    """(term, doc_id, pos): pos = 1-based index among a doc's non-empty
+    tokens — the s42/oracle position rule (positions assigned AFTER
+    dropping empty tokens).
+
+    Round 14 (guide §2.4, remove shuffles outright): empties are dropped
+    INSIDE the token array (higher-order ``filter``) before posexplode,
+    so the position is the array index directly. The r13 form assigned
+    it with a row_number window partitioned by doc_id — a corpus-sized
+    Exchange + Sort paid by EVERY positional build/ingest (s42/s43/s45/
+    s46 builds, every s47–s53 lifecycle segment, the streaming twin).
+    Output is byte-identical: row_number over the raw split order of the
+    surviving tokens == 1 + index in the filtered array."""
+    toks = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    return docs.select(
+        "doc_id", F.posexplode(toks).alias("_p0", "term")
+    ).select("term", "doc_id", (F.col("_p0") + 1).cast("bigint").alias("pos"))
+
+
 @register("s42_phrase_search", oracle=_s42_oracle())
 def s42_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k docs per phrase by exact adjacent-match count (module
@@ -540,20 +580,10 @@ def s42_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_osmosis_spark.operators.caching import keep_cached
 
     docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
-    raw = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.lower("text"), " ")).alias("rawpos", "tok"),
-    )
     pos = keep_cached(
-        raw.filter(F.col("tok") != "")
-        .withColumn(
-            "pos",
-            F.row_number()
-            .over(W.partitionBy("doc_id").orderBy("rawpos"))
-            .cast("bigint"),
-        )
-        .filter(F.col("tok").isin(_S42_TERMS))
-        .select("doc_id", F.col("tok").alias("term"), "pos")
+        _positional_tokens(docs)
+        .filter(F.col("term").isin(_S42_TERMS))
+        .select("doc_id", "term", "pos")
     )
     return _rank_phrase_matches(_phrase_match_counts(pos, _S42_PHRASES), _S42_K)
 
@@ -668,35 +698,20 @@ def write_positional_index(spark: SparkSession, docs: DataFrame, path: str) -> N
     doclen/stats sinks roll up from it (dl = count of a doc's position
     rows — exact: pos holds one row per non-empty token), so the
     tokenize+window runs once instead of three times (the r12 form
-    re-tokenized for dl and again inside the stats write)."""
-    raw = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.lower("text"), " ")).alias("rawpos", "tok"),
-    )
+    re-tokenized for dl and again inside the stats write).
+
+    Round 14 (guide §2.4): positions come from _positional_tokens —
+    array-index positions, no per-doc window, one less corpus-sized
+    shuffle+sort per build."""
     pos = (
-        raw.filter(F.col("tok") != "")
-        .withColumn(
-            "pos",
-            F.row_number()
-            .over(W.partitionBy("doc_id").orderBy("rawpos"))
-            .cast("bigint"),
-        )
-        .select(F.col("tok").alias("term"), "doc_id", "pos")
-        .withColumn("tbkt", F.expr(_S34_SPARK_TBKT))
+        _positional_tokens(docs).withColumn("tbkt", F.expr(_S34_SPARK_TBKT))
     ).persist()
     try:
-        dl = (
-            docs.select("doc_id")
-            .join(
-                pos.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")),
-                "doc_id",
-                "left",
-            )
-            .select(
-                "doc_id", F.coalesce(F.col("dl"), F.lit(0)).cast("bigint").alias("dl")
-            )
-        )
-        # three disjoint-directory sinks, submitted concurrently (§2.6)
+        # three disjoint-directory sinks, submitted concurrently (§2.6).
+        # Round 14 (guide §2.4): doclen is a map-only token-array-size
+        # scan (no pos groupBy, no left join — zero-token docs get dl = 0
+        # from the empty array) and sum_dl is the cached relation's row
+        # count, so the stats sink never re-aggregates per doc.
         run_sinks(
             lambda: (
                 pos.repartition("tbkt")
@@ -704,10 +719,18 @@ def write_positional_index(spark: SparkSession, docs: DataFrame, path: str) -> N
                 .mode("overwrite")
                 .parquet(f"{path}/postings")
             ),
-            lambda: dl.write.mode("overwrite").parquet(f"{path}/doclen"),
-            lambda: _corpus_stats(docs, dl)
-            .write.mode("overwrite")
-            .parquet(f"{path}/stats"),
+            lambda: _doc_dl(docs).write.mode("overwrite").parquet(f"{path}/doclen"),
+            lambda: (
+                docs.agg(F.count(F.lit(1)).alias("n_docs"))
+                .crossJoin(pos.agg(F.count(F.lit(1)).alias("sum_dl")))
+                .selectExpr(
+                    "n_docs",
+                    "CAST(sum_dl AS DOUBLE) / n_docs AS avgdl",
+                    "CAST(sum_dl AS BIGINT) AS c_tot",
+                )
+                .write.mode("overwrite")
+                .parquet(f"{path}/stats")
+            ),
         )
     finally:
         pos.unpersist()
@@ -1283,43 +1306,38 @@ def ingest_segment(
     smaller than the raw explode the first r13 tranche persisted) and
     the r12 form's per-sink re-tokenizations (+ a read-back of the
     written segment) are gone; the four independent sinks are submitted
-    concurrently (guide §2.6). Released before returning."""
+    concurrently (guide §2.6). Released before returning.
+
+    Round 14 (guide §2.4): dl rides the tf aggregation from the
+    map-side token-array size (_doc_tokens_with_dl) — the dl groupBy,
+    the tf⋈dl join, and the doclen sink's left join are gone; doclen is
+    a map-only scan of the batch (zero-token docs get dl = 0 from the
+    empty array)."""
     tf = (
-        _s44_tokens(docs_batch)
+        _doc_tokens_with_dl(docs_batch)
         .groupBy("doc_id", F.col("tok").alias("term"))
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
         .persist()
     )
     try:
-        # dl = Σ_term tf — exact (tf counts every non-empty token), so the
-        # persisted relation is the (smaller) term-aggregated tf, not the
-        # raw explode, and all four sinks roll up from it. The sinks write
-        # disjoint directories and run concurrently (guide §2.6).
-        dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
         run_sinks(
             lambda: _write_bucketed(
                 spark,
-                tf.join(dl, "doc_id")
-                .withColumn("tbkt", F.expr(_S34_SPARK_TBKT))
+                tf.withColumn("tbkt", F.expr(_S34_SPARK_TBKT))
                 .select("term", "doc_id", "tf", "dl", "tbkt"),
                 f"{path}/seg-{seg_id}/postings",
             ),
             lambda: _write_termset(spark, f"{path}/seg-{seg_id}", tf),
             lambda: (
-                docs_batch.select("doc_id")
-                .join(dl, "doc_id", "left")
-                .select(
-                    "doc_id",
-                    F.coalesce(F.col("dl"), F.lit(0)).cast("bigint").alias("dl"),
-                )
+                _doc_dl(docs_batch)
                 .write.mode("overwrite")
                 .parquet(f"{path}/seg-{seg_id}/doclen")
             ),
             lambda: (
                 docs_batch.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
                 .crossJoin(
-                    dl.agg(
-                        F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("sum_dl")
+                    tf.agg(
+                        F.coalesce(F.sum("tf"), F.lit(0)).cast("bigint").alias("sum_dl")
                     )
                 )
                 .write.mode("overwrite")
@@ -1330,13 +1348,6 @@ def ingest_segment(
         tf.unpersist()
     if upsert:
         _upsert_supersede(spark, docs_batch, path, seg_id)
-
-
-def _s44_tokens(docs: DataFrame) -> DataFrame:
-    return (
-        docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
-        .filter(F.col("tok") != "")
-    )
 
 
 def delete_segmented(
@@ -2007,50 +2018,36 @@ def ingest_positional_segment(
     superseded (_upsert_supersede) — re-ingesting a revised document
     serves the revision, including after a delete (re-add).
 
-    Round 13: the positional token relation (tokenize + per-doc
-    row_number window) is persisted for the span of the ingest — the
-    postings, termset, doclen and stats jobs each derive from it, and
-    the r12 form re-ran the tokenize+window for every one of them plus
-    a read-back of the written segment. Batch-sized, released before
-    returning."""
-    raw = docs_batch.select(
-        "doc_id",
-        F.posexplode(F.split(F.lower("text"), " ")).alias("rawpos", "tok"),
-    )
+    Round 13: the positional token relation is persisted for the span
+    of the ingest — the postings, termset, doclen and stats jobs each
+    derive from it, and the r12 form re-ran the tokenize for every one
+    of them plus a read-back of the written segment. Batch-sized,
+    released before returning.
+
+    Round 14 (guide §2.4): positions come from _positional_tokens —
+    array-index positions, no per-doc row_number window, one less
+    batch-sized shuffle+sort per ingest."""
     pos = (
-        raw.filter(F.col("tok") != "")
-        .withColumn(
-            "pos",
-            F.row_number()
-            .over(W.partitionBy("doc_id").orderBy("rawpos"))
-            .cast("bigint"),
-        )
-        .select(F.col("tok").alias("term"), "doc_id", "pos")
-        .withColumn("tbkt", F.expr(_S34_SPARK_TBKT))
+        _positional_tokens(docs_batch).withColumn("tbkt", F.expr(_S34_SPARK_TBKT))
     ).persist()
     try:
-        dl = pos.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
         # four disjoint-directory sinks off the one persisted positional
-        # relation, submitted concurrently (guide §2.6)
+        # relation, submitted concurrently (guide §2.6). Round 14
+        # (guide §2.4): doclen is a map-only token-array-size scan of the
+        # batch (no pos groupBy, no left join) and sum_dl is the cached
+        # relation's row count.
         run_sinks(
             lambda: _write_bucketed(spark, pos, f"{path}/seg-{seg_id}/postings"),
             lambda: _write_termset(spark, f"{path}/seg-{seg_id}", pos),
             lambda: (
-                docs_batch.select("doc_id")
-                .join(dl, "doc_id", "left")
-                .select(
-                    "doc_id",
-                    F.coalesce(F.col("dl"), F.lit(0)).cast("bigint").alias("dl"),
-                )
+                _doc_dl(docs_batch)
                 .write.mode("overwrite")
                 .parquet(f"{path}/seg-{seg_id}/doclen")
             ),
             lambda: (
                 docs_batch.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
                 .crossJoin(
-                    dl.agg(
-                        F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("sum_dl")
-                    )
+                    pos.agg(F.count(F.lit(1)).cast("bigint").alias("sum_dl"))
                 )
                 .write.mode("overwrite")
                 .parquet(f"{path}/stats/part=ingest-{seg_id}")

@@ -33,7 +33,13 @@ _MAX_INFLIGHT = 3
 
 def run_sinks(*thunks: Callable[[], None]) -> None:
     """Run independent write jobs concurrently; re-raise the first
-    failure after every job has finished (no partially-awaited pool)."""
+    failure after every job has finished (no partially-awaited pool).
+
+    Exit exceptions (KeyboardInterrupt/SystemExit) propagate promptly —
+    waiting for every in-flight Spark job before honoring Ctrl-C would
+    defer it for the full job duration. Ordinary sink failures are
+    collected so every job still completes; the first is re-raised with
+    any later ones attached as __context__ (round 14, ADVICE r13)."""
     if len(thunks) <= 1:
         for t in thunks:
             t()
@@ -44,7 +50,13 @@ def run_sinks(*thunks: Callable[[], None]) -> None:
         for f in futures:
             try:
                 f.result()
-            except BaseException as exc:  # noqa: BLE001 - collected and re-raised
+            except (KeyboardInterrupt, SystemExit):
+                for rest in futures:
+                    rest.cancel()
+                raise
+            except Exception as exc:  # noqa: BLE001 - collected and re-raised
                 errs.append(exc)
         if errs:
+            for cur, nxt in zip(errs, errs[1:]):
+                cur.__context__ = nxt
             raise errs[0]

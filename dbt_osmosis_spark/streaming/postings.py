@@ -43,7 +43,8 @@ from pyspark.sql import functions as F
 
 from dbt_osmosis_spark.operators.retrieval import (
     _S34_SPARK_TBKT,
-    _tokens,
+    _doc_dl,
+    _doc_tokens_with_dl,
     query_incremental_postings,
 )
 
@@ -53,40 +54,43 @@ _DOCS_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars 
 def write_batch_postings(docs: DataFrame, index_dir: str, batch_id: int) -> None:
     """Idempotently land one batch's postings + stat deltas under their
     ``batch=<id>`` partitions (overwrite of deterministic content)."""
-    toks = _tokens(docs)
-    tf = toks.groupBy("doc_id", F.col("tok").alias("term")).agg(
-        F.count(F.lit(1)).alias("tf")
+    # Round 14 (guide §2.4 / §1.2 — the ingest_postings_batch shape): dl
+    # rides the tf aggregation from the map-side token-array size, tf is
+    # persisted for the span of the batch so each sink rolls up from one
+    # tokenize, and the doclen sidecar (incl. dl=0 for zero-token docs —
+    # the delete stream recovers dl from the doc-sized sidecar instead of
+    # scanning postings) is a map-only scan of the batch.
+    tf = (
+        _doc_tokens_with_dl(docs)
+        .groupBy("doc_id", F.col("tok").alias("term"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+        .persist()
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    (
-        tf.join(dl, "doc_id")
-        .withColumn("tbkt", F.expr(_S34_SPARK_TBKT))
-        .select("term", "doc_id", "tf", "dl", "tbkt")
-        .repartition("tbkt")
-        .write.partitionBy("tbkt")
-        .mode("overwrite")
-        .parquet(f"{index_dir}/postings/batch={batch_id}")
-    )
-    tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).write.mode(
-        "overwrite"
-    ).parquet(f"{index_dir}/termstats/batch={batch_id}")
-    # doc-keyed doclen sidecar (incl. dl=0 for zero-token docs), the same
-    # contract the batch ingest writes: the delete stream recovers dl from
-    # the doc-sized sidecar instead of scanning postings, and deleting an
-    # empty document corrects n_docs exactly.
-    (
-        docs.select("doc_id")
-        .join(dl, "doc_id", "left")
-        .select("doc_id", F.coalesce(F.col("dl"), F.lit(0)).cast("bigint").alias("dl"))
-        .write.mode("overwrite")
-        .parquet(f"{index_dir}/doclen/batch={batch_id}")
-    )
-    (
-        docs.agg(F.count(F.lit(1)).alias("n_docs"))
-        .crossJoin(dl.agg(F.sum("dl").alias("sum_dl")))
-        .write.mode("overwrite")
-        .parquet(f"{index_dir}/stats/batch={batch_id}")
-    )
+    try:
+        (
+            tf.withColumn("tbkt", F.expr(_S34_SPARK_TBKT))
+            .select("term", "doc_id", "tf", "dl", "tbkt")
+            .repartition("tbkt")
+            .write.partitionBy("tbkt")
+            .mode("overwrite")
+            .parquet(f"{index_dir}/postings/batch={batch_id}")
+        )
+        tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/termstats/batch={batch_id}")
+        (
+            _doc_dl(docs)
+            .write.mode("overwrite")
+            .parquet(f"{index_dir}/doclen/batch={batch_id}")
+        )
+        (
+            docs.agg(F.count(F.lit(1)).alias("n_docs"))
+            .crossJoin(tf.agg(F.sum("tf").alias("sum_dl")))
+            .write.mode("overwrite")
+            .parquet(f"{index_dir}/stats/batch={batch_id}")
+        )
+    finally:
+        tf.unpersist()
 
 
 def run_postings_ingest(
