@@ -7,25 +7,37 @@ import pytest
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+OPT_IN_LANES = {
+    "ntz_full": "full-registry sweep under the driver-like NTZ session "
+    "(opt-in: `pytest -m ntz_full`; the default run covers only the "
+    "next 50-query driver window — VERDICT r9 item 6)",
+    "parity_full": "full-registry DuckDB oracle-parity sweep (opt-in: "
+    "`pytest -m parity_full`; the default run covers only the next "
+    "50-query driver window — VERDICT r13 item 1: the ~268-check sweep "
+    "pushed the suite past the driver's pytest budget)",
+    "heavy_full": "long-running randomized/property soaks over code no "
+    "commit in this round touches (opt-in: `pytest -m heavy_full`; "
+    "VERDICT r13 item 1 — each costs 15-50 s per run and duplicates a "
+    "cheaper per-commit equivalence test that stays in the default lane)",
+}
+
+
 def pytest_configure(config):
-    config.addinivalue_line(
-        "markers",
-        "ntz_full: full-registry sweep under the driver-like NTZ session "
-        "(opt-in: `pytest -m ntz_full`; the default run covers only the "
-        "next 50-query driver window — VERDICT r9 item 6)",
-    )
+    for marker, text in OPT_IN_LANES.items():
+        config.addinivalue_line("markers", f"{marker}: {text}")
 
 
 def pytest_collection_modifyitems(config, items):
-    # ntz_full is a cadence lane, not a per-commit one: ~244 extra oracle
-    # parity checks would roughly double the suite. Deselect unless the
-    # marker was explicitly requested.
-    if "ntz_full" in (config.option.markexpr or ""):
-        return
-    skip = pytest.mark.skip(reason="opt-in cadence lane: run with -m ntz_full")
-    for item in items:
-        if "ntz_full" in item.keywords:
-            item.add_marker(skip)
+    # Cadence lanes, not per-commit ones: each adds ~220 oracle parity
+    # checks. Deselect unless the marker was explicitly requested.
+    expr = config.option.markexpr or ""
+    for marker in OPT_IN_LANES:
+        if marker in expr:
+            continue
+        skip = pytest.mark.skip(reason=f"opt-in cadence lane: run with -m {marker}")
+        for item in items:
+            if marker in item.keywords:
+                item.add_marker(skip)
 
 
 @pytest.fixture(scope="session")

@@ -19,12 +19,96 @@ context.
 
 from __future__ import annotations
 
+import os
+import re
+
 import pytest
 
 import __spark_entry__ as entry
 from dbt_osmosis_spark.oracle import check_parity
 
 WINDOW = 50
+
+# Round 14 (VERDICT r13 item 1, suite budget): the NTZ flag changes ONE
+# thing — whether a parquet TIMESTAMP column without tz metadata reads
+# as TIMESTAMP or TIMESTAMP_NTZ. Only three test tables carry such a
+# column (events.ts, orders.o_orderdate, lineitem.l_shipdate; asserted
+# below), so a query whose code never touches any of them produces
+# bitwise-identical results under both sessions and re-checking it here
+# duplicates test_oracle_parity's engine-session check. The per-commit
+# NTZ lane therefore covers only the TIMESTAMP-RELEVANT slice of the
+# driver window; the rest of the registry (including the skipped window
+# entries) stays NTZ-covered by the ntz_full cadence lane. Relevance is
+# decided statically: the query's defining module file, transitively
+# closed over its `from dbt_osmosis_spark...` imports (doc-family
+# modules import no relational helpers — over-inclusion is safe,
+# under-inclusion is impossible short of dynamic table-name
+# construction, which no operator uses).
+_TS_TABLES = re.compile(
+    r"[\"'](events|lineitem|orders)[\"']|(events|lineitem|orders)\.parquet"
+)
+
+
+def _reads_timestamp_table(name: str) -> bool:
+    import dbt_osmosis_spark
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(dbt_osmosis_spark.__file__)))
+    cache: dict[str, bool] = {}
+
+    def file_hits(path: str) -> bool:
+        if path in cache:
+            return cache[path]
+        cache[path] = False  # cycle guard (modules here have no cycles)
+        try:
+            src = open(path).read()
+        except OSError:
+            return False
+        hit = bool(_TS_TABLES.search(src))
+        if not hit:
+            for m in re.finditer(r"from (dbt_osmosis_spark[.\w]*) import", src):
+                mod = m.group(1)
+                # the operators package __init__ imports EVERY operator
+                # module (load_all) — following it would mark everything
+                if mod == "dbt_osmosis_spark.operators":
+                    continue
+                for cand in (
+                    os.path.join(root, mod.replace(".", os.sep) + ".py"),
+                    os.path.join(root, mod.replace(".", os.sep), "__init__.py"),
+                ):
+                    if os.path.isfile(cand) and file_hits(cand):
+                        hit = True
+                        break
+                if hit:
+                    break
+        cache[path] = hit
+        return hit
+
+    fn = entry.QUERIES[name]
+    fn = getattr(fn, "__wrapped__", fn)  # registry dispatch wrapper
+    return file_hits(fn.__code__.co_filename)
+
+
+def test_ntz_relevance_filter_is_sound(sf_dir):
+    """Pin the static filter: the timestamp-bearing table set is exactly
+    the one the filter knows, known timestamp consumers classify as
+    relevant, known document/embedding-only queries as invariant, and
+    the relevant set is non-empty registry-wide (a regex/layout drift
+    that classified everything invariant would void the lane)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    ts_tables = {
+        os.path.basename(p)[: -len(".parquet")]
+        for p in glob.glob(os.path.join(sf_dir, "*.parquet"))
+        if any("timestamp" in str(t) for t in pq.read_schema(p).types)
+    }
+    assert ts_tables == {"events", "lineitem", "orders"}, ts_tables
+    for ts_query in ("q01_pricing_summary", "q09_window_rank", "q14_events_hourly"):
+        assert _reads_timestamp_table(ts_query), ts_query
+    for doc_query in ("s01_cosine_topk", "t01_token_stats", "d01_dedup_exact"):
+        assert not _reads_timestamp_table(doc_query), doc_query
+    assert sum(_reads_timestamp_table(n) for n in entry.queries()) >= 20
 
 
 @pytest.fixture(scope="module")
@@ -53,7 +137,14 @@ def test_ntz_session_reads_parquet_timestamps_as_ntz(ntz_spark, sf_dir):
     ]
 
 
-@pytest.mark.parametrize("name", _driver_window())
+# Per-commit lane = the timestamp-relevant slice of the driver window
+# (round 14 — see the module-top rationale; NTZ-invariant window entries
+# are already parity-checked by test_oracle_parity under the engine
+# session, and stay NTZ-covered by the ntz_full cadence lane below).
+_NTZ_WINDOW = [n for n in _driver_window() if _reads_timestamp_table(n)]
+
+
+@pytest.mark.parametrize("name", _NTZ_WINDOW or ["q01_pricing_summary"])
 def test_driver_window_green_under_ntz_session(ntz_spark, sf_dir, duck, name):
     if name not in entry.ORACLES:
         df = entry.QUERIES[name](ntz_spark, sf_dir)
@@ -64,13 +155,16 @@ def test_driver_window_green_under_ntz_session(ntz_spark, sf_dir, duck, name):
 
 
 # Full-registry cadence lane (VERDICT r9 item 6): the window above is the
-# right per-commit cost, but a query outside the next driver window is
-# only NTZ-checked when its rotation turn comes — up to 5 rounds later.
-# `pytest -m ntz_full` sweeps the REST of the registry under the NTZ
-# session (the first 50 are already covered by the per-commit lane), so a
-# timestamp-semantics regression anywhere cannot hide.
+# right per-commit cost, but a query outside it is only NTZ-checked when
+# its rotation turn comes — up to 5 rounds later. `pytest -m ntz_full`
+# sweeps the REST of the registry under the NTZ session (everything not
+# already covered by the per-commit lane, including the window's
+# NTZ-invariant entries), so a timestamp-semantics regression anywhere
+# cannot hide.
 @pytest.mark.ntz_full
-@pytest.mark.parametrize("name", list(entry.queries())[WINDOW:])
+@pytest.mark.parametrize(
+    "name", [n for n in entry.queries() if n not in set(_NTZ_WINDOW)]
+)
 def test_full_registry_green_under_ntz_session(ntz_spark, sf_dir, duck, name):
     if name not in entry.ORACLES:
         df = entry.QUERIES[name](ntz_spark, sf_dir)

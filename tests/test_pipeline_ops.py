@@ -742,6 +742,8 @@ def test_d13_hamming_prefilter_is_lossless(spark):
         assert bounded == exact, f"Hamming pre-filter dropped true pairs at {sf_dir}"
 
 
+@pytest.mark.heavy_full  # 16 s corpus soak; same-engine equivalence is covered
+# per-commit by the random-graph-free unit test above
 def test_star_cc_equals_min_label_on_corpus(spark, sf_dir):
     """Large-star/small-star and min-label propagation must compute the
     SAME components on the real LSH dup graph (and on a high-diameter
@@ -780,6 +782,9 @@ def test_star_cc_equals_min_label_on_corpus(spark, sf_dir):
         assert out == {0}, engine.__name__
 
 
+@pytest.mark.heavy_full  # 40 s randomized soak; per-commit CC coverage: the
+# star/hybrid/min-label equivalence + high-diameter chain test above and the
+# d30 window parity check
 def test_cc_engines_match_union_find_on_random_graphs(spark):
     """All three CC engines vs a Python union-find reference, over 20
     seeded random graphs (varied density incl. empty and chain-heavy)

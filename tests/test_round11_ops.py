@@ -7,6 +7,8 @@ from __future__ import annotations
 import os
 import shutil
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from dbt_osmosis_spark.operators import QUERIES, load_all
@@ -384,6 +386,8 @@ def test_t31_oov_encode_matches_direct_python(spark, sf_dir):
 # strong cluster structure for Lloyd to find (the d26-style honest
 # negative-ish result).
 # --------------------------------------------------------------------------
+@pytest.mark.heavy_full  # 13 s determinism sweep over untouched s40; its oracle
+# parity check stays in the rotation window
 def test_s40_recall_sweep_is_deterministic_and_pinned(spark, sf_dir):
     from dbt_osmosis_spark.operators.similarity_ext4 import ivf_recall_sweep
 

@@ -584,6 +584,7 @@ def test_distinct_accrual_stream_matches_batch_twin(spark, sf_dir):
     assert got == want
 
 
+@pytest.mark.heavy_full  # 50 s soak; q30 equivalence itself is parity-checked
 def test_click_attribution_outer_matches_batch_twin(spark, sf_dir, tmp_path):
     """The left-outer interval join must agree EXACTLY with the batch left
     join on the fully-resolved region (clicks old enough that the final
