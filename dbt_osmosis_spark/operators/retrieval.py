@@ -1150,6 +1150,27 @@ def ingest_postings_batch(
     map-only scan of the batch (zero-token docs get dl = 0 from the
     empty array directly).
     """
+    import os as _os
+
+    # On-disk format guard (ADVICE r13): round 13 moved the postings to
+    # per-ingest partitions (postings/ingest=<id>/tbkt=<b>). Re-ingesting
+    # into a layout written by the pre-round-13 flat form
+    # (postings/tbkt=<b>) would mix directory depths, which Spark rejects
+    # at read time (CONFLICTING_DIRECTORY_STRUCTURES) — fail loud at
+    # WRITE time with the migration instruction instead.
+    legacy = (
+        _os.path.isdir(f"{path}/postings")
+        and any(
+            d.startswith("tbkt=") for d in _os.listdir(f"{path}/postings")
+        )
+    )
+    if legacy:
+        raise ValueError(
+            f"{path}/postings uses the pre-round-13 flat tbkt=<b> layout; "
+            "rebuild required: compact it via compact_postings (or clear "
+            "the layout) before ingesting with the per-ingest partition "
+            "format postings/ingest=<id>/tbkt=<b>"
+        )
     tf = (
         _doc_tokens_with_dl(docs_batch)
         .groupBy("doc_id", F.col("tok").alias("term"))

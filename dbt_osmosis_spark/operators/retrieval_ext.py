@@ -1132,6 +1132,16 @@ def _segments_with_terms(
 
     if not terms:
         return segs
+    # Round 14 (guide §1.2 — don't pay fixed costs that can't pay back):
+    # the probe is one scheduling round-trip + a sidecar scan; with
+    # fewer live segments than the bound it can save at most one or two
+    # segment listings, strictly less than its own cost at ANY scale.
+    # Pruning's payoff is thousand-segment layouts (module comment), and
+    # skipping the probe is always correct — pruning is a pure
+    # optimization. Env-tunable so a deployment (or the pruning tests,
+    # which use 3-4 segment layouts) can move the bound.
+    if len(segs) < int(_os.environ.get("SPARK_GRAFT_TERMSET_PROBE_MIN_SEGS", "3")):
+        return segs
     keep = [s for s in segs if not _os.path.isdir(_os.path.join(path, s, "termset"))]
     check = [s for s in segs if s not in keep]
     if not check:
@@ -1225,6 +1235,81 @@ def _write_termset(spark: SparkSession, seg_path: str, terms_rel: DataFrame) -> 
     )
 
 
+def _upsert_supersede_sinks(
+    spark: SparkSession, docs_batch: DataFrame, path: str, seg_id: int
+) -> tuple[list, object]:
+    """Build (but do not run) the supersede sink thunks, so an ingest
+    can submit them CONCURRENTLY with its own segment sinks (round 14,
+    guide §2.6 — the supersede phase previously ran strictly after the
+    four ingest sinks, serializing a doc-sized read+window behind the
+    corpus-sized postings write it is independent of). Returns
+    ``(sinks, cleanup)``; cleanup releases the persisted prior-doclen
+    relation and must run after the sinks complete.
+
+    Every input DataFrame — including the tombstone read that excludes
+    this upsert's own partition by value — is constructed HERE, before
+    any sink is submitted, so its parquet file listing is snapshotted
+    and a concurrent sink's write can never race it (ADVICE r13: the
+    built-before-run_sinks invariant, now explicit). The supersede
+    sinks write deletes/delete=<own> and stats/part=upsert-<own>,
+    disjoint from the ingest's seg-<id>/* and stats/part=ingest-<id>
+    directories. Crash-partial states (tombstones landed, segment
+    absent — or the reverse) are repaired by replaying the same seg_id,
+    the layout's standing replay contract; overlapping the sinks adds
+    no NEW partial state class, only new interleavings of it."""
+    # only LOWER-generation segments can hold prior versions; restricting
+    # the scan to them also makes a crash-REPLAY of this segment
+    # recompute byte-equivalent tombstones/stats (lower segments are
+    # immutable), even if higher segments landed in between. The listing
+    # also never sees this ingest's own (possibly concurrent) segment
+    # dir: seg_id itself is excluded by the < bound.
+    prior_segs = [s for s in _live_segments(path) if _seg_id(s) < seg_id]
+    if not prior_segs:
+        return [], (lambda: None)
+    batch_ids = docs_batch.select("doc_id").distinct()
+    # prior_dl feeds BOTH sinks (tombstone ids + latest-live stats);
+    # persisted for the call so the doclen semi-join runs once, and the
+    # two disjoint-directory sinks run concurrently (guide §2.6 — the
+    # stats side's tombstone read excludes this partition by value, so
+    # it never races the concurrent tombstone write).
+    prior_dl = (
+        _read_segments_tagged(spark, path, prior_segs, "doclen")
+        .join(batch_ids, "doc_id", "left_semi")
+        .persist()
+    )
+    own_part = _delete_partition_value(path, _UPSERT_TOMB_NS + seg_id)
+    existing = _scoped_tombstones(spark, path, exclude_delete_id=own_part)
+    live_prior = _apply_scoped_tombstones(prior_dl, existing)
+    latest = (
+        live_prior.withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(F.col("seg_gen").desc())
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "dl")
+    )
+    sinks = [
+        lambda: (
+            prior_dl.select("doc_id")
+            .distinct()
+            .withColumn("gen", F.lit(seg_id - 1).cast("bigint"))
+            .write.mode("overwrite")
+            .parquet(f"{path}/deletes/delete={own_part}")
+        ),
+        lambda: (
+            latest.agg(
+                (-F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+                (-F.coalesce(F.sum("dl"), F.lit(0))).cast("bigint").alias("sum_dl"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{path}/stats/part=upsert-{own_part}")
+        ),
+    ]
+    return sinks, prior_dl.unpersist
+
+
 def _upsert_supersede(
     spark: SparkSession, docs_batch: DataFrame, path: str, seg_id: int
 ) -> None:
@@ -1237,57 +1322,11 @@ def _upsert_supersede(
     empty-partition writes of batch-semi-joined doc-sized reads — never
     an index scan. Idempotent per seg_id (own partitions excluded from
     the liveness read), same replay contract as the ingest itself."""
-    # only LOWER-generation segments can hold prior versions; restricting
-    # the scan to them also makes a crash-REPLAY of this segment
-    # recompute byte-equivalent tombstones/stats (lower segments are
-    # immutable), even if higher segments landed in between.
-    prior_segs = [s for s in _live_segments(path) if _seg_id(s) < seg_id]
-    if not prior_segs:
-        return
-    batch_ids = docs_batch.select("doc_id").distinct()
-    # prior_dl feeds BOTH sinks (tombstone ids + latest-live stats);
-    # persisted for the call so the doclen semi-join runs once, and the
-    # two disjoint-directory sinks run concurrently (guide §2.6 — the
-    # stats side's tombstone read excludes this partition by value, so
-    # it never races the concurrent tombstone write).
-    prior_dl = (
-        _read_segments_tagged(spark, path, prior_segs, "doclen")
-        .join(batch_ids, "doc_id", "left_semi")
-        .persist()
-    )
+    sinks, cleanup = _upsert_supersede_sinks(spark, docs_batch, path, seg_id)
     try:
-        own_part = _delete_partition_value(path, _UPSERT_TOMB_NS + seg_id)
-        existing = _scoped_tombstones(spark, path, exclude_delete_id=own_part)
-        live_prior = _apply_scoped_tombstones(prior_dl, existing)
-        latest = (
-            live_prior.withColumn(
-                "_rn",
-                F.row_number().over(
-                    W.partitionBy("doc_id").orderBy(F.col("seg_gen").desc())
-                ),
-            )
-            .filter(F.col("_rn") == 1)
-            .select("doc_id", "dl")
-        )
-        run_sinks(
-            lambda: (
-                prior_dl.select("doc_id")
-                .distinct()
-                .withColumn("gen", F.lit(seg_id - 1).cast("bigint"))
-                .write.mode("overwrite")
-                .parquet(f"{path}/deletes/delete={own_part}")
-            ),
-            lambda: (
-                latest.agg(
-                    (-F.count(F.lit(1))).cast("bigint").alias("n_docs"),
-                    (-F.coalesce(F.sum("dl"), F.lit(0))).cast("bigint").alias("sum_dl"),
-                )
-                .write.mode("overwrite")
-                .parquet(f"{path}/stats/part=upsert-{own_part}")
-            ),
-        )
+        run_sinks(*sinks)
     finally:
-        prior_dl.unpersist()
+        cleanup()
 
 
 def ingest_segment(
@@ -1312,12 +1351,24 @@ def ingest_segment(
     map-side token-array size (_doc_tokens_with_dl) — the dl groupBy,
     the tf⋈dl join, and the doclen sink's left join are gone; doclen is
     a map-only scan of the batch (zero-token docs get dl = 0 from the
-    empty array)."""
+    empty array).
+
+    Round 14 (guide §2.6): the supersede pass's two sinks are submitted
+    IN THE SAME run_sinks as the segment sinks — they touch disjoint
+    directories and their inputs are snapshotted before submission
+    (_upsert_supersede_sinks), so the doc-sized supersede work back-fills
+    the postings write's straggler tail instead of running serially
+    after it."""
     tf = (
         _doc_tokens_with_dl(docs_batch)
         .groupBy("doc_id", F.col("tok").alias("term"))
         .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
         .persist()
+    )
+    upsert_sinks, upsert_cleanup = (
+        _upsert_supersede_sinks(spark, docs_batch, path, seg_id)
+        if upsert
+        else ([], lambda: None)
     )
     try:
         run_sinks(
@@ -1343,11 +1394,11 @@ def ingest_segment(
                 .write.mode("overwrite")
                 .parquet(f"{path}/stats/part=ingest-{seg_id}")
             ),
+            *upsert_sinks,
         )
     finally:
         tf.unpersist()
-    if upsert:
-        _upsert_supersede(spark, docs_batch, path, seg_id)
+        upsert_cleanup()
 
 
 def delete_segmented(
@@ -1458,8 +1509,20 @@ def compact_segments(spark: SparkSession, path: str) -> dict[str, int]:
     # compaction only drops dead rows and re-buckets. Surviving rows are
     # live by construction, so collapsing them into the (highest-gen)
     # new segment cannot resurrect or shadow anything.
+    # Round 14 (guide §5): merged_doclen feeds TWO consumers (its own
+    # sink + the survivor membership probe) — doc-sized, so the persist
+    # is nearly free and saves a second doclen scan + anti-join.
+    # merged_postings also feeds two sinks (bucketed write + termset),
+    # but persisting IT was tried and REVERTED: same-host per-phase A/B
+    # on s44's compact phase measured 1.24 s unpersisted vs 1.81 s
+    # persisted (229 → 341 tasks — the cache materialization is pure
+    # added work when the two consumer sinks already run concurrently
+    # over the same files via run_sinks and the OS page cache; guide §5,
+    # cache only when recompute beats the pressure).
     merged_postings = _apply_scoped_tombstones(postings, tombs).drop("seg_gen")
-    merged_doclen = _apply_scoped_tombstones(doclen, tombs).drop("seg_gen")
+    merged_doclen = (
+        _apply_scoped_tombstones(doclen, tombs).drop("seg_gen").persist()
+    )
     retired_now = sorted(
         set(_live_delete_parts(path)) | set(_retired_delete_parts(path))
     )
@@ -1495,7 +1558,10 @@ def compact_segments(spark: SparkSession, path: str) -> dict[str, int]:
                 f"{path}/deletes/delete={_COMPACT_TOMB_NS + new_mgen}"
             )
         )
-    run_sinks(*sinks)
+    try:
+        run_sinks(*sinks)
+    finally:
+        merged_doclen.unpersist()
     manifest = {
         "gen": new_mgen,
         "segments": [base, new_seg],
@@ -2026,10 +2092,21 @@ def ingest_positional_segment(
 
     Round 14 (guide §2.4): positions come from _positional_tokens —
     array-index positions, no per-doc row_number window, one less
-    batch-sized shuffle+sort per ingest."""
+    batch-sized shuffle+sort per ingest.
+
+    Round 14 (guide §2.6): the supersede pass's two sinks join the same
+    run_sinks as the segment sinks (disjoint directories, inputs
+    snapshotted before submission — _upsert_supersede_sinks), so the
+    doc-sized supersede work back-fills the postings write's straggler
+    tail instead of running serially after it."""
     pos = (
         _positional_tokens(docs_batch).withColumn("tbkt", F.expr(_S34_SPARK_TBKT))
     ).persist()
+    upsert_sinks, upsert_cleanup = (
+        _upsert_supersede_sinks(spark, docs_batch, path, seg_id)
+        if upsert
+        else ([], lambda: None)
+    )
     try:
         # four disjoint-directory sinks off the one persisted positional
         # relation, submitted concurrently (guide §2.6). Round 14
@@ -2052,11 +2129,11 @@ def ingest_positional_segment(
                 .write.mode("overwrite")
                 .parquet(f"{path}/stats/part=ingest-{seg_id}")
             ),
+            *upsert_sinks,
         )
     finally:
         pos.unpersist()
-    if upsert:
-        _upsert_supersede(spark, docs_batch, path, seg_id)
+        upsert_cleanup()
 
 
 def query_phrase_segmented(

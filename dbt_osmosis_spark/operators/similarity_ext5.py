@@ -52,7 +52,7 @@ from dbt_osmosis_spark.operators.retrieval_ext import (
     _scoped_tombstones,
     _seg_id,
     _stats_parts,
-    _upsert_supersede,
+    _upsert_supersede_sinks,
     _write_bucketed,
     delete_segmented,
     _live_delete_parts,
@@ -111,28 +111,38 @@ def ingest_vector_segment(
     # (doclen/stats are column-pruned scans of the batch, never of the
     # assigned relation), so they are submitted concurrently (guide
     # §2.6) and the partitioned postings write's straggler tail
-    # back-fills with the doclen/stats tasks.
-    run_sinks(
-        lambda: _write_bucketed(
-            spark,
-            assigned.select("doc_id", "v", "label", "tbkt"),
-            f"{path}/seg-{seg_id}/postings",
-        ),
-        lambda: (
-            vecs_batch.select("doc_id")
-            .withColumn("dl", F.lit(1).cast("bigint"))
-            .write.mode("overwrite")
-            .parquet(f"{path}/seg-{seg_id}/doclen")
-        ),
-        lambda: (
-            vecs_batch.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-            .withColumn("sum_dl", F.col("n_docs"))
-            .write.mode("overwrite")
-            .parquet(f"{path}/stats/part=ingest-{seg_id}")
-        ),
+    # back-fills with the doclen/stats tasks. Round 14 (guide §2.6):
+    # the supersede pass's two sinks join the same run_sinks (disjoint
+    # directories, inputs snapshotted before submission) instead of
+    # running serially after the segment sinks.
+    upsert_sinks, upsert_cleanup = (
+        _upsert_supersede_sinks(spark, vecs_batch, path, seg_id)
+        if upsert
+        else ([], lambda: None)
     )
-    if upsert:
-        _upsert_supersede(spark, vecs_batch, path, seg_id)
+    try:
+        run_sinks(
+            lambda: _write_bucketed(
+                spark,
+                assigned.select("doc_id", "v", "label", "tbkt"),
+                f"{path}/seg-{seg_id}/postings",
+            ),
+            lambda: (
+                vecs_batch.select("doc_id")
+                .withColumn("dl", F.lit(1).cast("bigint"))
+                .write.mode("overwrite")
+                .parquet(f"{path}/seg-{seg_id}/doclen")
+            ),
+            lambda: (
+                vecs_batch.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+                .withColumn("sum_dl", F.col("n_docs"))
+                .write.mode("overwrite")
+                .parquet(f"{path}/stats/part=ingest-{seg_id}")
+            ),
+            *upsert_sinks,
+        )
+    finally:
+        upsert_cleanup()
 
 
 def query_vectors_segmented(

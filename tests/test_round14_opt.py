@@ -99,3 +99,65 @@ def test_delete_apply_and_compaction_gated_results_identical(spark, monkeypatch)
         assert len(results["bcast"][0]) == 3  # docs 1, 3, 4 survive
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+
+def test_legacy_flat_postings_layout_rejected_at_ingest(spark):
+    """ADVICE r13: re-ingesting into a pre-round-13 flat tbkt=<b> layout
+    must fail loud at write time with the migration instruction, not at
+    some later read with CONFLICTING_DIRECTORY_STRUCTURES."""
+    import pytest
+
+    path = _scratch("r14-legacy-layout")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(f"{path}/postings/tbkt=3", exist_ok=True)
+    with pytest.raises(ValueError, match="rebuild required"):
+        ingest_postings_batch(spark, _docs(spark, [(1, "alpha")]), path, 0)
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def test_termset_probe_skipped_below_segment_bound(spark, monkeypatch):
+    """Round 14: with fewer live segments than
+    $SPARK_GRAFT_TERMSET_PROBE_MIN_SEGS (default 3) the termset probe
+    job is skipped — _segments_with_terms returns the segments unchanged
+    — and the serve result is identical to the probed serve (pruning is
+    a pure optimization either way)."""
+    from dbt_osmosis_spark.operators.retrieval_ext import (
+        _live_segments,
+        _segments_with_terms,
+        ingest_segment,
+        query_segmented_postings,
+    )
+
+    path = _scratch("r14-probe-skip")
+    shutil.rmtree(path, ignore_errors=True)
+    ingest_segment(spark, _docs(spark, [(1, "alpha beta"), (2, "alpha")]), path, 0,
+                   upsert=False)
+    ingest_segment(spark, _docs(spark, [(3, "gamma")]), path, 1, upsert=False)
+    segs = _live_segments(path)
+    assert segs == ["seg-0", "seg-1"]
+    # default bound (3): 2 segments -> probe skipped, nothing pruned
+    monkeypatch.delenv("SPARK_GRAFT_TERMSET_PROBE_MIN_SEGS", raising=False)
+    assert _segments_with_terms(spark, path, segs, ["beta"]) == segs
+    skipped = query_segmented_postings(spark, path, (("q", "beta"),)).collect()
+    # bound lowered to 2: the probe runs and prunes the beta-free segment
+    monkeypatch.setenv("SPARK_GRAFT_TERMSET_PROBE_MIN_SEGS", "2")
+    assert _segments_with_terms(spark, path, segs, ["beta"]) == ["seg-0"]
+    probed = query_segmented_postings(spark, path, (("q", "beta"),)).collect()
+    assert skipped == probed and len(probed) == 1
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def test_upsert_supersede_sinks_empty_without_prior_segments(spark):
+    """The supersede builder degenerates to (no sinks, no-op cleanup) on
+    a fresh layout — the overlapped submission adds no work to a first
+    ingest."""
+    from dbt_osmosis_spark.operators.retrieval_ext import _upsert_supersede_sinks
+
+    path = _scratch("r14-supersede-empty")
+    shutil.rmtree(path, ignore_errors=True)
+    sinks, cleanup = _upsert_supersede_sinks(
+        spark, _docs(spark, [(1, "alpha")]), path, 0
+    )
+    assert sinks == []
+    cleanup()  # must be callable and harmless
+    shutil.rmtree(path, ignore_errors=True)

@@ -40,6 +40,18 @@ class Phases:
         return out
 
 
+def _release():
+    """The registered dispatch releases keep_cached frames on entry to
+    every operator; this profiler calls operator INTERNALS directly, so
+    it must do the same between replays — a keep_cached frame from rep
+    N-1 whose analyzed plan matches a rep-N read (same layout path,
+    rmtree'd and rebuilt in between) would otherwise be substituted by
+    the CacheManager and resolve rep N-1's deleted part files."""
+    from dbt_osmosis_spark.operators.caching import release_caches
+
+    release_caches()
+
+
 def profile_s53(spark):
     from dbt_osmosis_spark.operators.retrieval import _QUERY_TERMS
     from dbt_osmosis_spark.operators.retrieval_ext import (
@@ -242,10 +254,16 @@ def main() -> None:
     for n in names:
         SF_DIR = "/root/testdata/sf0.001"
         PROFILES[n](spark)
+        _release()
     SF_DIR = real
     out = {}
+
+    def _rep(n):
+        _release()
+        return PROFILES[n](spark)
+
     for n in names:
-        reps = [PROFILES[n](spark) for _ in range(2)]
+        reps = [_rep(n) for _ in range(2)]
         # best-of-2 per phase
         best = [
             (reps[0][i][0], min(r[i][1] for r in reps)) for i in range(len(reps[0]))
