@@ -357,31 +357,39 @@ def m16_gain_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
     # char-array split once per doc + O(1)-access slice per frame — the
     # m15 rationale (substring() has no random access on UTF8String).
     #
-    # Round 14 (guide §2.4, §2.3): m16 only needs PER-DOC rollups, so
-    # the whole frame fold stays inside the array domain — no explode
-    # (the r13 form copied the full char array into every frame row) and
-    # no groupBy exchange (the per-doc sums are one nested aggregate
-    # over the frame sequence). Map-side scan + the final orderBy only.
-    sum_dev_expr = (
-        f"CAST(aggregate("
+    # Round 14 (guide §2.3 "project before the exchange"): the per-frame
+    # (s, ss) fold runs inside the array domain, so the explode emits
+    # 2-bigint structs per frame instead of copying the whole char array
+    # into every frame row (the r13 form's O(frames x doclen) Generate).
+    # The per-doc rollup stays a groupBy AGGREGATE deliberately: a first
+    # r14 attempt computed sum_dev as one nested array fold in a plain
+    # projection and the pushed-down `sum_dev > 0` filter SUBSTITUTED the
+    # whole fold into the scan's DataFilters — the corpus-sized fold
+    # evaluated twice per doc, measured 0.8 s -> 3.3 s (4x regression,
+    # reverted). The aggregate is the optimizer barrier that pins
+    # one-evaluation semantics (the §4.4 duplication pattern, expression
+    # form), and its exchange carries 3 bigints per doc.
+    frame_structs = (
         f"transform(sequence(0, size(ch) DIV {_M16_FRAME} - 1), i -> "
         f"aggregate("
         f"transform(slice(ch, CAST(i * {_M16_FRAME} + 1 AS INT), {_M16_FRAME}),"
         f" c -> CAST(ascii(c) AS BIGINT)),"
         f" named_struct('s', 0L, 'ss', 0L),"
-        f" (acc, x) -> named_struct('s', acc.s + x, 'ss', acc.ss + x * x))),"
-        f" 0L,"
-        f" (acc, f) -> acc + CAST({_M16_FRAME} AS BIGINT) * f.ss - f.s * f.s"
-        f") AS BIGINT)"
+        f" (acc, x) -> named_struct('s', acc.s + x, 'ss', acc.ss + x * x)))"
     )
-    per_doc = (
+    framed = (
         docs.filter(F.length("text") >= _M16_FRAME)
         .select("doc_id", F.split("text", "").alias("ch"))
-        .select(
-            "doc_id",
-            F.expr(f"CAST(size(ch) DIV {_M16_FRAME} AS BIGINT)").alias("n_frames"),
-            F.expr(sum_dev_expr).alias("sum_dev"),
+        .select("doc_id", F.explode(F.expr(frame_structs)).alias("f"))
+    )
+    per_doc = framed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.sum(
+            F.lit(_M16_FRAME).cast("bigint") * F.col("f.ss")
+            - F.col("f.s") * F.col("f.s")
         )
+        .cast("bigint")
+        .alias("sum_dev"),
     )
     return (
         per_doc.filter(F.col("sum_dev") > 0)
