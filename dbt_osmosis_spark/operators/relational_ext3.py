@@ -30,6 +30,7 @@ from pyspark.sql.window import Window as W
 from dbt_osmosis_spark.functions.timeutil import epoch_us_sql as _eus
 from dbt_osmosis_spark.operators import register
 from dbt_osmosis_spark.operators.relational import session_break_flag, t
+from dbt_osmosis_spark.sources.parquet import read_layout
 
 # --------------------------------------------------------------------------
 # q55: peak concurrent sessions per hour — distributed sweep line
@@ -607,7 +608,7 @@ def build_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
 def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serve side only: the day predicate must prune at the directory
     listing (PartitionFilters), not as a row filter after a full scan."""
-    ev = spark.read.parquet(_q62_layout_path(sf_dir))
+    ev = read_layout(spark, _q62_layout_path(sf_dir))
     return (
         ev.filter((F.col("day") >= _Q62_FROM) & (F.col("day") < _Q62_TO))
         # partition-column type inference reads `day` back as DATE; the

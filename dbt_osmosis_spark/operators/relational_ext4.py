@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from dbt_osmosis_spark.functions.timeutil import epoch_us_sql as _eus
 from dbt_osmosis_spark.operators import register
 from dbt_osmosis_spark.operators.relational import t
+from dbt_osmosis_spark.sources.parquet import read_layout
 
 # --------------------------------------------------------------------------
 # q73: ordered conversion funnel — chained conditional-min aggregates
@@ -404,7 +405,7 @@ def build_zorder_events(spark: SparkSession, sf_dir: str) -> str:
 @register("q76_zorder_layout", oracle=_Q76_ORACLE)
 def q76_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_zorder_events(spark, sf_dir)
-    ev = spark.read.parquet(_q76_layout_path(sf_dir))
+    ev = read_layout(spark, _q76_layout_path(sf_dir))
     from dbt_osmosis_spark.functions.numeric import dec_sum as _ds
 
     return (
@@ -991,7 +992,7 @@ def compact_events(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         _os.path.getsize(f) for f in glob.glob(f"{frag}/part-*.parquet")
     )
     n_out = max(1, -(-frag_bytes // _Q81_TARGET_BYTES))
-    spark.read.parquet(frag).repartition(n_out).write.mode("overwrite").parquet(
+    read_layout(spark, frag).repartition(n_out).write.mode("overwrite").parquet(
         compacted
     )
     return frag, compacted
@@ -1003,7 +1004,7 @@ def q81_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _, compacted = compact_events(spark, sf_dir)
     return (
-        spark.read.parquet(compacted)
+        read_layout(spark, compacted)
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

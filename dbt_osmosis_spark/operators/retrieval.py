@@ -40,7 +40,7 @@ from pyspark.sql.window import Window as W
 from dbt_osmosis_spark.operators import register
 from dbt_osmosis_spark.operators.caching import keep_cached
 from dbt_osmosis_spark.operators.sinks import run_sinks
-from dbt_osmosis_spark.sources.parquet import read_parquet, spread
+from dbt_osmosis_spark.sources.parquet import read_layout, read_parquet, spread
 
 _K = 5  # top-k per query
 _BUCKETS = 32  # two-phase rank fan-in
@@ -158,6 +158,48 @@ def _doc_tokens_with_dl(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.size(_tok_array(docs)).cast("bigint").alias("dl"),
         F.explode(_tok_array(docs)).alias("tok"),
+    )
+
+
+def _doc_tf(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, tf, dl): per-doc term frequencies folded ENTIRELY
+    map-side (round 14, guide §2.4 — remove shuffles outright). tf is a
+    doc-LOCAL count, so the (doc, term) groupBy exchange every r13
+    build/ingest paid is unnecessary: each doc's distinct tokens are
+    counted inside its own token array (the in-memory fold a single-node
+    indexer does) and exploded already aggregated. Zero-token docs yield
+    no rows, exactly like the groupBy form. Requires doc_id-unique input
+    (every caller ingests slices of the doc_id-keyed corpus); a batch
+    with duplicate doc_ids would emit per-copy rows where the groupBy
+    form merged them."""
+    return (
+        docs.select("doc_id", _tok_array(docs).alias("_toks"))
+        .select(
+            "doc_id",
+            F.size("_toks").cast("bigint").alias("dl"),
+            F.explode(
+                F.expr(
+                    "transform(array_distinct(_toks), t -> struct("
+                    "t AS term, "
+                    "CAST(size(filter(_toks, x -> x = t)) AS BIGINT) AS tf))"
+                )
+            ).alias("_e"),
+        )
+        .select("doc_id", F.col("_e.term").alias("term"), F.col("_e.tf").alias("tf"), "dl")
+    )
+
+
+def _doc_dl_stats(docs: DataFrame) -> DataFrame:
+    """One-row (n_docs, sum_dl) additive stats delta from ONE map-only
+    pass over the batch (round 14, guide §2.4/§2.6): n_docs counts every
+    doc (zero-token ones included), sum_dl sums the per-doc token-array
+    sizes — identical to the r13 form's count(batch) × Σ tf crossJoin,
+    without the second aggregate or the dependency on the persisted tf/
+    pos relation (the stats sink becomes fully independent of the other
+    sinks, so it back-fills their straggler tails)."""
+    return _doc_dl(docs).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("sum_dl"),
     )
 
 
@@ -705,12 +747,7 @@ def write_postings_index(spark: SparkSession, docs: DataFrame, path: str) -> Non
     the map-side token-array size (_doc_tokens_with_dl) — the dl groupBy
     and the tf⋈dl doc_id join are gone; sum_dl for the stats row is
     Σ tf over the cached relation."""
-    tf = (
-        _doc_tokens_with_dl(docs)
-        .groupBy("doc_id", F.col("tok").alias("term"))
-        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
-        .persist()
-    )
+    tf = _doc_tf(docs).persist()  # round 14 (§2.4): map-side doc-local fold
     try:
         df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
         postings = tf.join(df_rel, "term").withColumn(
@@ -725,8 +762,7 @@ def write_postings_index(spark: SparkSession, docs: DataFrame, path: str) -> Non
                 .parquet(f"{path}/postings")
             ),
             lambda: (
-                docs.agg(F.count(F.lit(1)).alias("n_docs"))
-                .crossJoin(tf.agg(F.sum("tf").alias("sum_dl")))
+                _doc_dl_stats(docs)
                 .selectExpr(
                     "n_docs",
                     "CAST(sum_dl AS DOUBLE) / n_docs AS avgdl",
@@ -750,9 +786,9 @@ def query_postings_index(
     probes = sorted({_s34_tbkt_py(t) for _, t in query_terms})
     terms = sorted({t for _, t in query_terms})
     qterms = spark.createDataFrame(list(query_terms), "query_id string, term string")
-    stats = spark.read.parquet(f"{path}/stats")
+    stats = read_layout(spark, path, "stats")
     postings = (
-        spark.read.parquet(f"{path}/postings")
+        read_layout(spark, path, "postings")
         .filter(F.col("tbkt").isin(probes))
         .filter(F.col("term").isin(terms))
     )
@@ -1171,12 +1207,7 @@ def ingest_postings_batch(
             "the layout) before ingesting with the per-ingest partition "
             "format postings/ingest=<id>/tbkt=<b>"
         )
-    tf = (
-        _doc_tokens_with_dl(docs_batch)
-        .groupBy("doc_id", F.col("tok").alias("term"))
-        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
-        .persist()
-    )
+    tf = _doc_tf(docs_batch).persist()  # round 14 (§2.4): map-side doc-local fold
     try:
         run_sinks(
             lambda: (
@@ -1199,11 +1230,8 @@ def ingest_postings_batch(
                 .parquet(f"{path}/termstats/ingest={ingest_id}")
             ),
             lambda: (
-                docs_batch.agg(F.count(F.lit(1)).alias("n_docs"))
-                # an all-empty batch has no tf rows: its token mass is 0
-                .crossJoin(
-                    tf.agg(F.coalesce(F.sum("tf"), F.lit(0)).alias("sum_dl"))
-                )
+                # one map-only batch pass; an all-empty batch sums to 0
+                _doc_dl_stats(docs_batch)
                 .write.mode("overwrite")
                 .parquet(f"{path}/stats/ingest={ingest_id}")
             ),
@@ -1223,13 +1251,13 @@ def query_incremental_postings(
     qterms = spark.createDataFrame(list(query_terms), "query_id string, term string")
 
     df_rel = (
-        spark.read.parquet(f"{path}/termstats")
+        read_layout(spark, path, "termstats")
         .filter(F.col("term").isin(terms))
         .groupBy("term")
         .agg(F.sum("df").cast("bigint").alias("df"))
     )
     stats = (
-        spark.read.parquet(f"{path}/stats")
+        read_layout(spark, path, "stats")
         .agg(
             F.sum("n_docs").cast("bigint").alias("n_docs"),
             F.sum("sum_dl").cast("bigint").alias("sum_dl"),
@@ -1237,7 +1265,7 @@ def query_incremental_postings(
         .selectExpr("n_docs", "CAST(sum_dl AS DOUBLE) / n_docs AS avgdl")
     )
     postings = (
-        spark.read.parquet(f"{path}/postings")
+        read_layout(spark, path, "postings")
         .filter(F.col("tbkt").isin(probes))
         .filter(F.col("term").isin(terms))
     )
@@ -1505,9 +1533,9 @@ def s38_qld_postings_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     qterms = spark.createDataFrame(
         list(_QUERY_TERMS), "query_id string, term string"
     )
-    stats = spark.read.parquet(f"{path}/stats").select("c_tot")
+    stats = read_layout(spark, path, "stats").select("c_tot")
     postings = (
-        spark.read.parquet(f"{path}/postings")
+        read_layout(spark, path, "postings")
         .filter(F.col("tbkt").isin(probes))
         .filter(F.col("term").isin(terms))
     )

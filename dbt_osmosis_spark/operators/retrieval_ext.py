@@ -73,11 +73,12 @@ from dbt_osmosis_spark.operators.retrieval import (
     _S31_ORACLE,
     _S34_SPARK_TBKT,
     _doc_dl,
-    _doc_tokens_with_dl,
+    _doc_dl_stats,
+    _doc_tf,
     _s34_tbkt_py,
     ingest_postings_batch,
 )
-from dbt_osmosis_spark.sources.parquet import read_parquet, spread
+from dbt_osmosis_spark.sources.parquet import read_layout, read_parquet, spread
 
 _S39_MOD = 7  # registered delete set: doc_id % 7 == 3
 _S39_REM = 3
@@ -195,7 +196,7 @@ def apply_postings_deletes(
     # Spark's noisy FileNotFound analysis path on the first delete batch
     if _os.path.isdir(f"{path}/deletes"):
         prior = (
-            spark.read.parquet(f"{path}/deletes")
+            read_layout(spark, path, "deletes")
             .filter(F.col("delete") != delete_id)
             .select("doc_id")
         )
@@ -203,14 +204,14 @@ def apply_postings_deletes(
     else:  # first delete batch: no deletes/ directory yet
         fresh = ids
     fresh.write.mode("overwrite").parquet(f"{path}/deletes/delete={delete_id}")
-    gone = spark.read.parquet(f"{path}/deletes/delete={delete_id}")
+    gone = read_layout(spark, path, f"deletes/delete={delete_id}")
     if _os.path.isdir(f"{path}/doclen"):
         # doc-keyed sidecar written at ingest: covers zero-token docs
         # (which have no posting rows, so the fallback below cannot see
         # them — n_docs would stay high by one) AND is doc-sized, so the
         # delete apply reads far fewer bytes than a postings scan.
         doc_dl = (
-            spark.read.parquet(f"{path}/doclen")
+            read_layout(spark, path, "doclen")
             .join(
                 _gated_tomb_bcast(gone, f"{path}/deletes/delete={delete_id}"),
                 "doc_id",
@@ -220,7 +221,7 @@ def apply_postings_deletes(
         )
     else:  # pre-sidecar layouts: per-doc dl replicated on every posting row
         doc_dl = (
-            spark.read.parquet(f"{path}/postings")
+            read_layout(spark, path, "postings")
             .join(
                 _gated_tomb_bcast(gone, f"{path}/deletes/delete={delete_id}"),
                 "doc_id",
@@ -261,11 +262,11 @@ def query_tombstone_postings(
     # state of a live streaming index): same isdir probe as the apply
     # and compact paths, falling back to an empty tombstone relation.
     if _os.path.isdir(f"{path}/deletes"):
-        tombs = spark.read.parquet(f"{path}/deletes").select("doc_id")
+        tombs = read_layout(spark, path, "deletes").select("doc_id")
     else:
         tombs = spark.createDataFrame([], "doc_id bigint")
     stats = (
-        spark.read.parquet(f"{path}/stats")
+        read_layout(spark, path, "stats")
         .agg(
             F.sum("n_docs").cast("bigint").alias("n_docs"),
             F.sum("sum_dl").cast("bigint").alias("sum_dl"),
@@ -273,7 +274,7 @@ def query_tombstone_postings(
         .selectExpr("n_docs", "CAST(sum_dl AS DOUBLE) / n_docs AS avgdl")
     )
     postings = (
-        spark.read.parquet(f"{path}/postings")
+        read_layout(spark, path, "postings")
         .filter(F.col("tbkt").isin(probes))
         .filter(F.col("term").isin(terms))
         .join(_gated_tomb_bcast(tombs, f"{path}/deletes"), "doc_id", "left_anti")
@@ -384,10 +385,10 @@ def compact_postings(spark: SparkSession, incr_path: str, out_path: str) -> None
     # the span of the compaction so the index is scanned (and the
     # anti-join run) once, not twice; the three disjoint-directory
     # sinks (doclen / postings / stats) are submitted concurrently.
-    postings = spark.read.parquet(f"{incr_path}/postings")
+    postings = read_layout(spark, incr_path, "postings")
     tombs = None
     if _os.path.isdir(f"{incr_path}/deletes"):
-        tombs = spark.read.parquet(f"{incr_path}/deletes").select("doc_id")
+        tombs = read_layout(spark, incr_path, "deletes").select("doc_id")
         tombs = _gated_tomb_bcast(tombs, f"{incr_path}/deletes")
         postings = postings.join(tombs, "doc_id", "left_anti")
     postings = postings.persist()
@@ -397,7 +398,7 @@ def compact_postings(spark: SparkSession, incr_path: str, out_path: str) -> None
             # carry the doc-keyed dl sidecar forward (tombstoned docs
             # dropped) so the compacted layout supports future deletes
             # of zero-token docs
-            doclen = spark.read.parquet(f"{incr_path}/doclen").select("doc_id", "dl")
+            doclen = read_layout(spark, incr_path, "doclen").select("doc_id", "dl")
             if tombs is not None:
                 doclen = doclen.join(tombs, "doc_id", "left_anti")
             sinks.append(
@@ -420,7 +421,7 @@ def compact_postings(spark: SparkSession, incr_path: str, out_path: str) -> None
         )
         sinks.append(
             lambda: (
-                spark.read.parquet(f"{incr_path}/stats")
+                read_layout(spark, incr_path, "stats")
                 .agg(
                     F.sum("n_docs").cast("bigint").alias("n_docs"),
                     F.sum("sum_dl").cast("bigint").alias("sum_dl"),
@@ -721,8 +722,7 @@ def write_positional_index(spark: SparkSession, docs: DataFrame, path: str) -> N
             ),
             lambda: _doc_dl(docs).write.mode("overwrite").parquet(f"{path}/doclen"),
             lambda: (
-                docs.agg(F.count(F.lit(1)).alias("n_docs"))
-                .crossJoin(pos.agg(F.count(F.lit(1)).alias("sum_dl")))
+                _doc_dl_stats(docs)
                 .selectExpr(
                     "n_docs",
                     "CAST(sum_dl AS DOUBLE) / n_docs AS avgdl",
@@ -749,7 +749,7 @@ def query_phrase_index(
     terms = sorted({w for _, ws in phrases for w in ws})
     probes = sorted({_s34_tbkt_py(t) for t in terms})
     pos = (
-        spark.read.parquet(f"{path}/postings")
+        read_layout(spark, path, "postings")
         .filter(F.col("tbkt").isin(probes))
         .filter(F.col("term").isin(terms))
         .select("doc_id", "term", "pos")
@@ -993,7 +993,7 @@ def _scoped_tombstones(
 
     if not _os.path.isdir(f"{path}/deletes"):
         return spark.createDataFrame([], "doc_id bigint, gen bigint")
-    t = spark.read.parquet(f"{path}/deletes")
+    t = read_layout(spark, path, "deletes")
     m = _read_manifest(path, mgen) if mgen is not None else None
     if m is not None and "live_deletes" in m:
         live = list(m["live_deletes"])
@@ -1074,7 +1074,7 @@ def _stats_agg(spark: SparkSession, path: str, mgen: int | None = None) -> DataF
     if not _os.path.isdir(f"{path}/stats"):
         # never-ingested layout (ADVICE r12): zero docs, undefined avgdl
         return spark.createDataFrame([(0, None)], "n_docs bigint, avgdl double")
-    rel = spark.read.parquet(f"{path}/stats")
+    rel = read_layout(spark, path, "stats")
     m = _read_manifest(path, mgen) if mgen is not None else None
     if m is not None and "stats_parts" in m:
         parts = list(m["stats_parts"])
@@ -1101,7 +1101,7 @@ def _read_segments_tagged(
     multi-root reads of tbkt-partitioned dirs: CONFLICTING_DIRECTORY_
     STRUCTURES)."""
     dfs = [
-        spark.read.parquet(f"{path}/{s}/{sub}").withColumn(
+        read_layout(spark, path, f"{s}/{sub}").withColumn(
             "seg_gen", F.lit(_seg_id(s)).cast("bigint")
         )
         for s in segs
@@ -1359,12 +1359,7 @@ def ingest_segment(
     (_upsert_supersede_sinks), so the doc-sized supersede work back-fills
     the postings write's straggler tail instead of running serially
     after it."""
-    tf = (
-        _doc_tokens_with_dl(docs_batch)
-        .groupBy("doc_id", F.col("tok").alias("term"))
-        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
-        .persist()
-    )
+    tf = _doc_tf(docs_batch).persist()  # round 14 (§2.4): map-side doc-local fold
     upsert_sinks, upsert_cleanup = (
         _upsert_supersede_sinks(spark, docs_batch, path, seg_id)
         if upsert
@@ -1385,12 +1380,8 @@ def ingest_segment(
                 .parquet(f"{path}/seg-{seg_id}/doclen")
             ),
             lambda: (
-                docs_batch.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-                .crossJoin(
-                    tf.agg(
-                        F.coalesce(F.sum("tf"), F.lit(0)).cast("bigint").alias("sum_dl")
-                    )
-                )
+                # one map-only batch pass (§2.4), independent of the tf cache
+                _doc_dl_stats(docs_batch)
                 .write.mode("overwrite")
                 .parquet(f"{path}/stats/part=ingest-{seg_id}")
             ),
@@ -1841,16 +1832,16 @@ def query_bm25_from_positional(
     probes = sorted({_s34_tbkt_py(t) for _, t in query_terms})
     terms = sorted({t for _, t in query_terms})
     qterms = spark.createDataFrame(list(query_terms), "query_id string, term string")
-    stats = spark.read.parquet(f"{path}/stats")
+    stats = read_layout(spark, path, "stats")
     tf_rel = (
-        spark.read.parquet(f"{path}/postings")
+        read_layout(spark, path, "postings")
         .filter(F.col("tbkt").isin(probes))
         .filter(F.col("term").isin(terms))
         .groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
     df_rel = tf_rel.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
-    dl_rel = spark.read.parquet(f"{path}/doclen")
+    dl_rel = read_layout(spark, path, "doclen")
     scores = (
         tf_rel.join(F.broadcast(df_rel), "term")
         .join(dl_rel, "doc_id")
@@ -1955,7 +1946,7 @@ def query_proximity_index(
     terms = sorted({t for q in queries for t in (q[1], q[2])})
     probes = sorted({_s34_tbkt_py(t) for t in terms})
     pos = (
-        spark.read.parquet(f"{path}/postings")
+        read_layout(spark, path, "postings")
         .filter(F.col("tbkt").isin(probes))
         .filter(F.col("term").isin(terms))
         .select("doc_id", "term", "pos")
@@ -2122,10 +2113,8 @@ def ingest_positional_segment(
                 .parquet(f"{path}/seg-{seg_id}/doclen")
             ),
             lambda: (
-                docs_batch.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-                .crossJoin(
-                    pos.agg(F.count(F.lit(1)).cast("bigint").alias("sum_dl"))
-                )
+                # one map-only batch pass (§2.4), independent of the pos cache
+                _doc_dl_stats(docs_batch)
                 .write.mode("overwrite")
                 .parquet(f"{path}/stats/part=ingest-{seg_id}")
             ),

@@ -46,7 +46,7 @@ from dbt_osmosis_spark.operators.retrieval_ext import (
     _s43_index_path,
     write_positional_index,
 )
-from dbt_osmosis_spark.sources.parquet import read_parquet, spread
+from dbt_osmosis_spark.sources.parquet import read_layout, read_parquet, spread
 
 # ---------------------------------------------------------------------------
 # s50: n-term sloppy phrase
@@ -156,7 +156,7 @@ def query_sloppy_phrase_index(
     terms = sorted({w for _, ws, _ in queries for w in ws})
     probes = sorted({_s34_tbkt_py(t) for t in terms})
     pos = (
-        spark.read.parquet(f"{path}/postings")
+        read_layout(spark, path, "postings")
         .filter(F.col("tbkt").isin(probes))
         .filter(F.col("term").isin(terms))
         .select("doc_id", "term", "pos")
@@ -335,7 +335,7 @@ def query_bm25_phrases(
     terms = sorted({w for _, ws in phrases for w in ws})
     probes = sorted({_s34_tbkt_py(t) for t in terms})
     pos = (
-        spark.read.parquet(f"{path}/postings")
+        read_layout(spark, path, "postings")
         .filter(F.col("tbkt").isin(probes))
         .filter(F.col("term").isin(terms))
         .select("doc_id", "term", "pos")
@@ -344,8 +344,8 @@ def query_bm25_phrases(
     df_rel = matches.groupBy("phrase_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )
-    dl_rel = spark.read.parquet(f"{path}/doclen").select("doc_id", "dl")
-    stats = spark.read.parquet(f"{path}/stats").select("n_docs", "avgdl")
+    dl_rel = read_layout(spark, path, "doclen").select("doc_id", "dl")
+    stats = read_layout(spark, path, "stats").select("n_docs", "avgdl")
     scored = (
         matches.join(F.broadcast(df_rel), "phrase_id")
         .join(dl_rel, "doc_id")

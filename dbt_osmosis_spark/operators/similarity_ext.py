@@ -56,7 +56,7 @@ from dbt_osmosis_spark.operators.similarity import (
     _SPARK_SIGNWORD,
     adaptive_xbits_agg_sql,
 )
-from dbt_osmosis_spark.sources.parquet import read_parquet, spread
+from dbt_osmosis_spark.sources.parquet import read_layout, read_parquet, spread
 
 # Queries = the first 8 corpus vectors (vec_id < 8): deterministic, and
 # realistic — production batches re-embed incoming requests, which are
@@ -240,7 +240,7 @@ def query_ivf_index(
     scan), exact cosine within them, TakeOrderedAndProject top-k."""
     probes = probe_cells(qv)
     qlit = "array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in qv) + ")"
-    idx = spark.read.parquet(path).filter(F.col("cell").isin(probes))
+    idx = read_layout(spark, path).filter(F.col("cell").isin(probes))
     if exclude_id is not None:
         idx = idx.filter(F.col("vec_id") != exclude_id)
     dot = F.expr(_SPARK_DOT.format(a="v", b=qlit))
@@ -334,7 +334,7 @@ def s17_ivf_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdf = spark.createDataFrame(
         batch, "qid bigint, qv array<double>, probe array<int>"
     )
-    idx = spark.read.parquet(path).filter(F.col("cell").isin(all_cells))
+    idx = read_layout(spark, path).filter(F.col("cell").isin(all_cells))
     dot = F.expr(_SPARK_DOT.format(a="v", b="qv"))
     n_v = F.expr(_SPARK_NORM2.format(a="v"))
     n_q = F.expr(_SPARK_NORM2.format(a="qv"))
@@ -534,7 +534,7 @@ def serve_lsh_index(
         [(qid, qv, qsub, probes[qid]) for qid, qv, qbucket, qsub in qbatch],
         "qid bigint, qv array<double>, qsub bigint, probe array<bigint>",
     )
-    idx = spark.read.parquet(path).filter(F.col("bucket").isin(all_buckets))
+    idx = read_layout(spark, path).filter(F.col("bucket").isin(all_buckets))
     dot = F.expr(_SPARK_DOT.format(a="v", b="qv"))
     n_v = F.expr(_SPARK_NORM2.format(a="v"))
     n_q = F.expr(_SPARK_NORM2.format(a="qv"))
@@ -563,7 +563,7 @@ def s18_lsh_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_lsh_index(emb_raw, path)
     # Query batch: bucket/sub for the 8 query vectors, computed in a tiny
     # job against the persisted sub width (8-row bounded collect).
-    meta = spark.read.parquet(path + "_meta")
+    meta = read_layout(spark, path + "_meta")
     emb = emb_raw.withColumn("v", F.col("embedding").cast("array<double>"))
     qrows = (
         emb.filter(F.col("vec_id") < _S15_NQ)
@@ -734,7 +734,7 @@ def s20_ivf_incremental_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     all_cells = sorted({c for _, _, cells in batch for c in cells})
     qdf = spark.createDataFrame(batch, "qid bigint, qv array<double>, probe array<int>")
-    idx = spark.read.parquet(path).filter(F.col("cell").isin(all_cells))
+    idx = read_layout(spark, path).filter(F.col("cell").isin(all_cells))
     dot = F.expr(_SPARK_DOT.format(a="v", b="qv"))
     n_v = F.expr(_SPARK_NORM2.format(a="v"))
     n_q = F.expr(_SPARK_NORM2.format(a="qv"))

@@ -41,7 +41,7 @@ from dbt_osmosis_spark.operators.similarity import (
     _SPARK_DOT,
     _SPARK_NORM2,
 )
-from dbt_osmosis_spark.sources.parquet import read_parquet, spread
+from dbt_osmosis_spark.sources.parquet import read_layout, read_parquet, spread
 
 _N_QUERIES = 8  # vec_id < 8 is the fixed query batch (s04/s15 convention)
 _TAU = 0.3  # radius: sf0.01 yields ~33 pairs, sf0.1 proportionally more
@@ -267,7 +267,7 @@ def s24_ivf_serve_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_cells = sorted({c for _, _, cells in batch for c in cells})
     qdf = spark.createDataFrame(batch, "qid bigint, qv array<double>, probe array<int>")
     idx = (
-        spark.read.parquet(path)
+        read_layout(spark, path)
         .filter(F.col("cell").isin(all_cells))
         .join(F.broadcast(tombstones), F.col("vec_id") == F.col("del_id"), "left_anti")
     )

@@ -65,7 +65,7 @@ from dbt_osmosis_spark.operators.similarity import (
     _SPARK_NORM2,
 )
 from dbt_osmosis_spark.operators.similarity_ext4 import _assign, lloyd_train
-from dbt_osmosis_spark.sources.parquet import read_parquet, spread
+from dbt_osmosis_spark.sources.parquet import read_layout, read_parquet, spread
 
 _S54_K = 10
 _S54_QUERY_IDS = (1, 2, 3)
@@ -226,7 +226,7 @@ def index_centroids(
     serve probes with the centroids its segments were assigned under."""
     m = _read_manifest(path, mgen)
     sub = (m or {}).get("centroids") or "centroids"
-    return spark.read.parquet(f"{path}/{sub}")
+    return read_layout(spark, path, sub)
 
 
 def retrain_vector_index(
@@ -271,7 +271,7 @@ def retrain_vector_index(
         lloyd_train(live, rounds).write.mode("overwrite").parquet(
             f"{path}/{cents_dir}"
         )
-        cents = spark.read.parquet(f"{path}/{cents_dir}")
+        cents = read_layout(spark, path, cents_dir)
         assigned = _assign(live, cents).withColumn("tbkt", F.col("cell").cast("int"))
         # two disjoint-directory sinks, submitted concurrently (§2.6);
         # the doclen merge is doc-sized and back-fills the partitioned
@@ -377,7 +377,7 @@ def s54_maintained_vector_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     base = emb.filter(F.col("doc_id") % 10 < 8)
     lloyd_train(base).write.mode("overwrite").parquet(f"{path}/centroids")
-    cents = spark.read.parquet(f"{path}/centroids")
+    cents = read_layout(spark, path, "centroids")
     # guide §2.6: the two base loads are disjoint slices (%10 <8 / >=8)
     # into disjoint segment dirs — upsert is a provable no-op for them,
     # so they skip the supersede pass and run concurrently. The RE-EMBED
@@ -419,7 +419,7 @@ def s55_vector_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     base = emb.filter(F.col("doc_id") % 10 < 8)
     lloyd_train(base).write.mode("overwrite").parquet(f"{path}/centroids")
-    cents = spark.read.parquet(f"{path}/centroids")
+    cents = read_layout(spark, path, "centroids")
     # guide §2.6: disjoint base slices, disjoint segment dirs — upsert
     # is a provable no-op for the base loads, ingests run concurrently
     run_sinks(

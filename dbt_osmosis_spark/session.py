@@ -78,6 +78,15 @@ def get_spark(
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Partition discovery below this file count lists on the driver
+        # (microseconds on local disk) instead of launching a listing JOB
+        # (~50-100 ms of fixed scheduling cost). The segmented index
+        # layouts are 32-bucket partitioned dirs re-listed on every
+        # delete/compact/serve phase, so the default threshold (32) put a
+        # distributed listing job in front of nearly every layout read.
+        # Deployments with object-store dirs of thousands of files tune it
+        # back down via extra_conf; 1024 local files is still a sub-ms list.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
         # Split files finer than the 128m default: local bench files are
         # 10-100 MB and would otherwise scan on 1-3 cores. On a real cluster
         # with TB-scale inputs this still yields full-size splits per task.

@@ -143,6 +143,41 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+# (layout root, sub) → StructType. Scratch-layout dirs (segmented postings,
+# doclen/termset/stats sidecars, tombstone partitions) are re-read many times
+# per operator invocation — every delete/compact/serve phase — and each bare
+# ``spark.read.parquet`` pays a schema-inference pass (a footer-reading Spark
+# job for partitioned dirs) plus, past 32 files, a distributed listing job.
+# A layout sub-directory's SCHEMA is invariant for the life of the process
+# (each writer in this repo emits one fixed shape per layout kind, and the
+# scratch roots are PID-scoped), so the first read memoizes the inferred
+# schema and every later read passes it explicitly, skipping the inference
+# job. This memoizes METADATA only — the file listing and every data scan
+# still happen per read, so results always reflect the current on-disk state
+# (no result caching across runs). Kill switch: SPARK_GRAFT_SCHEMA_MEMO=0.
+_LAYOUT_SCHEMA_MEMO: dict = {}
+
+
+def read_layout(spark: SparkSession, root: str, sub: str = "") -> DataFrame:
+    """Read ``root[/sub]`` (a rewritable scratch-layout parquet dir) with the
+    per-(root, sub) schema memo above. ``sub`` may be a per-segment path like
+    ``seg-3/postings``; the memo key collapses it to its layout-invariant
+    kind (the last component), so every segment of a layout shares one entry."""
+    path = f"{root}/{sub}" if sub else root
+    if os.environ.get("SPARK_GRAFT_SCHEMA_MEMO", "1") == "0":
+        return spark.read.parquet(path)
+    kind = sub.rsplit("/", 1)[-1]
+    if "=" in kind:  # a single partition dir, e.g. delete=3: one kind per name
+        kind = kind.split("=", 1)[0] + "="
+    key = (id(spark), root, kind)
+    schema = _LAYOUT_SCHEMA_MEMO.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _LAYOUT_SCHEMA_MEMO[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
+
 def _read_parquet_uncached(spark: SparkSession, path: str) -> DataFrame:
     nanos_cols = _nanos_timestamp_columns(path)
     if not nanos_cols:

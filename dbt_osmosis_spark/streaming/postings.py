@@ -44,7 +44,8 @@ from pyspark.sql import functions as F
 from dbt_osmosis_spark.operators.retrieval import (
     _S34_SPARK_TBKT,
     _doc_dl,
-    _doc_tokens_with_dl,
+    _doc_dl_stats,
+    _doc_tf,
     query_incremental_postings,
 )
 
@@ -60,12 +61,7 @@ def write_batch_postings(docs: DataFrame, index_dir: str, batch_id: int) -> None
     # tokenize, and the doclen sidecar (incl. dl=0 for zero-token docs —
     # the delete stream recovers dl from the doc-sized sidecar instead of
     # scanning postings) is a map-only scan of the batch.
-    tf = (
-        _doc_tokens_with_dl(docs)
-        .groupBy("doc_id", F.col("tok").alias("term"))
-        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
-        .persist()
-    )
+    tf = _doc_tf(docs).persist()  # round 14 (§2.4): map-side doc-local fold
     try:
         (
             tf.withColumn("tbkt", F.expr(_S34_SPARK_TBKT))
@@ -84,8 +80,8 @@ def write_batch_postings(docs: DataFrame, index_dir: str, batch_id: int) -> None
             .parquet(f"{index_dir}/doclen/batch={batch_id}")
         )
         (
-            docs.agg(F.count(F.lit(1)).alias("n_docs"))
-            .crossJoin(tf.agg(F.sum("tf").alias("sum_dl")))
+            # one map-only batch pass (§2.4); an all-empty batch sums to 0
+            _doc_dl_stats(docs)
             .write.mode("overwrite")
             .parquet(f"{index_dir}/stats/batch={batch_id}")
         )
