@@ -189,6 +189,42 @@ def _doc_tf(docs: DataFrame) -> DataFrame:
     )
 
 
+def _pruned_tf(docs: DataFrame, terms: list[str]) -> DataFrame:
+    """(doc_id, term, tf, dl): the _doc_tf fold restricted to a LITERAL
+    query-term list (round 14, guide §2.4): membership is an IN-list on
+    the token array BEFORE counting, so the pruned tf relation is built
+    entirely map-side — no broadcast-semi-join build, no (doc, term)
+    groupBy exchange — and dl rides along from the token-array size, so
+    scoring needs no separate dl join. Rows are identical to the r13
+    semi-join + groupBy form: docs containing a term get its exact
+    occurrence count; zero-token / no-match docs yield no rows."""
+    assert terms, "empty query-term list"
+    terms = sorted(terms)
+    return (
+        docs.select("doc_id", _tok_array(docs).alias("_toks"))
+        .select(
+            "doc_id",
+            F.size("_toks").cast("bigint").alias("dl"),
+            F.explode(
+                F.transform(
+                    F.array_distinct(
+                        F.filter("_toks", lambda t: t.isin(*terms))
+                    ),
+                    lambda t: F.struct(
+                        t.alias("term"),
+                        F.size(
+                            F.filter("_toks", lambda x: x == t)
+                        ).cast("bigint").alias("tf"),
+                    ),
+                )
+            ).alias("_e"),
+        )
+        .select(
+            "doc_id", F.col("_e.term").alias("term"), F.col("_e.tf").alias("tf"), "dl"
+        )
+    )
+
+
 def _doc_dl_stats(docs: DataFrame) -> DataFrame:
     """One-row (n_docs, sum_dl) additive stats delta from ONE map-only
     pass over the batch (round 14, guide §2.4/§2.6): n_docs counts every
@@ -203,12 +239,18 @@ def _doc_dl_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-def _corpus_stats(docs: DataFrame, dl: DataFrame) -> DataFrame:
+def _corpus_stats(dl: DataFrame) -> DataFrame:
     """One-row (n_docs, avgdl) relation; avgdl divides two exact integers
-    so both engines produce the identical double."""
+    so both engines produce the identical double. Round 14 (guide §2.4):
+    both integers come from the dl relation alone (one row per doc,
+    zero-token docs included, dl = token count), so the r13 form's
+    separate docs-count aggregate and the crossJoin that stitched the
+    two one-row relations together are gone."""
     return (
-        docs.agg(F.count(F.lit(1)).alias("n_docs"))
-        .crossJoin(dl.agg(F.sum("dl").alias("sum_dl")))
+        dl.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("sum_dl"),
+        )
         .selectExpr(
             "n_docs",
             "CAST(sum_dl AS DOUBLE) / n_docs AS avgdl",
@@ -228,18 +270,12 @@ def s31_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     relations broadcast; two-phase bucketed ranking.
     """
     docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
-    toks = _tokens(docs)
-    # One corpus pass builds dl; cached because stats, the tf-side join,
-    # and nothing else re-derives it — the explode itself is never cached
-    # (corpus-sized; re-scan beats caching it at 100 TB).
-    # round 14 (guide §2.4): dl is a map-side token-array size — no
-    # explode/groupBy exchange to materialize the cache; zero-token
-    # docs carry dl = 0 rows, inert to every consumer (sums add 0,
-    # candidate joins are inner on docs that have tf rows)
-    dl = keep_cached(_doc_dl(docs))
-    stats = _corpus_stats(docs, dl)
+    # round 14 (guide §2.4): stats is one map-only pass over the per-doc
+    # token-array sizes (_corpus_stats from _doc_dl — no dl cache, no
+    # docs-count crossJoin); the scoring dl rides the map-side tf fold.
+    stats = _corpus_stats(_doc_dl(docs))
     qterms = spark.createDataFrame(list(_QUERY_TERMS), "query_id string, term string")
-    scores = _bm25_scores(toks, dl, stats, qterms)
+    scores = _bm25_scores(docs, stats, qterms, sorted({t for _, t in _QUERY_TERMS}))
 
     # Two-phase rank: bucket-local top-k, then final rank over survivors.
     bucket_w = W.partitionBy("query_id", "bkt").orderBy(
@@ -356,24 +392,23 @@ ORDER BY query_id, rnk
 """
 
 
-def _bm25_scores(toks: DataFrame, dl: DataFrame, stats: DataFrame, qterms: DataFrame) -> DataFrame:
+def _bm25_scores(
+    docs: DataFrame, stats: DataFrame, qterms: DataFrame, terms: list[str]
+) -> DataFrame:
     """(query_id, doc_id, score_micros): one BM25 pass for a (tiny)
-    (query_id, term) relation — postings pruned to its terms pre-shuffle,
-    df computed on the pruned tf, contributions quantized before the sum."""
-    wanted = qterms.select("term").distinct()
-    # tf feeds BOTH df and the contribution join; cached so the corpus
-    # explode behind it runs once per pass. It is pruned-postings-sized
-    # (docs containing a query term), not corpus-sized.
-    tf = keep_cached(
-        toks.join(F.broadcast(wanted), toks.tok == wanted.term, "left_semi")
-        .groupBy("doc_id", F.col("tok").alias("term"))
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    (query_id, term) relation whose distinct terms are the LITERAL
+    ``terms`` list. Round 14 (guide §2.4): the pruned tf relation is the
+    map-side _pruned_tf fold — the r13 semi-join broadcast build, the
+    term-distinct shuffle, the (doc, term) groupBy exchange and the
+    tf⋈dl doc_id join are all gone (dl rides the fold); df is computed
+    on the cached pruned tf exactly as before. tf feeds BOTH df and the
+    contribution join; cached so the corpus pass behind it runs once per
+    pass — it is pruned-postings-sized, not corpus-sized."""
+    tf = keep_cached(_pruned_tf(docs, terms))
     df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     return (
         tf.join(F.broadcast(df_rel), "term")
         .join(F.broadcast(qterms), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select("query_id", "doc_id", F.expr(_CONTRIB).alias("c"))
         .groupBy("query_id", "doc_id")
@@ -408,20 +443,19 @@ def s32_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged (oracle re-verified).
     """
     docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
-    toks = _tokens(docs)
-    # round 14 (guide §2.4): dl is a map-side token-array size — no
-    # explode/groupBy exchange to materialize the cache; zero-token
-    # docs carry dl = 0 rows, inert to every consumer (sums add 0,
-    # candidate joins are inner on docs that have tf rows)
+    # round 14 (guide §2.4): dl stays cached here because BOTH passes'
+    # stats aggregate from it (one map-only materialization, two
+    # consumers); the scoring dl rides each pass's map-side tf fold.
     dl = keep_cached(_doc_dl(docs))
-    stats = _corpus_stats(docs, dl)
+    stats = _corpus_stats(dl)
     qterms = spark.createDataFrame(list(_QUERY_TERMS), "query_id string, term string")
+    base_terms = sorted({t for _, t in _QUERY_TERMS})
 
     fb_w = W.partitionBy("query_id").orderBy(
         F.col("score_micros").desc(), F.col("doc_id")
     )
     fb = (
-        _bm25_scores(toks, dl, stats, qterms)
+        _bm25_scores(docs, stats, qterms, base_terms)
         .withColumn("rnk", F.row_number().over(fb_w))
         .filter(F.col("rnk") <= _S32_FB)
         .select("query_id", "doc_id")
@@ -458,7 +492,10 @@ def s32_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score_micros").desc(), F.col("doc_id")
     )
     return (
-        _bm25_scores(toks, dl, stats, allterms)
+        _bm25_scores(
+            docs, stats, allterms,
+            sorted(set(base_terms) | {t for _, t in exp_rows}),
+        )
         .withColumn("rnk", F.row_number().over(final_w).cast("bigint"))
         .filter(F.col("rnk") <= _K)
         .select("query_id", "rnk", "doc_id", "score_micros")
@@ -645,15 +682,16 @@ def s33_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense = _topn_two_phase(dense_scored, "cosine", _S33_N)
 
     # lexical list ----------------------------------------------------------
-    toks = _tokens(docs)
-    # round 14 (guide §2.4): dl is a map-side token-array size — no
-    # explode/groupBy exchange to materialize the cache; zero-token
-    # docs carry dl = 0 rows, inert to every consumer (sums add 0,
-    # candidate joins are inner on docs that have tf rows)
-    dl = keep_cached(_doc_dl(docs))
-    stats = _corpus_stats(docs, dl)
+    # round 14 (guide §2.4): stats is one map-only pass (_corpus_stats
+    # from _doc_dl); the scoring dl rides the map-side tf fold, which is
+    # cache-shared with s31's pass inside s35 (identical logical plan).
+    stats = _corpus_stats(_doc_dl(docs))
     qterms = spark.createDataFrame(list(_QUERY_TERMS), "query_id string, term string")
-    lex = _topn_two_phase(_bm25_scores(toks, dl, stats, qterms), "score_micros", _S33_N)
+    lex = _topn_two_phase(
+        _bm25_scores(docs, stats, qterms, sorted({t for _, t in _QUERY_TERMS})),
+        "score_micros",
+        _S33_N,
+    )
 
     # fusion ----------------------------------------------------------------
     d = dense.select("query_id", "doc_id", F.col("rnk").alias("dense_rnk"))
@@ -1038,21 +1076,14 @@ def s35_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs = s31_run.unionByName(s33_run)
 
     docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
-    toks = _tokens(docs)
     qterms = spark.createDataFrame(list(_QUERY_TERMS), "query_id string, term string")
-    wanted = qterms.select("term").distinct()
     # Round 14 (guide §5, VERDICT r13 item 5): qrels derive from the SAME
-    # logical plan as _bm25_scores' keep_cached tf relation (semi-join +
-    # (doc, term) aggregation — its key set IS the distinct (doc, term)
-    # pairs the r13 form re-tokenized the corpus for), so Spark's cache
-    # manager serves the qrels scan from the tf cache the two systems
-    # under test already materialized instead of running a third corpus
-    # tokenize.
-    tf_like = (
-        toks.join(F.broadcast(wanted), toks.tok == wanted.term, "left_semi")
-        .groupBy("doc_id", F.col("tok").alias("term"))
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    # logical plan as _bm25_scores' keep_cached tf relation (the map-side
+    # _pruned_tf fold — its key set IS the distinct (doc, term) pairs the
+    # r13 form re-tokenized the corpus for), so Spark's cache manager
+    # serves the qrels scan from the tf cache the two systems under test
+    # already materialized instead of running a third corpus pass.
+    tf_like = _pruned_tf(docs, sorted({t for _, t in _QUERY_TERMS}))
     qrels = (
         tf_like.select("doc_id", "term")
         .join(F.broadcast(qterms), "term")
@@ -1435,19 +1466,18 @@ def s37_qld_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dirichlet-smoothed query-likelihood top-k (mu = 2000, k = 5) via
     the sparse absent-mass decomposition (module comment)."""
     docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
-    toks = _tokens(docs)
-    # round 14 (guide §2.4): dl is a map-side token-array size — no
-    # explode/groupBy exchange to materialize the cache; zero-token
-    # docs carry dl = 0 rows, inert to every consumer (sums add 0,
-    # candidate joins are inner on docs that have tf rows)
-    dl = keep_cached(_doc_dl(docs))
-    ctot = dl.agg(F.sum("dl").cast("bigint").alias("c_tot"))
+    # round 14 (guide §2.4, §1.2): ONE cached map-side tf fold feeds cf
+    # AND the per-doc hits — the r13 form ran two corpus tokenizes (one
+    # per aggregate) plus two semi-join broadcast builds; c_tot is one
+    # map-only pass over the token-array sizes, and dl rides the fold
+    # into the hits rollup, so the separate dl cache + doc_id join are
+    # gone.
+    ctot = _doc_dl(docs).agg(F.sum("dl").cast("bigint").alias("c_tot"))
     qterms = spark.createDataFrame(list(_QUERY_TERMS), "query_id string, term string")
-    uniq = qterms.select("term").distinct()
+    tf = keep_cached(_pruned_tf(docs, sorted({t for _, t in _QUERY_TERMS})))
     cf = (
-        toks.join(F.broadcast(uniq), toks.tok == uniq.term)
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cf"))
+        tf.groupBy("term")
+        .agg(F.sum("tf").cast("bigint").alias("cf"))
     )
     kq = (
         qterms.join(F.broadcast(cf), "term")
@@ -1458,21 +1488,19 @@ def s37_qld_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("nq"),
         )
     )
-    tf = (
-        toks.join(F.broadcast(uniq), toks.tok == uniq.term)
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
     hits = (
         tf.join(F.broadcast(cf), "term")
         .join(F.broadcast(qterms), "term")
         .crossJoin(F.broadcast(ctot))
         .groupBy("query_id", "doc_id")
-        .agg(F.expr(f"CAST(SUM({_S37_DELTA}) AS BIGINT)").alias("delta_nano"))
+        .agg(
+            F.expr(f"CAST(SUM({_S37_DELTA}) AS BIGINT)").alias("delta_nano"),
+            # dl is a per-doc constant riding the tf fold (max of equals)
+            F.max("dl").alias("dl"),
+        )
     )
     scores = (
         hits.join(F.broadcast(kq), "query_id")
-        .join(dl, "doc_id")
         .select(
             "query_id",
             "doc_id",
