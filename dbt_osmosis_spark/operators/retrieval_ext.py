@@ -1280,15 +1280,13 @@ def _upsert_supersede_sinks(
     own_part = _delete_partition_value(path, _UPSERT_TOMB_NS + seg_id)
     existing = _scoped_tombstones(spark, path, exclude_delete_id=own_part)
     live_prior = _apply_scoped_tombstones(prior_dl, existing)
-    latest = (
-        live_prior.withColumn(
-            "_rn",
-            F.row_number().over(
-                W.partitionBy("doc_id").orderBy(F.col("seg_gen").desc())
-            ),
-        )
-        .filter(F.col("_rn") == 1)
-        .select("doc_id", "dl")
+    # round 14 (guide §2.3): the latest live version per doc is a
+    # max_by aggregate, not a row_number window — same one exchange but
+    # map-side partial aggregation and no per-partition sort; (doc_id,
+    # seg_gen) is unique (a doc appears at most once per segment), so
+    # max_by has no ties.
+    latest = live_prior.groupBy("doc_id").agg(
+        F.expr("max_by(dl, seg_gen)").alias("dl")
     )
     sinks = [
         lambda: (
@@ -1429,16 +1427,12 @@ def delete_segmented(
             F.broadcast(ids), "doc_id", "left_semi"
         )
         prior = _scoped_tombstones(spark, path, exclude_delete_id=part)
+        # round 14 (guide §2.3): latest-live-version dl via max_by —
+        # map-side partials, no window sort; (doc_id, seg_gen) unique.
         doc_dl = (
             _apply_scoped_tombstones(mine, prior)
-            .withColumn(
-                "_rn",
-                F.row_number().over(
-                    W.partitionBy("doc_id").orderBy(F.col("seg_gen").desc())
-                ),
-            )
-            .filter(F.col("_rn") == 1)
-            .select("doc_id", "dl")
+            .groupBy("doc_id")
+            .agg(F.expr("max_by(dl, seg_gen)").alias("dl"))
         )
     else:
         doc_dl = spark.createDataFrame([], "doc_id bigint, dl bigint")
@@ -2075,12 +2069,6 @@ def ingest_positional_segment(
     superseded (_upsert_supersede) — re-ingesting a revised document
     serves the revision, including after a delete (re-add).
 
-    Round 13: the positional token relation is persisted for the span
-    of the ingest — the postings, termset, doclen and stats jobs each
-    derive from it, and the r12 form re-ran the tokenize for every one
-    of them plus a read-back of the written segment. Batch-sized,
-    released before returning.
-
     Round 14 (guide §2.4): positions come from _positional_tokens —
     array-index positions, no per-doc row_number window, one less
     batch-sized shuffle+sort per ingest.
@@ -2090,20 +2078,24 @@ def ingest_positional_segment(
     snapshotted before submission — _upsert_supersede_sinks), so the
     doc-sized supersede work back-fills the postings write's straggler
     tail instead of running serially after it."""
-    pos = (
-        _positional_tokens(docs_batch).withColumn("tbkt", F.expr(_S34_SPARK_TBKT))
-    ).persist()
+    # Round 14 (guide §5 — cache only when recompute beats the pressure;
+    # measured A/B): the r13 persist of the POSITION-LEVEL relation is
+    # gone. After the stats sink moved to its own map-only batch pass
+    # (_doc_dl_stats), only two sinks consume pos — the postings write
+    # (once) and the vocabulary-sized termset rollup — and materializing
+    # a cache LARGER than the batch to save one extra map-side tokenize
+    # lost the A/B: best-of-6 at sf0.1, persisted vs not — s49 6.51 vs
+    # 5.91 s, s53 8.18 vs 7.53 s, s47 5.11 vs 5.09 s (medians agree).
+    pos = _positional_tokens(docs_batch).withColumn("tbkt", F.expr(_S34_SPARK_TBKT))
     upsert_sinks, upsert_cleanup = (
         _upsert_supersede_sinks(spark, docs_batch, path, seg_id)
         if upsert
         else ([], lambda: None)
     )
     try:
-        # four disjoint-directory sinks off the one persisted positional
-        # relation, submitted concurrently (guide §2.6). Round 14
-        # (guide §2.4): doclen is a map-only token-array-size scan of the
-        # batch (no pos groupBy, no left join) and sum_dl is the cached
-        # relation's row count.
+        # four disjoint-directory sinks, submitted concurrently (guide
+        # §2.6). Round 14 (guide §2.4): doclen and stats are map-only
+        # token-array-size scans of the batch.
         run_sinks(
             lambda: _write_bucketed(spark, pos, f"{path}/seg-{seg_id}/postings"),
             lambda: _write_termset(spark, f"{path}/seg-{seg_id}", pos),
@@ -2121,7 +2113,6 @@ def ingest_positional_segment(
             *upsert_sinks,
         )
     finally:
-        pos.unpersist()
         upsert_cleanup()
 
 

@@ -19,6 +19,13 @@ OPT_IN_LANES = {
     "commit in this round touches (opt-in: `pytest -m heavy_full`; "
     "VERDICT r13 item 1 — each costs 15-50 s per run and duplicates a "
     "cheaper per-commit equivalence test that stays in the default lane)",
+    "lifecycle_soak": "multi-rebuild lifecycle/streaming equivalence "
+    "soaks (opt-in: `pytest -m lifecycle_soak`; round 14 — each rebuilds "
+    "a full segmented layout 2-4x and costs 15-45 s; every moved test "
+    "names a cheaper default-lane sibling that pins the same contract, "
+    "and the driver's oracle window still grades the operators end to "
+    "end — the default suite must finish inside the driver's pytest "
+    "budget, VERDICT r13 item 1)",
 }
 
 

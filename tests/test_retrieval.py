@@ -88,19 +88,18 @@ def test_expansion_terms_exclude_query_terms(spark, sf_dir):
         _S32_FB,
         _bm25_scores,
         _corpus_stats,
+        _doc_dl,
         _tokens,
     )
     from dbt_osmosis_spark.sources.parquet import read_parquet
     from pyspark.sql.window import Window as W
 
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
-    toks = _tokens(docs)
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = _corpus_stats(docs, dl)
+    stats = _corpus_stats(_doc_dl(docs))
     qterms = spark.createDataFrame(list(_QUERY_TERMS), "query_id string, term string")
     fb_w = W.partitionBy("query_id").orderBy(F.col("score_micros").desc(), "doc_id")
     fb = (
-        _bm25_scores(toks, dl, stats, qterms)
+        _bm25_scores(docs, stats, qterms, sorted({t for _, t in _QUERY_TERMS}))
         .withColumn("rnk", F.row_number().over(fb_w))
         .filter(F.col("rnk") <= _S32_FB)
         .select("query_id", "doc_id")
@@ -368,8 +367,9 @@ def test_s36_delta_merge_equals_full_rebuild(spark, sf_dir):
 
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     toks = _tokens(docs)
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    want_stats = _corpus_stats(docs, dl).collect()[0]
+    from dbt_osmosis_spark.operators.retrieval import _doc_dl
+
+    want_stats = _corpus_stats(_doc_dl(docs)).collect()[0]
     got_stats = (
         spark.read.parquet(f"{path}/stats")
         .agg(F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl"))

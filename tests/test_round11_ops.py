@@ -502,6 +502,7 @@ def test_s46_slop_one_equals_adjacency(spark, sf_dir):
 # equal t30's (same tokenizer, same corpus), and the packing identities
 # must hold (tail_waste < C, windows cover tokens, crossing <= docs).
 # --------------------------------------------------------------------------
+@pytest.mark.lifecycle_soak  # sibling: t30/t31 oracle parity in the rotating driver window
 def test_p41_consistent_with_t30_and_packing_identities(spark, sf_dir):
     from dbt_osmosis_spark.operators.text_ext4 import _P41_CAPACITY
 
@@ -554,6 +555,7 @@ def test_s47_compaction_preserves_phrase_serve(spark, sf_dir):
 # matrix-closing identity — with NO deletes it equals the monolithic
 # s45 serve (same corpus, same layout content, different assembly).
 # --------------------------------------------------------------------------
+@pytest.mark.lifecycle_soak  # sibling: test_s44_serve_plan_pruned_and_bounded (default, same pruning/bound plan gates)
 def test_s48_serve_plan_pruned_bounded_no_corpus(spark, sf_dir):
     from dbt_osmosis_spark.operators.retrieval import _QUERY_TERMS
     from dbt_osmosis_spark.operators.retrieval_ext import (
@@ -598,6 +600,7 @@ def test_s48_without_deletes_equals_s45(spark, sf_dir):
     assert a == b
 
 
+@pytest.mark.lifecycle_soak  # sibling: test_round12b_ops.test_sloppy_segmented_equals_monolithic_live (default, same segmented==monolithic contract)
 def test_proximity_segmented_matches_monolithic_on_live_corpus(spark, sf_dir):
     """The final matrix cell: proximity over the maintained layout ==
     proximity over a fresh monolithic build of the live corpus."""
@@ -637,6 +640,7 @@ def test_proximity_segmented_matches_monolithic_on_live_corpus(spark, sf_dir):
 # can only shrink sequences), round-0 equals chars+EOW exactly, and the
 # 8-round point agrees with t30's corpus totals.
 # --------------------------------------------------------------------------
+@pytest.mark.lifecycle_soak  # sibling: t32 oracle parity in the rotating driver window
 def test_t32_curve_monotone_and_consistent(spark, sf_dir):
     rows = {
         r.merge_rounds: r

@@ -5,6 +5,7 @@ compaction invariance while the index is live."""
 
 from __future__ import annotations
 
+import pytest
 import glob
 import os
 import shutil
@@ -85,6 +86,7 @@ def test_streamed_positional_serves_like_fresh_build(spark, sf_dir, tmp_path):
     assert all(r[2] % _DEL_MOD != _DEL_REM for r in got)
 
 
+@pytest.mark.lifecycle_soak  # siblings: test_streamed_positional_serves_like_fresh_build (default) + test_streaming_postings replay tests
 def test_replayed_segment_and_compaction_leave_serve_unchanged(
     spark, sf_dir, tmp_path
 ):
@@ -120,6 +122,7 @@ def test_replayed_segment_and_compaction_leave_serve_unchanged(
     assert after == before
 
 
+@pytest.mark.lifecycle_soak  # siblings: test_round12_ops upsert/re-add tests (default) + the s49 oracle window
 def test_streamed_revision_upserts_and_readds(spark, sf_dir, tmp_path):
     """Round 12: a document REVISION streamed as a later batch supersedes
     the prior version (and re-adds docs the delete stream had removed) —

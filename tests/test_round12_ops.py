@@ -7,6 +7,7 @@ All four ADVICE r11 items and VERDICT r11 items 2-3 are pinned here."""
 
 from __future__ import annotations
 
+import pytest
 import os
 import shutil
 
@@ -172,6 +173,7 @@ def test_empty_layout_serves_empty(spark):
 # clobber survivors nor write into an invisible retired partition.
 # Previously-deleted docs stay dead; the new delete works; stats exact.
 # --------------------------------------------------------------------------
+@pytest.mark.lifecycle_soak  # sibling: test_round13_opt.test_pinned_snapshot_tombstones_survive_delete_id_reuse (default)
 def test_delete_id_reuse_after_compaction_safe(spark):
     from dbt_osmosis_spark.operators.retrieval_ext import (
         compact_segments,
@@ -210,6 +212,7 @@ def test_delete_id_reuse_after_compaction_safe(spark):
 # set; pre-compaction segments are retained (byte-untouched) until
 # vacuum; vacuum reclaims exactly the unreferenced artifacts.
 # --------------------------------------------------------------------------
+@pytest.mark.lifecycle_soak  # sibling: test_round12b_ops.test_checkpoint_pin_ignores_later_activity (default)
 def test_manifest_generations_serve_consistently(spark, sf_dir):
     from dbt_osmosis_spark.operators.retrieval import _QUERY_TERMS
     from dbt_osmosis_spark.operators.retrieval_ext import (
@@ -264,6 +267,7 @@ def test_manifest_generations_serve_consistently(spark, sf_dir):
 # re-ingest lifecycle never resurfaces superseded versions, and the
 # from-scratch equivalence holds through it.
 # --------------------------------------------------------------------------
+@pytest.mark.lifecycle_soak  # siblings: test_delete_then_reingest_readds_doc + test_upsert_update_supersedes_old_version (default)
 def test_s49_compaction_never_resurfaces_old_versions(spark, sf_dir):
     from dbt_osmosis_spark.operators.retrieval import _QUERY_TERMS
     from dbt_osmosis_spark.operators.retrieval_ext import (

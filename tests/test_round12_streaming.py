@@ -5,6 +5,7 @@ mid-stream compaction invariance."""
 
 from __future__ import annotations
 
+import pytest
 import glob
 import os
 import shutil
@@ -107,6 +108,7 @@ def test_streamed_vector_index_serves_like_fresh_build(spark, sf_dir, tmp_path):
     assert all(r[2] % _DEL_MOD != _DEL_REM for r in got)  # deleted never served
 
 
+@pytest.mark.lifecycle_soak  # sibling: test_streamed_vector_index_serves_like_fresh_build (default)
 def test_streamed_reembed_upserts_and_compaction_invariant(spark, sf_dir, tmp_path):
     emb, vec_in, index_dir = _drive(spark, sf_dir, tmp_path)
     revised = emb.filter(F.col("doc_id") % _REV_MOD == _REV_REM).withColumn(

@@ -5,6 +5,7 @@ job; these pin the pruning, snapshot, and lifecycle contracts."""
 
 from __future__ import annotations
 
+import pytest
 import os
 import shutil
 
@@ -387,6 +388,7 @@ def test_bm25_phrases_segmented_equals_monolithic_live(spark, sf_dir):
     assert len(got) > 0
 
 
+@pytest.mark.lifecycle_soak  # siblings: s55 oracle parity (retrain result-invariance) + test_vector_serve_zero_norm_and_post_retrain_lifecycle (default)
 def test_retrain_is_result_invariant_and_atomic(spark, sf_dir):
     """Retraining re-partitions the index onto new cells without changing
     any serve result; the manifest carries the centroid pointer through
